@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Ctx
+import graft.storage.Eav
+
+/** Engine entry: builds (and caches) the compile context for a testdata
+  * scale-factor directory.
+  *
+  * The EAV encoding is written once per sfDir as parquet **partitioned by
+  * predicate** (`p`) and read back, so every bound-predicate triple
+  * pattern in the compiler benefits from real partition pruning — the
+  * same physical property the reference store gets from per-predicate
+  * succinct indexes. At cluster scale this cache directory is the
+  * database; here it lives under target/. */
+object Graft {
+
+  private val cacheRoot = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav")
+  private val ctxCache = new java.util.concurrent.ConcurrentHashMap[String, Ctx]()
+
+  def ctx(spark: SparkSession, sfDir: String): Ctx =
+    ctxCache.computeIfAbsent(sfDir, _ => build(spark, sfDir))
+
+  private def build(spark: SparkSession, sfDir: String): Ctx = {
+    // no leading underscore: Spark's file listing treats _-prefixed names
+    // as hidden metadata and logs a confusing "all paths ignored" warning
+    val name = "db" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"$cacheRoot/$name"
+    val marker = new java.io.File(s"$dir/_SUCCESS")
+    if (!marker.exists()) {
+      Eav.encodeAll(spark, sfDir)
+        .repartition(col("p"))
+        .sortWithinPartitions("s")
+        .write.mode("overwrite").partitionBy("g", "p").parquet(dir)
+    }
+    val triples = spark.read.parquet(dir)
+    val closure = Eav.subclassClosure(spark, triples)
+    Ctx(spark, triples, closure)
+  }
+
+  /** Plain relational reads for the extension operators. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,0 +1,106 @@
+package graft.core
+
+/** WOQL-flavored query AST.
+  *
+  * Operator inventory mirrors the reference's WOQL surface (see
+  * SURVEY.md §2; reference modules `core/query/json_woql.pl`,
+  * `core/query/woql_compile.pl`, `core/query/path.pl` of
+  * terminusdb/terminus-server — capability source only, execution is
+  * re-designed Spark-first).
+  *
+  * Terms: a term in a triple pattern / expression position is either a
+  * variable, an IRI node, or a typed literal.
+  */
+sealed trait Term
+final case class V(name: String) extends Term
+final case class Node(iri: String) extends Term
+sealed trait Lit extends Term
+final case class Str(v: String, lang: String = null) extends Lit
+final case class Dbl(v: Double) extends Lit
+final case class Lng(v: Long) extends Lit
+final case class Bool(v: Boolean) extends Lit
+final case class Ts(v: java.sql.Timestamp) extends Lit
+
+/** Arithmetic expression tree for `eval/2` (WOQL `Eval`). */
+sealed trait ArithE
+final case class ATerm(t: Term) extends ArithE
+final case class ABin(op: String, l: ArithE, r: ArithE) extends ArithE // + - * / div exp
+final case class AFloor(e: ArithE) extends ArithE
+
+/** Path pattern algebra for `path/4` (reference: core/query/path.pl). */
+sealed trait PathPat
+final case class PPred(p: String) extends PathPat
+final case class PInv(p: String) extends PathPat
+final case class PSeq(a: PathPat, b: PathPat) extends PathPat
+final case class PAlt(a: PathPat, b: PathPat) extends PathPat
+final case class PPlus(p: PathPat) extends PathPat
+final case class PStar(p: PathPat) extends PathPat
+final case class PTimes(p: PathPat, n: Int, m: Int) extends PathPat
+
+sealed trait Woql
+
+// ---- scans (SURVEY §2.1) ----
+final case class TriplePat(s: Term, p: Term, o: Term, g: String = "instance") extends Woql
+final case class AddedTriple(s: Term, p: Term, o: Term, commit: String) extends Woql
+final case class RemovedTriple(s: Term, p: Term, o: Term, commit: String) extends Woql
+/** Tabular CSV input `get(AsVars, Resource)`: bind csv columns to vars. */
+final case class GetCsv(asVars: Seq[(String, String)], path: String, header: Boolean = true) extends Woql
+
+// ---- connectives / joins (§2.3) ----
+final case class And(qs: Seq[Woql]) extends Woql
+object And { def of(qs: Woql*): And = And(qs.toList) }
+final case class Or(qs: Seq[Woql]) extends Woql
+object Or { def of(qs: Woql*): Or = Or(qs.toList) }
+final case class Not(q: Woql) extends Woql
+final case class Opt(q: Woql) extends Woql
+final case class Once(q: Woql) extends Woql
+case object True extends Woql
+case object False extends Woql
+
+// ---- projection / predicates (§2.2) ----
+final case class Select(vars: Seq[String], q: Woql) extends Woql
+final case class Distinct(vars: Seq[String], q: Woql) extends Woql
+final case class Eq(a: Term, b: Term) extends Woql
+final case class Cmp(op: String, a: Term, b: Term) extends Woql // "<" | ">" | "<=" | ">="
+final case class LikeSim(a: Term, b: Term, into: String) extends Woql // Dice bigram similarity
+final case class Isa(x: Term, cls: Term) extends Woql
+final case class Subsumption(sub: Term, sup: Term) extends Woql
+final case class TypeOf(x: Term, into: Term) extends Woql
+
+// ---- modifiers / aggregates (§2.4) ----
+final case class OrderBy(specs: Seq[(String, Boolean)], q: Woql) extends Woql // (var, ascending)
+final case class Limit(n: Long, q: Woql) extends Woql
+final case class Start(n: Long, q: Woql) extends Woql
+/** group_by(template, groupVars, q, into): into = list of template structs per group. */
+final case class GroupBy(template: Seq[String], by: Seq[String], q: Woql, into: String) extends Woql
+final case class CountQ(q: Woql, into: String) extends Woql
+/** sum(listVar, into) — sum over a bound list (usually a group_by result). */
+final case class SumList(listVar: String, into: String) extends Woql
+final case class LengthList(listVar: String, into: String) extends Woql
+
+// ---- scalar ops (§2.6); each binds `into` ----
+final case class Eval(expr: ArithE, into: String) extends Woql
+final case class ConcatList(parts: Seq[Term], into: String) extends Woql
+final case class TrimS(s: Term, into: String) extends Woql
+final case class UpperS(s: Term, into: String) extends Woql
+final case class LowerS(s: Term, into: String) extends Woql
+final case class PadS(s: Term, char: String, len: Term, into: String) extends Woql
+final case class SplitS(s: Term, sep: String, into: String) extends Woql // into: list
+final case class JoinS(listVar: String, sep: String, into: String) extends Woql
+/** substring(s, before, length, after, sub) — xpath-style (SURVEY §2.6). */
+final case class SubstrS(s: Term, before: Term, len: Term, intoAfter: String, intoSub: String) extends Woql
+final case class ReMatch(pattern: String, s: Term, intoGroups: String) extends Woql
+final case class FormatS(pattern: String, args: Seq[Term], into: String) extends Woql
+final case class CastQ(v: Term, typ: String, into: String) extends Woql
+final case class HashKey(base: String, args: Seq[Term], into: String) extends Woql
+final case class LexKey(base: String, args: Seq[Term], into: String) extends Woql
+final case class RandomKey(base: String, into: String) extends Woql
+/** member(x, list) — generator over a bound list (explode). */
+final case class MemberQ(into: String, listVar: String) extends Woql
+/** member over an inline list of constants. */
+final case class MemberConst(into: String, items: Seq[Term]) extends Woql
+/** dot(docVar, field, into) — field access on a JSON string value. */
+final case class DotQ(doc: Term, field: String, into: String) extends Woql
+
+// ---- path (§2.7) ----
+final case class PathQ(x: Term, pattern: PathPat, y: Term, witness: Option[String] = None) extends Woql

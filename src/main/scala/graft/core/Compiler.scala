@@ -1,0 +1,418 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compile context: where triple patterns read from.
+  *
+  * @param triples        full typed EAV table (graph column `g`)
+  * @param subclass       reflexive-transitive (sub, sup) closure, broadcast
+  * @param adds, removes  per-commit delta suppliers for added_/removed_triple
+  */
+final case class Ctx(
+    spark: SparkSession,
+    triples: DataFrame,
+    subclass: DataFrame,
+    adds: String => DataFrame = _ => null,
+    removes: String => DataFrame = _ => null)
+
+/** WOQL → DataFrame compiler.
+  *
+  * The reference compiles WOQL to Prolog goals executed by backtracking
+  * nested-loop joins over store indexes (compile_wf/2 in
+  * core/query/woql_compile.pl). We map *semantics*, not execution: each
+  * operator becomes a declarative DataFrame transformation and Catalyst
+  * picks physical strategy (broadcast vs shuffle joins, pushdown,
+  * whole-stage codegen). Conjunction-with-shared-variables — WOQL's
+  * implicit join — becomes an equi-join on binding columns (SURVEY §2.3).
+  *
+  * A solution set is a `BindingFrame`: a DataFrame with one Vals-struct
+  * column per WOQL variable; the compiler threads the set of bound
+  * variables the same way the reference threads its compile environment.
+  */
+object Compiler {
+  import Vals._
+
+  final case class BF(df: DataFrame, vars: Set[String], isUnit: Boolean = false)
+
+  def unit(ctx: Ctx): BF = BF(ctx.spark.range(1).select(), Set.empty, isUnit = true)
+
+  def run(q: Woql)(implicit ctx: Ctx): DataFrame = compile(q, unit(ctx)).df
+
+  // ---- conjunction join (the heart: shared vars = equi-join keys) ----
+  private def conj(cur: BF, nxt: BF): BF = {
+    if (cur.isUnit) nxt
+    else if (nxt.isUnit) cur
+    else {
+      val shared = (cur.vars intersect nxt.vars).toSeq.sorted
+      val df =
+        if (shared.isEmpty) cur.df.crossJoin(nxt.df)
+        else cur.df.join(nxt.df, shared, "inner")
+      BF(df, cur.vars ++ nxt.vars)
+    }
+  }
+
+  private def objVal: Column = mk(col("o_kind"), col("o_iri"), col("o_typ"),
+    col("o_str"), col("o_dbl"), col("o_lng"), col("o_ts"), col("o_bool"), col("o_lang"))
+
+  /** Compile one triple pattern against a triples-shaped DataFrame.
+    * Bound positions become filters (pushed to parquet; bound `p` prunes
+    * partitions); variable positions become projected binding columns. */
+  private def pattern(src: DataFrame, s: Term, p: Term, o: Term): BF = {
+    var df = src
+    s match {
+      case Node(i) => df = df.filter(col("s") === i)
+      case _: Lit  => df = df.filter(lit(false)) // subjects are IRIs
+      case V(_)    =>
+    }
+    p match {
+      case Node(i) => df = df.filter(col("p") === i)
+      case _: Lit  => df = df.filter(lit(false))
+      case V(_)    =>
+    }
+    o match {
+      case V(_)         =>
+      case Node(i)      => df = df.filter(col("o_kind") === "i" && col("o_iri") === i)
+      case Str(v, null) => df = df.filter(col("o_kind") === "l" && col("o_str") === v)
+      case Str(v, lang) => df = df.filter(col("o_kind") === "l" && col("o_str") === v && col("o_lang") === lang)
+      case Dbl(v)       => df = df.filter(coalesce(col("o_dbl"), col("o_lng").cast(DoubleType)) === v)
+      case Lng(v)       => df = df.filter(coalesce(col("o_dbl"), col("o_lng").cast(DoubleType)) === v.toDouble)
+      case Bool(v)      => df = df.filter(col("o_bool") === v)
+      case Ts(v)        => df = df.filter(col("o_ts") === v)
+    }
+    // variable projections (a variable repeated within one pattern → equality)
+    val proj = scala.collection.mutable.LinkedHashMap[String, Column]()
+    def bind(t: Term, c: => Column): Unit = t match {
+      case V(n) =>
+        if (proj.contains(n)) df = df.filter(proj(n) === c) else proj(n) = c
+      case _ =>
+    }
+    bind(s, iriVal(col("s")))
+    bind(p, iriVal(col("p")))
+    bind(o, objVal)
+    BF(df.select(proj.map { case (n, c) => c.as(n) }.toSeq: _*), proj.keySet.toSet)
+  }
+
+  /** Left-outer extension of `cur` by `inner` (inner's frame already
+    * contains cur's columns). Used by Opt and CountQ. */
+  private def leftExtend(cur: BF, inner: BF, fill: Map[String, Column]): BF = {
+    if (cur.isUnit) {
+      if (inner.df.isEmpty) {
+        val nulls = inner.vars.toSeq.sorted.map { v =>
+          fill.getOrElse(v, lit(null).cast(Vals.structType)).as(v)
+        }
+        BF(cur.df.select(nulls: _*), inner.vars)
+      } else inner
+    } else {
+      val keys = cur.vars.toSeq.sorted
+      val joined = cur.df.join(inner.df, keys, "left_outer")
+      val filled =
+        if (fill.isEmpty) joined
+        else fill.foldLeft(joined) { case (d, (v, c)) => d.withColumn(v, coalesce(col(v), c)) }
+      BF(filled, cur.vars ++ inner.vars)
+    }
+  }
+
+  private def termCol(t: Term, bound: Set[String]): Column = t match {
+    case V(n) if bound(n) => col(n)
+    case V(n) => throw new IllegalArgumentException(s"variable $n not bound here")
+    case other => ofTerm(other)
+  }
+
+  private def strOf(t: Term, bound: Set[String]): Column = Vals.text(termCol(t, bound))
+  private def numOf(t: Term, bound: Set[String]): Column = Vals.num(termCol(t, bound))
+
+  private def arith(e: ArithE, bound: Set[String]): Column = e match {
+    case ATerm(t) => numOf(t, bound)
+    case AFloor(x) => floor(arith(x, bound)).cast(DoubleType)
+    case ABin(op, l, r) =>
+      val (a, b) = (arith(l, bound), arith(r, bound))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "div" => floor(a / b).cast(DoubleType)
+        case "exp" => pow(a, b)
+      }
+  }
+
+  // ---- main dispatch ----
+  def compile(q: Woql, cur: BF)(implicit ctx: Ctx): BF = q match {
+
+    case TriplePat(s, p, o, g) =>
+      conj(cur, pattern(ctx.triples.filter(col("g") === g), s, p, o))
+
+    case AddedTriple(s, p, o, commit) =>
+      conj(cur, pattern(ctx.adds(commit), s, p, o))
+    case RemovedTriple(s, p, o, commit) =>
+      conj(cur, pattern(ctx.removes(commit), s, p, o))
+
+    case GetCsv(asVars, path, header) =>
+      val raw = ctx.spark.read.option("header", header.toString).csv(path)
+      val df = raw.select(asVars.map { case (v, c) => strVal(col(c)).as(v) }: _*)
+      conj(cur, BF(df, asVars.map(_._1).toSet))
+
+    case And(qs) => qs.foldLeft(cur)((acc, sub) => compile(sub, acc))
+
+    case Or(qs) =>
+      val branches = qs.map(compile(_, cur))
+      val allVars = branches.map(_.vars).reduce(_ ++ _)
+      val dfs = branches.map { b =>
+        val missing = (allVars -- b.vars).toSeq.sorted
+        missing.foldLeft(b.df)((d, v) => d.withColumn(v, lit(null).cast(Vals.structType)))
+      }
+      BF(dfs.reduce(_ unionByName _), allVars)
+
+    case Not(sub) =>
+      val inner = compile(sub, cur)
+      if (cur.isUnit) {
+        if (inner.df.isEmpty) cur else BF(cur.df.limit(0), cur.vars, isUnit = false)
+      } else {
+        val keys = cur.vars.toSeq.sorted
+        BF(cur.df.join(inner.df.select(keys.map(col): _*), keys, "left_anti"), cur.vars)
+      }
+
+    case Opt(sub) => leftExtend(cur, compile(sub, cur), Map.empty)
+
+    case Once(sub) =>
+      val inner = compile(sub, cur)
+      if (cur.isUnit) BF(inner.df.limit(1), inner.vars)
+      else {
+        val keys = cur.vars.toSeq.sorted
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(keys.map(col): _*)
+        BF(inner.df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn"), inner.vars)
+      }
+
+    case True  => cur
+    case False => BF((if (cur.isUnit) unit(ctx).df else cur.df).limit(0), cur.vars)
+
+    case Select(vars, sub) =>
+      val inner = compile(sub, cur)
+      BF(inner.df.select(vars.map(col): _*), vars.toSet)
+
+    case Distinct(vars, sub) =>
+      val inner = compile(sub, cur)
+      BF(inner.df.select(vars.map(col): _*).dropDuplicates(vars), vars.toSet)
+
+    case Eq(a, b) => (a, b) match {
+      case (V(x), V(y)) if cur.vars(x) && cur.vars(y) =>
+        BF(cur.df.filter(col(x) === col(y)), cur.vars)
+      case (V(x), V(y)) if cur.vars(x) => BF(cur.df.withColumn(y, col(x)), cur.vars + y)
+      case (V(x), V(y)) if cur.vars(y) => BF(cur.df.withColumn(x, col(y)), cur.vars + x)
+      case (V(x), c: Term) if cur.vars(x) => BF(cur.df.filter(col(x) === ofTerm(c)), cur.vars)
+      case (V(x), c: Term) => BF(cur.df.withColumn(x, ofTerm(c)), cur.vars + x)
+      case (c: Term, V(x)) => compile(Eq(V(x), c), cur)
+      case (c1: Term, c2: Term) =>
+        if (c1 == c2) cur else BF(cur.df.limit(0), cur.vars)
+    }
+
+    case Cmp(op, a, b) =>
+      BF(cur.df.filter(Vals.cmp(op, termCol(a, cur.vars), termCol(b, cur.vars))), cur.vars)
+
+    case Isa(x, cls) =>
+      // instance-of with subclass inference: type triples ⨝ broadcast closure
+      val typed = ctx.triples.filter(col("g") === "instance" && col("p") === "rdf:type")
+        .select(col("s"), col("o_iri").as("__c0"))
+      val withSup = typed.join(broadcast(ctx.subclass), col("__c0") === col("sub"), "inner")
+        .select(col("s"), col("sup"))
+      val bf = (x, cls) match {
+        case (V(n), Node(c)) =>
+          BF(withSup.filter(col("sup") === c).select(iriVal(col("s")).as(n)), Set(n))
+        case (Node(i), Node(c)) =>
+          BF(withSup.filter(col("s") === i && col("sup") === c).select(), Set.empty)
+        case (V(n), V(cv)) =>
+          BF(withSup.select(iriVal(col("s")).as(n), iriVal(col("sup")).as(cv)), Set(n, cv))
+        case (Node(i), V(cv)) =>
+          BF(withSup.filter(col("s") === i).select(iriVal(col("sup")).as(cv)), Set(cv))
+        case _ => throw new IllegalArgumentException("isa: bad arguments")
+      }
+      conj(cur, bf)
+
+    case Subsumption(sub, sup) =>
+      val cl = ctx.subclass
+      val bf = (sub, sup) match {
+        case (Node(a), Node(b)) =>
+          BF(cl.filter(col("sub") === a && col("sup") === b).select(), Set.empty)
+        case (Node(a), V(y)) =>
+          BF(cl.filter(col("sub") === a).select(iriVal(col("sup")).as(y)), Set(y))
+        case (V(x), Node(b)) =>
+          BF(cl.filter(col("sup") === b).select(iriVal(col("sub")).as(x)), Set(x))
+        case (V(x), V(y)) =>
+          BF(cl.select(iriVal(col("sub")).as(x), iriVal(col("sup")).as(y)), Set(x, y))
+        case _ => throw new IllegalArgumentException("subsumption: bad arguments")
+      }
+      conj(cur, bf)
+
+    case TypeOf(x, into) =>
+      val xc = termCol(x, cur.vars)
+      val t = when(xc.getField("k") === "i", lit("owl:Thing")).otherwise(xc.getField("typ"))
+      into match {
+        case V(n) if !cur.vars(n) => BF(cur.df.withColumn(n, strVal(t)), cur.vars + n)
+        case V(n) => BF(cur.df.filter(Vals.text(col(n)) === t), cur.vars)
+        case c: Term => BF(cur.df.filter(t === Vals.text(ofTerm(c))), cur.vars)
+      }
+
+    case OrderBy(specs, sub) =>
+      val inner = compile(sub, cur)
+      val sortCols = specs.flatMap { case (v, asc) =>
+        val kn = Vals.sortKeyNum(col(v)); val kt = Vals.sortKeyText(col(v))
+        if (asc) Seq(kn.asc_nulls_last, kt.asc_nulls_last)
+        else Seq(kn.desc_nulls_last, kt.desc_nulls_last)
+      }
+      BF(inner.df.orderBy(sortCols: _*), inner.vars)
+
+    case Limit(n, sub) =>
+      val inner = compile(sub, cur)
+      BF(inner.df.limit(n.toInt), inner.vars)
+
+    case Start(n, sub) =>
+      val inner = compile(sub, cur)
+      BF(inner.df.offset(n.toInt), inner.vars)
+
+    case GroupBy(template, by, sub, into) =>
+      val inner = compile(sub, cur)
+      val tmpl = struct(template.map(col): _*)
+      val g = inner.df.groupBy(by.map(col): _*).agg(collect_list(tmpl).as(into))
+      BF(g, by.toSet + into)
+
+    case CountQ(sub, into) =>
+      val inner = compile(sub, cur)
+      if (cur.isUnit)
+        BF(inner.df.agg(count(lit(1)).as("__c")).select(lngVal(col("__c")).as(into)), Set(into))
+      else {
+        val keys = cur.vars.toSeq.sorted
+        val counts = inner.df.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__c"))
+          .select(keys.map(col) :+ lngVal(col("__c")).as(into): _*)
+        leftExtend(cur, BF(counts, cur.vars + into), Map(into -> lngVal(lit(0L))))
+      }
+
+    case SumList(listVar, into) =>
+      val summed = aggregate(col(listVar), lit(0.0),
+        (acc, x) => acc + coalesce(sumElemNum(x), lit(0.0)))
+      BF(cur.df.withColumn(into, dblVal(summed)), cur.vars + into)
+
+    case LengthList(listVar, into) =>
+      BF(cur.df.withColumn(into, lngVal(size(col(listVar)).cast(LongType))), cur.vars + into)
+
+    case Eval(e, into) =>
+      BF(cur.df.withColumn(into, dblVal(arith(e, cur.vars))), cur.vars + into)
+
+    case ConcatList(parts, into) =>
+      val c = concat(parts.map(strOf(_, cur.vars)): _*)
+      BF(cur.df.withColumn(into, strVal(c)), cur.vars + into)
+
+    case TrimS(s, into) =>
+      BF(cur.df.withColumn(into, strVal(trim(strOf(s, cur.vars)))), cur.vars + into)
+    case UpperS(s, into) =>
+      BF(cur.df.withColumn(into, strVal(upper(strOf(s, cur.vars)))), cur.vars + into)
+    case LowerS(s, into) =>
+      BF(cur.df.withColumn(into, strVal(lower(strOf(s, cur.vars)))), cur.vars + into)
+    case PadS(s, ch, len, into) =>
+      BF(cur.df.withColumn(into,
+        strVal(lpad(strOf(s, cur.vars), numOf(len, cur.vars).cast(IntegerType), lit(ch)))),
+        cur.vars + into)
+
+    case SplitS(s, sep, into) =>
+      // reference separator is a literal string, Spark's split is regex: quote it
+      val arr = split(strOf(s, cur.vars), java.util.regex.Pattern.quote(sep))
+      BF(cur.df.withColumn(into, transform(arr, x => strVal(x))), cur.vars + into)
+
+    case JoinS(listVar, sep, into) =>
+      val joined = array_join(transform(col(listVar), x => Vals.text(x)), sep)
+      BF(cur.df.withColumn(into, strVal(joined)), cur.vars + into)
+
+    case SubstrS(s, before, len, intoAfter, intoSub) =>
+      val str0 = strOf(s, cur.vars)
+      val b = numOf(before, cur.vars).cast(IntegerType)
+      val l = numOf(len, cur.vars).cast(IntegerType)
+      val subC = str0.substr(b + 1, l)
+      val afterC = length(str0) - b - l
+      BF(cur.df.withColumn(intoSub, strVal(subC))
+        .withColumn(intoAfter, lngVal(afterC.cast(LongType))), cur.vars + intoSub + intoAfter)
+
+    case ReMatch(p, s, intoGroups) =>
+      val groups = regexp_extract_all(strOf(s, cur.vars), lit(p), lit(1))
+      BF(cur.df.withColumn(intoGroups, transform(groups, x => strVal(x))), cur.vars + intoGroups)
+
+    case FormatS(p, args, into) =>
+      BF(cur.df.withColumn(into,
+        strVal(format_string(p, args.map(strOf(_, cur.vars)): _*))), cur.vars + into)
+
+    case CastQ(v, typ, into) =>
+      val c = termCol(v, cur.vars)
+      val casted: Column = typ match {
+        case "xsd:string"   => strVal(Vals.text(c))
+        case "xsd:integer"  => lngVal(coalesce(c.getField("lng"),
+          c.getField("dbl").cast(LongType), c.getField("str").cast(LongType),
+          c.getField("bool").cast(LongType)))
+        case "xsd:double" | "xsd:decimal" => dblVal(coalesce(c.getField("dbl"),
+          c.getField("lng").cast(DoubleType), c.getField("str").cast(DoubleType)))
+        case "xsd:boolean"  => boolVal(coalesce(c.getField("bool"),
+          when(lower(c.getField("str")).isin("true", "1"), lit(true))
+            .when(lower(c.getField("str")).isin("false", "0"), lit(false))))
+        case "xsd:dateTime" => tsVal(coalesce(c.getField("ts"),
+          to_timestamp(c.getField("str"))))
+        case other => throw new IllegalArgumentException(s"unsupported cast target $other")
+      }
+      BF(cur.df.withColumn(into, casted), cur.vars + into)
+
+    case HashKey(base, args, into) =>
+      val key = sha2(concat_ws("_", args.map(strOf(_, cur.vars)): _*), 256)
+      BF(cur.df.withColumn(into, iriVal(concat(lit(base), key))), cur.vars + into)
+
+    case LexKey(base, args, into) =>
+      val key = concat_ws("_", args.map(a => url_encode(strOf(a, cur.vars))): _*)
+      BF(cur.df.withColumn(into, iriVal(concat(lit(base), key))), cur.vars + into)
+
+    case RandomKey(base, into) =>
+      BF(cur.df.withColumn(into, iriVal(concat(lit(base), expr("uuid()")))), cur.vars + into)
+
+    case MemberQ(into, listVar) =>
+      val exploded = cur.df.withColumn(into, explode(col(listVar)))
+      BF(exploded, cur.vars + into)
+
+    case MemberConst(into, items) =>
+      val arr = array(items.map(ofTerm): _*)
+      BF(cur.df.withColumn(into, explode(arr)), cur.vars + into)
+
+    case DotQ(doc, field, into) =>
+      val j = get_json_object(strOf(doc, cur.vars), s"$$.$field")
+      BF(cur.df.withColumn(into, strVal(j)), cur.vars + into)
+
+    case LikeSim(a, b, into) =>
+      val sim = graft.functions.GraftFunctions.dice_similarity(
+        strOf(a, cur.vars), strOf(b, cur.vars))
+      BF(cur.df.withColumn(into, dblVal(sim)), cur.vars + into)
+
+    case PathQ(x, pat, y, _witness) =>
+      val pairs = Paths.compile(pat, ctx) // columns: src, dst
+      val bf0 = (x, y) match {
+        case (Node(i), V(n)) =>
+          BF(pairs.filter(col("src") === i).select(iriVal(col("dst")).as(n)), Set(n))
+        case (V(n), Node(i)) =>
+          BF(pairs.filter(col("dst") === i).select(iriVal(col("src")).as(n)), Set(n))
+        case (V(a), V(b)) =>
+          BF(pairs.select(iriVal(col("src")).as(a), iriVal(col("dst")).as(b)), Set(a, b))
+        case (Node(i), Node(j)) =>
+          BF(pairs.filter(col("src") === i && col("dst") === j).select(), Set.empty)
+        case _ => throw new IllegalArgumentException("path: endpoints must be IRIs or vars")
+      }
+      conj(cur, bf0)
+  }
+
+  /** Numeric content of a list element that is either a value struct or a
+    * single-field template struct wrapping one. */
+  private def sumElemNum(x: Column): Column = {
+    // template structs from group_by have exactly one field holding a value
+    // struct; plain value structs have field "k". Try value-struct shape
+    // first, fall back to first-field access at analysis time is not
+    // possible generically — the compiler wraps group_by single-var
+    // templates so elements here are value structs.
+    coalesce(x.getField("dbl"), x.getField("lng").cast(DoubleType))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Regular path query engine (reference: core/query/path.pl — pattern
+  * algebra pred / inverse / seq / or / plus / star / times).
+  *
+  * The reference solves RPQs by Prolog search with per-solution cycle
+  * sets. Spark-first redesign: compile the pattern to relational algebra
+  * over an edge DataFrame `(src, dst)`; unbounded repetition becomes
+  * **semi-naive iterative frontier expansion** (delta-only joins, result
+  * accumulated distinct, `localCheckpoint` every few rounds to cut
+  * lineage — SURVEY §2.7). This keeps the whole loop as DataFrame joins
+  * that scale out, rather than a driver-side traversal.
+  */
+object Paths {
+
+  private val MaxIters = 64
+
+  private def edges(p: String, ctx: Ctx): DataFrame =
+    ctx.triples
+      .filter(col("g") === "instance" && col("p") === p && col("o_kind") === "i")
+      .select(col("s").as("src"), col("o_iri").as("dst"))
+
+  /** Compose two pair-relations: a.dst = b.src. */
+  private def compose(a: DataFrame, b: DataFrame): DataFrame = {
+    val br = b.withColumnRenamed("src", "__m").withColumnRenamed("dst", "__d")
+    a.join(br, col("dst") === col("__m"))
+      .select(col("src"), col("__d").as("dst"))
+  }
+
+  /** Transitive closure of `e` by semi-naive iteration (1+ hops). */
+  private def closure(e0: DataFrame): DataFrame = {
+    val e = e0.distinct().localCheckpoint(true)
+    var total = e
+    var frontier = e
+    var i = 0
+    var done = false
+    while (!done && i < MaxIters) {
+      i += 1
+      val next = compose(frontier, e).distinct()
+        .join(total, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        total = total.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    total
+  }
+
+  /** All nodes participating in any edge of the instance graph. */
+  private def nodes(ctx: Ctx): DataFrame = {
+    val t = ctx.triples.filter(col("g") === "instance")
+    t.select(col("s").as("n"))
+      .unionByName(t.filter(col("o_kind") === "i").select(col("o_iri").as("n")))
+      .distinct()
+  }
+
+  /** Compile a path pattern to a pair relation (src, dst). */
+  def compile(pat: PathPat, ctx: Ctx): DataFrame = pat match {
+    case PPred(p) => edges(p, ctx)
+    case PInv(p)  => edges(p, ctx).select(col("dst").as("src"), col("src").as("dst"))
+    case PSeq(a, b) => compose(compile(a, ctx), compile(b, ctx))
+    case PAlt(a, b) => compile(a, ctx).unionByName(compile(b, ctx))
+    case PPlus(p) => closure(compile(p, ctx))
+    case PStar(p) =>
+      val id = nodes(ctx).select(col("n").as("src"), col("n").as("dst"))
+      closure(compile(p, ctx)).unionByName(id).distinct()
+    case PTimes(p, n, m) =>
+      require(m >= n && n >= 0 && m >= 1, s"times($n,$m) out of range")
+      val step = compile(p, ctx).distinct().localCheckpoint(true)
+      var cur = step
+      var acc: DataFrame = if (n <= 1) step else null
+      var len = 1
+      while (len < m) {
+        len += 1
+        cur = compose(cur, step).distinct().localCheckpoint(true)
+        if (len >= n) acc = if (acc == null) cur else acc.unionByName(cur)
+      }
+      val withZero =
+        if (n == 0) {
+          val id = nodes(ctx).select(col("n").as("src"), col("n").as("dst"))
+          if (acc == null) id else acc.unionByName(id)
+        } else acc
+      withZero.distinct()
+  }
+
+  /** Public helper for tests: closure of an arbitrary pair DataFrame. */
+  def transitiveClosure(e: DataFrame): DataFrame = closure(e)
+}

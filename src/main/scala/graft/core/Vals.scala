@@ -1,0 +1,103 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Runtime representation of a WOQL binding value.
+  *
+  * A binding column is a struct with one discriminator (`k`: "i" for IRI
+  * nodes, "l" for literals) and typed slots. This mirrors the reference's
+  * tagged Prolog terms (`node/1` vs typed literals,
+  * reference: core/triple/literals.pl) but as a columnar struct so plans
+  * stay inside whole-stage codegen — no UDFs, no Kryo objects.
+  */
+object Vals {
+
+  val structType: StructType = StructType(Seq(
+    StructField("k", StringType),      // "i" | "l"
+    StructField("iri", StringType),
+    StructField("typ", StringType),    // xsd type for literals
+    StructField("str", StringType),
+    StructField("dbl", DoubleType),
+    StructField("lng", LongType),
+    StructField("ts", TimestampType),
+    StructField("bool", BooleanType),
+    StructField("lang", StringType)
+  ))
+
+  private def nullOf(dt: DataType): Column = lit(null).cast(dt)
+
+  /** Build a value struct; pass nulls for unused slots. */
+  def mk(k: Column, iri: Column, typ: Column, str: Column, dbl: Column,
+         lng: Column, ts: Column, bool: Column, lang: Column): Column =
+    struct(k.as("k"), iri.as("iri"), typ.as("typ"), str.as("str"),
+      dbl.as("dbl"), lng.as("lng"), ts.as("ts"), bool.as("bool"), lang.as("lang"))
+
+  def iriVal(iri: Column): Column =
+    mk(lit("i"), iri, nullOf(StringType), nullOf(StringType), nullOf(DoubleType),
+      nullOf(LongType), nullOf(TimestampType), nullOf(BooleanType), nullOf(StringType))
+
+  def strVal(s: Column, lang: Column = nullOf(StringType)): Column =
+    mk(lit("l"), nullOf(StringType), lit("xsd:string"), s, nullOf(DoubleType),
+      nullOf(LongType), nullOf(TimestampType), nullOf(BooleanType), lang)
+
+  def dblVal(d: Column): Column =
+    mk(lit("l"), nullOf(StringType), lit("xsd:double"), nullOf(StringType), d,
+      nullOf(LongType), nullOf(TimestampType), nullOf(BooleanType), nullOf(StringType))
+
+  def lngVal(l: Column): Column =
+    mk(lit("l"), nullOf(StringType), lit("xsd:integer"), nullOf(StringType),
+      nullOf(DoubleType), l, nullOf(TimestampType), nullOf(BooleanType), nullOf(StringType))
+
+  def tsVal(t: Column): Column =
+    mk(lit("l"), nullOf(StringType), lit("xsd:dateTime"), nullOf(StringType),
+      nullOf(DoubleType), nullOf(LongType), t, nullOf(BooleanType), nullOf(StringType))
+
+  def boolVal(b: Column): Column =
+    mk(lit("l"), nullOf(StringType), lit("xsd:boolean"), nullOf(StringType),
+      nullOf(DoubleType), nullOf(LongType), nullOf(TimestampType), b, nullOf(StringType))
+
+  /** Constant term → value struct column. */
+  def ofTerm(t: Term): Column = t match {
+    case Node(i)      => iriVal(lit(i))
+    case Str(s, null) => strVal(lit(s))
+    case Str(s, lang) => strVal(lit(s), lit(lang))
+    case Dbl(d)       => dblVal(lit(d))
+    case Lng(l)       => lngVal(lit(l))
+    case Bool(b)      => boolVal(lit(b))
+    case Ts(ts)       => tsVal(lit(ts))
+    case V(n) => throw new IllegalArgumentException(s"unbound variable $n used as constant")
+  }
+
+  /** Numeric view of a value (literals only). */
+  def num(v: Column): Column = coalesce(v.getField("dbl"), v.getField("lng").cast(DoubleType))
+
+  /** Canonical textual view: IRI string or literal lexical form. */
+  def text(v: Column): Column = coalesce(
+    v.getField("iri"), v.getField("str"),
+    v.getField("lng").cast(StringType),
+    v.getField("dbl").cast(StringType),
+    v.getField("ts").cast(StringType),
+    v.getField("bool").cast(StringType))
+
+  /** xsd-ordered comparison: numeric if both numeric, timestamps if both
+    * temporal, else lexical/IRI text. Mirrors the reference's typed compare
+    * (core/triple/literals.pl ordering). */
+  def cmp(op: String, a: Column, b: Column): Column = {
+    def apply2(x: Column, y: Column): Column = op match {
+      case "<"  => x < y
+      case ">"  => x > y
+      case "<=" => x <= y
+      case ">=" => x >= y
+    }
+    when(num(a).isNotNull && num(b).isNotNull, apply2(num(a), num(b)))
+      .when(a.getField("ts").isNotNull && b.getField("ts").isNotNull,
+        apply2(a.getField("ts"), b.getField("ts")))
+      .otherwise(apply2(text(a), text(b)))
+  }
+
+  /** Sort key for order_by: numbers before text, consistently. */
+  def sortKeyNum(v: Column): Column = coalesce(num(v), v.getField("ts").cast(DoubleType))
+  def sortKeyText(v: Column): Column = text(v)
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function library built from codegen'd Spark built-ins only —
+  * no UDFs in the hot path (SURVEY §2.11). */
+object GraftFunctions {
+
+  /** Character bigrams of a string (empty array below length 2). */
+  def bigrams(s: Column): Column =
+    when(length(s) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2))))
+
+  /** Dice coefficient over distinct character bigrams — our semantics for
+    * the reference's fuzzy `like/3` (reference: core/utils isub-style
+    * similarity; we document Dice as the divergence, SURVEY §2.2). */
+  def dice_similarity(a: Column, b: Column): Column = {
+    val ba = array_distinct(bigrams(a))
+    val bb = array_distinct(bigrams(b))
+    val denom = size(ba) + size(bb)
+    when(denom === 0, when(a === b, lit(1.0)).otherwise(lit(0.0)))
+      .otherwise(lit(2.0) * size(array_intersect(ba, bb)) / denom)
+  }
+
+  /** Cosine similarity of two float-array embedding columns, computed with
+    * codegen'd higher-order functions (no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Word shingles (n-grams of whitespace tokens) as strings. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, "\\s+")
+    val k = size(toks) - (n - 1)
+    when(k <= 0, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), k - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Deterministic 32-bit-ish hash of a string via md5 (stable across
+    * Spark and DuckDB — both expose md5(), unlike their native hashes). */
+  def md5Hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+}
