@@ -77,6 +77,8 @@ final case class CountQ(q: Woql, into: String) extends Woql
 /** sum(listVar, into) — sum over a bound list (usually a group_by result). */
 final case class SumList(listVar: String, into: String) extends Woql
 final case class LengthList(listVar: String, into: String) extends Woql
+/** Canonical sort of a bound list (stable order for join/output). */
+final case class SortListQ(listVar: String, into: String) extends Woql
 
 // ---- scalar ops (§2.6); each binds `into` ----
 final case class Eval(expr: ArithE, into: String) extends Woql

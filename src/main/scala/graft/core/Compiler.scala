@@ -275,9 +275,14 @@ object Compiler {
 
     case GroupBy(template, by, sub, into) =>
       val inner = compile(sub, cur)
-      val tmpl = struct(template.map(col): _*)
+      // single-var template → list of value structs (so SumList/MemberQ/JoinS
+      // operate on values); multi-var → list of named structs of values
+      val tmpl = if (template.size == 1) col(template.head) else struct(template.map(col): _*)
       val g = inner.df.groupBy(by.map(col): _*).agg(collect_list(tmpl).as(into))
       BF(g, by.toSet + into)
+
+    case SortListQ(listVar, into) =>
+      BF(cur.df.withColumn(into, array_sort(col(listVar))), cur.vars + into)
 
     case CountQ(sub, into) =>
       val inner = compile(sub, cur)

@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.core._
+
+/** One verified query per WOQL operator of SURVEY.md §2, each with a
+  * DuckDB-equivalent oracle over the raw parquet tables. Queries run
+  * through the WOQL→DataFrame compiler against the EAV encoding; the
+  * oracle reconstructs the same answer relationally. */
+object WoqlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def woql(q: Woql)(out: (String, Column)*): Q = (spark, dir) => {
+    implicit val ctx: Ctx = Graft.ctx(spark, dir)
+    Compiler.run(q).select(out.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  private def vStr(v: String) = col(v).getField("str")
+  private def vDbl(v: String) = col(v).getField("dbl")
+  private def vLng(v: String) = col(v).getField("lng")
+  private def vIri(v: String) = col(v).getField("iri")
+  private def vTs(v: String)  = col(v).getField("ts")
+
+  // §7.4 flagship: conjunction joins + literal filter + numeric comparison
+  val flagship: Woql =
+    Select(Seq("Name", "Bal"), And(Seq(
+      TriplePat(V("C"), Node("rdf:type"), Node("tpch:Customer")),
+      TriplePat(V("C"), Node("tpch:c_nationkey"), V("N")),
+      TriplePat(V("N"), Node("tpch:n_name"), Str("NATION_7")),
+      TriplePat(V("C"), Node("tpch:c_acctbal"), V("Bal")),
+      Cmp(">", V("Bal"), Dbl(500.0)),
+      TriplePat(V("C"), Node("tpch:c_name"), V("Name")))))
+
+  private val allEdges: PathPat =
+    Seq("tpch:l_orderkey", "tpch:o_custkey", "tpch:c_nationkey",
+      "tpch:n_regionkey", "tpch:s_nationkey", "tpch:l_suppkey")
+      .map(p => PPred(p): PathPat).reduce(PAlt(_, _))
+
+  val queries: Map[String, Q] = Map(
+    "woql_flagship" -> woql(flagship)(
+      "c_name" -> vStr("Name"), "c_acctbal" -> vDbl("Bal")),
+
+    // --- §2.1 scans ---
+    "woql_triple" -> woql(
+      TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg")))(
+      "s" -> vIri("C"), "seg" -> vStr("Seg")),
+
+    "woql_quad_schema" -> woql(
+      TriplePat(V("Sub"), Node("rdfs:subClassOf"), V("Sup"), g = "schema"))(
+      "sub" -> vIri("Sub"), "sup" -> vIri("Sup")),
+
+    "woql_get_csv" -> ((spark, dir) => {
+      val csvDir = s"${sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav")}/csv_nation_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      if (!new java.io.File(s"$csvDir/_SUCCESS").exists()) {
+        Graft.table(spark, dir, "nation").select("n_nationkey", "n_name")
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+      }
+      woql(GetCsv(Seq(("NK", "n_nationkey"), ("NName", "n_name")), csvDir))(
+        "nk" -> vStr("NK"), "n_name" -> vStr("NName"))(spark, dir)
+    }),
+
+    // --- §2.2 projection / predicates ---
+    "woql_select_distinct" -> woql(
+      Distinct(Seq("Seg"), TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg"))))(
+      "seg" -> vStr("Seg")),
+
+    "woql_eq" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg")),
+      Eq(V("Seg"), Str("BUILDING")),
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")))))(
+      "c_name" -> vStr("N")),
+
+    "woql_cmp_less" -> woql(And(Seq(
+      TriplePat(V("O"), Node("tpch:o_totalprice"), V("P")),
+      Cmp("<", V("P"), Dbl(1000.0)),
+      TriplePat(V("O"), Node("tpch:o_orderkey"), V("K")))))(
+      "o_orderkey" -> vLng("K"), "o_totalprice" -> vDbl("P")),
+
+    "woql_isa" -> woql(Isa(V("X"), Node("tpch:Agent")))("x" -> vIri("X")),
+
+    "woql_subsumption" -> woql(
+      Subsumption(V("Sub"), Node("tpch:Entity")))("sub" -> vIri("Sub")),
+
+    "woql_typeof" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_acctbal"), V("B")),
+      TypeOf(V("B"), V("T")))))(
+      "c" -> vIri("C"), "t" -> vStr("T")),
+
+    "woql_like" -> woql(And(Seq(
+      TriplePat(V("N"), Node("tpch:n_name"), V("Name")),
+      LikeSim(V("Name"), Str("NATION_1"), "Sim"))))(
+      "n_name" -> vStr("Name"), "sim" -> vDbl("Sim")),
+
+    // --- §2.3 joins / connectives ---
+    "woql_or" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg")),
+      Or(Seq(Eq(V("Seg"), Str("BUILDING")), Eq(V("Seg"), Str("AUTOMOBILE")))),
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")))))(
+      "c_name" -> vStr("N"), "seg" -> vStr("Seg")),
+
+    "woql_not" -> woql(And(Seq(
+      TriplePat(V("C"), Node("rdf:type"), Node("tpch:Customer")),
+      Not(TriplePat(V("O"), Node("tpch:o_custkey"), V("C"))))))(
+      "c" -> vIri("C")),
+
+    "woql_opt" -> woql(And(Seq(
+      TriplePat(V("C"), Node("rdf:type"), Node("tpch:Customer")),
+      Opt(And(Seq(
+        TriplePat(V("O"), Node("tpch:o_custkey"), V("C")),
+        TriplePat(V("O"), Node("tpch:o_totalprice"), V("P"))))))))(
+      "c" -> vIri("C"), "price" -> vDbl("P")),
+
+    "woql_once" -> woql( // no oracle: any-first-solution is nondeterministic
+      Once(TriplePat(V("C"), Node("rdf:type"), Node("tpch:Customer"))))(
+      "c" -> vIri("C")),
+
+    // --- §2.4 aggregates / modifiers ---
+    "woql_group_count" -> woql(And(Seq(
+      GroupBy(Seq("O"), Seq("St"),
+        TriplePat(V("O"), Node("tpch:o_orderstatus"), V("St")), "L"),
+      LengthList("L", "N"))))(
+      "st" -> vStr("St"), "n" -> vLng("N")),
+
+    "woql_group_sum" -> woql(And(Seq(
+      GroupBy(Seq("Q"), Seq("F"), And(Seq(
+        TriplePat(V("L"), Node("tpch:l_returnflag"), V("F")),
+        TriplePat(V("L"), Node("tpch:l_quantity"), V("Q")))), "Lst"),
+      SumList("Lst", "S"))))(
+      "flag" -> vStr("F"), "sum_qty" -> vDbl("S")),
+
+    "woql_count" -> woql(
+      CountQ(TriplePat(V("S"), Node("rdf:type"), Node("tpch:Orders")), "N"))(
+      "n" -> vLng("N")),
+
+    "woql_order_limit" -> woql(
+      Limit(5, OrderBy(Seq(("Bal", false), ("Name", true)), And(Seq(
+        TriplePat(V("C"), Node("tpch:c_acctbal"), V("Bal")),
+        TriplePat(V("C"), Node("tpch:c_name"), V("Name")))))))(
+      "c_name" -> vStr("Name"), "c_acctbal" -> vDbl("Bal")),
+
+    "woql_start" -> woql(
+      Limit(5, Start(3, OrderBy(Seq(("Bal", false), ("Name", true)), And(Seq(
+        TriplePat(V("C"), Node("tpch:c_acctbal"), V("Bal")),
+        TriplePat(V("C"), Node("tpch:c_name"), V("Name"))))))))(
+      "c_name" -> vStr("Name"), "c_acctbal" -> vDbl("Bal")),
+
+    "woql_join_list" -> woql(And(Seq(
+      GroupBy(Seq("N"), Seq("Seg"), And(Seq(
+        TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg")),
+        TriplePat(V("C"), Node("tpch:c_name"), V("N")))), "L0"),
+      SortListQ("L0", "L"),
+      JoinS("L", ",", "Names"))))(
+      "seg" -> vStr("Seg"), "names" -> vStr("Names")),
+
+    // --- §2.6 scalar ops ---
+    "woql_eval" -> woql(And(Seq(
+      TriplePat(V("L"), Node("tpch:l_extendedprice"), V("P")),
+      TriplePat(V("L"), Node("tpch:l_discount"), V("D")),
+      Eval(ABin("*", ATerm(V("P")), ABin("-", ATerm(Dbl(1.0)), ATerm(V("D")))), "R"))))(
+      "l" -> vIri("L"), "r" -> vDbl("R")),
+
+    "woql_eval2" -> woql(And(Seq(
+      TriplePat(V("O"), Node("tpch:o_totalprice"), V("P")),
+      Eval(AFloor(ABin("/", ATerm(V("P")), ATerm(Dbl(100.0)))), "Bucket"),
+      TriplePat(V("O"), Node("tpch:o_orderkey"), V("K")))))(
+      "o_orderkey" -> vLng("K"), "bucket" -> vDbl("Bucket")),
+
+    "woql_concat" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")),
+      TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg")),
+      ConcatList(Seq(V("N"), Str(":"), V("Seg")), "X"))))(
+      "x" -> vStr("X")),
+
+    "woql_strings" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")),
+      UpperS(V("N"), "U"), LowerS(V("N"), "Lo"),
+      TrimS(V("N"), "T"))))(
+      "u" -> vStr("U"), "lo" -> vStr("Lo"), "t" -> vStr("T")),
+
+    "woql_pad" -> woql(And(Seq(
+      TriplePat(V("N"), Node("tpch:n_name"), V("Name")),
+      PadS(V("Name"), "*", Lng(12), "P"))))(
+      "p" -> vStr("P")),
+
+    "woql_split_member" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")),
+      SplitS(V("N"), "#", "Parts"),
+      MemberQ("W", "Parts"))))(
+      "c" -> vIri("C"), "w" -> vStr("W")),
+
+    "woql_substr" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")),
+      SubstrS(V("N"), Lng(9), Lng(9), "After", "Sub"))))(
+      "sub" -> vStr("Sub"), "aft" -> vLng("After")),
+
+    "woql_re" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")),
+      ReMatch("Customer#(\\d+)", V("N"), "G"),
+      MemberQ("D", "G"))))(
+      "d" -> vStr("D")),
+
+    "woql_format" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")),
+      TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg")),
+      FormatS("%s/%s", Seq(V("N"), V("Seg")), "X"))))(
+      "x" -> vStr("X")),
+
+    "woql_member_const" -> woql(
+      MemberConst("X", Seq(Str("alpha"), Str("beta"), Str("gamma"))))(
+      "x" -> vStr("X")),
+
+    "woql_cast_str" -> woql(And(Seq(
+      TriplePat(V("N"), Node("tpch:n_nationkey"), V("NK")),
+      CastQ(V("NK"), "xsd:string", "S"))))(
+      "n" -> vIri("N"), "s" -> vStr("S")),
+
+    "woql_cast_num" -> woql(And(Seq(
+      TriplePat(V("P"), Node("tpch:p_size"), V("Sz")),
+      CastQ(V("Sz"), "xsd:double", "D"),
+      TriplePat(V("P"), Node("tpch:p_partkey"), V("K")))))(
+      "p_partkey" -> vLng("K"), "d" -> vDbl("D")),
+
+    "woql_hashkey" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")),
+      HashKey("doc:", Seq(V("N")), "U"))))(
+      "u" -> vIri("U")),
+
+    "woql_lexkey" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")),
+      LexKey("cust:", Seq(V("N")), "U"))))(
+      "u" -> vIri("U")),
+
+    // --- §2.7 path queries ---
+    "woql_path_seq" -> woql(
+      PathQ(V("L"), PSeq(PPred("tpch:l_orderkey"), PPred("tpch:o_custkey")), V("C")))(
+      "l" -> vIri("L"), "c" -> vIri("C")),
+
+    "woql_path_star" -> woql(
+      PathQ(Node("tpch:nation/3"), PStar(PPred("tpch:n_regionkey")), V("Y")))(
+      "y" -> vIri("Y")),
+
+    "woql_path_inv_plus" -> woql(
+      PathQ(Node("tpch:region/2"), PPlus(PInv("tpch:n_regionkey")), V("Y")))(
+      "y" -> vIri("Y")),
+
+    "woql_path_times" -> woql(
+      PathQ(V("X"), PTimes(PAlt(PPred("tpch:l_orderkey"), PPred("tpch:o_custkey")), 2, 2), V("Y")))(
+      "x" -> vIri("X"), "y" -> vIri("Y")),
+
+    "woql_path_plus_alt" -> woql(
+      PathQ(V("X"), PPlus(allEdges), Node("tpch:region/0")))(
+      "x" -> vIri("X"))
+  )
+
+  /** Lineitem subject IRI in DuckDB terms (matches Eav.encodeAll). */
+  private val lidSql =
+    "'tpch:lineitem/'||md5(l_orderkey||'|'||l_linenumber||'|'||l_partkey||'|'||l_suppkey||'|'||l_quantity)"
+
+  /** DuckDB SQL equivalents (same column names as the Spark output). */
+  val oracleSql: Map[String, String] = Map(
+    "woql_flagship" ->
+      """SELECT c_name, c_acctbal FROM customer JOIN nation
+        | ON c_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin,
+
+    "woql_triple" ->
+      "SELECT 'tpch:customer/'||c_custkey AS s, c_mktsegment AS seg FROM customer",
+
+    "woql_quad_schema" ->
+      """SELECT * FROM (VALUES
+        | ('tpch:Customer','tpch:Agent'), ('tpch:Supplier','tpch:Agent'),
+        | ('tpch:Agent','tpch:Entity'), ('tpch:Orders','tpch:Entity'),
+        | ('tpch:Lineitem','tpch:Entity'), ('tpch:Part','tpch:Entity'),
+        | ('tpch:Nation','tpch:Entity'), ('tpch:Region','tpch:Entity'))
+        | t(sub, sup)""".stripMargin,
+
+    "woql_get_csv" ->
+      "SELECT CAST(n_nationkey AS VARCHAR) AS nk, n_name FROM nation",
+
+    "woql_select_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+
+    "woql_eq" ->
+      "SELECT c_name FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+    "woql_cmp_less" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000.0",
+
+    "woql_isa" ->
+      """SELECT 'tpch:customer/'||c_custkey AS x FROM customer
+        | UNION ALL SELECT 'tpch:supplier/'||s_suppkey FROM supplier""".stripMargin,
+
+    "woql_subsumption" ->
+      """SELECT * FROM (VALUES ('tpch:Customer'),('tpch:Supplier'),('tpch:Agent'),
+        | ('tpch:Orders'),('tpch:Lineitem'),('tpch:Part'),('tpch:Nation'),
+        | ('tpch:Region'),('tpch:Entity')) t(sub)""".stripMargin,
+
+    "woql_typeof" ->
+      "SELECT 'tpch:customer/'||c_custkey AS c, 'xsd:double' AS t FROM customer",
+
+    "woql_like" ->
+      """SELECT n_name, 2.0*len(list_intersect(
+        |   list_distinct(list_transform(range(1, len(n_name)), i -> substr(n_name, CAST(i AS INT), 2))),
+        |   list_distinct(list_transform(range(1, len('NATION_1')), i -> substr('NATION_1', CAST(i AS INT), 2)))))
+        | / (len(list_distinct(list_transform(range(1, len(n_name)), i -> substr(n_name, CAST(i AS INT), 2))))
+        |    + len(list_distinct(list_transform(range(1, len('NATION_1')), i -> substr('NATION_1', CAST(i AS INT), 2)))))
+        | AS sim FROM nation""".stripMargin,
+
+    "woql_or" ->
+      """SELECT c_name, c_mktsegment AS seg FROM customer
+        | WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')""".stripMargin,
+
+    "woql_not" ->
+      """SELECT 'tpch:customer/'||c_custkey AS c FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "woql_opt" ->
+      """SELECT 'tpch:customer/'||c_custkey AS c, o_totalprice AS price
+        | FROM customer LEFT JOIN orders ON o_custkey = c_custkey""".stripMargin,
+
+    "woql_group_count" ->
+      "SELECT o_orderstatus AS st, count(*) AS n FROM orders GROUP BY 1",
+
+    "woql_group_sum" ->
+      "SELECT l_returnflag AS flag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+
+    "woql_count" ->
+      "SELECT count(*) AS n FROM orders",
+
+    "woql_order_limit" ->
+      """SELECT c_name, c_acctbal FROM customer
+        | ORDER BY c_acctbal DESC, c_name LIMIT 5""".stripMargin,
+
+    "woql_start" ->
+      """SELECT c_name, c_acctbal FROM customer
+        | ORDER BY c_acctbal DESC, c_name LIMIT 5 OFFSET 3""".stripMargin,
+
+    "woql_join_list" ->
+      """SELECT c_mktsegment AS seg,
+        | array_to_string(list_sort(list(c_name)), ',') AS names
+        | FROM customer GROUP BY 1""".stripMargin,
+
+    "woql_eval" ->
+      s"""SELECT $lidSql AS l,
+        | l_extendedprice * (1.0 - l_discount) AS r FROM lineitem""".stripMargin,
+
+    "woql_eval2" ->
+      "SELECT o_orderkey, floor(o_totalprice / 100.0) AS bucket FROM orders",
+
+    "woql_concat" ->
+      "SELECT c_name || ':' || c_mktsegment AS x FROM customer",
+
+    "woql_strings" ->
+      """SELECT upper(c_name) AS u, lower(c_name) AS lo, trim(c_name) AS t
+        | FROM customer""".stripMargin,
+
+    "woql_pad" ->
+      "SELECT lpad(n_name, 12, '*') AS p FROM nation",
+
+    "woql_split_member" ->
+      """SELECT 'tpch:customer/'||c_custkey AS c,
+        | unnest(string_split(c_name, '#')) AS w FROM customer""".stripMargin,
+
+    "woql_substr" ->
+      """SELECT substring(c_name, 10, 9) AS sub,
+        | length(c_name) - 9 - 9 AS aft FROM customer""".stripMargin,
+
+    "woql_re" ->
+      """SELECT regexp_extract(c_name, 'Customer#(\d+)', 1) AS d FROM customer""",
+
+    "woql_format" ->
+      "SELECT c_name || '/' || c_mktsegment AS x FROM customer",
+
+    "woql_member_const" ->
+      "SELECT unnest(['alpha','beta','gamma']) AS x",
+
+    "woql_cast_str" ->
+      """SELECT 'tpch:nation/'||n_nationkey AS n,
+        | CAST(n_nationkey AS VARCHAR) AS s FROM nation""".stripMargin,
+
+    "woql_cast_num" ->
+      "SELECT p_partkey, CAST(p_size AS DOUBLE) AS d FROM part",
+
+    "woql_hashkey" ->
+      "SELECT 'doc:' || sha256(c_name) AS u FROM customer",
+
+    "woql_lexkey" ->
+      "SELECT 'cust:' || replace(c_name, '#', '%23') AS u FROM customer",
+
+    "woql_path_seq" ->
+      s"""SELECT $lidSql AS l,
+        | 'tpch:customer/'||o_custkey AS c
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "woql_path_star" ->
+      """SELECT 'tpch:nation/3' AS y
+        | UNION SELECT 'tpch:region/'||n_regionkey FROM nation WHERE n_nationkey = 3""".stripMargin,
+
+    "woql_path_inv_plus" ->
+      "SELECT 'tpch:nation/'||n_nationkey AS y FROM nation WHERE n_regionkey = 2",
+
+    "woql_path_times" ->
+      s"""SELECT DISTINCT $lidSql AS x,
+        | 'tpch:customer/'||o_custkey AS y
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "woql_path_plus_alt" ->
+      s"""WITH n0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
+        | c0 AS (SELECT c_custkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM n0)),
+        | s0 AS (SELECT s_suppkey FROM supplier WHERE s_nationkey IN (SELECT n_nationkey FROM n0)),
+        | o0 AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM c0))
+        | SELECT 'tpch:nation/'||n_nationkey AS x FROM n0
+        | UNION SELECT 'tpch:customer/'||c_custkey FROM c0
+        | UNION SELECT 'tpch:supplier/'||s_suppkey FROM s0
+        | UNION SELECT 'tpch:orders/'||o_orderkey FROM o0
+        | UNION SELECT $lidSql FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM o0)
+        |      OR l_suppkey IN (SELECT s_suppkey FROM s0)""".stripMargin
+  )
+}

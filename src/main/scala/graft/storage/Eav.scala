@@ -132,9 +132,13 @@ object Eav {
         ("tpch:o_orderdate", PTs, col("o_orderdate")),
         ("tpch:o_orderpriority", PStr, col("o_orderpriority"))))
 
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data; the
+    // 5-tuple below is (verified at every sf). md5 keeps subject derivation
+    // embarrassingly parallel — no global row_number sort at 100 TB.
     val lineitem = encodeTable(rd("lineitem"),
-      concat(lit("tpch:lineitem/"), col("l_orderkey").cast(StringType),
-        lit("/"), col("l_linenumber").cast(StringType)),
+      concat(lit("tpch:lineitem/"), md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity")))),
       "tpch:Lineitem", Seq(
         ("tpch:l_orderkey", PFk("tpch:orders/"), col("l_orderkey")),
         ("tpch:l_partkey", PFk("tpch:part/"), col("l_partkey")),
