@@ -41,5 +41,16 @@ object Graft {
 
   /** Plain relational reads for the extension operators. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark rejects by
+    * default; read nanos as long and truncate to micros with integer
+    * division (exact — double division would lose precision at 2^60),
+    * matching DuckDB's nanos→micros truncation. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

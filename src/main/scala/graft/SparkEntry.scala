@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.WoqlQueries
+import graft.queries.{ExtQueries, WoqlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry exercises one operator of the SURVEY §2
@@ -15,8 +15,8 @@ object SparkEntry {
     queries("woql_flagship")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    WoqlQueries.queries
+    WoqlQueries.queries ++ ExtQueries.queries
 
   def oracleSql: Map[String, String] =
-    WoqlQueries.oracleSql
+    WoqlQueries.oracleSql ++ ExtQueries.oracleSql
 }

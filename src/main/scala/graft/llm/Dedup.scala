@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * All hashing is md5-based so results are engine-independent (Spark and
+  * DuckDB both expose md5; their native hash functions differ) — the
+  * DuckDB oracle can replay every step bit-for-bit. All stages are
+  * shuffle-conscious: LSH candidate generation is a band-bucket
+  * equi-join (shuffle on band hash), never an n² cross join.
+  */
+object Dedup {
+
+  /** First 32 bits of md5 as a positive long — deterministic 32-bit hash. */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  // MinHash universal-hash family: h_i(x) = (a_i * x + b_i) mod P.
+  // P prime > 2^32; a_i < 2^31 keeps a*x < 2^63 (no long overflow).
+  val P = 4294967311L
+  val A: Seq[Long] = Seq(1000003L, 2000029L, 3000073L, 4000037L,
+    5000011L, 6000011L, 7000003L, 8000009L)
+  val B: Seq[Long] = Seq(12345L, 54321L, 11111L, 22222L,
+    33333L, 44444L, 55555L, 66666L)
+  val NumHashes: Int = A.size // 8 → 4 bands of 2 rows
+
+  /** Exact dedup: group documents by content hash; `keep` is the
+    * canonical survivor (min id). One shuffle on the 128-bit hash. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+
+  /** Distinct word-3-gram shingle set per document. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(wordShingles(trim(col("text")), 3)).as("sh"))
+
+  /** MinHash signature columns m0..m7 per document. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+    val h = sh.select(col("doc_id"), hash32(col("s")).as("hv"))
+    val aggs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      min((col("hv") * a + b) % P).as(s"m$i")
+    }
+    h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: 4 bands of 2 minhash rows → (doc_id, band, bh). */
+  def bandHashes(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumHashes / 2).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Candidate pairs sharing ≥1 LSH band — equi-join on (band, bh), the
+    * scalable shape (shuffle ∝ collisions, not n²). */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val bh = bandHashes(minhashSignatures(docs))
+    val a = bh.select(col("band"), col("bh"), col("doc_id").as("da"))
+    val b = bh.select(col("band"), col("bh"), col("doc_id").as("db"))
+    a.join(b, Seq("band", "bh")).where(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified by exact shingle jaccard. */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val cand = lshCandidates(docs)
+    val sets = shingleSets(docs)
+    val ja = cand
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sa")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("sb")), Seq("db"))
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))))
+      .where(col("jac") >= threshold)
+    ja.select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over distinct word tokens. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("t"))
+    val h = toks.select(col("doc_id"), hash32(col("t")).as("hv"))
+    val bits = h.select(col("doc_id"), col("hv"),
+      explode(sequence(lit(0), lit(31))).as("bit"))
+      .withColumn("sign",
+        (expr("shiftright(hv, CAST(bit AS INT))") % 2) * 2 - 1)
+    bits.groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("sign")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Brute n-gram jaccard pairs over all documents (quadratic — the
+    * small-corpus baseline; LSH above is the scale path). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs)
+    val a = sets.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = sets.select(col("doc_id").as("db"), col("sh").as("sb"))
+    a.join(b, col("da") < col("db"))
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))))
+      .where(col("jac") >= threshold)
+      .select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-dup candidates: mutual nearest neighbors by cosine.
+    * Brute pairwise + two window top-1 passes; for 100 TB use the
+    * LSH/IVF bucketing in Similarity to restrict the pair space first. */
+  def embeddingMutualNN(emb: DataFrame): DataFrame = {
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val sims = a.join(b, col("ia") =!= col("ib"))
+      .withColumn("sim", graft.functions.GraftFunctions.cosine(
+        col("ea").cast("array<double>"), col("eb").cast("array<double>")))
+      .select(col("ia"), col("ib"), col("sim"))
+    val w = Window.partitionBy(col("ia")).orderBy(col("sim").desc, col("ib"))
+    val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("ia"), col("ib"), col("sim"))
+    val mutual = nn.as("x").join(nn.as("y"),
+      col("x.ia") === col("y.ib") && col("x.ib") === col("y.ia"))
+      .where(col("x.ia") < col("x.ib"))
+      .select(col("x.ia").as("da"), col("x.ib").as("db"),
+        round(col("x.sim"), 6).as("sim"))
+    mutual
+  }
+}

@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * Pure codegen'd column expressions — no UDFs — so they stream through
+  * a corpus at full scan speed and are oracle-reproducible. */
+object TextAnalysis {
+
+  private def toks(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Tokens + characters per document. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(toks(col("text"))).cast(LongType).as("n_tokens"),
+      length(col("text")).cast(LongType).as("n_chars"))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality signals: stopword ratio, mean token length, type-token
+    * ratio (distinct/total) — standard cheap quality heuristics. */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val stops = array(Stopwords.map(lit): _*)
+    val n = size(t).cast(DoubleType)
+    docs.select(col("doc_id"),
+      round(size(filter(t, x => array_contains(stops, x))) / n, 6).as("stop_ratio"),
+      round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) / n, 6)
+        .as("mean_tok_len"),
+      round(size(array_distinct(t)) / n, 6).as("ttr"))
+  }
+
+  /** Marker-word language-ID heuristic. The synthetic corpus is
+    * English-ish word salad, so this mostly scores `en` — the point is
+    * the deterministic scoring shape (per-language marker hit counts,
+    * argmax with a fixed tiebreak), which the oracle replays. */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "das"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val t = toks(lower(col("text")))
+    def score(lang: String): Column =
+      size(filter(t, x => array_contains(array(Markers(lang).map(lit): _*), x)))
+    val (se, ss, sd) = (score("en"), score("es"), score("de"))
+    docs.select(col("doc_id"),
+      when(se >= ss && se >= sd, lit("en"))
+        .when(ss >= sd, lit("es")).otherwise(lit("de")).as("pred_lang"),
+      se.cast(LongType).as("score_en"))
+  }
+
+  /** Canonical content fingerprint: md5 of the sorted distinct token
+    * set — robust to token order (rolling-hash-class fingerprint). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(toks(col("text")))))).as("fp"))
+}

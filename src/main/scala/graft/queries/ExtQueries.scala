@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.Events
+
+/** Relational, streaming, and LLM-pipeline extension operators, each
+  * with a DuckDB oracle. These read the raw parquet directly (they are
+  * the "modern pipeline" surface; the WOQL engine is the parity
+  * surface). */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(spark: SparkSession, dir: String, name: String) =
+    Graft.table(spark, dir, name)
+
+  val queries: Map[String, Q] = Map(
+
+    // --- relational core: agg / window / broadcast join pushdown ---
+    "rel_q1_agg" -> ((s, d) => t(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("count_order"))),
+
+    "rel_topk_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 3)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rk"))
+    }),
+
+    "rel_broadcast_join" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .where(n("n_regionkey") === 1 && o("o_totalprice") > 4000.0)
+        .select(col("o_orderkey"), col("c_name"), col("n_name"))
+    }),
+
+    "rel_events_window" -> ((s, d) => t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))),
+
+    "ext_json" -> ((s, d) => t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // --- streaming (real Structured Streaming execution) ---
+    "stream_window_counts" -> ((s, d) => Events.streamingTumblingCounts(s, d)),
+    "stream_session_counts" -> ((s, d) => Events.streamingSessionCounts(s, d)),
+    "stream_dedup_counts" -> ((s, d) => Events.streamingDedup(s, d)),
+
+    // --- dedup family ---
+    "dedup_exact" -> ((s, d) => Dedup.exactGroups(t(s, d, "documents"))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashNearDups(t(s, d, "documents"), 0.5)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.5)),
+    "dedup_embedding_nn" -> ((s, d) => Dedup.embeddingMutualNN(t(s, d, "embeddings"))),
+
+    // --- similarity search ---
+    "sim_topk_brute" -> ((s, d) =>
+      Similarity.bruteTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5)),
+    "sim_topk_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5, nprobe = 2)),
+
+    // --- text analysis ---
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents")))
+  )
+
+  // DuckDB-side shared fragments
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private val shSql = // distinct word 3-gram shingles, matching wordShingles(_, 3)
+    s"""CASE WHEN len($toksSql) < 3 THEN [array_to_string($toksSql, ' ')]
+       | ELSE list_distinct(list_transform(range(1, len($toksSql) - 1),
+       |   i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])) END""".stripMargin
+  private val hash32Sql = // value of first 8 md5 hex chars (= Dedup.hash32)
+    """CAST(list_sum(list_transform(range(1, 9),
+      |  i -> (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1)
+      |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+  private val cosSql =
+    "list_dot_product(ea, eb) / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "rel_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS count_order FROM lineitem
+        | WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY 1, 2""".stripMargin,
+
+    "rel_topk_window" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rk FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        | FROM lineitem) WHERE rk <= 3""".stripMargin,
+
+    "rel_broadcast_join" ->
+      """SELECT o_orderkey, c_name, n_name FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE n_regionkey = 1 AND o_totalprice > 4000.0""".stripMargin,
+
+    "rel_events_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        | min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ext_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events""".stripMargin,
+
+    "stream_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+        | FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_session_counts" ->
+      """WITH g AS (SELECT user_id, ts,
+        |   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        > INTERVAL 30 MINUTE OR
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |   THEN 1 ELSE 0 END AS brk FROM events),
+        | s AS (SELECT user_id, ts,
+        |   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        | SELECT min(ts) AS ws, max(ts) + INTERVAL 30 MINUTE AS we,
+        |   user_id, count(*) AS n FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "stream_dedup_counts" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1""".stripMargin,
+
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep FROM documents GROUP BY 1",
+
+    "dedup_minhash_lsh" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS shs FROM documents),
+        | h AS (SELECT doc_id, $hash32Sql AS hv FROM
+        |        (SELECT doc_id, unnest(shs) AS s FROM sh)),
+        | sig AS (SELECT doc_id,
+        |   min((1000003*hv+12345) % 4294967311) AS m0,
+        |   min((2000029*hv+54321) % 4294967311) AS m1,
+        |   min((3000073*hv+11111) % 4294967311) AS m2,
+        |   min((4000037*hv+22222) % 4294967311) AS m3,
+        |   min((5000011*hv+33333) % 4294967311) AS m4,
+        |   min((6000011*hv+44444) % 4294967311) AS m5,
+        |   min((7000003*hv+55555) % 4294967311) AS m6,
+        |   min((8000009*hv+66666) % 4294967311) AS m7
+        |  FROM h GROUP BY doc_id),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    md5(a.m0||'_'||a.m1) = md5(b.m0||'_'||b.m1) OR
+        |    md5(a.m2||'_'||a.m3) = md5(b.m2||'_'||b.m3) OR
+        |    md5(a.m4||'_'||a.m5) = md5(b.m4||'_'||b.m5) OR
+        |    md5(a.m6||'_'||a.m7) = md5(b.m6||'_'||b.m7)))
+        | SELECT da, db, round(len(list_intersect(x.shs, y.shs)) * 1.0 /
+        |   len(list_distinct(list_concat(x.shs, y.shs))), 6) AS jaccard
+        | FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+        | WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
+        |   len(list_distinct(list_concat(x.shs, y.shs))) >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS s FROM documents),
+        | h AS (SELECT doc_id, $hash32Sql AS hv FROM tok),
+        | bits AS (SELECT doc_id, b, ((hv >> b) % 2) * 2 - 1 AS sign
+        |   FROM h, (SELECT unnest(range(0, 32)) AS b)),
+        | sums AS (SELECT doc_id, b, sum(sign) AS sm FROM bits GROUP BY 1, 2)
+        | SELECT doc_id, CAST(sum(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << b)
+        |   ELSE 0 END) AS BIGINT) AS simhash FROM sums GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS shs FROM documents)
+        | SELECT a.doc_id AS da, b.doc_id AS db,
+        |  round(len(list_intersect(a.shs, b.shs)) * 1.0 /
+        |    len(list_distinct(list_concat(a.shs, b.shs))), 6) AS jaccard
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
+        |   len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5""".stripMargin,
+
+    "dedup_embedding_nn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |   list_dot_product(a.emb, b.emb) /
+        |     (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+        |  FROM e a JOIN e b ON a.vec_id != b.vec_id),
+        | nn AS (SELECT ia, ib, sim FROM (SELECT ia, ib, sim,
+        |   row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn FROM sims)
+        |  WHERE rn = 1)
+        | SELECT x.ia AS da, x.ib AS db, round(x.sim, 6) AS sim
+        | FROM nn x JOIN nn y ON x.ia = y.ib AND x.ib = y.ia
+        | WHERE x.ia < x.ib""".stripMargin,
+
+    "sim_topk_brute" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        | SELECT q, cand, rank, round(sim, 6) AS sim FROM (
+        |  SELECT a.vec_id AS q, b.vec_id AS cand,
+        |   list_dot_product(a.emb, b.emb) /
+        |     (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS sim,
+        |   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |     list_dot_product(a.emb, b.emb) /
+        |       (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) DESC,
+        |     b.vec_id) AS rank
+        |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id)
+        | WHERE rank <= 5""".stripMargin,
+
+    "sim_topk_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | cents AS (SELECT label AS cell, arg_min(emb, vec_id) AS cemb FROM e GROUP BY label),
+        | assign AS (SELECT vec_id, emb, cell FROM (
+        |   SELECT e.vec_id, e.emb, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.emb, c.cemb) /
+        |        (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+        |      c.cell) AS rn
+        |   FROM e CROSS JOIN cents c) WHERE rn = 1),
+        | probed AS (SELECT q, qe, cell FROM (
+        |   SELECT e.vec_id AS q, e.emb AS qe, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.emb, c.cemb) /
+        |        (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+        |      c.cell) AS rn
+        |   FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 2)
+        | SELECT q, cand, rank, round(sim, 6) AS sim FROM (
+        |  SELECT p.q, a.vec_id AS cand,
+        |   list_dot_product(p.qe, a.emb) /
+        |     (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(a.emb, a.emb))) AS sim,
+        |   row_number() OVER (PARTITION BY p.q ORDER BY
+        |     list_dot_product(p.qe, a.emb) /
+        |       (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(a.emb, a.emb))) DESC,
+        |     a.vec_id) AS rank
+        |  FROM probed p JOIN assign a ON p.cell = a.cell AND p.q != a.vec_id)
+        | WHERE rank <= 5""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tokens, length(text) AS n_chars
+        | FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+        | round(len(list_filter($toksSql, x -> list_contains(
+        |   ['the','a','of','and','to','in','is','it'], x))) * 1.0 / len($toksSql), 6)
+        |   AS stop_ratio,
+        | round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
+        |   / len($toksSql), 6) AS mean_tok_len,
+        | round(len(list_distinct($toksSql)) * 1.0 / len($toksSql), 6) AS ttr
+        | FROM documents""".stripMargin,
+
+    "text_langid" ->
+      """WITH sc AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> list_contains(['the','a','of'], x))) AS se,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> list_contains(['el','la','de'], x))) AS ss,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> list_contains(['der','die','das'], x))) AS sd
+        | FROM documents)
+        | SELECT doc_id, CASE WHEN se >= ss AND se >= sd THEN 'en'
+        |   WHEN ss >= sd THEN 'es' ELSE 'de' END AS pred_lang,
+        |  se AS score_en FROM sc""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+        | AS fp FROM documents""".stripMargin
+  )
+}
