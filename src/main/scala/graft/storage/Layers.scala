@@ -1,0 +1,187 @@
+package graft.storage
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Git-like commit-layered triple storage (SURVEY §1.1 / §2.8).
+  *
+  * The reference stores a database as a stack of immutable layers, each
+  * holding positive (adds) and negative (removes) triple sets, with a
+  * commit graph and branch refs on top (reference:
+  * core/transaction/{layer_entity,ref_entity,repo_entity}.pl and the
+  * terminusdb-store Rust crate). Spark-first redesign:
+  *
+  *  - a layer = a parquet pair `layers/<id>/{adds,removes}` in the EAV
+  *    schema of [[Eav.schema]];
+  *  - commits/refs = tiny driver-side parquet catalogs (DAGs are small
+  *    even when data is 100 TB);
+  *  - materialization = ONE shuffle, not N anti-joins: union every
+  *    layer's adds(+seq) and removes(+seq), group by triple, and keep
+  *    triples whose latest add outranks their latest remove. This scales
+  *    with total delta size and parallelizes perfectly;
+  *  - `optimize` = rewrite the fold as a single base layer (delta
+  *    rollup, like the reference's squash/rollup API).
+  */
+final class LayerStore(val spark: SparkSession, val root: String) {
+  import LayerStore._
+
+  private def path(parts: String*): String = (root +: parts).mkString("/")
+
+  // ---- catalog access -------------------------------------------------
+
+  def commits: DataFrame = {
+    val p = path("_catalog", "commits")
+    if (Files.exists(Paths.get(p, "_SUCCESS"))) spark.read.parquet(p)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], commitSchema)
+  }
+
+  def refs: Map[String, String] = {
+    val p = path("_catalog", "refs")
+    if (!Files.exists(Paths.get(p, "_SUCCESS"))) Map.empty
+    else spark.read.parquet(p).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  private def writeRefs(m: Map[String, String]): Unit = {
+    import spark.implicits._
+    m.toSeq.toDF("ref", "commit_id").coalesce(1)
+      .write.mode("overwrite").parquet(path("_catalog", "refs"))
+  }
+
+  private def appendCommit(id: String, parent: String, message: String): Unit = {
+    import spark.implicits._
+    Seq((id, parent, message, java.time.Instant.now.toString))
+      .toDF("commit_id", "parent", "message", "at")
+      .write.mode("append").parquet(path("_catalog", "commits"))
+  }
+
+  /** Parent chain of a commit, oldest first. */
+  def chain(commitId: String): Seq[String] = {
+    val parents = commits.select("commit_id", "parent").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    Iterator.iterate(Option(commitId))(c => c.flatMap(parents.getOrElse(_, None)))
+      .takeWhile(_.isDefined).map(_.get).toSeq.reverse
+  }
+
+  // ---- layers ---------------------------------------------------------
+
+  def adds(commitId: String): DataFrame = readLayer(commitId, "adds")
+  def removes(commitId: String): DataFrame = readLayer(commitId, "removes")
+
+  private def readLayer(id: String, side: String): DataFrame = {
+    val p = path("layers", id, side)
+    if (Files.exists(Paths.get(p, "_SUCCESS"))) spark.read.parquet(p)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Eav.schema)
+  }
+
+  private def conform(df: DataFrame): DataFrame =
+    df.select(Eav.schema.fieldNames.map(col): _*)
+
+  /** Create a commit on `branch` from add/remove triple sets.
+    * Single-writer-per-branch; id derives from parent+message+counts. */
+  def commit(branch: String, addsDf: DataFrame, removesDf: DataFrame,
+             message: String): String = {
+    val parent = refs.getOrElse(branch, null)
+    val a = conform(addsDf); val r = conform(removesDf)
+    val id = sha256Hex(s"$parent|$message|${a.count()}|${r.count()}|${refs.size}")
+      .substring(0, 16)
+    a.write.mode("overwrite").parquet(path("layers", id, "adds"))
+    if (!r.isEmpty) r.write.mode("overwrite").parquet(path("layers", id, "removes"))
+    appendCommit(id, parent, message)
+    writeRefs(refs + (branch -> id))
+    id
+  }
+
+  /** Materialize the graph at a commit — one union + one shuffle. */
+  def materialize(commitId: String): DataFrame = {
+    val ids = chain(commitId)
+    val parts = ids.zipWithIndex.flatMap { case (id, i) =>
+      Seq(adds(id).withColumn("__seq", lit(i.toLong * 2 + 1)),
+        removes(id).withColumn("__seq", lit(-(i.toLong * 2 + 1))))
+    }
+    val all = parts.reduce(_ unionByName _)
+    val keyCols = Eav.schema.fieldNames.toSeq
+    // latest action wins: seq is +rank for adds, -rank for removes;
+    // triple is visible iff max(add rank) > max(remove rank)
+    all.groupBy(keyCols.map(col): _*)
+      .agg(max(when(col("__seq") > 0, col("__seq")).otherwise(lit(null))).as("__a"),
+        max(when(col("__seq") < 0, -col("__seq")).otherwise(lit(null))).as("__r"))
+      .where(col("__a").isNotNull &&
+        (col("__r").isNull || col("__a") > col("__r")))
+      .select(keyCols.map(col): _*)
+  }
+
+  def materializeBranch(branch: String): DataFrame =
+    materialize(refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"no such branch $branch")))
+
+  // ---- versioning ops -------------------------------------------------
+
+  def branch(name: String, from: String): Unit = {
+    val at = refs.getOrElse(from, from) // branch name or commit id
+    writeRefs(refs + (name -> at))
+  }
+
+  def reset(branch: String, commitId: String): Unit =
+    writeRefs(refs + (branch -> commitId))
+
+  /** Triple-level diff between two commits (added, removed).
+    * EAV rows carry nulls in unused typed slots, so the anti-join must
+    * be null-safe (`<=>`) — a plain using-columns join would treat every
+    * null-bearing row as unmatched and over-report the diff. */
+  def diff(from: String, to: String): (DataFrame, DataFrame) = {
+    val a = materialize(from); val b = materialize(to)
+    val cols = Eav.schema.fieldNames.toSeq
+    def anti(l: DataFrame, r: DataFrame): DataFrame = {
+      val (la, ra) = (l.alias("l"), r.alias("r"))
+      la.join(ra, cols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _),
+        "left_anti")
+    }
+    (anti(b, a), anti(a, b))
+  }
+
+  /** Squash the full history of a branch into one base layer (the
+    * reference's `optimize`): read fold once, write one compact layer. */
+  def optimize(branchName: String, message: String = "optimize"): String = {
+    val mat = materialize(refs(branchName))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Eav.schema)
+    // new root commit (no parent): detach ref onto the compacted base
+    val id = sha256Hex(s"optimize|$message|${refs(branchName)}").substring(0, 16)
+    conform(mat).write.mode("overwrite").parquet(path("layers", id, "adds"))
+    appendCommit(id, null, message)
+    writeRefs(refs + (branchName -> id))
+    val _ = empty
+    id
+  }
+
+  /** Rebase: replay commits of `src` that are not on `onto` onto the head
+    * of `onto`, re-applying each delta (conflicts = a replayed remove of
+    * a triple absent at that point are dropped, like the reference's
+    * rebase semantics at triple granularity). */
+  def rebase(src: String, onto: String): Unit = {
+    val srcChain = chain(refs(src))
+    val ontoChain = chain(refs(onto)).toSet
+    val toReplay = srcChain.filterNot(ontoChain)
+    var head = refs(onto)
+    toReplay.foreach { cid =>
+      writeRefs(refs + (src -> head))
+      head = commit(src, adds(cid), removes(cid), s"rebase of $cid")
+    }
+    writeRefs(refs + (src -> head))
+  }
+}
+
+object LayerStore {
+  val commitSchema: StructType = StructType(Seq(
+    StructField("commit_id", StringType), StructField("parent", StringType),
+    StructField("message", StringType), StructField("at", StringType)))
+
+  def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  def open(spark: SparkSession, root: String): LayerStore =
+    new LayerStore(spark, root)
+}

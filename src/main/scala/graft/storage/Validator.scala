@@ -1,0 +1,89 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Commit-time schema validation (SURVEY §2.8; reference:
+  * core/validation/validate_instance.pl — referential integrity, literal
+  * range checks, cardinality, domain/range).
+  *
+  * Each check is one declarative DataFrame query returning violations
+  * (empty = valid). Checks run over (materialized graph + staged delta)
+  * restricted to commit-touched subjects — the incremental trick the
+  * reference's v10 validator uses — so validation cost scales with the
+  * delta, not the database. */
+object Validator {
+
+  /** Schema constraint table, derived from schema-graph triples:
+    * rdfs:domain / rdfs:range / graft:maxCard per predicate. */
+  final case class Constraints(
+      domain: DataFrame, // (p, cls)
+      range: DataFrame,  // (p, typ)  — xsd type for literals, class for IRIs
+      maxCard: DataFrame // (p, n)
+  )
+
+  def constraintsFrom(schema: DataFrame): Constraints = Constraints(
+    domain = schema.filter(col("p") === "rdfs:domain")
+      .select(col("s").as("cp"), col("o_iri").as("cls")),
+    range = schema.filter(col("p") === "rdfs:range")
+      .select(col("s").as("cp"), col("o_iri").as("typ")),
+    maxCard = schema.filter(col("p") === "graft:maxCard")
+      .select(col("s").as("cp"), col("o_lng").as("n")))
+
+  /** Restrict graph to subjects touched by the delta (incremental). */
+  def touched(graph: DataFrame, delta: DataFrame): DataFrame =
+    graph.join(delta.select(col("s")).distinct(), Seq("s"), "left_semi")
+
+  /** IRI objects must exist as subjects (referential integrity). */
+  def danglingRefs(graph: DataFrame, checkScope: DataFrame): DataFrame = {
+    val subjects = graph.select(col("s")).distinct()
+    checkScope.filter(col("o_kind") === "i" &&
+        !col("p").isin("rdf:type", "rdfs:subClassOf"))
+      .join(subjects.withColumnRenamed("s", "o_iri"), Seq("o_iri"), "left_anti")
+      .select(col("s"), col("p"), col("o_iri"))
+  }
+
+  /** Literal type must match rdfs:range of the predicate. */
+  def rangeViolations(checkScope: DataFrame, c: Constraints): DataFrame =
+    checkScope.filter(col("o_kind") === "l")
+      .join(broadcast(c.range), col("p") === col("cp"), "inner")
+      .where(col("o_typ") =!= col("typ"))
+      .select(col("s"), col("p"), col("o_typ"), col("typ"))
+
+  /** (s, p) cardinality must not exceed graft:maxCard. */
+  def cardinalityViolations(graph: DataFrame, delta: DataFrame,
+                            c: Constraints): DataFrame =
+    touched(graph, delta)
+      .groupBy(col("s"), col("p")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(c.maxCard), col("p") === col("cp"), "inner")
+      .where(col("cnt") > col("n"))
+      .select(col("s"), col("p"), col("cnt"), col("n"))
+
+  /** Typed subjects must satisfy rdfs:domain of used predicates. */
+  def domainViolations(graph: DataFrame, delta: DataFrame,
+                       c: Constraints, subclass: DataFrame): DataFrame = {
+    val types = graph.filter(col("p") === "rdf:type")
+      .select(col("s"), col("o_iri").as("cls0"))
+    val withSup = types.join(broadcast(subclass), col("cls0") === col("sub"))
+      .select(col("s"), col("sup"))
+    touched(delta, delta)
+      .join(broadcast(c.domain), col("p") === col("cp"), "inner")
+      .join(withSup.withColumnRenamed("sup", "cls"), Seq("s", "cls"), "left_anti")
+      .select(col("s"), col("p"), col("cls"))
+  }
+
+  /** Run all checks; returns (checkName -> violations). */
+  def validate(graph: DataFrame, delta: DataFrame, schema: DataFrame,
+               subclass: DataFrame): Map[String, DataFrame] = {
+    val c = constraintsFrom(schema)
+    val scope = touched(graph.unionByName(delta), delta)
+    Map(
+      "dangling_refs" -> danglingRefs(graph.unionByName(delta), scope),
+      "range" -> rangeViolations(scope, c),
+      "cardinality" -> cardinalityViolations(graph.unionByName(delta), delta, c),
+      "domain" -> domainViolations(graph.unionByName(delta), delta, c, subclass))
+  }
+
+  def isValid(results: Map[String, DataFrame]): Boolean =
+    results.values.forall(_.isEmpty)
+}

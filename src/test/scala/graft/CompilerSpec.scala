@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.core._
+import graft.core.Compiler
+
+/** Binding-environment semantics of the WOQL compiler (SURVEY §7.5's
+  * "subtlest compiler logic"): eq as assignment vs filter, or-branch
+  * null alignment, negation-as-failure, optional, once, distinct. */
+class CompilerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val g = triples(
+    (":a", "knows", ":b"), (":b", "knows", ":c"), (":c", "knows", ":a"),
+    (":a", "name", "alice"), (":b", "name", "bob"),
+    (":a", "age", 30), (":b", "age", 40))
+
+  private implicit val ctx: Ctx = ctxOf(g)
+
+  private def names(q: Woql, v: String): Set[String] =
+    Compiler.run(q).collect().map(r =>
+      Option(r.getAs[Row](v)).map(x =>
+        Option(x.getAs[String]("iri")).getOrElse(x.getAs[String]("str"))).orNull)
+      .toSet
+
+  test("eq acts as filter when bound, assignment when free") {
+    val filter = And(Seq(
+      TriplePat(V("X"), Node("name"), V("N")), Eq(V("N"), Str("alice"))))
+    assert(names(filter, "X") == Set(":a"))
+    val assign = And(Seq(
+      TriplePat(V("X"), Node("name"), Str("bob")), Eq(V("Y"), Str("hi"))))
+    assert(names(assign, "Y") == Set("hi"))
+  }
+
+  test("or aligns missing vars as nulls across asymmetric branches") {
+    val q = Or(Seq(
+      TriplePat(V("X"), Node("name"), V("N")),
+      TriplePat(V("X"), Node("age"), V("A"))))
+    val rows = Compiler.run(q).collect()
+    assert(rows.length == 4)
+    assert(rows.count(_.getAs[Row]("N") == null) == 2) // age-branch rows
+    assert(rows.count(_.getAs[Row]("A") == null) == 2)
+  }
+
+  test("not is negation-as-failure on shared vars") {
+    val q = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      Not(TriplePat(V("X"), Node("name"), V("N")))))
+    assert(names(q, "X") == Set(":c")) // only :c has no name
+  }
+
+  test("opt keeps unmatched outer rows with null binding") {
+    val q = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      Opt(TriplePat(V("X"), Node("name"), V("N")))))
+    val rows = Compiler.run(q).collect()
+    assert(rows.length == 3)
+    assert(rows.count(_.getAs[Row]("N") == null) == 1)
+  }
+
+  test("once yields exactly one solution") {
+    val q = Once(TriplePat(V("X"), Node("knows"), V("Y")))
+    assert(Compiler.run(q).count() == 1)
+  }
+
+  test("conjunction order does not change the solution set") {
+    val a = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      TriplePat(V("X"), Node("age"), V("A")),
+      TriplePat(V("X"), Node("name"), V("N"))))
+    val b = And(Seq(
+      TriplePat(V("X"), Node("name"), V("N")),
+      TriplePat(V("X"), Node("age"), V("A")),
+      TriplePat(V("X"), Node("knows"), V("Y"))))
+    val ra = Compiler.run(a).select("X", "Y", "A", "N").collect().toSet
+    val rb = Compiler.run(b).select("X", "Y", "A", "N").collect().toSet
+    assert(ra == rb && ra.nonEmpty)
+  }
+
+  test("distinct dedups on the projected vars") {
+    val q = Distinct(Seq("P"), TriplePat(V("X"), V("P"), V("O")))
+    assert(Compiler.run(q).count() == 3) // knows, name, age
+  }
+
+  test("cast round-trips integer through string") {
+    val q = And(Seq(
+      TriplePat(V("X"), Node("age"), V("A")),
+      CastQ(V("A"), "xsd:string", "S"),
+      CastQ(V("S"), "xsd:integer", "I")))
+    val vals = Compiler.run(q).collect()
+      .map(_.getAs[Row]("I").getAs[Long]("lng")).toSet
+    assert(vals == Set(30L, 40L))
+  }
+
+  test("repeated variable inside one pattern forces equality") {
+    val g2 = triples((":x", "knows", ":x"), (":x", "knows", ":y"))
+    val q = TriplePat(V("A"), Node("knows"), V("A"))
+    val res = Compiler.run(q)(ctxOf(g2)).collect()
+    assert(res.length == 1)
+  }
+
+  test("group_by + sum over grouped list") {
+    val q = And(Seq(
+      GroupBy(Seq("A"), Seq("P"),
+        TriplePat(V("X"), V("P"), V("A"), "instance"), "L"),
+      LengthList("L", "N")))
+    val counts = Compiler.run(q).collect()
+      .map(r => r.getAs[Row]("P").getAs[String]("iri") ->
+        r.getAs[Row]("N").getAs[Long]("lng")).toMap
+    assert(counts == Map("knows" -> 3L, "name" -> 2L, "age" -> 2L))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.docs.Documents
+
+/** Document CRUD: JSON↔triples expansion, key strategies, round trip
+  * (SURVEY §2.8 / E2). */
+class DocumentsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val doc =
+    """{"name":"ada","age":36,"active":true,
+      | "address":{"city":"london","zip":"e1"},
+      | "tags":["math","code"]}""".stripMargin
+
+  test("bulk insert expands nested docs inside mapPartitions") {
+    import spark.implicits._
+    val ds = Seq(doc).toDS()
+    val t = Documents.insertAll(ds, "Person", Documents.LexicalKey(Seq("name")))
+    val rows = t.collect()
+    assert(rows.exists(r => r.getString(2) == "doc:name" && r.getString(6) == "ada"))
+    assert(rows.exists(r => r.getString(2) == "doc:address" && r.getString(3) == "i"))
+    assert(rows.exists(r => r.getString(1).endsWith("/address") &&
+      r.getString(2) == "doc:city"))
+    assert(rows.count(_.getString(2) == "doc:tags") == 2)
+  }
+
+  test("document round-trips through triples") {
+    import spark.implicits._
+    val t = Documents.insertAll(Seq(doc).toDS(), "Person",
+      Documents.LexicalKey(Seq("name")))
+    val id = "doc:Person/ada"
+    val back = Documents.read(t, id)
+    assert(back \ "name" == JString("ada"))
+    assert(back \ "age" == JInt(36))
+    assert(back \ "active" == JBool(true))
+    assert(back \ "address" \ "city" == JString("london"))
+    val JArray(tags) = (back \ "tags"): @unchecked
+    assert(tags.toSet == Set(JString("math"), JString("code")))
+  }
+
+  test("key strategies generate expected ids") {
+    val j = JsonMethods.parse("""{"name":"a b","n":1}""").asInstanceOf[JObject]
+    assert(Documents.genId("T", j, Documents.LexicalKey(Seq("name"))) == "doc:T/a+b")
+    assert(Documents.genId("T", j, Documents.HashKey(Seq("name")))
+      .startsWith("doc:T/") )
+    val v1 = Documents.genId("T", j, Documents.ValueHash)
+    val v2 = Documents.genId("T",
+      JsonMethods.parse("""{"n":1,"name":"a b"}""").asInstanceOf[JObject],
+      Documents.ValueHash)
+    assert(v1 == v2) // canonical: key order irrelevant
+  }
+
+  test("delete selects the full subgraph") {
+    import spark.implicits._
+    val t = Documents.insertAll(Seq(doc).toDS(), "Person",
+      Documents.LexicalKey(Seq("name")))
+    val del = Documents.delete(t, "doc:Person/ada")
+    assert(del.count() == t.count()) // whole doc incl. subdocuments
+  }
+
+  test("flat analytical view exposes scalar fields as a map") {
+    import spark.implicits._
+    val t = Documents.insertAll(Seq(doc).toDS(), "Person",
+      Documents.LexicalKey(Seq("name")))
+    val fv = Documents.flatView(t).collect()
+    assert(fv.nonEmpty)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity}
+
+/** LLM-pipeline operators: LSH candidates ⊆ brute-force truth with high
+  * recall on planted near-dups; IVF results ⊆ brute-force; multimodal
+  * plumbing determinism. Runs on sf0.001. */
+class LlmSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash LSH finds the same near-dup pairs as brute force (recall)") {
+    val brute = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))           // verification step guarantees precision
+    assert(brute.nonEmpty, "corpus should contain planted near-dups")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size}/${brute.size})")
+  }
+
+  test("simhash of near-dup docs differs in few bits") {
+    val pair = Dedup.ngramJaccardPairs(docs, 0.8).select("da", "db").head()
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = java.lang.Long.bitCount(sh(pair.getLong(0)) ^ sh(pair.getLong(1)))
+    assert(dist <= 8, s"hamming distance $dist too large for a near-dup")
+  }
+
+  test("IVF top-k is a subset of brute-force candidates with sane recall") {
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+      .select("q", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10, 5, nprobe = 2)
+      .select("q", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF probe-2 recall $recall vs brute")
+  }
+
+  test("multimodal decode plumbing is deterministic and partition-shaped") {
+    val withB = Multimodal.withPayload(docs.limit(50))
+    val m1 = Multimodal.decodeMeta(withB).orderBy("doc_id").collect()
+    val m2 = Multimodal.decodeMeta(withB.repartition(7)).orderBy("doc_id").collect()
+    assert(m1.sameElements(m2)) // partitioning must not change results
+    assert(m1.forall(r => r.getLong(2) >= 640 && r.getLong(3) >= 480))
+    val frames = Multimodal.sampleFrames(withB.limit(3), 64)
+    assert(frames.count() > 0)
+  }
+
+  test("exact dedup groups sum to corpus size") {
+    val g = Dedup.exactGroups(docs)
+    assert(g.agg(sum("n")).head().getLong(0) == docs.count())
+  }
+}
