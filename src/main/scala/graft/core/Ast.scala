@@ -79,6 +79,11 @@ final case class SumList(listVar: String, into: String) extends Woql
 final case class LengthList(listVar: String, into: String) extends Woql
 /** Canonical sort of a bound list (stable order for join/output). */
 final case class SortListQ(listVar: String, into: String) extends Woql
+/** INTERNAL: fused group_by+sum/length when the list itself is unused —
+  * produced by the compiler's peephole rewrite, never by users. Avoids
+  * materializing per-group lists just to aggregate them. */
+final case class GroupAgg(fn: String, template: Seq[String], by: Seq[String],
+                          q: Woql, into: String) extends Woql
 
 // ---- scalar ops (§2.6); each binds `into` ----
 final case class Eval(expr: ArithE, into: String) extends Woql

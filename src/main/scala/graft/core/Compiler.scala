@@ -155,7 +155,15 @@ object Compiler {
       val df = raw.select(asVars.map { case (v, c) => strVal(col(c)).as(v) }: _*)
       conj(cur, BF(df, asVars.map(_._1).toSet))
 
-    case And(qs) => qs.foldLeft(cur)((acc, sub) => compile(sub, acc))
+    case And(qs) => fuse(qs.toList).foldLeft(cur)((acc, sub) => compile(sub, acc))
+
+    case GroupAgg(fn, template, by, sub, into) =>
+      val inner = compile(sub, cur)
+      val aggCol = fn match {
+        case "sum"   => dblVal(sum(Vals.num(col(template.head))))
+        case "count" => lngVal(count(lit(1)))
+      }
+      BF(inner.df.groupBy(by.map(col): _*).agg(aggCol.as(into)), by.toSet + into)
 
     case Or(qs) =>
       val branches = qs.map(compile(_, cur))
@@ -395,19 +403,55 @@ object Compiler {
       BF(cur.df.withColumn(into, dblVal(sim)), cur.vars + into)
 
     case PathQ(x, pat, y, _witness) =>
-      val pairs = Paths.compile(pat, ctx) // columns: src, dst
+      // Bound endpoint → frontier expansion from that side (work ∝
+      // reachable set); both free → full pair relation (SURVEY §4.1).
+      def seed(i: String) = {
+        import ctx.spark.implicits._
+        Seq(i).toDF("n")
+      }
       val bf0 = (x, y) match {
         case (Node(i), V(n)) =>
-          BF(pairs.filter(col("src") === i).select(iriVal(col("dst")).as(n)), Set(n))
+          BF(Paths.step(pat, seed(i), ctx).select(iriVal(col("n")).as(n)), Set(n))
         case (V(n), Node(i)) =>
-          BF(pairs.filter(col("dst") === i).select(iriVal(col("src")).as(n)), Set(n))
+          BF(Paths.step(Paths.invert(pat), seed(i), ctx)
+            .select(iriVal(col("n")).as(n)), Set(n))
         case (V(a), V(b)) =>
+          val pairs = Paths.compile(pat, ctx)
           BF(pairs.select(iriVal(col("src")).as(a), iriVal(col("dst")).as(b)), Set(a, b))
         case (Node(i), Node(j)) =>
-          BF(pairs.filter(col("src") === i && col("dst") === j).select(), Set.empty)
+          BF(Paths.step(pat, seed(i), ctx).filter(col("n") === j).select(), Set.empty)
         case _ => throw new IllegalArgumentException("path: endpoints must be IRIs or vars")
       }
       conj(cur, bf0)
+  }
+
+  /** Peephole rewrite (the one logical optimization Catalyst can't see
+    * through our API): group_by immediately consumed by sum/length, with
+    * the list otherwise unused, fuses into a direct grouped aggregate —
+    * no per-group array materialization. Mirrors what the reference's
+    * users get from its count/sum over group_by idiom, but shuffle-lean. */
+  private def fuse(qs: List[Woql]): List[Woql] = qs match {
+    case GroupBy(tmpl, by, q, l1) :: SumList(l2, s) :: rest
+        if l1 == l2 && tmpl.size == 1 && !mentions(rest, l1) =>
+      GroupAgg("sum", tmpl, by, q, s) :: fuse(rest)
+    case GroupBy(tmpl, by, q, l1) :: LengthList(l2, nv) :: rest
+        if l1 == l2 && !mentions(rest, l1) =>
+      GroupAgg("count", tmpl, by, q, nv) :: fuse(rest)
+    case h :: t => h :: fuse(t)
+    case Nil    => Nil
+  }
+
+  /** Conservative check whether any op in `qs` references string `v`
+    * anywhere (generic product scan — false positives only disable an
+    * optimization, never break semantics). */
+  private def mentions(qs: Seq[Woql], v: String): Boolean = {
+    def scan(x: Any): Boolean = x match {
+      case s: String => s == v
+      case p: Product => p.productIterator.exists(scan)
+      case it: Iterable[_] => it.exists(scan)
+      case _ => false
+    }
+    qs.exists(scan)
   }
 
   /** Numeric content of a list element that is either a value struct or a

@@ -90,4 +90,88 @@ object Paths {
 
   /** Public helper for tests: closure of an arbitrary pair DataFrame. */
   def transitiveClosure(e: DataFrame): DataFrame = closure(e)
+
+  // ---- endpoint-restricted evaluation (SURVEY §4.1: "early bound-side
+  // restriction") ------------------------------------------------------
+  //
+  // When one endpoint of path(X, pat, Y) is bound, computing the FULL
+  // closure and then filtering throws away almost all the work — at
+  // scale it is the difference between O(reachable-set) and
+  // O(all-pairs). Instead we walk frontiers from the bound side:
+  // `step` maps a node-set through one application of the pattern, and
+  // repetition operators loop with delta-only frontiers.
+
+  /** Mirror a pattern for walking from the destination side. */
+  def invert(p: PathPat): PathPat = p match {
+    case PPred(x)   => PInv(x)
+    case PInv(x)    => PPred(x)
+    case PSeq(a, b) => PSeq(invert(b), invert(a))
+    case PAlt(a, b) => PAlt(invert(a), invert(b))
+    case PPlus(x)   => PPlus(invert(x))
+    case PStar(x)   => PStar(invert(x))
+    case PTimes(x, n, m) => PTimes(invert(x), n, m)
+  }
+
+  /** Nodes reachable from `frontier` ("n" column) via ONE application of
+    * the pattern. */
+  def step(pat: PathPat, frontier: DataFrame, ctx: Ctx): DataFrame = pat match {
+    case PPred(p) => frontier
+      .join(edges(p, ctx), col("n") === col("src"))
+      .select(col("dst").as("n")).distinct()
+    case PInv(p) => frontier
+      .join(edges(p, ctx), col("n") === col("dst"))
+      .select(col("src").as("n")).distinct()
+    case PSeq(a, b) => step(b, step(a, frontier, ctx), ctx)
+    case PAlt(a, b) =>
+      step(a, frontier, ctx).unionByName(step(b, frontier, ctx)).distinct()
+    case PPlus(p) => reach(p, frontier, ctx, includeZero = false)
+    case PStar(p) => reach(p, frontier, ctx, includeZero = true)
+    case PTimes(p, n, m) =>
+      var cur = frontier
+      var acc: DataFrame = if (n == 0) frontier else null
+      var len = 0
+      while (len < m) {
+        len += 1
+        cur = step(p, cur, ctx).localCheckpoint(true)
+        if (len >= n) acc = if (acc == null) cur else acc.unionByName(cur)
+      }
+      acc.distinct()
+  }
+
+  private def closureFree(p: PathPat): Boolean = p match {
+    case PPred(_) | PInv(_) => true
+    case PSeq(a, b) => closureFree(a) && closureFree(b)
+    case PAlt(a, b) => closureFree(a) && closureFree(b)
+    case _ => false
+  }
+
+  /** Fixpoint of `step` (1+ applications; optionally include frontier).
+    * For closure-free inner patterns the one-application pair relation is
+    * materialized ONCE and reused each iteration — the loop then only
+    * joins shrinking frontiers against it, instead of re-scanning the
+    * triple store per predicate per iteration. */
+  private def reach(pat: PathPat, seeds: DataFrame, ctx: Ctx,
+                    includeZero: Boolean): DataFrame = {
+    val relOpt: Option[DataFrame] =
+      if (closureFree(pat)) Some(compile(pat, ctx).localCheckpoint(true)) else None
+    def oneStep(frontier: DataFrame): DataFrame = relOpt match {
+      case Some(rel) => frontier.join(rel, col("n") === col("src"))
+        .select(col("dst").as("n")).distinct()
+      case None => step(pat, frontier, ctx)
+    }
+    var total = seeds.distinct().localCheckpoint(true)
+    var frontier = total
+    var reached: DataFrame = if (includeZero) total else null
+    var i = 0
+    var done = false
+    while (!done && i < MaxIters) {
+      i += 1
+      val raw = oneStep(frontier).localCheckpoint(true) // incl. revisits
+      reached = if (reached == null) raw else reached.unionByName(raw)
+      val next = raw.join(total, Seq("n"), "left_anti").localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else { total = total.unionByName(next).localCheckpoint(true); frontier = next }
+    }
+    reached.distinct().localCheckpoint(true)
+  }
 }
