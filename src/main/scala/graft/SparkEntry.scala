@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ExtQueries, WoqlQueries}
+import graft.queries.{ExtQueries, VersionQueries, WoqlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry exercises one operator of the SURVEY §2
@@ -15,8 +15,8 @@ object SparkEntry {
     queries("woql_flagship")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    WoqlQueries.queries ++ ExtQueries.queries
+    WoqlQueries.queries ++ ExtQueries.queries ++ VersionQueries.queries
 
   def oracleSql: Map[String, String] =
-    WoqlQueries.oracleSql ++ ExtQueries.oracleSql
+    WoqlQueries.oracleSql ++ ExtQueries.oracleSql ++ VersionQueries.oracleSql
 }

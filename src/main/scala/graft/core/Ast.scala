@@ -45,6 +45,13 @@ final case class AddedTriple(s: Term, p: Term, o: Term, commit: String) extends 
 final case class RemovedTriple(s: Term, p: Term, o: Term, commit: String) extends Woql
 /** Tabular CSV input `get(AsVars, Resource)`: bind csv columns to vars. */
 final case class GetCsv(asVars: Seq[(String, String)], path: String, header: Boolean = true) extends Woql
+/** Tabular CSV output `put(AsVars, Query, Resource)` — eager sink. */
+final case class PutCsv(cols: Seq[(String, String)], q: Woql, path: String) extends Woql
+/** `with(Graph, Resource, Query)` — query-local temp graph loaded from a
+  * resource (EAV parquet dir, or CSV with s,p,o columns). */
+final case class WithGraph(g: String, resource: String, q: Woql) extends Woql
+/** `triple_count(Resource, N)` — triples in a graph. */
+final case class TripleCount(g: String, into: String) extends Woql
 
 // ---- connectives / joins (§2.3) ----
 final case class And(qs: Seq[Woql]) extends Woql

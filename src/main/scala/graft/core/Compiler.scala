@@ -155,6 +155,33 @@ object Compiler {
       val df = raw.select(asVars.map { case (v, c) => strVal(col(c)).as(v) }: _*)
       conj(cur, BF(df, asVars.map(_._1).toSet))
 
+    case PutCsv(cols, sub, path) =>
+      val inner = compile(sub, cur)
+      inner.df.select(cols.map { case (out, v) => Vals.text(col(v)).as(out) }: _*)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      inner
+
+    case WithGraph(g, resource, sub) =>
+      val loaded =
+        if (resource.endsWith(".csv") || new java.io.File(resource, "_SUCCESS").exists()
+            && new java.io.File(resource).listFiles().exists(_.getName.endsWith(".csv"))) {
+          ctx.spark.read.option("header", "true").csv(resource)
+            .select(lit(g).as("g"), col("s"), col("p"), lit("l").as("o_kind"),
+              lit(null).cast(StringType).as("o_iri"), lit("xsd:string").as("o_typ"),
+              col("o").as("o_str"), lit(null).cast(DoubleType).as("o_dbl"),
+              lit(null).cast(LongType).as("o_lng"),
+              lit(null).cast(TimestampType).as("o_ts"),
+              lit(null).cast(BooleanType).as("o_bool"),
+              lit(null).cast(StringType).as("o_lang"))
+        } else ctx.spark.read.parquet(resource).withColumn("g", lit(g))
+          .select(graft.storage.Eav.schema.fieldNames.map(col): _*)
+      compile(sub, cur)(ctx.copy(triples = ctx.triples.unionByName(loaded)))
+
+    case TripleCount(g, into) =>
+      val counted = ctx.triples.filter(col("g") === g)
+        .agg(count(lit(1)).as("__c")).select(lngVal(col("__c")).as(into))
+      conj(cur, BF(counted, Set(into)))
+
     case And(qs) => fuse(qs.toList).foldLeft(cur)((acc, sub) => compile(sub, acc))
 
     case GroupAgg(fn, template, by, sub, into) =>

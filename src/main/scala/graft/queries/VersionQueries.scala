@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Graft
+import graft.core._
+import graft.storage.{Eav, LayerStore, Updates}
+
+/** Versioning, update, source/sink, and wire-format operators — each
+  * driven end-to-end (real commit layers under target/) with a
+  * deterministic DuckDB oracle. */
+object VersionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cacheRoot =
+    sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav")
+  private def san(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def emptyEav(spark: SparkSession) =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Eav.schema)
+
+  /** n_name triples of a nation subset, built columnar. */
+  private def nameTriples(df: DataFrame): DataFrame =
+    df.select(lit("instance").as("g"),
+      concat(lit("tpch:nation/"), col("n_nationkey").cast(StringType)).as("s"),
+      lit("tpch:n_name").as("p"), lit("l").as("o_kind"),
+      lit(null).cast(StringType).as("o_iri"), lit("xsd:string").as("o_typ"),
+      col("n_name").as("o_str"), lit(null).cast(DoubleType).as("o_dbl"),
+      lit(null).cast(LongType).as("o_lng"),
+      lit(null).cast(TimestampType).as("o_ts"),
+      lit(null).cast(BooleanType).as("o_bool"),
+      lit(null).cast(StringType).as("o_lang"))
+
+  /** Deterministic two-commit store: base = nations 0–14, delta adds
+    * 15–24 and removes nation 0 (idempotent per sf dir). */
+  private def deltaStore(spark: SparkSession, dir: String): LayerStore = synchronized {
+    val st = LayerStore.open(spark, s"$cacheRoot/store_delta_${san(dir)}")
+    if (st.refs.isEmpty) {
+      val nation = Graft.table(spark, dir, "nation")
+      st.commit("main", nameTriples(nation.where(col("n_nationkey") < 15)),
+        emptyEav(spark), "base")
+      st.commit("main", nameTriples(nation.where(col("n_nationkey") >= 15)),
+        nameTriples(nation.where(col("n_nationkey") === 0)), "delta")
+    }
+    st
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // delta scans against real commit layers (§2.1 added/removed_triple)
+    "woql_added_triple" -> ((s, d) => {
+      val st = deltaStore(s, d)
+      implicit val ctx: Ctx = Updates.ctxFromStore(st, "main")
+      Compiler.run(AddedTriple(V("S"), Node("tpch:n_name"), V("O"), st.refs("main")))
+        .select(col("S").getField("iri").as("s"), col("O").getField("str").as("o"))
+    }),
+
+    "woql_removed_triple" -> ((s, d) => {
+      val st = deltaStore(s, d)
+      implicit val ctx: Ctx = Updates.ctxFromStore(st, "main")
+      Compiler.run(RemovedTriple(V("S"), Node("tpch:n_name"), V("O"), st.refs("main")))
+        .select(col("S").getField("iri").as("s"), col("O").getField("str").as("o"))
+    }),
+
+    // materialization after the delta (fold of adds/removes)
+    "woql_materialized" -> ((s, d) => {
+      val st = deltaStore(s, d)
+      st.materializeBranch("main")
+        .select(col("s"), col("o_str").as("o"))
+    }),
+
+    // put (CSV sink, §2.1): write then return the written bindings
+    "woql_put_csv" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val path = s"$cacheRoot/put_${san(d)}"
+      Compiler.run(PutCsv(Seq(("n_name", "N")),
+          TriplePat(V("S"), Node("tpch:n_name"), V("N")), path))
+        .select(col("N").getField("str").as("n_name"))
+    }),
+
+    // with (query-local temp graph, §2.1)
+    "woql_with_graph" -> ((s, d) => {
+      val path = s"$cacheRoot/withg_${san(d)}"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        Graft.table(s, d, "region")
+          .select(concat(lit("r/"), col("r_regionkey").cast(StringType)).as("s"),
+            lit("name").as("p"), col("r_name").as("o"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      }
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      Compiler.run(WithGraph("tmp", path,
+          TriplePat(V("S"), Node("name"), V("O"), g = "tmp")))
+        .select(col("S").getField("iri").as("s"), col("O").getField("str").as("o"))
+    }),
+
+    "woql_triple_count" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      Compiler.run(TripleCount("instance", "N"))
+        .select(col("N").getField("lng").as("n"))
+    }),
+
+    // staged WOQL update → commit → query back (§2.8 insert/commit protocol)
+    "woql_update_staged" -> ((s, d) => {
+      val root = s"$cacheRoot/store_upd_${san(d)}"
+      val st = LayerStore.open(s, root)
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      if (st.refs.isEmpty) {
+        val q = And(Seq(
+          TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg")),
+          Eq(V("Seg"), Str("BUILDING"))))
+        val (adds, removes) = Updates.stage(q,
+          inserts = Seq((V("C"), Node("tpch:tag"), Str("building"))))
+        st.commit("main", adds, removes, "tag building customers")
+      }
+      st.materializeBranch("main").filter(col("p") === "tpch:tag")
+        .select(col("s"), col("o_str").as("tag"))
+    }),
+
+    // document insert → triples (§2.8 document CRUD; ids are lexical keys)
+    "doc_insert" -> ((s, d) => {
+      import s.implicits._
+      val json = Graft.table(s, d, "nation")
+        .select(to_json(struct(col("n_name"), col("n_nationkey"))).as("j"))
+        .as[String]
+      graft.docs.Documents.insertAll(json, "Nation",
+          graft.docs.Documents.LexicalKey(Seq("n_name")))
+        .filter(col("p") === "doc:n_name")
+        .select(col("s"), col("o_str").as("name"))
+    }),
+
+    // turtle load round-trip (§2.1 bulk RDF)
+    "turtle_load" -> ((s, d) => {
+      val regions = Graft.table(s, d, "region")
+        .select(col("r_regionkey"), col("r_name")).collect()
+        .sortBy(_.getInt(0))
+      val ttl = "@prefix r: <tpch:region/> .\n" + regions.map { r =>
+        s"""r:${r.getInt(0)} <name> "${r.getString(1)}" ."""
+      }.mkString("\n")
+      graft.sources.Turtle.load(s, ttl)
+        .select(col("s"), col("o_str").as("o"))
+    }),
+
+    // WOQL JSON wire format → compile → run (reference's query transport)
+    "woql_json_parse" -> ((s, d) => {
+      val json =
+        """{"@type":"Select","variables":["Name","Bal"],"query":{"@type":"And","and":[
+          |{"@type":"Triple","subject":{"variable":"C"},"predicate":{"node":"rdf:type"},"object":{"node":"tpch:Customer"}},
+          |{"@type":"Triple","subject":{"variable":"C"},"predicate":{"node":"tpch:c_nationkey"},"object":{"variable":"N"}},
+          |{"@type":"Triple","subject":{"variable":"N"},"predicate":{"node":"tpch:n_name"},"object":{"data":{"@type":"xsd:string","@value":"NATION_7"}}},
+          |{"@type":"Triple","subject":{"variable":"C"},"predicate":{"node":"tpch:c_acctbal"},"object":{"variable":"Bal"}},
+          |{"@type":"Greater","left":{"variable":"Bal"},"right":{"data":{"@type":"xsd:decimal","@value":500.0}}},
+          |{"@type":"Triple","subject":{"variable":"C"},"predicate":{"node":"tpch:c_name"},"object":{"variable":"Name"}}
+          |]}}""".stripMargin
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      Compiler.run(JsonWoql.parse(json))
+        .select(col("Name").getField("str").as("c_name"),
+          col("Bal").getField("dbl").as("c_acctbal"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "woql_added_triple" ->
+      """SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS o FROM nation
+        | WHERE n_nationkey >= 15""".stripMargin,
+    "woql_removed_triple" ->
+      """SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS o FROM nation
+        | WHERE n_nationkey = 0""".stripMargin,
+    "woql_materialized" ->
+      """SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS o FROM nation
+        | WHERE n_nationkey >= 1""".stripMargin,
+    "woql_put_csv" ->
+      "SELECT n_name FROM nation",
+    "woql_with_graph" ->
+      "SELECT 'r/'||r_regionkey AS s, r_name AS o FROM region",
+    "woql_triple_count" ->
+      """SELECT (SELECT count(*)*3 FROM region) + (SELECT count(*)*4 FROM nation)
+        | + (SELECT count(*)*6 FROM customer) + (SELECT count(*)*5 FROM supplier)
+        | + (SELECT count(*)*7 FROM part) + (SELECT count(*)*7 FROM orders)
+        | + (SELECT count(*)*12 FROM lineitem) AS n""".stripMargin,
+    "woql_update_staged" ->
+      """SELECT 'tpch:customer/'||c_custkey AS s, 'building' AS tag
+        | FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "doc_insert" ->
+      "SELECT 'doc:Nation/'||n_name AS s, n_name AS name FROM nation",
+    "turtle_load" ->
+      "SELECT 'tpch:region/'||r_regionkey AS s, r_name AS o FROM region",
+    "woql_json_parse" ->
+      """SELECT c_name, c_acctbal FROM customer JOIN nation
+        | ON c_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin
+  )
+}

@@ -1,0 +1,188 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.storage.Eav
+
+/** Turtle subset reader/writer for bulk graph load/dump (SURVEY §2.1;
+  * reference: core/triple/turtle_utils.pl). Supported subset: @prefix
+  * directives, <iri> refs, prefixed names, `a` for rdf:type, `;` / `,`
+  * continuation syntax, plain/typed/lang literals, integers, decimals,
+  * booleans. Parsing is a pure function per statement, so bulk load can
+  * run inside mapPartitions over line-chunked input at scale; dump
+  * formats from the EAV frame. */
+object Turtle {
+
+  // ---- tokenizer ------------------------------------------------------
+  private sealed trait Tok
+  private case class TIri(v: String) extends Tok
+  private case class TPName(v: String) extends Tok
+  private case class TStr(v: String) extends Tok
+  private case class TLang(v: String) extends Tok
+  private case class TNum(v: String) extends Tok
+  private case object TTypeSep extends Tok // ^^
+  private case object TDot extends Tok
+  private case object TSemi extends Tok
+  private case object TComma extends Tok
+  private case class TDirective(v: String) extends Tok
+
+  private def tokenize(s: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case c if c.isWhitespace => i += 1
+        case '#' => while (i < s.length && s(i) != '\n') i += 1
+        case '<' =>
+          val j = s.indexOf('>', i)
+          out += TIri(s.substring(i + 1, j)); i = j + 1
+        case '"' =>
+          val sb = new StringBuilder; i += 1
+          while (s(i) != '"') {
+            if (s(i) == '\\') { i += 1; sb += (s(i) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other }) }
+            else sb += s(i)
+            i += 1
+          }
+          i += 1; out += TStr(sb.toString)
+        case '@' =>
+          val j0 = i + 1; var j = j0
+          while (j < s.length && (s(j).isLetterOrDigit || s(j) == '-')) j += 1
+          val word = s.substring(j0, j)
+          if (word == "prefix" || word == "base") out += TDirective(word)
+          else out += TLang(word)
+          i = j
+        case '^' if i + 1 < s.length && s(i + 1) == '^' => out += TTypeSep; i += 2
+        case '.' => out += TDot; i += 1
+        case ';' => out += TSemi; i += 1
+        case ',' => out += TComma; i += 1
+        case c if c.isDigit || c == '-' || c == '+' =>
+          val j0 = i
+          while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
+          // a trailing '.' is the statement terminator, not part of the number
+          var tok = s.substring(j0, i)
+          if (tok.endsWith(".")) { tok = tok.dropRight(1); i -= 1 }
+          out += TNum(tok)
+        case _ =>
+          val j0 = i
+          while (i < s.length && !s(i).isWhitespace &&
+            !".;,^<\"#".contains(s(i))) i += 1
+          out += TPName(s.substring(j0, i))
+      }
+    }
+    out.toList
+  }
+
+  // ---- parser ---------------------------------------------------------
+  private def mkRow(s: String, p: String, o: Tok, typ: Option[String],
+                    lang: Option[String]): Row = o match {
+    case TIri(i) => Row("instance", s, p, "i", i, null, null, null, null, null, null, null)
+    case TPName("true") => Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.TRUE, null)
+    case TPName("false") => Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.FALSE, null)
+    case TPName(i) => Row("instance", s, p, "i", i, null, null, null, null, null, null, null)
+    case TNum(n) if n.matches("[+-]?\\d+") =>
+      Row("instance", s, p, "l", null, "xsd:integer", null, null, java.lang.Long.valueOf(n.toLong), null, null, null)
+    case TNum(n) =>
+      Row("instance", s, p, "l", null, "xsd:double", null, java.lang.Double.valueOf(n.toDouble), null, null, null, null)
+    case TStr(v) => typ match {
+      case Some("xsd:integer") =>
+        Row("instance", s, p, "l", null, "xsd:integer", null, null, java.lang.Long.valueOf(v.toLong), null, null, null)
+      case Some("xsd:double") | Some("xsd:decimal") =>
+        Row("instance", s, p, "l", null, "xsd:double", null, java.lang.Double.valueOf(v.toDouble), null, null, null, null)
+      case Some("xsd:boolean") =>
+        Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.valueOf(v.toBoolean), null)
+      case Some(t) => Row("instance", s, p, "l", null, t, v, null, null, null, null, null)
+      case None => Row("instance", s, p, "l", null, "xsd:string", v, null, null, null, null, lang.orNull)
+    }
+    case other => throw new IllegalArgumentException(s"bad object token $other")
+  }
+
+  /** Parse turtle text into EAV rows. */
+  def parse(text: String): Seq[Row] = {
+    val toks = tokenize(text)
+    val prefixes = scala.collection.mutable.Map[String, String]()
+    val rows = scala.collection.mutable.ListBuffer[Row]()
+
+    def expand(name: String): String = {
+      if (name == "a") "rdf:type"
+      else {
+        val idx = name.indexOf(':')
+        if (idx >= 0 && prefixes.contains(name.substring(0, idx + 1)))
+          prefixes(name.substring(0, idx + 1)) + name.substring(idx + 1)
+        else name
+      }
+    }
+    def nodeOf(t: Tok): String = t match {
+      case TIri(i) => i
+      case TPName(n) => expand(n)
+      case other => throw new IllegalArgumentException(s"expected node, got $other")
+    }
+
+    var rest = toks
+    while (rest.nonEmpty) rest match {
+      case TDirective("prefix") :: TPName(pfx) :: TIri(iri) :: TDot :: tl =>
+        prefixes(pfx) = iri; rest = tl
+      case TDirective("base") :: TIri(_) :: TDot :: tl => rest = tl
+      case subjTok :: tl0 =>
+        val subj = nodeOf(subjTok)
+        var tl = tl0
+        var done = false
+        while (!done) {
+          val pred = tl.head match {
+            case TPName(n) => expand(n)
+            case TIri(i) => i
+            case other => throw new IllegalArgumentException(s"expected predicate, got $other")
+          }
+          tl = tl.tail
+          var objDone = false
+          while (!objDone) {
+            val (obj, t2) = (tl.head, tl.tail)
+            // optional ^^type or @lang
+            val (typ, lang, t3) = t2 match {
+              case TTypeSep :: tt :: rest2 => (Some(nodeOf(tt)), None, rest2)
+              case TLang(l) :: rest2 => (None, Some(l), rest2)
+              case _ => (None, None, t2)
+            }
+            val objNorm = obj match {
+              case TPName(n) if n != "true" && n != "false" => TPName(expand(n))
+              case o => o
+            }
+            rows += mkRow(subj, pred, objNorm, typ, lang)
+            t3 match {
+              case TComma :: rest2 => tl = rest2
+              case TSemi :: rest2 => tl = rest2; objDone = true
+              case TDot :: rest2 => tl = rest2; objDone = true; done = true
+              case Nil => tl = Nil; objDone = true; done = true
+              case other => throw new IllegalArgumentException(s"unexpected $other")
+            }
+          }
+        }
+        rest = tl
+    }
+    rows.toSeq
+  }
+
+  def load(spark: SparkSession, text: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(parse(text)), Eav.schema)
+
+  /** Dump an EAV frame as turtle (IRIs as <…> for unambiguity). */
+  def dump(triples: DataFrame): String = {
+    val sb = new StringBuilder
+    triples.collect().foreach { r =>
+      val s = r.getString(1); val p = r.getString(2)
+      val obj =
+        if (r.getString(3) == "i") s"<${r.getString(4)}>"
+        else r.getString(5) match {
+          case "xsd:string" =>
+            val base = "\"" + r.getString(6).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            if (r.getString(11) != null) base + "@" + r.getString(11) else base
+          case "xsd:integer" => r.getLong(8).toString
+          case "xsd:double"  => r.getDouble(7).toString
+          case "xsd:boolean" => r.getBoolean(10).toString
+          case t => "\"" + Option(r.getString(6)).getOrElse(r.get(9).toString) + "\"^^<" + t + ">"
+        }
+      sb.append(s"<$s> <$p> $obj .\n")
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,78 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** WOQL update staging (SURVEY §2.8: `insert/delete` per solution of the
+  * surrounding query; reference: woql_compile.pl AddTriple/DeleteTriple +
+  * the transaction builder). The query's binding frame drives triple
+  * templates; staged sets then flow through the commit protocol
+  * (validation gate → new layer → ref advance). */
+object Updates {
+
+  /** Project a triple template over a binding frame into EAV rows. */
+  private def project(df: DataFrame, vars: Set[String],
+                      t: (Term, Term, Term)): DataFrame = {
+    def valOf(term: Term): Column = term match {
+      case V(n) if vars(n) => col(n)
+      case V(n) => throw new IllegalArgumentException(s"unbound var $n in template")
+      case other => Vals.ofTerm(other)
+    }
+    val (s, p, o) = t
+    val sv = valOf(s); val pv = valOf(p); val ov = valOf(o)
+    df.select(
+      lit("instance").as("g"),
+      sv.getField("iri").as("s"),
+      pv.getField("iri").as("p"),
+      ov.getField("k").as("o_kind"),
+      ov.getField("iri").as("o_iri"),
+      ov.getField("typ").as("o_typ"),
+      ov.getField("str").as("o_str"),
+      ov.getField("dbl").as("o_dbl"),
+      ov.getField("lng").as("o_lng"),
+      ov.getField("ts").as("o_ts"),
+      ov.getField("bool").as("o_bool"),
+      ov.getField("lang").as("o_lang"))
+  }
+
+  /** Run `q`, stage one add/remove set per template per solution. */
+  def stage(q: Woql, inserts: Seq[(Term, Term, Term)],
+            deletes: Seq[(Term, Term, Term)] = Nil)(
+      implicit ctx: Ctx): (DataFrame, DataFrame) = {
+    val bf = Compiler.compile(q, Compiler.unit(ctx))
+    val none = ctx.spark.createDataFrame(
+      ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Eav.schema)
+    def build(ts: Seq[(Term, Term, Term)]): DataFrame =
+      if (ts.isEmpty) none
+      else ts.map(project(bf.df, bf.vars, _)).reduce(_ unionByName _).distinct()
+    (build(inserts), build(deletes))
+  }
+
+  /** Full commit protocol: stage → validate → layer → advance ref.
+    * Returns Left(violations) if the validation gate fails. */
+  def commitStaged(store: LayerStore, branch: String, q: Woql,
+                   inserts: Seq[(Term, Term, Term)],
+                   deletes: Seq[(Term, Term, Term)], message: String,
+                   schema: DataFrame = null, subclass: DataFrame = null)(
+      implicit ctx: Ctx): Either[Map[String, Long], String] = {
+    val (adds, removes) = stage(q, inserts, deletes)
+    if (schema != null) {
+      val graph = store.refs.get(branch).map(store.materialize)
+        .getOrElse(adds.limit(0))
+      val results = Validator.validate(graph, adds, schema, subclass)
+      val counts = results.map { case (k, v) => k -> v.count() }.filter(_._2 > 0)
+      if (counts.nonEmpty) return Left(counts)
+    }
+    Right(store.commit(branch, adds, removes, message))
+  }
+
+  /** Compile context reading a store branch (enables added_triple /
+    * removed_triple against real commit deltas). */
+  def ctxFromStore(store: LayerStore, branch: String): Ctx = {
+    val triples = store.materializeBranch(branch)
+    val closure = Eav.subclassClosure(store.spark, triples)
+    Ctx(store.spark, triples, closure,
+      adds = c => store.adds(c), removes = c => store.removes(c))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.Turtle
+import graft.storage.{Eav, LayerStore, Updates}
+import graft.streaming.Ingest
+
+/** Turtle round-trip, WOQL JSON parsing, update staging, and streaming
+  * triple ingestion. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("turtle parses prefixes, literals, ; and , syntax") {
+    val ttl =
+      """@prefix ex: <http://ex.org/> .
+        |ex:a a ex:Person ;
+        |  ex:name "Ada" ;
+        |  ex:age 36 ;
+        |  ex:score 4.5 ;
+        |  ex:tags "x", "y" ;
+        |  ex:alive true .
+        |ex:b ex:knows ex:a .
+        |ex:c ex:label "hola"@es .
+        |ex:d ex:height "1.88"^^xsd:double .
+        |""".stripMargin
+    val df = Turtle.load(spark, ttl)
+    assert(df.count() == 10)
+    assert(df.filter(col("p") === "http://ex.org/tags").count() == 2)
+    assert(df.filter(col("p") === "rdf:type")
+      .head().getString(4) == "http://ex.org/Person")
+    assert(df.filter(col("p") === "http://ex.org/age").head().getLong(8) == 36L)
+    assert(df.filter(col("p") === "http://ex.org/label").head().getString(11) == "es")
+    assert(df.filter(col("p") === "http://ex.org/height").head().getDouble(7) == 1.88)
+  }
+
+  test("turtle dump → parse round-trips") {
+    val ttl = """<s:1> <p:name> "v" . <s:1> <p:n> 3 . <s:2> <p:x> <s:1> ."""
+    val df = Turtle.load(spark, ttl)
+    val again = Turtle.load(spark, Turtle.dump(df))
+    assert(again.collect().toSet == df.collect().toSet)
+  }
+
+  test("json woql parses and compiles the full operator surface") {
+    val q = JsonWoql.parse(
+      """{"@type":"Select","variables":["X"],"query":
+        |{"@type":"And","and":[
+        | {"@type":"Triple","subject":{"variable":"X"},"predicate":{"node":"knows"},"object":{"variable":"Y"}},
+        | {"@type":"Not","query":{"@type":"Triple","subject":{"variable":"X"},"predicate":{"node":"name"},"object":{"variable":"N"}}}
+        |]}}""".stripMargin)
+    val g = triples((":a", "knows", ":b"), (":a", "name", "x"), (":c", "knows", ":a"))
+    val res = Compiler.run(q)(ctxOf(g)).collect()
+    assert(res.map(_.getStruct(0).getString(1)).toSet == Set(":c"))
+  }
+
+  test("json woql parses path + eval + group_by shapes") {
+    val p = JsonWoql.parse(
+      """{"@type":"Path","subject":{"variable":"X"},
+        | "pattern":{"@type":"PathPlus","plus":{"@type":"PathPredicate","predicate":"e"}},
+        | "object":{"variable":"Y"}}""".stripMargin)
+    assert(p == PathQ(V("X"), PPlus(PPred("e")), V("Y")))
+    val e = JsonWoql.parse(
+      """{"@type":"Eval","expression":{"@type":"Times","left":{"variable":"A"},
+        | "right":{"data":{"@type":"xsd:decimal","@value":2.0}}},"result":"R"}""".stripMargin)
+    assert(e == Eval(ABin("*", ATerm(V("A")), ATerm(Dbl(2.0))), "R"))
+  }
+
+  test("updates stage insert templates per solution and commit") {
+    val g = triples((":a", "cls", "x"), (":b", "cls", "x"), (":c", "cls", "y"))
+    implicit val ctx: Ctx = ctxOf(g)
+    val q = And(Seq(TriplePat(V("S"), Node("cls"), Str("x"))))
+    val (adds, removes) = Updates.stage(q,
+      inserts = Seq((V("S"), Node("tag"), Str("hit"))))
+    assert(adds.count() == 2 && removes.count() == 0)
+    assert(adds.select("p").distinct().head().getString(0) == "tag")
+    val st = LayerStore.open(spark,
+      java.nio.file.Files.createTempDirectory("graft-upd").toString)
+    val cid = st.commit("main", adds, removes, "tagging")
+    assert(st.materialize(cid).count() == 2)
+  }
+
+  test("streaming ingestion lands one commit per batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    // stage some triple parquet as the stream source
+    val t = triples((":a", "p", "v1"), (":b", "p", "v2"), (":c", "p", "v3"))
+    t.write.mode("overwrite").parquet(s"$dir/src")
+    val st = LayerStore.open(spark, s"$dir/store")
+    val stream = spark.readStream.schema(Eav.schema).parquet(s"$dir/src")
+    val q = Ingest.streamIntoStore(stream, st, "main")
+    q.awaitTermination(60000)
+    assert(st.refs.contains("main"))
+    assert(st.materializeBranch("main").count() == 3)
+  }
+}
