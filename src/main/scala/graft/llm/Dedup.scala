@@ -40,8 +40,11 @@ object Dedup {
       array_distinct(wordShingles(trim(col("text")), 3)).as("sh"))
 
   /** MinHash signature columns m0..m7 per document. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFromSets(shingleSets(docs))
+
+  private def minhashSignaturesFromSets(sets: DataFrame): DataFrame = {
+    val sh = sets.select(col("doc_id"), explode(col("sh")).as("s"))
     val h = sh.select(col("doc_id"), hash32(col("s")).as("hv"))
     val aggs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
       min((col("hv") * a + b) % P).as(s"m$i")
@@ -61,18 +64,23 @@ object Dedup {
 
   /** Candidate pairs sharing ≥1 LSH band — equi-join on (band, bh), the
     * scalable shape (shuffle ∝ collisions, not n²). */
-  def lshCandidates(docs: DataFrame): DataFrame = {
-    val bh = bandHashes(minhashSignatures(docs))
+  def lshCandidates(docs: DataFrame): DataFrame =
+    lshCandidatesFromSets(shingleSets(docs))
+
+  private def lshCandidatesFromSets(sets: DataFrame): DataFrame = {
+    val bh = bandHashes(minhashSignaturesFromSets(sets))
     val a = bh.select(col("band"), col("bh"), col("doc_id").as("da"))
     val b = bh.select(col("band"), col("bh"), col("doc_id").as("db"))
     a.join(b, Seq("band", "bh")).where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
   }
 
-  /** MinHash-LSH near-dup pairs, verified by exact shingle jaccard. */
+  /** MinHash-LSH near-dup pairs, verified by exact shingle jaccard.
+    * The shingle-set frame feeds signature building AND both sides of
+    * the verification join, so it is computed once and checkpointed. */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val cand = lshCandidates(docs)
-    val sets = shingleSets(docs)
+    val sets = shingleSets(docs).localCheckpoint(true)
+    val cand = lshCandidatesFromSets(sets)
     val ja = cand
       .join(sets.select(col("doc_id").as("da"), col("sh").as("sa")), Seq("da"))
       .join(sets.select(col("doc_id").as("db"), col("sh").as("sb")), Seq("db"))

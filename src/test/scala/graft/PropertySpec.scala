@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.Row
+import graft.core._
+
+/** Property-based algebraic laws over random tiny graphs (SURVEY §5.2):
+  * opt ⊇ and, double negation, times(p,1,1) ≡ pred(p), cast
+  * round-trips. ScalaCheck generators are driven directly with fixed
+  * seeds (one Spark job per case is expensive, and fixed seeds keep the
+  * suite deterministic). */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val nodes = Gen.oneOf(":a", ":b", ":c", ":d")
+  private val edgeGen = for { s <- nodes; o <- nodes } yield (s, o)
+  private val graphGen = Gen.chooseNum(1, 8)
+    .flatMap(n => Gen.listOfN(n, edgeGen)).map(_.distinct)
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def graphCtx(seed: Long): Ctx = {
+    val edges = sample(graphGen, seed)
+    ctxOf(triples(edges.map { case (s, o) => (s, "e", o: Any) }: _*))
+  }
+
+  private def solutions(q: Woql, ctx: Ctx): Set[Seq[String]] =
+    Compiler.run(q)(ctx).collect().map { r =>
+      r.schema.fieldNames.sorted.toSeq.map { f =>
+        Option(r.getAs[Row](f)).map(v =>
+          Option(v.getAs[String]("iri"))
+            .getOrElse(String.valueOf(v.getAs[Any]("str")))).orNull
+      }
+    }.toSet
+
+  test("opt solutions are a superset of and solutions") {
+    (1L to 5L).foreach { seed =>
+      val ctx = graphCtx(seed)
+      val base = TriplePat(V("X"), Node("e"), V("Y"))
+      val ext = TriplePat(V("Y"), Node("e"), V("Z"))
+      val andSols = solutions(And(Seq(base, ext)), ctx)
+      val optSols = solutions(And(Seq(base, Opt(ext))), ctx)
+      assert(andSols.subsetOf(optSols), s"seed $seed")
+      assert(solutions(base, ctx).size <= optSols.size, s"seed $seed")
+    }
+  }
+
+  test("double negation keeps exactly the base solutions with a match") {
+    (10L to 14L).foreach { seed =>
+      val ctx = graphCtx(seed)
+      val base = TriplePat(V("X"), Node("e"), V("Y"))
+      val ext = TriplePat(V("Y"), Node("e"), V("Z"))
+      val notNot = solutions(And(Seq(base, Not(Not(ext)))), ctx)
+      val withMatch = solutions(And(Seq(base, ext)), ctx).map(_.take(2))
+      assert(notNot.map(_.take(2)) == withMatch, s"seed $seed")
+    }
+  }
+
+  test("times(e,1,1) equals pred(e) as a pair relation") {
+    (20L to 24L).foreach { seed =>
+      val ctx = graphCtx(seed)
+      val t11 = solutions(PathQ(V("X"), PTimes(PPred("e"), 1, 1), V("Y")), ctx)
+      val pred = solutions(Distinct(Seq("X", "Y"),
+        PathQ(V("X"), PPred("e"), V("Y"))), ctx)
+      assert(t11 == pred, s"seed $seed")
+    }
+  }
+
+  test("cast int→double→int round-trips") {
+    Seq(0, 7, -3, 1000000, -999999).foreach { n =>
+      val g = triples((":x", "v", n))
+      val q = And(Seq(
+        TriplePat(V("X"), Node("v"), V("A")),
+        CastQ(V("A"), "xsd:double", "D"),
+        CastQ(V("D"), "xsd:integer", "I")))
+      val out = Compiler.run(q)(ctxOf(g)).collect()
+        .map(_.getAs[Row]("I").getAs[Long]("lng"))
+      assert(out.toSeq == Seq(n.toLong))
+    }
+  }
+}
