@@ -396,7 +396,7 @@ object Compiler {
           when(lower(c.getField("str")).isin("true", "1"), lit(true))
             .when(lower(c.getField("str")).isin("false", "0"), lit(false))))
         case "xsd:dateTime" => tsVal(coalesce(c.getField("ts"),
-          to_timestamp(c.getField("str"))))
+          graft.functions.XsdTimestampCast.xsdTs(ctx.spark, c.getField("str"))))
         case other => throw new IllegalArgumentException(s"unsupported cast target $other")
       }
       BF(cur.df.withColumn(into, casted), cur.vars + into)
@@ -436,16 +436,25 @@ object Compiler {
         import ctx.spark.implicits._
         Seq(i).toDF("n")
       }
-      val bf0 = (x, y) match {
-        case (Node(i), V(n)) =>
+      def seedW(i: String) = {
+        import ctx.spark.implicits._
+        Seq((i, Seq(i))).toDF("n", "path")
+      }
+      val bf0 = (x, y, _witness) match {
+        case (Node(i), V(n), Some(w)) =>
+          // canonical witness per reachable node, bound as node sequence
+          val wdf = Paths.stepWitness(pat, seedW(i), ctx)
+          BF(wdf.select(iriVal(col("n")).as(n),
+            strVal(concat_ws("/", col("path"))).as(w)), Set(n, w))
+        case (Node(i), V(n), None) =>
           BF(Paths.step(pat, seed(i), ctx).select(iriVal(col("n")).as(n)), Set(n))
-        case (V(n), Node(i)) =>
+        case (V(n), Node(i), _) =>
           BF(Paths.step(Paths.invert(pat), seed(i), ctx)
             .select(iriVal(col("n")).as(n)), Set(n))
-        case (V(a), V(b)) =>
+        case (V(a), V(b), _) =>
           val pairs = Paths.compile(pat, ctx)
           BF(pairs.select(iriVal(col("src")).as(a), iriVal(col("dst")).as(b)), Set(a, b))
-        case (Node(i), Node(j)) =>
+        case (Node(i), Node(j), _) =>
           BF(Paths.step(pat, seed(i), ctx).filter(col("n") === j).select(), Set.empty)
         case _ => throw new IllegalArgumentException("path: endpoints must be IRIs or vars")
       }

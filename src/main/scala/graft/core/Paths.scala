@@ -138,6 +138,64 @@ object Paths {
       acc.distinct()
   }
 
+  // ---- witness-carrying expansion --------------------------------------
+  //
+  // path(X, pat, Y, Witness): the reference enumerates every distinct
+  // path (exponential in cyclic graphs). Our distributed variant binds
+  // ONE canonical witness per reachable node — the lexicographically
+  // least among shortest-first discoveries (deterministic, linear in
+  // the reachable set); documented divergence. Witness = node sequence.
+
+  private def dedupW(df: DataFrame): DataFrame =
+    df.groupBy(col("n")).agg(min(col("path")).as("path"))
+
+  /** One pattern application carrying witness node-paths. */
+  def stepWitness(pat: PathPat, frontier: DataFrame, ctx: Ctx): DataFrame = pat match {
+    case PPred(p) => dedupW(frontier
+      .join(edges(p, ctx), col("n") === col("src"))
+      .select(col("dst").as("n"), concat(col("path"), array(col("dst"))).as("path")))
+    case PInv(p) => dedupW(frontier
+      .join(edges(p, ctx), col("n") === col("dst"))
+      .select(col("src").as("n"), concat(col("path"), array(col("src"))).as("path")))
+    case PSeq(a, b) => stepWitness(b, stepWitness(a, frontier, ctx), ctx)
+    case PAlt(a, b) => dedupW(
+      stepWitness(a, frontier, ctx).unionByName(stepWitness(b, frontier, ctx)))
+    case PPlus(p) => reachWitness(p, frontier, ctx, includeZero = false)
+    case PStar(p) => reachWitness(p, frontier, ctx, includeZero = true)
+    case PTimes(p, from, to) =>
+      var cur = frontier
+      var acc: DataFrame = if (from == 0) frontier else null
+      var len = 0
+      while (len < to) {
+        len += 1
+        cur = stepWitness(p, cur, ctx).localCheckpoint(true)
+        if (len >= from) acc = if (acc == null) cur else acc.unionByName(cur)
+      }
+      dedupW(acc)
+  }
+
+  private def reachWitness(pat: PathPat, seeds: DataFrame, ctx: Ctx,
+                           includeZero: Boolean): DataFrame = {
+    var total = seeds.select(col("n")).distinct().localCheckpoint(true)
+    var frontier = seeds.localCheckpoint(true)
+    var reached: DataFrame = if (includeZero) frontier else null
+    var i = 0
+    var done = false
+    while (!done && i < MaxIters) {
+      i += 1
+      val raw = stepWitness(pat, frontier, ctx)
+      val next = raw.join(total, Seq("n"), "left_anti").localCheckpoint(true)
+      reached = if (reached == null) raw.localCheckpoint(true)
+        else reached.unionByName(next) // first (shortest-round) witness wins
+      if (next.isEmpty) done = true
+      else {
+        total = total.unionByName(next.select(col("n"))).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    dedupW(reached)
+  }
+
   private def closureFree(p: PathPat): Boolean = p match {
     case PPred(_) | PInv(_) => true
     case PSeq(a, b) => closureFree(a) && closureFree(b)

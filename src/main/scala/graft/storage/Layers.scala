@@ -156,6 +156,83 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     id
   }
 
+  /** Storage size in bytes of a branch's layer stack (the reference's
+    * `size(Resource, Bytes)` API). */
+  def sizeBytes(branchName: String): Long = {
+    def dirSize(p: java.io.File): Long =
+      if (!p.exists()) 0L
+      else if (p.isFile) p.length()
+      else Option(p.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
+    chain(refs(branchName))
+      .map(id => dirSize(new java.io.File(path("layers", id)))).sum
+  }
+
+  // ---- transfer (clone/push/pull; reference: api_pack.pl + db ops) ----
+
+  private def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    if (!Files.exists(from)) return
+    Files.walk(from).forEach { p =>
+      val dest = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else { Files.createDirectories(dest.getParent)
+        Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING) }
+    }
+  }
+
+  /** Pack the layers + metadata of a branch into a transfer directory. */
+  def pack(branchName: String, dest: String): Unit = {
+    val ids = chain(refs(branchName))
+    ids.foreach { id =>
+      copyDir(java.nio.file.Paths.get(path("layers", id)),
+        java.nio.file.Paths.get(dest, "layers", id))
+    }
+    import spark.implicits._
+    val meta = commits.filter(col("commit_id").isin(ids: _*))
+    meta.write.mode("overwrite").parquet(s"$dest/_catalog/commits")
+    Seq((branchName, refs(branchName))).toDF("ref", "commit_id")
+      .write.mode("overwrite").parquet(s"$dest/_catalog/refs")
+  }
+
+  /** Unpack a transfer directory into this store (fetch); does not move
+    * local refs — returns the packed (branch → head) map. */
+  def unpack(src: String): Map[String, String] = {
+    val packed = LayerStore.open(spark, src)
+    val layerDir = new java.io.File(s"$src/layers")
+    Option(layerDir.listFiles()).getOrElse(Array.empty).foreach { l =>
+      copyDir(l.toPath, java.nio.file.Paths.get(path("layers", l.getName)))
+    }
+    val known = commits.select("commit_id").collect().map(_.getString(0)).toSet
+    val newRows = packed.commits.filter(!col("commit_id").isin(known.toSeq: _*))
+    if (!newRows.isEmpty)
+      newRows.write.mode("append").parquet(path("_catalog", "commits"))
+    packed.refs
+  }
+
+  /** Push a branch to another store — fast-forward only. */
+  def push(remote: LayerStore, branchName: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    pack(branchName, tmp)
+    val heads = remote.unpack(tmp)
+    val newHead = heads(branchName)
+    remote.refs.get(branchName).foreach { old =>
+      require(remote.chain(newHead).contains(old),
+        s"non-fast-forward push of $branchName rejected")
+    }
+    remote.reset(branchName, newHead)
+  }
+
+  /** Pull a branch from another store (fast-forward fetch + ref move). */
+  def pull(remote: LayerStore, branchName: String): Unit =
+    remote.push(this, branchName)
+
+  /** Clone this store's branch into a fresh root. */
+  def cloneTo(newRoot: String, branchName: String): LayerStore = {
+    val other = LayerStore.open(spark, newRoot)
+    push(other, branchName)
+    other
+  }
+
   /** Rebase: replay commits of `src` that are not on `onto` onto the head
     * of `onto`, re-applying each delta (conflicts = a replayed remove of
     * a triple absent at that point are dropped, like the reference's
