@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Micro-bench: run selected queries N times, print per-run seconds
+  * (`runMain graft.BenchOne <sfDir> <reps> <query...>`). */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val _ = Graft.ctx(spark, sfDir) // warm
+    names.foreach { n =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"BENCHONE $n ${times.map(t => f"$t%.2f").mkString(",")} min=${times.min}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -36,7 +36,22 @@ object Graft {
     }
     val triples = spark.read.parquet(dir)
     val closure = Eav.subclassClosure(spark, triples)
-    Ctx(spark, triples, closure)
+    // Functional predicates (≤1 triple per subject) enable the
+    // compiler's star-join collapse. Default OFF: measured at sf0.1
+    // (BenchOne, min of 3), AQE broadcast-join chains beat the pivot's
+    // subject shuffle on every star query (flagship 0.68s vs 3.31s) —
+    // partition-pruned per-predicate scans are small enough to
+    // broadcast. The pivot wins only when both join sides exceed the
+    // broadcast threshold (billion-subject stars), so it stays an
+    // opt-in knob for that regime: GRAFT_STAR_FUSION=on.
+    val funcPreds =
+      if (sys.env.getOrElse("GRAFT_STAR_FUSION", "off") != "on") Set.empty[String]
+      else triples.filter(col("g") === "instance")
+        .groupBy(col("p"), col("s")).count()
+        .groupBy(col("p")).agg(max(col("count")).as("m"))
+        .filter(col("m") === 1)
+        .select("p").collect().map(_.getString(0)).toSet
+    Ctx(spark, triples, closure, functionalPreds = funcPreds)
   }
 
   /** Plain relational reads for the extension operators. */
