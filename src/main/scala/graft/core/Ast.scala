@@ -52,6 +52,10 @@ final case class PutCsv(cols: Seq[(String, String)], q: Woql, path: String) exte
 final case class WithGraph(g: String, resource: String, q: Woql) extends Woql
 /** `triple_count(Resource, N)` — triples in a graph. */
 final case class TripleCount(g: String, into: String) extends Woql
+/** ReadDocument: bind the (flat) JSON document rooted at an IRI —
+  * scalar fields only, keys sorted; nested assembly lives in
+  * `docs.Documents.read`. */
+final case class ReadDocQ(id: Term, into: String) extends Woql
 
 // ---- connectives / joins (§2.3) ----
 final case class And(qs: Seq[Woql]) extends Woql

@@ -185,6 +185,29 @@ object Compiler {
         .agg(count(lit(1)).as("__c")).select(lngVal(col("__c")).as(into))
       conj(cur, BF(counted, Set(into)))
 
+    case ReadDocQ(idT, into) =>
+      // flat document JSON per subject: scalar fields, prefix-stripped
+      // keys, sorted for determinism; one groupBy — scales with corpus
+      val lits = ctx.triples.filter(col("g") === "instance" && col("o_kind") === "l")
+        .select(col("s"),
+          regexp_replace(col("p"), "^[^:]*:", "").as("__k"),
+          coalesce(col("o_str"), col("o_lng").cast(StringType),
+            col("o_dbl").cast(StringType), col("o_bool").cast(StringType),
+            col("o_ts").cast(StringType)).as("__v"))
+        .groupBy(col("s"), col("__k"))
+        .agg(concat_ws(",", sort_array(collect_list(col("__v")))).as("__v1"))
+      val docs = lits.groupBy(col("s"))
+        .agg(to_json(map_from_entries(
+          sort_array(collect_list(struct(col("__k"), col("__v1")))))).as("__doc"))
+      val bf = idT match {
+        case V(n) => BF(docs.select(iriVal(col("s")).as(n),
+          strVal(col("__doc")).as(into)), Set(n, into))
+        case Node(i) => BF(docs.filter(col("s") === i)
+          .select(strVal(col("__doc")).as(into)), Set(into))
+        case _ => throw new IllegalArgumentException("ReadDocument: id must be IRI or var")
+      }
+      conj(cur, bf)
+
     case And(qs) =>
       starFuse(fuse(qs.toList), ctx).foldLeft(cur)((acc, sub) => compile(sub, acc))
 

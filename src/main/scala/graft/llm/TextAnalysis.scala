@@ -12,10 +12,17 @@ object TextAnalysis {
 
   private def toks(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Tokens + characters per document. */
+  /** BPE-style pre-tokenizer classes: letter runs, digit runs, other
+    * non-space runs, each with optional leading space — the standard
+    * byte-pair-encoding pre-split shape, portable between regex engines. */
+  val BpeTokenRe = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  /** Tokens (whitespace + BPE-ish) and characters per document. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       size(toks(col("text"))).cast(LongType).as("n_tokens"),
+      size(expr(s"regexp_extract_all(text, '$BpeTokenRe', 0)"))
+        .cast(LongType).as("n_bpe_tokens"),
       length(col("text")).cast(LongType).as("n_chars"))
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")

@@ -239,8 +239,10 @@ object ExtQueries {
         | WHERE rank <= 5""".stripMargin,
 
     "text_tokens" ->
-      s"""SELECT doc_id, len($toksSql) AS n_tokens, length(text) AS n_chars
-        | FROM documents""".stripMargin,
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+        | len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+        |   AS n_bpe_tokens,
+        | length(text) AS n_chars FROM documents""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

@@ -142,6 +142,15 @@ object VersionQueries {
         .select(col("s"), col("o_str").as("o"))
     }),
 
+    // ReadDocument inside WOQL (flat doc view; §2.8)
+    "woql_read_doc" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      Compiler.run(And(Seq(
+        TriplePat(V("S"), Node("rdf:type"), Node("tpch:Region")),
+        ReadDocQ(V("S"), "D"))))
+        .select(col("S").getField("iri").as("s"), col("D").getField("str").as("doc"))
+    }),
+
     // WOQL JSON wire format → compile → run (reference's query transport)
     "woql_json_parse" -> ((s, d) => {
       val json =
@@ -186,6 +195,10 @@ object VersionQueries {
       "SELECT 'doc:Nation/'||n_name AS s, n_name AS name FROM nation",
     "turtle_load" ->
       "SELECT 'tpch:region/'||r_regionkey AS s, r_name AS o FROM region",
+    "woql_read_doc" ->
+      """SELECT 'tpch:region/'||r_regionkey AS s,
+        | '{"r_name":"'||r_name||'","r_regionkey":"'||r_regionkey||'"}' AS doc
+        | FROM region""".stripMargin,
     "woql_json_parse" ->
       """SELECT c_name, c_acctbal FROM customer JOIN nation
         | ON c_nationkey = n_nationkey
