@@ -24,6 +24,8 @@ object Documents {
   final case class HashKey(fields: Seq[String]) extends KeyStrategy
   case object ValueHash extends KeyStrategy
   case object RandomKey extends KeyStrategy
+  /** Pin a known id (document update replaces in place). */
+  final case class FixedKey(id: String) extends KeyStrategy
 
   private def sha256(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -53,6 +55,7 @@ object Documents {
       s"doc:$docType/" + sha256(fs.map(f => render(j \ f)).mkString("_"))
     case ValueHash => s"doc:$docType/" + sha256(canonical(j))
     case RandomKey => s"doc:$docType/" + java.util.UUID.randomUUID().toString
+    case FixedKey(id) => id
   }
 
   private def render(v: JValue): String = v match {

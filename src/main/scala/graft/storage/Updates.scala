@@ -67,6 +67,31 @@ object Updates {
     Right(store.commit(branch, adds, removes, message))
   }
 
+  /** InsertDocument: stage document subgraphs from a bound JSON-string
+    * variable, one document per query solution — parsing/expansion runs
+    * distributed via Documents.insertAll (mapPartitions). */
+  def stageDocs(q: Woql, jsonVar: String, docType: String,
+                key: graft.docs.Documents.KeyStrategy)(
+      implicit ctx: Ctx): DataFrame = {
+    import ctx.spark.implicits._
+    val bf = Compiler.compile(q, Compiler.unit(ctx))
+    val jsons = bf.df.select(Vals.text(org.apache.spark.sql.functions.col(jsonVar)))
+      .as[String]
+    graft.docs.Documents.insertAll(jsons, docType, key)
+  }
+
+  /** UpdateDocument: replace the subgraph rooted at `id` with the new
+    * JSON — staged as (adds of the new expansion, removes of the old
+    * subgraph), exactly the reference's diff-then-commit shape. */
+  def stageDocUpdate(graph: DataFrame, id: String, newJson: String,
+                     docType: String)(implicit ctx: Ctx): (DataFrame, DataFrame) = {
+    import ctx.spark.implicits._
+    val removes = graft.docs.Documents.delete(graph, id)
+    val adds = graft.docs.Documents
+      .insertAll(Seq(newJson).toDS(), docType, graft.docs.Documents.FixedKey(id))
+    (adds, removes)
+  }
+
   /** Compile context reading a store branch (enables added_triple /
     * removed_triple against real commit deltas). */
   def ctxFromStore(store: LayerStore, branch: String): Ctx = {

@@ -61,6 +61,34 @@ class DocumentsSpec extends AnyFunSuite {
     assert(del.count() == t.count()) // whole doc incl. subdocuments
   }
 
+  test("document update stages adds of new and removes of old subgraph") {
+    import spark.implicits._
+    import graft.storage.Updates
+    val t = Documents.insertAll(Seq(doc).toDS(), "Person",
+      Documents.LexicalKey(Seq("name")))
+    implicit val ctx = TestSpark.ctxOf(t)
+    val (adds, removes) = Updates.stageDocUpdate(t, "doc:Person/ada",
+      """{"name":"ada","age":37}""", "Person")
+    assert(removes.count() == t.count())        // whole old subgraph out
+    val addRows = adds.collect()
+    assert(addRows.exists(r => r.getString(2) == "doc:age" && r.getLong(8) == 37L))
+    assert(addRows.forall(r => r.getString(1).startsWith("doc:Person/ada")))
+  }
+
+  test("insert-document staging from query bindings runs distributed") {
+    import spark.implicits._
+    import graft.core._
+    import graft.storage.Updates
+    val g = TestSpark.triples((":a", "payload", """{"name":"x","n":1}"""),
+      (":b", "payload", """{"name":"y","n":2}"""))
+    implicit val ctx = TestSpark.ctxOf(g)
+    val staged = Updates.stageDocs(
+      TriplePat(V("S"), Node("payload"), V("J")), "J", "Thing",
+      Documents.LexicalKey(Seq("name")))
+    val subjects = staged.select("s").distinct().collect().map(_.getString(0)).toSet
+    assert(subjects == Set("doc:Thing/x", "doc:Thing/y"))
+  }
+
   test("flat analytical view exposes scalar fields as a map") {
     import spark.implicits._
     val t = Documents.insertAll(Seq(doc).toDS(), "Person",
