@@ -210,26 +210,59 @@ object Paths {
     * triple store per predicate per iteration. */
   private def reach(pat: PathPat, seeds: DataFrame, ctx: Ctx,
                     includeZero: Boolean): DataFrame = {
+    // rel is materialized once and reused every iteration (measured:
+    // lazy rel re-scans cost more than one checkpoint — 7.7s vs 5.3s on
+    // the 6-predicate closure at sf0.1)
     val relOpt: Option[DataFrame] =
       if (closureFree(pat)) Some(compile(pat, ctx).localCheckpoint(true)) else None
-    def oneStep(frontier: DataFrame): DataFrame = relOpt match {
-      case Some(rel) => frontier.join(rel, col("n") === col("src"))
+    // frontiers and the visited set are usually far smaller than the
+    // edge relation: broadcasting them keeps the big relation map-side
+    // (zero shuffle per iteration). Above the threshold fall back to a
+    // shuffle join.
+    val BroadcastRows = 2000000L
+    def hinted(df: DataFrame, rows: Long): DataFrame =
+      if (rows >= 0 && rows < BroadcastRows) broadcast(df) else df
+    def oneStep(frontier: DataFrame, rows: Long): DataFrame = relOpt match {
+      case Some(rel) => hinted(frontier, rows)
+        .join(rel, col("n") === col("src"))
         .select(col("dst").as("n")).distinct()
       case None => step(pat, frontier, ctx)
     }
-    var total = seeds.distinct().localCheckpoint(true)
-    var frontier = total
-    var reached: DataFrame = if (includeZero) total else null
+    val seedSet = seeds.distinct().localCheckpoint(true)
+    var total = seedSet
+    var totalCount = seedSet.count()
+    var frontier = seedSet
+    var frontierCount = totalCount
     var i = 0
     var done = false
     while (!done && i < MaxIters) {
       i += 1
-      val raw = oneStep(frontier).localCheckpoint(true) // incl. revisits
-      reached = if (reached == null) raw else reached.unionByName(raw)
-      val next = raw.join(total, Seq("n"), "left_anti").localCheckpoint(true)
-      if (next.isEmpty) done = true
-      else { total = total.unionByName(next).localCheckpoint(true); frontier = next }
+      val next = oneStep(frontier, frontierCount)
+        .join(hinted(total, totalCount), Seq("n"), "left_anti")
+        .localCheckpoint(true)
+      frontierCount = next.count()
+      if (frontierCount == 0) done = true
+      else {
+        total = total.unionByName(next).localCheckpoint(true)
+        totalCount += frontierCount
+        frontier = next
+      }
     }
-    reached.distinct().localCheckpoint(true)
+    // nodes reachable in ≥1 steps = (total \ seeds) ∪ seeds re-reached
+    // via a cycle — computed ONCE at the end instead of accumulating
+    // every iteration's raw step output (which re-materializes the
+    // frontier each round)
+    if (includeZero) total
+    else {
+      val nonSeed = total.join(seedSet, Seq("n"), "left_anti")
+      val seedsRevisited = relOpt match {
+        case Some(rel) => seedSet.join(
+          rel.join(total.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
+            .select(col("dst").as("n")), Seq("n"), "left_semi")
+        case None => // generic: one extra step from everything reached
+          seedSet.join(step(pat, total, ctx), Seq("n"), "left_semi")
+      }
+      nonSeed.unionByName(seedsRevisited).localCheckpoint(true)
+    }
   }
 }
