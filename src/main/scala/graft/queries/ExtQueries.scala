@@ -48,6 +48,11 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"),
         max(col("value")).as("vmax"))),
 
+    "rel_events_sliding" -> ((s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))),
+
     "ext_json" -> ((s, d) => t(s, d, "events")
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
@@ -113,6 +118,12 @@ object ExtQueries {
     "rel_events_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
         | min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1, 2""".stripMargin,
+
+    "rel_events_sliding" ->
+      """SELECT ws, event_type, count(*) AS n FROM (
+        | SELECT unnest([date_trunc('hour', ts),
+        |                date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+        |        event_type FROM events) GROUP BY 1, 2""".stripMargin,
 
     "ext_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

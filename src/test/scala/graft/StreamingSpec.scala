@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.storage.{Eav, LayerStore}
+import graft.streaming.Ingest
+
+/** Watermark semantics (late-data drop in append mode) and multi-batch
+  * triple ingestion — SURVEY §2.10. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val evSchema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("k", StringType)))
+
+  private def writeBatch(dir: String, name: String, rows: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("ts0", "k").select(to_timestamp(col("ts0")).as("ts"), col("k"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+    // file-stream sources watch one directory: move part file up
+    val part = new java.io.File(s"$dir/$name").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, s"$name.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/$name"))
+  }
+
+  test("append-mode watermark drops late data across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    writeBatch(dir, "b1", Seq(
+      ("2024-01-01 10:05:00", "a"), ("2024-01-01 10:20:00", "a"),
+      ("2024-01-01 13:00:00", "a"))) // advances watermark to 12:00
+    val src = spark.readStream.schema(evSchema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("k"), col("n"))
+    val q = src.writeStream.outputMode("append")
+      .format("memory").queryName("late_test")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one on-time-ish and one very late event (before 12:00 wm)
+      writeBatch(dir, "b2", Seq(
+        ("2024-01-01 10:40:00", "late"),  // 10:00 window already finalized
+        ("2024-01-01 13:10:00", "a")))
+      q.processAllAvailable()
+      // batch 3: push watermark far ahead so open windows finalize
+      writeBatch(dir, "b3", Seq(("2024-01-01 20:00:00", "a")))
+      q.processAllAvailable()
+      val out = spark.table("late_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      // the 10:00 window emitted with only the 2 on-time events; the
+      // "late" event was dropped, never re-emitted
+      assert(out.contains(("2024-01-01 10:00:00.0", "a", 2L)))
+      assert(!out.exists(_._2 == "late"))
+    } finally q.stop()
+  }
+
+  test("ingestion with maxFilesPerTrigger lands one commit per batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-multi")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp/$name")
+      val part = new java.io.File(s"$dir/tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/src").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src", s"$name.parquet"))
+    }
+    stage("f1", triples((":a", "p", "v1")))
+    stage("f2", triples((":b", "p", "v2")))
+    val st = LayerStore.open(spark, s"$dir/store")
+    val stream = spark.readStream.schema(Eav.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val q = Ingest.streamIntoStore(stream, st, "main")
+    q.awaitTermination(120000)
+    assert(st.materializeBranch("main").count() == 2)
+    assert(st.chain(st.refs("main")).size == 2) // one commit per micro-batch
+  }
+}
