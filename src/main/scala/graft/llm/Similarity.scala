@@ -50,6 +50,52 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
+  /** Sign-random-projection LSH buckets: bit j of the bucket id is the
+    * sign of the dot product with pseudo-random hyperplane j. Planes
+    * derive deterministically from md5 (no RNG state — reproducible
+    * across runs and engines). */
+  def srpBucket(emb: Column, dim: Int, nbits: Int): Column = {
+    val planes: Seq[Seq[Double]] = (0 until nbits).map { j =>
+      (0 until dim).map { k =>
+        val h = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"plane_$j:$k".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString, 16)
+        h.toDouble / Int.MaxValue.toDouble - 1.0 // ~uniform [-1, 1)
+      }
+    }
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val arr = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(emb.cast("array<double>"), arr, (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L) * (1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share an SRP bucket
+    * (equi-join on bucket id — candidate count ∝ corpus / 2^nbits per
+    * query), exact cosine rerank inside. The 100 TB alternative to IVF
+    * when no label/cluster structure exists. */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int, nbits: Int = 6): DataFrame = {
+    val dim = 64
+    val bucketed = emb.withColumn("__b", srpBucket(col("embedding"), dim, nbits))
+    // multi-probe: each query also probes the hamming-1 buckets, the
+    // standard recall/candidate-count dial for SRP-LSH
+    val probes = array((lit(0L) +: (0 until nbits).map(j => lit(1L << j))): _*)
+    // a candidate lives in exactly one bucket and probes are distinct,
+    // so each (q, cand) pair matches at most once — no dedup needed
+    val q = bucketed.where(isQuery)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"),
+        explode(transform(probes, m => col("__b").bitwiseXOR(m))).as("__b"))
+    val c = bucketed.select(col("vec_id").as("cand"), col("embedding").as("ce"), col("__b"))
+    val cand = broadcast(q).join(c, Seq("__b")).where(col("q") =!= col("cand"))
+      .withColumn("sim", cos(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("cand"))
+    cand.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+      .select(col("q"), col("cand"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF top-k: probe the `nprobe` closest cells, exact-rerank inside. */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int, nprobe: Int): DataFrame = {
     val cents = medoidCentroids(emb)

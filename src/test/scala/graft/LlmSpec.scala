@@ -42,6 +42,20 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF probe-2 recall $recall vs brute")
   }
 
+  test("LSH-bucketed top-k is deterministic and overlaps brute force") {
+    val lsh1 = Similarity.lshTopK(emb, col("vec_id") < 10, 5, nbits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh2 = Similarity.lshTopK(emb.repartition(7), col("vec_id") < 10, 5, nbits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lsh1 == lsh2, "bucketing must be partitioning-independent")
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+      .select("q", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = lsh1.map(t => (t._1, t._2))
+    val recall = pairs.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH 4-bit recall $recall unexpectedly low")
+    assert(pairs.nonEmpty)
+  }
+
   test("multimodal decode plumbing is deterministic and partition-shaped") {
     val withB = Multimodal.withPayload(docs.limit(50))
     val m1 = Multimodal.decodeMeta(withB).orderBy("doc_id").collect()
