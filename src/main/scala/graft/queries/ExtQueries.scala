@@ -79,7 +79,13 @@ object ExtQueries {
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
-    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents")))
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
+
+    "text_len_quantiles" -> ((s, d) => t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        count(lit(1)).as("n")))
   )
 
   // DuckDB-side shared fragments
@@ -280,6 +286,11 @@ object ExtQueries {
 
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
-        | AS fp FROM documents""".stripMargin
+        | AS fp FROM documents""".stripMargin,
+
+    "text_len_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+        | quantile_cont(n_chars, 0.9) AS p90, count(*) AS n
+        | FROM documents GROUP BY 1""".stripMargin
   )
 }
