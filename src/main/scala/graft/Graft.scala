@@ -35,7 +35,14 @@ object Graft {
         .write.mode("overwrite").partitionBy("g", "p").parquet(dir)
     }
     val triples = spark.read.parquet(dir)
-    val closure = Eav.subclassClosure(spark, triples)
+    // closure derives from the (tiny) schema graph but its class list
+    // scans rdf:type — cache the result as parquet beside the EAV data
+    val closureDir = s"$dir-closure"
+    if (!new java.io.File(s"$closureDir/_SUCCESS").exists()) {
+      Eav.subclassClosure(spark, triples)
+        .coalesce(1).write.mode("overwrite").parquet(closureDir)
+    }
+    val closure = spark.read.parquet(closureDir)
     // Functional predicates (≤1 triple per subject) enable the
     // compiler's star-join collapse. Default OFF: measured at sf0.1
     // (BenchOne, min of 3), AQE broadcast-join chains beat the pivot's
