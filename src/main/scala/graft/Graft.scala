@@ -16,7 +16,10 @@ import graft.storage.Eav
   * database; here it lives under target/. */
 object Graft {
 
-  private val cacheRoot = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav")
+  /** Cache layout version — bump when Eav.schema changes so stale
+    * parquet from an earlier round is never read with the new schema. */
+  val cacheRoot: String =
+    sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") + "/v2"
   private val ctxCache = new java.util.concurrent.ConcurrentHashMap[String, Ctx]()
 
   def ctx(spark: SparkSession, sfDir: String): Ctx =

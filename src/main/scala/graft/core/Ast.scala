@@ -20,6 +20,8 @@ final case class Dbl(v: Double) extends Lit
 final case class Lng(v: Long) extends Lit
 final case class Bool(v: Boolean) extends Lit
 final case class Ts(v: java.sql.Timestamp) extends Lit
+/** Exact xsd:decimal literal (38,18). */
+final case class Dec(v: BigDecimal) extends Lit
 
 /** Arithmetic expression tree for `eval/2` (WOQL `Eval`). */
 sealed trait ArithE
@@ -65,6 +67,13 @@ object Or { def of(qs: Woql*): Or = Or(qs.toList) }
 final case class Not(q: Woql) extends Woql
 final case class Opt(q: Woql) extends Woql
 final case class Once(q: Woql) extends Woql
+/** `when(Cond, Then)` — conditional extension (reference:
+  * core/query/woql_compile.pl when clauses): solutions that Cond extends
+  * must flow through Then; solutions Cond rejects pass through unchanged
+  * with Then-only variables unbound. The v3 conditional-update
+  * workhorse: `stage` drops template rows with unbound slots, so a
+  * when-driven insert fires only for Cond's solutions. */
+final case class WhenQ(cond: Woql, thenQ: Woql) extends Woql
 case object True extends Woql
 case object False extends Woql
 
@@ -128,3 +137,9 @@ final case class DotQ(doc: Term, field: String, into: String) extends Woql
 
 // ---- path (§2.7) ----
 final case class PathQ(x: Term, pattern: PathPat, y: Term, witness: Option[String] = None) extends Woql
+/** Exhaustive path-witness enumeration from a bound source: one solution
+  * per DISTINCT path (reference: core/query/path.pl enumerates every
+  * path; PathQ's witness binds one canonical witness per node). Cycle
+  * guard: each plus/star/times repetition refuses to revisit a node it
+  * already anchored in the same path — the reference's loop check. */
+final case class PathAllQ(x: Term, pattern: PathPat, y: Term, witness: String) extends Woql

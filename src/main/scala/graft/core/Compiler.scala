@@ -58,7 +58,8 @@ object Compiler {
   }
 
   private def objVal: Column = mk(col("o_kind"), col("o_iri"), col("o_typ"),
-    col("o_str"), col("o_dbl"), col("o_lng"), col("o_ts"), col("o_bool"), col("o_lang"))
+    col("o_str"), col("o_dbl"), col("o_lng"), col("o_ts"), col("o_bool"), col("o_lang"),
+    col("o_dec"))
 
   /** Compile one triple pattern against a triples-shaped DataFrame.
     * Bound positions become filters (pushed to parquet; bound `p` prunes
@@ -80,8 +81,22 @@ object Compiler {
       case Node(i)      => df = df.filter(col("o_kind") === "i" && col("o_iri") === i)
       case Str(v, null) => df = df.filter(col("o_kind") === "l" && col("o_str") === v)
       case Str(v, lang) => df = df.filter(col("o_kind") === "l" && col("o_str") === v && col("o_lang") === lang)
-      case Dbl(v)       => df = df.filter(coalesce(col("o_dbl"), col("o_lng").cast(DoubleType)) === v)
-      case Lng(v)       => df = df.filter(coalesce(col("o_dbl"), col("o_lng").cast(DoubleType)) === v.toDouble)
+      // numeric bound objects: a DISJUNCTION of single-column equalities
+      // (not coalesce-equality) so each disjunct stays prunable by
+      // parquet row-group stats — this is often the most selective
+      // filter of a pattern. The lng disjunct only fires when the bound
+      // value is integral (2.0 matches stored 2; 2.5 must not).
+      case Dbl(v) =>
+        val base = (col("o_dbl") === v) || (col("o_dec") === lit(v).cast(Vals.Dec38))
+        df = df.filter(
+          if (v.isWhole) base || (col("o_lng") === v.toLong) else base)
+      case Lng(v) =>
+        df = df.filter((col("o_lng") === v) || (col("o_dbl") === v.toDouble) ||
+          (col("o_dec") === lit(v).cast(Vals.Dec38)))
+      case Dec(v) =>
+        df = df.filter((col("o_dec") === lit(v.bigDecimal).cast(Vals.Dec38)) ||
+          (col("o_dbl") === v.toDouble) ||
+          (if (v.isWhole) col("o_lng") === v.toLong else lit(false)))
       case Bool(v)      => df = df.filter(col("o_bool") === v)
       case Ts(v)        => df = df.filter(col("o_ts") === v)
     }
@@ -142,6 +157,24 @@ object Compiler {
       }
   }
 
+  /** Exact-decimal view of an arith expression: Some(col) when the shape
+    * stays within exact decimal semantics — `+`/`-` over decimal-or-
+    * integer leaves, where (38,18)±(38,18) is exact in both Spark and
+    * DuckDB. Multiplication/division shrink scale by engine-specific
+    * precision-loss rules, so they fall back to double (documented
+    * divergence). The column is null on rows whose leaves hold doubles;
+    * Eval falls back per-row. */
+  private def arithDec(e: ArithE, bound: Set[String]): Option[Column] = e match {
+    case ATerm(V(n)) if bound(n) =>
+      Some(coalesce(col(n).getField("dec"), col(n).getField("lng").cast(Vals.Dec38)))
+    case ATerm(Lng(v)) => Some(lit(v).cast(Vals.Dec38))
+    case ATerm(Dec(v)) => Some(lit(v.bigDecimal).cast(Vals.Dec38))
+    case ABin(op @ ("+" | "-"), l, r) =>
+      for (a <- arithDec(l, bound); b <- arithDec(r, bound))
+        yield (if (op == "+") a + b else a - b).cast(Vals.Dec38)
+    case _ => None
+  }
+
   // ---- main dispatch ----
   def compile(q: Woql, cur: BF)(implicit ctx: Ctx): BF = q match {
 
@@ -175,7 +208,8 @@ object Compiler {
               lit(null).cast(LongType).as("o_lng"),
               lit(null).cast(TimestampType).as("o_ts"),
               lit(null).cast(BooleanType).as("o_bool"),
-              lit(null).cast(StringType).as("o_lang"))
+              lit(null).cast(StringType).as("o_lang"),
+              lit(null).cast(Vals.Dec38).as("o_dec"))
         } else ctx.spark.read.parquet(resource).withColumn("g", lit(g))
           .select(graft.storage.Eav.schema.fieldNames.map(col): _*)
       compile(sub, cur)(ctx.copy(triples = ctx.triples.unionByName(loaded)))
@@ -261,6 +295,25 @@ object Compiler {
       }
 
     case Opt(sub) => leftExtend(cur, compile(sub, cur), Map.empty)
+
+    case WhenQ(c, t) =>
+      // conditional extension: Cond's solutions flow through Then;
+      // solutions Cond rejects pass through with Then-vars unbound.
+      // (On the unit frame this is the classic `C has solutions → C∧T
+      // else true`.)
+      val condBF = compile(c, cur)
+      val thenBF = compile(t, condBF)
+      if (cur.isUnit) {
+        if (condBF.df.isEmpty) cur else thenBF
+      } else {
+        val keys = cur.vars.toSeq.sorted
+        val unmatched = cur.df.join(condBF.df.select(keys.map(col): _*), keys, "left_anti")
+        val missing = (thenBF.vars -- cur.vars).toSeq.sorted
+        val padded = missing.foldLeft(unmatched)((d, v) =>
+          d.withColumn(v, lit(null).cast(Vals.structType)))
+        BF(thenBF.df.unionByName(padded.select(thenBF.df.columns.map(col).toSeq: _*)),
+          thenBF.vars)
+      }
 
     case Once(sub) =>
       val inner = compile(sub, cur)
@@ -390,7 +443,12 @@ object Compiler {
       BF(cur.df.withColumn(into, lngVal(size(col(listVar)).cast(LongType))), cur.vars + into)
 
     case Eval(e, into) =>
-      BF(cur.df.withColumn(into, dblVal(arith(e, cur.vars))), cur.vars + into)
+      val asDbl = dblVal(arith(e, cur.vars))
+      val result = arithDec(e, cur.vars) match {
+        case Some(dc) => when(dc.isNotNull, decVal(dc)).otherwise(asDbl)
+        case None => asDbl
+      }
+      BF(cur.df.withColumn(into, result), cur.vars + into)
 
     case ConcatList(parts, into) =>
       val c = concat(parts.map(strOf(_, cur.vars)): _*)
@@ -426,7 +484,13 @@ object Compiler {
         .withColumn(intoAfter, lngVal(afterC.cast(LongType))), cur.vars + intoSub + intoAfter)
 
     case ReMatch(p, s, intoGroups) =>
-      val groups = regexp_extract_all(strOf(s, cur.vars), lit(p), lit(1))
+      // single capture group → all matches of it (global-flag style);
+      // ≥2 groups → every capture group of the first match, the
+      // reference's group-binding shape (core/query/woql_compile.pl re).
+      val gc = java.util.regex.Pattern.compile(p).matcher("").groupCount()
+      val groups =
+        if (gc <= 1) regexp_extract_all(strOf(s, cur.vars), lit(p), lit(1))
+        else array((1 to gc).map(i => regexp_extract(strOf(s, cur.vars), p, i)): _*)
       BF(cur.df.withColumn(intoGroups, transform(groups, x => strVal(x))), cur.vars + intoGroups)
 
     case FormatS(p, args, into) =>
@@ -438,10 +502,17 @@ object Compiler {
       val casted: Column = typ match {
         case "xsd:string"   => strVal(Vals.text(c))
         case "xsd:integer"  => lngVal(coalesce(c.getField("lng"),
+          c.getField("dec").cast(LongType),
           c.getField("dbl").cast(LongType), c.getField("str").cast(LongType),
           c.getField("bool").cast(LongType)))
-        case "xsd:double" | "xsd:decimal" => dblVal(coalesce(c.getField("dbl"),
+        case "xsd:double" => dblVal(coalesce(c.getField("dbl"),
+          c.getField("dec").cast(DoubleType),
           c.getField("lng").cast(DoubleType), c.getField("str").cast(DoubleType)))
+        // exact targets first (decimal/integer/string are lossless);
+        // double is last resort and documented lossy
+        case "xsd:decimal" => decVal(coalesce(c.getField("dec"),
+          c.getField("lng").cast(Vals.Dec38), c.getField("str").cast(Vals.Dec38),
+          c.getField("dbl").cast(Vals.Dec38)))
         case "xsd:boolean"  => boolVal(coalesce(c.getField("bool"),
           when(lower(c.getField("str")).isin("true", "1"), lit(true))
             .when(lower(c.getField("str")).isin("false", "0"), lit(false))))
@@ -509,6 +580,27 @@ object Compiler {
         case _ => throw new IllegalArgumentException("path: endpoints must be IRIs or vars")
       }
       conj(cur, bf0)
+
+    case PathAllQ(x, pat, y, w) =>
+      // exhaustive enumeration: one solution per distinct path from the
+      // bound source (witness = node sequence). Destination may be a var
+      // or a bound IRI (filter).
+      def seedW(i: String) = {
+        import ctx.spark.implicits._
+        Seq((i, Seq(i))).toDF("n", "path")
+      }
+      val bf0 = (x, y) match {
+        case (Node(i), V(n)) =>
+          val all = Paths.stepAllPaths(pat, seedW(i), ctx)
+          BF(all.select(iriVal(col("n")).as(n),
+            strVal(concat_ws("/", col("path"))).as(w)), Set(n, w))
+        case (Node(i), Node(j)) =>
+          val all = Paths.stepAllPaths(pat, seedW(i), ctx).filter(col("n") === j)
+          BF(all.select(strVal(concat_ws("/", col("path"))).as(w)), Set(w))
+        case _ => throw new IllegalArgumentException(
+          "path_all: source endpoint must be a bound IRI")
+      }
+      conj(cur, bf0)
   }
 
   /** Peephole rewrite (the one logical optimization Catalyst can't see
@@ -539,7 +631,7 @@ object Compiler {
   private def isBarrier(q: Woql): Boolean = q match {
     case _: GroupBy | _: GroupAgg | _: CountQ | _: Select | _: Distinct |
          _: OrderBy | _: Limit | _: Start | _: SumList | _: LengthList |
-         _: SortListQ | _: MemberQ | _: JoinS | _: Once => true
+         _: SortListQ | _: MemberQ | _: JoinS | _: Once | _: WhenQ => true
     case _ => false
   }
 

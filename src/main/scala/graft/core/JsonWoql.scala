@@ -54,12 +54,22 @@ object JsonWoql {
         case JString(s) => Lng(s.toLong)
         case other => throw new IllegalArgumentException(s"bad integer $other")
       }
-      case JString("xsd:decimal") | JString("xsd:double") | JString("xsd:float") => v match {
+      // exact decimal when the wire value is exact (string/int/decimal
+      // node); a JSON double literal stays double — the writer already
+      // narrowed it
+      case JString("xsd:decimal") => v match {
+        case JDouble(d) => Dbl(d)
+        case JInt(i) => Dec(BigDecimal(i))
+        case JDecimal(d) => Dec(d)
+        case JString(s) => Dec(BigDecimal(s))
+        case other => throw new IllegalArgumentException(s"bad decimal $other")
+      }
+      case JString("xsd:double") | JString("xsd:float") => v match {
         case JDouble(d) => Dbl(d)
         case JInt(i) => Dbl(i.toDouble)
         case JDecimal(d) => Dbl(d.toDouble)
         case JString(s) => Dbl(s.toDouble)
-        case other => throw new IllegalArgumentException(s"bad decimal $other")
+        case other => throw new IllegalArgumentException(s"bad double $other")
       }
       case JString("xsd:boolean") => v match {
         case JBool(b) => Bool(b)
@@ -131,6 +141,7 @@ object JsonWoql {
     case JString("Not") => Not(toWoql(j \ "query"))
     case JString("Optional" | "Opt") => Opt(toWoql(j \ "query"))
     case JString("Once") => Once(toWoql(j \ "query"))
+    case JString("When") => WhenQ(toWoql(j \ "query"), toWoql(j \ "consequent"))
     case JString("True") => True
     case JString("Select") => Select(strs(j \ "variables"), toWoql(j \ "query"))
     case JString("Distinct") => Distinct(strs(j \ "variables"), toWoql(j \ "query"))

@@ -196,6 +196,67 @@ object Paths {
     dedupW(reached)
   }
 
+  // ---- exhaustive path enumeration (PathAllQ) --------------------------
+  //
+  // One row PER DISTINCT PATH from a bound source, not one per reachable
+  // node (the reference enumerates every path; [[stepWitness]] binds one
+  // canonical witness). Frontier rows are (n, path, outer anchors…).
+  // Cycle guard: each plus/star/times repetition carries its OWN anchor
+  // column and refuses to revisit a node it anchored on the same path —
+  // the reference's loop check (core/query/path.pl), which keeps the
+  // walk finite on cyclic graphs while seq/alt compose freely. Path
+  // counts can still be exponential in pathological diamonds; the
+  // MaxIters depth cap bounds the iteration, and enumeration is meant
+  // for bounded/acyclic patterns (SURVEY §2.7).
+
+  private val anchSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  private def extendAll(frontier: DataFrame, e: DataFrame,
+                        fromCol: String, toCol: String): DataFrame = {
+    val keep = frontier.columns.filterNot(c => c == "n" || c == "path").map(col)
+    frontier.join(e, col("n") === col(fromCol))
+      .select(col(toCol).as("n") +:
+        concat(col("path"), array(col(toCol))).as("path") +: keep.toSeq: _*)
+  }
+
+  /** All distinct paths from `frontier` rows via one pattern application.
+    * Extra frontier columns (outer repetition anchors) pass through. */
+  def stepAllPaths(pat: PathPat, frontier: DataFrame, ctx: Ctx): DataFrame = pat match {
+    case PPred(p) => extendAll(frontier, edges(p, ctx), "src", "dst")
+    case PInv(p)  => extendAll(frontier, edges(p, ctx), "dst", "src")
+    case PSeq(a, b) => stepAllPaths(b, stepAllPaths(a, frontier, ctx), ctx)
+    case PAlt(a, b) =>
+      stepAllPaths(a, frontier, ctx).unionByName(stepAllPaths(b, frontier, ctx))
+    case PPlus(p)  => repeatAll(p, frontier, ctx, minLen = 1, maxLen = MaxIters)
+    case PStar(p)  => repeatAll(p, frontier, ctx, minLen = 0, maxLen = MaxIters)
+    case PTimes(p, n, m) => repeatAll(p, frontier, ctx, minLen = n, maxLen = m)
+  }
+
+  private def repeatAll(pat: PathPat, frontier: DataFrame, ctx: Ctx,
+                        minLen: Int, maxLen: Int): DataFrame = {
+    val anch = s"__anch${anchSeq.incrementAndGet()}"
+    var cur = frontier.withColumn(anch, array(col("n"))).localCheckpoint(true)
+    var acc: DataFrame = if (minLen == 0) frontier else null
+    var len = 0
+    var done = false
+    while (!done && len < math.min(maxLen, MaxIters)) {
+      len += 1
+      val next = stepAllPaths(pat, cur, ctx)
+        .filter(!array_contains(col(anch), col("n")))
+        .withColumn(anch, concat(col(anch), array(col("n"))))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        if (len >= minLen) {
+          val out = next.drop(anch)
+          acc = if (acc == null) out else acc.unionByName(out)
+        }
+        cur = next
+      }
+    }
+    if (acc == null) frontier.limit(0) else acc
+  }
+
   private def closureFree(p: PathPat): Boolean = p match {
     case PPred(_) | PInv(_) => true
     case PSeq(a, b) => closureFree(a) && closureFree(b)

@@ -119,6 +119,7 @@ object Documents {
       lng.map(java.lang.Long.valueOf).orNull,
       null,
       bool.map(java.lang.Boolean.valueOf).orNull,
+      null,
       null)
 
   /** Bulk insert: Dataset of JSON strings → EAV triples DataFrame.

@@ -122,9 +122,41 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Embedding near-dup via SRP-LSH buckets — the 100 TB DEFAULT.
+    * Mutual nearest neighbors are computed INSIDE candidate sets that
+    * share an SRP bucket (hamming-0 or hamming-1 multi-probe): shuffle
+    * ∝ bucket collisions, never n². Hyperplanes derive from md5, so the
+    * whole pipeline replays bit-for-bit in the DuckDB oracle.
+    * [[embeddingMutualNN]] below stays as the small-corpus exact
+    * baseline that LlmSpec measures recall against. */
+  def embeddingLshDups(emb: DataFrame, nbits: Int = 4, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else Similarity.embDim(emb)
+    val bucketed = emb
+      .withColumn("__b", Similarity.srpBucket(col("embedding"), d, nbits))
+      .localCheckpoint(true) // bucket ids feed both join sides
+    val probes = array((lit(0L) +: (0 until nbits).map(j => lit(1L << j))): _*)
+    // a candidate lives in one bucket and probes are distinct → each
+    // ordered pair matches at most once, no dedup needed
+    val a = bucketed.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      explode(transform(probes, m => col("__b").bitwiseXOR(m))).as("__b"))
+    val b = bucketed.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("__b"))
+    val sims = a.join(b, Seq("__b")).where(col("ia") =!= col("ib"))
+      .withColumn("sim", graft.functions.GraftFunctions.cosine(
+        col("ea").cast("array<double>"), col("eb").cast("array<double>")))
+      .select(col("ia"), col("ib"), col("sim"))
+    val w = Window.partitionBy(col("ia")).orderBy(col("sim").desc, col("ib"))
+    val nn = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("ia"), col("ib"), col("sim"))
+    nn.as("x").join(nn.as("y"),
+        col("x.ia") === col("y.ib") && col("x.ib") === col("y.ia"))
+      .where(col("x.ia") < col("x.ib"))
+      .select(col("x.ia").as("da"), col("x.ib").as("db"),
+        round(col("x.sim"), 6).as("sim"))
+  }
+
   /** Embedding near-dup candidates: mutual nearest neighbors by cosine.
-    * Brute pairwise + two window top-1 passes; for 100 TB use the
-    * LSH/IVF bucketing in Similarity to restrict the pair space first. */
+    * Brute pairwise + two window top-1 passes — the quadratic exact
+    * baseline; [[embeddingLshDups]] is the bucketed scale path. */
   def embeddingMutualNN(emb: DataFrame): DataFrame = {
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))

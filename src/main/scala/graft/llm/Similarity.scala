@@ -73,13 +73,19 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding dimensionality, read from the first row (one tiny driver
+    * action; pass `dim` explicitly in hot paths to avoid it). */
+  def embDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head().getInt(0)
+
   /** LSH-bucketed approximate top-k: candidates share an SRP bucket
     * (equi-join on bucket id — candidate count ∝ corpus / 2^nbits per
     * query), exact cosine rerank inside. The 100 TB alternative to IVF
     * when no label/cluster structure exists. */
-  def lshTopK(emb: DataFrame, isQuery: Column, k: Int, nbits: Int = 6): DataFrame = {
-    val dim = 64
-    val bucketed = emb.withColumn("__b", srpBucket(col("embedding"), dim, nbits))
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int, nbits: Int = 6,
+              dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else embDim(emb)
+    val bucketed = emb.withColumn("__b", srpBucket(col("embedding"), d, nbits))
     // multi-probe: each query also probes the hamming-1 buckets, the
     // standard recall/candidate-count dial for SRP-LSH
     val probes = array((lit(0L) +: (0 until nbits).map(j => lit(1L << j))): _*)

@@ -68,12 +68,15 @@ object ExtQueries {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.5)),
     "dedup_embedding_nn" -> ((s, d) => Dedup.embeddingMutualNN(t(s, d, "embeddings"))),
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingLshDups(t(s, d, "embeddings"))),
 
     // --- similarity search ---
     "sim_topk_brute" -> ((s, d) =>
       Similarity.bruteTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5)),
     "sim_topk_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5, nprobe = 2)),
+    "sim_topk_lsh" -> ((s, d) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5)),
 
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
@@ -100,6 +103,26 @@ object ExtQueries {
       |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
   private val cosSql =
     "list_dot_product(ea, eb) / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))"
+
+  /** SRP-LSH bucket CTEs (= Similarity.srpBucket): md5-derived
+    * hyperplanes, per-vector bucket id over `nbits` sign bits. The
+    * hamming-≤1 join below is the SQL mirror of the engine's
+    * multi-probe (bucket XOR one-bit masks). */
+  private def srpBuckSql(nbits: Int): String =
+    s"""planes AS (SELECT j, k,
+       |   CAST(list_sum(list_transform(range(1, 9),
+       |     i -> (strpos('0123456789abcdef', substr(md5('plane_'||j||':'||k), CAST(i AS INT), 1)) - 1)
+       |          * power(16, 8 - i))) AS BIGINT) / 2147483647.0 - 1.0 AS w
+       |  FROM (SELECT p.j, d.k FROM (SELECT unnest(range(0, $nbits)) AS j) p
+       |        CROSS JOIN (SELECT unnest(range(0, 64)) AS k) d)),
+       | pw AS (SELECT j, list(w ORDER BY k) AS pl FROM planes GROUP BY j),
+       | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       | dots AS (SELECT e.vec_id, pw.j,
+       |    list_sum(list_transform(range(1, 65), i -> e.emb[i] * pw.pl[i])) AS dp
+       |  FROM e CROSS JOIN pw),
+       | buck AS (SELECT d0.vec_id, e.emb,
+       |    CAST(sum(CASE WHEN d0.dp >= 0 THEN (CAST(1 AS BIGINT) << d0.j) ELSE 0 END) AS BIGINT) AS b
+       |  FROM dots d0 JOIN e ON e.vec_id = d0.vec_id GROUP BY d0.vec_id, e.emb)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -213,6 +236,34 @@ object ExtQueries {
         | SELECT x.ia AS da, x.ib AS db, round(x.sim, 6) AS sim
         | FROM nn x JOIN nn y ON x.ia = y.ib AND x.ib = y.ia
         | WHERE x.ia < x.ib""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH ${srpBuckSql(4)},
+        | sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |   list_dot_product(a.emb, b.emb) /
+        |     (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+        |  FROM buck a JOIN buck b
+        |    ON bit_count(xor(a.b, b.b)) <= 1 AND a.vec_id != b.vec_id),
+        | nn AS (SELECT ia, ib, sim FROM (SELECT ia, ib, sim,
+        |   row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn FROM sims)
+        |  WHERE rn = 1)
+        | SELECT x.ia AS da, x.ib AS db, round(x.sim, 6) AS sim
+        | FROM nn x JOIN nn y ON x.ia = y.ib AND x.ib = y.ia
+        | WHERE x.ia < x.ib""".stripMargin,
+
+    "sim_topk_lsh" ->
+      s"""WITH ${srpBuckSql(6)}
+        | SELECT q, cand, rank, round(sim, 6) AS sim FROM (
+        |  SELECT a.vec_id AS q, b.vec_id AS cand,
+        |   list_dot_product(a.emb, b.emb) /
+        |     (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS sim,
+        |   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |     list_dot_product(a.emb, b.emb) /
+        |       (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) DESC,
+        |     b.vec_id) AS rank
+        |  FROM buck a JOIN buck b
+        |    ON bit_count(xor(a.b, b.b)) <= 1 AND a.vec_id < 10 AND a.vec_id != b.vec_id)
+        | WHERE rank <= 5""".stripMargin,
 
     "sim_topk_brute" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -14,8 +14,7 @@ object VersionQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def cacheRoot =
-    sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav")
+  private def cacheRoot = Graft.cacheRoot
   private def san(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   private def emptyEav(spark: SparkSession) =
@@ -31,7 +30,8 @@ object VersionQueries {
       lit(null).cast(LongType).as("o_lng"),
       lit(null).cast(TimestampType).as("o_ts"),
       lit(null).cast(BooleanType).as("o_bool"),
-      lit(null).cast(StringType).as("o_lang"))
+      lit(null).cast(StringType).as("o_lang"),
+      lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
 
   /** Deterministic two-commit store: base = nations 0–14, delta adds
     * 15–24 and removes nation 0 (idempotent per sf dir). */
@@ -186,7 +186,7 @@ object VersionQueries {
     "woql_triple_count" ->
       """SELECT (SELECT count(*)*3 FROM region) + (SELECT count(*)*4 FROM nation)
         | + (SELECT count(*)*6 FROM customer) + (SELECT count(*)*5 FROM supplier)
-        | + (SELECT count(*)*7 FROM part) + (SELECT count(*)*7 FROM orders)
+        | + (SELECT count(*)*7 FROM part) + (SELECT count(*)*8 FROM orders)
         | + (SELECT count(*)*12 FROM lineitem) AS n""".stripMargin,
     "woql_update_staged" ->
       """SELECT 'tpch:customer/'||c_custkey AS s, 'building' AS tag

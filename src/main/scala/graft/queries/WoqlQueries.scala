@@ -23,6 +23,7 @@ object WoqlQueries {
   private def vLng(v: String) = col(v).getField("lng")
   private def vIri(v: String) = col(v).getField("iri")
   private def vTs(v: String)  = col(v).getField("ts")
+  private def vDec(v: String) = col(v).getField("dec")
 
   // §7.4 flagship: conjunction joins + literal filter + numeric comparison
   val flagship: Woql =
@@ -53,7 +54,7 @@ object WoqlQueries {
       "sub" -> vIri("Sub"), "sup" -> vIri("Sup")),
 
     "woql_get_csv" -> ((spark, dir) => {
-      val csvDir = s"${sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav")}/csv_nation_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val csvDir = s"${Graft.cacheRoot}/csv_nation_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       if (!new java.io.File(s"$csvDir/_SUCCESS").exists()) {
         Graft.table(spark, dir, "nation").select("n_nationkey", "n_name")
           .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
@@ -223,6 +224,38 @@ object WoqlQueries {
       TriplePat(V("P"), Node("tpch:p_partkey"), V("K")))))(
       "p_partkey" -> vLng("K"), "d" -> vDbl("D")),
 
+    // exact xsd:decimal: typed storage slot, lossless casts both ways
+    "woql_cast_dec" -> woql(And(Seq(
+      TriplePat(V("O"), Node("tpch:o_totalprice_dec"), V("P")),
+      CastQ(V("P"), "xsd:string", "S"),
+      TriplePat(V("O"), Node("tpch:o_orderkey"), V("K")),
+      CastQ(V("K"), "xsd:decimal", "KD"))))(
+      "o_orderkey" -> vLng("K"), "d" -> vDec("P"), "s" -> vStr("S"),
+      "kd" -> vDec("KD")),
+
+    // exact decimal arithmetic in eval: 2×price − 10, no double rounding
+    "woql_eval_dec" -> woql(And(Seq(
+      TriplePat(V("O"), Node("tpch:o_totalprice_dec"), V("P")),
+      Eval(ABin("-", ABin("+", ATerm(V("P")), ATerm(V("P"))), ATerm(Lng(10))), "R"),
+      TriplePat(V("O"), Node("tpch:o_orderkey"), V("K")))))(
+      "o_orderkey" -> vLng("K"), "r" -> vDec("R")),
+
+    // when(Cond, Then): conditional extension — Then-vars bind only
+    // where Cond holds, other solutions pass through
+    "woql_when" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg")),
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")),
+      WhenQ(Eq(V("Seg"), Str("BUILDING")),
+        ConcatList(Seq(V("N"), Str("-b")), "Tag")))))(
+      "c_name" -> vStr("N"), "tag" -> vStr("Tag")),
+
+    // multi-group re: every capture group of the first match binds
+    "woql_re_groups" -> woql(And(Seq(
+      TriplePat(V("C"), Node("tpch:c_name"), V("N")),
+      ReMatch("Customer#(\\d)(\\d+)", V("N"), "G"),
+      JoinS("G", "-", "J"))))(
+      "j" -> vStr("J")),
+
     "woql_hashkey" -> woql(And(Seq(
       TriplePat(V("C"), Node("tpch:c_name"), V("N")),
       HashKey("doc:", Seq(V("N")), "U"))))(
@@ -252,7 +285,23 @@ object WoqlQueries {
 
     "woql_path_plus_alt" -> woql(
       PathQ(V("X"), PPlus(allEdges), Node("tpch:region/0")))(
-      "x" -> vIri("X"))
+      "x" -> vIri("X")),
+
+    // exhaustive witness enumeration: the region→nation→region diamond
+    // yields one distinct path per nation of the region
+    "woql_path_witness" -> woql(
+      PathAllQ(Node("tpch:region/0"),
+        PSeq(PInv("tpch:n_regionkey"), PPred("tpch:n_regionkey")),
+        V("Y"), "W"))(
+      "y" -> vIri("Y"), "w" -> vStr("W")),
+
+    // bounded times over an alternation: every 1- and 2-hop inverse
+    // chain region→nation(→customer), each path enumerated
+    "woql_path_witness_times" -> woql(
+      PathAllQ(Node("tpch:region/0"),
+        PTimes(PAlt(PInv("tpch:n_regionkey"), PInv("tpch:c_nationkey")), 1, 2),
+        V("Y"), "W"))(
+      "y" -> vIri("Y"), "w" -> vStr("W"))
   )
 
   /** Lineitem subject IRI in DuckDB terms (matches Eav.encodeAll). */
@@ -384,6 +433,28 @@ object WoqlQueries {
     "woql_cast_num" ->
       "SELECT p_partkey, CAST(p_size AS DOUBLE) AS d FROM part",
 
+    "woql_cast_dec" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18)) AS d,
+        | CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18)) AS VARCHAR) AS s,
+        | CAST(o_orderkey AS DECIMAL(38,18)) AS kd
+        | FROM orders""".stripMargin,
+
+    "woql_eval_dec" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18))
+        |   + CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18))
+        |   - 10 AS DECIMAL(38,18)) AS r
+        | FROM orders""".stripMargin,
+
+    "woql_when" ->
+      """SELECT c_name, CASE WHEN c_mktsegment = 'BUILDING'
+        | THEN c_name || '-b' END AS tag FROM customer""".stripMargin,
+
+    "woql_re_groups" ->
+      """SELECT regexp_extract(c_name, 'Customer#(\d)(\d+)', 1) || '-' ||
+        | regexp_extract(c_name, 'Customer#(\d)(\d+)', 2) AS j FROM customer""".stripMargin,
+
     "woql_hashkey" ->
       "SELECT 'doc:' || sha256(c_name) AS u FROM customer",
 
@@ -406,6 +477,21 @@ object WoqlQueries {
       s"""SELECT DISTINCT $lidSql AS x,
         | 'tpch:customer/'||o_custkey AS y
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "woql_path_witness" ->
+      """SELECT 'tpch:region/0' AS y,
+        | 'tpch:region/0/tpch:nation/'||n_nationkey||'/tpch:region/0' AS w
+        | FROM nation WHERE n_regionkey = 0""".stripMargin,
+
+    "woql_path_witness_times" ->
+      """SELECT 'tpch:nation/'||n_nationkey AS y,
+        | 'tpch:region/0/tpch:nation/'||n_nationkey AS w
+        | FROM nation WHERE n_regionkey = 0
+        | UNION ALL
+        | SELECT 'tpch:customer/'||c_custkey,
+        | 'tpch:region/0/tpch:nation/'||n_nationkey||'/tpch:customer/'||c_custkey
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | WHERE n_regionkey = 0""".stripMargin,
 
     "woql_path_plus_alt" ->
       s"""WITH n0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),

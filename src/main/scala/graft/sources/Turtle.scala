@@ -74,25 +74,33 @@ object Turtle {
   }
 
   // ---- parser ---------------------------------------------------------
+  private def dec18(v: String): java.math.BigDecimal =
+    new java.math.BigDecimal(v).setScale(18)
+
   private def mkRow(s: String, p: String, o: Tok, typ: Option[String],
                     lang: Option[String]): Row = o match {
-    case TIri(i) => Row("instance", s, p, "i", i, null, null, null, null, null, null, null)
-    case TPName("true") => Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.TRUE, null)
-    case TPName("false") => Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.FALSE, null)
-    case TPName(i) => Row("instance", s, p, "i", i, null, null, null, null, null, null, null)
+    case TIri(i) => Row("instance", s, p, "i", i, null, null, null, null, null, null, null, null)
+    case TPName("true") => Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.TRUE, null, null)
+    case TPName("false") => Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.FALSE, null, null)
+    case TPName(i) => Row("instance", s, p, "i", i, null, null, null, null, null, null, null, null)
     case TNum(n) if n.matches("[+-]?\\d+") =>
-      Row("instance", s, p, "l", null, "xsd:integer", null, null, java.lang.Long.valueOf(n.toLong), null, null, null)
+      Row("instance", s, p, "l", null, "xsd:integer", null, null, java.lang.Long.valueOf(n.toLong), null, null, null, null)
+    case TNum(n) if !n.toLowerCase.contains("e") =>
+      // turtle grammar: a plain `3.14` is xsd:decimal; exponent → double
+      Row("instance", s, p, "l", null, "xsd:decimal", null, null, null, null, null, null, dec18(n))
     case TNum(n) =>
-      Row("instance", s, p, "l", null, "xsd:double", null, java.lang.Double.valueOf(n.toDouble), null, null, null, null)
+      Row("instance", s, p, "l", null, "xsd:double", null, java.lang.Double.valueOf(n.toDouble), null, null, null, null, null)
     case TStr(v) => typ match {
       case Some("xsd:integer") =>
-        Row("instance", s, p, "l", null, "xsd:integer", null, null, java.lang.Long.valueOf(v.toLong), null, null, null)
-      case Some("xsd:double") | Some("xsd:decimal") =>
-        Row("instance", s, p, "l", null, "xsd:double", null, java.lang.Double.valueOf(v.toDouble), null, null, null, null)
+        Row("instance", s, p, "l", null, "xsd:integer", null, null, java.lang.Long.valueOf(v.toLong), null, null, null, null)
+      case Some("xsd:decimal") =>
+        Row("instance", s, p, "l", null, "xsd:decimal", null, null, null, null, null, null, dec18(v))
+      case Some("xsd:double") =>
+        Row("instance", s, p, "l", null, "xsd:double", null, java.lang.Double.valueOf(v.toDouble), null, null, null, null, null)
       case Some("xsd:boolean") =>
-        Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.valueOf(v.toBoolean), null)
-      case Some(t) => Row("instance", s, p, "l", null, t, v, null, null, null, null, null)
-      case None => Row("instance", s, p, "l", null, "xsd:string", v, null, null, null, null, lang.orNull)
+        Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.valueOf(v.toBoolean), null, null)
+      case Some(t) => Row("instance", s, p, "l", null, t, v, null, null, null, null, null, null)
+      case None => Row("instance", s, p, "l", null, "xsd:string", v, null, null, null, null, lang.orNull, null)
     }
     case other => throw new IllegalArgumentException(s"bad object token $other")
   }
@@ -165,24 +173,34 @@ object Turtle {
   def load(spark: SparkSession, text: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(parse(text)), Eav.schema)
 
-  /** Dump an EAV frame as turtle (IRIs as <…> for unambiguity). */
-  def dump(triples: DataFrame): String = {
-    val sb = new StringBuilder
-    triples.collect().foreach { r =>
-      val s = r.getString(1); val p = r.getString(2)
-      val obj =
-        if (r.getString(3) == "i") s"<${r.getString(4)}>"
-        else r.getString(5) match {
-          case "xsd:string" =>
-            val base = "\"" + r.getString(6).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-            if (r.getString(11) != null) base + "@" + r.getString(11) else base
-          case "xsd:integer" => r.getLong(8).toString
-          case "xsd:double"  => r.getDouble(7).toString
-          case "xsd:boolean" => r.getBoolean(10).toString
-          case t => "\"" + Option(r.getString(6)).getOrElse(r.get(9).toString) + "\"^^<" + t + ">"
-        }
-      sb.append(s"<$s> <$p> $obj .\n")
-    }
-    sb.toString
+  /** One formatted turtle statement per EAV row, built entirely from
+    * column expressions — the dump stays distributed (codegen'd string
+    * ops, no driver collect). IRIs dump as <…> for unambiguity. */
+  def dumpLines(triples: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val strLit = concat(lit("\""), esc(col("o_str")), lit("\""),
+      when(col("o_lang").isNotNull, concat(lit("@"), col("o_lang"))).otherwise(lit("")))
+    val obj = when(col("o_kind") === "i", concat(lit("<"), col("o_iri"), lit(">")))
+      .when(col("o_typ") === "xsd:string", strLit)
+      .when(col("o_typ") === "xsd:integer", col("o_lng").cast("string"))
+      .when(col("o_typ") === "xsd:double", col("o_dbl").cast("string"))
+      .when(col("o_typ") === "xsd:decimal", col("o_dec").cast("string"))
+      .when(col("o_typ") === "xsd:boolean", col("o_bool").cast("string"))
+      .otherwise(concat(lit("\""),
+        esc(coalesce(col("o_str"), col("o_ts").cast("string"))),
+        lit("\"^^<"), col("o_typ"), lit(">")))
+    triples.select(concat(lit("<"), col("s"), lit("> <"), col("p"), lit("> "),
+      obj, lit(" .")).as("line"))
   }
+
+  /** Distributed dump to a text directory (the 100 TB path). */
+  def dumpTo(triples: DataFrame, path: String): Unit =
+    dumpLines(triples).write.mode("overwrite").text(path)
+
+  /** In-memory dump string — a small-graph/test convenience over the
+    * same distributed formatter. */
+  def dump(triples: DataFrame): String =
+    dumpLines(triples).collect().map(_.getString(0)).mkString("", "\n", "\n")
 }

@@ -29,7 +29,8 @@ object Eav {
     StructField("o_lng", LongType),
     StructField("o_ts", TimestampType),
     StructField("o_bool", BooleanType),
-    StructField("o_lang", StringType)
+    StructField("o_lang", StringType),
+    StructField("o_dec", graft.core.Vals.Dec38)
   ))
 
   sealed trait PropKind
@@ -37,6 +38,11 @@ object Eav {
   case object PDbl extends PropKind
   case object PLng extends PropKind
   case object PTs extends PropKind
+  /** Exact xsd:decimal column. The source parquet holds doubles, so the
+    * encode narrows at scale 2 first (both Spark and DuckDB land on the
+    * intended cent value — the doubles are cents ± ulp, never at a
+    * half-cent tie) and then widens exactly to (38,18). */
+  case object PDec extends PropKind
   /** FK column: object is an IRI `prefix + value`. */
   final case class PFk(prefix: String) extends PropKind
 
@@ -44,16 +50,20 @@ object Eav {
     val ns = lit(null).cast(StringType); val nd = lit(null).cast(DoubleType)
     val nl = lit(null).cast(LongType); val nt = lit(null).cast(TimestampType)
     val nb = lit(null).cast(BooleanType)
+    val nx = lit(null).cast(graft.core.Vals.Dec38)
     def mk(oKind: Column, oIri: Column, typ: Column, s: Column, d: Column,
-           l: Column, t: Column, b: Column): Column =
+           l: Column, t: Column, b: Column,
+           x: Column = nx): Column =
       struct(lit(p).as("p"), oKind.as("o_kind"), oIri.as("o_iri"), typ.as("o_typ"),
         s.as("o_str"), d.as("o_dbl"), l.as("o_lng"), t.as("o_ts"), b.as("o_bool"),
-        ns.as("o_lang"))
+        ns.as("o_lang"), x.as("o_dec"))
     kind match {
       case PStr    => mk(lit("l"), ns, lit("xsd:string"), c.cast(StringType), nd, nl, nt, nb)
       case PDbl    => mk(lit("l"), ns, lit("xsd:double"), ns, c.cast(DoubleType), nl, nt, nb)
       case PLng    => mk(lit("l"), ns, lit("xsd:integer"), ns, nd, c.cast(LongType), nt, nb)
       case PTs     => mk(lit("l"), ns, lit("xsd:dateTime"), ns, nd, nl, c.cast(TimestampType), nb)
+      case PDec    => mk(lit("l"), ns, lit("xsd:decimal"), ns, nd, nl, nt, nb,
+        c.cast(DecimalType(12, 2)).cast(graft.core.Vals.Dec38))
       case PFk(pr) => mk(lit("i"), concat(lit(pr), c.cast(StringType)), ns, ns, nd, nl, nt, nb)
     }
   }
@@ -62,9 +72,10 @@ object Eav {
     val ns = lit(null).cast(StringType); val nd = lit(null).cast(DoubleType)
     val nl = lit(null).cast(LongType); val nt = lit(null).cast(TimestampType)
     val nb = lit(null).cast(BooleanType)
+    val nx = lit(null).cast(graft.core.Vals.Dec38)
     struct(lit("rdf:type").as("p"), lit("i").as("o_kind"), lit(cls).as("o_iri"),
       ns.as("o_typ"), ns.as("o_str"), nd.as("o_dbl"), nl.as("o_lng"), nt.as("o_ts"),
-      nb.as("o_bool"), ns.as("o_lang"))
+      nb.as("o_bool"), ns.as("o_lang"), nx.as("o_dec"))
   }
 
   /** One pass per table: rows → array of (p, typed object) structs → explode.
@@ -75,7 +86,8 @@ object Eav {
     df.select(subject.as("s"), explode(array(objs: _*)).as("t"))
       .select(lit("instance").as("g"), col("s"), col("t.p").as("p"),
         col("t.o_kind"), col("t.o_iri"), col("t.o_typ"), col("t.o_str"),
-        col("t.o_dbl"), col("t.o_lng"), col("t.o_ts"), col("t.o_bool"), col("t.o_lang"))
+        col("t.o_dbl"), col("t.o_lng"), col("t.o_ts"), col("t.o_bool"), col("t.o_lang"),
+        col("t.o_dec"))
       // FK columns can be null-keyed in principle; a triple never has a null object
       .filter(col("t.o_kind") === "i" && col("t.o_iri").isNotNull ||
               col("t.o_kind") === "l")
@@ -129,6 +141,8 @@ object Eav {
         ("tpch:o_custkey", PFk("tpch:customer/"), col("o_custkey")),
         ("tpch:o_orderstatus", PStr, col("o_orderstatus")),
         ("tpch:o_totalprice", PDbl, col("o_totalprice")),
+        // money-typed mirror: exact xsd:decimal semantics (SURVEY §2.6)
+        ("tpch:o_totalprice_dec", PDec, col("o_totalprice")),
         ("tpch:o_orderdate", PTs, col("o_orderdate")),
         ("tpch:o_orderpriority", PStr, col("o_orderpriority"))))
 
@@ -178,7 +192,8 @@ object Eav {
         lit(null).cast(LongType).as("o_lng"),
         lit(null).cast(TimestampType).as("o_ts"),
         lit(null).cast(BooleanType).as("o_bool"),
-        lit(null).cast(StringType).as("o_lang"))
+        lit(null).cast(StringType).as("o_lang"),
+        lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
   }
 
   /** Reflexive-transitive subclass closure (sub, sup) — computed by

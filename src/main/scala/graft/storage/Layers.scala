@@ -79,13 +79,35 @@ final class LayerStore(val spark: SparkSession, val root: String) {
   private def conform(df: DataFrame): DataFrame =
     df.select(Eav.schema.fieldNames.map(col): _*)
 
+  /** Order-independent content hash of a triple set: per-row md5 folded
+    * with bit_xor + sum + count — fully distributed (no sort), and two
+    * sets differing in ANY row hash differently with overwhelming
+    * probability. Null slots get an explicit marker so `("a",null)` and
+    * `(null,"a")` differ under concat. */
+  private def contentHash(df: DataFrame): String = {
+    val nullMark = 0.toChar.toString; val sep = 1.toChar.toString
+    val cols = df.columns.toSeq.map(c =>
+      coalesce(col(c).cast(StringType), lit(nullMark)))
+    val rh = conv(substring(md5(concat_ws(sep, cols: _*)), 1, 15), 16, 10)
+      .cast(LongType)
+    // sum as decimal(38,0): per-row hashes are ~2^60, a long sum would
+    // overflow under ANSI after a handful of rows
+    val row = df.select(rh.as("__rh"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__rh)").as("x"),
+        sum(col("__rh").cast(DecimalType(38, 0))).as("s"))
+      .first()
+    s"${row.getLong(0)}:${row.get(1)}:${row.get(2)}"
+  }
+
   /** Create a commit on `branch` from add/remove triple sets.
-    * Single-writer-per-branch; id derives from parent+message+counts. */
+    * Single-writer-per-branch; the id is CONTENT-ADDRESSED — derived
+    * from parent + message + a content hash of both sides, so two
+    * commits with equal shape but different triples never collide. */
   def commit(branch: String, addsDf: DataFrame, removesDf: DataFrame,
              message: String): String = {
     val parent = refs.getOrElse(branch, null)
     val a = conform(addsDf); val r = conform(removesDf)
-    val id = sha256Hex(s"$parent|$message|${a.count()}|${r.count()}|${refs.size}")
+    val id = sha256Hex(s"$parent|$message|${contentHash(a)}|${contentHash(r)}")
       .substring(0, 16)
     a.write.mode("overwrite").parquet(path("layers", id, "adds"))
     if (!r.isEmpty) r.write.mode("overwrite").parquet(path("layers", id, "removes"))
@@ -234,19 +256,41 @@ final class LayerStore(val spark: SparkSession, val root: String) {
   }
 
   /** Rebase: replay commits of `src` that are not on `onto` onto the head
-    * of `onto`, re-applying each delta (conflicts = a replayed remove of
-    * a triple absent at that point are dropped, like the reference's
-    * rebase semantics at triple granularity). */
-  def rebase(src: String, onto: String): Unit = {
-    val srcChain = chain(refs(src))
+    * of `onto`. A replayed REMOVE targeting a triple absent at that point
+    * is a CONFLICT (the reference's db_rebase surfaces these rather than
+    * silently dropping them): the rebase aborts, `src` is restored to its
+    * original head, and Left(conflicting commit → missing-triple count)
+    * is returned. Right(newHead) on success. */
+  def rebase(src: String, onto: String): Either[Seq[(String, Long)], String] = {
+    val origHead = refs(src)
+    val srcChain = chain(origHead)
     val ontoChain = chain(refs(onto)).toSet
     val toReplay = srcChain.filterNot(ontoChain)
-    var head = refs(onto)
-    toReplay.foreach { cid =>
-      writeRefs(refs + (src -> head))
-      head = commit(src, adds(cid), removes(cid), s"rebase of $cid")
+    val cols = Eav.schema.fieldNames.toSeq
+    def antiNS(l: DataFrame, r: DataFrame): DataFrame = {
+      val (la, ra) = (l.alias("l"), r.alias("r"))
+      la.join(ra, cols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _),
+        "left_anti")
     }
-    writeRefs(refs + (src -> head))
+    var head = refs(onto)
+    var conflict: Option[(String, Long)] = None
+    toReplay.takeWhile(_ => conflict.isEmpty).foreach { cid =>
+      val rm = removes(cid)
+      val missing = if (rm.isEmpty) 0L else antiNS(rm, materialize(head)).count()
+      if (missing > 0) conflict = Some((cid, missing))
+      else {
+        writeRefs(refs + (src -> head))
+        head = commit(src, adds(cid), rm, s"rebase of $cid")
+      }
+    }
+    conflict match {
+      case Some(c) =>
+        writeRefs(refs + (src -> origHead)) // abort: restore the branch
+        Left(Seq(c))
+      case None =>
+        writeRefs(refs + (src -> head))
+        Right(head)
+    }
   }
 }
 

@@ -33,10 +33,14 @@ object Updates {
       ov.getField("lng").as("o_lng"),
       ov.getField("ts").as("o_ts"),
       ov.getField("bool").as("o_bool"),
-      ov.getField("lang").as("o_lang"))
+      ov.getField("lang").as("o_lang"),
+      ov.getField("dec").as("o_dec"))
   }
 
-  /** Run `q`, stage one add/remove set per template per solution. */
+  /** Run `q`, stage one add/remove set per template per solution.
+    * Solutions with an unbound (null) template slot are skipped — this is
+    * what makes `when(Cond, Insert)` a conditional update: rows Cond
+    * rejected carry null Then-vars and stage nothing. */
   def stage(q: Woql, inserts: Seq[(Term, Term, Term)],
             deletes: Seq[(Term, Term, Term)] = Nil)(
       implicit ctx: Ctx): (DataFrame, DataFrame) = {
@@ -45,7 +49,9 @@ object Updates {
       ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Eav.schema)
     def build(ts: Seq[(Term, Term, Term)]): DataFrame =
       if (ts.isEmpty) none
-      else ts.map(project(bf.df, bf.vars, _)).reduce(_ unionByName _).distinct()
+      else ts.map(project(bf.df, bf.vars, _)).reduce(_ unionByName _)
+        .where(col("s").isNotNull && col("p").isNotNull && col("o_kind").isNotNull)
+        .distinct()
     (build(inserts), build(deletes))
   }
 

@@ -17,9 +17,12 @@ object Validator {
   /** Schema constraint table, derived from schema-graph triples:
     * rdfs:domain / rdfs:range / graft:maxCard per predicate. */
   final case class Constraints(
-      domain: DataFrame, // (p, cls)
-      range: DataFrame,  // (p, typ)  — xsd type for literals, class for IRIs
-      maxCard: DataFrame // (p, n)
+      domain: DataFrame,  // (p, cls)
+      range: DataFrame,   // (p, typ)  — xsd type for literals, class for IRIs
+      maxCard: DataFrame, // (p, n)
+      oneOf: DataFrame,   // (p, v)    — allowed literal values (enum)
+      unique: DataFrame,  // (p)       — key predicates: value ↦ ≤1 subject
+      subdoc: DataFrame   // (cls)     — subdocument classes: exactly 1 owner
   )
 
   def constraintsFrom(schema: DataFrame): Constraints = Constraints(
@@ -28,7 +31,13 @@ object Validator {
     range = schema.filter(col("p") === "rdfs:range")
       .select(col("s").as("cp"), col("o_iri").as("typ")),
     maxCard = schema.filter(col("p") === "graft:maxCard")
-      .select(col("s").as("cp"), col("o_lng").as("n")))
+      .select(col("s").as("cp"), col("o_lng").as("n")),
+    oneOf = schema.filter(col("p") === "graft:oneOf")
+      .select(col("s").as("cp"), col("o_str").as("v")),
+    unique = schema.filter(col("p") === "graft:unique" && col("o_bool") === true)
+      .select(col("s").as("cp")),
+    subdoc = schema.filter(col("p") === "graft:subdocument" && col("o_bool") === true)
+      .select(col("s").as("cls")))
 
   /** Restrict graph to subjects touched by the delta (incremental). */
   def touched(graph: DataFrame, delta: DataFrame): DataFrame =
@@ -72,16 +81,63 @@ object Validator {
       .select(col("s"), col("p"), col("cls"))
   }
 
+  /** Enum membership: literal values of a graft:oneOf-constrained
+    * predicate must be among the allowed set. */
+  def enumViolations(checkScope: DataFrame, c: Constraints): DataFrame =
+    checkScope.filter(col("o_kind") === "l")
+      .join(broadcast(c.oneOf.select(col("cp")).distinct()),
+        col("p") === col("cp"), "left_semi")
+      .join(broadcast(c.oneOf),
+        col("p") === col("cp") && col("o_str") === col("v"), "left_anti")
+      .select(col("s"), col("p"), col("o_str"))
+
+  /** Key uniqueness: a graft:unique predicate's value identifies at most
+    * one subject. Incremental: only (p, value) keys the delta touches are
+    * re-grouped — cost ∝ delta, not database. */
+  def uniqueViolations(graph: DataFrame, delta: DataFrame,
+                       c: Constraints): DataFrame = {
+    val all = graph.unionByName(delta).filter(col("o_kind") === "l")
+      .join(broadcast(c.unique), col("p") === col("cp"), "left_semi")
+    val deltaKeys = delta.filter(col("o_kind") === "l")
+      .join(broadcast(c.unique), col("p") === col("cp"), "left_semi")
+      .select(col("p"), col("o_str")).distinct()
+    all.join(deltaKeys, Seq("p", "o_str"), "left_semi")
+      .groupBy(col("p"), col("o_str"))
+      .agg(countDistinct(col("s")).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("p"), col("o_str"), col("cnt"))
+  }
+
+  /** Subdocument ownership: an instance of a graft:subdocument class must
+    * have exactly one incoming reference (its owner). Incremental over
+    * subjects the delta touches. */
+  def subdocViolations(graph: DataFrame, delta: DataFrame,
+                       c: Constraints): DataFrame = {
+    val subs = graph.filter(col("p") === "rdf:type")
+      .join(broadcast(c.subdoc), col("o_iri") === col("cls"), "left_semi")
+      .select(col("s")).distinct()
+    val touchedSubs = subs.join(delta.select(col("s")).distinct(), Seq("s"), "left_semi")
+    val owners = graph.filter(col("o_kind") === "i" && col("p") =!= "rdf:type")
+      .groupBy(col("o_iri")).agg(count(lit(1)).as("cnt"))
+    touchedSubs.join(owners, col("s") === col("o_iri"), "left_outer")
+      .select(col("s"), coalesce(col("cnt"), lit(0L)).as("owners"))
+      .where(col("owners") =!= 1)
+  }
+
   /** Run all checks; returns (checkName -> violations). */
   def validate(graph: DataFrame, delta: DataFrame, schema: DataFrame,
                subclass: DataFrame): Map[String, DataFrame] = {
     val c = constraintsFrom(schema)
-    val scope = touched(graph.unionByName(delta), delta)
+    val merged = graph.unionByName(delta)
+    val scope = touched(merged, delta)
     Map(
-      "dangling_refs" -> danglingRefs(graph.unionByName(delta), scope),
+      "dangling_refs" -> danglingRefs(merged, scope),
       "range" -> rangeViolations(scope, c),
-      "cardinality" -> cardinalityViolations(graph.unionByName(delta), delta, c),
-      "domain" -> domainViolations(graph.unionByName(delta), delta, c, subclass))
+      "cardinality" -> cardinalityViolations(merged, delta, c),
+      "domain" -> domainViolations(merged, delta, c, subclass),
+      "enum" -> enumViolations(scope, c),
+      "unique" -> uniqueViolations(graph, delta, c),
+      "subdoc_ownership" -> subdocViolations(merged, delta, c))
   }
 
   def isValid(results: Map[String, DataFrame]): Boolean =

@@ -55,9 +55,34 @@ class LayersSpec extends AnyFunSuite {
     st.branch("dev", "main")
     st.commit("dev", triples((":b", "p", "v2")), empty, "dev1")
     st.commit("main", triples((":c", "p", "v3")), empty, "main1")
-    st.rebase("dev", "main")
+    assert(st.rebase("dev", "main").isRight)
     val mat = st.materializeBranch("dev")
     assert(mat.select("s").collect().map(_.getString(0)).toSet == Set(":a", ":b", ":c"))
+  }
+
+  test("rebase surfaces a conflicting replayed remove and aborts") {
+    val st = freshStore()
+    st.commit("main", triples((":a", "p", "v1"), (":x", "p", "vx")), empty, "base")
+    st.branch("dev", "main")
+    // dev removes :x ...
+    st.commit("dev", empty, triples((":x", "p", "vx")), "dev rm")
+    val devHead = st.refs("dev")
+    // ... but main ALSO removed :x — replaying dev's remove conflicts
+    st.commit("main", empty, triples((":x", "p", "vx")), "main rm")
+    val res = st.rebase("dev", "main")
+    assert(res.isLeft)
+    assert(res.left.toOption.get.head._2 == 1L)
+    assert(st.refs("dev") == devHead) // branch restored on abort
+  }
+
+  test("commit ids are content-addressed: same shape, different content") {
+    val st = freshStore()
+    val id1 = st.commit("b1", triples((":a", "p", "v1")), empty, "m")
+    val id2 = st.commit("b2", triples((":a", "p", "v2")), empty, "m")
+    // same parent (none), same message, same row counts — distinct ids
+    assert(id1 != id2)
+    assert(st.materialize(id1).select("o_str").first().getString(0) == "v1")
+    assert(st.materialize(id2).select("o_str").first().getString(0) == "v2")
   }
 
   test("optimize squashes history into one base layer") {
@@ -77,7 +102,9 @@ class LayersSpec extends AnyFunSuite {
       .toDF("s", "p", "o_iri", "o_rangeTyp", "o_n")
       .select(col("s"), col("p"),
         coalesce(col("o_rangeTyp"), col("o_iri")).as("o_iri"),
-        col("o_n").as("o_lng"))
+        col("o_n").as("o_lng"),
+        lit(null).cast("string").as("o_str"),
+        lit(null).cast("boolean").as("o_bool"))
     val graph = triples((":a", "knows", ":ghost"), (":a", "age", 30), (":a", "age", 40))
     val delta = graph
     val c = Validator.constraintsFrom(schema)
@@ -86,5 +113,37 @@ class LayersSpec extends AnyFunSuite {
     // range: encode a string age
     val bad = triples((":b", "age", "not-a-number"))
     assert(Validator.rangeViolations(bad, c).count() == 1)
+  }
+
+  test("validator: enum membership, key uniqueness, subdoc ownership") {
+    // constraints expressed as schema triples (graft:oneOf / unique /
+    // subdocument), like the reference's class-frame declarations
+    val schema = triples(
+      ("status", "graft:oneOf", "open"),
+      ("status", "graft:oneOf", "closed"),
+      ("email", "graft:unique", true),
+      (":Address", "graft:subdocument", true))
+    val c = Validator.constraintsFrom(schema)
+
+    // enum: "weird" is not in {open, closed}; "open" passes
+    val en = triples((":t1", "status", "open"), (":t2", "status", "weird"))
+    val env = Validator.enumViolations(en, c).collect()
+    assert(env.length == 1 && env.head.getString(0) == ":t2")
+
+    // unique: two subjects share an email; delta touches that value
+    val g1 = triples((":u1", "email", "a@x"), (":u2", "email", "b@x"))
+    val d1 = triples((":u3", "email", "a@x"))
+    val uv = Validator.uniqueViolations(g1, d1, c).collect()
+    assert(uv.length == 1 && uv.head.getString(1) == "a@x" && uv.head.getLong(2) == 2L)
+    // untouched keys are not re-checked (incremental): delta on b@x only
+    val d2 = triples((":u9", "email", "c@x"))
+    assert(Validator.uniqueViolations(g1, d2, c).count() == 0)
+
+    // subdoc ownership: one owner ok, zero owners violation
+    val g2 = triples(
+      (":addr1", "rdf:type", ":Address"), (":p1", "addr", ":addr1"),
+      (":addr2", "rdf:type", ":Address")) // orphan
+    val sv = Validator.subdocViolations(g2, g2, c).collect()
+    assert(sv.length == 1 && sv.head.getString(0) == ":addr2" && sv.head.getLong(1) == 0L)
   }
 }

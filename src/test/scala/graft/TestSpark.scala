@@ -22,17 +22,19 @@ object TestSpark {
     val data = rows.map { case (s, p, o) =>
       o match {
         case i: String if i.startsWith(":") => // IRI convention: ":x"
-          Row("instance", s, p, "i", i, null, null, null, null, null, null, null)
+          Row("instance", s, p, "i", i, null, null, null, null, null, null, null, null)
         case str: String =>
-          Row("instance", s, p, "l", null, "xsd:string", str, null, null, null, null, null)
+          Row("instance", s, p, "l", null, "xsd:string", str, null, null, null, null, null, null)
         case d: Double =>
-          Row("instance", s, p, "l", null, "xsd:double", null, java.lang.Double.valueOf(d), null, null, null, null)
+          Row("instance", s, p, "l", null, "xsd:double", null, java.lang.Double.valueOf(d), null, null, null, null, null)
         case l: Int =>
-          Row("instance", s, p, "l", null, "xsd:integer", null, null, java.lang.Long.valueOf(l.toLong), null, null, null)
+          Row("instance", s, p, "l", null, "xsd:integer", null, null, java.lang.Long.valueOf(l.toLong), null, null, null, null)
         case l: Long =>
-          Row("instance", s, p, "l", null, "xsd:integer", null, null, java.lang.Long.valueOf(l), null, null, null)
+          Row("instance", s, p, "l", null, "xsd:integer", null, null, java.lang.Long.valueOf(l), null, null, null, null)
         case b: Boolean =>
-          Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.valueOf(b), null)
+          Row("instance", s, p, "l", null, "xsd:boolean", null, null, null, null, java.lang.Boolean.valueOf(b), null, null)
+        case d: java.math.BigDecimal =>
+          Row("instance", s, p, "l", null, "xsd:decimal", null, null, null, null, null, null, d.setScale(18))
       }
     }
     spark.createDataFrame(spark.sparkContext.parallelize(data), Eav.schema)
