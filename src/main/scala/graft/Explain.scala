@@ -19,7 +19,14 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      if (n == "__boundnum") {
+        // ad-hoc: bound numeric object pattern — the filter must reach
+        // the scan as a stats-prunable disjunction (PushedFilters)
+        import graft.core._
+        implicit val c: Ctx = Graft.ctx(spark, sfDir)
+        Compiler.run(TriplePat(V("P"), Node("tpch:p_size"), Lng(25)))
+          .explain("formatted")
+      } else SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

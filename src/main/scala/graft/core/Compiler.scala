@@ -159,19 +159,24 @@ object Compiler {
 
   /** Exact-decimal view of an arith expression: Some(col) when the shape
     * stays within exact decimal semantics — `+`/`-` over decimal-or-
-    * integer leaves, where (38,18)±(38,18) is exact in both Spark and
-    * DuckDB. Multiplication/division shrink scale by engine-specific
-    * precision-loss rules, so they fall back to double (documented
-    * divergence). The column is null on rows whose leaves hold doubles;
-    * Eval falls back per-row. */
+    * integer leaves. Operands are computed at (36,18): a (38,18) sum
+    * would hit Spark's precision cap and silently round scale to 17
+    * (DuckDB keeps 18 — an oracle-visible divergence), while (36,18)
+    * has headroom so every step is exact for |value| < 10^18, full
+    * 18-digit scale. Multiplication/division shrink scale by
+    * engine-specific precision-loss rules, so they fall back to double
+    * (documented divergence). The column is null on rows whose leaves
+    * hold doubles; Eval falls back per-row. */
+  private val DecOp = DecimalType(36, 18)
   private def arithDec(e: ArithE, bound: Set[String]): Option[Column] = e match {
     case ATerm(V(n)) if bound(n) =>
-      Some(coalesce(col(n).getField("dec"), col(n).getField("lng").cast(Vals.Dec38)))
-    case ATerm(Lng(v)) => Some(lit(v).cast(Vals.Dec38))
-    case ATerm(Dec(v)) => Some(lit(v.bigDecimal).cast(Vals.Dec38))
+      Some(coalesce(col(n).getField("dec"), col(n).getField("lng").cast(DecOp))
+        .cast(DecOp))
+    case ATerm(Lng(v)) => Some(lit(v).cast(DecOp))
+    case ATerm(Dec(v)) => Some(lit(v.bigDecimal).cast(DecOp))
     case ABin(op @ ("+" | "-"), l, r) =>
       for (a <- arithDec(l, bound); b <- arithDec(r, bound))
-        yield (if (op == "+") a + b else a - b).cast(Vals.Dec38)
+        yield (if (op == "+") a + b else a - b).cast(DecOp)
     case _ => None
   }
 

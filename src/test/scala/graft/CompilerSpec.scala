@@ -93,6 +93,58 @@ class CompilerSpec extends AnyFunSuite {
     assert(vals == Set(30L, 40L))
   }
 
+  test("decimal eval is exact where doubles round") {
+    val big = new java.math.BigDecimal("10000000000.000000000000000001")
+    val gd = triples((":m", "amt", big))
+    // amt + amt − 1: exact decimal keeps the 18th fractional digit that
+    // a double (53-bit mantissa) cannot represent
+    val q = And(Seq(
+      TriplePat(V("X"), Node("amt"), V("A")),
+      Eval(ABin("-", ABin("+", ATerm(V("A")), ATerm(V("A"))), ATerm(Lng(1))), "R")))
+    val r = Compiler.run(q)(ctxOf(gd)).select("R").head().getStruct(0)
+    assert(r.getAs[String]("typ") == "xsd:decimal")
+    assert(r.getAs[java.math.BigDecimal]("dec").toPlainString
+      == "19999999999.000000000000000002")
+    // double-typed inputs keep the double path
+    val gdd = triples((":m", "amt", 2.5))
+    val r2 = Compiler.run(q)(ctxOf(gdd)).select("R").head().getStruct(0)
+    assert(r2.getAs[String]("typ") == "xsd:double" && r2.getAs[Double]("dbl") == 4.0)
+  }
+
+  test("typecast to and from xsd:decimal is lossless") {
+    val big = new java.math.BigDecimal("123.456000000000000789")
+    val gd = triples((":m", "amt", big))
+    val q = And(Seq(
+      TriplePat(V("X"), Node("amt"), V("A")),
+      CastQ(V("A"), "xsd:string", "S"),
+      CastQ(V("S"), "xsd:decimal", "D")))
+    val row = Compiler.run(q)(ctxOf(gd)).select("S", "D").head()
+    assert(row.getStruct(0).getAs[String]("str") == "123.456000000000000789")
+    assert(row.getStruct(1).getAs[java.math.BigDecimal]("dec").toPlainString
+      == "123.456000000000000789")
+  }
+
+  test("when extends matching rows and passes others through") {
+    val q = And(Seq(
+      TriplePat(V("X"), Node("name"), V("N")),
+      WhenQ(Eq(V("N"), Str("alice")), Eq(V("T"), Str("yes")))))
+    val rows = Compiler.run(q).collect().map { r =>
+      (r.getAs[Row]("N").getAs[String]("str"),
+        Option(r.getAs[Row]("T")).map(_.getAs[String]("str")).orNull)
+    }.toSet
+    assert(rows == Set(("alice", "yes"), ("bob", null)))
+  }
+
+  test("multi-group re binds every capture group of the first match") {
+    val q = And(Seq(
+      Eq(V("S"), Str("ab-12")),
+      ReMatch("([a-z]+)-(\\d+)", V("S"), "G"),
+      MemberQ("W", "G")))
+    val ws = Compiler.run(q).collect()
+      .map(_.getAs[Row]("W").getAs[String]("str")).toSet
+    assert(ws == Set("ab", "12"))
+  }
+
   test("repeated variable inside one pattern forces equality") {
     val g2 = triples((":x", "knows", ":x"), (":x", "knows", ":y"))
     val q = TriplePat(V("A"), Node("knows"), V("A"))

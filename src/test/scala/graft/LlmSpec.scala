@@ -56,6 +56,23 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("bucketed embedding dedup recovers brute mutual-NN pairs (recall)") {
+    val brute = Dedup.embeddingMutualNN(emb)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingLshDups(emb)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    // NN-within-buckets can only see hamming<=1 candidates: pairs it
+    // reports for a query whose true NN shares a bucket coincide with
+    // brute; measure recall of true mutual pairs
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH mutual-NN recall $recall (got ${lsh.size}, brute ${brute.size})")
+    // partition-independence (bucket ids must not depend on layout)
+    val lsh2 = Dedup.embeddingLshDups(emb.repartition(7))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == lsh2)
+  }
+
   test("multimodal decode plumbing is deterministic and partition-shaped") {
     val withB = Multimodal.withPayload(docs.limit(50))
     val m1 = Multimodal.decodeMeta(withB).orderBy("doc_id").collect()

@@ -60,4 +60,40 @@ class PathsSpec extends AnyFunSuite {
     val res = pairs(PathQ(V("X"), PPlus(PPred("e")), Node(":d")))
     assert(res.map(_._1) == Set(":a", ":b", ":c"))
   }
+
+  private def witnesses(q: Woql)(implicit c: Ctx): Seq[(String, String)] =
+    Compiler.run(q)(c).collect().toSeq.map { r =>
+      (Option(r.getAs[Row]("Y")).map(_.getAs[String]("iri")).orNull,
+        r.getAs[Row]("W").getAs[String]("str"))
+    }
+
+  test("exhaustive enumeration: one row per distinct path") {
+    // diamond: a→b→d and a→c→d — two distinct 2-hop paths a⇝d
+    val d = triples((":a", "e", ":b"), (":a", "e", ":c"),
+      (":b", "e", ":d"), (":c", "e", ":d"))
+    val res = witnesses(PathAllQ(Node(":a"),
+      PSeq(PPred("e"), PPred("e")), V("Y"), "W"))(ctxOf(d))
+    assert(res.toSet == Set((":d", ":a/:b/:d"), (":d", ":a/:c/:d")))
+    assert(res.size == 2)
+  }
+
+  test("exhaustive plus on a cycle: anchors truncate re-entry") {
+    // a→b→c→a, c→d: plus from :a enumerates each simple chain once and
+    // refuses to re-anchor :a (documented truncation — the reference's
+    // loop check)
+    val res = witnesses(PathAllQ(Node(":a"), PPlus(PPred("e")), V("Y"), "W"))
+    assert(res.toSet == Set(
+      (":b", ":a/:b"), (":c", ":a/:b/:c"), (":d", ":a/:b/:c/:d")))
+    assert(res.size == 3)
+  }
+
+  test("exhaustive times over alternation enumerates every branch") {
+    val d = triples((":a", "e", ":b"), (":a", "f", ":b"), (":b", "e", ":c"))
+    val res = witnesses(PathAllQ(Node(":a"),
+      PTimes(PAlt(PPred("e"), PPred("f")), 1, 2), V("Y"), "W"))(ctxOf(d))
+    // 2 one-hop paths to :b (one per predicate) + each extends to :c:
+    // 4 rows; node-sequence witnesses coincide pairwise
+    assert(res.size == 4)
+    assert(res.toSet == Set((":b", ":a/:b"), (":c", ":a/:b/:c")))
+  }
 }

@@ -42,6 +42,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(again.collect().toSet == df.collect().toSet)
   }
 
+  test("turtle decimal literals round-trip exactly through the dec slot") {
+    val ttl = """<s:1> <p:amt> 12.34 . <s:2> <p:amt> "99.990000000000000001"^^xsd:decimal ."""
+    val df = Turtle.load(spark, ttl)
+    assert(df.filter(col("o_typ") === "xsd:decimal").count() == 2)
+    val vals = df.select(col("o_dec").cast("string")).collect().map(_.getString(0)).toSet
+    assert(vals == Set("12.340000000000000000", "99.990000000000000001"))
+    val again = Turtle.load(spark, Turtle.dump(df))
+    assert(again.collect().toSet == df.collect().toSet)
+  }
+
+  test("distributed dump (write.text) equals the in-memory dump") {
+    val df = Turtle.load(spark,
+      """<s:1> <p:name> "v" . <s:1> <p:n> 3 . <s:1> <p:d> 1.5 .""")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    Turtle.dumpTo(df, s"$dir/out")
+    val lines = spark.read.text(s"$dir/out").collect().map(_.getString(0)).toSet
+    assert(lines == Turtle.dump(df).split("\n").toSet)
+  }
+
+  test("when-driven insert stages only for Cond solutions") {
+    val g = triples((":a", "cls", "x"), (":b", "cls", "x"), (":c", "cls", "y"))
+    implicit val ctx: Ctx = ctxOf(g)
+    // when(S is class x, bind tag) — :c passes through with Tag unbound,
+    // so the insert template (S, tag, Tag) stages nothing for it
+    val q = And(Seq(
+      TriplePat(V("S"), Node("cls"), V("C")),
+      WhenQ(Eq(V("C"), Str("x")), Eq(V("T"), Str("hit")))))
+    val (adds, removes) = Updates.stage(q,
+      inserts = Seq((V("S"), Node("tag"), V("T"))))
+    assert(removes.count() == 0)
+    val tagged = adds.select("s").collect().map(_.getString(0)).toSet
+    assert(tagged == Set(":a", ":b"))
+  }
+
   test("json woql parses and compiles the full operator surface") {
     val q = JsonWoql.parse(
       """{"@type":"Select","variables":["X"],"query":
