@@ -15,12 +15,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val headline = Seq(
     "woql_flagship", "woql_triple", "woql_group_sum", "woql_group_count",
-    "woql_not", "woql_opt", "woql_order_limit", "woql_eval",
-    "woql_path_seq", "woql_path_plus_alt", "woql_isa",
+    "woql_not", "woql_opt", "woql_order_limit", "woql_eval", "woql_eval_dec",
+    "woql_path_seq", "woql_path_plus_alt", "woql_path_witness_times", "woql_isa",
     "rel_q1_agg", "rel_topk_window", "rel_broadcast_join", "rel_events_window",
     "ext_json", "stream_window_counts",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_topk_brute", "sim_topk_ivf",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+    "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh",
     "text_tokens", "text_quality", "text_fingerprint")
 
   def main(args: Array[String]): Unit = {

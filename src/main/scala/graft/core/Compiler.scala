@@ -192,7 +192,9 @@ object Compiler {
       conj(cur, pattern(ctx.removes(commit), s, p, o))
 
     case GetCsv(asVars, path, header) =>
-      val raw = ctx.spark.read.option("header", header.toString).csv(path)
+      // resource may be a path, file:// or http(s):// URL, or an
+      // inline: POST body — sources.Resources resolves all four
+      val raw = graft.sources.Resources.csv(ctx.spark, path, header)
       val df = raw.select(asVars.map { case (v, c) => strVal(col(c)).as(v) }: _*)
       conj(cur, BF(df, asVars.map(_._1).toSet))
 

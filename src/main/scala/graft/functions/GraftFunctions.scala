@@ -23,13 +23,13 @@ object GraftFunctions {
       .otherwise(lit(2.0) * size(array_intersect(ba, bb)) / denom)
   }
 
-  /** Cosine similarity of two float-array embedding columns, computed with
-    * codegen'd higher-order functions (no UDF). */
+  /** Cosine similarity of two double-array embedding columns via the
+    * fused [[ArrayDot]] expression (no intermediate arrays, stays in
+    * whole-stage codegen; summation order identical to the previous
+    * aggregate(zip_with) fold, so oracle hashes are unchanged). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    dot / (na * nb)
+    val dot = ArrayDot.dot(a, b)
+    dot / (sqrt(ArrayDot.dot(a, a)) * sqrt(ArrayDot.dot(b, b)))
   }
 
   /** Word shingles (n-grams of whitespace tokens) as strings. */

@@ -66,8 +66,7 @@ object Similarity {
     }
     val bits = planes.zipWithIndex.map { case (p, j) =>
       val arr = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(emb.cast("array<double>"), arr, (x, y) => x * y),
-        lit(0.0d), (acc, v) => acc + v)
+      val dot = graft.functions.ArrayDot.dot(emb.cast("array<double>"), arr)
       when(dot >= 0, lit(1L) * (1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -100,6 +100,63 @@ class SourcesSpec extends AnyFunSuite {
     assert(e == Eval(ABin("*", ATerm(V("A")), ATerm(Dbl(2.0))), "R"))
   }
 
+  test("get resolves inline POST-body and http URL resources") {
+    implicit val ctx: Ctx = ctxOf(triples((":x", "p", "v")))
+    // inline: the reference's posted-file form
+    val inline = Compiler.run(GetCsv(Seq(("A", "a"), ("B", "b")),
+      "inline:a,b\n1,x\n2,y"))
+    assert(inline.collect().map(_.getAs[org.apache.spark.sql.Row]("A")
+      .getAs[String]("str")).toSet == Set("1", "2"))
+    // http: serve the same CSV from a local endpoint (JDK HttpServer)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val body = "a,b\n3,z\n".getBytes("UTF-8")
+    server.createContext("/data.csv", exchange => {
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body); exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val viaHttp = Compiler.run(GetCsv(Seq(("A", "a")),
+        s"http://127.0.0.1:$port/data.csv"))
+      assert(viaHttp.collect().map(_.getAs[org.apache.spark.sql.Row]("A")
+        .getAs[String]("str")).toSet == Set("3"))
+    } finally server.stop(0)
+  }
+
+  test("v3 JSON-LD wire format parses to the same AST") {
+    val v3 =
+      """{"@type":"woql:Select",
+        | "woql:variable_list":[
+        |  {"@type":"woql:VariableListElement","woql:index":{"@value":0,"@type":"xsd:nonNegativeInteger"},
+        |   "woql:variable_name":{"@value":"Name","@type":"xsd:string"}}],
+        | "woql:query":{"@type":"woql:And","woql:query_list":[
+        |  {"@type":"woql:QueryListElement","woql:index":{"@value":1,"@type":"xsd:nonNegativeInteger"},
+        |   "woql:query":{"@type":"woql:Greater",
+        |    "woql:left":{"@type":"woql:Variable","woql:variable_name":{"@value":"Age","@type":"xsd:string"}},
+        |    "woql:right":{"@type":"woql:Datatype","woql:datatype":{"@value":35,"@type":"xsd:integer"}}}},
+        |  {"@type":"woql:QueryListElement","woql:index":{"@value":0,"@type":"xsd:nonNegativeInteger"},
+        |   "woql:query":{"@type":"woql:Triple",
+        |    "woql:subject":{"@type":"woql:Variable","woql:variable_name":{"@value":"X","@type":"xsd:string"}},
+        |    "woql:predicate":{"@type":"woql:Node","woql:node":"age"},
+        |    "woql:object":{"@type":"woql:Variable","woql:variable_name":{"@value":"Age","@type":"xsd:string"}}}}
+        | ]}}""".stripMargin
+    val q = JsonWoqlV3.parse(v3)
+    // query_list is ordered by woql:index, not array position
+    assert(q == Select(Seq("Name"), And(Seq(
+      TriplePat(V("X"), Node("age"), V("Age")),
+      Cmp(">", V("Age"), Lng(35))))))
+    val g = triples((":a", "age", 40), (":a", "name", "alice"), (":b", "age", 30))
+    val full = And(Seq(
+      TriplePat(V("X"), Node("age"), V("Age")),
+      Cmp(">", V("Age"), Lng(35)),
+      TriplePat(V("X"), Node("name"), V("Name"))))
+    val res = Compiler.run(Select(Seq("Name"), full))(ctxOf(g)).collect()
+    assert(res.map(_.getAs[org.apache.spark.sql.Row]("Name")
+      .getAs[String]("str")).toSet == Set("alice"))
+  }
+
   test("updates stage insert templates per solution and commit") {
     val g = triples((":a", "cls", "x"), (":b", "cls", "x"), (":c", "cls", "y"))
     implicit val ctx: Ctx = ctxOf(g)
