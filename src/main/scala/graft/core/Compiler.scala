@@ -278,7 +278,15 @@ object Compiler {
     case GroupAgg(fn, template, by, sub, into) =>
       val inner = compile(sub, cur)
       val aggCol = fn match {
-        case "sum"   => dblVal(sum(Vals.num(col(template.head))))
+        case "sum" =>
+          // exact decimal sum when EVERY row of the group is decimal- or
+          // integer-typed (mirrors eval's per-row rule at group
+          // granularity); double otherwise
+          val v = col(template.head)
+          val decView = coalesce(v.getField("dec"),
+            v.getField("lng").cast(DecOp)).cast(DecOp)
+          when(count(lit(1)) === count(decView), decVal(sum(decView)))
+            .otherwise(dblVal(sum(Vals.num(v))))
         case "count" => lngVal(count(lit(1)))
       }
       BF(inner.df.groupBy(by.map(col): _*).agg(aggCol.as(into)), by.toSet + into)
@@ -706,6 +714,7 @@ object Compiler {
     // first, fall back to first-field access at analysis time is not
     // possible generically — the compiler wraps group_by single-var
     // templates so elements here are value structs.
-    coalesce(x.getField("dbl"), x.getField("lng").cast(DoubleType))
+    coalesce(x.getField("dbl"), x.getField("lng").cast(DoubleType),
+      x.getField("dec").cast(DoubleType))
   }
 }

@@ -61,6 +61,7 @@ object ExtQueries {
     "stream_window_counts" -> ((s, d) => Events.streamingTumblingCounts(s, d)),
     "stream_session_counts" -> ((s, d) => Events.streamingSessionCounts(s, d)),
     "stream_dedup_counts" -> ((s, d) => Events.streamingDedup(s, d)),
+    "stream_enrich_counts" -> ((s, d) => Events.streamingEnrichedCounts(s, d)),
 
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(t(s, d, "documents"))),
@@ -176,6 +177,10 @@ object ExtQueries {
 
     "stream_dedup_counts" ->
       """SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1""".stripMargin,
+
+    "stream_enrich_counts" ->
+      """SELECT date_trunc('hour', ts) AS ws, c_mktsegment AS seg, count(*) AS n
+        | FROM events JOIN customer ON user_id = c_custkey GROUP BY 1, 2""".stripMargin,
 
     "dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep FROM documents GROUP BY 1",

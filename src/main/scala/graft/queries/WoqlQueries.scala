@@ -136,6 +136,15 @@ object WoqlQueries {
       CountQ(TriplePat(V("S"), Node("rdf:type"), Node("tpch:Orders")), "N"))(
       "n" -> vLng("N")),
 
+    // exact decimal SUM: the grouped aggregate keeps (38,18) when every
+    // group member is decimal-typed
+    "woql_group_sum_dec" -> woql(And(Seq(
+      GroupBy(Seq("P"), Seq("St"), And(Seq(
+        TriplePat(V("O"), Node("tpch:o_orderstatus"), V("St")),
+        TriplePat(V("O"), Node("tpch:o_totalprice_dec"), V("P")))), "Lst"),
+      SumList("Lst", "S"))))(
+      "st" -> vStr("St"), "total" -> vDec("S")),
+
     "woql_order_limit" -> woql(
       Limit(5, OrderBy(Seq(("Bal", false), ("Name", true)), And(Seq(
         TriplePat(V("C"), Node("tpch:c_acctbal"), V("Bal")),
@@ -378,6 +387,12 @@ object WoqlQueries {
 
     "woql_count" ->
       "SELECT count(*) AS n FROM orders",
+
+    "woql_group_sum_dec" ->
+      """SELECT o_orderstatus AS st,
+        | CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18)))
+        |   AS DECIMAL(38,18)) AS total
+        | FROM orders GROUP BY 1""".stripMargin,
 
     "woql_order_limit" ->
       """SELECT c_name, c_acctbal FROM customer

@@ -75,6 +75,30 @@ object Events {
     spark.table(name)
   }
 
+  /** Stream-static enrichment: the streaming event flow broadcast-joined
+    * to a static dimension (customer), then windowed counts per market
+    * segment — the canonical "enrich a 100 TB stream with a small dim"
+    * shape (dim broadcasts; the stream never shuffles for the join). */
+  def streamingEnrichedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = eventsStream(spark, sfDir)
+    val dim = Graft.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("c_mktsegment").as("seg"), col("n"))
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming exact dedup within the watermark window. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val src = eventsStream(spark, sfDir)
