@@ -130,6 +130,35 @@ object VersionQueries {
         .select(col("s"), col("o_str").as("name"))
     }),
 
+    // document update + delete through the commit protocol (§2.8):
+    // insert all nation docs, replace NATION_0's subgraph with a new
+    // shape, delete NATION_1's — then read the surviving doc fields
+    "doc_update" -> ((s, d) => {
+      import s.implicits._
+      val root = s"$cacheRoot/store_docupd_${san(d)}"
+      val st = LayerStore.open(s, root)
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      if (st.refs.isEmpty) {
+        val json = Graft.table(s, d, "nation")
+          .select(to_json(struct(col("n_name"), col("n_nationkey"))).as("j"))
+          .as[String]
+        val adds = graft.docs.Documents.insertAll(json, "Nation",
+          graft.docs.Documents.LexicalKey(Seq("n_name")))
+        st.commit("main", adds, emptyEav(s), "insert docs")
+        val (a2, r2) = Updates.stageDocUpdate(st.materializeBranch("main"),
+          "doc:Nation/NATION_0", """{"n_name":"NATION_0","flag":"updated"}""",
+          "Nation")
+        st.commit("main", a2, r2, "update NATION_0")
+        val r3 = graft.docs.Documents.delete(
+          st.materializeBranch("main"), "doc:Nation/NATION_1")
+        st.commit("main", emptyEav(s), r3, "delete NATION_1")
+      }
+      st.materializeBranch("main")
+        .filter(col("p").startsWith("doc:"))
+        .select(col("s"), col("p"),
+          coalesce(col("o_str"), col("o_lng").cast(StringType)).as("v"))
+    }),
+
     // turtle load round-trip (§2.1 bulk RDF)
     "turtle_load" -> ((s, d) => {
       val regions = Graft.table(s, d, "region")
@@ -193,6 +222,15 @@ object VersionQueries {
         | FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "doc_insert" ->
       "SELECT 'doc:Nation/'||n_name AS s, n_name AS name FROM nation",
+    "doc_update" ->
+      """SELECT 'doc:Nation/'||n_name AS s, 'doc:n_name' AS p, n_name AS v
+        | FROM nation WHERE n_name != 'NATION_1'
+        | UNION ALL
+        | SELECT 'doc:Nation/'||n_name, 'doc:n_nationkey',
+        |   CAST(n_nationkey AS VARCHAR) FROM nation
+        | WHERE n_name NOT IN ('NATION_0','NATION_1')
+        | UNION ALL
+        | SELECT 'doc:Nation/NATION_0', 'doc:flag', 'updated'""".stripMargin,
     "turtle_load" ->
       "SELECT 'tpch:region/'||r_regionkey AS s, r_name AS o FROM region",
     "woql_read_doc" ->

@@ -296,6 +296,13 @@ object WoqlQueries {
       PathQ(V("X"), PPlus(allEdges), Node("tpch:region/0")))(
       "x" -> vIri("X")),
 
+    // canonical witness (PathQ): one shortest/lexicographically-least
+    // node sequence per reachable node
+    "woql_path_witness_canon" -> woql(
+      PathQ(Node("tpch:nation/3"), PStar(PPred("tpch:n_regionkey")),
+        V("Y"), witness = Some("W")))(
+      "y" -> vIri("Y"), "w" -> vStr("W")),
+
     // exhaustive witness enumeration: the region→nation→region diamond
     // yields one distinct path per nation of the region
     "woql_path_witness" -> woql(
@@ -492,6 +499,13 @@ object WoqlQueries {
       s"""SELECT DISTINCT $lidSql AS x,
         | 'tpch:customer/'||o_custkey AS y
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "woql_path_witness_canon" ->
+      """SELECT 'tpch:nation/3' AS y, 'tpch:nation/3' AS w
+        | UNION ALL
+        | SELECT 'tpch:region/'||n_regionkey,
+        |   'tpch:nation/3/tpch:region/'||n_regionkey
+        | FROM nation WHERE n_nationkey = 3""".stripMargin,
 
     "woql_path_witness" ->
       """SELECT 'tpch:region/0' AS y,

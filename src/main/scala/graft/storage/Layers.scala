@@ -116,11 +116,15 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     id
   }
 
-  /** Materialize the graph at a commit — one union + one shuffle. */
+  /** Materialize the graph at a commit — one union + one shuffle.
+    * Within one commit removes apply BEFORE adds (adds outrank removes
+    * by one), so an update that deletes a subgraph and re-inserts an
+    * identical triple keeps it visible — the reference's commit
+    * semantics. */
   def materialize(commitId: String): DataFrame = {
     val ids = chain(commitId)
     val parts = ids.zipWithIndex.flatMap { case (id, i) =>
-      Seq(adds(id).withColumn("__seq", lit(i.toLong * 2 + 1)),
+      Seq(adds(id).withColumn("__seq", lit(i.toLong * 2 + 2)),
         removes(id).withColumn("__seq", lit(-(i.toLong * 2 + 1))))
     }
     val all = parts.reduce(_ unionByName _)
