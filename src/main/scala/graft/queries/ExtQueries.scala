@@ -43,6 +43,18 @@ object ExtQueries {
         .select(col("o_orderkey"), col("c_name"), col("n_name"))
     }),
 
+    // salted equi-join (operators.SkewJoin): exactly the plain join,
+    // hot keys spread over saltFactor reducers
+    "rel_skew_join" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val small = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      graft.operators.SkewJoin.salted(big, small, "k", saltFactor = 8)
+        .groupBy(col("o_orderstatus").as("st"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
     "rel_events_window" -> ((s, d) => t(s, d, "events")
       .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"),
@@ -144,6 +156,11 @@ object ExtQueries {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         | WHERE n_regionkey = 1 AND o_totalprice > 4000.0""".stripMargin,
+
+    "rel_skew_join" ->
+      """SELECT o_orderstatus AS st, sum(l_quantity) AS sum_qty, count(*) AS n
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1""".stripMargin,
 
     "rel_events_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
