@@ -208,7 +208,12 @@ object JsonWoql {
     case JString("Dot") =>
       DotQ(toTerm(j \ "document"), str(j \ "field"), varName(j \ "value"))
     case JString("Path") =>
-      PathQ(toTerm(j \ "subject"), toPath(j \ "pattern"), toTerm(j \ "object"))
+      // optional 4th argument binds the path witness
+      val w = j \ "path" match {
+        case JNothing => None
+        case p => Some(varName(p))
+      }
+      PathQ(toTerm(j \ "subject"), toPath(j \ "pattern"), toTerm(j \ "object"), w)
     case other => throw new IllegalArgumentException(s"unsupported WOQL op $other")
   }
 }
