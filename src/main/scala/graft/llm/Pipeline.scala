@@ -1,0 +1,45 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data cleaning pipeline — the composition the
+  * individual operators exist for (SURVEY §2.12):
+  *
+  *   quality gate → exact dedup → MinHash-LSH near-dup removal
+  *
+  * Every stage is a declarative DataFrame transformation, so Catalyst
+  * plans the WHOLE pipeline as one job graph: the quality gate is a
+  * full-scan codegen'd filter, exact dedup is one shuffle on the
+  * content hash, and near-dup candidates come from the banded LSH
+  * equi-join (shuffle ∝ collisions). Survivor policy is deterministic:
+  * the min doc_id of an exact group survives; of a verified near-dup
+  * pair, the smaller doc_id survives. At 100 TB nothing here is
+  * all-pairs and nothing lands on the driver. */
+object Pipeline {
+
+  /** Surviving doc_ids with their quality signals. */
+  def cleanCorpus(docs: DataFrame,
+                  maxStopRatio: Double = 0.5,
+                  minMeanTokLen: Double = 2.0,
+                  nearDupThreshold: Double = 0.5): DataFrame = {
+    // 1. quality gate (cheap heuristics, full scan speed)
+    val q = TextAnalysis.quality(docs)
+      .where(col("stop_ratio") <= maxStopRatio &&
+        col("mean_tok_len") >= minMeanTokLen)
+    val gated = docs.join(q.select("doc_id"), Seq("doc_id"), "left_semi")
+
+    // 2. exact dedup: keep the min doc_id of each content-hash group
+    val keepers = Dedup.exactGroups(gated).select(col("keep").as("doc_id"))
+    val exactKept = gated.join(keepers, Seq("doc_id"), "left_semi")
+
+    // 3. near-dup removal: LSH candidates verified by shingle jaccard;
+    //    in each surviving pair the larger doc_id is dropped
+    val losers = Dedup.minhashNearDups(exactKept, nearDupThreshold)
+      .select(col("db").as("doc_id")).distinct()
+    val cleaned = exactKept.join(losers, Seq("doc_id"), "left_anti")
+
+    cleaned.join(q, Seq("doc_id"))
+      .select(col("doc_id"), col("stop_ratio"), col("mean_tok_len"))
+  }
+}

@@ -91,6 +91,11 @@ object ExtQueries {
     "sim_topk_lsh" -> ((s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5)),
 
+    // --- end-to-end corpus cleaning (quality gate → exact dedup →
+    //     LSH near-dup removal), one composed plan ---
+    "llm_pipeline_clean" -> ((s, d) =>
+      graft.llm.Pipeline.cleanCorpus(t(s, d, "documents"))),
+
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
@@ -327,6 +332,45 @@ object ExtQueries {
         |     a.vec_id) AS rank
         |  FROM probed p JOIN assign a ON p.cell = a.cell AND p.q != a.vec_id)
         | WHERE rank <= 5""".stripMargin,
+
+    "llm_pipeline_clean" ->
+      s"""WITH q AS (SELECT doc_id,
+        |   round(len(list_filter($toksSql, x -> list_contains(
+        |     ['the','a','of','and','to','in','is','it'], x))) * 1.0 / len($toksSql), 6)
+        |     AS stop_ratio,
+        |   round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
+        |     / len($toksSql), 6) AS mean_tok_len
+        |  FROM documents),
+        | gated AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+        |  WHERE q.stop_ratio <= 0.5 AND q.mean_tok_len >= 2.0),
+        | keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        | ek AS (SELECT g.doc_id, g.text FROM gated g JOIN keep USING (doc_id)),
+        | sh AS (SELECT doc_id, $shSql AS shs FROM ek),
+        | h AS (SELECT doc_id, $hash32Sql AS hv FROM
+        |        (SELECT doc_id, unnest(shs) AS s FROM sh)),
+        | sig AS (SELECT doc_id,
+        |   min((1000003*hv+12345) % 4294967311) AS m0,
+        |   min((2000029*hv+54321) % 4294967311) AS m1,
+        |   min((3000073*hv+11111) % 4294967311) AS m2,
+        |   min((4000037*hv+22222) % 4294967311) AS m3,
+        |   min((5000011*hv+33333) % 4294967311) AS m4,
+        |   min((6000011*hv+44444) % 4294967311) AS m5,
+        |   min((7000003*hv+55555) % 4294967311) AS m6,
+        |   min((8000009*hv+66666) % 4294967311) AS m7
+        |  FROM h GROUP BY doc_id),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    md5(a.m0||'_'||a.m1) = md5(b.m0||'_'||b.m1) OR
+        |    md5(a.m2||'_'||a.m3) = md5(b.m2||'_'||b.m3) OR
+        |    md5(a.m4||'_'||a.m5) = md5(b.m4||'_'||b.m5) OR
+        |    md5(a.m6||'_'||a.m7) = md5(b.m6||'_'||b.m7))),
+        | losers AS (SELECT DISTINCT db AS doc_id
+        |  FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+        |  WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
+        |    len(list_distinct(list_concat(x.shs, y.shs))) >= 0.5)
+        | SELECT e.doc_id, q.stop_ratio, q.mean_tok_len
+        | FROM ek e JOIN q USING (doc_id)
+        | WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
