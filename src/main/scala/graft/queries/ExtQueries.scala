@@ -96,6 +96,15 @@ object ExtQueries {
     "llm_pipeline_clean" -> ((s, d) =>
       graft.llm.Pipeline.cleanCorpus(t(s, d, "documents"))),
 
+    // --- multimodal plumbing: binary payloads + per-partition decode
+    //     (stub codec is md5-derived → the oracle replays it exactly) ---
+    "mm_decode_meta" -> ((s, d) =>
+      graft.llm.Multimodal.decodeMeta(
+        graft.llm.Multimodal.withPayload(t(s, d, "documents")))),
+    "mm_frames" -> ((s, d) =>
+      graft.llm.Multimodal.sampleFrames(
+        graft.llm.Multimodal.withPayload(t(s, d, "documents")), 64)),
+
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
@@ -332,6 +341,18 @@ object ExtQueries {
         |     a.vec_id) AS rank
         |  FROM probed p JOIN assign a ON p.cell = a.cell AND p.q != a.vec_id)
         | WHERE rank <= 5""".stripMargin,
+
+    "mm_decode_meta" ->
+      s"""WITH h AS (SELECT doc_id, CAST(strlen(s) AS BIGINT) AS n_bytes,
+        |   $hash32Sql AS hv
+        |  FROM (SELECT doc_id, text AS s FROM documents))
+        | SELECT doc_id, n_bytes, 640 + hv % 1280 AS width,
+        |  480 + (hv // 1280) % 720 AS height, 'fake/rgb8' AS format
+        | FROM h""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id, unnest(range(0, CAST(strlen(text) AS BIGINT), 64))
+        | AS frame_offset FROM documents""".stripMargin,
 
     "llm_pipeline_clean" ->
       s"""WITH q AS (SELECT doc_id,
