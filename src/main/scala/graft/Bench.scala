@@ -21,7 +21,7 @@ object Bench {
     "ext_json", "stream_window_counts",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh",
-    "text_tokens", "text_quality", "text_fingerprint")
+    "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
