@@ -81,4 +81,26 @@ class PropertySpec extends AnyFunSuite {
       assert(out.toSeq == Seq(n.toLong))
     }
   }
+
+  test("decimal eval a+a-b matches BigDecimal reference on random inputs") {
+    // random decimals with up to 18 fractional digits and |v| < 10^12:
+    // the engine's (36,18) operating type must be EXACT here
+    val decGen = for {
+      unscaled <- Gen.chooseNum(-999999999999L, 999999999999L)
+      scale <- Gen.chooseNum(0, 18)
+    } yield BigDecimal(unscaled, scale).setScale(18)
+    (1L to 8L).foreach { seed =>
+      val a = sample(decGen, seed)
+      val b = sample(decGen, seed + 100)
+      val g = triples((":x", "va", a.bigDecimal), (":x", "vb", b.bigDecimal))
+      val q = And(Seq(
+        TriplePat(V("X"), Node("va"), V("A")),
+        TriplePat(V("X"), Node("vb"), V("B")),
+        Eval(ABin("-", ABin("+", ATerm(V("A")), ATerm(V("A"))), ATerm(V("B"))), "R")))
+      val got = Compiler.run(q)(ctxOf(g)).collect()
+        .map(_.getAs[Row]("R").getAs[java.math.BigDecimal]("dec")).head
+      val want = (a + a - b).setScale(18)
+      assert(BigDecimal(got) == want, s"seed $seed: $a, $b")
+    }
+  }
 }
