@@ -319,7 +319,16 @@ object Compiler {
       val condBF = compile(c, cur)
       val thenBF = compile(t, condBF)
       if (cur.isUnit) {
-        if (condBF.df.isEmpty) cur else thenBF
+        if (condBF.df.isEmpty) {
+          // pass through with Then-only variables unbound (null structs),
+          // mirroring the non-unit padding — a downstream reference to a
+          // Then-var must resolve, not throw
+          val missing = (thenBF.vars -- cur.vars).toSeq.sorted
+          if (missing.isEmpty) cur
+          else BF(missing.foldLeft(cur.df)((d, v) =>
+            d.withColumn(v, lit(null).cast(Vals.structType))),
+            cur.vars ++ missing, isUnit = false)
+        } else thenBF
       } else {
         val keys = cur.vars.toSeq.sorted
         val unmatched = cur.df.join(condBF.df.select(keys.map(col): _*), keys, "left_anti")

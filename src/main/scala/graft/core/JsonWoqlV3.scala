@@ -16,10 +16,12 @@ import org.json4s.jackson.JsonMethods
   *  - terms are `woql:Node` / `woql:Variable` / `woql:Datatype` objects
   *    whose scalars are `{"@value": …, "@type": "xsd:…"}` wrappers.
   *
-  * The subset below covers the operators stored v3 queries use most
-  * (triple/quad, and/or, select, not/opt, equals, compare, limit/start,
-  * order_by); anything else raises with the unknown type name so callers
-  * can migrate to the v10 reader.
+  * The subset below covers the operators stored v3 queries use
+  * (triple/quad, and/or, select, not/opt, when, equals, compare,
+  * limit/start, order_by, eval arithmetic, path patterns, group_by, and
+  * the AddTriple/DeleteTriple update leaves via `parseUpdate`); anything
+  * else raises with the unknown type name so callers can migrate to the
+  * v10 reader.
   */
 object JsonWoqlV3 {
 
@@ -83,6 +85,36 @@ object JsonWoqlV3 {
     case other => throw new IllegalArgumentException(s"unsupported v3 term woql:$other")
   }
 
+  /** v3 arithmetic tree: binary ops carry `woql:first`/`woql:second`;
+    * leaves are `woql:ArithmeticValue` wrappers or bare terms. */
+  def toArith(j: JValue): ArithE = typ(j) match {
+    case "Plus"   => ABin("+", toArith(j \ "woql:first"), toArith(j \ "woql:second"))
+    case "Minus"  => ABin("-", toArith(j \ "woql:first"), toArith(j \ "woql:second"))
+    case "Times"  => ABin("*", toArith(j \ "woql:first"), toArith(j \ "woql:second"))
+    case "Divide" => ABin("/", toArith(j \ "woql:first"), toArith(j \ "woql:second"))
+    case "Div"    => ABin("div", toArith(j \ "woql:first"), toArith(j \ "woql:second"))
+    case "Exp"    => ABin("exp", toArith(j \ "woql:first"), toArith(j \ "woql:second"))
+    case "Floor"  => AFloor(toArith(j \ "woql:argument"))
+    case "ArithmeticValue" => ATerm(toTerm(j \ "woql:arithmetic_value"))
+    case _ => ATerm(toTerm(j))
+  }
+
+  /** v3 path patterns (`woql:path_pattern` trees). */
+  def toPath(j: JValue): PathPat = typ(j) match {
+    case "PathPredicate" => PPred(str(j \ "woql:path_predicate"))
+    case "InversePathPredicate" => PInv(str(j \ "woql:path_predicate"))
+    case "PathSequence" =>
+      PSeq(toPath(j \ "woql:path_first"), toPath(j \ "woql:path_second"))
+    case "PathOr" =>
+      PAlt(toPath(j \ "woql:path_left"), toPath(j \ "woql:path_right"))
+    case "PathPlus" => PPlus(toPath(j \ "woql:path_pattern"))
+    case "PathStar" => PStar(toPath(j \ "woql:path_pattern"))
+    case "PathTimes" => PTimes(toPath(j \ "woql:path_pattern"),
+      int(j \ "woql:from").toInt, int(j \ "woql:to").toInt)
+    case other => throw new IllegalArgumentException(
+      s"unsupported v3 path pattern woql:$other")
+  }
+
   def toWoql(j: JValue): Woql = typ(j) match {
     case "Triple" => TriplePat(toTerm(j \ "woql:subject"),
       toTerm(j \ "woql:predicate"), toTerm(j \ "woql:object"))
@@ -99,9 +131,82 @@ object JsonWoqlV3 {
     case "Equals" => Eq(toTerm(j \ "woql:left"), toTerm(j \ "woql:right"))
     case "Less" => Cmp("<", toTerm(j \ "woql:left"), toTerm(j \ "woql:right"))
     case "Greater" => Cmp(">", toTerm(j \ "woql:left"), toTerm(j \ "woql:right"))
+    case "True" => True
+    case "False" => False
     case "Limit" => Limit(int(j \ "woql:limit"), toWoql(j \ "woql:query"))
     case "Start" => Start(int(j \ "woql:start"), toWoql(j \ "woql:query"))
+    case "OrderBy" =>
+      val specs = j \ "woql:variable_ordering" match {
+        case JArray(xs) => xs.sortBy(x => int(x \ "woql:index")).map { x =>
+          val v = str(x \ "woql:variable" \ "woql:variable_name" match {
+            case JNothing => x \ "woql:variable"
+            case w => w
+          })
+          val asc = x \ "woql:ascending" match {
+            case JBool(b) => b
+            case w => w \ "@value" match { case JBool(b) => b; case _ => true }
+          }
+          (v, asc)
+        }
+        case other => throw new IllegalArgumentException(
+          s"expected woql:variable_ordering list, got $other")
+      }
+      OrderBy(specs, toWoql(j \ "woql:query"))
+    case "Eval" =>
+      Eval(toArith(j \ "woql:expression"), varName(j \ "woql:result"))
+    case "Path" =>
+      val w = j \ "woql:path" match {
+        case JNothing => None
+        case p => Some(varName(p))
+      }
+      PathQ(toTerm(j \ "woql:subject"), toPath(j \ "woql:path_pattern"),
+        toTerm(j \ "woql:object"), w)
+    case "GroupBy" =>
+      GroupBy(listOf(j, "woql:group_template").map(varName),
+        listOf(j, "woql:group_by").map(varName),
+        toWoql(j \ "woql:query"), varName(j \ "woql:grouped"))
+    case "Count" => CountQ(toWoql(j \ "woql:query"), varName(j \ "woql:count"))
+    case "Sum" => SumList(varName(j \ "woql:list"), varName(j \ "woql:result"))
+    case "Length" => LengthList(varName(j \ "woql:list"), varName(j \ "woql:result"))
+    // update leaves parse to True in the READ view; `parseUpdate` collects
+    // them into staging templates (the engine's Updates.stage contract)
+    case "AddTriple" | "DeleteTriple" => True
     case other => throw new IllegalArgumentException(
       s"unsupported v3 WOQL op woql:$other — use the v10 reader (JsonWoql)")
+  }
+
+  /** A `woql:Variable` node, a bare name, or an `@value` wrapper. */
+  private def varName(j: JValue): String = j match {
+    case JString(s) => s
+    case o if (o \ "woql:variable_name") != JNothing => str(o \ "woql:variable_name")
+    case o => str(o)
+  }
+
+  /** Parse a v3 UPDATE query: returns the read query (update leaves
+    * replaced by True) plus the collected insert/delete triple templates,
+    * matching `Updates.stage(q, inserts, deletes)`. Conditional updates
+    * (`woql:When`-wrapped) keep their read-side semantics through the
+    * engine's null-template skip only when staged via the v10 WhenQ path;
+    * v3 callers with when-updates should migrate (documented subset). */
+  def parseUpdate(json: String): (Woql, Seq[(Term, Term, Term)], Seq[(Term, Term, Term)]) = {
+    val root = JsonMethods.parse(json)
+    val adds = scala.collection.mutable.ArrayBuffer.empty[(Term, Term, Term)]
+    val dels = scala.collection.mutable.ArrayBuffer.empty[(Term, Term, Term)]
+    def walk(j: JValue): Unit = j match {
+      case o: JObject =>
+        (o \ "@type") match {
+          case JString("woql:AddTriple") =>
+            adds += ((toTerm(o \ "woql:subject"), toTerm(o \ "woql:predicate"),
+              toTerm(o \ "woql:object")))
+          case JString("woql:DeleteTriple") =>
+            dels += ((toTerm(o \ "woql:subject"), toTerm(o \ "woql:predicate"),
+              toTerm(o \ "woql:object")))
+          case _ => o.obj.foreach { case (_, v) => walk(v) }
+        }
+      case JArray(xs) => xs.foreach(walk)
+      case _ => ()
+    }
+    walk(root)
+    (toWoql(root), adds.toSeq, dels.toSeq)
   }
 }

@@ -30,9 +30,25 @@ object Paths {
       .select(col("src"), col("__d").as("dst"))
   }
 
+  /** Unbounded-closure budget. With BOTH endpoints free, plus/star is
+    * all-pairs reachability: cost ∝ |closure| (potentially |V|²), not
+    * the answer a user usually wants — at 100 TB that query is almost
+    * always a mistake. Guard: refuse when the base step relation
+    * exceeds the budget, pointing at the bound-endpoint frontier walk
+    * (work ∝ reachable set, Explain-visibly seeded). Deliberate
+    * all-pairs runs raise GRAFT_CLOSURE_MAX_EDGES. */
+  private def closureBudget: Long =
+    sys.env.getOrElse("GRAFT_CLOSURE_MAX_EDGES", "50000000").toLong
+
   /** Transitive closure of `e` by semi-naive iteration (1+ hops). */
   private def closure(e0: DataFrame): DataFrame = {
     val e = e0.distinct().localCheckpoint(true)
+    val nEdges = e.count()
+    require(nEdges <= closureBudget,
+      s"unbounded plus/star closure over $nEdges edges exceeds " +
+        s"GRAFT_CLOSURE_MAX_EDGES=$closureBudget — bind one path endpoint " +
+        "(seeded frontier expansion) or raise the budget for a deliberate " +
+        "all-pairs run")
     var total = e
     var frontier = e
     var i = 0

@@ -71,6 +71,7 @@ object ExtQueries {
 
     // --- streaming (real Structured Streaming execution) ---
     "stream_window_counts" -> ((s, d) => Events.streamingTumblingCounts(s, d)),
+    "stream_append_counts" -> ((s, d) => Events.streamingAppendCounts(s, d)),
     "stream_session_counts" -> ((s, d) => Events.streamingSessionCounts(s, d)),
     "stream_dedup_counts" -> ((s, d) => Events.streamingDedup(s, d)),
     "stream_enrich_counts" -> ((s, d) => Events.streamingEnrichedCounts(s, d)),
@@ -81,7 +82,10 @@ object ExtQueries {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.5)),
     "dedup_embedding_nn" -> ((s, d) => Dedup.embeddingMutualNN(t(s, d, "embeddings"))),
-    "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingLshDups(t(s, d, "embeddings"))),
+    // dim passed explicitly (testdata embeddings are 64-dim): embDim's
+    // first-row read is a hidden driver action — keep oracle/bench plans
+    // pure (no job boundary inside what looks like an expression)
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingLshDups(t(s, d, "embeddings"), dim = 64)),
 
     // --- similarity search ---
     "sim_topk_brute" -> ((s, d) =>
@@ -89,7 +93,7 @@ object ExtQueries {
     "sim_topk_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5, nprobe = 2)),
     "sim_topk_lsh" -> ((s, d) =>
-      Similarity.lshTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5)),
+      Similarity.lshTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5, dim = 64)),
 
     // --- end-to-end corpus cleaning (quality gate → exact dedup →
     //     LSH near-dup removal), one composed plan ---
@@ -193,6 +197,15 @@ object ExtQueries {
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
         | FROM events GROUP BY 1, 2""".stripMargin,
+
+    // append mode emits a window only once the watermark (max event
+    // time − 1h) passes its END; the final still-open windows are
+    // deterministically withheld — the oracle applies the same cutoff
+    "stream_append_counts" ->
+      """SELECT ws, event_type, n FROM (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        | WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
 
     "stream_session_counts" ->
       """WITH g AS (SELECT user_id, ts,

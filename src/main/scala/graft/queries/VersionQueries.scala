@@ -195,6 +195,42 @@ object VersionQueries {
       Compiler.run(JsonWoql.parse(json))
         .select(col("Name").getField("str").as("c_name"),
           col("Bal").getField("dbl").as("c_acctbal"))
+    }),
+
+    // the same flagship-class query serialized in the PRE-v10 JSON-LD
+    // wire format (indexed query lists, woql:-prefixed types, @value
+    // wrappers) plus a v3 Eval — must hash-match the v10-parsed result
+    "woql_json_v3" -> ((s, d) => {
+      def vr(n: String) =
+        s"""{"@type":"woql:Variable","woql:variable_name":{"@value":"$n","@type":"xsd:string"}}"""
+      def nd(i: String) = s"""{"@type":"woql:Node","woql:node":"$i"}"""
+      def li(i: Int, q: String) =
+        s"""{"@type":"woql:QueryListElement","woql:index":{"@value":$i},"woql:query":$q}"""
+      def tp(sj: String, p: String, o: String) =
+        s"""{"@type":"woql:Triple","woql:subject":$sj,"woql:predicate":$p,"woql:object":$o}"""
+      def av(t: String) =
+        s"""{"@type":"woql:ArithmeticValue","woql:arithmetic_value":$t}"""
+      val nation7 =
+        """{"@type":"woql:Datatype","woql:datatype":{"@value":"NATION_7","@type":"xsd:string"}}"""
+      val json =
+        s"""{"@type":"woql:Select","woql:variable_list":[
+           |{"@type":"woql:VariableListElement","woql:index":{"@value":0},"woql:variable_name":{"@value":"Name","@type":"xsd:string"}},
+           |{"@type":"woql:VariableListElement","woql:index":{"@value":1},"woql:variable_name":{"@value":"Bal","@type":"xsd:string"}},
+           |{"@type":"woql:VariableListElement","woql:index":{"@value":2},"woql:variable_name":{"@value":"R","@type":"xsd:string"}}],
+           |"woql:query":{"@type":"woql:And","woql:query_list":[
+           |${li(0, tp(vr("C"), nd("rdf:type"), nd("tpch:Customer")))},
+           |${li(1, tp(vr("C"), nd("tpch:c_nationkey"), vr("N")))},
+           |${li(2, tp(vr("N"), nd("tpch:n_name"), nation7))},
+           |${li(3, tp(vr("C"), nd("tpch:c_acctbal"), vr("Bal")))},
+           |${li(4, s"""{"@type":"woql:Greater","woql:left":${vr("Bal")},"woql:right":{"@type":"woql:Datatype","woql:datatype":{"@value":500.0,"@type":"xsd:double"}}}""")},
+           |${li(5, tp(vr("C"), nd("tpch:c_name"), vr("Name")))},
+           |${li(6, s"""{"@type":"woql:Eval","woql:expression":{"@type":"woql:Plus","woql:first":${av(vr("Bal"))},"woql:second":${av("""{"@type":"woql:Datatype","woql:datatype":{"@value":10,"@type":"xsd:integer"}}""")}},"woql:result":${vr("R")}}""")}
+           |]}}""".stripMargin
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      Compiler.run(JsonWoqlV3.parse(json))
+        .select(col("Name").getField("str").as("c_name"),
+          col("Bal").getField("dbl").as("c_acctbal"),
+          col("R").getField("dbl").as("r"))
     })
   )
 
@@ -240,6 +276,10 @@ object VersionQueries {
     "woql_json_parse" ->
       """SELECT c_name, c_acctbal FROM customer JOIN nation
         | ON c_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin,
+    "woql_json_v3" ->
+      """SELECT c_name, c_acctbal, c_acctbal + 10 AS r FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
         | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin
   )
 }

@@ -24,6 +24,13 @@ object WoqlQueries {
   private def vIri(v: String) = col(v).getField("iri")
   private def vTs(v: String)  = col(v).getField("ts")
   private def vDec(v: String) = col(v).getField("dec")
+  // Canonical full-scale lexical render of the exact-decimal slot. Spark's
+  // Decimal(38,18)→string and DuckDB's DECIMAL(38,18)→VARCHAR both emit
+  // the plain 18-fractional-digit form, so hashing the *string* is stable
+  // across the two engines — hashing the raw decimal is not (the driver's
+  // two sides canonicalize DECIMAL differently; values were bit-identical
+  // but the r2 hash gate stayed red).
+  private def vDecS(v: String) = col(v).getField("dec").cast("string")
 
   // §7.4 flagship: conjunction joins + literal filter + numeric comparison
   val flagship: Woql =
@@ -143,7 +150,7 @@ object WoqlQueries {
         TriplePat(V("O"), Node("tpch:o_orderstatus"), V("St")),
         TriplePat(V("O"), Node("tpch:o_totalprice_dec"), V("P")))), "Lst"),
       SumList("Lst", "S"))))(
-      "st" -> vStr("St"), "total" -> vDec("S")),
+      "st" -> vStr("St"), "total" -> vDecS("S")),
 
     "woql_order_limit" -> woql(
       Limit(5, OrderBy(Seq(("Bal", false), ("Name", true)), And(Seq(
@@ -239,15 +246,15 @@ object WoqlQueries {
       CastQ(V("P"), "xsd:string", "S"),
       TriplePat(V("O"), Node("tpch:o_orderkey"), V("K")),
       CastQ(V("K"), "xsd:decimal", "KD"))))(
-      "o_orderkey" -> vLng("K"), "d" -> vDec("P"), "s" -> vStr("S"),
-      "kd" -> vDec("KD")),
+      "o_orderkey" -> vLng("K"), "d" -> vDecS("P"), "s" -> vStr("S"),
+      "kd" -> vDecS("KD")),
 
     // exact decimal arithmetic in eval: 2×price − 10, no double rounding
     "woql_eval_dec" -> woql(And(Seq(
       TriplePat(V("O"), Node("tpch:o_totalprice_dec"), V("P")),
       Eval(ABin("-", ABin("+", ATerm(V("P")), ATerm(V("P"))), ATerm(Lng(10))), "R"),
       TriplePat(V("O"), Node("tpch:o_orderkey"), V("K")))))(
-      "o_orderkey" -> vLng("K"), "r" -> vDec("R")),
+      "o_orderkey" -> vLng("K"), "r" -> vDecS("R")),
 
     // when(Cond, Then): conditional extension — Then-vars bind only
     // where Cond holds, other solutions pass through
@@ -397,8 +404,8 @@ object WoqlQueries {
 
     "woql_group_sum_dec" ->
       """SELECT o_orderstatus AS st,
-        | CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18)))
-        |   AS DECIMAL(38,18)) AS total
+        | CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18)))
+        |   AS DECIMAL(38,18)) AS VARCHAR) AS total
         | FROM orders GROUP BY 1""".stripMargin,
 
     "woql_order_limit" ->
@@ -457,16 +464,16 @@ object WoqlQueries {
 
     "woql_cast_dec" ->
       """SELECT o_orderkey,
-        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18)) AS d,
+        | CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18)) AS VARCHAR) AS d,
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18)) AS VARCHAR) AS s,
-        | CAST(o_orderkey AS DECIMAL(38,18)) AS kd
+        | CAST(CAST(o_orderkey AS DECIMAL(38,18)) AS VARCHAR) AS kd
         | FROM orders""".stripMargin,
 
     "woql_eval_dec" ->
       """SELECT o_orderkey,
-        | CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18))
+        | CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18))
         |   + CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18))
-        |   - 10 AS DECIMAL(38,18)) AS r
+        |   - 10 AS DECIMAL(38,18)) AS VARCHAR) AS r
         | FROM orders""".stripMargin,
 
     "woql_when" ->

@@ -278,7 +278,10 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     }
     var head = refs(onto)
     var conflict: Option[(String, Long)] = None
-    toReplay.takeWhile(_ => conflict.isEmpty).foreach { cid =>
+    // lazy iterator: a strict Seq.takeWhile would evaluate the predicate
+    // over the whole list up-front, replaying commits PAST the first
+    // conflict (stray writes, last-conflict-wins reporting)
+    toReplay.iterator.takeWhile(_ => conflict.isEmpty).foreach { cid =>
       val rm = removes(cid)
       val missing = if (rm.isEmpty) 0L else antiNS(rm, materialize(head)).count()
       if (missing > 0) conflict = Some((cid, missing))

@@ -96,16 +96,24 @@ object Validator {
     * re-grouped — cost ∝ delta, not database. */
   def uniqueViolations(graph: DataFrame, delta: DataFrame,
                        c: Constraints): DataFrame = {
+    // canonical lexical view: a graft:unique value can live in ANY typed
+    // slot — keying on o_str alone silently never checked non-string keys
+    // (their null o_str never matched the delta's keys)
+    val litKey = coalesce(col("o_str"),
+      col("o_lng").cast("string"), col("o_dbl").cast("string"),
+      col("o_dec").cast("string"), col("o_ts").cast("string"),
+      col("o_bool").cast("string"))
     val all = graph.unionByName(delta).filter(col("o_kind") === "l")
       .join(broadcast(c.unique), col("p") === col("cp"), "left_semi")
+      .withColumn("v", litKey)
     val deltaKeys = delta.filter(col("o_kind") === "l")
       .join(broadcast(c.unique), col("p") === col("cp"), "left_semi")
-      .select(col("p"), col("o_str")).distinct()
-    all.join(deltaKeys, Seq("p", "o_str"), "left_semi")
-      .groupBy(col("p"), col("o_str"))
+      .select(col("p"), litKey.as("v")).distinct()
+    all.join(deltaKeys, Seq("p", "v"), "left_semi")
+      .groupBy(col("p"), col("v"))
       .agg(countDistinct(col("s")).as("cnt"))
       .where(col("cnt") > 1)
-      .select(col("p"), col("o_str"), col("cnt"))
+      .select(col("p"), col("v"), col("cnt"))
   }
 
   /** Subdocument ownership: an instance of a graft:subdocument class must

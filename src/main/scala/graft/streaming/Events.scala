@@ -56,6 +56,33 @@ object Events {
     spark.table(name)
   }
 
+  /** Production append-mode shape: watermark + tumbling window, each
+    * row emitted exactly ONCE when the watermark passes its window end.
+    * This — not complete+memory — is the mode an unbounded 100 TB
+    * stream runs: state is evicted as the watermark advances, and the
+    * sink only ever sees finalized windows (complete mode re-emits the
+    * entire result table every micro-batch, which is unbounded state +
+    * unbounded sink traffic). Windows still open at end-of-replay
+    * (window end past the final watermark = max event time − 1h) are
+    * never emitted; that cutoff is deterministic for a given dataset,
+    * so the oracle applies the same predicate. */
+  def streamingAppendCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = eventsStream(spark, sfDir)
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming sessionization: session windows with a 30-minute gap per
     * user, counting events per session (testable demo of session state). */
   def streamingSessionCounts(spark: SparkSession, sfDir: String): DataFrame = {

@@ -135,6 +135,18 @@ class CompilerSpec extends AnyFunSuite {
     assert(rows == Set(("alice", "yes"), ("bob", null)))
   }
 
+  test("when on the unit frame with failing cond binds Then-vars to null") {
+    // the unit/empty-cond branch must still introduce the Then-only
+    // variables (as null structs) so downstream references resolve
+    val q = And(Seq(
+      WhenQ(Eq(Str("a"), Str("b")), Eq(V("T"), Str("yes"))),
+      Eq(V("X"), Str("ok"))))
+    val out = Compiler.run(q).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Row]("T") == null)
+    assert(out.head.getAs[Row]("X").getAs[String]("str") == "ok")
+  }
+
   test("multi-group re binds every capture group of the first match") {
     val q = And(Seq(
       Eq(V("S"), Str("ab-12")),

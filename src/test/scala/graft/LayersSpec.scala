@@ -75,6 +75,24 @@ class LayersSpec extends AnyFunSuite {
     assert(st.refs("dev") == devHead) // branch restored on abort
   }
 
+  test("rebase stops at the FIRST conflicting commit (no stray replays)") {
+    val st = freshStore()
+    st.commit("main", triples((":x", "p", "vx"), (":y", "p", "vy")), empty, "base")
+    st.branch("dev", "main")
+    // two divergent dev commits, BOTH of which will conflict once main
+    // also removes the triples — a strict takeWhile replayed past the
+    // first conflict and reported the last one
+    val d1 = st.commit("dev", empty, triples((":x", "p", "vx")), "dev rm x")
+    st.commit("dev", empty, triples((":y", "p", "vy")), "dev rm y")
+    val devHead = st.refs("dev")
+    st.commit("main", empty, triples((":x", "p", "vx")), "main rm x")
+    st.commit("main", empty, triples((":y", "p", "vy")), "main rm y")
+    val res = st.rebase("dev", "main")
+    assert(res.isLeft)
+    assert(res.left.toOption.get.head._1 == d1) // FIRST conflict reported
+    assert(st.refs("dev") == devHead)           // branch restored on abort
+  }
+
   test("commit ids are content-addressed: same shape, different content") {
     val st = freshStore()
     val id1 = st.commit("b1", triples((":a", "p", "v1")), empty, "m")
@@ -138,6 +156,16 @@ class LayersSpec extends AnyFunSuite {
     // untouched keys are not re-checked (incremental): delta on b@x only
     val d2 = triples((":u9", "email", "c@x"))
     assert(Validator.uniqueViolations(g1, d2, c).count() == 0)
+
+    // non-string unique keys live in typed slots (o_lng here) — keying
+    // on o_str alone silently skipped them
+    val schemaN = triples(("ssn", "graft:unique", true))
+    val cN = Validator.constraintsFrom(schemaN)
+    val gN = triples((":u1", "ssn", 123), (":u2", "ssn", 123))
+    val dN = triples((":u5", "ssn", 123))
+    val uvN = Validator.uniqueViolations(gN, dN, cN).collect()
+    assert(uvN.length == 1 && uvN.head.getString(1) == "123"
+      && uvN.head.getLong(2) == 3L)
 
     // subdoc ownership: one owner ok, zero owners violation
     val g2 = triples(

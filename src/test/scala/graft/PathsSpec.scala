@@ -32,6 +32,17 @@ class PathsSpec extends AnyFunSuite {
       (":c", ":a"), (":c", ":b"), (":c", ":c"), (":c", ":d")))
   }
 
+  test("Pregel closure equals the semi-naive DataFrame closure") {
+    import org.apache.spark.sql.functions.col
+    val e = g.select(col("s").as("src"), col("o_iri").as("dst"))
+    val semiNaive = core.Paths.transitiveClosure(e).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val pregel = operators.PregelClosure.closurePairs(spark, e).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pregel == semiNaive)
+    assert(pregel.contains((":a", ":a"))) // cycle self-reach survives
+  }
+
   test("star adds zero-length identities") {
     val res = pairs(PathQ(V("X"), PStar(PPred("e")), V("Y")))
     assert(res.contains((":d", ":d"))) // identity on sink node

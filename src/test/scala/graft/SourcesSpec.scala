@@ -125,6 +125,115 @@ class SourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("get parses RFC-4180 quoted fields with embedded newlines") {
+    implicit val ctx: Ctx = ctxOf(triples((":x", "p", "v")))
+    // a quoted field containing a literal newline — line-splitting parsers
+    // corrupt this record; the landed multiLine parse must not
+    val got = Compiler.run(GetCsv(Seq(("A", "a"), ("B", "b")),
+      "inline:a,b\n1,\"first\nsecond\"\n2,plain"))
+    val byA = got.collect().map(r =>
+      r.getAs[org.apache.spark.sql.Row]("A").getAs[String]("str") ->
+        r.getAs[org.apache.spark.sql.Row]("B").getAs[String]("str")).toMap
+    assert(byA == Map("1" -> "first\nsecond", "2" -> "plain"))
+  }
+
+  test("http get streams a large payload to storage (no driver String)") {
+    implicit val ctx: Ctx = ctxOf(triples((":x", "p", "v")))
+    val rows = 50000
+    val body = ("a,b\n" + (1 to rows).map(i => s"$i,val_$i\n").mkString)
+      .getBytes("UTF-8")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/big.csv", exchange => {
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body); exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val viaHttp = Compiler.run(GetCsv(Seq(("A", "a")),
+        s"http://127.0.0.1:$port/big.csv"))
+      assert(viaHttp.count() == rows)
+      // the landed file is on (shared) storage, not in a driver String
+      val landed = new java.io.File(graft.sources.Resources.landingDir)
+      assert(landed.listFiles().exists(_.getName.startsWith("res_http_")))
+    } finally server.stop(0)
+  }
+
+  test("v3 JSON-LD parses eval, path, group_by, order_by") {
+    val ev = JsonWoqlV3.parse(
+      """{"@type":"woql:Eval","woql:result":{"@type":"woql:Variable","woql:variable_name":"R"},
+        | "woql:expression":{"@type":"woql:Plus",
+        |  "woql:first":{"@type":"woql:ArithmeticValue","woql:arithmetic_value":
+        |    {"@type":"woql:Variable","woql:variable_name":"A"}},
+        |  "woql:second":{"@type":"woql:ArithmeticValue","woql:arithmetic_value":
+        |    {"@type":"woql:Datatype","woql:datatype":{"@value":2,"@type":"xsd:integer"}}}}}""".stripMargin)
+    assert(ev == Eval(ABin("+", ATerm(V("A")), ATerm(Lng(2))), "R"))
+
+    val p = JsonWoqlV3.parse(
+      """{"@type":"woql:Path",
+        | "woql:subject":{"@type":"woql:Variable","woql:variable_name":"X"},
+        | "woql:path_pattern":{"@type":"woql:PathPlus",
+        |   "woql:path_pattern":{"@type":"woql:PathSequence",
+        |     "woql:path_first":{"@type":"woql:PathPredicate","woql:path_predicate":"e"},
+        |     "woql:path_second":{"@type":"woql:InversePathPredicate","woql:path_predicate":"f"}}},
+        | "woql:object":{"@type":"woql:Variable","woql:variable_name":"Y"},
+        | "woql:path":{"@type":"woql:Variable","woql:variable_name":"W"}}""".stripMargin)
+    assert(p == PathQ(V("X"), PPlus(PSeq(PPred("e"), PInv("f"))), V("Y"), Some("W")))
+
+    val g = JsonWoqlV3.parse(
+      """{"@type":"woql:GroupBy",
+        | "woql:group_by":[{"@type":"woql:VariableListElement","woql:index":{"@value":0},
+        |   "woql:variable_name":{"@value":"K","@type":"xsd:string"}}],
+        | "woql:group_template":[{"@type":"woql:VariableListElement","woql:index":{"@value":0},
+        |   "woql:variable_name":{"@value":"V","@type":"xsd:string"}}],
+        | "woql:query":{"@type":"woql:Triple",
+        |   "woql:subject":{"@type":"woql:Variable","woql:variable_name":"V"},
+        |   "woql:predicate":{"@type":"woql:Node","woql:node":"p"},
+        |   "woql:object":{"@type":"woql:Variable","woql:variable_name":"K"}},
+        | "woql:grouped":{"@type":"woql:Variable","woql:variable_name":"G"}}""".stripMargin)
+    assert(g == GroupBy(Seq("V"), Seq("K"),
+      TriplePat(V("V"), Node("p"), V("K")), "G"))
+
+    val ob = JsonWoqlV3.parse(
+      """{"@type":"woql:OrderBy",
+        | "woql:variable_ordering":[
+        |  {"@type":"woql:VariableOrdering","woql:index":{"@value":0},
+        |   "woql:variable":{"@type":"woql:Variable","woql:variable_name":"A"},
+        |   "woql:ascending":{"@value":false,"@type":"xsd:boolean"}},
+        |  {"@type":"woql:VariableOrdering","woql:index":{"@value":1},
+        |   "woql:variable":{"@type":"woql:Variable","woql:variable_name":"B"}}],
+        | "woql:query":{"@type":"woql:True"}}""".stripMargin)
+    assert(ob == OrderBy(Seq(("A", false), ("B", true)), True))
+  }
+
+  test("v3 parseUpdate collects add/delete templates from the tree") {
+    val (q, adds, dels) = JsonWoqlV3.parseUpdate(
+      """{"@type":"woql:And","woql:query_list":[
+        | {"@type":"woql:QueryListElement","woql:index":{"@value":0},
+        |  "woql:query":{"@type":"woql:Triple",
+        |   "woql:subject":{"@type":"woql:Variable","woql:variable_name":"S"},
+        |   "woql:predicate":{"@type":"woql:Node","woql:node":"name"},
+        |   "woql:object":{"@type":"woql:Variable","woql:variable_name":"N"}}},
+        | {"@type":"woql:QueryListElement","woql:index":{"@value":1},
+        |  "woql:query":{"@type":"woql:AddTriple",
+        |   "woql:subject":{"@type":"woql:Variable","woql:variable_name":"S"},
+        |   "woql:predicate":{"@type":"woql:Node","woql:node":"tag"},
+        |   "woql:object":{"@type":"woql:Datatype","woql:datatype":{"@value":"x","@type":"xsd:string"}}}},
+        | {"@type":"woql:QueryListElement","woql:index":{"@value":2},
+        |  "woql:query":{"@type":"woql:DeleteTriple",
+        |   "woql:subject":{"@type":"woql:Variable","woql:variable_name":"S"},
+        |   "woql:predicate":{"@type":"woql:Node","woql:node":"old"},
+        |   "woql:object":{"@type":"woql:Variable","woql:variable_name":"N"}}}]}""".stripMargin)
+    assert(q == And(Seq(TriplePat(V("S"), Node("name"), V("N")), True, True)))
+    assert(adds == Seq((V("S"), Node("tag"), Str("x"))))
+    assert(dels == Seq((V("S"), Node("old"), V("N"))))
+    // drive the collected templates through the engine's staging path
+    implicit val ctx: Ctx = ctxOf(triples((":a", "name", "alice")))
+    val (ins, rm) = graft.storage.Updates.stage(q, adds, dels)
+    assert(ins.count() == 1 && rm.count() == 1)
+  }
+
   test("v3 JSON-LD wire format parses to the same AST") {
     val v3 =
       """{"@type":"woql:Select",
