@@ -341,10 +341,20 @@ object Compiler {
 
     case Once(sub) =>
       val inner = compile(sub, cur)
-      if (cur.isUnit) BF(inner.df.limit(1), inner.vars)
-      else {
+      // DETERMINISTIC once: the reference commits to its search engine's
+      // first-found solution (Prolog clause order); a distributed engine
+      // has no stable search order, so we bind the LEAST solution under
+      // the total order of all bound variables — deterministic across
+      // runs/partitionings and oracle-checkable (documented divergence;
+      // same per-frame cardinality: exactly one solution).
+      if (cur.isUnit) {
+        val ord = inner.vars.toSeq.sorted.map(col)
+        BF(inner.df.orderBy(ord: _*).limit(1), inner.vars)
+      } else {
         val keys = cur.vars.toSeq.sorted
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(keys.map(col): _*)
+        val rest = (inner.vars -- cur.vars).toSeq.sorted
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy((keys ++ rest).map(col): _*)
         BF(inner.df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn"), inner.vars)
       }

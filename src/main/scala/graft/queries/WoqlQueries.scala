@@ -121,7 +121,8 @@ object WoqlQueries {
         TriplePat(V("O"), Node("tpch:o_totalprice"), V("P"))))))))(
       "c" -> vIri("C"), "price" -> vDbl("P")),
 
-    "woql_once" -> woql( // no oracle: any-first-solution is nondeterministic
+    // deterministic once binds the least solution → oracle-able as min()
+    "woql_once" -> woql(
       Once(TriplePat(V("C"), Node("rdf:type"), Node("tpch:Customer"))))(
       "c" -> vIri("C")),
 
@@ -401,6 +402,11 @@ object WoqlQueries {
 
     "woql_count" ->
       "SELECT count(*) AS n FROM orders",
+
+    // deterministic once = least solution under the binding total order
+    // (here: lexicographically least customer IRI)
+    "woql_once" ->
+      "SELECT min('tpch:customer/'||c_custkey) AS c FROM customer",
 
     "woql_group_sum_dec" ->
       """SELECT o_orderstatus AS st,

@@ -59,9 +59,16 @@ class CompilerSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Row]("N") == null) == 1)
   }
 
-  test("once yields exactly one solution") {
+  test("once yields exactly one solution, deterministically the least") {
     val q = Once(TriplePat(V("X"), Node("knows"), V("Y")))
-    assert(Compiler.run(q).count() == 1)
+    val runs = (1 to 3).map { _ =>
+      Compiler.run(q).collect().map { r =>
+        (r.getAs[Row]("X").getAs[String]("iri"),
+          r.getAs[Row]("Y").getAs[String]("iri"))
+      }.toSeq
+    }
+    assert(runs.head.length == 1)
+    assert(runs.distinct.length == 1) // same least solution every run
   }
 
   test("conjunction order does not change the solution set") {
