@@ -19,7 +19,7 @@ object Graft {
   /** Cache layout version — bump when Eav.schema changes so stale
     * parquet from an earlier round is never read with the new schema. */
   val cacheRoot: String =
-    sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") + "/v2"
+    sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") + "/v3"
   private val ctxCache = new java.util.concurrent.ConcurrentHashMap[String, Ctx]()
 
   def ctx(spark: SparkSession, sfDir: String): Ctx =

@@ -197,6 +197,79 @@ object VersionQueries {
           col("Bal").getField("dbl").as("c_acctbal"))
     }),
 
+    // class frame from the schema graph: own + inherited (via subclass
+    // closure) property declarations (§2.8 frames; core/query/frame.pl)
+    "woql_frame" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      val schema = ctx.triples.filter(col("g") === "schema")
+      graft.docs.Frames.classFrame(schema, ctx.subclass, "tpch:Customer")
+        .select(col("property"), col("range").as("rng"),
+          col("maxCard").as("max_card"))
+    }),
+
+    // commit-time validation, violation-producing: declare
+    // tpch:c_mktsegment as a graft:unique key (it is not one) — the
+    // validator must report every shared segment value (§2.8)
+    "woql_validate_unique" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      import s.implicits._
+      val schema = Seq(("tpch:c_mktsegment", true)).toDF("s", "o_bool")
+        .select(col("s"), lit("graft:unique").as("p"), col("o_bool"),
+          lit(null).cast(StringType).as("o_iri"),
+          lit(null).cast(LongType).as("o_lng"),
+          lit(null).cast(StringType).as("o_str"))
+      val c = graft.storage.Validator.constraintsFrom(schema)
+      val slice = ctx.triples
+        .filter(col("g") === "instance" && col("p") === "tpch:c_mktsegment")
+      graft.storage.Validator.uniqueViolations(slice, slice, c)
+    }),
+
+    // cardinality check: graft:maxCard 0 on tpch:r_name → every region
+    // violates with cnt 1 (deterministic violation set)
+    "woql_validate_card" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      import s.implicits._
+      val schema = Seq(("tpch:r_name", 0L)).toDF("s", "o_lng")
+        .select(col("s"), lit("graft:maxCard").as("p"), col("o_lng"),
+          lit(null).cast(StringType).as("o_iri"),
+          lit(null).cast(BooleanType).as("o_bool"),
+          lit(null).cast(StringType).as("o_str"))
+      val c = graft.storage.Validator.constraintsFrom(schema)
+      val slice = ctx.triples
+        .filter(col("g") === "instance" && col("p") === "tpch:r_name")
+      graft.storage.Validator.cardinalityViolations(slice, slice, c)
+    }),
+
+    // push to a second store (pack transport) then materialize THERE —
+    // the clone/fetch/push/pull machinery end-to-end (§2.8)
+    "woql_push_pull" -> ((s, d) => {
+      val src = deltaStore(s, d)
+      val dst = LayerStore.open(s, s"$cacheRoot/store_pull_${san(d)}")
+      synchronized { if (dst.refs.isEmpty) src.push(dst, "main") }
+      dst.materializeBranch("main").select(col("s"), col("o_str").as("o"))
+    }),
+
+    // distributed turtle DUMP → parse back → bindings (round-trips the
+    // column-expression formatter, not just the loader)
+    "turtle_dump" -> ((s, d) => {
+      val regions = Graft.table(s, d, "region")
+        .select(lit("instance").as("g"),
+          concat(lit("tpch:region/"), col("r_regionkey").cast(StringType)).as("s"),
+          lit("name").as("p"), lit("l").as("o_kind"),
+          lit(null).cast(StringType).as("o_iri"), lit("xsd:string").as("o_typ"),
+          col("r_name").as("o_str"), lit(null).cast(DoubleType).as("o_dbl"),
+          lit(null).cast(LongType).as("o_lng"),
+          lit(null).cast(TimestampType).as("o_ts"),
+          lit(null).cast(BooleanType).as("o_bool"),
+          lit(null).cast(StringType).as("o_lang"),
+          lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
+      val path = s"$cacheRoot/ttl_dump_${san(d)}"
+      graft.sources.Turtle.dumpTo(regions, path)
+      val text = s.read.text(path).collect().map(_.getString(0)).mkString("\n")
+      graft.sources.Turtle.load(s, text)
+        .select(col("s"), col("o_str").as("o"))
+    }),
+
     // the same flagship-class query serialized in the PRE-v10 JSON-LD
     // wire format (indexed query lists, woql:-prefixed types, @value
     // wrappers) plus a v3 Eval — must hash-match the v10-parsed result
@@ -280,6 +353,28 @@ object VersionQueries {
     "woql_json_v3" ->
       """SELECT c_name, c_acctbal, c_acctbal + 10 AS r FROM customer
         | JOIN nation ON c_nationkey = n_nationkey
-        | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin
+        | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin,
+    // the declared schema: own tpch:c_* properties + rdfs:label inherited
+    // from tpch:Entity two levels up the class hierarchy
+    "woql_frame" ->
+      """SELECT * FROM (VALUES
+        | ('tpch:c_name', 'xsd:string', CAST(1 AS BIGINT)),
+        | ('tpch:c_acctbal', 'xsd:double', CAST(1 AS BIGINT)),
+        | ('tpch:c_mktsegment', 'xsd:string', CAST(NULL AS BIGINT)),
+        | ('tpch:c_nationkey', 'tpch:Nation', CAST(NULL AS BIGINT)),
+        | ('rdfs:label', 'xsd:string', CAST(NULL AS BIGINT)))
+        | AS t(property, rng, max_card)""".stripMargin,
+    "woql_validate_unique" ->
+      """SELECT 'tpch:c_mktsegment' AS p, c_mktsegment AS v,
+        | count(DISTINCT c_custkey) AS cnt FROM customer
+        | GROUP BY 2 HAVING count(DISTINCT c_custkey) > 1""".stripMargin,
+    "woql_validate_card" ->
+      """SELECT 'tpch:region/'||r_regionkey AS s, 'tpch:r_name' AS p,
+        | CAST(1 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS n FROM region""".stripMargin,
+    "woql_push_pull" ->
+      """SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS o FROM nation
+        | WHERE n_nationkey >= 1""".stripMargin,
+    "turtle_dump" ->
+      "SELECT 'tpch:region/'||r_regionkey AS s, r_name AS o FROM region"
   )
 }

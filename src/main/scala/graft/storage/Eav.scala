@@ -171,8 +171,13 @@ object Eav {
     instance.unionByName(schemaGraph(spark))
   }
 
-  /** Tiny schema graph: class hierarchy for isa/subsumption tests.
-    * Customer and Supplier subclass a shared tpch:Agent. */
+  /** Schema graph: the class hierarchy (isa/subsumption) plus
+    * property declarations (rdfs:domain / rdfs:range / graft:maxCard)
+    * that drive frames and commit-time validation — the class-frame
+    * metadata the reference keeps in its schema graph
+    * (core/query/frame.pl). Customer and Supplier subclass a shared
+    * tpch:Agent; rdfs:label is declared on the root tpch:Entity so
+    * every class frame inherits it through the subclass closure. */
   def schemaGraph(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val rows = Seq(
@@ -184,7 +189,21 @@ object Eav {
       ("tpch:Part", "rdfs:subClassOf", "tpch:Entity"),
       ("tpch:Nation", "rdfs:subClassOf", "tpch:Entity"),
       ("tpch:Region", "rdfs:subClassOf", "tpch:Entity"))
-    rows.toDF("s", "p", "o_iri")
+    val iriTriples = rows ++ Seq(
+      // property declarations: domain (owning class) + range
+      ("tpch:c_name", "rdfs:domain", "tpch:Customer"),
+      ("tpch:c_name", "rdfs:range", "xsd:string"),
+      ("tpch:c_acctbal", "rdfs:domain", "tpch:Customer"),
+      ("tpch:c_acctbal", "rdfs:range", "xsd:double"),
+      ("tpch:c_mktsegment", "rdfs:domain", "tpch:Customer"),
+      ("tpch:c_mktsegment", "rdfs:range", "xsd:string"),
+      ("tpch:c_nationkey", "rdfs:domain", "tpch:Customer"),
+      ("tpch:c_nationkey", "rdfs:range", "tpch:Nation"),
+      ("tpch:n_name", "rdfs:domain", "tpch:Nation"),
+      ("tpch:n_name", "rdfs:range", "xsd:string"),
+      ("rdfs:label", "rdfs:domain", "tpch:Entity"),
+      ("rdfs:label", "rdfs:range", "xsd:string"))
+    val iriDf = iriTriples.toDF("s", "p", "o_iri")
       .select(lit("schema").as("g"), col("s"), col("p"), lit("i").as("o_kind"),
         col("o_iri"), lit(null).cast(StringType).as("o_typ"),
         lit(null).cast(StringType).as("o_str"),
@@ -194,6 +213,20 @@ object Eav {
         lit(null).cast(BooleanType).as("o_bool"),
         lit(null).cast(StringType).as("o_lang"),
         lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
+    val cardDf = Seq(
+      ("tpch:c_name", 1L), ("tpch:c_acctbal", 1L), ("tpch:n_name", 1L))
+      .toDF("s", "o_lng")
+      .select(lit("schema").as("g"), col("s"), lit("graft:maxCard").as("p"),
+        lit("l").as("o_kind"), lit(null).cast(StringType).as("o_iri"),
+        lit("xsd:integer").as("o_typ"),
+        lit(null).cast(StringType).as("o_str"),
+        lit(null).cast(DoubleType).as("o_dbl"),
+        col("o_lng"),
+        lit(null).cast(TimestampType).as("o_ts"),
+        lit(null).cast(BooleanType).as("o_bool"),
+        lit(null).cast(StringType).as("o_lang"),
+        lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
+    iriDf.unionByName(cardDf)
   }
 
   /** Reflexive-transitive subclass closure (sub, sup) — computed by
