@@ -4,12 +4,16 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import graft.storage.Eav
 
 /** Turtle subset reader/writer for bulk graph load/dump (SURVEY §2.1;
-  * reference: core/triple/turtle_utils.pl). Supported subset: @prefix
-  * directives, <iri> refs, prefixed names, `a` for rdf:type, `;` / `,`
-  * continuation syntax, plain/typed/lang literals, integers, decimals,
-  * booleans. Parsing is a pure function per statement, so bulk load can
-  * run inside mapPartitions over line-chunked input at scale; dump
-  * formats from the EAV frame. */
+  * reference: core/triple/turtle_utils.pl). Supported subset: @prefix /
+  * @base directives, <iri> refs, prefixed names, `a` for rdf:type,
+  * `;` / `,` continuation syntax, plain/typed/lang literals (short and
+  * `"""long"""` forms), integers, decimals, booleans, blank-node labels
+  * (`_:x`), and anonymous blank nodes `[ ... ]` in subject or object
+  * position (fresh `_:gbN` labels). Not parsed: RDF collections
+  * `( ... )` — raise on `(`-initial tokens rather than mis-reading.
+  * Parsing is a pure function per statement, so bulk load can run
+  * inside mapPartitions over line-chunked input at scale; dump formats
+  * from the EAV frame. */
 object Turtle {
 
   // ---- tokenizer ------------------------------------------------------
@@ -23,6 +27,8 @@ object Turtle {
   private case object TDot extends Tok
   private case object TSemi extends Tok
   private case object TComma extends Tok
+  private case object TLBrack extends Tok // [
+  private case object TRBrack extends Tok // ]
   private case class TDirective(v: String) extends Tok
 
   private def tokenize(s: String): List[Tok] = {
@@ -35,6 +41,17 @@ object Turtle {
         case '<' =>
           val j = s.indexOf('>', i)
           out += TIri(s.substring(i + 1, j)); i = j + 1
+        case '"' if s.startsWith("\"\"\"", i) =>
+          // long (triple-quoted) string: literal newlines/quotes allowed
+          val sb = new StringBuilder; i += 3
+          while (!s.startsWith("\"\"\"", i)) {
+            if (s(i) == '\\') { i += 1; sb += (s(i) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other }) }
+            else sb += s(i)
+            i += 1
+          }
+          i += 3; out += TStr(sb.toString)
         case '"' =>
           val sb = new StringBuilder; i += 1
           while (s(i) != '"') {
@@ -56,6 +73,8 @@ object Turtle {
         case '.' => out += TDot; i += 1
         case ';' => out += TSemi; i += 1
         case ',' => out += TComma; i += 1
+        case '[' => out += TLBrack; i += 1
+        case ']' => out += TRBrack; i += 1
         case c if c.isDigit || c == '-' || c == '+' =>
           val j0 = i
           while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
@@ -66,7 +85,7 @@ object Turtle {
         case _ =>
           val j0 = i
           while (i < s.length && !s(i).isWhitespace &&
-            !".;,^<\"#".contains(s(i))) i += 1
+            !".;,^<\"#[]".contains(s(i))) i += 1
           out += TPName(s.substring(j0, i))
       }
     }
@@ -126,46 +145,89 @@ object Turtle {
       case other => throw new IllegalArgumentException(s"expected node, got $other")
     }
 
+    var bnodeN = 0
+    def freshBlank(): String = { bnodeN += 1; s"_:gb$bnodeN" }
+
+    /** predicateObjectList for `subj`: consumes `p o (, o)* (; p o ...)*`
+      * and returns the tokens from the closing TDot / TRBrack / Nil
+      * (NOT consumed — the caller owns the terminator). Anonymous blank
+      * nodes `[ ... ]` in object position recurse with a fresh label. */
+    def predObjList(subj: String, tl0: List[Tok]): List[Tok] = {
+      var tl = tl0
+      var done = false
+      while (!done) {
+        val pred = tl.head match {
+          case TPName(n) => expand(n)
+          case TIri(i) => i
+          case other => throw new IllegalArgumentException(s"expected predicate, got $other")
+        }
+        tl = tl.tail
+        var objDone = false
+        while (!objDone) {
+          val t3 = tl match {
+            case TLBrack :: restIn =>
+              val b = freshBlank()
+              rows += mkRow(subj, pred, TIri(b), None, None)
+              restIn match {
+                case TRBrack :: r2 => r2 // bare []
+                case r => predObjList(b, r) match {
+                  case TRBrack :: r2 => r2
+                  case other => throw new IllegalArgumentException(s"unclosed [ at $other")
+                }
+              }
+            case obj :: t2 =>
+              // optional ^^type or @lang
+              val (typ, lang, t3a) = t2 match {
+                case TTypeSep :: tt :: rest2 => (Some(nodeOf(tt)), None, rest2)
+                case TLang(l) :: rest2 => (None, Some(l), rest2)
+                case _ => (None, None, t2)
+              }
+              val objNorm = obj match {
+                case TPName(n) if n != "true" && n != "false" => TPName(expand(n))
+                case o => o
+              }
+              rows += mkRow(subj, pred, objNorm, typ, lang)
+              t3a
+            case Nil => throw new IllegalArgumentException("expected object")
+          }
+          t3 match {
+            case TComma :: rest2 => tl = rest2
+            case TSemi :: rest2 => tl = rest2; objDone = true
+            case _ => tl = t3; objDone = true; done = true // Dot/RBrack/Nil
+          }
+        }
+      }
+      tl
+    }
+
+    def endStatement(tl: List[Tok]): List[Tok] = tl match {
+      case TDot :: r => r
+      case Nil => Nil
+      case other => throw new IllegalArgumentException(s"unexpected $other")
+    }
+
     var rest = toks
     while (rest.nonEmpty) rest match {
       case TDirective("prefix") :: TPName(pfx) :: TIri(iri) :: TDot :: tl =>
         prefixes(pfx) = iri; rest = tl
       case TDirective("base") :: TIri(_) :: TDot :: tl => rest = tl
-      case subjTok :: tl0 =>
-        val subj = nodeOf(subjTok)
-        var tl = tl0
-        var done = false
-        while (!done) {
-          val pred = tl.head match {
-            case TPName(n) => expand(n)
-            case TIri(i) => i
-            case other => throw new IllegalArgumentException(s"expected predicate, got $other")
-          }
-          tl = tl.tail
-          var objDone = false
-          while (!objDone) {
-            val (obj, t2) = (tl.head, tl.tail)
-            // optional ^^type or @lang
-            val (typ, lang, t3) = t2 match {
-              case TTypeSep :: tt :: rest2 => (Some(nodeOf(tt)), None, rest2)
-              case TLang(l) :: rest2 => (None, Some(l), rest2)
-              case _ => (None, None, t2)
-            }
-            val objNorm = obj match {
-              case TPName(n) if n != "true" && n != "false" => TPName(expand(n))
-              case o => o
-            }
-            rows += mkRow(subj, pred, objNorm, typ, lang)
-            t3 match {
-              case TComma :: rest2 => tl = rest2
-              case TSemi :: rest2 => tl = rest2; objDone = true
-              case TDot :: rest2 => tl = rest2; objDone = true; done = true
-              case Nil => tl = Nil; objDone = true; done = true
-              case other => throw new IllegalArgumentException(s"unexpected $other")
-            }
+      case TLBrack :: tl0 =>
+        // blank-node subject: `[] p o .` / `[ p1 o1 ; ... ] p o .` /
+        // `[ p1 o1 ] .`
+        val b = freshBlank()
+        val afterBracket = tl0 match {
+          case TRBrack :: r => r
+          case r => predObjList(b, r) match {
+            case TRBrack :: r2 => r2
+            case other => throw new IllegalArgumentException(s"unclosed [ at $other")
           }
         }
-        rest = tl
+        rest = afterBracket match {
+          case TDot :: r => r // property list only, no outer predicates
+          case r => endStatement(predObjList(b, r))
+        }
+      case subjTok :: tl0 =>
+        rest = endStatement(predObjList(nodeOf(subjTok), tl0))
     }
     rows.toSeq
   }

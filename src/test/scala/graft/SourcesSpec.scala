@@ -35,6 +35,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.filter(col("p") === "http://ex.org/height").head().getDouble(7) == 1.88)
   }
 
+  test("turtle parses long strings, blank-node labels and [ ] property lists") {
+    val tq = "\"\"\""
+    val ttl =
+      s"""@prefix ex: <http://ex.org/> .
+         |ex:a ex:note ${tq}line one
+         |line "two"
+         |${tq} .
+         |_:b1 ex:knows ex:a .
+         |ex:c ex:addr [ ex:city "Oslo" ; ex:zip 1234 ] .
+         |[ ex:name "anon" ] .
+         |""".stripMargin
+    val df = Turtle.load(spark, ttl)
+    val note = df.filter(col("p") === "http://ex.org/note").head().getString(6)
+    assert(note == "line one\nline \"two\"\n")
+    // labeled blank node stays an opaque node id
+    val kn = df.filter(col("p") === "http://ex.org/knows").head()
+    assert(kn.getString(1) == "_:b1" && kn.getString(4) == "http://ex.org/a")
+    // [ ... ] object: fresh blank subject carries the inner properties
+    val addr = df.filter(col("p") === "http://ex.org/addr").head().getString(4)
+    assert(addr.startsWith("_:gb"))
+    assert(df.filter(col("s") === addr && col("p") === "http://ex.org/city")
+      .head().getString(6) == "Oslo")
+    assert(df.filter(col("s") === addr && col("p") === "http://ex.org/zip")
+      .head().getLong(8) == 1234L)
+    // [ ... ] as a whole statement: anonymous subject
+    assert(df.filter(col("p") === "http://ex.org/name")
+      .head().getString(1).startsWith("_:gb"))
+  }
+
   test("turtle dump → parse round-trips") {
     val ttl = """<s:1> <p:name> "v" . <s:1> <p:n> 3 . <s:2> <p:x> <s:1> ."""
     val df = Turtle.load(spark, ttl)
