@@ -38,7 +38,9 @@ object Paths {
     * (work ∝ reachable set, Explain-visibly seeded). Deliberate
     * all-pairs runs raise GRAFT_CLOSURE_MAX_EDGES. */
   private def closureBudget: Long =
-    sys.env.getOrElse("GRAFT_CLOSURE_MAX_EDGES", "50000000").toLong
+    sys.props.get("graft.closure.maxEdges")
+      .orElse(sys.env.get("GRAFT_CLOSURE_MAX_EDGES"))
+      .map(_.toLong).getOrElse(50000000L)
 
   /** Transitive closure of `e` by semi-naive iteration (1+ hops). */
   private def closure(e0: DataFrame): DataFrame = {

@@ -32,6 +32,19 @@ class PathsSpec extends AnyFunSuite {
       (":c", ":a"), (":c", ":b"), (":c", ":c"), (":c", ":d")))
   }
 
+  test("unbounded closure refuses beyond the edge budget") {
+    import org.apache.spark.sql.functions.col
+    val e = g.select(col("s").as("src"), col("o_iri").as("dst"))
+    System.setProperty("graft.closure.maxEdges", "2")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        core.Paths.transitiveClosure(e).count()
+      }
+      assert(ex.getMessage.contains("GRAFT_CLOSURE_MAX_EDGES"))
+      assert(ex.getMessage.contains("bind one path endpoint"))
+    } finally System.clearProperty("graft.closure.maxEdges")
+  }
+
   test("Pregel closure equals the semi-naive DataFrame closure") {
     import org.apache.spark.sql.functions.col
     val e = g.select(col("s").as("src"), col("o_iri").as("dst"))
