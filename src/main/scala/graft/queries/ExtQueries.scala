@@ -74,6 +74,7 @@ object ExtQueries {
     "stream_append_counts" -> ((s, d) => Events.streamingAppendCounts(s, d)),
     "stream_session_counts" -> ((s, d) => Events.streamingSessionCounts(s, d)),
     "stream_dedup_counts" -> ((s, d) => Events.streamingDedup(s, d)),
+    "stream_user_stats" -> ((s, d) => Events.streamingUserStats(s, d)),
     "stream_enrich_counts" -> ((s, d) => Events.streamingEnrichedCounts(s, d)),
 
     // --- dedup family ---
@@ -221,6 +222,15 @@ object ExtQueries {
 
     "stream_dedup_counts" ->
       """SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1""".stripMargin,
+
+    // custom state (flatMapGroupsWithState): one AvailableNow replay =
+    // one data batch, so each user emits its final running aggregate
+    // exactly once; ms-floor on both sides (Timestamp.getTime / epoch_ms)
+    "stream_user_stats" ->
+      """SELECT user_id, count(*) AS n,
+        | epoch_ms(CAST(min(ts) AS TIMESTAMP)) AS first_ms,
+        | epoch_ms(CAST(max(ts) AS TIMESTAMP)) AS last_ms
+        | FROM events GROUP BY 1""".stripMargin,
 
     "stream_enrich_counts" ->
       """SELECT date_trunc('hour', ts) AS ws, c_mktsegment AS seg, count(*) AS n

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.Graft
 
@@ -118,6 +118,42 @@ object Events {
       .select(col("w.start").as("ws"), col("c_mktsegment").as("seg"), col("n"))
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Running per-user aggregate carried in CUSTOM STATE
+    * (`flatMapGroupsWithState` — SURVEY §2.10 "custom state"): the
+    * state store holds one small record per user, each micro-batch
+    * folds its events in and emits the updated running aggregate.
+    * This is the shape for per-entity state a windowed aggregate can't
+    * express (running counts, session scores, fraud counters) on an
+    * unbounded stream — state size ∝ distinct keys, not events. */
+  final case class UserAgg(n: Long, firstMs: Long, lastMs: Long)
+
+  def streamingUserStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ds = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+    val out = ds.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, it: Iterator[(Long, java.sql.Timestamp)],
+       st: GroupState[UserAgg]) => {
+        var s = st.getOption.getOrElse(UserAgg(0L, Long.MaxValue, Long.MinValue))
+        it.foreach { case (_, ts) =>
+          val t = ts.getTime
+          s = UserAgg(s.n + 1, math.min(s.firstMs, t), math.max(s.lastMs, t))
+        }
+        st.update(s)
+        Iterator((user, s.n, s.firstMs, s.lastMs))
+      })
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = out.toDF("user_id", "n", "first_ms", "last_ms")
+      .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()

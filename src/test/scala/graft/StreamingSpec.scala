@@ -60,6 +60,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState carries per-key state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    def stage(name: String, rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("user_id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp/$name")
+      val part = new java.io.File(s"$dir/tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/src").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src", s"$name.parquet"))
+    }
+    stage("b1", Seq((1L, 10L)))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("v", LongType)))
+    val src = spark.readStream.schema(schema).parquet(s"$dir/src")
+      .as[(Long, Long)]
+    val out = src.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (u: Long, it: Iterator[(Long, Long)], st: GroupState[Long]) => {
+        val s = st.getOption.getOrElse(0L) + it.size
+        st.update(s)
+        Iterator((u, s))
+      }).toDF("user_id", "n")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("state_test")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      stage("b2", Seq((1L, 11L), (1L, 12L), (2L, 20L)))
+      q.processAllAvailable()
+      val rows = spark.table("state_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // user 1 emitted the RUNNING aggregate each batch: 1, then 1+2
+      assert(rows == Set((1L, 1L), (1L, 3L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("ingestion with maxFilesPerTrigger lands one commit per batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-multi")
     def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
