@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** Physical-plan shape guards: the properties that keep the EAV design
+  * viable at 100 TB are INVISIBLE to row-level correctness tests —
+  * partition pruning on the predicate column and filter pushdown to the
+  * parquet scan. These specs pin them so a refactor that silently
+  * reverts to full scans fails CI, not the cluster. */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(q: Woql): String = {
+    implicit val ctx: Ctx = Graft.ctx(spark, sfDir)
+    val df = Compiler.run(q)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bound-predicate triple scan prunes parquet partitions on p") {
+    val plan = planOf(TriplePat(V("C"), Node("tpch:c_name"), V("N")))
+    // predicate-partitioned store: the scan must carry a PartitionFilters
+    // entry binding p, not read every predicate's files
+    assert(plan.contains("PartitionFilters"),
+      s"no PartitionFilters in plan:\n$plan")
+    assert(plan.contains("tpch:c_name"),
+      s"bound predicate not pushed into partition pruning:\n$plan")
+  }
+
+  test("bound literal object pushes a data filter to the scan") {
+    val plan = planOf(TriplePat(V("N"), Node("tpch:n_name"), Str("NATION_7")))
+    assert(plan.contains("PushedFilters") && plan.contains("NATION_7"),
+      s"literal filter did not reach the parquet scan:\n$plan")
+  }
+
+  test("small dimension joins broadcast in the flagship plan") {
+    val plan = planOf(graft.queries.WoqlQueries.flagship)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("broadcast"),
+      s"flagship conjunction lost its broadcast joins:\n$plan")
+  }
+}
