@@ -19,6 +19,7 @@ object Bench {
     "woql_path_seq", "woql_path_plus_alt", "woql_path_witness_times", "woql_isa",
     "rel_q1_agg", "rel_topk_window", "rel_broadcast_join", "rel_events_window",
     "ext_json", "stream_window_counts", "stream_append_counts",
+    "stream_user_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean")
