@@ -91,6 +91,42 @@ object Dedup {
     ja.select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Per-document near-dup CLUSTER assignment: connected components
+    * over the verified LSH pair graph by iterative min-label
+    * propagation — each doc's cluster id is the smallest doc_id
+    * reachable through the near-dup relation (singletons label
+    * themselves; keep policy = `doc_id == cluster`). A cleaning
+    * pipeline consumes THIS, not pairs. Semi-naive: each round is one
+    * equi-join + min-aggregate over the (tiny) edge list; rounds ∝
+    * cluster diameter, work ∝ |edges| — never all-pairs. */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(docs, threshold)
+    val edges = pairs.select(col("da"), col("db"))
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"))
+      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < 32) {
+      i += 1
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("db"), col("cluster").as("nc")),
+          Seq("db"))
+        .groupBy(col("da")).agg(min(col("nc")).as("nmin"))
+        .withColumnRenamed("da", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+        .where(col("cluster") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
   /** 32-bit SimHash over distinct word tokens. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),

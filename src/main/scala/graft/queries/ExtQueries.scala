@@ -80,6 +80,7 @@ object ExtQueries {
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(t(s, d, "documents"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashNearDups(t(s, d, "documents"), 0.5)),
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(t(s, d, "documents"), 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.5)),
     "dedup_embedding_nn" -> ((s, d) => Dedup.embeddingMutualNN(t(s, d, "embeddings"))),
@@ -135,6 +136,34 @@ object ExtQueries {
       |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
   private val cosSql =
     "list_dot_product(ea, eb) / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))"
+
+  /** MinHash-LSH verified near-dup pairs as CTEs ending in `pr(da, db,
+    * jaccard)` — shared by the pair query and the cluster query. */
+  private val minhashPairCtes: String =
+    s"""sh AS (SELECT doc_id, $shSql AS shs FROM documents),
+       | h AS (SELECT doc_id, $hash32Sql AS hv FROM
+       |        (SELECT doc_id, unnest(shs) AS s FROM sh)),
+       | sig AS (SELECT doc_id,
+       |   min((1000003*hv+12345) % 4294967311) AS m0,
+       |   min((2000029*hv+54321) % 4294967311) AS m1,
+       |   min((3000073*hv+11111) % 4294967311) AS m2,
+       |   min((4000037*hv+22222) % 4294967311) AS m3,
+       |   min((5000011*hv+33333) % 4294967311) AS m4,
+       |   min((6000011*hv+44444) % 4294967311) AS m5,
+       |   min((7000003*hv+55555) % 4294967311) AS m6,
+       |   min((8000009*hv+66666) % 4294967311) AS m7
+       |  FROM h GROUP BY doc_id),
+       | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       |    md5(a.m0||'_'||a.m1) = md5(b.m0||'_'||b.m1) OR
+       |    md5(a.m2||'_'||a.m3) = md5(b.m2||'_'||b.m3) OR
+       |    md5(a.m4||'_'||a.m5) = md5(b.m4||'_'||b.m5) OR
+       |    md5(a.m6||'_'||a.m7) = md5(b.m6||'_'||b.m7))),
+       | pr AS (SELECT da, db, round(len(list_intersect(x.shs, y.shs)) * 1.0 /
+       |   len(list_distinct(list_concat(x.shs, y.shs))), 6) AS jaccard
+       | FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+       | WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
+       |   len(list_distinct(list_concat(x.shs, y.shs))) >= 0.5)""".stripMargin
 
   /** SRP-LSH bucket CTEs (= Similarity.srpBucket): md5-derived
     * hyperplanes, per-vector bucket id over `nbits` sign bits. The
@@ -240,30 +269,23 @@ object ExtQueries {
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep FROM documents GROUP BY 1",
 
     "dedup_minhash_lsh" ->
-      s"""WITH sh AS (SELECT doc_id, $shSql AS shs FROM documents),
-        | h AS (SELECT doc_id, $hash32Sql AS hv FROM
-        |        (SELECT doc_id, unnest(shs) AS s FROM sh)),
-        | sig AS (SELECT doc_id,
-        |   min((1000003*hv+12345) % 4294967311) AS m0,
-        |   min((2000029*hv+54321) % 4294967311) AS m1,
-        |   min((3000073*hv+11111) % 4294967311) AS m2,
-        |   min((4000037*hv+22222) % 4294967311) AS m3,
-        |   min((5000011*hv+33333) % 4294967311) AS m4,
-        |   min((6000011*hv+44444) % 4294967311) AS m5,
-        |   min((7000003*hv+55555) % 4294967311) AS m6,
-        |   min((8000009*hv+66666) % 4294967311) AS m7
-        |  FROM h GROUP BY doc_id),
-        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-        |    md5(a.m0||'_'||a.m1) = md5(b.m0||'_'||b.m1) OR
-        |    md5(a.m2||'_'||a.m3) = md5(b.m2||'_'||b.m3) OR
-        |    md5(a.m4||'_'||a.m5) = md5(b.m4||'_'||b.m5) OR
-        |    md5(a.m6||'_'||a.m7) = md5(b.m6||'_'||b.m7)))
-        | SELECT da, db, round(len(list_intersect(x.shs, y.shs)) * 1.0 /
-        |   len(list_distinct(list_concat(x.shs, y.shs))), 6) AS jaccard
-        | FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
-        | WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
-        |   len(list_distinct(list_concat(x.shs, y.shs))) >= 0.5""".stripMargin,
+      s"""WITH $minhashPairCtes
+        | SELECT da, db, jaccard FROM pr""".stripMargin,
+
+    // connected components over the verified pair graph: cluster id =
+    // min doc_id reachable through near-dup edges (recursive closure on
+    // the DuckDB side mirrors the engine's min-label propagation)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        | edges AS (SELECT da, db FROM pr UNION SELECT db AS da, da AS db FROM pr),
+        | reach(a, b) AS (
+        |   SELECT da, db FROM edges
+        |   UNION
+        |   SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da)
+        | SELECT d.doc_id,
+        |   least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+        | FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        | GROUP BY d.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS s FROM documents),

@@ -25,6 +25,25 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size}/${brute.size})")
   }
 
+  test("near-dup clusters are transitive and labeled by the min member") {
+    import spark.implicits._
+    // chain a~b, b~c (a and c share too little directly): one cluster,
+    // labeled by the smallest id; d is a singleton
+    val t1 = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val mk = (drop: Int, add: String) =>
+      ((1 + drop) to 12).map(i => s"tok$i").mkString(" ") + " " + add
+    val chain = Seq(
+      (1L, t1), (2L, mk(1, "x1")), (3L, mk(2, "x1 x2")),
+      (40L, "completely different words only here")).toDF("doc_id", "text")
+    val cl = Dedup.nearDupClusters(chain, 0.3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(40L) == 40L)                 // singleton keeps its own label
+    assert(cl(1L) == 1L)
+    // transitivity: whatever subset of the chain linked, labels agree
+    // with min-reachable; with threshold .3 the whole chain must merge
+    assert(cl(2L) == 1L && cl(3L) == 1L, s"chain did not merge: $cl")
+  }
+
   test("simhash of near-dup docs differs in few bits") {
     val pair = Dedup.ngramJaccardPairs(docs, 0.8).select("da", "db").head()
     val sh = Dedup.simhash(docs).collect()
