@@ -240,8 +240,17 @@ object Turtle {
     * ops, no driver collect). IRIs dump as <…> for unambiguity. */
   def dumpLines(triples: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    def esc(c: org.apache.spark.sql.Column) =
-      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    // short-form turtle literals cannot contain RAW newlines/tabs — and
+    // the dump is one statement per text line, so control characters
+    // MUST leave as \n-style escapes or the written file is corrupt
+    def esc(c: org.apache.spark.sql.Column) = {
+      val steps = Seq( // literal char -> escaped form (\x)
+        "\\" -> "\\\\\\\\", "\"" -> "\\\\\"",
+        "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
+      steps.foldLeft(c) { case (acc, (from, to)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+      }
+    }
     val strLit = concat(lit("\""), esc(col("o_str")), lit("\""),
       when(col("o_lang").isNotNull, concat(lit("@"), col("o_lang"))).otherwise(lit("")))
     val obj = when(col("o_kind") === "i", concat(lit("<"), col("o_iri"), lit(">")))

@@ -71,6 +71,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(again.collect().toSet == df.collect().toSet)
   }
 
+  test("dump escapes control characters so statements stay line-delimited") {
+    // a raw newline/tab/quote inside a literal must leave as \n-style
+    // escapes — the distributed dump is one statement per text line
+    val ttl = "<s:1> <p:v> \"line1\\nline2\\ttab \\\"q\\\" end\" ."
+    val df = Turtle.load(spark, ttl)
+    assert(df.head().getString(6) == "line1\nline2\ttab \"q\" end")
+    val dumped = Turtle.dump(df)
+    assert(!dumped.dropRight(1).contains('\n'), s"raw newline in dump: $dumped")
+    val again = Turtle.load(spark, dumped)
+    assert(again.collect().toSet == df.collect().toSet)
+  }
+
   test("turtle decimal literals round-trip exactly through the dec slot") {
     val ttl = """<s:1> <p:amt> 12.34 . <s:2> <p:amt> "99.990000000000000001"^^xsd:decimal ."""
     val df = Turtle.load(spark, ttl)
