@@ -99,12 +99,19 @@ object Dedup {
     * pipeline consumes THIS, not pairs. Semi-naive: each round is one
     * equi-join + min-aggregate over the (tiny) edge list; rounds ∝
     * cluster diameter, work ∝ |edges| — never all-pairs. */
-  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashNearDups(docs, threshold)
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    clustersFromPairs(docs.select(col("doc_id")),
+      minhashNearDups(docs, threshold).select(col("da"), col("db")))
+
+  /** Generic min-label connected components over any `(da, db)` pair
+    * relation — also serves embedding near-dups
+    * (`clustersFromPairs(emb.select(col("vec_id").as("doc_id")),
+    * embeddingLshDups(emb).select(col("ia").as("da"), col("ib").as("db")))`). */
+  def clustersFromPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("da"), col("db"))
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"))
+    var labels = ids.select(col("doc_id"))
       .withColumn("cluster", col("doc_id")).localCheckpoint(true)
     var changed = 1L
     var i = 0
