@@ -55,6 +55,40 @@ object Multimodal {
     spark.createDataFrame(rows.rdd, metaSchema)
   }
 
+  val featSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("j", LongType),
+    StructField("v", DoubleType)))
+
+  /** Deterministic per-payload FEATURE VECTOR stub — the
+    * media-embedding slot (image/audio → float features feeding the
+    * similarity / embedding-dedup operators downstream). Same
+    * mapPartitions batch shape as [[decodeMeta]] (per-partition codec
+    * init, streaming rows); emitted exploded as (doc_id, j, v) so the
+    * oracle compares scalars, not array renderings. Feature j derives
+    * from md5(payload ++ ":j") — replayable bit-for-bit in SQL. */
+  def extractFeatures(withBytes: DataFrame, dims: Int = 8): DataFrame = {
+    val spark = withBytes.sparkSession
+    val rows = withBytes.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          (0 until dims).iterator.map { j =>
+            md.reset()
+            md.update(bytes)
+            md.update(s":$j".getBytes("UTF-8"))
+            val hv = java.lang.Long.parseLong(
+              md.digest().take(4).map("%02x".format(_)).mkString, 16)
+            Row(id, j.toLong, hv.toDouble / 4294967296.0)
+          }
+        }
+      }(Encoders.row(featSchema))
+    spark.createDataFrame(rows.rdd, featSchema)
+      .select(col("doc_id"), col("j"), round(col("v"), 6).as("v"))
+  }
+
   /** Deterministic frame-sampling stub: pick every `stride`-th byte
     * offset as a "frame" index (shape of video frame sampling). */
   def sampleFrames(withBytes: DataFrame, stride: Int): DataFrame =

@@ -110,6 +110,9 @@ object ExtQueries {
     "mm_frames" -> ((s, d) =>
       graft.llm.Multimodal.sampleFrames(
         graft.llm.Multimodal.withPayload(t(s, d, "documents")), 64)),
+    "mm_features" -> ((s, d) =>
+      graft.llm.Multimodal.extractFeatures(
+        graft.llm.Multimodal.withPayload(t(s, d, "documents")))),
 
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
@@ -398,6 +401,14 @@ object ExtQueries {
     "mm_frames" ->
       """SELECT doc_id, unnest(range(0, CAST(strlen(text) AS BIGINT), 64))
         | AS frame_offset FROM documents""".stripMargin,
+
+    // feature-extraction stub replay: feature j = first-8-hex value of
+    // md5(payload || ':' || j), scaled to [0,1)
+    "mm_features" ->
+      s"""WITH f AS (SELECT doc_id, j, text || ':' || CAST(j AS VARCHAR) AS s
+        |  FROM documents, (SELECT unnest(range(0, 8)) AS j))
+        | SELECT doc_id, j, round($hash32Sql / 4294967296.0, 6) AS v
+        | FROM f""".stripMargin,
 
     "llm_pipeline_clean" ->
       s"""WITH q AS (SELECT doc_id,

@@ -100,6 +100,13 @@ class LlmSpec extends AnyFunSuite {
     assert(m1.forall(r => r.getLong(2) >= 640 && r.getLong(3) >= 480))
     val frames = Multimodal.sampleFrames(withB.limit(3), 64)
     assert(frames.count() > 0)
+    // feature extraction: deterministic, dims per doc, values in [0,1)
+    val f1 = Multimodal.extractFeatures(withB).orderBy("doc_id", "j").collect()
+    val f2 = Multimodal.extractFeatures(withB.repartition(7))
+      .orderBy("doc_id", "j").collect()
+    assert(f1.sameElements(f2))
+    assert(f1.length == 50 * 8)
+    assert(f1.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
   }
 
   test("exact dedup groups sum to corpus size") {
