@@ -35,6 +35,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"literal filter did not reach the parquet scan:\n$plan")
   }
 
+  test("driver contract: every query has an oracle and vice versa") {
+    // zero no-oracle entries is a round-3 invariant — a typo'd key on
+    // either side silently weakens the correctness gate
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+
   test("small dimension joins broadcast in the flagship plan") {
     val plan = planOf(graft.queries.WoqlQueries.flagship)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("broadcast"),
