@@ -36,6 +36,24 @@ class PropertySpec extends AnyFunSuite {
       }
     }.toSet
 
+  test("turtle dump → load round-trips adversarial string literals") {
+    // alphabet deliberately includes every character the dump must
+    // escape (quote, backslash, newline, tab, CR) plus unicode
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '\r', ' ', 'é', '→'))
+    val strGen = Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, charGen))
+      .map(_.mkString)
+    (1L to 4L).foreach { seed =>
+      val vals = (0 until 6).map(i => sample(strGen, seed * 100 + i))
+      val df = triples(vals.zipWithIndex.map { case (v, i) =>
+        (s":s$i", "p", v: Any) }: _*)
+      val again = graft.sources.Turtle.load(spark, graft.sources.Turtle.dump(df))
+      val want = df.collect().map(r => (r.getString(1), r.getString(6))).toSet
+      val got = again.collect().map(r => (r.getString(1), r.getString(6))).toSet
+      assert(got == want, s"seed $seed: $vals")
+    }
+  }
+
   test("opt solutions are a superset of and solutions") {
     (1L to 5L).foreach { seed =>
       val ctx = graphCtx(seed)
