@@ -375,6 +375,9 @@ object Compiler {
         BF(cur.df.filter(col(x) === col(y)), cur.vars)
       case (V(x), V(y)) if cur.vars(x) => BF(cur.df.withColumn(y, col(x)), cur.vars + y)
       case (V(x), V(y)) if cur.vars(y) => BF(cur.df.withColumn(x, col(y)), cur.vars + x)
+      case (V(x), V(y)) => throw new IllegalArgumentException(
+        s"eq($x, $y): at least one side must be bound — unbound-unbound " +
+          "aliasing has no solutions to enumerate in a set-oriented engine")
       case (V(x), c: Term) if cur.vars(x) => BF(cur.df.filter(col(x) === ofTerm(c)), cur.vars)
       case (V(x), c: Term) => BF(cur.df.withColumn(x, ofTerm(c)), cur.vars + x)
       case (c: Term, V(x)) => compile(Eq(V(x), c), cur)

@@ -71,6 +71,13 @@ class CompilerSpec extends AnyFunSuite {
     assert(runs.distinct.length == 1) // same least solution every run
   }
 
+  test("eq of two unbound vars raises a clear error, not a MatchError") {
+    val e = intercept[IllegalArgumentException] {
+      Compiler.run(Eq(V("A"), V("B")))
+    }
+    assert(e.getMessage.contains("at least one side must be bound"))
+  }
+
   test("conjunction order does not change the solution set") {
     val a = And(Seq(
       TriplePat(V("X"), Node("knows"), V("Y")),
