@@ -107,7 +107,8 @@ object Dedup {
     * relation — also serves embedding near-dups
     * (`clustersFromPairs(emb.select(col("vec_id").as("doc_id")),
     * embeddingLshDups(emb).select(col("ia").as("da"), col("ib").as("db")))`). */
-  def clustersFromPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
+  def clustersFromPairs(ids: DataFrame, pairs: DataFrame,
+                        maxRounds: Int = 64): DataFrame = {
     val edges = pairs.select(col("da"), col("db"))
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true)
@@ -115,7 +116,7 @@ object Dedup {
       .withColumn("cluster", col("doc_id")).localCheckpoint(true)
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < 32) {
+    while (changed > 0 && i < maxRounds) {
       i += 1
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("db"), col("cluster").as("nc")),
@@ -131,6 +132,13 @@ object Dedup {
         .where(col("cluster") =!= col("old")).count()
       labels = next
     }
+    // rounds ∝ cluster diameter — a chain longer than maxRounds means the
+    // labels have NOT converged; raise rather than return a partial
+    // clustering that silently diverges from the connected-components oracle
+    if (changed > 0) throw new IllegalStateException(
+      s"clustersFromPairs did not converge after $maxRounds label-propagation " +
+        s"rounds ($changed labels still changing) — pair graph has a component " +
+        "of diameter > " + maxRounds)
     labels
   }
 

@@ -38,12 +38,12 @@ object Resources {
     resource match {
       case r if r.startsWith("inline:") =>
         val content = r.stripPrefix("inline:")
-        val landed = land(spark, "inline",
+        val landed = land(spark, "inline", md5Hex(content),
           () => new java.io.ByteArrayInputStream(
             content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         readLanded(spark, landed, header)
       case r if r.startsWith("http://") || r.startsWith("https://") =>
-        val landed = land(spark, "http", () => {
+        val landed = land(spark, "http", md5Hex(r), () => {
           val conn = new java.net.URL(r).openConnection()
           conn.setConnectTimeout(ConnectTimeoutMs)
           conn.setReadTimeout(ReadTimeoutMs)
@@ -57,22 +57,38 @@ object Resources {
     }
 
   /** Stream a resource body into shared storage; returns the landed path.
-    * Content-addressed-ish name (nanoTime) under `landingDir`. */
-  private def land(spark: SparkSession, tag: String,
+    * Content-addressed: `key` is md5 of the inline content / the URL, so a
+    * repeated `get` of the same resource reuses the landed file instead of
+    * growing the landing dir without bound. (URL-keyed caching trades
+    * freshness for idempotence: a changed remote body re-fetches only after
+    * the landing dir is cleared — same trade a layer cache makes.) The copy
+    * goes through a
+    * process-unique temp name and an atomic rename, so a concurrent lander
+    * of the same key never exposes a half-written file. */
+  private def land(spark: SparkSession, tag: String, key: String,
                    open: () => java.io.InputStream): String = {
     val dir = new Path(landingDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val dest = new Path(dir, s"res_${tag}_${System.nanoTime()}.csv")
+    val dest = new Path(dir, s"res_${tag}_$key.csv")
+    if (fs.exists(dest)) return dest.toString
+    val tmp = new Path(dir, s".res_${tag}_${key}_${System.nanoTime()}.tmp")
     val in = open()
-    val out = fs.create(dest, true)
+    val out = fs.create(tmp, true)
     try {
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
     } finally { try in.close() finally out.close() }
+    if (!fs.rename(tmp, dest) && !fs.exists(dest))
+      throw new java.io.IOException(s"failed to land resource at $dest")
     dest.toString
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   private def readLanded(spark: SparkSession, path: String,
                          header: Boolean): DataFrame =

@@ -40,27 +40,52 @@ object Turtle {
         case '#' => while (i < s.length && s(i) != '\n') i += 1
         case '<' =>
           val j = s.indexOf('>', i)
+          if (j < 0) throw new IllegalArgumentException(
+            s"unterminated IRI starting at offset $i")
           out += TIri(s.substring(i + 1, j)); i = j + 1
         case '"' if s.startsWith("\"\"\"", i) =>
-          // long (triple-quoted) string: literal newlines/quotes allowed
+          // long (triple-quoted) string: literal newlines/quotes allowed.
+          // Per the Turtle grammar the content may contain runs of one or
+          // two unescaped quotes, so the CLOSING delimiter is greedy: in a
+          // run of q >= 3 quotes, q-3 belong to the content ("""ab"""" has
+          // content ab").
           val sb = new StringBuilder; i += 3
-          while (!s.startsWith("\"\"\"", i)) {
-            if (s(i) == '\\') { i += 1; sb += (s(i) match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-              case other => other }) }
-            else sb += s(i)
-            i += 1
+          var closed = false
+          while (!closed) {
+            if (i >= s.length) throw new IllegalArgumentException(
+              "unterminated \"\"\" long string literal")
+            if (s(i) == '"') {
+              var q = 0
+              while (i + q < s.length && s(i + q) == '"') q += 1
+              if (q >= 3) {
+                if (q > 5) throw new IllegalArgumentException(
+                  s"run of $q quotes after long string content — at most 2 " +
+                    "unescaped quotes may precede the closing \"\"\"")
+                sb.append("\"" * (q - 3)); i += q; closed = true
+              } else { sb.append("\"" * q); i += q }
+            } else if (s(i) == '\\') {
+              if (i + 1 >= s.length) throw new IllegalArgumentException(
+                "dangling escape at end of long string literal")
+              i += 1; sb += (s(i) match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case other => other }); i += 1
+            } else { sb += s(i); i += 1 }
           }
-          i += 3; out += TStr(sb.toString)
+          out += TStr(sb.toString)
         case '"' =>
           val sb = new StringBuilder; i += 1
-          while (s(i) != '"') {
-            if (s(i) == '\\') { i += 1; sb += (s(i) match {
+          while (i < s.length && s(i) != '"') {
+            if (s(i) == '\\') {
+              if (i + 1 >= s.length) throw new IllegalArgumentException(
+                "dangling escape at end of string literal")
+              i += 1; sb += (s(i) match {
               case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
               case other => other }) }
             else sb += s(i)
             i += 1
           }
+          if (i >= s.length) throw new IllegalArgumentException(
+            "unterminated \" string literal")
           i += 1; out += TStr(sb.toString)
         case '@' =>
           val j0 = i + 1; var j = j0

@@ -98,19 +98,29 @@ object Validator {
                        c: Constraints): DataFrame = {
     // canonical lexical view: a graft:unique value can live in ANY typed
     // slot — keying on o_str alone silently never checked non-string keys
-    // (their null o_str never matched the delta's keys)
+    // (their null o_str never matched the delta's keys). The slot tag
+    // joins the grouping key so cross-type lexical collisions stay apart:
+    // o_str "123" and o_lng 123 (or o_str "true" vs o_bool true) are
+    // DIFFERENT keys — distinct types never alias into a false
+    // uniqueness violation. The reported `v` stays the bare lexical.
+    val litTag = when(col("o_str").isNotNull, lit("s"))
+      .when(col("o_lng").isNotNull, lit("l"))
+      .when(col("o_dbl").isNotNull, lit("d"))
+      .when(col("o_dec").isNotNull, lit("c"))
+      .when(col("o_ts").isNotNull, lit("t"))
+      .when(col("o_bool").isNotNull, lit("b"))
     val litKey = coalesce(col("o_str"),
       col("o_lng").cast("string"), col("o_dbl").cast("string"),
       col("o_dec").cast("string"), col("o_ts").cast("string"),
       col("o_bool").cast("string"))
     val all = graph.unionByName(delta).filter(col("o_kind") === "l")
       .join(broadcast(c.unique), col("p") === col("cp"), "left_semi")
-      .withColumn("v", litKey)
+      .withColumn("vt", litTag).withColumn("v", litKey)
     val deltaKeys = delta.filter(col("o_kind") === "l")
       .join(broadcast(c.unique), col("p") === col("cp"), "left_semi")
-      .select(col("p"), litKey.as("v")).distinct()
-    all.join(deltaKeys, Seq("p", "v"), "left_semi")
-      .groupBy(col("p"), col("v"))
+      .select(col("p"), litTag.as("vt"), litKey.as("v")).distinct()
+    all.join(deltaKeys, Seq("p", "vt", "v"), "left_semi")
+      .groupBy(col("p"), col("vt"), col("v"))
       .agg(countDistinct(col("s")).as("cnt"))
       .where(col("cnt") > 1)
       .select(col("p"), col("v"), col("cnt"))

@@ -135,9 +135,15 @@ object Events {
     * unbounded stream — state size ∝ distinct keys, not events. */
   final case class UserAgg(n: Long, firstMs: Long, lastMs: Long)
 
-  def streamingUserStats(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamingUserStats(spark: SparkSession, sfDir: String): DataFrame =
+    userStats(spark, eventsStream(spark, sfDir))
+
+  /** Same, over any streaming events source (factored for multi-batch
+    * tests: the result must be identical whatever `maxFilesPerTrigger`
+    * splits the input into). */
+  def userStats(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val ds = eventsStream(spark, sfDir)
+    val ds = events
       .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
     val out = ds.groupByKey(_._1).flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.NoTimeout())(
@@ -159,7 +165,16 @@ object Events {
       .start()
     q.processAllAvailable()
     q.stop()
+    // flatMapGroupsWithState emits the RUNNING aggregate once per
+    // micro-batch per key; with multi-file staging or maxFilesPerTrigger
+    // the same user appears once per batch. The per-user FINAL row is the
+    // one with the largest n (n is monotone across batches) — reduce to it
+    // so the result is batch-count-independent.
     spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("first_ms"), col("last_ms"))).as("f"))
+      .select(col("user_id"), col("f.n").as("n"),
+        col("f.first_ms").as("first_ms"), col("f.last_ms").as("last_ms"))
   }
 
   /** Streaming exact dedup within the watermark window. */

@@ -167,6 +167,17 @@ class LayersSpec extends AnyFunSuite {
     assert(uvN.length == 1 && uvN.head.getString(1) == "123"
       && uvN.head.getLong(2) == 3L)
 
+    // cross-TYPE lexical collision is NOT a violation: o_str "123" and
+    // o_lng 123 render the same lexical but are distinct typed keys
+    val gX = triples((":u1", "ssn", "123"), (":u2", "ssn", 123))
+    assert(Validator.uniqueViolations(gX, gX, cN).count() == 0)
+    // …and a genuine same-type duplicate beside them is still caught
+    val gX2 = triples(
+      (":u1", "ssn", "123"), (":u2", "ssn", 123), (":u3", "ssn", 123))
+    val uvX = Validator.uniqueViolations(gX2, gX2, cN).collect()
+    assert(uvX.length == 1 && uvX.head.getString(1) == "123"
+      && uvX.head.getLong(2) == 2L)
+
     // subdoc ownership: one owner ok, zero owners violation
     val g2 = triples(
       (":addr1", "rdf:type", ":Address"), (":p1", "addr", ":addr1"),

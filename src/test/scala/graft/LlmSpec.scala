@@ -44,6 +44,22 @@ class LlmSpec extends AnyFunSuite {
     assert(cl(2L) == 1L && cl(3L) == 1L, s"chain did not merge: $cl")
   }
 
+  test("clustersFromPairs raises on non-convergence instead of partial labels") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 has diameter 5: min-label propagation moves one
+    // hop per round, so maxRounds=1 CANNOT converge — must raise, never
+    // return labels that disagree with connected components
+    val ids = (1L to 6L).toDF("doc_id")
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("da", "db")
+    val e = intercept[IllegalStateException] {
+      Dedup.clustersFromPairs(ids, pairs, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // same input with enough rounds: one cluster labeled by the min id
+    val ok = Dedup.clustersFromPairs(ids, pairs, maxRounds = 8).collect()
+    assert(ok.forall(_.getLong(1) == 1L))
+  }
+
   test("simhash of near-dup docs differs in few bits") {
     val pair = Dedup.ngramJaccardPairs(docs, 0.8).select("da", "db").head()
     val sh = Dedup.simhash(docs).collect()

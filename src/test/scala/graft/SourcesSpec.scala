@@ -333,4 +333,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(st.refs.contains("main"))
     assert(st.materializeBranch("main").count() == 3)
   }
+
+  test("turtle long string closes greedily; unterminated input raises") {
+    val tq = "\"\"\""
+    // content ending in an unescaped quote: the closing delimiter is the
+    // LAST three of the four quotes, so """ab"""" has content ab"
+    val df = Turtle.load(spark,
+      s"""<http://e/a> <http://e/v> ${tq}ab$tq" .""")
+    assert(df.head().getString(6) == "ab\"")
+    // double quotes INSIDE long-string content survive
+    val df2 = Turtle.load(spark,
+      s"""<http://e/a> <http://e/v> ${tq}x""y$tq .""")
+    assert(df2.head().getString(6) == "x\"\"y")
+    val e1 = intercept[IllegalArgumentException] {
+      Turtle.load(spark, s"<http://e/a> <http://e/v> ${tq}never closed")
+    }
+    assert(e1.getMessage.contains("unterminated"))
+    val e2 = intercept[IllegalArgumentException] {
+      Turtle.load(spark, "<http://e/a> <http://e/v> \"no close")
+    }
+    assert(e2.getMessage.contains("unterminated"))
+  }
+
+  test("repeated inline get reuses one content-addressed landed file") {
+    import graft.sources.Resources
+    val content = "a,b\n7,seven\n8,eight"
+    assert(Resources.csv(spark, s"inline:$content", header = true).count() == 2)
+    val dir = new java.io.File(Resources.landingDir)
+    val countForKey = () => dir.listFiles()
+      .count(f => f.getName.startsWith("res_inline_") && {
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == content
+      })
+    assert(countForKey() == 1)
+    // second get of the SAME content: no new file, same landed path reused
+    assert(Resources.csv(spark, s"inline:$content", header = true).count() == 2)
+    assert(countForKey() == 1)
+    // no stray temp files left behind
+    assert(!dir.listFiles().exists(_.getName.endsWith(".tmp")))
+  }
 }

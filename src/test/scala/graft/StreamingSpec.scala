@@ -100,6 +100,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("user stats reduce to one final row per user across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-us").toString
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp/$name")
+      val part = new java.io.File(s"$dir/tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/src").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src", s"$name.parquet"))
+    }
+    stage("b1", Seq((1L, ts(1)), (1L, ts(5))))
+    stage("b2", Seq((1L, ts(9)), (2L, ts(4))))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    // maxFilesPerTrigger=1 forces TWO micro-batches: flatMapGroupsWithState
+    // emits user 1's running aggregate in each; the final-row reduction
+    // must make the result batch-count-independent
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val out = graft.streaming.Events.userStats(spark, src).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 2)
+    assert(out(1L) == ((3L, 1000L, 9000L)))
+    assert(out(2L) == ((1L, 4000L, 4000L)))
+  }
+
   test("ingestion with maxFilesPerTrigger lands one commit per batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-multi")
     def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
