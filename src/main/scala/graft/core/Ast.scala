@@ -67,6 +67,13 @@ object Or { def of(qs: Woql*): Or = Or(qs.toList) }
 final case class Not(q: Woql) extends Woql
 final case class Opt(q: Woql) extends Woql
 final case class Once(q: Woql) extends Woql
+/** `immediately(Q)` — the reference's v3 eager-side-effect quirk
+  * (reference: core/query/woql_compile.pl immediately clause): run Q's
+  * updates without waiting for the surrounding transaction. Our updates
+  * are STAGED and commit atomically once per query, so eagerness has no
+  * observable effect inside a query — the operator is accepted and
+  * compiles to Q itself (documented equivalence, SURVEY §2.3). */
+final case class Immediately(q: Woql) extends Woql
 /** `when(Cond, Then)` — conditional extension (reference:
   * core/query/woql_compile.pl when clauses): solutions that Cond extends
   * must flow through Then; solutions Cond rejects pass through unchanged

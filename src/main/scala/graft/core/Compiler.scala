@@ -339,6 +339,10 @@ object Compiler {
           thenBF.vars)
       }
 
+    case Immediately(sub) =>
+      // staged-update model: eagerness is unobservable inside a query
+      compile(sub, cur)
+
     case Once(sub) =>
       val inner = compile(sub, cur)
       // DETERMINISTIC once: the reference commits to its search engine's

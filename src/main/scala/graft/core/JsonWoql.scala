@@ -141,6 +141,7 @@ object JsonWoql {
     case JString("Not") => Not(toWoql(j \ "query"))
     case JString("Optional" | "Opt") => Opt(toWoql(j \ "query"))
     case JString("Once") => Once(toWoql(j \ "query"))
+    case JString("Immediately") => Immediately(toWoql(j \ "query"))
     case JString("When") => WhenQ(toWoql(j \ "query"), toWoql(j \ "consequent"))
     case JString("True") => True
     case JString("Select") => Select(strs(j \ "variables"), toWoql(j \ "query"))

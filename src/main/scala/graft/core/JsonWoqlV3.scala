@@ -127,6 +127,7 @@ object JsonWoqlV3 {
       Select(listOf(j, "woql:variable_list").map(str), toWoql(j \ "woql:query"))
     case "Not" => Not(toWoql(j \ "woql:query"))
     case "Optional" | "Opt" => Opt(toWoql(j \ "woql:query"))
+    case "Immediately" => Immediately(toWoql(j \ "woql:query"))
     case "When" => WhenQ(toWoql(j \ "woql:query"), toWoql(j \ "woql:consequent"))
     case "Equals" => Eq(toTerm(j \ "woql:left"), toTerm(j \ "woql:right"))
     case "Less" => Cmp("<", toTerm(j \ "woql:left"), toTerm(j \ "woql:right"))

@@ -172,6 +172,40 @@ object VersionQueries {
     }),
 
     // ReadDocument inside WOQL (flat doc view; §2.8)
+    // document diff/patch (reference: v10 /api/diff): diff the customer
+    // slice against an edited state — re-segmented BUILDING customers
+    // (swap), dropped names for custkey % 97 (delete), a vip flag for
+    // high balances (insert) — and present the patch
+    "doc_diff" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      val old = ctx.triples.filter(col("g") === "instance" &&
+        col("p").isin("tpch:c_mktsegment", "tpch:c_name"))
+      val cust = Graft.table(s, d, "customer")
+      val dropIds = cust.filter(col("c_custkey") % 97 === 0)
+        .select(concat(lit("tpch:customer/"),
+          col("c_custkey").cast(StringType)).as("s"))
+      val seg = old.filter(col("p") === "tpch:c_mktsegment")
+        .withColumn("o_str",
+          when(col("o_str") === "BUILDING", "PROMO").otherwise(col("o_str")))
+      val names = old.filter(col("p") === "tpch:c_name")
+        .join(dropIds, Seq("s"), "left_anti")
+      val vips = cust.filter(col("c_acctbal") > 9900)
+        .select(lit("instance").as("g"),
+          concat(lit("tpch:customer/"),
+            col("c_custkey").cast(StringType)).as("s"),
+          lit("tpch:c_flag").as("p"), lit("l").as("o_kind"),
+          lit(null).cast(StringType).as("o_iri"),
+          lit("xsd:string").as("o_typ"), lit("vip").as("o_str"),
+          lit(null).cast(DoubleType).as("o_dbl"),
+          lit(null).cast(LongType).as("o_lng"),
+          lit(null).cast(TimestampType).as("o_ts"),
+          lit(null).cast(BooleanType).as("o_bool"),
+          lit(null).cast(StringType).as("o_lang"),
+          lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
+      val neu = seg.unionByName(names).unionByName(vips)
+      graft.docs.Diff.patchView(graft.docs.Diff.diffTriples(old, neu))
+    }),
+
     "woql_read_doc" -> ((s, d) => {
       implicit val ctx: Ctx = Graft.ctx(s, d)
       Compiler.run(And(Seq(
@@ -340,6 +374,19 @@ object VersionQueries {
         | WHERE n_name NOT IN ('NATION_0','NATION_1')
         | UNION ALL
         | SELECT 'doc:Nation/NATION_0', 'doc:flag', 'updated'""".stripMargin,
+    "doc_diff" ->
+      """SELECT 'tpch:customer/'||c_custkey AS s, 'tpch:c_mktsegment' AS p,
+        |   'swap' AS op, c_mktsegment AS old_v, 'PROMO' AS new_v
+        | FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION ALL
+        | SELECT 'tpch:customer/'||c_custkey, 'tpch:c_name', 'delete',
+        |   c_name, NULL
+        | FROM customer WHERE c_custkey % 97 = 0
+        | UNION ALL
+        | SELECT 'tpch:customer/'||c_custkey, 'tpch:c_flag', 'insert',
+        |   NULL, 'vip'
+        | FROM customer WHERE c_acctbal > 9900""".stripMargin,
+
     "turtle_load" ->
       "SELECT 'tpch:region/'||r_regionkey AS s, r_name AS o FROM region",
     "woql_read_doc" ->

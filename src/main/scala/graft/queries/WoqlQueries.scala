@@ -126,6 +126,12 @@ object WoqlQueries {
       Once(TriplePat(V("C"), Node("rdf:type"), Node("tpch:Customer"))))(
       "c" -> vIri("C")),
 
+    // immediately(Q): eager side-effects are unobservable under staged
+    // updates — accepted and equivalent to Q (Ast.scala Immediately)
+    "woql_immediately" -> woql(
+      Immediately(TriplePat(V("N"), Node("tpch:n_name"), V("Name"))))(
+      "s" -> vIri("N"), "nm" -> vStr("Name")),
+
     // --- §2.4 aggregates / modifiers ---
     "woql_group_count" -> woql(And(Seq(
       GroupBy(Seq("O"), Seq("St"),
@@ -407,6 +413,9 @@ object WoqlQueries {
     // (here: lexicographically least customer IRI)
     "woql_once" ->
       "SELECT min('tpch:customer/'||c_custkey) AS c FROM customer",
+
+    "woql_immediately" ->
+      "SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS nm FROM nation",
 
     "woql_group_sum_dec" ->
       """SELECT o_orderstatus AS st,

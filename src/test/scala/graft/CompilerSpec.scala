@@ -202,4 +202,17 @@ class CompilerSpec extends AnyFunSuite {
         r.getAs[Row]("N").getAs[Long]("lng")).toMap
     assert(counts == Map("knows" -> 3L, "name" -> 2L, "age" -> 2L))
   }
+
+  test("immediately(Q) is equivalent to Q under staged updates") {
+    val g2 = triples((":a", "name", "ada"), (":b", "name", "bob"))
+    val inner = TriplePat(V("X"), Node("name"), V("N"))
+    val plain = Compiler.run(inner)(ctxOf(g2)).collect().toSet
+    val imm = Compiler.run(Immediately(inner))(ctxOf(g2)).collect().toSet
+    assert(imm == plain && imm.size == 2)
+    // v10 JSON wire form parses
+    val ast = JsonWoql.parse(
+      """{"@type":"Immediately","query":
+        | {"@type":"True"}}""".stripMargin)
+    assert(ast == Immediately(True))
+  }
 }

@@ -96,4 +96,38 @@ class DocumentsSpec extends AnyFunSuite {
     val fv = Documents.flatView(t).collect()
     assert(fv.nonEmpty)
   }
+
+  test("diff + applyPatch round-trips; patch view fuses single-value swaps") {
+    import graft.docs.Diff
+    val old = triples(
+      (":a", "seg", "BUILDING"), (":a", "name", "ada"),
+      (":b", "seg", "AUTO"),
+      (":c", "tag", "x"), (":c", "tag", "y")) // multi-valued predicate
+    val neu = triples(
+      (":a", "seg", "PROMO"), (":a", "name", "ada"), // seg changed
+      (":b", "seg", "AUTO"), (":b", "flag", "vip"),  // flag inserted
+      (":c", "tag", "x"), (":c", "tag", "z"))        // y -> z BUT multi
+    val d = Diff.diffTriples(old, neu)
+    // round trip: applying the diff to old reproduces new exactly
+    val applied = Diff.applyPatch(old, d)
+    assert(applied.exceptAll(neu).count() == 0
+      && neu.exceptAll(applied).count() == 0)
+    val pv = Diff.patchView(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    assert(pv == Set(
+      (":a", "seg", "swap", Some("BUILDING"), Some("PROMO")),
+      (":b", "flag", "insert", None, Some("vip")),
+      // (:c, tag) has one delete and one insert — it DOES fuse to swap
+      // only because each side has exactly one changed value
+      (":c", "tag", "swap", Some("y"), Some("z"))))
+    // a genuinely multi-valued change does NOT fuse: two inserts
+    val neu2 = triples(
+      (":c", "tag", "x"), (":c", "tag", "y"),
+      (":c", "tag", "p"), (":c", "tag", "q"))
+    val pv2 = Diff.patchView(Diff.diffTriples(
+        old.filter(org.apache.spark.sql.functions.col("s") === ":c"), neu2))
+      .collect().map(r => (r.getString(2), r.getString(4))).toSet
+    assert(pv2 == Set(("insert", "p"), ("insert", "q")))
+  }
 }
