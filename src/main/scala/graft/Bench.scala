@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * `dedup_embedding_nn` are intentionally excluded: they are the
   * quadratic *baselines* the LSH/IVF variants exist to replace, and at
   * bench scale (5k docs → 12.5M pairs) they only measure the wrong
-  * algorithm. EAV encode time is reported as its own metric
+  * algorithm; `dedup_ngram_prefix` (exact prefix-filter join) is the
+  * benched shape for exact jaccard. EAV encode time is reported as its own metric
   * (`queries.eav_encode`) — it is ingest, not query. */
 object Bench {
   private val headline = Seq(
@@ -20,7 +21,8 @@ object Bench {
     "rel_q1_agg", "rel_topk_window", "rel_broadcast_join", "rel_events_window",
     "ext_json", "stream_window_counts", "stream_append_counts",
     "stream_user_stats",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_prefix", "dedup_simhash",
+    "dedup_embedding_lsh",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean")
 

@@ -173,6 +173,52 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard pairs at scale: prefix-filtered set-similarity
+    * join (AllPairs/PPJoin family — Bayardo et al. WWW'07, Chaudhuri
+    * et al. ICDE'06). Unlike MinHash-LSH this has 100% recall, so it
+    * hash-matches the same all-pairs oracle as [[ngramJaccardPairs]],
+    * but candidate generation is an equi-join on PREFIX tokens only:
+    *
+    *  - rank each doc's shingles by global document frequency (rarest
+    *    first; ties by shingle text — a total order both engines agree
+    *    on), and index only the first `|A| - ceil(t*|A|) + 1` of them.
+    *    Any pair with J >= t shares >= ceil(t*max(|A|,|B|)) shingles and
+    *    therefore shares at least one token inside BOTH prefixes; pairs
+    *    that meet only on frequent tail tokens are never generated.
+    *  - a length filter (`t*max <= min`) prunes size-incompatible pairs
+    *    inside the join, before the distinct.
+    *  - survivors are verified with the exact set Jaccard.
+    *
+    * Shuffle ∝ prefix posting-list collisions (rare tokens → short
+    * lists), never n². The brute [[ngramJaccardPairs]] stays as the
+    * small-corpus baseline; this is the 100 TB default. */
+  def ngramJaccardPrefix(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs)
+      .withColumn("sz", size(col("sh"))).localCheckpoint(true)
+    val toks = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+    val prefix = ranked
+      .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("s"), col("doc_id"), col("sz"))
+    val a = prefix.select(col("s"), col("doc_id").as("da"), col("sz").as("za"))
+    val b = prefix.select(col("s"), col("doc_id").as("db"), col("sz").as("zb"))
+    val cand = a.join(b, Seq("s")).where(col("da") < col("db"))
+      .where(least(col("za"), col("zb")) >=
+        lit(threshold) * greatest(col("za"), col("zb")))
+      .select(col("da"), col("db")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sa")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("sb")), Seq("db"))
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))))
+      .where(col("jac") >= threshold)
+      .select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
+  }
+
   /** Embedding near-dup via SRP-LSH buckets — the 100 TB DEFAULT.
     * Mutual nearest neighbors are computed INSIDE candidate sets that
     * share an SRP bucket (hamming-0 or hamming-1 multi-probe): shuffle

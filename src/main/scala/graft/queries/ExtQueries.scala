@@ -83,6 +83,10 @@ object ExtQueries {
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(t(s, d, "documents"), 0.5)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.5)),
+    // exact-recall prefix-filter join — same answer as the brute pair
+    // scan (same oracle SQL), but candidates come from an equi-join on
+    // rare-token prefixes: the 100 TB shape for EXACT jaccard dedup
+    "dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(t(s, d, "documents"), 0.5)),
     "dedup_embedding_nn" -> ((s, d) => Dedup.embeddingMutualNN(t(s, d, "embeddings"))),
     // dim passed explicitly (testdata embeddings are 64-dim): embDim's
     // first-row read is a hidden driver action — keep oracle/bench plans
@@ -300,6 +304,18 @@ object ExtQueries {
         |   ELSE 0 END) AS BIGINT) AS simhash FROM sums GROUP BY 1""".stripMargin,
 
     "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS shs FROM documents)
+        | SELECT a.doc_id AS da, b.doc_id AS db,
+        |  round(len(list_intersect(a.shs, b.shs)) * 1.0 /
+        |    len(list_distinct(list_concat(a.shs, b.shs))), 6) AS jaccard
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
+        |   len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5""".stripMargin,
+
+    // the prefix-filter join is EXACT (100% recall at the threshold), so
+    // its oracle is the same brute all-pairs jaccard — identical answer,
+    // different (scalable) plan on the Spark side
+    "dedup_ngram_prefix" ->
       s"""WITH sh AS (SELECT doc_id, $shSql AS shs FROM documents)
         | SELECT a.doc_id AS da, b.doc_id AS db,
         |  round(len(list_intersect(a.shs, b.shs)) * 1.0 /

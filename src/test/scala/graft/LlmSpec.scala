@@ -25,6 +25,36 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size}/${brute.size})")
   }
 
+  test("prefix-filter jaccard join EXACTLY matches the brute pair scan") {
+    // 100% recall is the contract (unlike LSH): same pairs AND same scores
+    val brute = Dedup.ngramJaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.ngramJaccardPrefix(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == brute, s"prefix join diverged: only-brute=${brute -- pref} only-prefix=${pref -- brute}")
+    assert(brute.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("prefix filter prunes pairs that meet only on frequent tail tokens") {
+    import spark.implicits._
+    // every doc shares the frequent shingle ("common stop words"); only
+    // 1 and 2 are real near-dups. Prefixes index rare tokens first, so
+    // the common-token postings never blow up the candidate set — and
+    // the join must still find exactly the one qualifying pair.
+    val base = "common stop words"
+    val docs4 = Seq(
+      (1L, s"$base alpha beta gamma delta"),
+      (2L, s"$base alpha beta gamma epsilon"),
+      (3L, s"$base zeta eta theta iota"),
+      (4L, s"$base kappa lambda mu nu")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPrefix(docs4, 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.ngramJaccardPairs(docs4, 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(got.contains((1L, 2L)))
+  }
+
   test("near-dup clusters are transitive and labeled by the min member") {
     import spark.implicits._
     // chain a~b, b~c (a and c share too little directly): one cluster,
