@@ -32,15 +32,6 @@ object GraftFunctions {
     dot / (sqrt(ArrayDot.dot(a, a)) * sqrt(ArrayDot.dot(b, b)))
   }
 
-  /** Word shingles (n-grams of whitespace tokens) as strings. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(text, "\\s+")
-    val k = size(toks) - (n - 1)
-    when(k <= 0, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), k - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
-
   /** Deterministic 32-bit-ish hash of a string via md5 (stable across
     * Spark and DuckDB — both expose md5(), unlike their native hashes). */
   def md5Hash32(s: Column): Column =

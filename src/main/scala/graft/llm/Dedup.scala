@@ -34,10 +34,21 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
 
-  /** Distinct word-3-gram shingle set per document. */
-  def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      array_distinct(wordShingles(trim(col("text")), 3)).as("sh"))
+  /** Distinct word-3-gram shingle set per document. The token array is
+    * bound in its own projection (referenced 3x downstream, so
+    * CollapseProject keeps it) — inlining `split` into the shingle
+    * lambda would re-run the regex once per shingle instead of once
+    * per document. */
+  def shingleSets(docs: DataFrame): DataFrame = {
+    val n = 3
+    val toks = col("__toks")
+    val k = size(toks) - (n - 1)
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .select(col("doc_id"), array_distinct(
+        when(k <= 0, array(concat_ws(" ", toks)))
+          .otherwise(transform(sequence(lit(0), k - 1),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("sh"))
+  }
 
   /** MinHash signature columns m0..m7 per document. */
   def minhashSignatures(docs: DataFrame): DataFrame =
@@ -193,23 +204,55 @@ object Dedup {
     * lists), never n². The brute [[ngramJaccardPairs]] stays as the
     * small-corpus baseline; this is the 100 TB default. */
   def ngramJaccardPrefix(docs: DataFrame, threshold: Double): DataFrame = {
+    // everything except the FINAL verification runs on 8-byte xxhash64
+    // keys, never on shingle strings: a collision can only merge two
+    // distinct shingles, which only ever RAISES the approximate jaccard
+    // (inter up, union down) — so hash-filtered survivor sets are a
+    // superset of the true answer at every stage, and the exact
+    // string-set verification at the end restores bit-exactness. Cheap
+    // non-cryptographic hashing is safe here, unlike the
+    // oracle-replayed md5 pipelines above.
     val sets = shingleSets(docs)
-      .withColumn("sz", size(col("sh"))).localCheckpoint(true)
-    val toks = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
-    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ranked = toks.join(dfreq, Seq("s"))
+      .withColumn("sz", size(col("sh")))
+      .withColumn("hs", transform(col("sh"), x => xxhash64(x)))
+      .localCheckpoint(true)
+    val toks = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("hv"))
+    val dfreq = toks.groupBy(col("hv")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, Seq("hv"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hv"))))
     val prefix = ranked
       .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("s"), col("doc_id"), col("sz"))
-    val a = prefix.select(col("s"), col("doc_id").as("da"), col("sz").as("za"))
-    val b = prefix.select(col("s"), col("doc_id").as("db"), col("sz").as("zb"))
-    val cand = a.join(b, Seq("s")).where(col("da") < col("db"))
+      .select(col("hv"), col("doc_id"), col("sz"), col("rn"))
+    val a = prefix.select(col("hv"), col("doc_id").as("da"),
+      col("sz").as("za"), col("rn").as("ra"))
+    val b = prefix.select(col("hv"), col("doc_id").as("db"),
+      col("sz").as("zb"), col("rn").as("rb"))
+    // positional filter (PPJoin): J >= t needs overlap
+    // alpha = ceil(t/(1+t) * (|A|+|B|)); a match at positions (ra, rb)
+    // caps the overlap at 1 + min(|A|-ra, |B|-rb) — a qualifying pair's
+    // FIRST shared token always passes, so pruning deeper matches keeps
+    // recall while cutting the candidate set on token-dense corpora
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("za") + col("zb")))
+    val cand = a.join(b, Seq("hv")).where(col("da") < col("db"))
       .where(least(col("za"), col("zb")) >=
         lit(threshold) * greatest(col("za"), col("zb")))
+      .where(lit(1) + least(col("za") - col("ra"), col("zb") - col("rb")) >= alpha)
       .select(col("da"), col("db")).distinct()
-    cand
+    // stage-1 verify on the long arrays (5-10x lighter rows than the
+    // string arrays on a token-dense corpus); hjac >= true jac, so this
+    // keeps every true pair
+    val survivors = cand
+      .join(sets.select(col("doc_id").as("da"), col("hs").as("ha"),
+        col("sz").as("za")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("hs").as("hb"),
+        col("sz").as("zb")), Seq("db"))
+      .withColumn("__hi", size(array_intersect(col("ha"), col("hb"))))
+      .where(col("__hi").cast(DoubleType) /
+        (col("za") + col("zb") - col("__hi")) >= threshold)
+      .select(col("da"), col("db"))
+    // stage-2: exact string-set jaccard on the survivors only
+    survivors
       .join(sets.select(col("doc_id").as("da"), col("sh").as("sa")), Seq("da"))
       .join(sets.select(col("doc_id").as("db"), col("sh").as("sb")), Seq("db"))
       .withColumn("jac",

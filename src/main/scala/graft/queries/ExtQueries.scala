@@ -133,7 +133,7 @@ object ExtQueries {
 
   // DuckDB-side shared fragments
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
-  private val shSql = // distinct word 3-gram shingles, matching wordShingles(_, 3)
+  private val shSql = // distinct word 3-gram shingles, matching Dedup.shingleSets
     s"""CASE WHEN len($toksSql) < 3 THEN [array_to_string($toksSql, ' ')]
        | ELSE list_distinct(list_transform(range(1, len($toksSql) - 1),
        |   i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])) END""".stripMargin
