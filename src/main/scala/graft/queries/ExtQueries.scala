@@ -69,6 +69,16 @@ object ExtQueries {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // prefix-context expand/contract round-trip (reference /api/prefixes)
+    // as pure codegen'd column rewrites over the whole table
+    "ext_prefix_roundtrip" -> ((s, d) => {
+      val ctx = graft.docs.Prefixes.Default
+      t(s, d, "nation")
+        .select(concat(lit("tpch:nation/"), col("n_nationkey")).as("compact"))
+        .withColumn("full", graft.docs.Prefixes.expandCol(ctx, col("compact")))
+        .withColumn("back", graft.docs.Prefixes.contractCol(ctx, col("full")))
+    }),
+
     // --- streaming (real Structured Streaming execution) ---
     "stream_window_counts" -> ((s, d) => Events.streamingTumblingCounts(s, d)),
     "stream_append_counts" -> ((s, d) => Events.streamingAppendCounts(s, d)),
@@ -230,6 +240,12 @@ object ExtQueries {
     "ext_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         | FROM events""".stripMargin,
+
+    "ext_prefix_roundtrip" ->
+      """SELECT 'tpch:nation/' || n_nationkey AS compact,
+        | 'http://example.org/tpch#nation/' || n_nationkey AS full,
+        | 'tpch:nation/' || n_nationkey AS back
+        | FROM nation""".stripMargin,
 
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n

@@ -256,6 +256,15 @@ object WoqlQueries {
       "o_orderkey" -> vLng("K"), "d" -> vDecS("P"), "s" -> vStr("S"),
       "kd" -> vDecS("KD")),
 
+    // xsd:dateTime round-trip through the lenient parser (XsdTimestampCast
+    // attempt #4: zone-less space-separated render — ref
+    // core/util/xsd_parser.pl + speculative_parse.pl)
+    "woql_cast_date" -> woql(And(Seq(
+      TriplePat(V("O"), Node("tpch:o_orderdate"), V("D")),
+      CastQ(V("D"), "xsd:string", "S"),
+      CastQ(V("S"), "xsd:dateTime", "T"))))(
+      "o" -> vIri("O"), "s" -> vStr("S"), "t" -> vTs("T")),
+
     // exact decimal arithmetic in eval: 2×price − 10, no double rounding
     "woql_eval_dec" -> woql(And(Seq(
       TriplePat(V("O"), Node("tpch:o_totalprice_dec"), V("P")),
@@ -482,6 +491,12 @@ object WoqlQueries {
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18)) AS VARCHAR) AS d,
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,18)) AS VARCHAR) AS s,
         | CAST(CAST(o_orderkey AS DECIMAL(38,18)) AS VARCHAR) AS kd
+        | FROM orders""".stripMargin,
+
+    "woql_cast_date" ->
+      """SELECT 'tpch:orders/' || o_orderkey AS o,
+        | CAST(o_orderdate AS VARCHAR) AS s,
+        | CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS t
         | FROM orders""".stripMargin,
 
     "woql_eval_dec" ->

@@ -130,4 +130,31 @@ class DocumentsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(2), r.getString(4))).toSet
     assert(pv2 == Set(("insert", "p"), ("insert", "q")))
   }
+
+  test("prefix context: expand/contract round-trip, longest base wins") {
+    import graft.docs.Prefixes
+    // overlapping bases: "ex" is a prefix of "exv" — contract must pick
+    // the longer (more specific) base on both the Scala and Column side
+    val ctx = Map(
+      "ex" -> "http://e.org/", "exv" -> "http://e.org/v/",
+      "tpch" -> "http://example.org/tpch#")
+    assert(Prefixes.expand(ctx)("tpch:nation/3") == "http://example.org/tpch#nation/3")
+    assert(Prefixes.contract(ctx)("http://e.org/v/x") == "exv:x")
+    assert(Prefixes.contract(ctx)("http://e.org/y") == "ex:y")
+    assert(Prefixes.expand(ctx)("unknown:z") == "unknown:z") // passthrough
+    assert(Prefixes.contract(ctx)("urn:other") == "urn:other")
+    // column side agrees with the scala side on every case
+    import TestSpark._
+    import spark.implicits._
+    val in = Seq("tpch:nation/3", "exv:x", "ex:y", "unknown:z").toDF("c")
+    val got = in.select(
+      Prefixes.expandCol(ctx, org.apache.spark.sql.functions.col("c")).as("e"))
+      .withColumn("b", Prefixes.contractCol(ctx, org.apache.spark.sql.functions.col("e")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      ("http://example.org/tpch#nation/3", "tpch:nation/3"),
+      ("http://e.org/v/x", "exv:x"),
+      ("http://e.org/y", "ex:y"),
+      ("unknown:z", "unknown:z")))
+  }
 }
