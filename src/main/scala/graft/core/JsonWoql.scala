@@ -48,7 +48,10 @@ object JsonWoql {
   private def dataLit(o: JObject): Term = {
     val v = o \ "@value"
     (o \ "@type") match {
-      case JString("xsd:string") => Str(str(v))
+      case JString("xsd:string") => (o \ "@language") match {
+        case JString(lang) => Str(str(v), lang)
+        case _ => Str(str(v))
+      }
       case JString("xsd:integer") | JString("xsd:long") => v match {
         case JInt(i) => Lng(i.toLong)
         case JString(s) => Lng(s.toLong)

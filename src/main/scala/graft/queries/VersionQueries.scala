@@ -307,6 +307,20 @@ object VersionQueries {
     // the same flagship-class query serialized in the PRE-v10 JSON-LD
     // wire format (indexed query lists, woql:-prefixed types, @value
     // wrappers) plus a v3 Eval — must hash-match the v10-parsed result
+    // serializer round-trip through the REAL wire: write the flagship
+    // AST to v10 JSON, re-parse, compile — must equal running the AST
+    // directly (same oracle as woql_flagship/woql_json_parse)
+    "woql_json_write" -> ((s, d) => {
+      val ast = WoqlQueries.flagship
+      val wire = graft.core.JsonWoqlWrite.write(ast)
+      val reparsed = JsonWoql.parse(wire)
+      require(reparsed == ast, "v10 JSON round-trip changed the AST")
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      Compiler.run(reparsed)
+        .select(col("Name").getField("str").as("c_name"),
+          col("Bal").getField("dbl").as("c_acctbal"))
+    }),
+
     "woql_json_v3" -> ((s, d) => {
       def vr(n: String) =
         s"""{"@type":"woql:Variable","woql:variable_name":{"@value":"$n","@type":"xsd:string"}}"""
@@ -394,6 +408,10 @@ object VersionQueries {
         | '{"r_name":"'||r_name||'","r_regionkey":"'||r_regionkey||'"}' AS doc
         | FROM region""".stripMargin,
     "woql_json_parse" ->
+      """SELECT c_name, c_acctbal FROM customer JOIN nation
+        | ON c_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin,
+    "woql_json_write" ->
       """SELECT c_name, c_acctbal FROM customer JOIN nation
         | ON c_nationkey = n_nationkey
         | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin,
