@@ -9,9 +9,10 @@ import graft.storage.Eav
   * `;` / `,` continuation syntax, plain/typed/lang literals (short and
   * `"""long"""` forms), integers, decimals, booleans, blank-node labels
   * (`_:x`), and anonymous blank nodes `[ ... ]` in subject or object
-  * position (fresh `_:gbN` labels). Not parsed: RDF collections
-  * `( ... )` — raise on `(`-initial tokens rather than mis-reading.
-  * Parsing is a pure function per statement, so bulk load can run
+  * position (fresh `_:gbN` labels), and RDF collections `( e1 e2 … )`
+  * in subject or object position (expanded to the standard
+  * rdf:first / rdf:rest / rdf:nil chain over fresh blanks; `()` is the
+  * node rdf:nil). Parsing is a pure function per statement, so bulk load can run
   * inside mapPartitions over line-chunked input at scale; dump formats
   * from the EAV frame. */
 object Turtle {
@@ -29,6 +30,8 @@ object Turtle {
   private case object TComma extends Tok
   private case object TLBrack extends Tok // [
   private case object TRBrack extends Tok // ]
+  private case object TLParen extends Tok // (
+  private case object TRParen extends Tok // )
   private case class TDirective(v: String) extends Tok
 
   private def tokenize(s: String): List[Tok] = {
@@ -100,6 +103,8 @@ object Turtle {
         case ',' => out += TComma; i += 1
         case '[' => out += TLBrack; i += 1
         case ']' => out += TRBrack; i += 1
+        case '(' => out += TLParen; i += 1
+        case ')' => out += TRParen; i += 1
         case c if c.isDigit || c == '-' || c == '+' =>
           val j0 = i
           while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
@@ -110,7 +115,7 @@ object Turtle {
         case _ =>
           val j0 = i
           while (i < s.length && !s(i).isWhitespace &&
-            !".;,^<\"#[]".contains(s(i))) i += 1
+            !".;,^<\"#[]()".contains(s(i))) i += 1
           out += TPName(s.substring(j0, i))
       }
     }
@@ -173,6 +178,59 @@ object Turtle {
     var bnodeN = 0
     def freshBlank(): String = { bnodeN += 1; s"_:gb$bnodeN" }
 
+    /** RDF collection `( e1 e2 … )` → rdf:first/rdf:rest chain over
+      * fresh blanks (standard expansion); returns (head node, tokens
+      * after the closing paren). `()` is the node rdf:nil. Items may be
+      * literals (with ^^/@ suffix), nodes, nested `[ … ]`, or nested
+      * collections. */
+    def parseCollection(tl0: List[Tok]): (String, List[Tok]) = {
+      var tl = tl0
+      val cells = scala.collection.mutable.ListBuffer[String]()
+      while (tl.nonEmpty && tl.head != TRParen) {
+        val cell = freshBlank()
+        tl = tl match {
+          case TLBrack :: restIn =>
+            val b = freshBlank()
+            rows += mkRow(cell, "rdf:first", TIri(b), None, None)
+            restIn match {
+              case TRBrack :: r2 => r2
+              case r => predObjList(b, r) match {
+                case TRBrack :: r2 => r2
+                case other => throw new IllegalArgumentException(
+                  s"unclosed [ in collection at $other")
+              }
+            }
+          case TLParen :: restIn =>
+            val (inner, r2) = parseCollection(restIn)
+            rows += mkRow(cell, "rdf:first", TIri(inner), None, None)
+            r2
+          case obj :: t2 =>
+            val (typ, lang, t3a) = t2 match {
+              case TTypeSep :: tt :: rest2 => (Some(nodeOf(tt)), None, rest2)
+              case TLang(l) :: rest2 => (None, Some(l), rest2)
+              case _ => (None, None, t2)
+            }
+            val objNorm = obj match {
+              case TPName(n) if n != "true" && n != "false" => TPName(expand(n))
+              case o => o
+            }
+            rows += mkRow(cell, "rdf:first", objNorm, typ, lang)
+            t3a
+          case Nil => throw new IllegalArgumentException("unterminated ( collection")
+        }
+        cells += cell
+      }
+      if (tl.isEmpty) throw new IllegalArgumentException("unterminated ( collection")
+      val after = tl.tail // consume )
+      if (cells.isEmpty) ("rdf:nil", after)
+      else {
+        cells.zip(cells.drop(1)).foreach { case (a, b) =>
+          rows += mkRow(a, "rdf:rest", TIri(b), None, None) }
+        rows += mkRow(cells.last, "rdf:rest", TIri("rdf:nil"), None, None)
+        (cells.head, after)
+      }
+    }
+
     /** predicateObjectList for `subj`: consumes `p o (, o)* (; p o ...)*`
       * and returns the tokens from the closing TDot / TRBrack / Nil
       * (NOT consumed — the caller owns the terminator). Anonymous blank
@@ -200,6 +258,10 @@ object Turtle {
                   case other => throw new IllegalArgumentException(s"unclosed [ at $other")
                 }
               }
+            case TLParen :: restIn =>
+              val (node, r2) = parseCollection(restIn)
+              rows += mkRow(subj, pred, TIri(node), None, None)
+              r2
             case obj :: t2 =>
               // optional ^^type or @lang
               val (typ, lang, t3a) = t2 match {
@@ -251,6 +313,10 @@ object Turtle {
           case TDot :: r => r // property list only, no outer predicates
           case r => endStatement(predObjList(b, r))
         }
+      case TLParen :: tl0 =>
+        // collection subject: `( … ) p o .`
+        val (node, after) = parseCollection(tl0)
+        rest = endStatement(predObjList(node, after))
       case subjTok :: tl0 =>
         rest = endStatement(predObjList(nodeOf(subjTok), tl0))
     }

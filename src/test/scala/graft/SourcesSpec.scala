@@ -64,6 +64,38 @@ class SourcesSpec extends AnyFunSuite {
       .head().getString(1).startsWith("_:gb"))
   }
 
+  test("turtle parses RDF collections to rdf:first/rest/nil chains") {
+    val ttl =
+      """@prefix ex: <http://ex.org/> .
+        |ex:s ex:vals (1 "two" ex:three) .
+        |ex:s ex:empty () .
+        |ex:s ex:nested ((4) 5) .
+        |""".stripMargin
+    val df = Turtle.load(spark, ttl)
+    def one(s: String, p: String) =
+      df.filter(col("s") === s && col("p") === p).head()
+    // walk the chain: head cell holds 1, rest → "two", rest → ex:three, rest → nil
+    val c1 = one("http://ex.org/s", "http://ex.org/vals").getString(4)
+    assert(c1.startsWith("_:gb"))
+    assert(one(c1, "rdf:first").getLong(8) == 1L)
+    val c2 = one(c1, "rdf:rest").getString(4)
+    assert(one(c2, "rdf:first").getString(6) == "two")
+    val c3 = one(c2, "rdf:rest").getString(4)
+    assert(one(c3, "rdf:first").getString(4) == "http://ex.org/three")
+    assert(one(c3, "rdf:rest").getString(4) == "rdf:nil")
+    // () is the node rdf:nil itself
+    assert(one("http://ex.org/s", "http://ex.org/empty").getString(4) == "rdf:nil")
+    // nested collection: first cell's rdf:first is itself a chain head
+    val n1 = one("http://ex.org/s", "http://ex.org/nested").getString(4)
+    val inner = one(n1, "rdf:first").getString(4)
+    assert(inner.startsWith("_:gb"))
+    assert(one(inner, "rdf:first").getLong(8) == 4L)
+    assert(one(inner, "rdf:rest").getString(4) == "rdf:nil")
+    val n2 = one(n1, "rdf:rest").getString(4)
+    assert(one(n2, "rdf:first").getLong(8) == 5L)
+    assert(one(n2, "rdf:rest").getString(4) == "rdf:nil")
+  }
+
   test("turtle dump → parse round-trips") {
     val ttl = """<s:1> <p:name> "v" . <s:1> <p:n> 3 . <s:2> <p:x> <s:1> ."""
     val df = Turtle.load(spark, ttl)
