@@ -60,6 +60,25 @@ object TextAnalysis {
       se.cast(LongType).as("score_en"))
   }
 
+  /** Within-document repetition (the Gopher-class duplicate-n-gram
+    * quality filter): fraction of word 3-grams that repeat an earlier
+    * occurrence, `1 - distinct/total`. Token array bound in its own
+    * projection (same CollapseProject reasoning as Dedup.shingleSets —
+    * inlining the split into the lambda is quadratic). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val n = 3
+    val tk = col("__toks")
+    val k = size(tk) - (n - 1)
+    docs.select(col("doc_id"), toks(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        when(k <= 0, array(concat_ws(" ", tk)))
+          .otherwise(transform(sequence(lit(0), k - 1),
+            i => concat_ws(" ", slice(tk, i + 1, lit(n))))).as("__sh"))
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("__sh"))).cast(DoubleType) /
+          size(col("__sh")), 6).as("dup_3gram_ratio"))
+  }
+
   /** Canonical content fingerprint: md5 of the sorted distinct token
     * set — robust to token order (rolling-hash-class fingerprint). */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -133,6 +133,7 @@ object ExtQueries {
     "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(t(s, d, "documents"))),
 
     "text_len_quantiles" -> ((s, d) => t(s, d, "documents")
       .groupBy(col("lang"))
@@ -513,6 +514,16 @@ object ExtQueries {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
         | AS fp FROM documents""".stripMargin,
+
+    // duplicate-3-gram fraction needs the NON-distinct shingle list
+    "text_repetition" ->
+      s"""WITH sh AS (SELECT doc_id,
+        |  CASE WHEN len($toksSql) < 3 THEN [array_to_string($toksSql, ' ')]
+        |   ELSE list_transform(range(1, len($toksSql) - 1),
+        |     i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]) END AS shs
+        |  FROM documents)
+        | SELECT doc_id, round(1.0 - len(list_distinct(shs)) * 1.0 / len(shs), 6)
+        |  AS dup_3gram_ratio FROM sh""".stripMargin,
 
     "text_len_quantiles" ->
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,

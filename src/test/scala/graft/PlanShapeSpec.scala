@@ -49,4 +49,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("broadcast"),
       s"flagship conjunction lost its broadcast joins:\n$plan")
   }
+
+  test("prefix-filter jaccard plan contains no nested-loop or cartesian join") {
+    // the entire point of the prefix join is replacing the all-pairs
+    // cross join with equi-joins — a planner regression to a
+    // nested-loop product would still return correct rows, slowly
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.llm.Dedup.ngramJaccardPrefix(docs, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"prefix join degraded to a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degraded to a nested-loop join:\n$plan")
+  }
 }
