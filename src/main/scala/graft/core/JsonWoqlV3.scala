@@ -76,6 +76,10 @@ object JsonWoqlV3 {
         case (JString("xsd:integer" | "xsd:long"), s: String) => Lng(s.toLong)
         case (JString("xsd:decimal"), b: BigDecimal) => Dec(b)
         case (JString("xsd:decimal"), l: Long) => Dec(BigDecimal(l))
+        // decimal as @value STRING (lossless — JSON doubles round-trip
+        // through float64 and cannot carry (38,18); v3 clients and our
+        // v3 writer both use the string form)
+        case (JString("xsd:decimal"), s: String) => Dec(BigDecimal(s))
         case (JString("xsd:decimal" | "xsd:double" | "xsd:float"), x: Double) => Dbl(x)
         case (JString("xsd:double" | "xsd:float"), b: BigDecimal) => Dbl(b.toDouble)
         case (JString("xsd:boolean"), b: Boolean) => Bool(b)

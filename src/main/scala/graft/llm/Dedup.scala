@@ -302,6 +302,38 @@ object Dedup {
         round(col("x.sim"), 6).as("sim"))
   }
 
+  /** Duplicate-substring span detection — the exact-substring dedup
+    * shape of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (suffix-array dedup approximated by fixed windows):
+    * hash `win`-char windows at a fixed `stride`, flag windows whose
+    * hash occurs in ≥2 distinct documents, report the duplicated
+    * fraction per document. Shuffle ∝ number of windows (len/stride per
+    * doc), never all-pairs; `stride` trades span granularity for cost.
+    * md5 hashes keep the oracle replayable — a production run swaps in
+    * xxhash64 with the identical plan shape. Window frame is
+    * checkpointed: it feeds both the dup-hash aggregate and the
+    * per-document rollup. */
+  def dupSpans(docs: DataFrame, win: Int = 32, stride: Int = 16): DataFrame = {
+    val wins = docs.where(length(col("text")) >= win)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (win - 1), lit(stride))).as("pos"),
+        col("text"))
+      .select(col("doc_id"),
+        md5(col("text").substr(col("pos"), lit(win))).as("h"))
+      .localCheckpoint(true)
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") >= 2)
+      .select(col("h"), lit(1L).as("__dup"))
+    wins.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast(DoubleType) / col("n_windows"), 6)
+          .as("dup_ratio"))
+  }
+
   /** Embedding near-dup candidates: mutual nearest neighbors by cosine.
     * Brute pairwise + two window top-1 passes — the quadratic exact
     * baseline; [[embeddingLshDups]] is the bucketed scale path. */

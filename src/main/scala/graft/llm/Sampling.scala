@@ -1,0 +1,33 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic corpus sampling for training-data pipelines.
+  *
+  * Sampling at 100 TB must be (a) a pure narrow filter — no shuffle, no
+  * state, no RNG seed plumbed through executors — and (b) reproducible
+  * and NESTED: re-running with a higher rate must return a superset of
+  * the lower-rate sample (so a 1% pilot corpus is contained in the 10%
+  * run). Hash-thresholding gives both: u(doc) = first 32 bits of
+  * md5(doc_id) as a uniform [0,1) value, keep iff u < rate(stratum).
+  */
+object Sampling {
+
+  /** u(doc_id) ∈ [0,1): uniform, deterministic, engine-independent
+    * (md5 is replayable in the DuckDB oracle bit-for-bit). */
+  def hashU(id: Column): Column =
+    Dedup.hash32(id.cast(StringType)).cast(DoubleType) / lit(4294967296.0)
+
+  /** Stratified sample: per-stratum keep-rates with a default for
+    * unlisted strata. One codegen'd filter over the scan — predicate
+    * pushdown-friendly, zero exchanges. */
+  def stratifiedHash(docs: DataFrame, strata: Column,
+                     rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(strata === lit(k), lit(r)).otherwise(acc)
+    }
+    docs.where(hashU(col("doc_id")) < rate)
+  }
+}

@@ -98,6 +98,9 @@ object ExtQueries {
     // rare-token prefixes: the 100 TB shape for EXACT jaccard dedup
     "dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(t(s, d, "documents"), 0.5)),
     "dedup_embedding_nn" -> ((s, d) => Dedup.embeddingMutualNN(t(s, d, "embeddings"))),
+    // substring-level exact dedup (Lee et al. shape): duplicated
+    // fixed-window fraction per document; shuffle ∝ windows, not pairs
+    "dedup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
     // dim passed explicitly (testdata embeddings are 64-dim): embDim's
     // first-row read is a hidden driver action — keep oracle/bench plans
     // pure (no job boundary inside what looks like an expression)
@@ -127,6 +130,32 @@ object ExtQueries {
     "mm_features" -> ((s, d) =>
       graft.llm.Multimodal.extractFeatures(
         graft.llm.Multimodal.withPayload(t(s, d, "documents")))),
+
+    // --- decontamination / sampling / redaction ---
+    // benchmark set = every 50th document; the benchmark shingle set is
+    // broadcast, so corpus rows never shuffle (the 100 TB decontam shape)
+    "llm_contamination" -> ((s, d) =>
+      graft.llm.Contamination.ngramOverlap(
+        t(s, d, "documents"), col("doc_id") % 50 === 0)),
+
+    // deterministic nested stratified sample: pure hash-threshold
+    // filter, zero exchanges; rates keyed by the lang stratum
+    "llm_sample_stratified" -> ((s, d) =>
+      graft.llm.Sampling.stratifiedHash(t(s, d, "documents"), col("lang"),
+        Map("en" -> 0.1, "zh" -> 0.3), defaultRate = 0.5)
+        .select(col("doc_id"), col("lang"))),
+
+    // PII planted deterministically from doc_id (the synthetic corpus
+    // carries none), then scrubbed; oracle replays the same construction
+    "text_pii_scrub" -> ((s, d) => {
+      val planted = concat(
+        lit("u"), col("doc_id").cast("string"), lit("@ex.io 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 "),
+        col("text"))
+      TextAnalysis.piiScrub(t(s, d, "documents"), planted)
+    }),
 
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
@@ -340,6 +369,61 @@ object ExtQueries {
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         | WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
         |   len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5""".stripMargin,
+
+    // duplicate 32-char windows at stride 16: a window is "dup" when its
+    // hash occurs in ≥2 distinct documents (exact replay of Dedup.dupSpans)
+    "dedup_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |   unnest(range(1, length(text) - 31 + 1, 16)) AS pos, text
+        |  FROM documents WHERE length(text) >= 32),
+        | h AS (SELECT doc_id, md5(substr(text, CAST(pos AS INT), 32)) AS h FROM w),
+        | dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |   FROM h GROUP BY 1) WHERE nd >= 2),
+        | agg AS (SELECT doc_id, count(*) AS n_windows,
+        |   CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_dup_windows
+        |  FROM h GROUP BY 1)
+        | SELECT doc_id, n_windows, n_dup_windows,
+        |  round(n_dup_windows * 1.0 / n_windows, 6) AS dup_ratio FROM agg""".stripMargin,
+
+    "llm_contamination" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS shs FROM documents),
+        | bench AS (SELECT DISTINCT unnest(shs) AS g FROM sh WHERE doc_id % 50 = 0),
+        | ex AS (SELECT doc_id, unnest(shs) AS g FROM sh WHERE doc_id % 50 != 0),
+        | hits AS (SELECT doc_id, count(*) AS n FROM ex JOIN bench USING (g) GROUP BY 1)
+        | SELECT s.doc_id, len(s.shs) AS n_grams,
+        |  coalesce(h.n, 0) AS n_contaminated,
+        |  round(coalesce(h.n, 0) * 1.0 / len(s.shs), 6) AS ratio
+        | FROM sh s LEFT JOIN hits h USING (doc_id)
+        | WHERE s.doc_id % 50 != 0""".stripMargin,
+
+    // u = value of first 8 md5 hex chars of doc_id / 2^32 (= Sampling.hashU)
+    "llm_sample_stratified" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) / 4294967296.0 AS u
+        | FROM documents)
+        | SELECT doc_id, lang FROM u
+        | WHERE u < CASE lang WHEN 'en' THEN 0.1 WHEN 'zh' THEN 0.3 ELSE 0.5 END""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  'u' || doc_id || '@ex.io 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |  || ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ' || text AS t
+        | FROM documents)
+        | SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS n_emails,
+        |  len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+        | FROM p""".stripMargin,
 
     "dedup_embedding_nn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -321,6 +321,21 @@ object VersionQueries {
           col("Bal").getField("dbl").as("c_acctbal"))
     }),
 
+    // v3 serializer round-trip through the REAL pre-v10 wire: write the
+    // flagship AST with JsonWoqlWriteV3, re-parse with the v3 reader,
+    // compile — must equal direct compilation (same oracle as
+    // woql_flagship/woql_json_write)
+    "woql_json_v3_write" -> ((s, d) => {
+      val ast = WoqlQueries.flagship
+      val wire = graft.core.JsonWoqlWriteV3.write(ast)
+      val reparsed = JsonWoqlV3.parse(wire)
+      require(reparsed == ast, "v3 JSON round-trip changed the AST")
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      Compiler.run(reparsed)
+        .select(col("Name").getField("str").as("c_name"),
+          col("Bal").getField("dbl").as("c_acctbal"))
+    }),
+
     "woql_json_v3" -> ((s, d) => {
       def vr(n: String) =
         s"""{"@type":"woql:Variable","woql:variable_name":{"@value":"$n","@type":"xsd:string"}}"""
@@ -412,6 +427,10 @@ object VersionQueries {
         | ON c_nationkey = n_nationkey
         | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin,
     "woql_json_write" ->
+      """SELECT c_name, c_acctbal FROM customer JOIN nation
+        | ON c_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin,
+    "woql_json_v3_write" ->
       """SELECT c_name, c_acctbal FROM customer JOIN nation
         | ON c_nationkey = n_nationkey
         | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin,
