@@ -32,8 +32,13 @@ object Graft {
     val dir = s"$cacheRoot/$name"
     val marker = new java.io.File(s"$dir/_SUCCESS")
     if (!marker.exists()) {
+      // Salt the shuffle: hashing on p alone puts each heavyweight
+      // predicate (17 lineitem props × 600k rows at sf0.1) in a single
+      // write task — the straggler dominates the whole encode (measured
+      // 38-133s at sf0.1). p+salt spreads each predicate over 8 writers
+      // (~20s); pruning is unaffected (partitionBy dirs, not files).
       Eav.encodeAll(spark, sfDir)
-        .repartition(col("p"))
+        .repartition(col("p"), pmod(xxhash64(col("s")), lit(8)))
         .sortWithinPartitions("s")
         .write.mode("overwrite").partitionBy("g", "p").parquet(dir)
     }

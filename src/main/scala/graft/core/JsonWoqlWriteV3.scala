@@ -40,6 +40,11 @@ object JsonWoqlWriteV3 {
       "woql:datatype" -> wrap("xsd:string", JString(s)))
     case Lng(v) => JObject(t("Datatype"),
       "woql:datatype" -> wrap("xsd:integer", JInt(BigInt(v))))
+    case Dbl(v) if v.isNaN || v.isInfinite =>
+      // json4s renders these as bare NaN/Infinity tokens — not JSON;
+      // other v3 clients would reject the document
+      throw new IllegalArgumentException(
+        s"non-finite xsd:double not in the v3 wire grammar: $v")
     case Dbl(v) => JObject(t("Datatype"),
       "woql:datatype" -> wrap("xsd:double", JDouble(v)))
     case Dec(v) => JObject(t("Datatype"),

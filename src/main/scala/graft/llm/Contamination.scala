@@ -23,21 +23,28 @@ object Contamination {
     * selected by `benchPred`: fraction of the document's distinct word
     * 3-gram shingles that occur anywhere in the benchmark set.
     * Shares [[Dedup.shingleSets]] so contamination and near-dup passes
-    * agree on the shingle definition (and the oracle replays both). */
+    * agree on the shingle definition (and the oracle replays both).
+    *
+    * `benchPred` may only reference columns of the shingle frame —
+    * `doc_id` (the `text` column does not survive shingling).
+    *
+    * Single corpus shingle pass: `n_grams` rides along through the
+    * explode, and the broadcast probe is a LEFT join so zero-hit
+    * documents fall out of the same aggregate — no second shingling of
+    * the corpus for the rollup. */
   def ngramOverlap(docs: DataFrame, benchPred: Column): DataFrame = {
     val sets = Dedup.shingleSets(docs)
     val bench = sets.where(benchPred)
       .select(explode(col("sh")).as("g")).distinct()
-    val corpus = sets.where(!benchPred)
-    val hits = corpus
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(broadcast(bench), Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("__hits"))
-    corpus.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("__hits"), lit(0L)).as("n_contaminated"),
-        round(coalesce(col("__hits"), lit(0L)).cast(DoubleType) /
-          col("n_grams"), 6).as("ratio"))
+      .withColumn("__hit", lit(1L))
+    sets.where(!benchPred)
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_grams"),
+        explode_outer(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast(DoubleType) / col("n_grams"), 6)
+          .as("ratio"))
   }
 }

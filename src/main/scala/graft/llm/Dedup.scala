@@ -310,9 +310,11 @@ object Dedup {
     * fraction per document. Shuffle ∝ number of windows (len/stride per
     * doc), never all-pairs; `stride` trades span granularity for cost.
     * md5 hashes keep the oracle replayable — a production run swaps in
-    * xxhash64 with the identical plan shape. Window frame is
-    * checkpointed: it feeds both the dup-hash aggregate and the
-    * per-document rollup. */
+    * xxhash64 with the identical plan shape. The window frame feeds both
+    * the dup-hash aggregate and the per-document rollup, so it is
+    * persisted (lazily, recomputable under executor loss — unlike a
+    * localCheckpoint, which is lost with the executor) rather than
+    * recomputed per branch. */
   def dupSpans(docs: DataFrame, win: Int = 32, stride: Int = 16): DataFrame = {
     val wins = docs.where(length(col("text")) >= win)
       .select(col("doc_id"),
@@ -320,7 +322,7 @@ object Dedup {
         col("text"))
       .select(col("doc_id"),
         md5(col("text").substr(col("pos"), lit(win))).as("h"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .where(col("__nd") >= 2)

@@ -90,15 +90,22 @@ object TextAnalysis {
     * by typed placeholders, with per-document match counts and the md5
     * of the scrubbed text (hash instead of the full text keeps result
     * rows small). Pure regexp column expressions — one codegen'd pass
-    * per pattern, no UDFs, streams at scan speed over 100 TB. */
+    * per pattern, no UDFs, streams at scan speed over 100 TB.
+    *
+    * Counts are taken on the progressively-scrubbed text — emails on
+    * the raw text, phones after email redaction, IPs after phone
+    * redaction — so each count reflects exactly what its replacement
+    * pass saw: a phone-shaped email local part (`555-123-4567@ex.io`)
+    * counts once as an email, never twice. */
   def piiScrub(docs: DataFrame, text: Column = col("text")): DataFrame = {
-    val scrubbed = regexp_replace(regexp_replace(regexp_replace(text,
-      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+    val t1 = regexp_replace(text, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, PhoneRe, "<PHONE>")
+    val t3 = regexp_replace(t2, Ipv4Re, "<IP>")
     docs.select(col("doc_id"),
       regexp_count(text, lit(EmailRe)).cast(LongType).as("n_emails"),
-      regexp_count(text, lit(PhoneRe)).cast(LongType).as("n_phones"),
-      regexp_count(text, lit(Ipv4Re)).cast(LongType).as("n_ips"),
-      md5(scrubbed).as("scrubbed_md5"))
+      regexp_count(t1, lit(PhoneRe)).cast(LongType).as("n_phones"),
+      regexp_count(t2, lit(Ipv4Re)).cast(LongType).as("n_ips"),
+      md5(t3).as("scrubbed_md5"))
   }
 
   /** Canonical content fingerprint: md5 of the sorted distinct token

@@ -413,17 +413,21 @@ object ExtQueries {
         |  'u' || doc_id || '@ex.io 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
         |  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
         |  || ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ' || text AS t
-        | FROM documents)
+        | FROM documents),
+        | s1 AS (SELECT doc_id, t, regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        | s2 AS (SELECT doc_id, t, t1, regexp_replace(t1,
+        |   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS t2
+        |  FROM s1)
         | SELECT doc_id,
         |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |    AS n_emails,
-        |  len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phones,
-        |  len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        |  len(regexp_extract_all(t1, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(t2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |  md5(regexp_replace(t2,
         |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
-        | FROM p""".stripMargin,
+        | FROM s2""".stripMargin,
 
     "dedup_embedding_nn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
