@@ -150,3 +150,8 @@ final case class PathQ(x: Term, pattern: PathPat, y: Term, witness: Option[Strin
   * guard: each plus/star/times repetition refuses to revisit a node it
   * already anchored in the same path — the reference's loop check. */
 final case class PathAllQ(x: Term, pattern: PathPat, y: Term, witness: String) extends Woql
+/** Shortest-path distance: binds, per reachable (x, y) pair, the
+  * MINIMUM number of `pattern` steps as `dist` (≥1). The reference's
+  * path engine enumerates paths but never exposes hop counts; this is
+  * the extension a graph-analytics user reaches for first. */
+final case class PathDistQ(x: Term, pattern: PathPat, y: Term, dist: String) extends Woql

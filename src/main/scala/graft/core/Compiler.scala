@@ -642,6 +642,31 @@ object Compiler {
           "path_all: source endpoint must be a bound IRI")
       }
       conj(cur, bf0)
+
+    case PathDistQ(x, pat, y, d) =>
+      // min-hop BFS (Paths.shortest): bound source → seeded single-origin
+      // walk; both vars → multi-source walk from every step source
+      // (budget-guarded, same regime as the unbounded closure)
+      def seed(i: String) = {
+        import ctx.spark.implicits._
+        Seq(i).toDF("n")
+      }
+      val bf0 = (x, y) match {
+        case (Node(i), V(n)) =>
+          val sp = Paths.shortest(pat, Some(seed(i)), ctx)
+          BF(sp.select(iriVal(col("dst")).as(n), lngVal(col("dist")).as(d)),
+            Set(n, d))
+        case (V(a), V(b)) =>
+          val sp = Paths.shortest(pat, None, ctx)
+          BF(sp.select(iriVal(col("src")).as(a), iriVal(col("dst")).as(b),
+            lngVal(col("dist")).as(d)), Set(a, b, d))
+        case (Node(i), Node(j)) =>
+          val sp = Paths.shortest(pat, Some(seed(i)), ctx).filter(col("dst") === j)
+          BF(sp.select(lngVal(col("dist")).as(d)), Set(d))
+        case _ => throw new IllegalArgumentException(
+          "path_dist: endpoints must be a bound IRI source or two vars")
+      }
+      conj(cur, bf0)
   }
 
   /** Peephole rewrite (the one logical optimization Catalyst can't see

@@ -156,6 +156,49 @@ object Paths {
       acc.distinct()
   }
 
+  /** Minimum-hop distances over `pat`: one row `(src, dst, dist)` per
+    * pair reachable in 1..MaxIters repetitions of the step relation,
+    * `dist` = fewest steps. BFS is semi-naive: each round's frontier is
+    * anti-joined against the discovered set, so a pair is recorded
+    * exactly once, at its FIRST (= minimal) distance — no min-aggregate
+    * over enumerated paths, and per-round work ∝ the new frontier, not
+    * the closure so far. `seeds` (an "n" column of origin nodes) bounds
+    * the walk to origins of interest; None = every step-relation source
+    * (multi-source all-distances, guarded by the same budget as the
+    * unbounded closure, since it is one). */
+  def shortest(pat: PathPat, seedsOpt: Option[DataFrame], ctx: Ctx): DataFrame = {
+    val stepRel = compile(pat, ctx).distinct().localCheckpoint(true)
+    if (seedsOpt.isEmpty) {
+      val n = stepRel.count()
+      require(n <= closureBudget,
+        s"all-sources shortest-path over $n step edges exceeds " +
+          s"GRAFT_CLOSURE_MAX_EDGES=$closureBudget — bind the source " +
+          "endpoint or raise the budget for a deliberate all-pairs run")
+    }
+    val first = seedsOpt match {
+      case Some(seeds) => seeds
+        .join(stepRel, col("n") === col("src"))
+        .select(col("n").as("src"), col("dst"))
+      case None => stepRel
+    }
+    var disc = first.distinct()
+      .withColumn("dist", lit(1L)).localCheckpoint(true)
+    var frontier = disc
+    var i = 1
+    var done = frontier.isEmpty
+    while (!done && i < MaxIters) {
+      i += 1
+      val next = compose(frontier.select(col("src"), col("dst")), stepRel)
+        .distinct()
+        .join(disc.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else { disc = disc.unionByName(next).localCheckpoint(true); frontier = next }
+    }
+    disc
+  }
+
   // ---- witness-carrying expansion --------------------------------------
   //
   // path(X, pat, Y, Witness): the reference enumerates every distinct

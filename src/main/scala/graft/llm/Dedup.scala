@@ -34,6 +34,16 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
 
+  /** Exact dedup after text canonicalization — lowercase, every
+    * non-alphanumeric run collapsed to one space, trimmed. Catches the
+    * formatting-only duplicates (case, punctuation, whitespace) that
+    * byte-exact dedup misses, at identical cost: pure codegen'd column
+    * expressions into one hash-groupBy shuffle, no pairwise work. */
+  def canonicalGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+
   /** Distinct word-3-gram shingle set per document. The token array is
     * bound in its own projection (referenced 3x downstream, so
     * CollapseProject keeps it) — inlining `split` into the shingle

@@ -85,6 +85,23 @@ object ExtQueries {
     "stream_session_counts" -> ((s, d) => Events.streamingSessionCounts(s, d)),
     "stream_dedup_counts" -> ((s, d) => Events.streamingDedup(s, d)),
     "stream_user_stats" -> ((s, d) => Events.streamingUserStats(s, d)),
+    // stream-stream inner join, watermarks both sides + range condition
+    // (bounded state on unbounded streams); oracle = the batch range join
+    "stream_stream_join" -> ((s, d) => Events.streamStreamJoin(s, d)),
+
+    // backward as-of join: each purchase picks the latest click at or
+    // before it per user — one shuffle + one window sort (AsofJoin)
+    "rel_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("c_value"))
+        .withColumnRenamed("ts", "c_ts")
+      graft.operators.AsofJoin.backward(purchases, clicks, Seq("user_id"),
+        "ts", "c_ts", Seq("c_ts", "c_value"))
+    }),
     "stream_enrich_counts" -> ((s, d) => Events.streamingEnrichedCounts(s, d)),
 
     // --- dedup family ---
@@ -101,6 +118,8 @@ object ExtQueries {
     // substring-level exact dedup (Lee et al. shape): duplicated
     // fixed-window fraction per document; shuffle ∝ windows, not pairs
     "dedup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
+    // formatting-insensitive exact dedup: canonicalize then hash-group
+    "dedup_canonical" -> ((s, d) => Dedup.canonicalGroups(t(s, d, "documents"))),
     // dim passed explicitly (testdata embeddings are 64-dim): embDim's
     // first-row read is a hidden driver action — keep oracle/bench plans
     // pure (no job boundary inside what looks like an expression)
@@ -118,6 +137,10 @@ object ExtQueries {
     //     LSH near-dup removal), one composed plan ---
     "llm_pipeline_clean" -> ((s, d) =>
       graft.llm.Pipeline.cleanCorpus(t(s, d, "documents"))),
+
+    // concat-and-chunk sequence packing, per-lang partition (Packing)
+    "llm_pack_chunks" -> ((s, d) =>
+      graft.llm.Packing.packChunks(t(s, d, "documents"), 512)),
 
     // --- multimodal plumbing: binary payloads + per-partition decode
     //     (stub codec is md5-derived → the oracle replays it exactly) ---
@@ -317,6 +340,41 @@ object ExtQueries {
     "stream_enrich_counts" ->
       """SELECT date_trunc('hour', ts) AS ws, c_mktsegment AS seg, count(*) AS n
         | FROM events JOIN customer ON user_id = c_custkey GROUP BY 1, 2""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT p.event_id, p.ts AS p_ts, c.ts AS c_ts, c.value AS c_value
+        | FROM events p JOIN events c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle — an independent
+    // implementation of the same backward pick-latest semantics
+    "rel_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts AS c_ts, arg_max(value, event_id) AS c_value
+        |   FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        | SELECT p.event_id, p.user_id, p.ts, p.value, c.c_ts, c.c_value
+        | FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts <= p.ts""".stripMargin,
+
+    "dedup_canonical" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
+        | count(*) AS n, min(doc_id) AS keep FROM documents GROUP BY 1""".stripMargin,
+
+    "llm_pack_chunks" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |   len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+        | c AS (SELECT doc_id, lang, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS tok_end FROM tk)
+        | SELECT doc_id, lang, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+        |  (tok_end - n_tokens) // 512 AS chunk_first,
+        |  greatest(tok_end - 1, tok_end - n_tokens) // 512 AS chunk_last,
+        |  greatest(tok_end - 1, tok_end - n_tokens) // 512
+        |    - (tok_end - n_tokens) // 512 + 1 AS n_chunks
+        | FROM c""".stripMargin,
 
     "dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep FROM documents GROUP BY 1",

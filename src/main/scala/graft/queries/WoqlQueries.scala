@@ -319,6 +319,15 @@ object WoqlQueries {
       PathQ(V("X"), PPlus(allEdges), Node("tpch:region/0")))(
       "x" -> vIri("X")),
 
+    // min-hop distances (PathDistQ): multi-source BFS over the FK-chain
+    // step relation — orders→customer→nation→region gives dists 1..3
+    "woql_path_shortest" -> woql(
+      PathDistQ(V("X"),
+        PAlt(PPred("tpch:o_custkey"),
+          PAlt(PPred("tpch:c_nationkey"), PPred("tpch:n_regionkey"))),
+        V("Y"), "D"))(
+      "x" -> vIri("X"), "y" -> vIri("Y"), "d" -> vLng("D")),
+
     // canonical witness (PathQ): one shortest/lexicographically-least
     // node sequence per reachable node
     "woql_path_witness_canon" -> woql(
@@ -531,6 +540,19 @@ object WoqlQueries {
 
     "woql_path_inv_plus" ->
       "SELECT 'tpch:nation/'||n_nationkey AS y FROM nation WHERE n_regionkey = 2",
+
+    "woql_path_shortest" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'tpch:orders/'||o_orderkey AS src,
+        |         'tpch:customer/'||o_custkey AS dst FROM orders
+        |  UNION ALL SELECT 'tpch:customer/'||c_custkey,
+        |         'tpch:nation/'||c_nationkey FROM customer
+        |  UNION ALL SELECT 'tpch:nation/'||n_nationkey,
+        |         'tpch:region/'||n_regionkey FROM nation),
+        | bfs AS (SELECT src, dst, 1 AS dist FROM e
+        |  UNION ALL SELECT b.src, e.dst, b.dist + 1
+        |   FROM bfs b JOIN e ON b.dst = e.src)
+        | SELECT src AS x, dst AS y, min(dist) AS d FROM bfs GROUP BY 1, 2""".stripMargin,
 
     "woql_path_times" ->
       s"""SELECT DISTINCT $lidSql AS x,

@@ -177,6 +177,40 @@ object Events {
         col("f.first_ms").as("first_ms"), col("f.last_ms").as("last_ms"))
   }
 
+  /** Stream-stream INNER JOIN with watermarks and a time-range
+    * condition — the hardest production streaming join shape: each
+    * purchase joined to every click by the same user in the hour
+    * before it. Both sides carry watermarks so the state store can
+    * evict rows the range condition makes unmatchable (click state is
+    * droppable once the watermark passes c_ts + 1h; purchase state
+    * once it passes p_ts) — bounded state on an unbounded stream.
+    * Inner-join matches are emitted as they form (append mode), so
+    * the replayed result equals the batch range join, which is the
+    * oracle. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = eventsStream(spark, sfDir)
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("event_id"), col("p_ts"), col("c_ts"), col("c_value"))
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming exact dedup within the watermark window. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val src = eventsStream(spark, sfDir)

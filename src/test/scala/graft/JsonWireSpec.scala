@@ -76,6 +76,15 @@ class JsonWireSpec extends AnyFunSuite {
     rt(PathQ(V("X"), PSeq(PSeq(PPred("a"), PPred("b")), PPred("c")), V("Y")))
   }
 
+  test("v3 writer rejects non-finite doubles (not representable as JSON)") {
+    intercept[IllegalArgumentException] {
+      JsonWoqlWriteV3.write(Eq(V("X"), Dbl(Double.NaN)))
+    }
+    intercept[IllegalArgumentException] {
+      JsonWoqlWriteV3.write(Eq(V("X"), Dbl(Double.PositiveInfinity)))
+    }
+  }
+
   test("whole battery flagship + engine-internal nodes raise") {
     rt(graft.queries.WoqlQueries.flagship)
     intercept[IllegalArgumentException] {

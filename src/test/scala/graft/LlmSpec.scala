@@ -159,4 +159,33 @@ class LlmSpec extends AnyFunSuite {
     val g = Dedup.exactGroups(docs)
     assert(g.agg(sum("n")).head().getLong(0) == docs.count())
   }
+
+  test("canonical dedup merges case/punctuation/whitespace variants") {
+    import TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO—world…"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val g = Dedup.canonicalGroups(d).collect()
+    assert(g.length == 2)
+    val hello = g.find(_.getAs[Long]("n") == 3L).get
+    assert(hello.getAs[Long]("keep") == 1L)
+  }
+
+  test("sequence packing: offsets are a per-lang prefix sum, spans cover chunks") {
+    import TestSpark.spark.implicits._
+    // en: 300 + 300 + 100 tokens with ctx=256:
+    //   doc 1 [0,300) chunks 0-1; doc 2 [300,600) chunks 1-2; doc 3 [600,700) chunk 2
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    val d = Seq(
+      (1L, "en", mk(300)), (2L, "en", mk(300)), (3L, "en", mk(100)),
+      (4L, "zh", mk(10))).toDF("doc_id", "lang", "text")
+    val out = graft.llm.Packing.packChunks(d, 256).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+          r.getAs[Long]("chunk_first"), r.getAs[Long]("chunk_last")))).toMap
+    assert(out(1L) == ((0L, 300L, 0L, 1L)))
+    assert(out(2L) == ((300L, 600L, 1L, 2L)))
+    assert(out(3L) == ((600L, 700L, 2L, 2L)))
+    assert(out(4L) == ((0L, 10L, 0L, 0L))) // zh partition starts at 0
+  }
 }

@@ -91,6 +91,41 @@ class PathsSpec extends AnyFunSuite {
         r.getAs[Row]("W").getAs[String]("str"))
     }
 
+  test("shortest distance: first discovery is the minimum, cycles terminate") {
+    // shortcut diamond: a→b→c→d plus a→c direct — a⇝c min 1, a⇝d min 2
+    val d = triples((":a", "e", ":b"), (":b", "e", ":c"),
+      (":c", "e", ":d"), (":a", "e", ":c"))
+    val res = Compiler.run(
+      PathDistQ(V("X"), PPred("e"), V("Y"), "D"))(ctxOf(d))
+      .collect().map { r =>
+        (r.getAs[Row]("X").getAs[String]("iri"),
+          r.getAs[Row]("Y").getAs[String]("iri"),
+          r.getAs[Row]("D").getAs[Long]("lng"))
+      }.toSet
+    assert(res == Set(
+      (":a", ":b", 1L), (":a", ":c", 1L), (":a", ":d", 2L),
+      (":b", ":c", 1L), (":b", ":d", 2L), (":c", ":d", 1L)))
+    // on the cyclic base graph: distance around the full cycle
+    val cyc = Compiler.run(
+      PathDistQ(Node(":a"), PPred("e"), V("Y"), "D"))(ctx)
+      .collect().map { r =>
+        (r.getAs[Row]("Y").getAs[String]("iri"),
+          r.getAs[Row]("D").getAs[Long]("lng"))
+      }.toSet
+    assert(cyc == Set((":b", 1L), (":c", 2L), (":a", 3L), (":d", 3L)))
+  }
+
+  test("all-sources shortest refuses beyond the edge budget") {
+    System.setProperty("graft.closure.maxEdges", "2")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Compiler.run(PathDistQ(V("X"), PPred("e"), V("Y"), "D"))(ctx)
+          .collect()
+      }
+      assert(ex.getMessage.contains("shortest-path"))
+    } finally System.clearProperty("graft.closure.maxEdges")
+  }
+
   test("exhaustive enumeration: one row per distinct path") {
     // diamond: a→b→d and a→c→d — two distinct 2-hop paths a⇝d
     val d = triples((":a", "e", ":b"), (":a", "e", ":c"),
