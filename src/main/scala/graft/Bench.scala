@@ -18,9 +18,12 @@ object Bench {
     "woql_flagship", "woql_triple", "woql_group_sum", "woql_group_count",
     "woql_not", "woql_opt", "woql_order_limit", "woql_eval", "woql_eval_dec",
     "woql_path_seq", "woql_path_plus_alt", "woql_path_witness_times", "woql_isa",
+    "woql_path_shortest",
     "rel_q1_agg", "rel_topk_window", "rel_broadcast_join", "rel_events_window",
+    "rel_asof_join",
     "ext_json", "stream_window_counts", "stream_append_counts",
-    "stream_user_stats",
+    "stream_user_stats", "stream_stream_join",
+    "llm_pack_chunks",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_prefix", "dedup_simhash",
     "dedup_embedding_lsh",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh",

@@ -30,4 +30,21 @@ object Sampling {
     }
     docs.where(hashU(col("doc_id")) < rate)
   }
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    * each doc gets key = ln(u)/w (the log form of u^(1/w) — numerically
+    * stable for large weights); the k largest keys ARE a weighted
+    * sample without replacement. Deterministic u from [[hashU]]; the
+    * key is rounded so both engines order identical values (a raw
+    * ln() can differ in the last ulp across libm implementations), with
+    * doc_id as the total-order tie-break.
+    *
+    * Scale shape: `orderBy(key).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition top-k heaps then a k-row
+    * merge, never a global sort shuffle. One scan, no exchange. */
+  def weightedTopK(docs: DataFrame, weight: Column, k: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        weight.cast(DoubleType).as("w"),
+        round(log(hashU(col("doc_id"))) / weight, 9).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id")).limit(k)
 }

@@ -168,6 +168,12 @@ object ExtQueries {
         Map("en" -> 0.1, "zh" -> 0.3), defaultRate = 0.5)
         .select(col("doc_id"), col("lang"))),
 
+    // A-ES weighted sample (length-weighted): distributed top-k by
+    // deterministic exponential keys — TakeOrderedAndProject, no shuffle
+    "llm_sample_weighted" -> ((s, d) =>
+      graft.llm.Sampling.weightedTopK(t(s, d, "documents"),
+        col("n_chars"), 100)),
+
     // PII planted deterministically from doc_id (the synthetic corpus
     // carries none), then scrubbed; oracle replays the same construction
     "text_pii_scrub" -> ((s, d) => {
@@ -465,6 +471,19 @@ object ExtQueries {
         | FROM documents)
         | SELECT doc_id, lang FROM u
         | WHERE u < CASE lang WHEN 'en' THEN 0.1 WHEN 'zh' THEN 0.3 ELSE 0.5 END""".stripMargin,
+
+    // A-ES: key = ln(u)/w rounded to 9 dp so both engines order the
+    // same doubles; doc_id total-order tie-break
+    "llm_sample_weighted" ->
+      """WITH u AS (SELECT doc_id, lang, n_chars,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) / 4294967296.0 AS u
+        | FROM documents)
+        | SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+        |  round(ln(u) / n_chars, 9) AS skey
+        | FROM u ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
 
     "text_pii_scrub" ->
       """WITH p AS (SELECT doc_id,
