@@ -187,8 +187,13 @@ object Events {
     * Inner-join matches are emitted as they form (append mode), so
     * the replayed result equals the batch range join, which is the
     * oracle. */
-  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = eventsStream(spark, sfDir)
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    ssJoin(spark, eventsStream(spark, sfDir))
+
+  /** Same, over any streaming events source (factored for multi-batch
+    * tests: the emitted matches must be identical however the input is
+    * split into micro-batches). */
+  def ssJoin(spark: SparkSession, src: DataFrame): DataFrame = {
     val clicks = src.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
       .withWatermark("c_ts", "1 hour")

@@ -129,6 +129,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 4000L, 4000L)))
   }
 
+  test("stream-stream join emits the batch range-join result across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def stage(name: String,
+              rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp/$name")
+      val part = new java.io.File(s"$dir/tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/src").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src", s"$name.parquet"))
+    }
+    // clicks land in batch 1, purchases in batch 2 — the join must still
+    // match them (right state retained until the watermark passes)
+    stage("b1", Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 10:40:00"), 7L, "click", 2.0),
+      (3L, ts("2024-01-01 08:00:00"), 7L, "click", 3.0))) // >1h before: no match
+    stage("b2", Seq(
+      (4L, ts("2024-01-01 10:50:00"), 7L, "purchase", 9.0),
+      (5L, ts("2024-01-01 10:50:00"), 8L, "purchase", 9.0))) // other user: no match
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val out = graft.streaming.Events.ssJoin(spark, src).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      (4L, ts("2024-01-01 10:00:00"), 1.0),
+      (4L, ts("2024-01-01 10:40:00"), 2.0)))
+  }
+
   test("ingestion with maxFilesPerTrigger lands one commit per batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-multi")
     def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
