@@ -102,6 +102,21 @@ object ExtQueries {
       graft.operators.AsofJoin.backward(purchases, clicks, Seq("user_id"),
         "ts", "c_ts", Seq("c_ts", "c_value"))
     }),
+    // identical query through the NATIVE as-of operator (custom
+    // LogicalPlan/Strategy/SparkPlan, graft.plans.AsofJoinPlan) — same
+    // oracle, different physical plan: per-side shuffles + streaming
+    // merge instead of union + window
+    "rel_asof_native" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("c_value"))
+        .withColumnRenamed("ts", "c_ts")
+      graft.plans.NativeAsof.backward(purchases, clicks, Seq("user_id"),
+        "ts", "c_ts", Seq("c_ts", "c_value"))
+    }),
     "stream_enrich_counts" -> ((s, d) => Events.streamingEnrichedCounts(s, d)),
 
     // --- dedup family ---
@@ -357,6 +372,15 @@ object ExtQueries {
     // DuckDB's native ASOF JOIN is the oracle — an independent
     // implementation of the same backward pick-latest semantics
     "rel_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts AS c_ts, arg_max(value, event_id) AS c_value
+        |   FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        | SELECT p.event_id, p.user_id, p.ts, p.value, c.c_ts, c.c_value
+        | FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts <= p.ts""".stripMargin,
+
+    "rel_asof_native" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
         |   WHERE event_type = 'purchase'),
         | c AS (SELECT user_id, ts AS c_ts, arg_max(value, event_id) AS c_value
