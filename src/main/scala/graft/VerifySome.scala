@@ -23,6 +23,21 @@ object VerifySome {
       catch { case e: Throwable =>
         System.err.println(s"[verifysome] $name failed: ${e.getMessage}") }
     }
+    // oracle_sql.json restricted to the named queries, so
+    // tools/oracle_compare.py works on selective dumps too
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     println("VERIFYSOME DONE")
     spark.stop()
   }

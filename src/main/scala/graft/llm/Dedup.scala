@@ -112,6 +112,57 @@ object Dedup {
     ja.select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Incremental dedup — a NEW batch checked against the EXISTING
+    * corpus, the nightly-ingest shape of a training pipeline: per new
+    * document, `exact` (canonical hash already present in the corpus),
+    * `near` (≥1 LSH-candidate corpus doc verified at jaccard ≥
+    * `threshold`), or `new`, plus the verified corpus-near-dup count
+    * and the smallest matching corpus doc_id.
+    *
+    * Scale shape: the corpus contributes one distinct-hash aggregate
+    * and its LSH band table — both one-shuffle artifacts a production
+    * run precomputes and reuses across batches (the joins are identical
+    * reading them from storage; nothing here is batch × corpus
+    * all-pairs, candidates come from the band equi-join). */
+  def incremental(docs: DataFrame, isNew: Column,
+                  threshold: Double = 0.5): DataFrame = {
+    val tagged = docs.select(col("doc_id"), col("text"), isNew.as("__new"))
+    val canon = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+    val hashed = tagged.select(col("doc_id"), col("__new"), canon.as("h"))
+    val corpusH = hashed.where(!col("__new"))
+      .select(col("h")).distinct().withColumn("__x", lit(1L))
+    val exact = hashed.where(col("__new"))
+      .join(corpusH, Seq("h"), "left")
+      .select(col("doc_id"), (coalesce(col("__x"), lit(0L)) === 1L).as("__exact"))
+    // shingle frame feeds band building AND jaccard verification
+    val sets = shingleSets(tagged)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flags = tagged.select(col("doc_id"), col("__new"))
+    val bands = bandHashes(minhashSignaturesFromSets(sets))
+      .join(flags, Seq("doc_id"))
+    val nb = bands.where(col("__new"))
+      .select(col("band"), col("bh"), col("doc_id").as("dn"))
+    val cb = bands.where(!col("__new"))
+      .select(col("band"), col("bh"), col("doc_id").as("dc"))
+    val cand = nb.join(cb, Seq("band", "bh")).select(col("dn"), col("dc")).distinct()
+    val near = cand
+      .join(sets.select(col("doc_id").as("dn"), col("sh").as("sa")), Seq("dn"))
+      .join(sets.select(col("doc_id").as("dc"), col("sh").as("sb")), Seq("dc"))
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))))
+      .where(col("jac") >= threshold)
+      .groupBy(col("dn"))
+      .agg(count(lit(1)).as("__n"), min(col("dc")).as("__m"))
+    exact.join(near, exact("doc_id") === near("dn"), "left")
+      .select(exact("doc_id"),
+        when(col("__exact"), "exact")
+          .when(col("__n").isNotNull, "near")
+          .otherwise("new").as("status"),
+        coalesce(col("__n"), lit(0L)).as("n_near"),
+        col("__m").as("near_min"))
+  }
+
   /** Per-document near-dup CLUSTER assignment: connected components
     * over the verified LSH pair graph by iterative min-label
     * propagation — each doc's cluster id is the smallest doc_id

@@ -47,4 +47,22 @@ object Sampling {
         weight.cast(DoubleType).as("w"),
         round(log(hashU(col("doc_id"))) / weight, 9).as("skey"))
       .orderBy(col("skey").desc, col("doc_id")).limit(k)
+
+  /** Deterministic hash-sharding manifest for training export:
+    * shard(doc) = hash32(doc_id) mod `shards` — a pure narrow map (no
+    * global sort, no coordination), so a 100 TB export is one
+    * partitioned write where every reader finds its shard by the same
+    * formula. Balance is statistical (shard sizes concentrate at
+    * N/shards by independence of the hash), which is what production
+    * exporters rely on; the manifest this returns (doc/token totals +
+    * id range per shard) is how a trainer plans its readers and how an
+    * operator audits the spread. */
+  def shardManifest(docs: DataFrame, shards: Int): DataFrame =
+    docs.select(col("doc_id"),
+        pmod(Dedup.hash32(col("doc_id").cast(StringType)),
+          lit(shards.toLong)).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
 }

@@ -101,6 +101,38 @@ object Similarity {
       .select(col("q"), col("cand"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Symmetric int8 scalar quantization: x → clamp(floor(x·256), −128,
+    * 127). `floor` (not `round`) so the oracle replays bit-exactly; the
+    * codes stay doubles holding exact integers, so every downstream dot
+    * product is exact integer arithmetic (≤ 128²·dim ≪ 2⁵³) with an
+    * order-independent sum — deterministic across engines AND across
+    * partition orders, which float32 accumulation is not. */
+  def sq8(emb: Column): Column =
+    transform(emb.cast("array<double>"),
+      x => greatest(lit(-128.0), least(lit(127.0), floor(x * lit(256.0)))))
+
+  /** Top-k over int8-quantized vectors — the memory-scale path for a
+    * 100 TB embedding store: 4× smaller than float32 (int8 storage; the
+    * in-plan doubles are a local-engine representation of the codes),
+    * exact-integer dots, recall loss bounded by the quantization step.
+    * Same broadcast-query plan as [[bruteTopK]]; composes with the IVF /
+    * LSH bucketing above (quantize, then bucket) when the corpus side
+    * must also shrink. */
+  def sq8TopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val z = emb.withColumn("__q8", sq8(col("embedding")))
+    val q = z.where(isQuery).select(col("vec_id").as("q"), col("__q8").as("qa"))
+    val c = z.select(col("vec_id").as("cand"), col("__q8").as("cb"))
+    val dotAB = graft.functions.ArrayDot.dot(col("qa"), col("cb"))
+    val nA = graft.functions.ArrayDot.dot(col("qa"), col("qa"))
+    val nB = graft.functions.ArrayDot.dot(col("cb"), col("cb"))
+    val sims = broadcast(q).join(c, col("q") =!= col("cand"))
+      .withColumn("sim", when(nA === 0.0 || nB === 0.0, lit(0.0))
+        .otherwise(dotAB / (sqrt(nA) * sqrt(nB))))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("cand"))
+    sims.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+      .select(col("q"), col("cand"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF top-k: probe the `nprobe` closest cells, exact-rerank inside. */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int, nprobe: Int): DataFrame = {
     val cents = medoidCentroids(emb)

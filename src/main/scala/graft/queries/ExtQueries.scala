@@ -117,6 +117,25 @@ object ExtQueries {
       graft.plans.NativeAsof.backward(purchases, clicks, Seq("user_id"),
         "ts", "c_ts", Seq("c_ts", "c_value"))
     }),
+    // keyless interval containment via the binned range join
+    // (operators.RangeJoin): clicks counted into 30-minute windows
+    // anchored at sampled purchases — a nested-loop plan rewritten as
+    // one equi-join on 15-minute time bins
+    "rel_range_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("ts"), col("value"))
+      val wins = e.where(col("event_type") === "purchase" &&
+          pmod(col("event_id"), lit(13L)) === 0)
+        .select(col("event_id").as("w_id"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+          col("ts").as("w_end"))
+      graft.operators.RangeJoin
+        .binned(clicks, "ts", wins, "w_start", "w_end", 15L * 60 * 1000000)
+        .groupBy(col("w_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+    }),
     "stream_enrich_counts" -> ((s, d) => Events.streamingEnrichedCounts(s, d)),
 
     // --- dedup family ---
@@ -135,6 +154,10 @@ object ExtQueries {
     "dedup_spans" -> ((s, d) => Dedup.dupSpans(t(s, d, "documents"))),
     // formatting-insensitive exact dedup: canonicalize then hash-group
     "dedup_canonical" -> ((s, d) => Dedup.canonicalGroups(t(s, d, "documents"))),
+    // new-batch-vs-corpus dedup (nightly ingest shape): docs with
+    // doc_id % 10 < 2 play the incoming batch, the rest the corpus
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.incremental(t(s, d, "documents"), col("doc_id") % 10 < 2)),
     // dim passed explicitly (testdata embeddings are 64-dim): embDim's
     // first-row read is a hidden driver action — keep oracle/bench plans
     // pure (no job boundary inside what looks like an expression)
@@ -147,6 +170,8 @@ object ExtQueries {
       Similarity.ivfTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5, nprobe = 2)),
     "sim_topk_lsh" -> ((s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5, dim = 64)),
+    "sim_topk_sq8" -> ((s, d) =>
+      Similarity.sq8TopK(t(s, d, "embeddings"), col("vec_id") < 10, 5)),
 
     // --- end-to-end corpus cleaning (quality gate → exact dedup →
     //     LSH near-dup removal), one composed plan ---
@@ -188,6 +213,10 @@ object ExtQueries {
     "llm_sample_weighted" -> ((s, d) =>
       graft.llm.Sampling.weightedTopK(t(s, d, "documents"),
         col("n_chars"), 100)),
+
+    // hash-sharded export manifest: narrow map + one aggregate
+    "llm_shard_export" -> ((s, d) =>
+      graft.llm.Sampling.shardManifest(t(s, d, "documents"), 8)),
 
     // PII planted deterministically from doc_id (the synthetic corpus
     // carries none), then scrubbed; oracle replays the same construction
@@ -380,6 +409,16 @@ object ExtQueries {
         | FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.c_ts <= p.ts""".stripMargin,
 
+    "rel_range_join" ->
+      """WITH c AS (SELECT ts, value FROM events WHERE event_type = 'click'),
+        | w AS (SELECT event_id AS w_id, ts - INTERVAL 30 MINUTE AS w_start,
+        |    ts AS w_end
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 13 = 0)
+        | SELECT w_id, count(*) AS n_clicks,
+        |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        | FROM c JOIN w ON c.ts >= w.w_start AND c.ts <= w.w_end
+        | GROUP BY w_id""".stripMargin,
+
     "rel_asof_native" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
         |   WHERE event_type = 'purchase'),
@@ -392,6 +431,48 @@ object ExtQueries {
     "dedup_canonical" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
         | count(*) AS n, min(doc_id) AS keep FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH nf AS (SELECT doc_id, (doc_id % 10 < 2) AS isnew FROM documents),
+        | ch AS (SELECT d.doc_id, nf.isnew,
+        |    md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS h
+        |  FROM documents d JOIN nf ON nf.doc_id = d.doc_id),
+        | corpus_h AS (SELECT DISTINCT h FROM ch WHERE NOT isnew),
+        | ex AS (SELECT c.doc_id, (corpus_h.h IS NOT NULL) AS exact_dup
+        |  FROM ch c LEFT JOIN corpus_h ON c.h = corpus_h.h WHERE c.isnew),
+        | sh AS (SELECT doc_id, $shSql AS shs FROM documents),
+        | h AS (SELECT doc_id, $hash32Sql AS hv FROM
+        |        (SELECT doc_id, unnest(shs) AS s FROM sh)),
+        | sig AS (SELECT doc_id,
+        |   min((1000003*hv+12345) % 4294967311) AS m0,
+        |   min((2000029*hv+54321) % 4294967311) AS m1,
+        |   min((3000073*hv+11111) % 4294967311) AS m2,
+        |   min((4000037*hv+22222) % 4294967311) AS m3,
+        |   min((5000011*hv+33333) % 4294967311) AS m4,
+        |   min((6000011*hv+44444) % 4294967311) AS m5,
+        |   min((7000003*hv+55555) % 4294967311) AS m6,
+        |   min((8000009*hv+66666) % 4294967311) AS m7
+        |  FROM h GROUP BY doc_id),
+        | cand AS (SELECT DISTINCT a.doc_id AS dn, b.doc_id AS dc
+        |  FROM sig a JOIN nf na ON na.doc_id = a.doc_id AND na.isnew
+        |   JOIN sig b ON (
+        |    md5(a.m0||'_'||a.m1) = md5(b.m0||'_'||b.m1) OR
+        |    md5(a.m2||'_'||a.m3) = md5(b.m2||'_'||b.m3) OR
+        |    md5(a.m4||'_'||a.m5) = md5(b.m4||'_'||b.m5) OR
+        |    md5(a.m6||'_'||a.m7) = md5(b.m6||'_'||b.m7))
+        |   JOIN nf nb ON nb.doc_id = b.doc_id AND NOT nb.isnew),
+        | near AS (SELECT dn, count(*) AS n_near, min(dc) AS near_min FROM (
+        |   SELECT cand.dn, cand.dc FROM cand
+        |    JOIN sh x ON x.doc_id = cand.dn JOIN sh y ON y.doc_id = cand.dc
+        |   WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
+        |     len(list_distinct(list_concat(x.shs, y.shs))) >= 0.5)
+        |  GROUP BY dn)
+        | SELECT e.doc_id,
+        |  CASE WHEN e.exact_dup THEN 'exact'
+        |       WHEN near.n_near IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS status,
+        |  coalesce(near.n_near, 0) AS n_near, near.near_min
+        | FROM ex e LEFT JOIN near ON near.dn = e.doc_id""".stripMargin,
 
     "llm_pack_chunks" ->
       """WITH tk AS (SELECT doc_id, lang,
@@ -496,6 +577,18 @@ object ExtQueries {
         | SELECT doc_id, lang FROM u
         | WHERE u < CASE lang WHEN 'en' THEN 0.1 WHEN 'zh' THEN 0.3 ELSE 0.5 END""".stripMargin,
 
+    "llm_shard_export" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) % 8 AS shard,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        | FROM documents)
+        | SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        | FROM t GROUP BY shard""".stripMargin,
+
     // A-ES: key = ln(u)/w rounded to 9 dp so both engines order the
     // same doubles; doc_id total-order tie-break
     "llm_sample_weighted" ->
@@ -580,6 +673,28 @@ object ExtQueries {
         |   row_number() OVER (PARTITION BY a.vec_id ORDER BY
         |     list_dot_product(a.emb, b.emb) /
         |       (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) DESC,
+        |     b.vec_id) AS rank
+        |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id)
+        | WHERE rank <= 5""".stripMargin,
+
+    "sim_topk_sq8" ->
+      s"""WITH e AS (SELECT vec_id,
+        |   list_transform(CAST(embedding AS DOUBLE[]),
+        |     x -> greatest(-128, least(127, floor(x * 256)))) AS emb
+        |  FROM embeddings)
+        | SELECT q, cand, rank, round(sim, 6) AS sim FROM (
+        |  SELECT a.vec_id AS q, b.vec_id AS cand,
+        |   CASE WHEN list_dot_product(a.emb, a.emb) = 0
+        |          OR list_dot_product(b.emb, b.emb) = 0 THEN 0.0
+        |    ELSE list_dot_product(a.emb, b.emb) /
+        |     (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |   END AS sim,
+        |   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |     CASE WHEN list_dot_product(a.emb, a.emb) = 0
+        |            OR list_dot_product(b.emb, b.emb) = 0 THEN 0.0
+        |      ELSE list_dot_product(a.emb, b.emb) /
+        |       (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |     END DESC,
         |     b.vec_id) AS rank
         |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id)
         | WHERE rank <= 5""".stripMargin,
