@@ -20,13 +20,13 @@ object Bench {
     "woql_path_seq", "woql_path_plus_alt", "woql_path_witness_times", "woql_isa",
     "woql_path_shortest",
     "rel_q1_agg", "rel_topk_window", "rel_broadcast_join", "rel_events_window",
-    "rel_asof_join",
+    "rel_asof_join", "rel_asof_native", "rel_range_join",
     "ext_json", "stream_window_counts", "stream_append_counts",
     "stream_user_stats", "stream_stream_join",
-    "llm_pack_chunks",
+    "llm_pack_chunks", "llm_shard_export",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_prefix", "dedup_simhash",
-    "dedup_embedding_lsh",
-    "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh",
+    "dedup_embedding_lsh", "dedup_incremental",
+    "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_sq8",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean")
 
   def main(args: Array[String]): Unit = {
