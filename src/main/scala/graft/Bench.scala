@@ -21,9 +21,13 @@ object Bench {
     "woql_path_shortest",
     "rel_q1_agg", "rel_topk_window", "rel_broadcast_join", "rel_events_window",
     "rel_asof_join", "rel_asof_native", "rel_range_join",
+    "rel_interval_overlap", "rel_sessionize",
     "ext_json", "stream_window_counts", "stream_append_counts",
     "stream_user_stats", "stream_stream_join",
-    "llm_pack_chunks", "llm_shard_export",
+    "llm_pack_chunks", "llm_shard_export", "llm_split", "llm_mix_budget",
+    // llm_sample_diverse re-runs emb_kmeans's three Lloyd rounds —
+    // benching both would double-count the same work
+    "emb_kmeans",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_prefix", "dedup_simhash",
     "dedup_embedding_lsh", "dedup_incremental",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_sq8",

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over sq8-quantized embedding codes —
+  * the codebook trainer that [[Similarity]]'s IVF tier needs when no
+  * label structure exists (medoidCentroids is the labeled shortcut).
+  *
+  * Reproducibility is the hard part of distributed k-means: float32
+  * accumulation order differs run-to-run (and engine-to-engine), so
+  * naive means are not replayable. Three choices make every step
+  * bit-deterministic and therefore oracle-checkable:
+  *  - points are the [[Similarity.sq8]] integer codes: all per-dim
+  *    sums are exact integer arithmetic (≤ 128·N ≪ 2⁵³), hence
+  *    ORDER-INDEPENDENT across partitions;
+  *  - init is the codes of the k lowest vec_ids (no RNG);
+  *  - a centroid mean is one double division of an exact sum; empty
+  *    clusters keep their previous centroid.
+  * Assignment distances are left-associated squared-L2 sums, the same
+  * float op sequence the oracle's `list_sum(list_transform(...))`
+  * performs, so argmin ties resolve identically in both engines.
+  *
+  * Scale shape (100 TB): per iteration ONE scan + one k·dim-wide
+  * partial aggregate (map-side combine → k rows on the driver —
+  * centroids are a catalog-size artifact, like commit refs). Nothing
+  * is ever shuffled by point; the iterate-collect loop is inherent to
+  * Lloyd's and costs k·dim doubles per round trip. The quantized
+  * codes are persisted once and reused across iterations.
+  */
+object Clustering {
+
+  /** Left-assoc Σ(qv[i]−c[i])² against a centroid literal. */
+  private def sqDist(qv: Column, c: IndexedSeq[Double]): Column =
+    c.indices.map { i => val d = qv(i) - lit(c(i)); d * d }.reduce(_ + _)
+
+  /** Assignment + per-point distance under fixed centroids: a pure
+    * narrow projection. The k distances land in ONE array column in
+    * its own projection (multiply-referenced, so CollapseProject keeps
+    * it materialized rather than re-inlining the k·dim arithmetic);
+    * argmin is then `array_position(min)`, whose first-occurrence rule
+    * IS the lowest-cid tie-break (== ORDER BY dist, cid). A folded
+    * when-chain argmin would duplicate the accumulator at every step —
+    * a ~3^k Catalyst tree that takes minutes to optimize at k=8·d=64. */
+  private def assign(q: DataFrame, cents: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+    q.withColumn("__d", array(cents.map(c => sqDist(col("qv"), c)): _*))
+      .select(col("vec_id"), col("qv"),
+        (array_position(col("__d"), array_min(col("__d"))) - 1).as("cluster"),
+        array_min(col("__d")).as("dist"))
+
+  /** Final assignment after `iters` Lloyd rounds: (vec_id, qv, cluster,
+    * dist). `dim` is passed explicitly (no hidden driver action). */
+  def kmeansSq8(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    require(k > 0 && iters > 0 && dim > 0)
+    val q = emb.select(col("vec_id"), Similarity.sq8(col("embedding")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: IndexedSeq[IndexedSeq[Double]] =
+      q.orderBy(col("vec_id")).limit(k).collect()
+        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    var a = assign(q, cents)
+    for (_ <- 1 until iters) {
+      // exact integer per-dim sums → one double division per centroid
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(i => sum(col("qv")(i)).as(s"s$i"))
+      val upd = a.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          r.getLong(0) -> (0 until dim).map(i => r.getDouble(i + 2) / n)
+        }.toMap
+      cents = cents.indices.map(j => upd.getOrElse(j.toLong, cents(j)))
+      a = assign(q, cents)
+    }
+    a
+  }
+
+  /** Diversity sample: the `n` members closest to their centroid per
+    * cluster — the standard "one exemplar per semantic region" pick for
+    * dataset curation. Window over the k-means assignment: one shuffle
+    * on cluster id (k groups — tiny; the heavy work is the scan). */
+  def diverseTopN(emb: DataFrame, k: Int, iters: Int, dim: Int, n: Int): DataFrame = {
+    val a = kmeansSq8(emb, k, iters, dim)
+    val w = Window.partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
+    a.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= n)
+      .select(col("cluster"), col("vec_id"), col("rank"))
+  }
+}

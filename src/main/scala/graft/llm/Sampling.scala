@@ -65,4 +65,49 @@ object Sampling {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+
+  /** Deterministic train/val/test split: bucket = hash32("split:"‖id)
+    * mod 100, then threshold. A pure narrow map — no shuffle, no RNG,
+    * no global sort — so the SAME document lands in the SAME split on
+    * every run, on every engine, at every corpus size (adding documents
+    * never reassigns existing ones, the property holdout sets need).
+    * The salt decorrelates the split from every other hash-derived
+    * decision ([[stratifiedHash]] keep/drop, shard id, …). */
+  def trainValTest(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val bucket = pmod(Dedup.hash32(
+      concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L))
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** Domain mixing to per-source token caps: measure each source's
+    * token supply, derive keep-rate = min(1, cap ÷ supply), then
+    * hash-threshold docs at that rate (salted independently of every
+    * other sampling decision). Two passes over the corpus — one
+    * map-side-combined aggregate to learn supplies (tiny result: one
+    * row per source), one filtered scan — which is the minimum for an
+    * EXACT budget; the rates frame is broadcast back, so nothing big
+    * shuffles. Returns the post-mix per-source audit row (supply,
+    * rate, selected docs/tokens), the artifact a data-mixing run is
+    * judged by. */
+  def mixToBudget(docs: DataFrame, caps: Map[String, Long],
+                  defaultCap: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+    val cap = caps.foldLeft(lit(defaultCap.toDouble)) { case (acc, (k, c)) =>
+      when(col("source") === lit(k), lit(c.toDouble)).otherwise(acc)
+    }
+    val rates = toks.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("rate", least(lit(1.0), cap / col("src_tokens")))
+    toks.join(broadcast(rates), Seq("source"))
+      .where(hashU(concat(lit("mix:"), col("doc_id").cast(StringType))) < col("rate"))
+      .groupBy(col("source"))
+      .agg(first(col("src_tokens")).as("src_tokens"),
+        round(first(col("rate")), 9).as("rate"),
+        count(lit(1)).as("n_sel"), sum(col("n_tokens")).as("sel_tokens"))
+  }
 }

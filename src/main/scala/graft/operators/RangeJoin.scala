@@ -40,4 +40,36 @@ object RangeJoin {
       .where(col(pTs) >= col(iStart) && col(pTs) <= col(iEnd))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join, binned — the general case of
+    * [[binned]] where BOTH sides are ranges (`a.start ≤ b.end AND
+    * b.start ≤ a.end`). Both sides explode into the bins they cover
+    * and equi-join on bin id; a pair that overlaps shares every bin
+    * between the later start and the earlier end, so it would match
+    * once per common bin. Rather than a `distinct` (a second shuffle
+    * over the full match set), each pair is emitted EXACTLY once by
+    * the ownership rule: keep the match only in the canonical common
+    * bin `max(bin(a.start), bin(b.start))` — the first bin both
+    * intervals inhabit, which exists iff they overlap. Work ∝ spans ÷
+    * `binMicros` + true matches; one shuffle; no dedup pass.
+    *
+    * Start/end columns name epoch-microsecond BIGINT columns (callers
+    * convert timestamps first — keeps the bin math exact and
+    * engine-portable); the two sides' column names must be disjoint. */
+  def overlapBinned(left: DataFrame, lsCol: String, leCol: String,
+                    right: DataFrame, rsCol: String, reCol: String,
+                    binMicros: Long): DataFrame = {
+    require(binMicros > 0, "binMicros must be positive")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left/right column names must not collide (rename before joining)")
+    val l = left.withColumn("__bin",
+      explode(sequence(floor(col(lsCol) / binMicros), floor(col(leCol) / binMicros))))
+    val r = right.withColumn("__binr",
+      explode(sequence(floor(col(rsCol) / binMicros), floor(col(reCol) / binMicros))))
+    l.join(r, col("__bin") === col("__binr"))
+      .where(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol) &&
+        col("__bin") === greatest(floor(col(lsCol) / binMicros),
+          floor(col(rsCol) / binMicros)))
+      .drop("__bin", "__binr")
+  }
 }

@@ -241,7 +241,55 @@ object ExtQueries {
       .groupBy(col("lang"))
       .agg(expr("percentile(n_chars, 0.5)").as("p50"),
         expr("percentile(n_chars, 0.9)").as("p90"),
-        count(lit(1)).as("n")))
+        count(lit(1)).as("n"))),
+
+    // --- batch sessionization: offline twin of stream_session_counts
+    //     (same 30-min gap rule), one shuffle on the session key ---
+    "rel_sessionize" -> ((s, d) =>
+      graft.operators.Sessionize.sessions(
+        t(s, d, "events").select(col("user_id"), col("ts"), col("event_id")),
+        "user_id", "ts", "event_id", 30L * 60 * 1000000)),
+
+    // interval×interval overlap join (RangeJoin.overlapBinned):
+    // click-activity intervals [ts, ts+value·s] × error intervals,
+    // matched once per pair via bin ownership — no nested loop, no
+    // dedup shuffle
+    "rel_interval_overlap" -> ((s, d) => {
+      val e = t(s, d, "events")
+      def iv(typ: String, p: String) = e.where(col("event_type") === typ)
+        .select(col("event_id").as(p + "id"),
+          unix_micros(col("ts")).as(p + "s"),
+          (unix_micros(col("ts")) + floor(col("value") * 1000000)).as(p + "e"))
+      graft.operators.RangeJoin.overlapBinned(
+          iv("click", "a_"), "a_s", "a_e",
+          iv("error", "b_"), "b_s", "b_e", 10L * 60 * 1000000)
+        .groupBy(col("a_id").as("event_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+    }),
+
+    // deterministic holdout split: pure narrow map, stable under
+    // corpus growth (Sampling.trainValTest)
+    "llm_split" -> ((s, d) =>
+      graft.llm.Sampling.trainValTest(t(s, d, "documents"))),
+
+    // domain mixing to per-source token caps: supply aggregate →
+    // broadcast rates → salted hash-threshold (Sampling.mixToBudget)
+    "llm_mix_budget" -> ((s, d) =>
+      graft.llm.Sampling.mixToBudget(t(s, d, "documents"),
+        Map("src0" -> 6000L, "src1" -> 1500L), defaultCap = 3000L)),
+
+    // deterministic Lloyd's k-means over sq8 codes (IVF codebook
+    // trainer): 3 rounds, k=8 — every step exact/order-independent,
+    // replayed round-for-round by the oracle's unrolled CTEs
+    "emb_kmeans" -> ((s, d) =>
+      graft.llm.Clustering.kmeansSq8(t(s, d, "embeddings"), k = 8, iters = 3, dim = 64)
+        .select(col("vec_id"), col("cluster"))),
+
+    // cluster-diversity sample: 3 exemplars nearest each k-means
+    // centroid — the curation pick over semantic regions
+    "llm_sample_diverse" -> ((s, d) =>
+      graft.llm.Clustering.diverseTopN(t(s, d, "embeddings"),
+        k = 8, iters = 3, dim = 64, n = 3))
   )
 
   // DuckDB-side shared fragments
@@ -832,6 +880,104 @@ object ExtQueries {
     "text_len_quantiles" ->
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
         | quantile_cont(n_chars, 0.9) AS p90, count(*) AS n
-        | FROM documents GROUP BY 1""".stripMargin
+        | FROM documents GROUP BY 1""".stripMargin,
+
+    // exact epoch-microsecond gap rule, (ts, event_id) total order —
+    // mirrors operators.Sessionize.sessions
+    "rel_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        | g AS (SELECT user_id, ts, us, CASE WHEN
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       > 1800000000 THEN 1 ELSE 0 END AS brk,
+        |   event_id FROM e),
+        | s AS (SELECT user_id, ts, us, CAST(sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g)
+        | SELECT user_id, sid, count(*) AS n_events, min(ts) AS start_ts,
+        |  max(us) - min(us) AS dur_us
+        | FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // plain overlap-join oracle (DuckDB IEJoins it); the engine's
+    // binned+ownership plan must produce the identical pair set
+    "rel_interval_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+        |   epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS a_e
+        |  FROM events WHERE event_type = 'click'),
+        | b AS (SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+        |   epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS b_e
+        |  FROM events WHERE event_type = 'error')
+        | SELECT a_id AS event_id, count(*) AS n_overlap
+        | FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+        | GROUP BY a_id""".stripMargin,
+
+    // salted md5 bucket mod 100 (= Sampling.trainValTest)
+    "llm_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5('split:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) % 100 AS bucket
+        | FROM documents)
+        | SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train'
+        |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b""".stripMargin,
+
+    // supply per source → rate = min(1, cap/supply) → salted
+    // hash-threshold keep (= Sampling.mixToBudget)
+    "llm_mix_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM t GROUP BY source),
+        | r AS (SELECT source, src_tokens, least(1.0,
+        |   (CASE source WHEN 'src0' THEN 6000.0 WHEN 'src1' THEN 1500.0
+        |    ELSE 3000.0 END) / src_tokens) AS rate FROM s),
+        | k AS (SELECT t.source, t.n_tokens, r.src_tokens, r.rate
+        |  FROM t JOIN r USING (source)
+        |  WHERE CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5('mix:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) / 4294967296.0 < r.rate)
+        | SELECT source, min(src_tokens) AS src_tokens, round(min(rate), 9) AS rate,
+        |  count(*) AS n_sel, CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
+        | FROM k GROUP BY source""".stripMargin,
+
+    "emb_kmeans" -> kmeansSql("SELECT vec_id, cid AS cluster FROM a3"),
+
+    "llm_sample_diverse" -> kmeansSql(
+      """SELECT cid AS cluster, vec_id,
+        | CAST(row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS BIGINT) AS rank
+        | FROM a3 QUALIFY rank <= 3""".stripMargin)
   )
+
+  /** Unrolled Lloyd CTEs replaying Clustering.kmeansSq8(k=8, iters=3,
+    * dim=64) round-for-round: q = sq8 codes, c0 = codes of the 8
+    * lowest vec_ids, aN = argmin assignment under c(N−1) (the distance
+    * is the SAME left-assoc sum-of-squares op sequence the engine
+    * folds, so ties resolve identically), cN = exact-integer-sum
+    * means with empty clusters keeping their previous centroid. */
+  private def kmeansSql(select: String, k: Int = 8, iters: Int = 3,
+                        dim: Int = 64): String = {
+    val qv = "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> greatest(-128, least(127, floor(x * 256))))"
+    def dist(q: String, c: String) = (1 to dim)
+      .map(i => s"($q[$i]-$c[$i])*($q[$i]-$c[$i])").mkString(" + ")
+    val sums = (1 to dim).map(i => s"sum(qv[$i])/count(*)").mkString(", ")
+    val iterCtes = (1 to iters).map { n =>
+      val prev = s"c${n - 1}"
+      val aN = s"a$n AS (SELECT vec_id, qv, cid, dist FROM (" +
+        s"SELECT q.vec_id, q.qv, c.cid, ${dist("q.qv", "c.cv")} AS dist " +
+        s"FROM q CROSS JOIN $prev c) t " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"
+      val cN = if (n == iters) "" else
+        s", c$n AS (SELECT p.cid, CASE WHEN g.cid IS NULL THEN p.cv ELSE g.cv END AS cv " +
+          s"FROM $prev p LEFT JOIN (SELECT cid, list_value($sums) AS cv " +
+          s"FROM a$n GROUP BY cid) g ON p.cid = g.cid)"
+      aN + cN
+    }.mkString(", ")
+    s"WITH q AS (SELECT vec_id, $qv AS qv FROM embeddings), " +
+      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid, " +
+      s"qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)), " +
+      s"$iterCtes $select"
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.Clustering
+
+/** Deterministic sq8 k-means (Lloyd's) + cluster-diversity sampling. */
+class ClusteringSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def vecs(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("k-means separates three obvious blobs") {
+    // three tight blobs at far corners of a 4-dim cube; vec_ids
+    // interleave mod 3 so the deterministic lowest-k init picks one
+    // seed per blob (Lloyd's converges to whatever basins the init
+    // spans — a garbage all-in-one-blob init is not what's under test)
+    val blob = Seq(
+      (Seq(0.9f, 0.9f, 0.0f, 0.0f), (0 until 15).filter(_ % 3 == 0)),
+      (Seq(-0.9f, -0.9f, 0.0f, 0.0f), (0 until 15).filter(_ % 3 == 1)),
+      (Seq(0.0f, 0.0f, 0.9f, -0.9f), (0 until 15).filter(_ % 3 == 2)))
+    val rows = blob.flatMap { case (c, ids) =>
+      ids.map(i => (i.toLong, c.map(x => x + (i % 5) * 0.01f)))
+    }
+    val a = Clustering.kmeansSq8(vecs(rows), k = 3, iters = 3, dim = 4)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every blob lands in one cluster, and the clusters are distinct
+    val byBlob = blob.map { case (_, ids) => ids.map(i => a(i.toLong)).toSet }
+    assert(byBlob.forall(_.size == 1), s"blob split across clusters: $byBlob")
+    assert(byBlob.flatten.toSet.size == 3)
+  }
+
+  test("empty clusters keep their previous centroid (no crash, k > distinct points)") {
+    val rows = (0 until 6).map(i => (i.toLong, Seq(0.5f, 0.5f)))
+    val a = Clustering.kmeansSq8(vecs(rows), k = 4, iters = 3, dim = 2)
+      .select("vec_id", "cluster").collect()
+    assert(a.length == 6)
+    // identical points all tie to centroid 0 (lowest-cid tie-break)
+    assert(a.map(_.getLong(1)).toSet == Set(0L))
+  }
+
+  test("assignment minimizes distance with lowest-cid tie-break") {
+    // point equidistant from centroids 0 and 1 must pick 0
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.0f)), // the 2 init centroids
+      (2L, Seq(0.0f, 0.0f)))                         // equidistant
+    val a = Clustering.kmeansSq8(vecs(rows), k = 2, iters = 1, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a(2L) == 0L)
+  }
+
+  test("diverse sample: at most n per cluster, ranked nearest-first") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Clustering.diverseTopN(emb, k = 8, iters = 3, dim = 64, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.groupBy(_._1).forall(_._2.length <= 3))
+    assert(got.groupBy(_._1).forall { case (_, g) =>
+      g.map(_._3).sorted.toSeq == (1L to g.length).toSeq })
+    // exemplars are distinct documents
+    assert(got.map(_._2).distinct.length == got.length)
+  }
+}

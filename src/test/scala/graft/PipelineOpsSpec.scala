@@ -87,4 +87,69 @@ class PipelineOpsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(m.map(_.getLong(2)).sum == toks)
   }
+
+  test("overlap join equals the nested-loop overlap join, any bin width") {
+    import spark.implicits._
+    // micro-second intervals with varied spans, including span-0 and
+    // exact-touch endpoints (a.e == b.s overlaps under <=)
+    val left = (1 to 120).map { i =>
+      val s = i.toLong * 1000; (i.toLong, s, s + (i % 7).toLong * 800)
+    }.toDF("a_id", "a_s", "a_e")
+    val right = (1 to 90).map { i =>
+      val s = i.toLong * 1300 + 200; (i.toLong, s, s + (i % 5).toLong * 1100)
+    }.toDF("b_id", "b_s", "b_e")
+    val brute = left.crossJoin(right)
+      .where($"a_s" <= $"b_e" && $"b_s" <= $"a_e")
+      .select("a_id", "b_id").orderBy("a_id", "b_id").collect().toSeq
+    for (binUs <- Seq(500L, 1000L, 7919L, 100000L)) {
+      val got = RangeJoin.overlapBinned(left, "a_s", "a_e", right, "b_s", "b_e", binUs)
+        .select("a_id", "b_id").orderBy("a_id", "b_id").collect().toSeq
+      assert(got == brute, s"binMicros=$binUs")
+    }
+  }
+
+  test("sessionize splits on gap > threshold, (ts, id) tie order") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:20:00"), 2L), // same session (gap 20m)
+      (1L, ts("2024-01-01 10:50:00"), 3L), // same session (gap exactly 30m stays)
+      (1L, ts("2024-01-01 11:21:00"), 4L), // NEW session (gap 31m)
+      (2L, ts("2024-01-01 10:00:00"), 5L)  // other key: own session
+    ).toDF("user_id", "ts", "event_id")
+    val got = graft.operators.Sessionize
+      .sessions(e, "user_id", "ts", "event_id", 30L * 60 * 1000000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, 1L) -> 3L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
+  }
+
+  test("train/val/test split is total, disjoint, and growth-stable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = Sampling.trainValTest(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s.size == docs.count())
+    assert(s.values.toSet.subsetOf(Set("train", "val", "test")))
+    // stability: the same doc gets the same split on a half corpus
+    val half = Sampling.trainValTest(docs.where(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(half.forall { case (id, sp) => s(id) == sp })
+  }
+
+  test("mix-to-budget rates cap over-supplied sources and pass small ones") {
+    import spark.implicits._
+    val docs = (0 until 200).map { i =>
+      val src = if (i < 150) "big" else "small"
+      (i.toLong, src, ("tok " * 20).trim) // 20 tokens each
+    }.toDF("doc_id", "source", "text")
+    val got = Sampling.mixToBudget(docs, Map("big" -> 1000L), defaultCap = 100000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    // big: 3000 tokens supply, cap 1000 → rate 1/3, selection thinned
+    val (bigSupply, bigRate, bigN, _) = got("big")
+    assert(bigSupply == 3000L && math.abs(bigRate - 1.0 / 3) < 1e-9)
+    assert(bigN > 20 && bigN < 80, s"expected ~50 of 150 kept, got $bigN")
+    // small: 1000 tokens < default cap → rate 1, everything kept
+    assert(got("small") == ((1000L, 1.0, 50L, 1000L)))
+  }
 }
