@@ -30,7 +30,9 @@ object Bench {
     "emb_kmeans",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_prefix", "dedup_simhash",
     "dedup_embedding_lsh", "dedup_incremental",
-    "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_sq8",
+    "sim_topk_brute", "sim_topk_ivf", "sim_topk_ivf_trained",
+    "sim_topk_lsh", "sim_topk_sq8",
+    "sketch_kmv_distinct", "graph_pagerank",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean")
 
   def main(args: Array[String]): Unit = {

@@ -31,47 +31,70 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Left-assoc Σ(qv[i]−c[i])² against a centroid literal. */
-  private def sqDist(qv: Column, c: IndexedSeq[Double]): Column =
-    c.indices.map { i => val d = qv(i) - lit(c(i)); d * d }.reduce(_ + _)
+  /** Distances to every centroid as ONE array column. The centroid
+    * matrix rides as a single nested-array LITERAL and the squared-L2
+    * sums run through higher-order functions — `aggregate` folds left
+    * from 0.0, so the float op sequence is exactly the oracle's
+    * left-assoc `(q[1]-c[1])² + …` (0.0+t₁ ≡ t₁). An unrolled k·dim
+    * per-element expression computes the same thing but generates
+    * ~k·dim·4 Catalyst nodes PER USE — Janino chews tens of seconds
+    * compiling those stages at k=8·dim=64, while this tree is
+    * constant-size regardless of k and dim. */
+  private[llm] def distArray(qv: Column, cents: IndexedSeq[IndexedSeq[Double]]): Column = {
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    transform(centsLit, c =>
+      aggregate(zip_with(qv, c, (x, y) => { val d = x - y; d * d }),
+        lit(0.0), (a, x) => a + x))
+  }
+
+  /** sq8 code frame (vec_id, qv), persisted for iterative reuse. */
+  private[llm] def codes(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), Similarity.sq8(col("embedding")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Assignment + per-point distance under fixed centroids: a pure
-    * narrow projection. The k distances land in ONE array column in
-    * its own projection (multiply-referenced, so CollapseProject keeps
-    * it materialized rather than re-inlining the k·dim arithmetic);
-    * argmin is then `array_position(min)`, whose first-occurrence rule
-    * IS the lowest-cid tie-break (== ORDER BY dist, cid). A folded
-    * when-chain argmin would duplicate the accumulator at every step —
-    * a ~3^k Catalyst tree that takes minutes to optimize at k=8·d=64. */
-  private def assign(q: DataFrame, cents: IndexedSeq[IndexedSeq[Double]]): DataFrame =
-    q.withColumn("__d", array(cents.map(c => sqDist(col("qv"), c)): _*))
+    * narrow projection. The [[distArray]] column lands in its own
+    * projection (multiply-referenced, so CollapseProject keeps it
+    * materialized); argmin is then `array_position(min)`, whose
+    * first-occurrence rule IS the lowest-cid tie-break (== ORDER BY
+    * dist, cid). A folded when-chain argmin would duplicate the
+    * accumulator at every step — a ~3^k Catalyst tree. */
+  private[llm] def assign(q: DataFrame, cents: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+    q.withColumn("__d", distArray(col("qv"), cents))
       .select(col("vec_id"), col("qv"),
         (array_position(col("__d"), array_min(col("__d"))) - 1).as("cluster"),
         array_min(col("__d")).as("dist"))
 
-  /** Final assignment after `iters` Lloyd rounds: (vec_id, qv, cluster,
-    * dist). `dim` is passed explicitly (no hidden driver action). */
-  def kmeansSq8(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
-    require(k > 0 && iters > 0 && dim > 0)
-    val q = emb.select(col("vec_id"), Similarity.sq8(col("embedding")).as("qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Lloyd's loop over a [[codes]] frame: returns the centroids after
+    * `iters` rounds (the round-`iters` assignment is [[assign]] of the
+    * result). Centroids are a catalog-size driver artifact (k·dim
+    * doubles), like commit refs — the per-round collect is inherent to
+    * Lloyd's, not a distributed-design smell. */
+  private[llm] def trainCentroids(q: DataFrame, k: Int, iters: Int,
+                                  dim: Int): IndexedSeq[IndexedSeq[Double]] = {
     var cents: IndexedSeq[IndexedSeq[Double]] =
       q.orderBy(col("vec_id")).limit(k).collect()
         .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    var a = assign(q, cents)
     for (_ <- 1 until iters) {
       // exact integer per-dim sums → one double division per centroid
       val aggs = count(lit(1)).as("n") +:
         (0 until dim).map(i => sum(col("qv")(i)).as(s"s$i"))
-      val upd = a.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+      val upd = assign(q, cents).groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
         .collect().map { r =>
           val n = r.getLong(1).toDouble
           r.getLong(0) -> (0 until dim).map(i => r.getDouble(i + 2) / n)
         }.toMap
       cents = cents.indices.map(j => upd.getOrElse(j.toLong, cents(j)))
-      a = assign(q, cents)
     }
-    a
+    cents
+  }
+
+  /** Final assignment after `iters` Lloyd rounds: (vec_id, qv, cluster,
+    * dist). `dim` is passed explicitly (no hidden driver action). */
+  def kmeansSq8(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    require(k > 0 && iters > 0 && dim > 0)
+    val q = codes(emb)
+    assign(q, trainCentroids(q, k, iters, dim))
   }
 
   /** Diversity sample: the `n` members closest to their centroid per

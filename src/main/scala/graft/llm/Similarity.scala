@@ -133,6 +133,47 @@ object Similarity {
       .select(col("q"), col("cand"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF top-k over a TRAINED codebook — [[ivfTopK]] without its
+    * label crutch: cells come from [[Clustering.kmeansSq8]]'s Lloyd
+    * rounds instead of pre-existing labels, which is the only form
+    * available on an unlabeled 100 TB embedding store. Everything runs
+    * on the sq8 integer codes (training, probing, AND the exact-dot
+    * rerank — the same arithmetic [[sq8TopK]] uses), so the whole
+    * pipeline stays bit-deterministic and oracle-replayable. Plan
+    * shape: train (k·dim aggregates per round) → one equi-join on cell
+    * id; candidates ∝ corpus/k × nprobe; queries broadcast. */
+  def ivfTrainedTopK(emb: DataFrame, isQuery: Column, k: Int, nprobe: Int,
+                     cells: Int, iters: Int, dim: Int): DataFrame = {
+    val q0 = Clustering.codes(emb)
+    val cents = Clustering.trainCentroids(q0, cells, iters, dim)
+    val assigned = Clustering.assign(q0, cents)
+    // probe: each query ranks all k centroids (k is tiny) and keeps
+    // the nprobe nearest, lowest-cid ties first — mirrors assign()
+    val qcodes = emb.where(isQuery).select(col("vec_id"))
+      .join(assigned, Seq("vec_id"))
+      .select(col("vec_id").as("q"), col("qv").as("qa"))
+    val qs = qcodes
+      .select(col("q"), col("qa"),
+        posexplode(Clustering.distArray(col("qa"), cents)))
+      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "cdist")
+    val wq = Window.partitionBy(col("q")).orderBy(col("cdist"), col("cell"))
+    val probes = qs.withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+      .select(col("q"), col("qa"), col("cell").cast("long").as("cell"))
+    // a candidate lives in exactly one cell → no pair dedup needed
+    val cand = broadcast(probes)
+      .join(assigned.select(col("cluster").as("cell"),
+        col("vec_id").as("cand"), col("qv").as("cb")), Seq("cell"))
+      .where(col("q") =!= col("cand"))
+    val dotAB = graft.functions.ArrayDot.dot(col("qa"), col("cb"))
+    val nA = graft.functions.ArrayDot.dot(col("qa"), col("qa"))
+    val nB = graft.functions.ArrayDot.dot(col("cb"), col("cb"))
+    val sims = cand.withColumn("sim", when(nA === 0.0 || nB === 0.0, lit(0.0))
+      .otherwise(dotAB / (sqrt(nA) * sqrt(nB))))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("cand"))
+    sims.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+      .select(col("q"), col("cand"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF top-k: probe the `nprobe` closest cells, exact-rerank inside. */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int, nprobe: Int): DataFrame = {
     val cents = medoidCentroids(emb)

@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mergeable cardinality sketches for corpus accounting.
+  *
+  * KMV (k minimum values): hash every value into [0,1), keep the k
+  * smallest distinct hashes per group; the kth value u₍ₖ₎ estimates
+  * distinct-count as (k−1)/u₍ₖ₎ (Bar-Yossef et al.; the θ-sketch
+  * family's base estimator). Unlike HyperLogLog registers, a KMV
+  * sketch built on a DETERMINISTIC hash (md5, no seed state) is
+  * bit-reproducible across engines AND trivially mergeable — union =
+  * merge the min-sets and re-truncate to k — which is why it fits a
+  * 100 TB pipeline: per-partition sketches are k doubles, merged in
+  * one tiny shuffle, and the oracle can replay the estimate exactly.
+  * Groups with fewer than k distinct hashes report their exact count
+  * (the sketch IS the full value set there).
+  *
+  * Plan shape: project hash → distinct (one shuffle, map-side
+  * partial) → per-group window top-k over ≤ k·groups rows. The big
+  * table is touched once, narrowly.
+  */
+object Sketches {
+
+  /** Per-group distinct-count estimate of `value`: (g, est_distinct). */
+  def kmvDistinct(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val h = df.select(group.as("g"),
+      Sampling.hashU(value.cast(StringType)).as("u")).distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("u"))
+    h.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"),
+        max(when(col("rn") === k, col("u"))).as("uk"))
+      .select(col("g"),
+        when(col("nd") < k, col("nd").cast(DoubleType))
+          .otherwise(round(lit((k - 1).toDouble) / col("uk"), 6)).as("est_distinct"))
+  }
+}

@@ -172,6 +172,11 @@ object ExtQueries {
       Similarity.lshTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5, dim = 64)),
     "sim_topk_sq8" -> ((s, d) =>
       Similarity.sq8TopK(t(s, d, "embeddings"), col("vec_id") < 10, 5)),
+    // IVF over a TRAINED codebook (kmeansSq8 cells, no label crutch) —
+    // the unlabeled-corpus ANN path; probes + rerank on sq8 codes
+    "sim_topk_ivf_trained" -> ((s, d) =>
+      Similarity.ivfTrainedTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5,
+        nprobe = 2, cells = 8, iters = 3, dim = 64)),
 
     // --- end-to-end corpus cleaning (quality gate → exact dedup →
     //     LSH near-dup removal), one composed plan ---
@@ -289,7 +294,30 @@ object ExtQueries {
     // centroid — the curation pick over semantic regions
     "llm_sample_diverse" -> ((s, d) =>
       graft.llm.Clustering.diverseTopN(t(s, d, "embeddings"),
-        k = 8, iters = 3, dim = 64, n = 3))
+        k = 8, iters = 3, dim = 64, n = 3)),
+
+    // KMV distinct sketch: per-lang distinct-text estimate from the 32
+    // smallest md5 hashes — mergeable, deterministic, one narrow scan
+    "sketch_kmv_distinct" -> ((s, d) =>
+      graft.llm.Sketches.kmvDistinct(t(s, d, "documents"),
+        col("lang"), col("text"), 32)
+        .withColumnRenamed("g", "lang")),
+
+    // fixed-point PageRank over the orders→customer→nation→region FK
+    // graph: scaled-integer power iteration (operators.PageRank) —
+    // bit-exact across engines, no float accumulation order anywhere
+    "graph_pagerank" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+      val c = t(s, d, "customer").select(
+        concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"))
+      val n = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      graft.operators.PageRank.fixedPoint(o.union(c).union(n), iters = 3)
+    })
   )
 
   // DuckDB-side shared fragments
@@ -947,7 +975,42 @@ object ExtQueries {
     "llm_sample_diverse" -> kmeansSql(
       """SELECT cid AS cluster, vec_id,
         | CAST(row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS BIGINT) AS rank
-        | FROM a3 QUALIFY rank <= 3""".stripMargin)
+        | FROM a3 QUALIFY rank <= 3""".stripMargin),
+
+    // KMV: 32 smallest distinct hashes per lang; kth value → estimate
+    "sketch_kmv_distinct" ->
+      """WITH u AS (SELECT DISTINCT lang AS g,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) / 4294967296.0 AS u
+        | FROM documents),
+        | r AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn
+        |  FROM u QUALIFY rn <= 32),
+        | a AS (SELECT g, count(*) AS nd, max(CASE WHEN rn = 32 THEN u END) AS uk
+        |  FROM r GROUP BY g)
+        | SELECT g AS lang, CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+        |  ELSE round(31.0 / uk, 6) END AS est_distinct FROM a""".stripMargin,
+
+    "graph_pagerank" -> pagerankSql(iters = 3),
+
+    // trained-IVF: probe the 2 nearest trained cells (c2 = centroids
+    // after round 3's update schedule), exact-integer-dot rerank
+    // inside — extends the k-means CTE chain (a3 = cell assignment)
+    "sim_topk_ivf_trained" -> kmeansSql(
+      s""", p AS (SELECT vec_id AS q_id, qv AS qa, cid AS cell FROM (
+        |  SELECT q.vec_id, q.qv, c.cid, ${kmDistSql("q.qv", "c.cv")} AS cdist
+        |  FROM q CROSS JOIN c2 c WHERE q.vec_id < 10) t
+        | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) <= 2),
+        | sims AS (SELECT p.q_id, a.vec_id AS cand,
+        |  CASE WHEN list_dot_product(p.qa, p.qa) = 0
+        |         OR list_dot_product(a.qv, a.qv) = 0 THEN 0.0
+        |   ELSE list_dot_product(p.qa, a.qv) /
+        |    (sqrt(list_dot_product(p.qa, p.qa)) * sqrt(list_dot_product(a.qv, a.qv)))
+        |  END AS sim
+        | FROM p JOIN a3 a ON p.cell = a.cid AND p.q_id != a.vec_id)
+        | SELECT q_id AS q, cand, CAST(row_number() OVER (PARTITION BY q_id
+        |   ORDER BY sim DESC, cand) AS BIGINT) AS rank, round(sim, 6) AS sim
+        | FROM sims QUALIFY rank <= 5""".stripMargin)
   )
 
   /** Unrolled Lloyd CTEs replaying Clustering.kmeansSq8(k=8, iters=3,
@@ -956,12 +1019,39 @@ object ExtQueries {
     * is the SAME left-assoc sum-of-squares op sequence the engine
     * folds, so ties resolve identically), cN = exact-integer-sum
     * means with empty clusters keeping their previous centroid. */
+  /** Unrolled scaled-integer PageRank rounds (= operators.PageRank
+    * .fixedPoint over the orders→customer→nation→region FK graph):
+    * every op is exact integer arithmetic (`//`, BIGINT sums), so the
+    * replay is bit-identical round-for-round. */
+  private def pagerankSql(iters: Int, scale: Long = 1000000000L): String = {
+    val base = 15L * scale / 100
+    val rounds = (1 to iters).map { n =>
+      s"""p$n AS (SELECT nd.node, CAST($base + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS pr
+         | FROM nodes nd LEFT JOIN (
+         |  SELECT e.dst AS node, sum(p.pr // d.deg) AS inflow
+         |  FROM e JOIN p${n - 1} p ON e.src = p.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst) i ON nd.node = i.node)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (SELECT 'o:'||o_orderkey AS src, 'c:'||o_custkey AS dst FROM orders
+       | UNION ALL SELECT 'c:'||c_custkey, 'n:'||c_nationkey FROM customer
+       | UNION ALL SELECT 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation),
+       | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       | deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       | p0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM nodes),
+       | $rounds
+       | SELECT node, pr FROM p$iters""".stripMargin
+  }
+
+  /** Left-assoc Σ(q[i]−c[i])² over DuckDB list elements — the same
+    * float op sequence Clustering.sqDist folds. */
+  private def kmDistSql(q: String, c: String, dim: Int = 64): String =
+    (1 to dim).map(i => s"($q[$i]-$c[$i])*($q[$i]-$c[$i])").mkString(" + ")
+
   private def kmeansSql(select: String, k: Int = 8, iters: Int = 3,
                         dim: Int = 64): String = {
     val qv = "list_transform(CAST(embedding AS DOUBLE[]), " +
       "x -> greatest(-128, least(127, floor(x * 256))))"
-    def dist(q: String, c: String) = (1 to dim)
-      .map(i => s"($q[$i]-$c[$i])*($q[$i]-$c[$i])").mkString(" + ")
+    def dist(q: String, c: String) = kmDistSql(q, c, dim)
     val sums = (1 to dim).map(i => s"sum(qv[$i])/count(*)").mkString(", ")
     val iterCtes = (1 to iters).map { n =>
       val prev = s"c${n - 1}"

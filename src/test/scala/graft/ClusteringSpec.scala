@@ -53,6 +53,22 @@ class ClusteringSpec extends AnyFunSuite {
     assert(a(2L) == 0L)
   }
 
+  test("trained-IVF top-k: high recall vs exact sq8 ranking") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = graft.llm.Similarity.sq8TopK(emb, col("vec_id") < 10, 5)
+      .select("q", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.llm.Similarity
+      .ivfTrainedTopK(emb, col("vec_id") < 10, 5, nprobe = 2, cells = 8,
+        iters = 3, dim = 64)
+      .select("q", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size == 50) // 10 queries × full top-5 each
+    // deterministic pipeline: measured 42/50 on this corpus; assert a
+    // margin below so a constant tweak doesn't flap the suite
+    assert((exact intersect ivf).size >= 35,
+      s"recall collapsed: ${(exact intersect ivf).size}/50")
+  }
+
   test("diverse sample: at most n per cluster, ranked nearest-first") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Clustering.diverseTopN(emb, k = 8, iters = 3, dim = 64, n = 3)

@@ -152,4 +152,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     // small: 1000 tokens < default cap → rate 1, everything kept
     assert(got("small") == ((1000L, 1.0, 50L, 1000L)))
   }
+
+  test("KMV sketch: exact below k, within 20% above k") {
+    import spark.implicits._
+    val docs = ((0 until 1000).map(i => ("big", s"value_$i")) ++
+      (0 until 10).map(i => ("tiny", s"v$i")) ++
+      (0 until 10).map(i => ("tiny", s"v$i"))) // dup rows, same distincts
+      .toDF("lang", "text")
+    val got = graft.llm.Sketches.kmvDistinct(docs, col("lang"), col("text"), 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("tiny") == 10.0) // < k → exact
+    assert(math.abs(got("big") - 1000.0) / 1000.0 < 0.2,
+      s"KMV estimate off: ${got("big")}")
+  }
+
+  test("fixed-point PageRank matches the hand-computed star graph") {
+    import spark.implicits._
+    // a→c, b→c, c→a; scale 1e9, base 0.15e9, two damped rounds
+    val edges = Seq(("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val got = graft.operators.PageRank.fixedPoint(edges, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // p1: c = .15e9 + 85%·2e9 = 1.85e9 ; a = .15e9 + 85%·1e9 = 1e9 ; b = .15e9
+    // p2: c = .15e9 + 85%·(1e9+.15e9) = 1_127_500_000
+    //     a = .15e9 + 85%·1.85e9 = 1_722_500_000 ; b = .15e9
+    assert(got == Map("a" -> 1722500000L, "b" -> 150000000L, "c" -> 1127500000L))
+  }
 }
