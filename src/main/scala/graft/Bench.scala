@@ -32,7 +32,8 @@ object Bench {
     "dedup_embedding_lsh", "dedup_incremental",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_ivf_trained",
     "sim_topk_lsh", "sim_topk_sq8",
-    "sketch_kmv_distinct", "graph_pagerank",
+    "sketch_kmv_distinct", "sketch_kmv_union", "graph_pagerank",
+    "text_vocab_topk",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean")
 
   def main(args: Array[String]): Unit = {

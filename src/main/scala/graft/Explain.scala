@@ -10,7 +10,9 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("woql_flagship", "woql_triple", "rel_q1_agg",
-        "rel_broadcast_join", "woql_path_plus_alt", "sim_topk_lsh")
+        "rel_broadcast_join", "woql_path_plus_alt", "sim_topk_lsh",
+        "rel_interval_overlap", "rel_sessionize", "emb_kmeans",
+        "sim_topk_ivf_trained", "graph_pagerank")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -25,6 +25,29 @@ import org.apache.spark.sql.types._
   */
 object Sketches {
 
+  /** Global distinct estimate via the MERGE path: build the per-group
+    * k-min sketches, union them, re-truncate to k, estimate. Exactly
+    * equal to sketching the whole table at once (every global k-min
+    * hash survives its own group's cut), but this is the shape a
+    * distributed rollup runs: partial sketches of k doubles per
+    * group/partition, merged on one tiny single-partition window (≤
+    * k·groups rows — the global window is NOT a scale hazard because
+    * only sketch rows reach it). */
+  def kmvUnionEstimate(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val h = df.select(group.as("g"),
+      Sampling.hashU(value.cast(StringType)).as("u")).distinct()
+    val wg = Window.partitionBy(col("g")).orderBy(col("u"))
+    val merged = h.withColumn("rn", row_number().over(wg)).where(col("rn") <= k)
+      .select(col("u")).distinct() // same value in two sketches counts once
+    val w = Window.orderBy(col("u"))
+    merged.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .agg(count(lit(1)).as("nd"),
+        max(when(col("rn") === k, col("u"))).as("uk"))
+      .select(when(col("nd") < k, col("nd").cast(DoubleType))
+        .otherwise(round(lit((k - 1).toDouble) / col("uk"), 6)).as("est_distinct"))
+  }
+
   /** Per-group distinct-count estimate of `value`: (g, est_distinct). */
   def kmvDistinct(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -110,6 +111,23 @@ object TextAnalysis {
 
   /** Canonical content fingerprint: md5 of the sorted distinct token
     * set — robust to token order (rolling-hash-class fingerprint). */
+  /** Per-language vocabulary: top `n` tokens by DOCUMENT frequency
+    * (each token counted once per document — `array_distinct` before
+    * the explode, so a spammy doc can't dominate the vocab). The
+    * corpus-wide vocab build every tokenizer-training run starts
+    * with: explode (narrow) → one count shuffle on (lang, token) →
+    * per-lang top-n window over the counted frame (second tiny
+    * shuffle, rows ∝ vocabulary not corpus). Ties order
+    * lexicographically for a deterministic vocab. */
+  def vocabTopK(docs: DataFrame, n: Int): DataFrame = {
+    val df = docs.select(col("lang"),
+        explode(array_distinct(toks(col("text")))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("tok"))
+    df.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= n)
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(toks(col("text")))))).as("fp"))

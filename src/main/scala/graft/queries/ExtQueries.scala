@@ -303,6 +303,17 @@ object ExtQueries {
         col("lang"), col("text"), 32)
         .withColumnRenamed("g", "lang")),
 
+    // the distributed rollup shape: per-lang sketches merged +
+    // re-truncated — bit-equal to sketching the table at once
+    "sketch_kmv_union" -> ((s, d) =>
+      graft.llm.Sketches.kmvUnionEstimate(t(s, d, "documents"),
+        col("lang"), col("text"), 32)),
+
+    // per-lang vocabulary by document frequency (tokenizer-training
+    // input): array_distinct explode → count → top-20 window
+    "text_vocab_topk" -> ((s, d) =>
+      graft.llm.TextAnalysis.vocabTopK(t(s, d, "documents"), 20)),
+
     // fixed-point PageRank over the orders→customer→nation→region FK
     // graph: scaled-integer power iteration (operators.PageRank) —
     // bit-exact across engines, no float accumulation order anywhere
@@ -992,6 +1003,29 @@ object ExtQueries {
         |  ELSE round(31.0 / uk, 6) END AS est_distinct FROM a""".stripMargin,
 
     "graph_pagerank" -> pagerankSql(iters = 3),
+
+    // per-group sketches → union distinct → re-truncate → estimate
+    "sketch_kmv_union" ->
+      """WITH u AS (SELECT DISTINCT lang AS g,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) / 4294967296.0 AS u
+        | FROM documents),
+        | sk AS (SELECT DISTINCT u FROM (
+        |   SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn
+        |   FROM u QUALIFY rn <= 32)),
+        | r AS (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM sk QUALIFY rn <= 32),
+        | a AS (SELECT count(*) AS nd, max(CASE WHEN rn = 32 THEN u END) AS uk FROM r)
+        | SELECT CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+        |  ELSE round(31.0 / uk, 6) END AS est_distinct FROM a""".stripMargin,
+
+    "text_vocab_topk" ->
+      s"""WITH tf AS (SELECT lang, unnest(list_distinct($toksSql)) AS tok
+        |  FROM documents),
+        | df AS (SELECT lang, tok, count(*) AS df FROM tf GROUP BY lang, tok)
+        | SELECT lang, tok, df, CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY df DESC, tok) AS BIGINT) AS rank
+        | FROM df QUALIFY rank <= 20""".stripMargin,
 
     // trained-IVF: probe the 2 nearest trained cells (c2 = centroids
     // after round 3's update schedule), exact-integer-dot rerank

@@ -166,6 +166,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"KMV estimate off: ${got("big")}")
   }
 
+  test("KMV merge path equals the direct whole-table sketch") {
+    import spark.implicits._
+    val docs = (0 until 800).map(i => (s"lang${i % 5}", s"text_$i"))
+      .toDF("lang", "text")
+    val direct = graft.llm.Sketches
+      .kmvDistinct(docs.withColumn("one", lit("all")), col("one"), col("text"), 32)
+      .head().getDouble(1)
+    val merged = graft.llm.Sketches
+      .kmvUnionEstimate(docs, col("lang"), col("text"), 32)
+      .head().getDouble(0)
+    assert(merged == direct, s"merge path diverged: $merged != $direct")
+  }
+
+  test("vocab top-k counts document frequency, not term frequency") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "spam spam spam spam rare"),
+      ("en", "common words common here"),
+      ("en", "common rare")).toDF("lang", "text")
+    val got = graft.llm.TextAnalysis.vocabTopK(docs, 10)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // common: df 2; rare: df 2; spam df 1 (once per doc despite 4 uses)
+    assert(got.toSeq.sortBy(_._3).take(2).map(t => (t._1, t._2)).toSet ==
+      Set(("common", 2L), ("rare", 2L)))
+    assert(got.find(_._1 == "spam").map(_._2).contains(1L))
+  }
+
   test("fixed-point PageRank matches the hand-computed star graph") {
     import spark.implicits._
     // a→c, b→c, c→a; scale 1e9, base 0.15e9, two damped rounds

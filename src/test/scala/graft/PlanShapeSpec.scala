@@ -62,4 +62,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"prefix join degraded to a nested-loop join:\n$plan")
   }
+
+  test("binned overlap join plans as an equi-join, not a nested loop") {
+    // a raw interval-overlap predicate has no equi-key — Spark would
+    // nested-loop it; the bin rewrite must surface a hash/merge join
+    val plan = SparkEntry.queries("rel_interval_overlap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join degraded to a product:\n$plan")
+  }
+
+  test("sessionize runs both windows and the rollup off ONE exchange") {
+    // lag, the break cumsum, and the per-session groupBy all use the
+    // user_id partitioning — a second Exchange means the shared-sort
+    // optimization regressed
+    val plan = SparkEntry.queries("rel_sessionize")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange [a-z]*hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("k-means assignment is a narrow projection (no exchange, no join)") {
+    // kmeansSq8 returns the final-round assignment over the persisted
+    // code frame: per-point work must stay map-only — the only jobs
+    // Lloyd's needs are the k-row centroid aggregates during training
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = graft.llm.Clustering.kmeansSq8(emb, k = 4, iters = 1, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"assignment must be map-only:\n$plan")
+  }
 }
