@@ -33,7 +33,7 @@ object Bench {
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_ivf_trained",
     "sim_topk_lsh", "sim_topk_sq8",
     "sketch_kmv_distinct", "sketch_kmv_union", "graph_pagerank",
-    "text_vocab_topk",
+    "text_vocab_topk", "text_bpe_pairs",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean")
 
   def main(args: Array[String]): Unit = {

@@ -128,6 +128,31 @@ object TextAnalysis {
       .where(col("rank") <= n)
   }
 
+  /** BPE-style merge-pair statistics: count every ADJACENT token pair
+    * (non-distinct — frequency is the merge signal, unlike [[vocabTopK]]'s
+    * document frequency) and rank the top `n` candidates. This is the
+    * inner statistic of a BPE/WordPiece training round at word
+    * granularity: explode (narrow, ∝ corpus tokens) → one count
+    * shuffle on the pair → a top-n window over pair counts (rows ∝
+    * distinct pairs, not corpus). Deterministic lexicographic ties. */
+  def bpePairs(docs: DataFrame, n: Int): DataFrame = {
+    // token array bound in its own projection: multiply-referenced, so
+    // the split regex runs once per document, not once per pair
+    val withT = docs.select(toks(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+    val pairs = withT
+      .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => concat(element_at(col("t"), i + 1), lit(" "),
+          element_at(col("t"), i + 2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    // global top-n as TakeOrderedAndProject (per-partition heaps) —
+    // NEVER a single-partition window over all distinct pairs; the
+    // rank window then runs over n rows only
+    val top = pairs.orderBy(col("n").desc, col("pair")).limit(n)
+    val w = Window.orderBy(col("n").desc, col("pair"))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(toks(col("text")))))).as("fp"))

@@ -314,6 +314,11 @@ object ExtQueries {
     "text_vocab_topk" -> ((s, d) =>
       graft.llm.TextAnalysis.vocabTopK(t(s, d, "documents"), 20)),
 
+    // BPE merge-pair statistic: adjacent-pair counts, global top-30 as
+    // TakeOrderedAndProject (never a one-partition window)
+    "text_bpe_pairs" -> ((s, d) =>
+      graft.llm.TextAnalysis.bpePairs(t(s, d, "documents"), 30)),
+
     // fixed-point PageRank over the orders→customer→nation→region FK
     // graph: scaled-integer power iteration (operators.PageRank) —
     // bit-exact across engines, no float accumulation order anywhere
@@ -1026,6 +1031,15 @@ object ExtQueries {
         | SELECT lang, tok, df, CAST(row_number() OVER (PARTITION BY lang
         |   ORDER BY df DESC, tok) AS BIGINT) AS rank
         | FROM df QUALIFY rank <= 20""".stripMargin,
+
+    // adjacent pairs, NON-distinct (frequency is the merge signal)
+    "text_bpe_pairs" ->
+      s"""WITH tk AS (SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
+        | p AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS pair FROM tk),
+        | c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+        | SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+        | FROM c QUALIFY rank <= 30""".stripMargin,
 
     // trained-IVF: probe the 2 nearest trained cells (c2 = centroids
     // after round 3's update schedule), exact-integer-dot rerank

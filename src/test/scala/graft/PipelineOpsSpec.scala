@@ -193,6 +193,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == "spam").map(_._2).contains(1L))
   }
 
+  test("BPE pairs count adjacent occurrences, not documents") {
+    import spark.implicits._
+    val docs = Seq(("x", "a b a b c"), ("y", "a b")).toDF("lang", "text")
+    val got = graft.llm.TextAnalysis.bpePairs(docs, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "a b" occurs twice in doc 1 + once in doc 2
+    assert(got == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+
   test("fixed-point PageRank matches the hand-computed star graph") {
     import spark.implicits._
     // a→c, b→c, c→a; scale 1e9, base 0.15e9, two damped rounds
