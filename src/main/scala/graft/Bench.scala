@@ -31,7 +31,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_prefix", "dedup_simhash",
     "dedup_embedding_lsh", "dedup_incremental",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_ivf_trained",
-    "sim_topk_lsh", "sim_topk_sq8",
+    "sim_topk_lsh", "sim_topk_sq8", "sim_topk_pq", "emb_pq_encode",
     "sketch_kmv_distinct", "sketch_kmv_union", "graph_pagerank",
     "text_vocab_topk", "text_bpe_pairs",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean")

@@ -97,6 +97,42 @@ object Clustering {
     assign(q, trainCentroids(q, k, iters, dim))
   }
 
+  /** Product-quantization codebooks: `m` independent Lloyd's runs,
+    * one per `dim/m`-wide slice of the sq8 codes. PQ is how a 100 TB
+    * embedding store actually fits: m bytes per vector instead of
+    * 4·dim, with distances served from codeword tables. Training cost
+    * is m small k-means runs over the SAME cached code frame (the
+    * slice is a cheap projection); determinism is inherited wholesale
+    * from [[trainCentroids]]. */
+  private[llm] def trainPqBooks(q: DataFrame, m: Int, kSub: Int, iters: Int,
+      dim: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sl = q.select(col("vec_id"), slice(col("qv"), s * sub + 1, sub).as("qv"))
+      trainCentroids(sl, kSub, iters, sub)
+    }
+  }
+
+  /** PQ encode against given books: (vec_id, qv, c0..c{m−1}) — each
+    * cⱼ the nearest codeword id in subspace j (map-only projection,
+    * same argmin shape as [[assign]]). */
+  private[llm] def pqEncodeWith(q: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], dim: Int): DataFrame = {
+    val m = books.size; val sub = dim / m
+    val codeCols = (0 until m).map { s =>
+      val d = distArray(slice(col("qv"), s * sub + 1, sub), books(s))
+      (array_position(d, array_min(d)) - 1).as(s"c$s")
+    }
+    q.select(col("vec_id") +: col("qv") +: codeCols: _*)
+  }
+
+  /** Train + encode: the corpus as m codeword ids per vector. */
+  def pqEncode(emb: DataFrame, m: Int, kSub: Int, iters: Int, dim: Int): DataFrame = {
+    val q = codes(emb)
+    pqEncodeWith(q, trainPqBooks(q, m, kSub, iters, dim), dim).drop("qv")
+  }
+
   /** Diversity sample: the `n` members closest to their centroid per
     * cluster — the standard "one exemplar per semantic region" pick for
     * dataset curation. Window over the k-means assignment: one shuffle

@@ -174,6 +174,43 @@ object Similarity {
       .select(col("q"), col("cand"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** PQ top-k by asymmetric distance (ADC): the query keeps its full
+    * sq8 code; each candidate is its m codeword ids, reconstructed
+    * per-subspace from the trained books at ranking time. Distance =
+    * Σₛ ‖qₛ − codebookₛ[cₛ]‖², with the subspace sums added
+    * left-to-right and each inner sum a left fold — the exact float
+    * op sequence the oracle's `(d0)+(d1)+…` replays, so the ranking
+    * (and its ties) is engine-identical. This is the memory-scale ANN
+    * tier below sq8: m bytes/vector; candidates stream against a
+    * broadcast query side, no shuffle of the corpus. Accuracy is the
+    * PQ trade: ranks come from quantized distances (no exact rerank
+    * here by design — compose with a rerank stage when recall must be
+    * exact). */
+  def pqTopK(emb: DataFrame, isQuery: Column, k: Int, m: Int, kSub: Int,
+             iters: Int, dim: Int): DataFrame = {
+    val q0 = Clustering.codes(emb)
+    val books = Clustering.trainPqBooks(q0, m, kSub, iters, dim)
+    val enc = Clustering.pqEncodeWith(q0, books, dim)
+    val sub = dim / m
+    val qs = emb.where(isQuery).select(col("vec_id"))
+      .join(q0, Seq("vec_id"))
+      .select(col("vec_id").as("q"), col("qv").as("qa"))
+    val candCols = col("vec_id").as("cand") +: (0 until m).map(s => col(s"c$s"))
+    val cand = broadcast(qs)
+      .join(enc.select(candCols: _*), col("q") =!= col("cand"))
+    val adist = (0 until m).map { s =>
+      val qSlice = slice(col("qa"), s * sub + 1, sub)
+      val cw = element_at(typedLit(books(s).map(_.toSeq).toSeq),
+        (col(s"c$s") + 1).cast("int"))
+      aggregate(zip_with(qSlice, cw, (x, y) => { val d = x - y; d * d }),
+        lit(0.0), (a, x) => a + x)
+    }.reduce(_ + _)
+    val sims = cand.withColumn("adist", adist)
+    val w = Window.partitionBy(col("q")).orderBy(col("adist"), col("cand"))
+    sims.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+      .select(col("q"), col("cand"), col("rank"), round(col("adist"), 6).as("adist"))
+  }
+
   /** IVF top-k: probe the `nprobe` closest cells, exact-rerank inside. */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int, nprobe: Int): DataFrame = {
     val cents = medoidCentroids(emb)

@@ -319,6 +319,18 @@ object ExtQueries {
     "text_bpe_pairs" -> ((s, d) =>
       graft.llm.TextAnalysis.bpePairs(t(s, d, "documents"), 30)),
 
+    // product quantization: 8 codeword ids per vector (8 subspaces ×
+    // 16 codewords trained by per-slice Lloyd's) — m bytes/vector
+    "emb_pq_encode" -> ((s, d) =>
+      graft.llm.Clustering.pqEncode(t(s, d, "embeddings"),
+        m = 8, kSub = 16, iters = 2, dim = 64)),
+
+    // PQ asymmetric-distance top-k: full-precision query vs
+    // codeword-reconstructed candidates, no exact rerank (by design)
+    "sim_topk_pq" -> ((s, d) =>
+      graft.llm.Similarity.pqTopK(t(s, d, "embeddings"),
+        col("vec_id") < 10, 5, m = 8, kSub = 16, iters = 2, dim = 64)),
+
     // fixed-point PageRank over the orders→customer→nation→region FK
     // graph: scaled-integer power iteration (operators.PageRank) —
     // bit-exact across engines, no float accumulation order anywhere
@@ -988,6 +1000,11 @@ object ExtQueries {
 
     "emb_kmeans" -> kmeansSql("SELECT vec_id, cid AS cluster FROM a3"),
 
+    "emb_pq_encode" -> pqSql(
+      "SELECT vec_id, " + (0 until 8).map(s => s"c$s").mkString(", ") + " FROM enc"),
+
+    "sim_topk_pq" -> pqSql(pqAdcSelect()),
+
     "llm_sample_diverse" -> kmeansSql(
       """SELECT cid AS cluster, vec_id,
         | CAST(row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS BIGINT) AS rank
@@ -1094,6 +1111,58 @@ object ExtQueries {
     * float op sequence Clustering.sqDist folds. */
   private def kmDistSql(q: String, c: String, dim: Int = 64): String =
     (1 to dim).map(i => s"($q[$i]-$c[$i])*($q[$i]-$c[$i])").mkString(" + ")
+
+  /** Unrolled PER-SUBSPACE Lloyd chains replaying
+    * Clustering.trainPqBooks + pqEncodeWith (m subspaces of dim/m,
+    * kSub codewords, 2 rounds): for each subspace s, qs$s = slice,
+    * c0s$s = init, a1s$s = round-1 assignment, c1s$s = the trained
+    * book, a2s$s = the code; `enc` joins the m codes per vector. */
+  private def pqSql(select: String, m: Int = 8, kSub: Int = 16,
+                    dim: Int = 64): String = {
+    val sub = dim / m
+    val qv = "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> greatest(-128, least(127, floor(x * 256))))"
+    val sums = (1 to sub).map(i => s"sum(qv[$i])/count(*)").mkString(", ")
+    val chains = (0 until m).map { s =>
+      val lo = s * sub
+      def d(q: String, c: String) = kmDistSql(q, c, sub)
+      s"qs$s AS (SELECT vec_id, list_slice(qv, ${lo + 1}, ${lo + sub}) AS qv FROM q), " +
+        s"c0s$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid, " +
+        s"qv AS cv FROM (SELECT vec_id, qv FROM qs$s ORDER BY vec_id LIMIT $kSub)), " +
+        s"a1s$s AS (SELECT vec_id, qv, cid FROM (SELECT t.vec_id, t.qv, c.cid, " +
+        s"${d("t.qv", "c.cv")} AS dist FROM qs$s t CROSS JOIN c0s$s c) z " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1), " +
+        s"c1s$s AS (SELECT p.cid, CASE WHEN g.cid IS NULL THEN p.cv ELSE g.cv END AS cv " +
+        s"FROM c0s$s p LEFT JOIN (SELECT cid, list_value($sums) AS cv " +
+        s"FROM a1s$s GROUP BY cid) g ON p.cid = g.cid), " +
+        s"a2s$s AS (SELECT vec_id, cid FROM (SELECT t.vec_id, c.cid, " +
+        s"${d("t.qv", "c.cv")} AS dist FROM qs$s t CROSS JOIN c1s$s c) z " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"
+    }.mkString(", ")
+    val encJoin = (1 until m).map(s => s"JOIN a2s$s USING (vec_id)").mkString(" ")
+    val encCols = (0 until m).map(s => s"a2s$s.cid AS c$s").mkString(", ")
+    s"WITH q AS (SELECT vec_id, $qv AS qv FROM embeddings), $chains, " +
+      s"enc AS (SELECT a2s0.vec_id, $encCols FROM a2s0 $encJoin) $select"
+  }
+
+  /** ADC select over the [[pqSql]] CTEs: query slices vs the cand's
+    * codeword per subspace, subspace sums added left-to-right (the
+    * same grouping Similarity.pqTopK reduces). */
+  private def pqAdcSelect(m: Int = 8, dim: Int = 64, k: Int = 5): String = {
+    val sub = dim / m
+    val qaCols = (0 until m).map { s =>
+      s"list_slice(qv, ${s * sub + 1}, ${s * sub + sub}) AS qa$s"
+    }.mkString(", ")
+    val dists = (0 until m)
+      .map(s => s"(${kmDistSql(s"qq.qa$s", s"b$s.cv", sub)})").mkString(" + ")
+    val bookJoins = (0 until m)
+      .map(s => s"JOIN c1s$s b$s ON b$s.cid = e.c$s").mkString(" ")
+    s", qq AS (SELECT vec_id AS q, $qaCols FROM q WHERE vec_id < 10), " +
+      s"sims AS (SELECT qq.q, e.vec_id AS cand, $dists AS adist " +
+      s"FROM qq CROSS JOIN enc e $bookJoins WHERE qq.q != e.vec_id) " +
+      "SELECT q, cand, CAST(row_number() OVER (PARTITION BY q ORDER BY adist, cand) " +
+      s"AS BIGINT) AS rank, round(adist, 6) AS adist FROM sims QUALIFY rank <= $k"
+  }
 
   private def kmeansSql(select: String, k: Int = 8, iters: Int = 3,
                         dim: Int = 64): String = {
