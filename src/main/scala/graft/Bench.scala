@@ -34,7 +34,8 @@ object Bench {
     "sim_topk_lsh", "sim_topk_sq8", "sim_topk_pq", "emb_pq_encode",
     "sketch_kmv_distinct", "sketch_kmv_union", "graph_pagerank",
     "text_vocab_topk", "text_bpe_pairs",
-    "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean")
+    "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean",
+    "llm_pipeline_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -42,4 +42,19 @@ object Pipeline {
     cleaned.join(q, Seq("doc_id"))
       .select(col("doc_id"), col("stop_ratio"), col("mean_tok_len"))
   }
+
+  /** Pipeline v2 — [[cleanCorpus]] composed with the deterministic
+    * holdout split and the per-split accounting a training run
+    * consumes: (split, n_docs, total_tokens). Still ONE declarative
+    * plan; the split is a pure narrow map over the survivors, so the
+    * extra cost beyond cleaning is a single tiny aggregate. */
+  def cleanSplitStats(docs: DataFrame): DataFrame = {
+    val survivors = cleanCorpus(docs).select("doc_id")
+    val sd = docs.join(survivors, Seq("doc_id"), "left_semi")
+    Sampling.trainValTest(sd).join(sd, Seq("doc_id"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("total_tokens"))
+  }
 }

@@ -183,6 +183,10 @@ object ExtQueries {
     "llm_pipeline_clean" -> ((s, d) =>
       graft.llm.Pipeline.cleanCorpus(t(s, d, "documents"))),
 
+    // pipeline v2: clean → holdout split → per-split token accounting
+    "llm_pipeline_v2" -> ((s, d) =>
+      graft.llm.Pipeline.cleanSplitStats(t(s, d, "documents"))),
+
     // concat-and-chunk sequence packing, per-lang partition (Packing)
     "llm_pack_chunks" -> ((s, d) =>
       graft.llm.Packing.packChunks(t(s, d, "documents"), 512)),
@@ -851,44 +855,26 @@ object ExtQueries {
         | SELECT doc_id, j, round($hash32Sql / 4294967296.0, 6) AS v
         | FROM f""".stripMargin,
 
-    "llm_pipeline_clean" ->
-      s"""WITH q AS (SELECT doc_id,
-        |   round(len(list_filter($toksSql, x -> list_contains(
-        |     ['the','a','of','and','to','in','is','it'], x))) * 1.0 / len($toksSql), 6)
-        |     AS stop_ratio,
-        |   round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
-        |     / len($toksSql), 6) AS mean_tok_len
-        |  FROM documents),
-        | gated AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
-        |  WHERE q.stop_ratio <= 0.5 AND q.mean_tok_len >= 2.0),
-        | keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
-        | ek AS (SELECT g.doc_id, g.text FROM gated g JOIN keep USING (doc_id)),
-        | sh AS (SELECT doc_id, $shSql AS shs FROM ek),
-        | h AS (SELECT doc_id, $hash32Sql AS hv FROM
-        |        (SELECT doc_id, unnest(shs) AS s FROM sh)),
-        | sig AS (SELECT doc_id,
-        |   min((1000003*hv+12345) % 4294967311) AS m0,
-        |   min((2000029*hv+54321) % 4294967311) AS m1,
-        |   min((3000073*hv+11111) % 4294967311) AS m2,
-        |   min((4000037*hv+22222) % 4294967311) AS m3,
-        |   min((5000011*hv+33333) % 4294967311) AS m4,
-        |   min((6000011*hv+44444) % 4294967311) AS m5,
-        |   min((7000003*hv+55555) % 4294967311) AS m6,
-        |   min((8000009*hv+66666) % 4294967311) AS m7
-        |  FROM h GROUP BY doc_id),
-        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-        |    md5(a.m0||'_'||a.m1) = md5(b.m0||'_'||b.m1) OR
-        |    md5(a.m2||'_'||a.m3) = md5(b.m2||'_'||b.m3) OR
-        |    md5(a.m4||'_'||a.m5) = md5(b.m4||'_'||b.m5) OR
-        |    md5(a.m6||'_'||a.m7) = md5(b.m6||'_'||b.m7))),
-        | losers AS (SELECT DISTINCT db AS doc_id
-        |  FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
-        |  WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
-        |    len(list_distinct(list_concat(x.shs, y.shs))) >= 0.5)
-        | SELECT e.doc_id, q.stop_ratio, q.mean_tok_len
+    "llm_pipeline_clean" -> (pipelineCleanCtes +
+      """ SELECT e.doc_id, q.stop_ratio, q.mean_tok_len
         | FROM ek e JOIN q USING (doc_id)
-        | WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+        | WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
+
+    // pipeline v2: survivors → deterministic holdout split → the
+    // per-split doc/token accounting a training run consumes
+    "llm_pipeline_v2" -> (pipelineCleanCtes +
+      s""", surv AS (SELECT e.doc_id, e.text FROM ek e
+        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)),
+        | sp AS (SELECT doc_id, text,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5('split:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) % 100 AS bucket FROM surv)
+        | SELECT CASE WHEN bucket < 80 THEN 'train'
+        |   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens
+        | FROM sp GROUP BY 1""".stripMargin),
 
     "text_tokens" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
@@ -1084,6 +1070,45 @@ object ExtQueries {
     * is the SAME left-assoc sum-of-squares op sequence the engine
     * folds, so ties resolve identically), cN = exact-integer-sum
     * means with empty clusters keeping their previous centroid. */
+  /** Shared CTE chain of the cleaning pipeline (quality gate → exact
+    * dedup keepers → MinHash-LSH losers), ending at `losers`; the
+    * pipeline_clean and pipeline_v2 oracles append their selects. */
+  private def pipelineCleanCtes: String =
+    s"""WITH q AS (SELECT doc_id,
+      |   round(len(list_filter($toksSql, x -> list_contains(
+      |     ['the','a','of','and','to','in','is','it'], x))) * 1.0 / len($toksSql), 6)
+      |     AS stop_ratio,
+      |   round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
+      |     / len($toksSql), 6) AS mean_tok_len
+      |  FROM documents),
+      | gated AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+      |  WHERE q.stop_ratio <= 0.5 AND q.mean_tok_len >= 2.0),
+      | keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+      | ek AS (SELECT g.doc_id, g.text FROM gated g JOIN keep USING (doc_id)),
+      | sh AS (SELECT doc_id, $shSql AS shs FROM ek),
+      | h AS (SELECT doc_id, $hash32Sql AS hv FROM
+      |        (SELECT doc_id, unnest(shs) AS s FROM sh)),
+      | sig AS (SELECT doc_id,
+      |   min((1000003*hv+12345) % 4294967311) AS m0,
+      |   min((2000029*hv+54321) % 4294967311) AS m1,
+      |   min((3000073*hv+11111) % 4294967311) AS m2,
+      |   min((4000037*hv+22222) % 4294967311) AS m3,
+      |   min((5000011*hv+33333) % 4294967311) AS m4,
+      |   min((6000011*hv+44444) % 4294967311) AS m5,
+      |   min((7000003*hv+55555) % 4294967311) AS m6,
+      |   min((8000009*hv+66666) % 4294967311) AS m7
+      |  FROM h GROUP BY doc_id),
+      | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+      |    md5(a.m0||'_'||a.m1) = md5(b.m0||'_'||b.m1) OR
+      |    md5(a.m2||'_'||a.m3) = md5(b.m2||'_'||b.m3) OR
+      |    md5(a.m4||'_'||a.m5) = md5(b.m4||'_'||b.m5) OR
+      |    md5(a.m6||'_'||a.m7) = md5(b.m6||'_'||b.m7))),
+      | losers AS (SELECT DISTINCT db AS doc_id
+      |  FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+      |  WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
+      |    len(list_distinct(list_concat(x.shs, y.shs))) >= 0.5)""".stripMargin
+
   /** Unrolled scaled-integer PageRank rounds (= operators.PageRank
     * .fixedPoint over the orders→customer→nation→region FK graph):
     * every op is exact integer arithmetic (`//`, BIGINT sums), so the

@@ -166,6 +166,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"KMV estimate off: ${got("big")}")
   }
 
+  test("pipeline v2 accounts every cleaned survivor exactly once") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val survivors = graft.llm.Pipeline.cleanCorpus(docs).count()
+    val stats = graft.llm.Pipeline.cleanSplitStats(docs).collect()
+    assert(stats.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    assert(stats.map(_.getLong(1)).sum == survivors)
+    assert(stats.forall(_.getLong(2) > 0))
+  }
+
   test("KMV merge path equals the direct whole-table sketch") {
     import spark.implicits._
     val docs = (0 until 800).map(i => (s"lang${i % 5}", s"text_$i"))
