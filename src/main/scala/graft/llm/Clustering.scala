@@ -139,8 +139,18 @@ object Clustering {
     * on cluster id (k groups — tiny; the heavy work is the scan). */
   def diverseTopN(emb: DataFrame, k: Int, iters: Int, dim: Int, n: Int): DataFrame = {
     val a = kmeansSq8(emb, k, iters, dim)
+    // two-phase top-n: a cluster holds ~corpus/k members — the final
+    // per-cluster window must only ever see the ≤ n·buckets bucket
+    // winners, never a whole cluster in one task. Identical result
+    // (every global top-n survives its bucket's cut); the bucket hash
+    // never reaches the output, so the oracle stays direct.
+    val wb = Window.partitionBy(col("cluster"), col("__b"))
+      .orderBy(col("dist"), col("vec_id"))
+    val local = a.withColumn("__b", pmod(xxhash64(col("vec_id")), lit(32L)))
+      .withColumn("__rn", row_number().over(wb)).where(col("__rn") <= n)
+      .drop("__b", "__rn")
     val w = Window.partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
-    a.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= n)
+    local.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= n)
       .select(col("cluster"), col("vec_id"), col("rank"))
   }
 }

@@ -37,8 +37,7 @@ object Sketches {
     require(k >= 2, "KMV needs k >= 2")
     val h = df.select(group.as("g"),
       Sampling.hashU(value.cast(StringType)).as("u")).distinct()
-    val wg = Window.partitionBy(col("g")).orderBy(col("u"))
-    val merged = h.withColumn("rn", row_number().over(wg)).where(col("rn") <= k)
+    val merged = kMinsPerGroup(h, k)
       .select(col("u")).distinct() // same value in two sketches counts once
     val w = Window.orderBy(col("u"))
     merged.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
@@ -48,13 +47,28 @@ object Sketches {
         .otherwise(round(lit((k - 1).toDouble) / col("uk"), 6)).as("est_distinct"))
   }
 
+  /** Bounded per-group k-min selection — two-phase so no task ever
+    * sorts more than its bucket: phase 1 takes the k smallest per
+    * (group, hash-bucket) — every GLOBAL k-min survives its own
+    * bucket's cut, so phase 2's per-group window runs over ≤ k·buckets
+    * rows instead of every distinct value of a 100 TB group. The
+    * bucketing hash never reaches the result (identical k-min set with
+    * or without it), so the oracle stays the direct global selection. */
+  private def kMinsPerGroup(h: DataFrame, k: Int, buckets: Int = 32): DataFrame = {
+    val wb = Window.partitionBy(col("g"), col("__b")).orderBy(col("u"))
+    val local = h.withColumn("__b", pmod(xxhash64(col("u")), lit(buckets.toLong)))
+      .withColumn("__rn", row_number().over(wb)).where(col("__rn") <= k)
+      .drop("__b", "__rn")
+    val w = Window.partitionBy(col("g")).orderBy(col("u"))
+    local.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
   /** Per-group distinct-count estimate of `value`: (g, est_distinct). */
   def kmvDistinct(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val h = df.select(group.as("g"),
       Sampling.hashU(value.cast(StringType)).as("u")).distinct()
-    val w = Window.partitionBy(col("g")).orderBy(col("u"))
-    h.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    kMinsPerGroup(h, k)
       .groupBy(col("g"))
       .agg(count(lit(1)).as("nd"),
         max(when(col("rn") === k, col("u"))).as("uk"))

@@ -123,8 +123,18 @@ object TextAnalysis {
     val df = docs.select(col("lang"),
         explode(array_distinct(toks(col("text")))).as("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
+    // two-phase top-n: a language's FULL vocabulary (10⁷⁺ tokens at
+    // corpus scale) must never pass through one window task. Every
+    // global top-n token survives its own bucket's top-n, so the final
+    // per-lang window sees ≤ n·buckets rows; the bucket hash never
+    // reaches the result, so the oracle stays the direct selection.
+    val wb = Window.partitionBy(col("lang"), col("__b"))
+      .orderBy(col("df").desc, col("tok"))
+    val local = df.withColumn("__b", pmod(xxhash64(col("tok")), lit(32L)))
+      .withColumn("__rn", row_number().over(wb)).where(col("__rn") <= n)
+      .drop("__b", "__rn")
     val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("tok"))
-    df.withColumn("rank", row_number().over(w).cast(LongType))
+    local.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= n)
   }
 
