@@ -23,7 +23,7 @@ object Bench {
     "rel_asof_join", "rel_asof_native", "rel_range_join",
     "rel_interval_overlap", "rel_sessionize",
     "ext_json", "stream_window_counts", "stream_append_counts",
-    "stream_user_stats", "stream_stream_join",
+    "stream_user_stats", "stream_stream_join", "stream_incr_dedup",
     "llm_pack_chunks", "llm_shard_export", "llm_split", "llm_mix_budget",
     // llm_sample_diverse re-runs emb_kmeans's three Lloyd rounds —
     // benching both would double-count the same work

@@ -158,6 +158,11 @@ object ExtQueries {
     // doc_id % 10 < 2 play the incoming batch, the rest the corpus
     "dedup_incremental" -> ((s, d) =>
       Dedup.incremental(t(s, d, "documents"), col("doc_id") % 10 < 2)),
+    // same classification through the streaming ingest path: arrivals
+    // replayed as 2 micro-batches, classified per batch vs the static
+    // corpus in foreachBatch (batch-split independent by construction)
+    "stream_incr_dedup" -> ((s, d) =>
+      graft.streaming.DedupIngest.streamingIncrementalDedup(s, d)),
     // dim passed explicitly (testdata embeddings are 64-dim): embDim's
     // first-row read is a hidden driver action — keep oracle/bench plans
     // pure (no job boundary inside what looks like an expression)
@@ -540,47 +545,15 @@ object ExtQueries {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
         | count(*) AS n, min(doc_id) AS keep FROM documents GROUP BY 1""".stripMargin,
 
-    "dedup_incremental" ->
-      s"""WITH nf AS (SELECT doc_id, (doc_id % 10 < 2) AS isnew FROM documents),
-        | ch AS (SELECT d.doc_id, nf.isnew,
-        |    md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS h
-        |  FROM documents d JOIN nf ON nf.doc_id = d.doc_id),
-        | corpus_h AS (SELECT DISTINCT h FROM ch WHERE NOT isnew),
-        | ex AS (SELECT c.doc_id, (corpus_h.h IS NOT NULL) AS exact_dup
-        |  FROM ch c LEFT JOIN corpus_h ON c.h = corpus_h.h WHERE c.isnew),
-        | sh AS (SELECT doc_id, $shSql AS shs FROM documents),
-        | h AS (SELECT doc_id, $hash32Sql AS hv FROM
-        |        (SELECT doc_id, unnest(shs) AS s FROM sh)),
-        | sig AS (SELECT doc_id,
-        |   min((1000003*hv+12345) % 4294967311) AS m0,
-        |   min((2000029*hv+54321) % 4294967311) AS m1,
-        |   min((3000073*hv+11111) % 4294967311) AS m2,
-        |   min((4000037*hv+22222) % 4294967311) AS m3,
-        |   min((5000011*hv+33333) % 4294967311) AS m4,
-        |   min((6000011*hv+44444) % 4294967311) AS m5,
-        |   min((7000003*hv+55555) % 4294967311) AS m6,
-        |   min((8000009*hv+66666) % 4294967311) AS m7
-        |  FROM h GROUP BY doc_id),
-        | cand AS (SELECT DISTINCT a.doc_id AS dn, b.doc_id AS dc
-        |  FROM sig a JOIN nf na ON na.doc_id = a.doc_id AND na.isnew
-        |   JOIN sig b ON (
-        |    md5(a.m0||'_'||a.m1) = md5(b.m0||'_'||b.m1) OR
-        |    md5(a.m2||'_'||a.m3) = md5(b.m2||'_'||b.m3) OR
-        |    md5(a.m4||'_'||a.m5) = md5(b.m4||'_'||b.m5) OR
-        |    md5(a.m6||'_'||a.m7) = md5(b.m6||'_'||b.m7))
-        |   JOIN nf nb ON nb.doc_id = b.doc_id AND NOT nb.isnew),
-        | near AS (SELECT dn, count(*) AS n_near, min(dc) AS near_min FROM (
-        |   SELECT cand.dn, cand.dc FROM cand
-        |    JOIN sh x ON x.doc_id = cand.dn JOIN sh y ON y.doc_id = cand.dc
-        |   WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
-        |     len(list_distinct(list_concat(x.shs, y.shs))) >= 0.5)
-        |  GROUP BY dn)
-        | SELECT e.doc_id,
-        |  CASE WHEN e.exact_dup THEN 'exact'
-        |       WHEN near.n_near IS NOT NULL THEN 'near'
-        |       ELSE 'new' END AS status,
-        |  coalesce(near.n_near, 0) AS n_near, near.near_min
-        | FROM ex e LEFT JOIN near ON near.dn = e.doc_id""".stripMargin,
+    "dedup_incremental" -> incrDedupSql,
+
+    // identical content through the STREAMING ingest path (foreachBatch
+    // per micro-batch vs the static corpus) - classification is
+    // per-document against the corpus, so any batch split appends the
+    // same total set and the batch oracle applies verbatim
+    "stream_incr_dedup" -> incrDedupSql,
+
+
 
     "llm_pack_chunks" ->
       """WITH tk AS (SELECT doc_id, lang,
@@ -1070,6 +1043,50 @@ object ExtQueries {
     * is the SAME left-assoc sum-of-squares op sequence the engine
     * folds, so ties resolve identically), cN = exact-integer-sum
     * means with empty clusters keeping their previous centroid. */
+  /** Batch-vs-corpus dedup oracle, shared by the batch operator and
+    * its streaming foreachBatch twin (same total classification set). */
+  private def incrDedupSql: String =
+      s"""WITH nf AS (SELECT doc_id, (doc_id % 10 < 2) AS isnew FROM documents),
+        | ch AS (SELECT d.doc_id, nf.isnew,
+        |    md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS h
+        |  FROM documents d JOIN nf ON nf.doc_id = d.doc_id),
+        | corpus_h AS (SELECT DISTINCT h FROM ch WHERE NOT isnew),
+        | ex AS (SELECT c.doc_id, (corpus_h.h IS NOT NULL) AS exact_dup
+        |  FROM ch c LEFT JOIN corpus_h ON c.h = corpus_h.h WHERE c.isnew),
+        | sh AS (SELECT doc_id, $shSql AS shs FROM documents),
+        | h AS (SELECT doc_id, $hash32Sql AS hv FROM
+        |        (SELECT doc_id, unnest(shs) AS s FROM sh)),
+        | sig AS (SELECT doc_id,
+        |   min((1000003*hv+12345) % 4294967311) AS m0,
+        |   min((2000029*hv+54321) % 4294967311) AS m1,
+        |   min((3000073*hv+11111) % 4294967311) AS m2,
+        |   min((4000037*hv+22222) % 4294967311) AS m3,
+        |   min((5000011*hv+33333) % 4294967311) AS m4,
+        |   min((6000011*hv+44444) % 4294967311) AS m5,
+        |   min((7000003*hv+55555) % 4294967311) AS m6,
+        |   min((8000009*hv+66666) % 4294967311) AS m7
+        |  FROM h GROUP BY doc_id),
+        | cand AS (SELECT DISTINCT a.doc_id AS dn, b.doc_id AS dc
+        |  FROM sig a JOIN nf na ON na.doc_id = a.doc_id AND na.isnew
+        |   JOIN sig b ON (
+        |    md5(a.m0||'_'||a.m1) = md5(b.m0||'_'||b.m1) OR
+        |    md5(a.m2||'_'||a.m3) = md5(b.m2||'_'||b.m3) OR
+        |    md5(a.m4||'_'||a.m5) = md5(b.m4||'_'||b.m5) OR
+        |    md5(a.m6||'_'||a.m7) = md5(b.m6||'_'||b.m7))
+        |   JOIN nf nb ON nb.doc_id = b.doc_id AND NOT nb.isnew),
+        | near AS (SELECT dn, count(*) AS n_near, min(dc) AS near_min FROM (
+        |   SELECT cand.dn, cand.dc FROM cand
+        |    JOIN sh x ON x.doc_id = cand.dn JOIN sh y ON y.doc_id = cand.dc
+        |   WHERE len(list_intersect(x.shs, y.shs)) * 1.0 /
+        |     len(list_distinct(list_concat(x.shs, y.shs))) >= 0.5)
+        |  GROUP BY dn)
+        | SELECT e.doc_id,
+        |  CASE WHEN e.exact_dup THEN 'exact'
+        |       WHEN near.n_near IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS status,
+        |  coalesce(near.n_near, 0) AS n_near, near.near_min
+        | FROM ex e LEFT JOIN near ON near.dn = e.doc_id""".stripMargin
+
   /** Shared CTE chain of the cleaning pipeline (quality gate → exact
     * dedup keepers → MinHash-LSH losers), ending at `losers`; the
     * pipeline_clean and pipeline_v2 oracles append their selects. */

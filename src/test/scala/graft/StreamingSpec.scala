@@ -185,4 +185,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.materializeBranch("main").count() == 2)
     assert(st.chain(st.refs("main")).size == 2) // one commit per micro-batch
   }
+
+  test("streaming incremental dedup equals the batch operator across micro-batches") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.DedupIngest
+      .streamingIncrementalDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.llm.Dedup.incremental(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        pmod(col("doc_id"), lit(10L)) < 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the arrivals replay as TWO micro-batches (repartition(2) staging
+    // + maxFilesPerTrigger=1); classification is per-document vs the
+    // corpus, so the union must equal the single-batch result exactly
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
