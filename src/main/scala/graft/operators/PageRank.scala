@@ -38,6 +38,7 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var pr = nodes.withColumn("pr", lit(scale))
+    var i = 0
     for (_ <- 1 to iters) {
       val inflow = e
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
@@ -47,6 +48,13 @@ object PageRank {
       pr = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"), (lit(15L * scale / 100) +
           expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+      // deep runs: truncate lineage every few rounds or the plan (and
+      // Catalyst's optimization time) grows without bound. Lazy
+      // localCheckpoint — no job fires here; same trade the RPQ
+      // closure makes (non-recoverable under executor loss, standard
+      // for iterative graph algorithms; rerun on failure).
+      i += 1
+      if (i % 4 == 0) pr = pr.localCheckpoint(false)
     }
     pr
   }

@@ -121,4 +121,47 @@ class PropertySpec extends AnyFunSuite {
       assert(BigDecimal(got) == want, s"seed $seed: $a, $b")
     }
   }
+
+  test("overlap join equals nested-loop on random interval sets, random bin widths") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ivGen = for {
+      s <- Gen.chooseNum(0L, 5000L)
+      len <- Gen.chooseNum(0L, 800L)
+    } yield (s, s + len)
+    val setGen = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, ivGen))
+    (1L to 5L).foreach { seed =>
+      val ls = sample(setGen, seed).zipWithIndex
+        .map { case ((s, e), i) => (i.toLong, s, e) }
+      val rs = sample(setGen, seed + 50).zipWithIndex
+        .map { case ((s, e), i) => (i.toLong, s, e) }
+      val l = ls.toDF("a_id", "a_s", "a_e"); val r = rs.toDF("b_id", "b_s", "b_e")
+      val brute = l.crossJoin(r)
+        .where(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val bin = sample(Gen.chooseNum(1L, 2000L), seed + 99)
+      val got = graft.operators.RangeJoin
+        .overlapBinned(l, "a_s", "a_e", r, "b_s", "b_e", bin)
+        .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.length == got.toSet.size, s"seed $seed bin $bin: duplicate pairs")
+      assert(got.toSet == brute, s"seed $seed bin $bin")
+    }
+  }
+
+  test("PageRank deep iteration stays exact through lineage truncation") {
+    import spark.implicits._
+    // a→c, b→c, c→a at 10 rounds crosses the every-4-rounds
+    // localCheckpoint twice; values must equal the recurrence computed
+    // on the driver with the same integer arithmetic
+    val edges = Seq(("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val got = graft.operators.PageRank.fixedPoint(edges, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val S = 1000000000L; val base = 150000000L
+    var (pa, pb, pc) = (S, S, S)
+    for (_ <- 1 to 10) {
+      val (na, nc) = (base + 85 * pc / 100, base + 85 * (pa + pb) / 100)
+      pa = na; pb = base; pc = nc
+    }
+    assert(got == Map("a" -> pa, "b" -> pb, "c" -> pc))
+  }
 }
