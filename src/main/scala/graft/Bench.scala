@@ -20,7 +20,7 @@ object Bench {
     "woql_path_seq", "woql_path_plus_alt", "woql_path_witness_times", "woql_isa",
     "woql_path_shortest",
     "rel_q1_agg", "rel_topk_window", "rel_broadcast_join", "rel_events_window",
-    "rel_asof_join", "rel_asof_native", "rel_range_join",
+    "rel_asof_join", "rel_asof_fwd", "rel_asof_native", "rel_range_join",
     "rel_interval_overlap", "rel_sessionize",
     "ext_json", "stream_window_counts", "stream_append_counts",
     "stream_user_stats", "stream_stream_join", "stream_incr_dedup",

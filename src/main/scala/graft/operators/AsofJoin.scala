@@ -64,4 +64,46 @@ object AsofJoin {
       .where(col("__side") === 1)
       .drop("__t", "__side", "__tie")
   }
+
+  /** Forward as-of join — the mirror: for each left row, the single
+    * EARLIEST right row with `r.ts >= l.ts` ("next quote at or after
+    * the trade"). Same union + one-shuffle window shape, reflected:
+    * left rows sort BEFORE co-timestamped right rows (so `>=` ties
+    * match), and `first(ignoreNulls)` runs over the current-row →
+    * unbounded-following frame. `rightTie` again picks the largest
+    * tie value among right rows sharing a (key, timestamp). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, rightCols: Seq[String],
+              rightTie: Option[String] = None): DataFrame = {
+    val rightSchema = right.schema
+    val lCols = left.columns.toSeq
+    require(!lCols.exists(rightCols.contains),
+      "rightCols must not collide with left columns")
+
+    val tie = rightTie.map(col).getOrElse(lit(0L))
+    val l = left
+      .withColumn("__t", col(leftTs)).withColumn("__side", lit(0))
+      .withColumn("__tie", lit(null).cast("long"))
+      .withColumns(rightCols.map(c =>
+        c -> lit(null).cast(rightSchema(c).dataType)).toMap)
+    val r0 = right
+      .withColumn("__t", col(rightTs)).withColumn("__side", lit(1))
+      .withColumn("__tie", tie.cast("long"))
+    val r = r0.select(
+      (Seq(col("__t"), col("__side"), col("__tie")) ++
+        keys.map(col) ++
+        lCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").desc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled: Seq[(String, Column)] =
+      rightCols.map(c => c -> first(col(c), ignoreNulls = true).over(w))
+    l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumns(filled.toMap)
+      .where(col("__side") === 0)
+      .drop("__t", "__side", "__tie")
+  }
 }

@@ -117,6 +117,20 @@ object ExtQueries {
       graft.plans.NativeAsof.backward(purchases, clicks, Seq("user_id"),
         "ts", "c_ts", Seq("c_ts", "c_value"))
     }),
+    // forward as-of: the NEXT click at-or-after each purchase — the
+    // mirrored union+window plan (first(ignoreNulls), following frame)
+    "rel_asof_fwd" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("c_value"))
+        .withColumnRenamed("ts", "c_ts")
+      graft.operators.AsofJoin.forward(purchases, clicks, Seq("user_id"),
+        "ts", "c_ts", Seq("c_ts", "c_value"))
+    }),
+
     // keyless interval containment via the binned range join
     // (operators.RangeJoin): clicks counted into 30-minute windows
     // anchored at sampled purchases — a nested-loop plan rewritten as
@@ -521,6 +535,15 @@ object ExtQueries {
         | SELECT p.event_id, p.user_id, p.ts, p.value, c.c_ts, c.c_value
         | FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.c_ts <= p.ts""".stripMargin,
+
+    "rel_asof_fwd" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts AS c_ts, arg_max(value, event_id) AS c_value
+        |   FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        | SELECT p.event_id, p.user_id, p.ts, p.value, c.c_ts, c.c_value
+        | FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts >= p.ts""".stripMargin,
 
     "rel_range_join" ->
       """WITH c AS (SELECT ts, value FROM events WHERE event_type = 'click'),
