@@ -84,6 +84,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("BPE pair top-n plans as TakeOrderedAndProject, not a global window") {
+    // per-partition heaps + k-row merge; a one-partition window over
+    // all distinct pairs would be the silent scale regression
+    val plan = SparkEntry.queries("text_bpe_pairs")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-n lost its TakeOrderedAndProject plan:\n$plan")
+  }
+
   test("k-means assignment is a narrow projection (no exchange, no join)") {
     // kmeansSq8 returns the final-round assignment over the persisted
     // code frame: per-point work must stay map-only — the only jobs
