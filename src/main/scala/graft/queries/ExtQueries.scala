@@ -551,7 +551,7 @@ object ExtQueries {
         |    ts AS w_end
         |  FROM events WHERE event_type = 'purchase' AND event_id % 13 = 0)
         | SELECT w_id, count(*) AS n_clicks,
-        |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
         | FROM c JOIN w ON c.ts >= w.w_start AND c.ts <= w.w_end
         | GROUP BY w_id""".stripMargin,
 
@@ -582,13 +582,15 @@ object ExtQueries {
       """WITH tk AS (SELECT doc_id, lang,
         |   len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
         | c AS (SELECT doc_id, lang, n_tokens,
-        |   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |     ROWS UNBOUNDED PRECEDING) AS tok_end FROM tk)
-        | SELECT doc_id, lang, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
-        |  (tok_end - n_tokens) // 512 AS chunk_first,
-        |  greatest(tok_end - 1, tok_end - n_tokens) // 512 AS chunk_last,
-        |  greatest(tok_end - 1, tok_end - n_tokens) // 512
-        |    - (tok_end - n_tokens) // 512 + 1 AS n_chunks
+        |   CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end FROM tk)
+        | SELECT doc_id, lang, n_tokens,
+        |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start, tok_end,
+        |  CAST((tok_end - n_tokens) // 512 AS BIGINT) AS chunk_first,
+        |  CAST(greatest(tok_end - 1, tok_end - n_tokens) // 512 AS BIGINT)
+        |    AS chunk_last,
+        |  CAST(greatest(tok_end - 1, tok_end - n_tokens) // 512
+        |    - (tok_end - n_tokens) // 512 + 1 AS BIGINT) AS n_chunks
         | FROM c""".stripMargin,
 
     "dedup_exact" ->
@@ -689,7 +691,8 @@ object ExtQueries {
         |         * power(16, 8 - i))) AS BIGINT) % 8 AS shard,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
         | FROM documents)
-        | SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        | SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         | FROM t GROUP BY shard""".stripMargin,
 
