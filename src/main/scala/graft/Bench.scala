@@ -57,8 +57,13 @@ object Bench {
     val encodeSec = time { Graft.ctx(spark, sfDir) }
 
     // JVM/codegen warmup (uncounted): steady-state throughput is what a
-    // long-running cluster sees; first-query JIT noise is not
-    Seq("woql_flagship", "rel_q1_agg").foreach { n =>
+    // long-running cluster sees; first-query JIT noise is not. One query
+    // per plan-shape family: star/broadcast join (flagship), hash agg
+    // (q1), anti join (not) — BENCH_r05 recorded 10.4s for woql_not in
+    // the full sequence vs 1.6s steady (min-of-3, fresh JVM): the
+    // left_anti codegen path was the only headline shape not touched
+    // before its timed runs.
+    Seq("woql_flagship", "rel_q1_agg", "woql_not").foreach { n =>
       try { val _ = SparkEntry.queries(n)(spark, sfDir).count() }
       catch { case _: Throwable => }
     }

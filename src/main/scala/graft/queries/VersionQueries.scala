@@ -47,7 +47,59 @@ object VersionQueries {
     st
   }
 
+  /** Fixed-content two-commit store for the `size` oracle — content is
+    * literal (independent of the sf dir) so the store path, and with it
+    * the oracle SQL, is static. */
+  private def sizeStore(spark: SparkSession): LayerStore = synchronized {
+    val st = LayerStore.open(spark, s"$cacheRoot/store_size_fixed")
+    if (st.refs.isEmpty) {
+      import spark.implicits._
+      def t(lo: Int, hi: Int) = nameTriples(
+        (lo until hi).map(i => (i, s"SIZE_$i")).toDF("n_nationkey", "n_name"))
+      st.commit("main", t(0, 15), emptyEav(spark), "base")
+      st.commit("main", t(15, 25), t(0, 1), "delta")
+    }
+    st
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // storage size (§2.4 size / reference `size(Resource,Bytes)` API):
+    // per-layer byte totals of the fixed-content store, measured
+    // DISTRIBUTED via the binaryFile source (no driver-side File.walk —
+    // at cluster scale the layer listing itself is a dataset). The
+    // oracle re-measures the SAME on-disk files with DuckDB read_blob,
+    // so the check compares real storage bytes, not a parquet-encoding
+    // prediction.
+    "woql_size" -> ((s, d) => {
+      val _ = sizeStore(s)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(s"$cacheRoot/store_size_fixed/layers")
+        .select(regexp_extract(col("path"), "layers/([^/]+)/", 1).as("layer"),
+          col("length").as("bytes"))
+        .groupBy(col("layer"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
+    }),
+
+    // random key (§2.6 idgen random): keys are inherently
+    // nondeterministic, so the oracle checks the invariants the
+    // reference guarantees — one key per solution row, global
+    // uniqueness, UUID-v4 lexical shape — each an exact count the
+    // oracle replays from the nation cardinality.
+    "woql_random_key" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val uuidRe = "^doc:Nation/[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-" +
+        "[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+      Compiler.run(And(Seq(
+          TriplePat(V("N"), Node("tpch:n_name"), V("Nm")),
+          RandomKey("doc:Nation/", "K"))))
+        .select(col("K").getField("iri").as("k"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("k")).as("n_distinct"),
+          sum(when(col("k").rlike(uuidRe), 1L).otherwise(0L)).as("n_uuid"))
+    }),
 
     // delta scans against real commit layers (§2.1 added/removed_triple)
     "woql_added_triple" -> ((s, d) => {
@@ -371,6 +423,18 @@ object VersionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // re-measure the engine-written layer files byte-for-byte
+    "woql_size" ->
+      (s"""SELECT regexp_extract(filename, 'layers/([^/]+)/', 1) AS layer,
+        | CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(size) AS BIGINT) AS bytes
+        | FROM read_blob('$cacheRoot/store_size_fixed/layers/**/*.parquet')
+        | GROUP BY 1""".stripMargin),
+    // invariants: 25 nation rows → 25 keys, all distinct, all UUID-v4
+    "woql_random_key" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) AS BIGINT) AS n_distinct,
+        | CAST(count(*) AS BIGINT) AS n_uuid FROM nation""".stripMargin,
     "woql_added_triple" ->
       """SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS o FROM nation
         | WHERE n_nationkey >= 15""".stripMargin,
