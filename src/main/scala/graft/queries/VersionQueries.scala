@@ -1,11 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Graft
 import graft.core._
-import graft.storage.{Eav, LayerStore, Updates}
+import graft.storage.{Eav, LayerStore, Updates, Validator}
 
 /** Versioning, update, source/sink, and wire-format operators — each
   * driven end-to-end (real commit layers under target/) with a
@@ -46,6 +46,41 @@ object VersionQueries {
     }
     st
   }
+
+  /** Ad-hoc schema-constraint rows for the validator queries, in the
+    * column shape `Validator.constraintsFrom` reads: IRI-valued
+    * (rdfs:domain / rdfs:range), string-valued (graft:oneOf),
+    * bool-valued (graft:subdocument). */
+  private def schemaRows(spark: SparkSession,
+      iri: Seq[(String, String, String)] = Nil,
+      str: Seq[(String, String, String)] = Nil,
+      bool: Seq[(String, String, Boolean)] = Nil): DataFrame = {
+    import spark.implicits._
+    val i = iri.toDF("s", "p", "o_iri")
+      .withColumn("o_str", lit(null).cast(StringType))
+      .withColumn("o_bool", lit(null).cast(BooleanType))
+    val s2 = str.toDF("s", "p", "o_str")
+      .withColumn("o_iri", lit(null).cast(StringType))
+      .withColumn("o_bool", lit(null).cast(BooleanType))
+    val b = bool.toDF("s", "p", "o_bool")
+      .withColumn("o_iri", lit(null).cast(StringType))
+      .withColumn("o_str", lit(null).cast(StringType))
+    i.unionByName(s2).unionByName(b)
+      .withColumn("o_lng", lit(null).cast(LongType))
+  }
+
+  /** Instance-graph delta row with an IRI object (validator fixtures). */
+  private def iriTriples(df: DataFrame, s: Column, p: String, o: Column): DataFrame =
+    df.select(lit("instance").as("g"), s.as("s"), lit(p).as("p"),
+      lit("i").as("o_kind"), o.as("o_iri"),
+      lit(null).cast(StringType).as("o_typ"),
+      lit(null).cast(StringType).as("o_str"),
+      lit(null).cast(DoubleType).as("o_dbl"),
+      lit(null).cast(LongType).as("o_lng"),
+      lit(null).cast(TimestampType).as("o_ts"),
+      lit(null).cast(BooleanType).as("o_bool"),
+      lit(null).cast(StringType).as("o_lang"),
+      lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
 
   /** Fixed-content two-commit store for the `size` oracle — content is
     * literal (independent of the sf dir) so the store path, and with it
@@ -326,6 +361,77 @@ object VersionQueries {
       graft.storage.Validator.cardinalityViolations(slice, slice, c)
     }),
 
+    // referential integrity (§2.8 validation; reference
+    // validate_instance.pl dangling-reference check): a delta adding
+    // ghost references (targets that exist nowhere as subjects) plus
+    // valid references — only the ghosts must be reported, and only
+    // for commit-touched subjects (incremental scope)
+    "woql_validate_refs" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      val inst = ctx.triples.filter(col("g") === "instance")
+      val region = Graft.table(s, d, "region")
+      val rIri = concat(lit("tpch:region/"), col("r_regionkey").cast(StringType))
+      val ghosts = iriTriples(region.filter(col("r_regionkey") < 3), rIri,
+        "tpch:r_ghost", concat(lit("tpch:ghost/"), col("r_regionkey").cast(StringType)))
+      val valid = iriTriples(region, rIri,
+        "tpch:r_sees", concat(lit("tpch:nation/"), col("r_regionkey").cast(StringType)))
+      val delta = ghosts.unionByName(valid)
+      val merged = inst.unionByName(delta)
+      Validator.danglingRefs(merged, Validator.touched(merged, delta))
+    }),
+
+    // rdfs:domain check THROUGH the subclass closure: n_name misdeclared
+    // with domain tpch:Region flags every nation; n_regionkey declared
+    // with domain tpch:Entity (two closure hops above tpch:Nation) is
+    // satisfied and must stay silent
+    "woql_validate_domain" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      val inst = ctx.triples.filter(col("g") === "instance")
+      val c = Validator.constraintsFrom(schemaRows(s, iri = Seq(
+        ("tpch:n_name", "rdfs:domain", "tpch:Region"),
+        ("tpch:n_regionkey", "rdfs:domain", "tpch:Entity"))))
+      val delta = inst.filter(col("p").isin("tpch:n_name", "tpch:n_regionkey"))
+      Validator.domainViolations(inst, delta, c, ctx.subclass)
+    }),
+
+    // rdfs:range literal-type check: c_acctbal misdeclared xsd:string
+    // (stored xsd:double) flags every customer; the correctly declared
+    // c_mktsegment range stays silent
+    "woql_validate_range" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      val c = Validator.constraintsFrom(schemaRows(s, iri = Seq(
+        ("tpch:c_acctbal", "rdfs:range", "xsd:string"),
+        ("tpch:c_mktsegment", "rdfs:range", "xsd:string"))))
+      val scope = ctx.triples.filter(col("g") === "instance" &&
+        col("p").isin("tpch:c_acctbal", "tpch:c_mktsegment"))
+      Validator.rangeViolations(scope, c)
+    }),
+
+    // graft:oneOf enum membership: restrict c_mktsegment to two allowed
+    // values — every customer in another segment is a violation
+    "woql_validate_enum" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      val c = Validator.constraintsFrom(schemaRows(s, str = Seq(
+        ("tpch:c_mktsegment", "graft:oneOf", "BUILDING"),
+        ("tpch:c_mktsegment", "graft:oneOf", "AUTOMOBILE"))))
+      val scope = ctx.triples.filter(col("g") === "instance" &&
+        col("p") === "tpch:c_mktsegment")
+      Validator.enumViolations(scope, c)
+    }),
+
+    // graft:subdocument ownership: declaring tpch:Nation a subdocument
+    // class demands exactly one incoming reference per nation — the
+    // customer+supplier fan-in makes every owner count deterministic
+    "woql_validate_subdoc" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      val inst = ctx.triples.filter(col("g") === "instance")
+      val c = Validator.constraintsFrom(schemaRows(s, bool = Seq(
+        ("tpch:Nation", "graft:subdocument", true))))
+      val delta = inst.filter(col("p") === "rdf:type" &&
+        col("o_iri") === "tpch:Nation")
+      Validator.subdocViolations(inst, delta, c)
+    }),
+
     // push to a second store (pack transport) then materialize THERE —
     // the clone/fetch/push/pull machinery end-to-end (§2.8)
     "woql_push_pull" -> ((s, d) => {
@@ -519,6 +625,27 @@ object VersionQueries {
     "woql_validate_card" ->
       """SELECT 'tpch:region/'||r_regionkey AS s, 'tpch:r_name' AS p,
         | CAST(1 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS n FROM region""".stripMargin,
+    "woql_validate_refs" ->
+      """SELECT 'tpch:region/'||r_regionkey AS s, 'tpch:r_ghost' AS p,
+        | 'tpch:ghost/'||r_regionkey AS o_iri
+        | FROM region WHERE r_regionkey < 3""".stripMargin,
+    "woql_validate_domain" ->
+      """SELECT 'tpch:nation/'||n_nationkey AS s, 'tpch:n_name' AS p,
+        | 'tpch:Region' AS cls FROM nation""".stripMargin,
+    "woql_validate_range" ->
+      """SELECT 'tpch:customer/'||c_custkey AS s, 'tpch:c_acctbal' AS p,
+        | 'xsd:double' AS o_typ, 'xsd:string' AS typ FROM customer""".stripMargin,
+    "woql_validate_enum" ->
+      """SELECT 'tpch:customer/'||c_custkey AS s, 'tpch:c_mktsegment' AS p,
+        | c_mktsegment AS o_str FROM customer
+        | WHERE c_mktsegment NOT IN ('BUILDING','AUTOMOBILE')""".stripMargin,
+    "woql_validate_subdoc" ->
+      """WITH own AS (SELECT c_nationkey AS k FROM customer
+        |   UNION ALL SELECT s_nationkey FROM supplier)
+        | SELECT 'tpch:nation/'||n_nationkey AS s,
+        |  CAST(count(k) AS BIGINT) AS owners
+        | FROM nation LEFT JOIN own ON k = n_nationkey
+        | GROUP BY n_nationkey HAVING count(k) != 1""".stripMargin,
     "woql_push_pull" ->
       """SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS o FROM nation
         | WHERE n_nationkey >= 1""".stripMargin,
