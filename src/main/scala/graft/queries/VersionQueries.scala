@@ -246,6 +246,29 @@ object VersionQueries {
           coalesce(col("o_str"), col("o_lng").cast(StringType)).as("v"))
     }),
 
+    // DeleteDocument as a WOQL op (§2.8): document ids selected by a
+    // WOQL query over the branch, their subgraphs staged as removes
+    // through the commit protocol — then the survivors read back
+    "woql_delete_doc" -> ((s, d) => {
+      import s.implicits._
+      val st = LayerStore.open(s, s"$cacheRoot/store_docdel_${san(d)}")
+      synchronized { if (st.refs.isEmpty) {
+        val json = Graft.table(s, d, "nation")
+          .select(to_json(struct(col("n_name"), col("n_nationkey"))).as("j"))
+          .as[String]
+        val adds = graft.docs.Documents.insertAll(json, "Nation",
+          graft.docs.Documents.LexicalKey(Seq("n_name")))
+        st.commit("main", adds, emptyEav(s), "insert docs")
+        implicit val sctx: Ctx = Updates.ctxFromStore(st, "main")
+        val removes = Updates.stageDocDelete(st.materializeBranch("main"),
+          And(Seq(TriplePat(V("D"), Node("doc:n_nationkey"), V("K")),
+            Cmp("<", V("K"), Lng(10)))), "D")
+        st.commit("main", emptyEav(s), removes, "delete nations < 10")
+      }}
+      st.materializeBranch("main").filter(col("p") === "doc:n_name")
+        .select(col("s"), col("o_str").as("name"))
+    }),
+
     // turtle load round-trip (§2.1 bulk RDF)
     "turtle_load" -> ((s, d) => {
       val regions = Graft.table(s, d, "region")
@@ -586,6 +609,9 @@ object VersionQueries {
         |   NULL, 'vip'
         | FROM customer WHERE c_acctbal > 9900""".stripMargin,
 
+    "woql_delete_doc" ->
+      """SELECT 'doc:Nation/'||n_name AS s, n_name AS name FROM nation
+        | WHERE n_nationkey >= 10""".stripMargin,
     "turtle_load" ->
       "SELECT 'tpch:region/'||r_regionkey AS s, r_name AS o FROM region",
     "woql_read_doc" ->

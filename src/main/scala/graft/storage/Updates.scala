@@ -98,6 +98,23 @@ object Updates {
     (adds, removes)
   }
 
+  /** DeleteDocument: stage removal of every document subgraph whose
+    * root id is bound by `idVar` in a solution of `q` (the reference's
+    * delete_document driven by a WOQL-selected id set). Subgraph
+    * membership is an EQUI-join on the extracted document root — ids
+    * are `doc:Type/key` (key segments are url-encoded, so they never
+    * contain `/`) and subdocument subjects extend the root with
+    * `/...` — not a prefix OR-join, so it stays hash-partitionable at
+    * scale. */
+  def stageDocDelete(graph: DataFrame, q: Woql, idVar: String)(
+      implicit ctx: Ctx): DataFrame = {
+    val bf = Compiler.compile(q, Compiler.unit(ctx))
+    val ids = bf.df.select(col(idVar).getField("iri").as("__doc_id")).distinct()
+    graph.join(ids,
+      regexp_extract(col("s"), "^([^/]+/[^/]+)", 1) === col("__doc_id"),
+      "left_semi")
+  }
+
   /** Compile context reading a store branch (enables added_triple /
     * removed_triple against real commit deltas). */
   def ctxFromStore(store: LayerStore, branch: String): Ctx = {
