@@ -89,7 +89,8 @@ final case class Select(vars: Seq[String], q: Woql) extends Woql
 final case class Distinct(vars: Seq[String], q: Woql) extends Woql
 final case class Eq(a: Term, b: Term) extends Woql
 final case class Cmp(op: String, a: Term, b: Term) extends Woql // "<" | ">" | "<=" | ">="
-final case class LikeSim(a: Term, b: Term, into: String) extends Woql // Dice bigram similarity
+final case class LikeSim(a: Term, b: Term, into: String,
+    metric: String = "dice") extends Woql // "dice" (default) | "isub"
 final case class Isa(x: Term, cls: Term) extends Woql
 final case class Subsumption(sub: Term, sup: Term) extends Woql
 final case class TypeOf(x: Term, into: Term) extends Woql

@@ -586,9 +586,15 @@ object Compiler {
       val j = get_json_object(strOf(doc, cur.vars), s"$$.$field")
       BF(cur.df.withColumn(into, strVal(j)), cur.vars + into)
 
-    case LikeSim(a, b, into) =>
-      val sim = graft.functions.GraftFunctions.dice_similarity(
-        strOf(a, cur.vars), strOf(b, cur.vars))
+    case LikeSim(a, b, into, metric) =>
+      // Dice bigrams by default (pure built-ins); "isub" switches to the
+      // reference's Stoilos 2005 metric (functions/IsubSim.scala)
+      val sim = metric match {
+        case "isub" => graft.functions.IsubSim.isub(
+          strOf(a, cur.vars), strOf(b, cur.vars))
+        case _ => graft.functions.GraftFunctions.dice_similarity(
+          strOf(a, cur.vars), strOf(b, cur.vars))
+      }
       BF(cur.df.withColumn(into, dblVal(sim)), cur.vars + into)
 
     case PathQ(x, pat, y, _witness) =>

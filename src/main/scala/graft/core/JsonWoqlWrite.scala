@@ -97,7 +97,7 @@ object JsonWoqlWrite {
     case Eq(a, b) => JObject("@type" -> JString("Equals"), "left" -> term(a), "right" -> term(b))
     case Cmp("<", a, b) => JObject("@type" -> JString("Less"), "left" -> term(a), "right" -> term(b))
     case Cmp(">", a, b) => JObject("@type" -> JString("Greater"), "left" -> term(a), "right" -> term(b))
-    case LikeSim(a, b, into) => JObject("@type" -> JString("Like"),
+    case LikeSim(a, b, into, _) => JObject("@type" -> JString("Like"),
       "left" -> term(a), "right" -> term(b), "similarity" -> v(into))
     case Isa(x, cls) => JObject("@type" -> JString("IsA"),
       "element" -> term(x), "of_type" -> term(cls))

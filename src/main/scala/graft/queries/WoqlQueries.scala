@@ -102,6 +102,15 @@ object WoqlQueries {
       LikeSim(V("Name"), Str("NATION_1"), "Sim"))))(
       "n_name" -> vStr("Name"), "sim" -> vDbl("Sim")),
 
+    // like/3 with the reference's isub metric (Stoilos 2005) — Dice
+    // stays the default; algorithm + pinned tie-break documented in
+    // functions/IsubSim.scala, replayed move-for-move by the oracle's
+    // recursive CTE
+    "woql_like_isub" -> woql(And(Seq(
+      TriplePat(V("N"), Node("tpch:n_name"), V("Name")),
+      LikeSim(V("Name"), Str("NATION_1"), "Sim", metric = "isub"))))(
+      "n_name" -> vStr("Name"), "sim" -> round(vDbl("Sim"), 6)),
+
     // --- §2.3 joins / connectives ---
     "woql_or" -> woql(And(Seq(
       TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg")),
@@ -405,6 +414,48 @@ object WoqlQueries {
         | / (len(list_distinct(list_transform(range(1, len(n_name)), i -> substr(n_name, CAST(i AS INT), 2))))
         |    + len(list_distinct(list_transform(range(1, len('NATION_1')), i -> substr('NATION_1', CAST(i AS INT), 2)))))
         | AS sim FROM nation""".stripMargin,
+
+    // full isub replay: iterative longest-common-substring removal as a
+    // recursive CTE (tie-break: length desc, start-in-s1 asc, first
+    // occurrence in s2 = strpos), then the Stoilos commonality /
+    // dissimilarity / winkler terms in the engine's operation order
+    "woql_like_isub" ->
+      """WITH RECURSIVE it AS (
+        |  SELECT n_name, lower(n_name) AS s1, 'nation_1' AS s2,
+        |    CAST(0 AS BIGINT) AS common, len(n_name) AS l1,
+        |    CAST(8 AS BIGINT) AS l2
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT i.n_name,
+        |    substr(i.s1, 1, best.st - 1) || substr(i.s1, best.st + best.L) AS s1,
+        |    substr(i.s2, 1, best.j - 1) || substr(i.s2, best.j + best.L) AS s2,
+        |    i.common + best.L, i.l1, i.l2
+        |  FROM it i JOIN LATERAL (
+        |    SELECT t.L AS L, t.st AS st, strpos(i.s2, substr(i.s1, t.st, t.L)) AS j
+        |    FROM (SELECT ll.L, ss.st
+        |          FROM (SELECT unnest(range(3, len(i.s1) + 1)) AS L) ll,
+        |               (SELECT unnest(range(1, len(i.s1) + 1)) AS st) ss
+        |          WHERE ss.st + ll.L - 1 <= len(i.s1)) t
+        |    WHERE strpos(i.s2, substr(i.s1, t.st, t.L)) > 0
+        |    ORDER BY t.L DESC, t.st ASC LIMIT 1
+        |  ) best ON true
+        | ),
+        | fin AS (SELECT n_name, max(common) AS common, any_value(l1) AS l1,
+        |          any_value(l2) AS l2 FROM it GROUP BY 1),
+        | sc AS (
+        |  SELECT f.n_name,
+        |    2.0 * f.common / (f.l1 + f.l2) AS c,
+        |    greatest(f.l1 - f.common, 0) / f.l1 AS u1,
+        |    greatest(f.l2 - f.common, 0) / f.l2 AS u2,
+        |    (SELECT coalesce(max(k), 0) FROM (SELECT unnest(range(1, 5)) AS k)
+        |      WHERE k <= least(f.l1, f.l2)
+        |        AND substr(lower(f.n_name), 1, CAST(k AS INT))
+        |            = substr('nation_1', 1, CAST(k AS INT))) AS pre
+        |  FROM fin f)
+        | SELECT n_name,
+        |  round(c - (u1 * u2) / (0.6 + (1 - 0.6) * (u1 + u2 - u1 * u2))
+        |          + pre * 0.1 * (1 - c), 6) AS sim
+        | FROM sc""".stripMargin,
 
     "woql_or" ->
       """SELECT c_name, c_mktsegment AS seg FROM customer
