@@ -272,6 +272,17 @@ object Paths {
 
   private val anchSeq = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Enumeration budget for PathAllQ. The per-repetition cycle anchors
+    * keep each walk finite, but path COUNTS still go exponential in
+    * diamond-dense graphs (2^k paths through k diamonds) — a budget on
+    * rows enumerated per repetition converts that blow-up into an
+    * actionable error instead of an executor OOM. Deliberate large
+    * enumerations raise GRAFT_PATH_ALL_MAX_PATHS. */
+  private def allPathsBudget: Long =
+    sys.props.get("graft.path.all.maxPaths")
+      .orElse(sys.env.get("GRAFT_PATH_ALL_MAX_PATHS"))
+      .map(_.toLong).getOrElse(2000000L)
+
   private def extendAll(frontier: DataFrame, e: DataFrame,
                         fromCol: String, toCol: String): DataFrame = {
     val keep = frontier.columns.filterNot(c => c == "n" || c == "path").map(col)
@@ -299,6 +310,7 @@ object Paths {
     var cur = frontier.withColumn(anch, array(col("n"))).localCheckpoint(true)
     var acc: DataFrame = if (minLen == 0) frontier else null
     var len = 0
+    var enumerated = 0L
     var done = false
     while (!done && len < math.min(maxLen, MaxIters)) {
       len += 1
@@ -306,7 +318,18 @@ object Paths {
         .filter(!array_contains(col(anch), col("n")))
         .withColumn(anch, concat(col(anch), array(col("n"))))
         .localCheckpoint(true)
-      if (next.isEmpty) done = true
+      // count is cheap post-checkpoint and doubles as the isEmpty probe
+      val n = next.count()
+      enumerated += n
+      if (enumerated > allPathsBudget)
+        throw new IllegalStateException(
+          s"all-paths enumeration produced > $allPathsBudget rows " +
+            s"(GRAFT_PATH_ALL_MAX_PATHS) at repetition length $len — the " +
+            "graph is path-exponential here; use canonical-witness mode " +
+            "(PathQ with a witness variable binds ONE shortest witness per " +
+            "reachable node, linear in the reachable set) or raise the " +
+            "budget for a deliberate exhaustive run")
+      if (n == 0) done = true
       else {
         if (len >= minLen) {
           val out = next.drop(anch)

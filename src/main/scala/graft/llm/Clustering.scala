@@ -63,12 +63,27 @@ object Clustering {
     val p = df.queryExecution.logical.canonicalized
     // canonicalized file scans embed their paths (distinct + stable),
     // but a LocalRelation canonicalizes to just its schema — two
-    // different in-memory datasets would collide. Fold the rows in.
+    // different in-memory datasets would collide. Fold the rows in via
+    // a 128-bit digest (a 32-bit hashCode can collide silently and
+    // serve a codebook trained on the wrong data), and scope the key
+    // to the owning session — a persisted frame is bound to the
+    // SparkSession that built it.
     val localData = p.collect {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         l.data.map(_.toString).mkString(";")
     }.mkString("|")
-    p.toString + "#" + localData.hashCode
+    val dataMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(localData.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    System.identityHashCode(df.sparkSession).toString + "#" + p.toString +
+      "#" + dataMd5
+  }
+
+  /** Drop all trained artifacts (unpersisting cached code frames) —
+    * the eviction path for session teardown / retrain-from-scratch. */
+  def clearArtifacts(): Unit = {
+    codeCache.values.forEach(df => { val _ = df.unpersist() })
+    codeCache.clear()
+    bookCache.clear()
   }
 
   /** sq8 code frame (vec_id, qv), persisted once per source. */

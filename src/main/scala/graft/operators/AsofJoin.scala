@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Distributed backward as-of join — for each left row, the single
   * latest right row of the same key whose timestamp is `<=` the left
@@ -38,31 +39,34 @@ object AsofJoin {
     require(!lCols.exists(rightCols.contains),
       "rightCols must not collide with left columns")
 
+    // right payload travels as ONE nullable struct: the window fill
+    // (`last(__r, ignoreNulls)`) then takes every right column from the
+    // SAME matched row — per-column fills could mix columns across
+    // right rows whenever a nearer row carries a null in one column
+    val rStruct = StructType(rightCols.map(c => rightSchema(c)))
     val tie = rightTie.map(col).getOrElse(lit(0L))
     val l = left
       .withColumn("__t", col(leftTs)).withColumn("__side", lit(1))
       .withColumn("__tie", lit(null).cast("long"))
-      .withColumns(rightCols.map(c =>
-        c -> lit(null).cast(rightSchema(c).dataType)).toMap)
+      .withColumn("__r", lit(null).cast(rStruct))
     val r0 = right
       .withColumn("__t", col(rightTs)).withColumn("__side", lit(0))
       .withColumn("__tie", tie.cast("long"))
+      .withColumn("__r", struct(rightCols.map(col): _*))
     val r = r0.select(
-      (Seq(col("__t"), col("__side"), col("__tie")) ++
+      (Seq(col("__t"), col("__side"), col("__tie"), col("__r")) ++
         keys.map(col) ++
         lCols.filterNot(keys.contains).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col)): _*)
+          lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled: Seq[(String, Column)] =
-      rightCols.map(c => c -> last(col(c), ignoreNulls = true).over(w))
     l.unionByName(r.select(l.columns.map(col): _*))
-      .withColumns(filled.toMap)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop("__t", "__side", "__tie")
+      .withColumns(rightCols.map(c => c -> col("__r").getField(c)).toMap)
+      .drop("__t", "__side", "__tie", "__r")
   }
 
   /** Forward as-of join — the mirror: for each left row, the single
@@ -80,30 +84,30 @@ object AsofJoin {
     require(!lCols.exists(rightCols.contains),
       "rightCols must not collide with left columns")
 
+    // single-struct payload for the same one-row guarantee as backward()
+    val rStruct = StructType(rightCols.map(c => rightSchema(c)))
     val tie = rightTie.map(col).getOrElse(lit(0L))
     val l = left
       .withColumn("__t", col(leftTs)).withColumn("__side", lit(0))
       .withColumn("__tie", lit(null).cast("long"))
-      .withColumns(rightCols.map(c =>
-        c -> lit(null).cast(rightSchema(c).dataType)).toMap)
+      .withColumn("__r", lit(null).cast(rStruct))
     val r0 = right
       .withColumn("__t", col(rightTs)).withColumn("__side", lit(1))
       .withColumn("__tie", tie.cast("long"))
+      .withColumn("__r", struct(rightCols.map(col): _*))
     val r = r0.select(
-      (Seq(col("__t"), col("__side"), col("__tie")) ++
+      (Seq(col("__t"), col("__side"), col("__tie"), col("__r")) ++
         keys.map(col) ++
         lCols.filterNot(keys.contains).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col)): _*)
+          lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").desc_nulls_last)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled: Seq[(String, Column)] =
-      rightCols.map(c => c -> first(col(c), ignoreNulls = true).over(w))
     l.unionByName(r.select(l.columns.map(col): _*))
-      .withColumns(filled.toMap)
+      .withColumn("__r", first(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 0)
-      .drop("__t", "__side", "__tie")
+      .withColumns(rightCols.map(c => c -> col("__r").getField(c)).toMap)
+      .drop("__t", "__side", "__tie", "__r")
   }
 }

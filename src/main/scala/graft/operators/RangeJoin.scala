@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Binned interval (range) join — points matched to the intervals that
@@ -25,6 +25,34 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Bin fan-out sanity bound: one interval exploding into more rows
+    * than this indicates a mis-sized `binMicros` (or corrupt data) and
+    * raises, rather than silently generating unbounded rows. */
+  private val maxBinsPerInterval: Long =
+    sys.env.getOrElse("GRAFT_RANGE_MAX_BINS", "1000000").toLong
+
+  /** Floor division on integral columns without a double round-trip —
+    * `floor(col / b)` on doubles degrades for |values| near 2^53,
+    * epoch-micros territory is only ~2^50 away from that cliff. The
+    * numerator is made exactly divisible (subtract the non-negative
+    * pmod), then divided in DECIMAL arithmetic, which is exact over
+    * the full long range. */
+  private def floorDiv(c: Column, b: Long): Column =
+    ((c - pmod(c, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
+
+  /** Exploded bin range of an interval, guarded: raises per-row when
+    * end < start (Spark's `sequence` would silently emit a DESCENDING
+    * bin list) or when the fan-out exceeds [[maxBinsPerInterval]]. */
+  private def binSeq(startBin: Column, endBin: Column): Column = {
+    val bad = startBin > endBin
+    val huge = endBin - startBin >= maxBinsPerInterval
+    when(bad, raise_error(lit("RangeJoin: interval end < start")))
+      .when(huge, raise_error(lit(
+        s"RangeJoin: interval spans >= $maxBinsPerInterval bins - " +
+          "raise binMicros (or GRAFT_RANGE_MAX_BINS)")))
+      .otherwise(sequence(startBin, endBin))
+  }
+
   def binned(points: DataFrame, pTs: String,
              intervals: DataFrame, iStart: String, iEnd: String,
              binMicros: Long): DataFrame = {
@@ -32,10 +60,10 @@ object RangeJoin {
     require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
       "points/intervals column names must not collide (rename before joining)")
     val p = points.withColumn("__bin",
-      floor(unix_micros(col(pTs)) / binMicros))
-    val i = intervals.withColumn("__bin", explode(sequence(
-      floor(unix_micros(col(iStart)) / binMicros),
-      floor(unix_micros(col(iEnd)) / binMicros))))
+      floorDiv(unix_micros(col(pTs)), binMicros))
+    val i = intervals.withColumn("__bin", explode(binSeq(
+      floorDiv(unix_micros(col(iStart)), binMicros),
+      floorDiv(unix_micros(col(iEnd)), binMicros))))
     p.join(i, Seq("__bin"))
       .where(col(pTs) >= col(iStart) && col(pTs) <= col(iEnd))
       .drop("__bin")
@@ -62,14 +90,14 @@ object RangeJoin {
     require(binMicros > 0, "binMicros must be positive")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "left/right column names must not collide (rename before joining)")
-    val l = left.withColumn("__bin",
-      explode(sequence(floor(col(lsCol) / binMicros), floor(col(leCol) / binMicros))))
-    val r = right.withColumn("__binr",
-      explode(sequence(floor(col(rsCol) / binMicros), floor(col(reCol) / binMicros))))
+    val l = left.withColumn("__bin", explode(binSeq(
+      floorDiv(col(lsCol), binMicros), floorDiv(col(leCol), binMicros))))
+    val r = right.withColumn("__binr", explode(binSeq(
+      floorDiv(col(rsCol), binMicros), floorDiv(col(reCol), binMicros))))
     l.join(r, col("__bin") === col("__binr"))
       .where(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol) &&
-        col("__bin") === greatest(floor(col(lsCol) / binMicros),
-          floor(col(rsCol) / binMicros)))
+        col("__bin") === greatest(floorDiv(col(lsCol), binMicros),
+          floorDiv(col(rsCol), binMicros)))
       .drop("__bin", "__binr")
   }
 }

@@ -27,13 +27,29 @@ object DedupIngest {
 
   /** Final classification table for arrivals (doc_id % 10 < 2),
     * corpus = the rest; identical content to `dedup_incremental`. */
+  /** Digest of (path, size, mtime) for every data file under a parquet
+    * source — keys the staged-arrivals dir so a regenerated-in-place
+    * documents.parquet invalidates the stage instead of silently
+    * replaying stale arrivals. */
+  private def inputFingerprint(path: String): String = {
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .toSeq.sortBy(_.getName).flatMap(files)
+      else Seq(f)
+    val desc = files(new java.io.File(path))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
   def streamingIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val root = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav")
     // stage arrivals as TWO parquet files so AvailableNow +
-    // maxFilesPerTrigger=1 yields a genuine multi-batch replay
+    // maxFilesPerTrigger=1 yields a genuine multi-batch replay; keyed
+    // on the SOURCE fingerprint, not just the path
     val stageDir = new java.io.File(root +
-      "/stream_docs_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "/stream_docs_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_" + inputFingerprint(s"$sfDir/documents.parquet"))
     if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
       spark.read.parquet(s"$sfDir/documents.parquet")
         .where(pmod(col("doc_id"), lit(10L)) < 2)

@@ -146,6 +146,24 @@ class PathsSpec extends AnyFunSuite {
     assert(res.size == 3)
   }
 
+  test("exhaustive enumeration refuses beyond the path budget") {
+    // chain of 3 diamonds: a0→{b0,c0}→a1→{b1,c1}→a2→{b2,c2}→a3 — 2^3
+    // distinct paths a0⇝a3; a budget of 4 must trip before completion
+    val rows = (0 until 3).flatMap { i =>
+      Seq((s":a$i", "e", s":b$i"), (s":a$i", "e", s":c$i"),
+        (s":b$i", "e", s":a${i + 1}"), (s":c$i", "e", s":a${i + 1}"))
+    }
+    val d = triples(rows: _*)
+    System.setProperty("graft.path.all.maxPaths", "4")
+    try {
+      val ex = intercept[IllegalStateException] {
+        witnesses(PathAllQ(Node(":a0"), PPlus(PPred("e")), V("Y"), "W"))(ctxOf(d))
+      }
+      assert(ex.getMessage.contains("GRAFT_PATH_ALL_MAX_PATHS"))
+      assert(ex.getMessage.contains("canonical-witness"))
+    } finally System.clearProperty("graft.path.all.maxPaths")
+  }
+
   test("exhaustive times over alternation enumerates every branch") {
     val d = triples((":a", "e", ":b"), (":a", "f", ":b"), (":b", "e", ":c"))
     val res = witnesses(PathAllQ(Node(":a"),
