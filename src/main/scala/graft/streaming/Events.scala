@@ -15,9 +15,28 @@ object Events {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** State-store provider for the stateful streaming queries. RocksDB
+    * is the default: the HDFS-backed provider keeps every live key in
+    * JVM-heap maps — at 100× the per-executor state of the user-stats /
+    * stream-join queries that heap IS the wall — while RocksDB holds
+    * state off-heap in native storage with bounded memory and
+    * incremental snapshots. Oracles are provider-independent (verified
+    * green under both); BASELINE.md carries the sf0.1 A/B timings.
+    * GRAFT_STATE_STORE=hdfs restores the legacy provider. */
+  private[streaming] def applyStateStore(spark: SparkSession): Unit = {
+    val pkg = "org.apache.spark.sql.execution.streaming.state."
+    val cls = sys.props.get("graft.state.store")
+      .orElse(sys.env.get("GRAFT_STATE_STORE")).getOrElse("rocksdb") match {
+      case "hdfs" => pkg + "HDFSBackedStateStoreProvider"
+      case _ => pkg + "RocksDBStateStoreProvider"
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+  }
+
   /** Streaming source over events.parquet with the same nanos→micros
     * timestamp normalization as Graft.events. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    applyStateStore(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source requires a directory: stage the single
     // events.parquet file into one (per scale factor, once)
@@ -142,6 +161,7 @@ object Events {
     * tests: the result must be identical whatever `maxFilesPerTrigger`
     * splits the input into). */
   def userStats(spark: SparkSession, events: DataFrame): DataFrame = {
+    applyStateStore(spark)
     import spark.implicits._
     val ds = events
       .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
@@ -194,6 +214,7 @@ object Events {
     * tests: the emitted matches must be identical however the input is
     * split into micro-batches). */
   def ssJoin(spark: SparkSession, src: DataFrame): DataFrame = {
+    applyStateStore(spark)
     val clicks = src.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
       .withWatermark("c_ts", "1 hour")
