@@ -43,12 +43,24 @@ object Events {
     val stageDir = new java.io.File(
       sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
         "/stream_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
-    val staged = new java.io.File(stageDir, "events.parquet")
-    if (!staged.exists()) {
+    val srcFile = new java.io.File(s"$sfDir/events.parquet")
+    // source may be a single parquet file (driver testdata) or a
+    // directory of part files (derived datasets like target/sf1) —
+    // stage every data file; per-file arrival also gives multi-file
+    // replays their micro-batch boundaries
+    val parts: Seq[java.io.File] =
+      if (srcFile.isDirectory)
+        Option(srcFile.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      else Seq(srcFile)
+    if (!stageDir.exists() ||
+        Option(stageDir.list()).forall(_.count(_.endsWith(".parquet")) < parts.size)) {
       stageDir.mkdirs()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"), staged.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(stageDir, f"part-$i%05d.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream.schema(schema).parquet(stageDir.getAbsolutePath)
