@@ -99,6 +99,43 @@ object VersionQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // the HTTP facade driven END-TO-END: the flagship query serialized
+    // to the v10 wire, POSTed over real HTTP (JDK client → JDK server),
+    // response bindings parsed back into a frame — oracle identical to
+    // woql_flagship, so the whole transport + binding-render path is
+    // driver-gated. Server lifecycle is per-call (start/stop around the
+    // request): no leaked listener threads in verify runs.
+    "ext_http_woql" -> ((s, d) => {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val running = graft.server.HttpApi.start(s, d)
+      val resp = try {
+        val wire = graft.core.JsonWoqlWrite.write(WoqlQueries.flagship)
+        val client = java.net.http.HttpClient.newHttpClient()
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(running.url("/api/woql")))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(wire)).build()
+        client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      } finally running.stop()
+      val rows = (JsonMethods.parse(resp) \ "bindings") match {
+        case JArray(bs) => bs.map { b =>
+          val name = (b \ "Name" \ "@value") match {
+            case JString(x) => x; case other => sys.error(s"bad Name: $other")
+          }
+          val bal = (b \ "Bal" \ "@value") match {
+            case JDouble(x) => x
+            case JInt(x) => x.toDouble
+            case other => sys.error(s"bad Bal: $other")
+          }
+          (name, bal)
+        }
+        case other => sys.error(s"bad bindings: $other")
+      }
+      import s.implicits._
+      rows.toDF("c_name", "c_acctbal")
+    }),
+
     // storage size (§2.4 size / reference `size(Resource,Bytes)` API):
     // per-layer byte totals of the fixed-content store, measured
     // DISTRIBUTED via the binaryFile source (no driver-side File.walk —
@@ -552,6 +589,10 @@ object VersionQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ext_http_woql" ->
+      """SELECT c_name, c_acctbal FROM customer JOIN nation
+        | ON c_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin,
     // re-measure the engine-written layer files byte-for-byte
     "woql_size" ->
       (s"""SELECT regexp_extract(filename, 'layers/([^/]+)/', 1) AS layer,

@@ -1,0 +1,176 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.Graft
+import graft.core._
+import graft.storage.LayerStore
+
+/** Thin HTTP facade over query / document / versioning — the
+  * reference's REST surface ([ref:server/routes.pl]) re-expressed over
+  * the Spark engine. Built on the JDK's HttpServer (no dependencies).
+  *
+  * This is a CONTROL-PLANE surface: requests carry WOQL JSON in, and
+  * responses carry bindings out, so response size is the result size —
+  * exactly the reference's contract. Analytics-scale results stay in
+  * Spark (write to a sink); the facade is how a TerminusDB client
+  * submits queries, reads/inserts documents, and drives branches.
+  *
+  * Routes (all JSON):
+  *   GET  /api/info                      — engine identity
+  *   POST /api/woql                      — v10 WOQL JSON → bindings
+  *   GET  /api/document?id=IRI           — flat document by id
+  *   POST /api/document?type=T&key=f     — insert docs (one JSON per line)
+  *   GET  /api/branch                    — list branches (name → head)
+  *   POST /api/branch?name=N&from=B      — create branch at B's head
+  *
+  * Bindings render: IRIs as plain strings, literals as
+  * `{"@type": xsd-type, "@value": v}` — the reference's JSON-LD-ish
+  * binding shape. */
+object HttpApi {
+
+  final case class Running(server: HttpServer, port: Int, store: LayerStore) {
+    def stop(): Unit = server.stop(0)
+    def url(path: String): String = s"http://127.0.0.1:$port$path"
+  }
+
+  def start(spark: SparkSession, sfDir: String, port: Int = 0): Running = {
+    implicit val ctx: Ctx = Graft.ctx(spark, sfDir)
+    val store = LayerStore.open(spark,
+      Graft.cacheRoot + "/http_store_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+    srv.createContext("/api/info", route { ex =>
+      ok(JObject("api:status" -> JString("api:success"),
+        "name" -> JString("graft"),
+        "engine" -> JString("spark"),
+        "spark_version" -> JString(spark.version)))
+    })
+
+    srv.createContext("/api/woql", route { ex =>
+      require(ex.getRequestMethod == "POST", "POST required")
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val ast = JsonWoql.parse(body)
+      bindingsJson(Compiler.run(ast))
+    })
+
+    srv.createContext("/api/document", route { ex =>
+      ex.getRequestMethod match {
+        case "GET" =>
+          val id = param(ex, "id").getOrElse(sys.error("id parameter required"))
+          val df = Compiler.run(ReadDocQ(Node(id), "D"))
+          val rows = df.collect()
+          require(rows.nonEmpty, s"document not found: $id")
+          raw(rows.head.getAs[Row]("D").getAs[String]("str"))
+        case "POST" =>
+          val docType = param(ex, "type").getOrElse(sys.error("type parameter required"))
+          val keyFields = param(ex, "key").map(_.split(",").toSeq)
+            .getOrElse(sys.error("key parameter required"))
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          import spark.implicits._
+          val jsons = body.split("\n").toSeq.filter(_.trim.nonEmpty).toDS()
+          val adds = graft.docs.Documents.insertAll(jsons, docType,
+            graft.docs.Documents.LexicalKey(keyFields))
+          val ids = adds.filter(org.apache.spark.sql.functions.col("p") === "rdf:type")
+            .select("s").distinct().collect().map(_.getString(0)).toList.sorted
+          val commitId = store.commit("main", adds,
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              graft.storage.Eav.schema), s"insert ${ids.size} $docType docs")
+          ok(JObject("api:status" -> JString("api:success"),
+            "commit" -> JString(commitId),
+            "ids" -> JArray(ids.map(JString(_)))))
+        case m => sys.error(s"unsupported method $m")
+      }
+    })
+
+    srv.createContext("/api/branch", route { ex =>
+      ex.getRequestMethod match {
+        case "GET" =>
+          ok(JObject("api:status" -> JString("api:success"),
+            "branches" -> JObject(store.refs.toList.sortBy(_._1)
+              .map { case (n, h) => n -> (JString(h): JValue) })))
+        case "POST" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          val from = param(ex, "from").getOrElse("main")
+          store.branch(name, store.refs(from))
+          ok(JObject("api:status" -> JString("api:success"),
+            "branch" -> JString(name), "head" -> JString(store.refs(name))))
+        case m => sys.error(s"unsupported method $m")
+      }
+    })
+
+    srv.setExecutor(null) // serve on the accept thread: control plane
+    // start from a daemon thread: the JDK dispatcher inherits daemon
+    // status from its creator, so a server left running can never
+    // wedge JVM shutdown (a forked verify run must exit when main does)
+    val starter = new Thread(() => srv.start(), "graft-http-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    Running(srv, srv.getAddress.getPort, store)
+  }
+
+  // ---- plumbing ----
+
+  private def route(f: HttpExchange => String): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      val (code, body) =
+        try (200, f(ex))
+        catch { case e: Throwable =>
+          (400, JsonMethods.compact(JsonMethods.render(JObject(
+            "api:status" -> JString("api:failure"),
+            "api:message" -> JString(Option(e.getMessage).getOrElse(e.toString))))))
+        }
+      val bytes = body.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+  private def param(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).flatMap(_.split("&").collectFirst {
+      case kv if kv.takeWhile(_ != '=') == name =>
+        java.net.URLDecoder.decode(kv.dropWhile(_ != '=').drop(1), "UTF-8")
+    })
+
+  private def ok(j: JValue): String = JsonMethods.compact(JsonMethods.render(j))
+  private def raw(s: String): String = s
+
+  /** Bindings response: one JSON object per solution row, IRIs plain,
+    * literals `{"@type","@value"}` (reference binding shape). */
+  def bindingsJson(df: DataFrame): String = {
+    val vars = df.columns.toSeq
+    val rows: List[JValue] = df.collect().toList.map { r =>
+      JObject(vars.flatMap { v =>
+        Option(r.getAs[Row](v)).map(s => v -> renderVal(s))
+      }.toList)
+    }
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "api:status" -> JString("api:success"),
+      "api:variable_names" -> JArray(vars.map(JString(_): JValue).toList),
+      "bindings" -> JArray(rows))))
+  }
+
+  private def renderVal(s: Row): JValue = {
+    def at(f: String) = s.fieldIndex(f)
+    if (!s.isNullAt(at("iri"))) JString(s.getAs[String]("iri"))
+    else {
+      val typ = s.getAs[String]("typ")
+      val v: JValue =
+        if (!s.isNullAt(at("str"))) JString(s.getAs[String]("str"))
+        else if (!s.isNullAt(at("dbl"))) JDouble(s.getDouble(at("dbl")))
+        else if (!s.isNullAt(at("lng"))) JInt(BigInt(s.getLong(at("lng"))))
+        else if (!s.isNullAt(at("dec")))
+          JString(s.getAs[java.math.BigDecimal]("dec").toPlainString)
+        else if (!s.isNullAt(at("bool"))) JBool(s.getBoolean(at("bool")))
+        else if (!s.isNullAt(at("ts")))
+          JString(s.getAs[java.sql.Timestamp]("ts").toInstant.toString)
+        else JNull
+      JObject("@type" -> JString(Option(typ).getOrElse("xsd:anyType")),
+        "@value" -> v)
+    }
+  }
+}
