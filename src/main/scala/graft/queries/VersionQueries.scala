@@ -421,6 +421,25 @@ object VersionQueries {
       graft.storage.Validator.cardinalityViolations(slice, slice, c)
     }),
 
+    // GraphQL surface driven end-to-end: filter + orderBy + limit + a
+    // link traversal parse into the SAME WOQL engine (server/GraphQL
+    // compiles to the WOQL AST — no second execution path); the oracle
+    // replays the query relationally. c_name joins the sort as a
+    // unique tiebreak so the LIMIT boundary is deterministic.
+    "ext_graphql" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val q =
+        """{ Customer(filter: {c_mktsegment: {eq: "BUILDING"},
+          |                    c_acctbal: {gt: 9000.0}},
+          |           orderBy: {c_acctbal: DESC, c_name: ASC},
+          |           limit: 10) {
+          |    c_name c_acctbal c_nationkey { n_name } } }""".stripMargin
+      val (_, df) = graft.server.GraphQL.run(q)
+      df.select(col("c_name").getField("str").as("c_name"),
+        col("c_acctbal").getField("dbl").as("c_acctbal"),
+        col("c_nationkey_n_name").getField("str").as("nation"))
+    }),
+
     // referential integrity (§2.8 validation; reference
     // validate_instance.pl dangling-reference check): a delta adding
     // ghost references (targets that exist nowhere as subjects) plus
@@ -593,6 +612,11 @@ object VersionQueries {
       """SELECT c_name, c_acctbal FROM customer JOIN nation
         | ON c_nationkey = n_nationkey
         | WHERE n_name = 'NATION_7' AND c_acctbal > 500.0""".stripMargin,
+    "ext_graphql" ->
+      """SELECT c_name, c_acctbal, n_name AS nation
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
+        | ORDER BY c_acctbal DESC, c_name LIMIT 10""".stripMargin,
     // re-measure the engine-written layer files byte-for-byte
     "woql_size" ->
       (s"""SELECT regexp_extract(filename, 'layers/([^/]+)/', 1) AS layer,

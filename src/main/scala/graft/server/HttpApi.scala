@@ -56,6 +56,27 @@ object HttpApi {
       bindingsJson(Compiler.run(ast))
     })
 
+    srv.createContext("/api/graphql", route { ex =>
+      require(ex.getRequestMethod == "POST", "POST required")
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      // standard GraphQL-over-HTTP envelope {"query": "..."}; a raw
+      // query document is accepted too
+      val query = JsonMethods.parseOpt(body) match {
+        case Some(j) => (j \ "query") match {
+          case JString(q) => q
+          case _ => body
+        }
+        case None => body
+      }
+      val (cls, df) = GraphQL.run(query)
+      val rows: List[JValue] = df.collect().toList.map { r =>
+        JObject(df.columns.toList.map { c =>
+          c -> Option(r.getAs[Row](c)).map(plainVal).getOrElse(JNull)
+        })
+      }
+      ok(JObject("data" -> JObject(cls -> JArray(rows))))
+    })
+
     srv.createContext("/api/document", route { ex =>
       ex.getRequestMethod match {
         case "GET" =>
@@ -152,6 +173,21 @@ object HttpApi {
       "api:status" -> JString("api:success"),
       "api:variable_names" -> JArray(vars.map(JString(_): JValue).toList),
       "bindings" -> JArray(rows))))
+  }
+
+  /** GraphQL-style plain scalar render (no type wrapper). */
+  private def plainVal(s: Row): JValue = {
+    def at(f: String) = s.fieldIndex(f)
+    if (!s.isNullAt(at("iri"))) JString(s.getAs[String]("iri"))
+    else if (!s.isNullAt(at("str"))) JString(s.getAs[String]("str"))
+    else if (!s.isNullAt(at("dbl"))) JDouble(s.getDouble(at("dbl")))
+    else if (!s.isNullAt(at("lng"))) JInt(BigInt(s.getLong(at("lng"))))
+    else if (!s.isNullAt(at("dec")))
+      JString(s.getAs[java.math.BigDecimal]("dec").toPlainString)
+    else if (!s.isNullAt(at("bool"))) JBool(s.getBoolean(at("bool")))
+    else if (!s.isNullAt(at("ts")))
+      JString(s.getAs[java.sql.Timestamp]("ts").toInstant.toString)
+    else JNull
   }
 
   private def renderVal(s: Row): JValue = {

@@ -83,6 +83,14 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((JsonMethods.parse(b3) \ "head") == mainHead)
   }
 
+  test("graphql endpoint compiles into the engine") {
+    val q = """{"query": "{ Region(orderBy: {r_name: ASC}, limit: 2) { r_name } }"}"""
+    val (code, body) = post("/api/graphql", q)
+    assert(code == 200)
+    val JArray(rows) = (JsonMethods.parse(body) \ "data" \ "Region"): @unchecked
+    assert(rows.map(r => r \ "r_name") == List(JString("AFRICA"), JString("AMERICA")))
+  }
+
   test("a broken request yields api:failure with 400") {
     val (code, body) = post("/api/woql", "{not json")
     assert(code == 400)
