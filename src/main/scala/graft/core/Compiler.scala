@@ -559,6 +559,18 @@ object Compiler {
             .when(lower(c.getField("str")).isin("false", "0"), lit(false))))
         case "xsd:dateTime" => tsVal(coalesce(c.getField("ts"),
           graft.functions.XsdTimestampCast.xsdTs(ctx.spark, c.getField("str"))))
+        // xdd: extension literal types (functions/Xdd.scala): validate
+        // the lexical, store the canonical form under the xdd type tag
+        case "xdd:coordinate" =>
+          Vals.typedStr(typ, graft.functions.Xdd.coordinate(Vals.text(c)))
+        case "xdd:integerRange" =>
+          Vals.typedStr(typ, graft.functions.Xdd.integerRange(Vals.text(c)))
+        case "xdd:decimalRange" =>
+          Vals.typedStr(typ, graft.functions.Xdd.decimalRange(Vals.text(c)))
+        case "xdd:url" =>
+          Vals.typedStr(typ, graft.functions.Xdd.url(Vals.text(c)))
+        case "xdd:email" =>
+          Vals.typedStr(typ, graft.functions.Xdd.email(Vals.text(c)))
         case other => throw new IllegalArgumentException(s"unsupported cast target $other")
       }
       BF(cur.df.withColumn(into, casted), cur.vars + into)

@@ -50,6 +50,14 @@ object Vals {
     mk(lit("l"), nullOf(StringType), lit("xsd:string"), s, nullOf(DoubleType),
       nullOf(LongType), nullOf(TimestampType), nullOf(BooleanType), lang, nullOf(Dec38))
 
+  /** Extension-typed lexical value (the xdd: family): the canonical
+    * lexical lives in the str slot under its own type tag, so typeof /
+    * equality / ordering all work through the existing string paths. */
+  def typedStr(typ: String, s: Column): Column =
+    mk(lit("l"), nullOf(StringType), lit(typ), s, nullOf(DoubleType),
+      nullOf(LongType), nullOf(TimestampType), nullOf(BooleanType),
+      nullOf(StringType), nullOf(Dec38))
+
   def dblVal(d: Column): Column =
     mk(lit("l"), nullOf(StringType), lit("xsd:double"), nullOf(StringType), d,
       nullOf(LongType), nullOf(TimestampType), nullOf(BooleanType), nullOf(StringType),

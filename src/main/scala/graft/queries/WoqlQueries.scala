@@ -241,6 +241,22 @@ object WoqlQueries {
       FormatS("%s/%s", Seq(V("N"), V("Seg")), "X"))))(
       "x" -> vStr("X")),
 
+    // xdd: extension literal types (§2.6 typecast matrix extension):
+    // lexical validation + canonicalization (whitespace dropped,
+    // components re-joined verbatim) and range ordering checks —
+    // [p_size,p_partkey] is a valid range only when size <= key, so
+    // validity is data-dependent and the oracle replays it
+    "woql_cast_xdd" -> woql(And(Seq(
+      TriplePat(V("P"), Node("tpch:p_partkey"), V("K")),
+      TriplePat(V("P"), Node("tpch:p_size"), V("S")),
+      FormatS("[ %s , %s ]", Seq(V("S"), V("K")), "CoordS"),
+      CastQ(V("CoordS"), "xdd:coordinate", "Coord"),
+      FormatS("[%s,%s]", Seq(V("S"), V("K")), "RangeS"),
+      CastQ(V("RangeS"), "xdd:integerRange", "IRng"),
+      CastQ(V("RangeS"), "xdd:decimalRange", "DRng"))))(
+      "p" -> vIri("P"), "coord" -> vStr("Coord"),
+      "irng" -> vStr("IRng"), "drng" -> vStr("DRng")),
+
     "woql_member_const" -> woql(
       MemberConst("X", Seq(Str("alpha"), Str("beta"), Str("gamma"))))(
       "x" -> vStr("X")),
@@ -535,6 +551,15 @@ object WoqlQueries {
 
     "woql_format" ->
       "SELECT c_name || '/' || c_mktsegment AS x FROM customer",
+
+    "woql_cast_xdd" ->
+      """SELECT 'tpch:part/'||p_partkey AS p,
+        | '['||p_size||','||p_partkey||']' AS coord,
+        | CASE WHEN p_size <= p_partkey
+        |   THEN '['||p_size||','||p_partkey||']' END AS irng,
+        | CASE WHEN p_size <= p_partkey
+        |   THEN '['||p_size||','||p_partkey||']' END AS drng
+        | FROM part""".stripMargin,
 
     "woql_member_const" ->
       "SELECT unnest(['alpha','beta','gamma']) AS x",
