@@ -42,6 +42,15 @@ object Compiler {
 
   def unit(ctx: Ctx): BF = BF(ctx.spark.range(1).select(), Set.empty, isUnit = true)
 
+  /** Conservative: true when every variable occurrence of `q` is in a
+    * binding TriplePat position, so `q` compiles from the unit frame
+    * with no reference to outer bindings (used by the Not rewrite). */
+  private def bindsAllVars(q: Woql): Boolean = q match {
+    case _: TriplePat => true
+    case And(qs) => qs.forall(bindsAllVars)
+    case _ => false
+  }
+
   def run(q: Woql)(implicit ctx: Ctx): DataFrame = compile(q, unit(ctx)).df
 
   // ---- conjunction join (the heart: shared vars = equi-join keys) ----
@@ -301,12 +310,31 @@ object Compiler {
       BF(dfs.reduce(_ unionByName _), allVars)
 
     case Not(sub) =>
-      val inner = compile(sub, cur)
+      // When the negated query is SELF-CONTAINED (every variable sits in
+      // a binding TriplePat position), compile it from the unit frame and
+      // anti-join on the shared variables only: semantically identical
+      // (a row is dropped iff an extension satisfies sub — iff sub alone
+      // has a solution agreeing on the shared vars), but the plan drops
+      // a redundant inner join AND a second scan of the current frame
+      // (the naive shape recomputes cur on both sides of the anti-join —
+      // at sf0.1 that was a full extra rdf:type partition scan plus a
+      // 15k×150k join feeding the anti). Subqueries that reference
+      // outer-bound vars in filter positions still take the frame-based
+      // path.
+      val selfContained = bindsAllVars(sub)
+      val inner = if (!cur.isUnit && selfContained) compile(sub, unit(ctx))
+        else compile(sub, cur)
       if (cur.isUnit) {
         if (inner.df.isEmpty) cur else BF(cur.df.limit(0), cur.vars, isUnit = false)
       } else {
-        val keys = cur.vars.toSeq.sorted
-        BF(cur.df.join(inner.df.select(keys.map(col): _*), keys, "left_anti"), cur.vars)
+        val keys = (if (selfContained) cur.vars.intersect(inner.vars)
+          else cur.vars).toSeq.sorted
+        if (keys.isEmpty) {
+          // disjoint vars: every row survives iff sub has no solution
+          if (inner.df.isEmpty) cur else BF(cur.df.limit(0), cur.vars)
+        } else
+          BF(cur.df.join(inner.df.select(keys.map(col): _*), keys, "left_anti"),
+            cur.vars)
       }
 
     case Opt(sub) => leftExtend(cur, compile(sub, cur), Map.empty)
