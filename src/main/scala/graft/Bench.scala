@@ -29,7 +29,7 @@ object Bench {
     // benching both would double-count the same work
     "emb_kmeans",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_prefix", "dedup_simhash",
-    "dedup_embedding_lsh", "dedup_incremental",
+    "dedup_embedding_lsh", "dedup_semantic", "dedup_incremental",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_ivf_trained",
     "sim_topk_lsh", "sim_topk_sq8", "sim_topk_pq", "emb_pq_encode",
     "sketch_kmv_distinct", "sketch_kmv_union", "graph_pagerank",

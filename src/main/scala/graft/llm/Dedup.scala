@@ -417,4 +417,37 @@ object Dedup {
         round(col("x.sim"), 6).as("sim"))
     mutual
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, public):
+    * k-means partitions the embedding space, then exact pairwise
+    * cosine runs WITHIN each cluster only — work ∝ Σ cluster_size²,
+    * never corpus², which is the published method's 100 TB story
+    * (clusters are the blocking key; the cross-cluster pairs k-means
+    * separates are exactly the pairs not worth scoring). A vector is a
+    * semantic duplicate when a LOWER-id cluster-mate sits at cosine ≥
+    * `tau` — a local rule: deterministic, partition-order independent,
+    * no transitive chaining. All arithmetic runs on sq8 integer codes
+    * (exact dots, same recipe as [[Similarity.sq8TopK]]), so cluster
+    * assignments AND similarities replay bit-identically in the
+    * oracle. Output: (vec_id, cluster, kept). */
+  def semantic(emb: DataFrame, k: Int, iters: Int, dim: Int,
+               tau: Double): DataFrame = {
+    val assigned = Clustering.kmeansSq8(emb, k, iters, dim)
+      .select(col("vec_id"), col("qv"), col("cluster"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("va"),
+      col("qv").as("qa"))
+    val b = assigned.select(col("cluster").as("clb"), col("vec_id").as("vb"),
+      col("qv").as("qb"))
+    val dotAB = graft.functions.ArrayDot.dot(col("qa"), col("qb"))
+    val nA = graft.functions.ArrayDot.dot(col("qa"), col("qa"))
+    val nB = graft.functions.ArrayDot.dot(col("qb"), col("qb"))
+    val cos = when(nA === 0.0 || nB === 0.0, lit(0.0))
+      .otherwise(dotAB / (sqrt(nA) * sqrt(nB)))
+    val dropped = a.join(b, col("cluster") === col("clb") && col("va") < col("vb"))
+      .where(cos >= tau)
+      .select(col("vb").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("kept"))
+  }
 }

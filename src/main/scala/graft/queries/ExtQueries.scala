@@ -182,6 +182,15 @@ object ExtQueries {
     // pure (no job boundary inside what looks like an expression)
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingLshDups(t(s, d, "embeddings"), dim = 64)),
 
+    // SemDeDup-style semantic dedup: k-means blocking, exact cosine
+    // within clusters only, lower-id winner at tau=0.40 (the synthetic
+    // embeddings are near-orthogonal — the threshold sits inside the
+    // observed within-cluster similarity range so both branches of the
+    // kept flag are exercised)
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semantic(t(s, d, "embeddings"), k = 8, iters = 3, dim = 64,
+        tau = 0.40)),
+
     // --- similarity search ---
     "sim_topk_brute" -> ((s, d) =>
       Similarity.bruteTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5)),
@@ -756,6 +765,20 @@ object ExtQueries {
         | SELECT x.ia AS da, x.ib AS db, round(x.sim, 6) AS sim
         | FROM nn x JOIN nn y ON x.ia = y.ib AND x.ib = y.ia
         | WHERE x.ia < x.ib""".stripMargin,
+
+    // same a3 assignment CTEs as emb_kmeans, then within-cluster exact
+    // cosine on the sq8 codes and the lower-id-wins drop rule
+    "dedup_semantic" -> kmeansSql(
+      """, cs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |   CASE WHEN list_dot_product(a.qv, a.qv) = 0
+        |          OR list_dot_product(b.qv, b.qv) = 0 THEN 0.0
+        |     ELSE list_dot_product(a.qv, b.qv) /
+        |       (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv)))
+        |   END AS cos
+        |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        | dup AS (SELECT DISTINCT vb FROM cs WHERE cos >= 0.40)
+        | SELECT a3.vec_id, a3.cid AS cluster, (dup.vb IS NULL) AS kept
+        | FROM a3 LEFT JOIN dup ON a3.vec_id = dup.vb""".stripMargin),
 
     "sim_topk_lsh" ->
       s"""WITH ${srpBuckSql(6)}
