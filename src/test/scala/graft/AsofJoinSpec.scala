@@ -68,6 +68,26 @@ class AsofJoinSpec extends AnyFunSuite {
       102L -> None, 103L -> Some(9.0), 104L -> None))
   }
 
+  test("all right columns come from ONE matched row even when it has nulls") {
+    import spark.implicits._
+    // nearest right row carries a NULL in one column: a per-column fill
+    // would take px2 from the EARLIER row (mixing two right rows); the
+    // struct fill must report the matched row's null instead
+    val right = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(1.0), Some(11.0)),
+      ("A", ts("2024-01-01 11:00:00"), Some(2.0), None)
+    ).toDF("k", "r_ts", "px", "px2")
+    val left = Seq(("A", ts("2024-01-01 11:30:00"))).toDF("k", "l_ts")
+    val bwd = AsofJoin.backward(left, right, Seq("k"), "l_ts", "r_ts",
+      Seq("px", "px2")).select("px", "px2").head()
+    assert(bwd.getDouble(0) == 2.0 && bwd.isNullAt(1))
+    // mirrored for forward: earliest right ≥ left has the null column
+    val left2 = Seq(("A", ts("2024-01-01 10:30:00"))).toDF("k", "l_ts")
+    val fwd = AsofJoin.forward(left2, right, Seq("k"), "l_ts", "r_ts",
+      Seq("px", "px2")).select("px", "px2").head()
+    assert(fwd.getDouble(0) == 2.0 && fwd.isNullAt(1))
+  }
+
   test("forward rightTie: largest tie wins among co-timestamped rights") {
     import spark.implicits._
     val right = Seq(
