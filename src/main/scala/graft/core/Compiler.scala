@@ -337,7 +337,20 @@ object Compiler {
             cur.vars)
       }
 
-    case Opt(sub) => leftExtend(cur, compile(sub, cur), Map.empty)
+    case Opt(sub) =>
+      // mirror of the Not rewrite: a SELF-CONTAINED optional compiles
+      // independently and left-extends on the shared variables only —
+      // drops the redundant frame join and the second frame scan, and
+      // extension compatibility is judged on the shared vars alone (a
+      // null in an UNRELATED frame variable — e.g. the pad of an
+      // earlier Opt — must not block extension, which a full-frame-key
+      // join would).
+      val optSelf = !cur.isUnit && bindsAllVars(sub)
+      val indep = if (optSelf) compile(sub, unit(ctx)) else null
+      if (optSelf && cur.vars.intersect(indep.vars).nonEmpty) {
+        val keys = cur.vars.intersect(indep.vars).toSeq.sorted
+        BF(cur.df.join(indep.df, keys, "left_outer"), cur.vars ++ indep.vars)
+      } else leftExtend(cur, compile(sub, cur), Map.empty)
 
     case WhenQ(c, t) =>
       // conditional extension: Cond's solutions flow through Then;
