@@ -91,6 +91,11 @@ final case class Eq(a: Term, b: Term) extends Woql
 final case class Cmp(op: String, a: Term, b: Term) extends Woql // "<" | ">" | "<=" | ">="
 final case class LikeSim(a: Term, b: Term, into: String,
     metric: String = "dice") extends Woql // "dice" (default) | "isub"
+/** Boolean regex predicate: keep solutions whose textual view of `s`
+  * CONTAINS a match of `pattern` (Java regex, unanchored — the partial
+  * -match convention GraphQL filter surfaces use). Distinct from
+  * ReMatch, which BINDS capture groups and never filters. */
+final case class RegexTest(pattern: String, s: Term) extends Woql
 final case class Isa(x: Term, cls: Term) extends Woql
 final case class Subsumption(sub: Term, sup: Term) extends Woql
 final case class TypeOf(x: Term, into: Term) extends Woql

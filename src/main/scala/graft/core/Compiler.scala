@@ -433,6 +433,10 @@ object Compiler {
     case Cmp(op, a, b) =>
       BF(cur.df.filter(Vals.cmp(op, termCol(a, cur.vars), termCol(b, cur.vars))), cur.vars)
 
+    case RegexTest(p, s) =>
+      // pure codegen'd filter (RLike); stays inside whole-stage codegen
+      BF(cur.df.filter(strOf(s, cur.vars).rlike(p)), cur.vars)
+
     case Isa(x, cls) =>
       // instance-of with subclass inference: type triples ⨝ broadcast closure
       val typed = ctx.triples.filter(col("g") === "instance" && col("p") === "rdf:type")

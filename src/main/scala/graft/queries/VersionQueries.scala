@@ -440,6 +440,47 @@ object VersionQueries {
         col("c_nationkey_n_name").getField("str").as("nation"))
     }),
 
+    // GraphQL advanced surface: _or/_not combinators (with an
+    // OVERLAPPING _or pair — NATION_13 matches both branches, so the
+    // frame-wide dedup is load-bearing), regex + startsWith + ne ops,
+    // _id projection, a forward link and a BACK-LINK traversal
+    // (customers of each nation) with its own filter — all compiled
+    // onto the one WOQL engine and replayed relationally
+    "ext_graphql_adv" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val q =
+        """{ Nation(filter: {_or: [{n_name: {regex: "NATION_[0-9]?3$"}},
+          |                        {n_name: {startsWith: "NATION_1"}}],
+          |                  _not: {n_name: {eq: "NATION_19"}}}) {
+          |    _id
+          |    n_name
+          |    n_regionkey { r_name }
+          |    _c_nationkey_of_Customer(filter: {c_acctbal: {ge: 9900.0},
+          |                                      c_mktsegment: {ne: "BUILDING"}}) {
+          |      c_name c_acctbal } } }""".stripMargin
+      val (_, df) = graft.server.GraphQL.run(q)
+      df.select(col("_id").getField("iri").as("id"),
+        col("n_name").getField("str").as("n_name"),
+        col("n_regionkey_r_name").getField("str").as("r_name"),
+        col("_c_nationkey_of_Customer_c_name").getField("str").as("c_name"),
+        col("_c_nationkey_of_Customer_c_acctbal").getField("dbl").as("c_acctbal"))
+    }),
+
+    // GraphQL deep traversal: lineitem → orders → customer, two link
+    // hops, with an exact-equality filter on a DOUBLE field (struct
+    // equality against the canonical value representation)
+    "ext_graphql_deep" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val q =
+        """{ Lineitem(filter: {l_quantity: {eq: 50.0}, l_returnflag: {eq: "R"}}) {
+          |    l_linenumber
+          |    l_orderkey { o_orderpriority o_custkey { c_name } } } }""".stripMargin
+      val (_, df) = graft.server.GraphQL.run(q)
+      df.select(col("l_linenumber").getField("lng").as("l_linenumber"),
+        col("l_orderkey_o_orderpriority").getField("str").as("o_orderpriority"),
+        col("l_orderkey_o_custkey_c_name").getField("str").as("c_name"))
+    }),
+
     // referential integrity (§2.8 validation; reference
     // validate_instance.pl dangling-reference check): a delta adding
     // ghost references (targets that exist nowhere as subjects) plus
@@ -617,6 +658,21 @@ object VersionQueries {
         | FROM customer JOIN nation ON c_nationkey = n_nationkey
         | WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
         | ORDER BY c_acctbal DESC, c_name LIMIT 10""".stripMargin,
+    "ext_graphql_adv" ->
+      """SELECT 'tpch:nation/'||n_nationkey AS id, n_name, r_name,
+        | c_name, c_acctbal
+        | FROM nation JOIN region ON n_regionkey = r_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        | WHERE (regexp_matches(n_name, 'NATION_[0-9]?3$')
+        |        OR starts_with(n_name, 'NATION_1'))
+        | AND NOT n_name = 'NATION_19'
+        | AND c_acctbal >= 9900.0 AND c_mktsegment <> 'BUILDING'""".stripMargin,
+    "ext_graphql_deep" ->
+      """SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | o_orderpriority, c_name
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE l_quantity = 50.0 AND l_returnflag = 'R'""".stripMargin,
     // re-measure the engine-written layer files byte-for-byte
     "woql_size" ->
       (s"""SELECT regexp_extract(filename, 'layers/([^/]+)/', 1) AS layer,

@@ -14,17 +14,35 @@ import graft.core._
   * Supported subset (one top-level class field):
   * {{{
   * { Customer(filter: {c_mktsegment: {eq: "BUILDING"},
-  *                     c_acctbal: {gt: 9000.0}},
+  *                     c_acctbal: {gt: 9000.0},
+  *                     _or: [{c_name: {startsWith: "Customer#1"}},
+  *                           {c_name: {regex: "9$"}}]},
   *            orderBy: {c_acctbal: DESC, c_name: ASC},
   *            limit: 10, offset: 0) {
+  *     _id                        # subject IRI
   *     c_name
   *     c_acctbal
-  *     c_nationkey { n_name }     # link traversal, one level
+  *     c_nationkey {              # link traversal, any depth
+  *       n_name
+  *       _s_nationkey_of_Supplier(filter: {s_acctbal: {ge: 0.0}}) {
+  *         s_name                 # back-link (reverse traversal)
+  *       }
+  *     }
   * } }
   * }}}
   * Class `C` maps to IRI `prefix + C`, field `f` to predicate
-  * `prefix + f`. Filter ops: eq, lt, le, gt, ge. Nested link fields
-  * surface as `link_field` output columns. */
+  * `prefix + f`. Root arguments: `filter`, `orderBy`, `limit`,
+  * `offset`, `id: "<iri>"`, `ids: ["<iri>", ...]`; link selections
+  * accept `filter` only. Filter ops: eq, ne, lt, le, gt, ge,
+  * startsWith, regex (partial match), plus the combinators
+  * `_and: [...]`, `_or: [...]`, `_not: {...}`. Nested link fields
+  * surface as `link_field` output columns (path-joined with `_`);
+  * back-link fields `_f_of_Class` traverse `f` in reverse. Links are
+  * INNER semantics in the flat bindings frame: a parent with no
+  * matching link row is absent (the nested-null shape of a GraphQL
+  * tree response has no flat-relational equivalent). `_or` solutions
+  * are deduplicated frame-wide, so overlapping branches keep boolean
+  * filter semantics. */
 object GraphQL {
 
   // ---- query AST ----
@@ -35,6 +53,7 @@ object GraphQL {
   final case class GBool(v: Boolean) extends GVal
   final case class GEnum(v: String) extends GVal
   final case class GObj(fields: Seq[(String, GVal)]) extends GVal
+  final case class GLst(items: Seq[GVal]) extends GVal
 
   final case class Sel(name: String, args: Seq[(String, GVal)], fields: Seq[Sel])
 
@@ -75,6 +94,11 @@ object GraphQL {
           val fs = Seq.newBuilder[(String, GVal)]
           while (!peekIs('}')) { val n = ident(); expect(':'); fs += (n -> value()) }
           i += 1; GObj(fs.result())
+        case '[' =>
+          i += 1
+          val items = Seq.newBuilder[GVal]
+          while (!peekIs(']')) items += value()
+          i += 1; GLst(items.result())
         case c if c.isDigit || c == '-' =>
           val start = i
           i += 1
@@ -130,52 +154,127 @@ object GraphQL {
     case other => throw new IllegalArgumentException(s"not a literal: $other")
   }
 
+  private val BackLink = "^_(.+)_of_([A-Za-z][A-Za-z0-9_]*)$".r
+
   /** (class name, WOQL query, output column order). */
   def toWoql(root: Sel, prefix: String = "tpch:"): (String, Woql, Seq[String]) = {
     val subj = "S"
     var pats = Vector[Woql](
       TriplePat(V(subj), Node("rdf:type"), Node(prefix + root.name)))
     val outs = Seq.newBuilder[String]
-    var bound = Set.empty[String]
+    var bound = Set.empty[String]   // output/filter binding vars
+    var subjs = Vector(subj)        // subject + link vars (frame identity)
+    var orUsed = false              // _or may duplicate → dedup frame-wide
 
-    root.fields.foreach {
-      case Sel(f, _, Nil) =>
-        pats :+= TriplePat(V(subj), Node(prefix + f), V(f))
-        bound += f; outs += f
-      case Sel(f, _, subs) =>
-        val lv = "__" + f
-        pats :+= TriplePat(V(subj), Node(prefix + f), V(lv))
-        subs.foreach {
-          case Sel(g, _, Nil) =>
-            val out = s"${f}_$g"
-            pats :+= TriplePat(V(lv), Node(prefix + g), V(out))
-            bound += out; outs += out
-          case nested =>
-            throw new IllegalArgumentException(
-              s"link selections are one level deep (at ${nested.name})")
-        }
+    def fieldVar(path: String, f: String) =
+      if (path.isEmpty) f else s"${path}_$f"
+
+    /** Bind `subjV.pred(f)` into the path-scoped var unless already bound. */
+    def bindField(subjV: String, path: String, f: String): String = {
+      val v = fieldVar(path, f)
+      if (!bound(v)) { pats :+= TriplePat(V(subjV), Node(prefix + f), V(v)); bound += v }
+      v
     }
 
-    val args = root.args.toMap
-    args.get("filter").foreach {
-      case GObj(fs) => fs.foreach {
-        case (f, GObj(ops)) =>
-          if (!bound(f)) { pats :+= TriplePat(V(subj), Node(prefix + f), V(f)); bound += f }
-          ops.foreach {
-            case ("eq", v) => pats :+= Eq(V(f), litTerm(v))
-            case ("lt", v) => pats :+= Cmp("<", V(f), litTerm(v))
-            case ("le", v) => pats :+= Cmp("<=", V(f), litTerm(v))
-            case ("gt", v) => pats :+= Cmp(">", V(f), litTerm(v))
-            case ("ge", v) => pats :+= Cmp(">=", V(f), litTerm(v))
-            case (op, _) => throw new IllegalArgumentException(s"unknown filter op $op")
-          }
-        case (f, other) =>
-          throw new IllegalArgumentException(s"filter for $f must be an object, got $other")
-      }
+    /** Filter tree → a pure predicate Woql over vars bound (as a side
+      * effect) in the top-level conjunction — so `_or`/`_not` branches
+      * share one binding scan instead of re-binding per branch. */
+    def filterWoql(subjV: String, path: String, v: GVal): Woql = v match {
+      case GObj(fs) =>
+        And(fs.map {
+          case ("_and", GLst(items)) => And(items.map(filterWoql(subjV, path, _)))
+          case ("_or", GLst(items)) =>
+            orUsed = true; Or(items.map(filterWoql(subjV, path, _)))
+          case ("_not", o: GObj) => Not(filterWoql(subjV, path, o))
+          case (comb, other) if comb.startsWith("_") =>
+            throw new IllegalArgumentException(
+              s"$comb expects ${if (comb == "_not") "an object" else "a list"}, got $other")
+          case (f, GObj(ops)) =>
+            val fv = bindField(subjV, path, f)
+            And(ops.map {
+              case ("eq", x) => Eq(V(fv), litTerm(x))
+              case ("ne", x) => Not(Eq(V(fv), litTerm(x)))
+              case ("lt", x) => Cmp("<", V(fv), litTerm(x))
+              case ("le", x) => Cmp("<=", V(fv), litTerm(x))
+              case ("gt", x) => Cmp(">", V(fv), litTerm(x))
+              case ("ge", x) => Cmp(">=", V(fv), litTerm(x))
+              case ("regex", GStr(p)) => RegexTest(p, V(fv))
+              case ("startsWith", GStr(p)) =>
+                RegexTest("^" + java.util.regex.Pattern.quote(p), V(fv))
+              case (op, _) => throw new IllegalArgumentException(s"unknown filter op $op")
+            })
+          case (f, other) =>
+            throw new IllegalArgumentException(s"filter for $f must be an object, got $other")
+        })
       case other => throw new IllegalArgumentException(s"filter must be an object, got $other")
     }
 
+    def linkArgs(subjV: String, path: String, args: Seq[(String, GVal)]): Unit =
+      args.foreach {
+        case ("filter", f) =>
+          // two steps: filterWoql appends binding TriplePats to `pats` as
+          // a side effect, and `pats :+= rhs` captures the OLD vector
+          // before evaluating rhs — fusing them would drop the bindings
+          val pred = filterWoql(subjV, path, f)
+          pats :+= pred
+        case (a, _) => throw new IllegalArgumentException(
+          s"link selections accept filter only, got $a")
+      }
+
+    def compileSels(subjV: String, path: String, sels: Seq[Sel]): Unit = sels.foreach {
+      case Sel("_id", _, Nil) =>
+        val out = fieldVar(path, "_id")
+        pats :+= Eq(V(out), V(subjV))
+        bound += out; outs += out
+      case Sel(name @ BackLink(pred, cls), args, subs) =>
+        // reverse traversal: instances of `cls` whose `pred` points here
+        val lv = "__" + fieldVar(path, name)
+        pats :+= TriplePat(V(lv), Node("rdf:type"), Node(prefix + cls))
+        pats :+= TriplePat(V(lv), Node(prefix + pred), V(subjV))
+        subjs :+= lv
+        linkArgs(lv, fieldVar(path, name), args)
+        require(subs.nonEmpty, s"back-link $name needs a selection set")
+        compileSels(lv, fieldVar(path, name), subs)
+      case Sel(f, args, Nil) =>
+        require(args.isEmpty, s"scalar field $f takes no arguments")
+        outs += bindField(subjV, path, f)
+      case Sel(f, args, subs) =>
+        val lv = "__" + fieldVar(path, f)
+        pats :+= TriplePat(V(subjV), Node(prefix + f), V(lv))
+        subjs :+= lv
+        linkArgs(lv, fieldVar(path, f), args)
+        compileSels(lv, fieldVar(path, f), subs)
+    }
+
+    compileSels(subj, "", root.fields)
+
+    val args = root.args.toMap
+    args.get("id").foreach {
+      case GStr(iri) => pats :+= Eq(V(subj), Node(iri))
+      case other => throw new IllegalArgumentException(s"id must be a string, got $other")
+    }
+    args.get("ids").foreach {
+      case GLst(items) =>
+        // disjoint Eq branches → no duplicate solutions, no dedup needed
+        pats :+= Or(items.map {
+          case GStr(iri) => Eq(V(subj), Node(iri))
+          case other => throw new IllegalArgumentException(s"ids entries must be strings, got $other")
+        })
+      case other => throw new IllegalArgumentException(s"ids must be a list, got $other")
+    }
+    args.get("filter").foreach { f =>
+      val pred = filterWoql(subj, "", f) // binds fields into pats first
+      pats :+= pred
+    }
+
     var q: Woql = And(pats)
+    // overlapping _or branches union their frames; collapse exact-
+    // duplicate solutions (same subject chain ⇒ same row, since every
+    // encoded predicate is functional) to keep boolean filter semantics
+    if (orUsed) {
+      val allVars = (bound ++ subjs).toSeq.sorted
+      q = Distinct(allVars, q)
+    }
     args.get("orderBy").foreach {
       case GObj(specs) =>
         val resolved = specs.map {

@@ -96,4 +96,59 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code == 400)
     assert((JsonMethods.parse(body) \ "api:status") == JString("api:failure"))
   }
+
+  // ---- GraphQL compiler surface (direct, no HTTP round-trip) ----
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.functions.col
+  private implicit lazy val gctx: core.Ctx = Graft.ctx(spark, sfDir)
+  private def strs(df: org.apache.spark.sql.DataFrame, c: String): Seq[String] =
+    df.collect().toSeq.map(_.getAs[Row](c).getAs[String]("str"))
+
+  test("graphql id and ids arguments select by subject IRI; _id projects it") {
+    val (_, one) = server.GraphQL.run("""{ Region(id: "tpch:region/1") { _id r_name } }""")
+    val rows = one.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Row]("_id").getAs[String]("iri") == "tpch:region/1")
+    val (_, two) = server.GraphQL.run(
+      """{ Region(ids: ["tpch:region/0", "tpch:region/3"]) { r_name } }""")
+    assert(two.count() == 2)
+  }
+
+  test("graphql overlapping _or dedups; ne / _not / regex / startsWith filter") {
+    val (_, df) = server.GraphQL.run(
+      """{ Nation(filter: {_or: [{n_name: {startsWith: "NATION_1"}},
+        |                        {n_name: {regex: "3$"}}],
+        |                  n_nationkey: {lt: 20}}) { n_name } }""".stripMargin)
+    val got = strs(df, "n_name")
+    // NATION_13 matches both _or branches — must appear exactly once
+    assert(got.length == got.distinct.length)
+    assert(got.toSet == (Set(1, 3, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19)
+      .map(i => s"NATION_$i"): Set[String]))
+    val (_, ne) = server.GraphQL.run(
+      """{ Region(filter: {r_name: {ne: "AFRICA"}, _not: {r_name: {eq: "ASIA"}}}) { r_name } }""")
+    val rn = strs(ne, "r_name").toSet
+    assert(!rn.contains("AFRICA") && !rn.contains("ASIA") && rn.size == 3)
+  }
+
+  test("graphql back-link traverses the reverse direction") {
+    val (_, bk) = server.GraphQL.run(
+      """{ Region(filter: {r_name: {eq: "AFRICA"}}) {
+        |    r_name _n_regionkey_of_Nation { n_name } } }""".stripMargin)
+    val got = strs(bk, "_n_regionkey_of_Nation_n_name").toSet
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+    val reg = spark.read.parquet(s"$sfDir/region.parquet").filter(col("r_name") === "AFRICA")
+    val want = nat.join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("graphql deep links chain two hops with an exact double filter") {
+    val (_, deep) = server.GraphQL.run(
+      """{ Lineitem(filter: {l_quantity: {eq: 50.0}, l_returnflag: {eq: "R"}}) {
+        |    l_linenumber l_orderkey { o_custkey { c_name } } } }""".stripMargin)
+    val n = deep.count()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") === 50.0 && col("l_returnflag") === "R").count()
+    assert(n == li && n > 0)
+  }
 }
