@@ -49,6 +49,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Streaming state width: the replayed streams carry a few thousand
+    // state keys, so 8 state partitions hold them comfortably while
+    // cutting the per-micro-batch per-partition store-commit machinery
+    // that dominates these queries at bench scale (32 partitions × 2
+    // stores of RocksDB commits measured ~2× the state-bound queries'
+    // time). Scoped to streaming queries only (Events.runToTable
+    // restores the session width); a real deployment sizes this to
+    // state volume ÷ executor cores, often WIDER than batch shuffle.
+    if (!sys.props.contains("graft.stream.shuffle") &&
+        !sys.env.contains("GRAFT_STREAM_SHUFFLE"))
+      sys.props("graft.stream.shuffle") = "8"
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

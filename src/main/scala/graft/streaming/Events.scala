@@ -33,6 +33,38 @@ object Events {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
   }
 
+  /** Run a finite replay of a streaming frame into a memory sink and
+    * return the sink table. Stateful exchanges inherit
+    * `spark.sql.shuffle.partitions` at query start, and every partition
+    * of every state store pays a per-micro-batch commit — so the state
+    * width should track state SIZE and cluster cores, not the session's
+    * batch shuffle width (at a small replay, 32 partitions × 2 stores
+    * of commit machinery dominates wall time; a 1000-core cluster wants
+    * the opposite, a wider setting than any batch stage). The width is
+    * a deployment knob: GRAFT_STREAM_SHUFFLE (sys.prop
+    * graft.stream.shuffle) applies to the streaming query only — the
+    * session value is restored after the replay, so batch plans are
+    * untouched. Results are width-independent (the spec suite runs the
+    * same oracles unconfigured). */
+  private[streaming] def runToTable(spark: SparkSession, df: DataFrame,
+      mode: String): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    sys.props.get("graft.stream.shuffle")
+      .orElse(sys.env.get("GRAFT_STREAM_SHUFFLE"))
+      .foreach(spark.conf.set(key, _))
+    try {
+      val name = s"graft_stream_${counter.incrementAndGet()}"
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+    } finally spark.conf.set(key, old)
+  }
+
   /** Streaming source over events.parquet with the same nanos→micros
     * timestamp normalization as Graft.events. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -77,14 +109,7 @@ object Events {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    runToTable(spark, agg, "complete")
   }
 
   /** Production append-mode shape: watermark + tumbling window, each
@@ -104,14 +129,7 @@ object Events {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    runToTable(spark, agg, "append")
   }
 
   /** Streaming sessionization: session windows with a 30-minute gap per
@@ -123,14 +141,7 @@ object Events {
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("w.end").as("we"), col("user_id"), col("n"))
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    runToTable(spark, agg, "complete")
   }
 
   /** Stream-static enrichment: the streaming event flow broadcast-joined
@@ -147,14 +158,7 @@ object Events {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("c_mktsegment").as("seg"), col("n"))
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    runToTable(spark, agg, "complete")
   }
 
   /** Running per-user aggregate carried in CUSTOM STATE
@@ -189,20 +193,14 @@ object Events {
         st.update(s)
         Iterator((user, s.n, s.firstMs, s.lastMs))
       })
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = out.toDF("user_id", "n", "first_ms", "last_ms")
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val sink = runToTable(spark, out.toDF("user_id", "n", "first_ms", "last_ms"),
+      "append")
     // flatMapGroupsWithState emits the RUNNING aggregate once per
     // micro-batch per key; with multi-file staging or maxFilesPerTrigger
     // the same user appears once per batch. The per-user FINAL row is the
     // one with the largest n (n is monotone across batches) — reduce to it
     // so the result is batch-count-independent.
-    spark.table(name)
+    sink
       .groupBy(col("user_id"))
       .agg(max(struct(col("n"), col("first_ms"), col("last_ms"))).as("f"))
       .select(col("user_id"), col("f.n").as("n"),
@@ -239,14 +237,7 @@ object Events {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"))
       .select(col("event_id"), col("p_ts"), col("c_ts"), col("c_value"))
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    runToTable(spark, joined, "append")
   }
 
   /** Streaming exact dedup within the watermark window. */
@@ -256,13 +247,6 @@ object Events {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = deduped.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    runToTable(spark, deduped, "complete")
   }
 }
