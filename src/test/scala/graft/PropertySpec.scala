@@ -66,6 +66,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("self-contained opt equals brute-force optional extension") {
+    // exercises the Opt rewrite (Compiler: independent compile +
+    // left-outer on SHARED vars only) against the semantics computed
+    // directly on the driver: each frame row either extends by every
+    // matching sub-solution or survives once with nulls
+    (30L to 35L).foreach { seed =>
+      val edges = sample(graphGen, seed)
+      val ctx = ctxOf(triples(edges.map { case (s, o) => (s, "e", o: Any) }: _*))
+      val q = And(Seq(
+        TriplePat(V("X"), Node("e"), V("Y")),
+        Opt(And(Seq(
+          TriplePat(V("Y"), Node("e"), V("Z")),
+          TriplePat(V("Z"), Node("e"), V("W")))))))
+      val got = Compiler.run(q)(ctx).collect().toSeq.map { r =>
+        Seq("W", "X", "Y", "Z").map(f =>
+          Option(r.getAs[Row](f)).map(_.getAs[String]("iri")).orNull)
+      }.sortBy(_.mkString(","))
+      val subSols = for { (y, z) <- edges; (z2, w) <- edges if z2 == z }
+        yield (y, z, w)
+      val want: Seq[Seq[String]] = edges.flatMap { case (x, y) =>
+        val m = subSols.filter(_._1 == y)
+        if (m.isEmpty) Seq(Seq(null, x, y, null))
+        else m.map { case (_, z, w) => Seq(w, x, y, z) }
+      }.sortBy(_.mkString(","))
+      assert(got == want, s"seed $seed: $edges")
+    }
+  }
+
   test("double negation keeps exactly the base solutions with a match") {
     (10L to 14L).foreach { seed =>
       val ctx = graphCtx(seed)
