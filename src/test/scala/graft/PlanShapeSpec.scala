@@ -44,6 +44,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
   }
 
+  test("graphql compiles to equi-joins only — no cartesian products") {
+    // the GraphQL surface rides the WOQL compiler; combinators,
+    // back-links and multi-hop links must all land as (broadcast/
+    // shuffled) equi-joins on binding columns, never a product
+    implicit val ctx: Ctx = Graft.ctx(spark, sfDir)
+    val (_, df) = graft.server.GraphQL.run(
+      """{ Nation(filter: {_or: [{n_name: {regex: "3$"}},
+        |                        {n_name: {startsWith: "NATION_1"}}]}) {
+        |    _id
+        |    n_regionkey { r_name }
+        |    _c_nationkey_of_Customer(filter: {c_acctbal: {ge: 9000.0}}) {
+        |      c_name } } }""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"graphql plan degraded to a product join:\n$plan")
+  }
+
   test("small dimension joins broadcast in the flagship plan") {
     val plan = planOf(graft.queries.WoqlQueries.flagship)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("broadcast"),
