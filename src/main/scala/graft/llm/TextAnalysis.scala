@@ -166,4 +166,97 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(toks(col("text")))))).as("fp"))
+
+  /** BM25 relevance of every document against a fixed term list
+    * (Robertson/Spärck Jones; the Lucene `1 + (N-df+0.5)/(df+0.5)`
+    * idf so the log argument stays > 1). Shape: per-term tf columns
+    * come from array filters in ONE narrow scan (no explode — the
+    * query has k terms, not a vocabulary); corpus stats (N, Σdl, df
+    * per term) reduce to a SINGLE row broadcast back over the scan;
+    * top-n is orderBy+limit = TakeOrderedAndProject. Nothing here
+    * shuffles the corpus, so the plan survives 100 TB unchanged.
+    * Doubles are combined left-associatively in fixed term order and
+    * rounded once at the end, so the oracle replays bit-stably. */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, n: Int = 100): DataFrame = {
+    val tf = docs.select(col("doc_id"), toks(col("text")).as("__t"))
+      .select(col("doc_id") +: size(col("__t")).cast(LongType).as("dl") +:
+        terms.map(t => size(filter(col("__t"), x => x === lit(t)))
+          .cast(LongType).as(s"tf_$t")): _*)
+    val stats = tf.agg(count(lit(1)).as("N"),
+      sum(col("dl")).as("sumdl") +:
+        terms.map(t => count_if(col(s"tf_$t") > 0).as(s"df_$t")): _*)
+    val score = terms.map { t =>
+      val tfc = col(s"tf_$t").cast(DoubleType)
+      val df = col(s"df_$t").cast(DoubleType)
+      val idf = log(lit(1.0) + (col("N") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tfc * lit(k1 + 1.0)) /
+        (tfc + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / (col("sumdl").cast(DoubleType) / col("N"))))
+    }.reduceLeft(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(n)
+  }
+
+  /** Top-k terms per document by tf·idf (idf = ln(N/df), df on the
+    * distinct doc-term pairs). Explode is narrow (∝ corpus tokens);
+    * tf and df are two count shuffles (doc-term resp. term — both
+    * ∝ distinct pairs, already far below corpus size); N joins in as
+    * a broadcast single row; the df join keys both sides on `term`
+    * and is left to Catalyst/AQE (broadcast when the vocabulary fits,
+    * shuffle-hash when a 100 TB vocabulary doesn't). The rank window
+    * partitions by doc_id — bounded per-group input, never global.
+    * Ranking orders on the ROUNDED score (ties → term asc) so both
+    * engines rank identical values. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("N"))
+    val scored = tf.join(dft, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("N").cast(DoubleType) / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hashed-unigram
+    * bucket LMs for the target slice (`lang = targetLang`) and the
+    * raw corpus, add-one smoothing, and per-document
+    * log-likelihood-ratio Σ ln p̂_tgt(b(x)) − ln p̂_raw(b(x)). The
+    * weight column feeds [[Sampling]]'s A-ES weighted sampler to
+    * complete the resampling step.
+    *
+    * Scale shape: bucket counts are one count shuffle of B·2 cells
+    * (B = `buckets`, corpus-independent); the per-bucket log-ratios
+    * collapse into a SINGLE map row broadcast over a second narrow
+    * scan that folds each document's tokens left-to-right — exact
+    * left-associative order, replayed verbatim by the oracle via an
+    * ordered list_reduce, so the double sum is engine-stable before
+    * the final round. Hashing is [[Dedup.hash32]] (md5-derived,
+    * engine-independent). */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = 64): DataFrame = {
+    val bucket = (t: Column) => pmod(Dedup.hash32(t), lit(buckets.toLong))
+    val counts = docs.select(col("lang"), explode(toks(col("text"))).as("term"))
+      .select(col("lang"), bucket(col("term")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_raw"),
+        count_if(col("lang") === targetLang).as("n_tgt"))
+    val tot = counts.agg(sum(col("n_raw")).as("t_raw"), sum(col("n_tgt")).as("t_tgt"))
+    val lrMap = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("n_tgt") + 1).cast(DoubleType) / (col("t_tgt") + buckets)) -
+         log((col("n_raw") + 1).cast(DoubleType) / (col("t_raw") + buckets))).as("lr"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("b"), col("lr"))))).as("__m"))
+    docs.select(col("doc_id"), col("lang"), toks(col("text")).as("__t"))
+      .crossJoin(broadcast(lrMap))
+      .select(col("doc_id"), col("lang"),
+        round(aggregate(col("__t"), lit(0.0),
+          (acc, t) => acc + element_at(col("__m"), bucket(t))), 6).as("weight"))
+  }
 }

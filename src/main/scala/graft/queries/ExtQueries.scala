@@ -377,7 +377,25 @@ object ExtQueries {
         concat(lit("n:"), col("n_nationkey")).as("src"),
         concat(lit("r:"), col("n_regionkey")).as("dst"))
       graft.operators.PageRank.fixedPoint(o.union(c).union(n), iters = 3)
-    })
+    }),
+
+    // BM25 relevance against a fixed query-term list: per-term tf via
+    // array filters (no explode), ONE-row corpus stats broadcast back
+    // over the scan, top-n as TakeOrderedAndProject — the corpus
+    // itself never shuffles
+    "text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(t(s, d, "documents"), Seq("spark", "join", "vector"))),
+
+    // tf·idf top-3 terms per document: ln(N/df) idf, rank window on
+    // the ROUNDED score partitioned by doc_id (never global)
+    "text_tfidf_topk" -> ((s, d) =>
+      TextAnalysis.tfidfTopK(t(s, d, "documents"), 3)),
+
+    // DSIR importance weights (Xie 2023): hashed-unigram bucket LMs
+    // target-vs-raw, per-doc ordered fold of log-ratios — feeds the
+    // A-ES weighted sampler for the resampling step
+    "llm_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(t(s, d, "documents"), "en", 64))
   )
 
   // DuckDB-side shared fragments
@@ -1083,7 +1101,69 @@ object ExtQueries {
         | FROM p JOIN a3 a ON p.cell = a.cid AND p.q_id != a.vec_id)
         | SELECT q_id AS q, cand, CAST(row_number() OVER (PARTITION BY q_id
         |   ORDER BY sim DESC, cand) AS BIGINT) AS rank, round(sim, 6) AS sim
-        | FROM sims QUALIFY rank <= 5""".stripMargin)
+        | FROM sims QUALIFY rank <= 5""".stripMargin),
+
+    // BM25 (terms spark/join/vector, k1=1.2, b=0.75, Lucene idf).
+    // Every fractional literal is ::DOUBLE — bare 0.5 is DECIMAL in
+    // DuckDB and would run the whole chain in decimal arithmetic
+    // where the engine uses IEEE doubles. Term contributions add
+    // left-associatively in the engine's fixed term order.
+    "text_bm25" -> {
+      def term(t: String) = {
+        val (tf, df) = (s"tf_$t", s"df_$t")
+        s"""ln(1.0::DOUBLE + (n - $df + 0.5::DOUBLE) / ($df + 0.5::DOUBLE))
+           | * ($tf * 2.2::DOUBLE) / ($tf + 1.2::DOUBLE * (0.25::DOUBLE
+           |   + 0.75::DOUBLE * dl / (CAST(sumdl AS DOUBLE) / n)))""".stripMargin
+      }
+      s"""WITH tf AS (SELECT doc_id, len($toksSql) AS dl,
+        |   len(list_filter($toksSql, x -> x = 'spark')) AS tf_spark,
+        |   len(list_filter($toksSql, x -> x = 'join')) AS tf_join,
+        |   len(list_filter($toksSql, x -> x = 'vector')) AS tf_vector
+        |  FROM documents),
+        | st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+        |   count_if(tf_spark > 0) AS df_spark, count_if(tf_join > 0) AS df_join,
+        |   count_if(tf_vector > 0) AS df_vector FROM tf),
+        | sc AS (SELECT doc_id, round(${term("spark")}
+        |    + ${term("join")}
+        |    + ${term("vector")}, 6) AS score FROM tf, st)
+        | SELECT doc_id, score FROM sc WHERE score > 0
+        | ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+    },
+
+    // tf·idf top-3 per doc; rank over the ROUNDED score (term-asc
+    // ties) so both engines rank identical values
+    "text_tfidf_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | nd AS (SELECT count(*) AS n FROM documents),
+        | sc AS (SELECT doc_id, tf.term AS term,
+        |    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dft ON tf.term = dft.term, nd)
+        | SELECT doc_id, term, tfidf, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        | FROM sc QUALIFY rank <= 3""".stripMargin,
+
+    // DSIR weights: 64 hashed-unigram buckets (= Dedup.hash32 % 64),
+    // add-one smoothed target(en)/raw LMs; the per-doc sum replays
+    // the engine's left fold EXACTLY — list_reduce over the
+    // log-ratios in token order, seeded with 0.0
+    "llm_dsir_weights" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        | tok AS (SELECT doc_id, lang, unnest(toks) AS s,
+        |    generate_subscripts(toks, 1) AS pos FROM d),
+        | tb AS (SELECT doc_id, lang, pos, $hash32Sql % 64 AS b FROM tok),
+        | c AS (SELECT b, count(*) AS n_raw,
+        |    count_if(lang = 'en') AS n_tgt FROM tb GROUP BY 1),
+        | tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM c),
+        | lr AS (SELECT b, ln((n_tgt + 1) / CAST(t_tgt + 64 AS DOUBLE))
+        |      - ln((n_raw + 1) / CAST(t_raw + 64 AS DOUBLE)) AS lr FROM c, tot),
+        | w AS (SELECT tb.doc_id, list_reduce(
+        |     list_prepend(CAST(0 AS DOUBLE), list(lr.lr ORDER BY tb.pos)),
+        |     (a, x) -> a + x) AS weight
+        |  FROM tb JOIN lr ON tb.b = lr.b GROUP BY tb.doc_id)
+        | SELECT d.doc_id, d.lang, round(coalesce(w.weight, 0), 6) AS weight
+        | FROM d LEFT JOIN w ON d.doc_id = w.doc_id""".stripMargin
   )
 
   /** Unrolled Lloyd CTEs replaying Clustering.kmeansSq8(k=8, iters=3,

@@ -222,4 +222,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     //     a = .15e9 + 85%·1.85e9 = 1_722_500_000 ; b = .15e9
     assert(got == Map("a" -> 1722500000L, "b" -> 150000000L, "c" -> 1127500000L))
   }
+
+  test("BM25 matches an independent driver-side computation") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark spark join x"), (2L, "join y"), (3L, "data z w v"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.bm25(docs, Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference computation, independent of the Column-expression path
+    val corpus = Map(1L -> Seq("spark", "spark", "join", "x"),
+      2L -> Seq("join", "y"), 3L -> Seq("data", "z", "w", "v"))
+    val n = corpus.size; val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    def score(toks: Seq[String]): Double = Seq("spark", "join").map { t =>
+      val tf = toks.count(_ == t).toDouble
+      val df = corpus.values.count(_.contains(t)).toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.size / avgdl))
+    }.reduceLeft(_ + _)
+    val want = corpus.view.mapValues(score).toMap.filter(_._2 > 0)
+      .map { case (k, v) => k -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    assert(got == want)                       // doc 3 (no query term) excluded
+    assert(!got.contains(3L))
+  }
+
+  test("tf-idf: everywhere-terms score zero, unique terms rank first") {
+    import spark.implicits._
+    // "c" appears in all docs → idf = ln(1) = 0; each doc's unique term wins
+    val docs = Seq((1L, "u1 c c"), (2L, "u2 c"), (3L, "u3 c")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.tfidfTopK(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(got.filter(_._2 == "c").forall(_._3 == 0.0))
+    val top1 = got.filter(_._4 == 1L).map(r => r._1 -> r._2).toMap
+    assert(top1 == Map(1L -> "u1", 2L -> "u2", 3L -> "u3"))
+    assert(got.groupBy(_._1).values.forall(_.map(_._4).sorted.toSeq == Seq(1L, 2L)))
+  }
+
+  test("DSIR weights: target==corpus is identically zero, target tokens rank up") {
+    import spark.implicits._
+    val allEn = Seq((1L, "en", "a b"), (2L, "en", "c d")).toDF("doc_id", "lang", "text")
+    // target LM == raw LM bucket-for-bucket → every log-ratio is exactly 0
+    assert(graft.llm.TextAnalysis.dsirWeights(allEn, "en")
+      .collect().forall(_.getDouble(2) == 0.0))
+    val mixed = Seq((1L, "en", "tgta tgtb tgta"), (2L, "zh", "rawa rawb rawc"))
+      .toDF("doc_id", "lang", "text")
+    val w = graft.llm.TextAnalysis.dsirWeights(mixed, "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > 0 && w(2L) < 0, s"target doc should out-weigh raw doc: $w")
+  }
 }

@@ -121,4 +121,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"assignment must be map-only:\n$plan")
   }
+
+  test("BM25 never shuffles the corpus: broadcast stats + top-n heap") {
+    // tf columns are array filters in the scan; corpus stats reduce to
+    // ONE row that joins back as a broadcast — a sort-merge join or a
+    // hash-partition exchange of the scan would be the scale regression
+    val plan = SparkEntry.queries("text_bm25")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-n lost its TakeOrderedAndProject plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      s"BM25 must not shuffle the corpus:\n$plan")
+  }
+
+  test("tf-idf rank window partitions by doc_id, never globally") {
+    val plan = SparkEntry.queries("text_tfidf_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // every window spec in the plan must carry the doc_id partition key
+    val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(plan).toSeq
+    assert(specs.nonEmpty && specs.forall(_.group(1).startsWith("doc_id")),
+      s"window must partition by doc_id:\n$plan")
+  }
+
+  test("DSIR weight pass is scan + broadcast map, no corpus shuffle") {
+    // the bucket-LM aggregation shuffles B·2 cells; the weighting pass
+    // itself must stay a narrow fold under a broadcast single-row map
+    val df = SparkEntry.queries("llm_dsir_weights")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"DSIR weighting must not sort-merge join the corpus:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"expected broadcast map:\n$plan")
+  }
 }
