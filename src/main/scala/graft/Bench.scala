@@ -35,7 +35,8 @@ object Bench {
     "sketch_kmv_distinct", "sketch_kmv_union", "graph_pagerank",
     "text_vocab_topk", "text_bpe_pairs",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean",
-    "llm_pipeline_v2")
+    "llm_pipeline_v2",
+    "text_bm25", "text_tfidf_topk", "llm_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
