@@ -395,7 +395,15 @@ object ExtQueries {
     // target-vs-raw, per-doc ordered fold of log-ratios — feeds the
     // A-ES weighted sampler for the resampling step
     "llm_dsir_weights" -> ((s, d) =>
-      TextAnalysis.dsirWeights(t(s, d, "documents"), "en", 64))
+      TextAnalysis.dsirWeights(t(s, d, "documents"), "en", 64)),
+
+    // the DSIR resampling step end-to-end: importance weights →
+    // A-ES weighted sample without replacement over w = exp(weight)
+    // (rounded pre-key so both engines fold identical doubles)
+    "llm_dsir_sample" -> ((s, d) =>
+      graft.llm.Sampling.weightedTopK(
+        TextAnalysis.dsirWeights(t(s, d, "documents"), "en", 64),
+        round(exp(col("weight")), 9), 100))
   )
 
   // DuckDB-side shared fragments
@@ -1148,23 +1156,38 @@ object ExtQueries {
     // add-one smoothed target(en)/raw LMs; the per-doc sum replays
     // the engine's left fold EXACTLY — list_reduce over the
     // log-ratios in token order, seeded with 0.0
-    "llm_dsir_weights" ->
-      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-        | tok AS (SELECT doc_id, lang, unnest(toks) AS s,
-        |    generate_subscripts(toks, 1) AS pos FROM d),
-        | tb AS (SELECT doc_id, lang, pos, $hash32Sql % 64 AS b FROM tok),
-        | c AS (SELECT b, count(*) AS n_raw,
-        |    count_if(lang = 'en') AS n_tgt FROM tb GROUP BY 1),
-        | tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM c),
-        | lr AS (SELECT b, ln((n_tgt + 1) / CAST(t_tgt + 64 AS DOUBLE))
-        |      - ln((n_raw + 1) / CAST(t_raw + 64 AS DOUBLE)) AS lr FROM c, tot),
-        | w AS (SELECT tb.doc_id, list_reduce(
-        |     list_prepend(CAST(0 AS DOUBLE), list(lr.lr ORDER BY tb.pos)),
-        |     (a, x) -> a + x) AS weight
-        |  FROM tb JOIN lr ON tb.b = lr.b GROUP BY tb.doc_id)
-        | SELECT d.doc_id, d.lang, round(coalesce(w.weight, 0), 6) AS weight
-        | FROM d LEFT JOIN w ON d.doc_id = w.doc_id""".stripMargin
+    "llm_dsir_weights" -> dsirWeightsSql,
+
+    // DSIR resampling: A-ES over w = exp(weight) (rounded so both
+    // engines order identical doubles); same hashU as llm_sample_weighted
+    "llm_dsir_sample" ->
+      s"""WITH dw AS ($dsirWeightsSql),
+        | u AS (SELECT doc_id, lang, round(exp(weight), 9) AS w,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) / 4294967296.0 AS u
+        | FROM dw)
+        | SELECT doc_id, lang, w, round(ln(u) / w, 9) AS skey
+        | FROM u ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
   )
+
+  private lazy val dsirWeightsSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+      | tok AS (SELECT doc_id, lang, unnest(toks) AS s,
+      |    generate_subscripts(toks, 1) AS pos FROM d),
+      | tb AS (SELECT doc_id, lang, pos, $hash32Sql % 64 AS b FROM tok),
+      | c AS (SELECT b, count(*) AS n_raw,
+      |    count_if(lang = 'en') AS n_tgt FROM tb GROUP BY 1),
+      | tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM c),
+      | lr AS (SELECT b, ln((n_tgt + 1) / CAST(t_tgt + 64 AS DOUBLE))
+      |      - ln((n_raw + 1) / CAST(t_raw + 64 AS DOUBLE)) AS lr FROM c, tot),
+      | w AS (SELECT tb.doc_id, list_reduce(
+      |     list_prepend(CAST(0 AS DOUBLE), list(lr.lr ORDER BY tb.pos)),
+      |     (a, x) -> a + x) AS weight
+      |  FROM tb JOIN lr ON tb.b = lr.b GROUP BY tb.doc_id)
+      | SELECT d.doc_id, d.lang, round(coalesce(w.weight, 0), 6) AS weight
+      | FROM d LEFT JOIN w ON d.doc_id = w.doc_id""".stripMargin
 
   /** Unrolled Lloyd CTEs replaying Clustering.kmeansSq8(k=8, iters=3,
     * dim=64) round-for-round: q = sq8 codes, c0 = codes of the 8

@@ -269,4 +269,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(w(1L) > 0 && w(2L) < 0, s"target doc should out-weigh raw doc: $w")
   }
+
+  test("DSIR resample: nested in k, over-represents the target slice") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = graft.llm.TextAnalysis.dsirWeights(docs, "en")
+    def sample(k: Int) = graft.llm.Sampling
+      .weightedTopK(w, round(exp(col("weight")), 9), k)
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1))
+    val (s20, s40) = (sample(20), sample(40))
+    assert(s20.map(_._1).toSet.subsetOf(s40.map(_._1).toSet)) // A-ES top-k nests
+    val corpusEn = docs.where(col("lang") === "en").count().toDouble / docs.count()
+    val sampleEn = s20.count(_._2 == "en").toDouble / s20.length
+    assert(sampleEn > corpusEn,
+      s"importance resample should up-weight en: $sampleEn vs corpus $corpusEn")
+  }
 }
