@@ -36,7 +36,7 @@ object Bench {
     "text_vocab_topk", "text_bpe_pairs",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean",
     "llm_pipeline_v2",
-    "text_bm25", "text_tfidf_topk", "llm_dsir_weights")
+    "text_bm25", "text_tfidf_topk", "llm_dsir_weights", "text_bigram_ppl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -224,6 +224,43 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
+  /** CCNet-class perplexity quality score (Wenzek et al. 2020): each
+    * document's perplexity under an add-one-smoothed bigram LM trained
+    * on the corpus itself — p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V), ppl =
+    * exp(−Σ ln p / n). Low-ppl ≈ fluent/templated, high-ppl ≈ noise;
+    * the filter every CommonCrawl-style pipeline applies.
+    *
+    * Shape: bigram explode is narrow (∝ corpus tokens); LM counts are
+    * two count shuffles (vocab²/vocab-sized results); scoring joins
+    * the corpus back on the bigram key — shuffle ∝ corpus, the
+    * unavoidable cost when the LM outgrows a broadcast (a pruned
+    * production LM would broadcast instead, turning this map-side).
+    * The per-doc sum folds a pos-sorted struct array left-to-right —
+    * exact association order, replayed by the oracle's ordered
+    * list_reduce — so the doubles are engine-stable pre-round. */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val withT = docs.select(col("doc_id"), toks(col("text")).as("__t"))
+      .where(size(col("__t")) >= 2)
+    val big = withT.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("__t")) - 2),
+          i => struct(element_at(col("__t"), i + 1).as("w1"),
+            element_at(col("__t"), i + 2).as("w2")))))
+      .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vt = big.agg(countDistinct(col("w2")).as("v"))
+    val scored = big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .crossJoin(broadcast(vt))
+      .select(col("doc_id"), col("pos"),
+        log((col("cb") + 1).cast(DoubleType) / (col("cu") + col("v"))).as("lp"))
+    scored.groupBy(col("doc_id")).agg(
+        aggregate(transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+          s => s.getField("lp")), lit(0.0), (a, x) => a + x).as("__cum"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"),
+        round(exp(-col("__cum") / col("n_bigrams")), 6).as("ppl"), col("n_bigrams"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): hashed-unigram
     * bucket LMs for the target slice (`lang = targetLang`) and the

@@ -403,7 +403,12 @@ object ExtQueries {
     "llm_dsir_sample" -> ((s, d) =>
       graft.llm.Sampling.weightedTopK(
         TextAnalysis.dsirWeights(t(s, d, "documents"), "en", 64),
-        round(exp(col("weight")), 9), 100))
+        round(exp(col("weight")), 9), 100)),
+
+    // CCNet-style perplexity under a corpus-trained add-one bigram LM:
+    // the canonical LM quality filter (Wenzek 2020)
+    "text_bigram_ppl" -> ((s, d) =>
+      TextAnalysis.bigramPerplexity(t(s, d, "documents")))
   )
 
   // DuckDB-side shared fragments
@@ -1169,7 +1174,30 @@ object ExtQueries {
         |         * power(16, 8 - i))) AS BIGINT) / 4294967296.0 AS u
         | FROM dw)
         | SELECT doc_id, lang, w, round(ln(u) / w, 9) AS skey
-        | FROM u ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
+        | FROM u ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+
+    // bigram perplexity: three zipped unnests rebuild (pos, w1, w2);
+    // the per-doc sum replays the engine's pos-sorted left fold via
+    // ordered list_reduce seeded with 0.0
+    "text_bigram_ppl" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents
+        |   WHERE len($toksSql) >= 2),
+        | big AS (SELECT doc_id,
+        |    unnest(range(1, len(toks))) AS pos,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+        |  FROM d),
+        | bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+        | uc AS (SELECT w1, count(*) AS cu FROM big GROUP BY 1),
+        | vt AS (SELECT count(DISTINCT w2) AS v FROM big),
+        | sc AS (SELECT big.doc_id, big.pos,
+        |    ln((cb + 1) / CAST(cu + v AS DOUBLE)) AS lp
+        |  FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1), vt),
+        | agg AS (SELECT doc_id, list_reduce(
+        |     list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)),
+        |     (a, x) -> a + x) AS cum, count(*) AS n_bigrams FROM sc GROUP BY 1)
+        | SELECT doc_id, round(exp(-cum / n_bigrams), 6) AS ppl, n_bigrams
+        | FROM agg""".stripMargin
   )
 
   private lazy val dsirWeightsSql: String =

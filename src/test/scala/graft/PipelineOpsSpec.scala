@@ -270,6 +270,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(w(1L) > 0 && w(2L) < 0, s"target doc should out-weigh raw doc: $w")
   }
 
+  test("bigram perplexity matches the hand-built add-one LM") {
+    import spark.implicits._
+    // corpus LM: c(a b)=3, c(b a)=1, c(a·)=3, c(b·)=1, V={a,b}=2
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.bigramPerplexity(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val (lab, lba) = (math.log(4.0 / 5), math.log(2.0 / 3))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((r6(math.exp(-(((0.0 + lab) + lba) + lab) / 3)), 3L)))
+    assert(got(2L) == ((r6(math.exp(-lab / 1)), 1L)))
+  }
+
   test("DSIR resample: nested in k, over-represents the target slice") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val w = graft.llm.TextAnalysis.dsirWeights(docs, "en")
