@@ -110,4 +110,40 @@ object Sampling {
         round(first(col("rate")), 9).as("rate"),
         count(lit(1)).as("n_sel"), sum(col("n_tokens")).as("sel_tokens"))
   }
+
+  /** Temperature (α-power) rebalanced sampling — the multilingual
+    * training-mix recipe (XLM-R/mBERT exponential smoothing): language
+    * l's share of a `budgetTokens` budget is supplyₗ^α / Σ supply^α,
+    * so low-resource languages are up-weighted (α < 1) relative to
+    * their raw share; keep-rate = min(1, targetₗ / supplyₗ), docs
+    * selected by salted hash-threshold (same determinism/nesting
+    * contract as [[stratifiedHash]]).
+    *
+    * Scale shape mirrors [[mixToBudget]]: one map-side-combined
+    * aggregate for supplies (rows ∝ languages), the Σ supply^α
+    * denominator folded over the LANG-SORTED supply list (exact
+    * association order — engine-stable doubles, oracle-replayable),
+    * rates broadcast back over one filtered scan. Returns the
+    * per-language audit row (supply, rate, selected docs/tokens). */
+  def temperatureSample(docs: DataFrame, alpha: Double,
+                        budgetTokens: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+    val sup = toks.groupBy(col("lang")).agg(sum(col("n_tokens")).as("supply"))
+    val denom = sup.agg(aggregate(
+      transform(array_sort(collect_list(struct(col("lang"), col("supply")))),
+        s => pow(s.getField("supply").cast(DoubleType), lit(alpha))),
+      lit(0.0), (a, x) => a + x).as("denom"))
+    val rates = sup.crossJoin(broadcast(denom))
+      .select(col("lang"), col("supply"),
+        round(least(lit(1.0),
+          lit(budgetTokens.toDouble) *
+            (pow(col("supply").cast(DoubleType), lit(alpha)) / col("denom")) /
+            col("supply")), 9).as("rate"))
+    toks.join(broadcast(rates), Seq("lang"))
+      .where(hashU(concat(lit("temp:"), col("doc_id").cast(StringType))) < col("rate"))
+      .groupBy(col("lang"))
+      .agg(first(col("supply")).as("supply"), first(col("rate")).as("rate"),
+        count(lit(1)).as("n_sel"), sum(col("n_tokens")).as("sel_tokens"))
+  }
 }

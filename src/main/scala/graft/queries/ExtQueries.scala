@@ -408,7 +408,12 @@ object ExtQueries {
     // CCNet-style perplexity under a corpus-trained add-one bigram LM:
     // the canonical LM quality filter (Wenzek 2020)
     "text_bigram_ppl" -> ((s, d) =>
-      TextAnalysis.bigramPerplexity(t(s, d, "documents")))
+      TextAnalysis.bigramPerplexity(t(s, d, "documents"))),
+
+    // α-power temperature rebalancing (XLM-R multilingual mix):
+    // supply^0.5 shares of a 30k-token budget, salted hash-threshold
+    "llm_sample_temp" -> ((s, d) =>
+      graft.llm.Sampling.temperatureSample(t(s, d, "documents"), 0.5, 30000L))
   )
 
   // DuckDB-side shared fragments
@@ -1197,7 +1202,32 @@ object ExtQueries {
         |     list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)),
         |     (a, x) -> a + x) AS cum, count(*) AS n_bigrams FROM sc GROUP BY 1)
         | SELECT doc_id, round(exp(-cum / n_bigrams), 6) AS ppl, n_bigrams
-        | FROM agg""".stripMargin
+        | FROM agg""".stripMargin,
+
+    // temperature sampling: Σ supply^α folded in LANG order (exact
+    // engine association); rate rounded to 9 BEFORE the threshold so
+    // both engines compare identical doubles against the same hashU
+    "llm_sample_temp" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | s AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS supply
+        |  FROM t GROUP BY lang),
+        | dn AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(power(CAST(supply AS DOUBLE), 0.5::DOUBLE) ORDER BY lang)),
+        |    (a, x) -> a + x) AS denom FROM s),
+        | r AS (SELECT lang, supply, round(least(1.0::DOUBLE,
+        |    30000.0::DOUBLE * (power(CAST(supply AS DOUBLE), 0.5::DOUBLE) / denom)
+        |      / supply), 9) AS rate FROM s, dn),
+        | k AS (SELECT t.lang, t.n_tokens, r.supply, r.rate
+        |  FROM t JOIN r USING (lang)
+        |  WHERE CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5('temp:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) / 4294967296.0 < r.rate)
+        | SELECT lang, min(supply) AS supply, min(rate) AS rate,
+        |  count(*) AS n_sel, CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
+        | FROM k GROUP BY lang""".stripMargin
   )
 
   private lazy val dsirWeightsSql: String =

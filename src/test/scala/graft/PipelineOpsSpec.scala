@@ -270,6 +270,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(w(1L) > 0 && w(2L) < 0, s"target doc should out-weigh raw doc: $w")
   }
 
+  test("temperature sampling: α=1 is proportional, α<1 lifts low-resource") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rates(alpha: Double, budget: Long) = graft.llm.Sampling
+      .temperatureSample(docs, alpha, budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    // α=1: every language gets rate budget/total — identical across langs
+    val r1 = rates(1.0, 3000L)
+    assert(r1.map(_._3).distinct.size == 1, s"α=1 rates must be uniform: $r1")
+    // α=0.5: the highest-supply language gets the LOWEST rate
+    val r5 = rates(0.5, 3000L)
+    val bySupply = r5.sortBy(-_._2)
+    assert(bySupply.head._3 == r5.map(_._3).min,
+      s"α<1 must down-weight the high-resource language: $r5")
+    assert(r5.map(_._3).min < r5.map(_._3).max)
+  }
+
   test("bigram perplexity matches the hand-built add-one LM") {
     import spark.implicits._
     // corpus LM: c(a b)=3, c(b a)=1, c(a·)=3, c(b·)=1, V={a,b}=2
