@@ -413,7 +413,26 @@ object ExtQueries {
     // α-power temperature rebalancing (XLM-R multilingual mix):
     // supply^0.5 shares of a 30k-token budget, salted hash-threshold
     "llm_sample_temp" -> ((s, d) =>
-      graft.llm.Sampling.temperatureSample(t(s, d, "documents"), 0.5, 30000L))
+      graft.llm.Sampling.temperatureSample(t(s, d, "documents"), 0.5, 30000L)),
+
+    // co-located fact⋈fact join off bucketed tables: both sides
+    // bucketBy(8, custkey) → the merge join plans ZERO exchanges on
+    // its inputs (PlanShapeSpec counts exactly one in the whole plan —
+    // the post-join rollup). The .hint("merge") pins SMJ so the demo
+    // isn't broadcast away at test scale.
+    "rel_bucketed_join" -> ((s, d) => {
+      def tbl(n: String) = "graft_bkt_" + n + "_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val o = graft.operators.Bucketing.ensureBucketed(s, tbl("orders"),
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        "o_custkey", 8)
+      val c = graft.operators.Bucketing.ensureBucketed(s, tbl("customer"),
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "c_custkey", 8)
+      o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_okey"))
+    })
   )
 
   // DuckDB-side shared fragments
@@ -1227,7 +1246,13 @@ object ExtQueries {
         |         * power(16, 8 - i))) AS BIGINT) / 4294967296.0 < r.rate)
         | SELECT lang, min(supply) AS supply, min(rate) AS rate,
         |  count(*) AS n_sel, CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
-        | FROM k GROUP BY lang""".stripMargin
+        | FROM k GROUP BY lang""".stripMargin,
+
+    "rel_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment""".stripMargin
   )
 
   private lazy val dsirWeightsSql: String =

@@ -144,6 +144,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window must partition by doc_id:\n$plan")
   }
 
+  test("bucketed fact join shuffles nothing but the rollup") {
+    // both sides bucketBy(8, custkey): the merge join reads aligned
+    // buckets in place — the ONLY exchange in the whole plan is the
+    // post-join aggregation on c_mktsegment. An unbucketed SMJ would
+    // show three.
+    val plan = SparkEntry.queries("rel_bucketed_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"merge hint lost:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"bucketed join must only shuffle the rollup, got $exchanges:\n$plan")
+  }
+
   test("DSIR weight pass is scan + broadcast map, no corpus shuffle") {
     // the bucket-LM aggregation shuffles B·2 cells; the weighting pass
     // itself must stay a narrow fold under a broadcast single-row map
