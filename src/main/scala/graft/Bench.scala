@@ -22,9 +22,10 @@ object Bench {
     "rel_q1_agg", "rel_topk_window", "rel_broadcast_join", "rel_events_window",
     "rel_asof_join", "rel_asof_fwd", "rel_asof_native", "rel_range_join",
     "rel_interval_overlap", "rel_sessionize",
-    // first invocation pays the one-time bucketBy materialization
-    // (ingest, like eav_encode); min-of-2 reports the co-located join
-    "rel_bucketed_join",
+    // first invocation pays the one-time bucketBy / z-order layout
+    // materialization (ingest, like eav_encode); min-of-2 reports the
+    // steady-state co-located join resp. pruned scan
+    "rel_bucketed_join", "rel_zorder_scan",
     "ext_json", "stream_window_counts", "stream_append_counts",
     "stream_user_stats", "stream_stream_join", "stream_incr_dedup",
     "llm_pack_chunks", "llm_shard_export", "llm_split", "llm_mix_budget",

@@ -432,6 +432,26 @@ object ExtQueries {
       o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_okey"))
+    }),
+
+    // Z-order layout: lineitem written ONCE sorted by the Morton
+    // interleave of (l_orderkey, l_suppkey) cells — a 2-d box
+    // predicate then prunes parquet row groups on BOTH keys via
+    // ordinary column stats (ZorderSpec measures the file-count win
+    // vs a single-key layout). The answer is layout-independent; the
+    // oracle replays it over the original table.
+    "rel_zorder_scan" -> ((s, d) => {
+      val zt = graft.operators.Zorder.ensureZordered(s,
+        "graft_z_lineitem_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.operators.Zorder.fingerprint(d + "/lineitem.parquet"),
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+          col("l_quantity")),
+        "l_orderkey", "l_suppkey", 16)
+      zt.where(col("l_orderkey").between(100, 700) &&
+          col("l_suppkey").between(1, 3))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("l_suppkey")).as("sum_skey"))
     })
   )
 
@@ -1252,7 +1272,15 @@ object ExtQueries {
       """SELECT c_mktsegment, count(*) AS n_orders,
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
         | FROM orders JOIN customer ON o_custkey = c_custkey
-        | GROUP BY c_mktsegment""".stripMargin
+        | GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_zorder_scan" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        | CAST(sum(l_suppkey) AS BIGINT) AS sum_skey
+        | FROM lineitem
+        | WHERE l_orderkey BETWEEN 100 AND 700
+        |   AND l_suppkey BETWEEN 1 AND 3""".stripMargin
   )
 
   private lazy val dsirWeightsSql: String =
