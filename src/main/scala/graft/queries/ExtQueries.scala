@@ -148,7 +148,12 @@ object ExtQueries {
         .binned(clicks, "ts", wins, "w_start", "w_end", 15L * 60 * 1000000)
         .groupBy(col("w_id"))
         .agg(count(lit(1)).as("n_clicks"),
-          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+          // exact decimal sum, then one double render rounded to 6 —
+          // DECIMAL(28,6) hashes differently across the driver's two
+          // engines even when values match (red in r5+r6); a rounded
+          // double is representation-stable on both sides
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_value"))
     }),
     "stream_enrich_counts" -> ((s, d) => Events.streamingEnrichedCounts(s, d)),
 
@@ -635,7 +640,7 @@ object ExtQueries {
         |    ts AS w_end
         |  FROM events WHERE event_type = 'purchase' AND event_id % 13 = 0)
         | SELECT w_id, count(*) AS n_clicks,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         | FROM c JOIN w ON c.ts >= w.w_start AND c.ts <= w.w_end
         | GROUP BY w_id""".stripMargin,
 
