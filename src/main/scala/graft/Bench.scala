@@ -70,6 +70,21 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // --- per-query JVM diagnostics (BENCH_r07 recorded 5 queries at
+    // 2.4–6× their steady state with zero code change; these counters
+    // make a repeat self-diagnosing instead of a mystery) ---
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP &&
+        p.isValid)
+    def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def peakHeapMb: Long = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+    def cachedMb: Long = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum >> 20
+
     // ingest: EAV encode + predicate-partitioned write (cached across runs)
     val encodeSec = time { Graft.ctx(spark, sfDir) }
 
@@ -79,10 +94,15 @@ object Bench {
     // (q1), anti join (not) — BENCH_r05 recorded 10.4s for woql_not in
     // the full sequence vs 1.6s steady (min-of-3, fresh JVM): the
     // left_anti codegen path was the only headline shape not touched
-    // before its timed runs.
-    Seq("woql_flagship", "rel_q1_agg", "woql_not").foreach { n =>
+    // before its timed runs. stream_window_counts warms the streaming
+    // family (micro-batch scheduler + state-store provider + streaming
+    // codegen paths) — BENCH_r07 recorded 7.2s vs 1.3s steady for the
+    // first streaming query in the sequence.
+    Seq("woql_flagship", "rel_q1_agg", "woql_not",
+        "stream_window_counts").foreach { n =>
       try { val _ = SparkEntry.queries(n)(spark, sfDir).count() }
       catch { case _: Throwable => }
+      finally { val _ = graft.util.Scratch.drain() }
     }
 
     // Min of two invocations per query: a long-running cluster serves
@@ -90,8 +110,15 @@ object Bench {
     // JIT + codegen-compile + GC noise (BENCH_r04 recorded 49s for a
     // query whose plan runs in 2s). The first invocation still pays any
     // real plan cost (shuffles, scans are not cached across runs).
+    // After each query: drain its Scratch persists (leaked cached blocks
+    // from 67 queries × 2 runs otherwise accumulate heap pressure for
+    // the rest of the sequence) and record GC-time delta, peak heap,
+    // and block-manager residency while the query ran.
+    val diags = scala.collection.mutable.LinkedHashMap[String, String]()
     val results: Seq[(String, Double)] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        resetPeaks()
+        val gc0 = gcMs
         val secs = (1 to 2).map { _ =>
           time {
             try { val _ = fn(spark, sfDir).count() }
@@ -99,14 +126,19 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}") }
           }
         }
+        val drained = graft.util.Scratch.drain()
+        diags(name) = s"""{"gc_ms":${gcMs - gc0},"peak_heap_mb":$peakHeapMb,""" +
+          s""""cached_mb":$cachedMb,"drained":$drained}"""
         name -> secs.min
       }
     }
     val all = results :+ ("eav_encode" -> encodeSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val dj = diags.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","diag":$dj}""")
     spark.stop()
   }
 }

@@ -22,6 +22,7 @@ object BenchOne {
         SparkEntry.queries(n)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      val _ = graft.util.Scratch.drain()
       println(f"BENCHONE $n ${times.map(t => f"$t%.2f").mkString(",")} min=${times.min}%.2f")
     }
     spark.stop()

@@ -134,9 +134,11 @@ object Dedup {
     val exact = hashed.where(col("__new"))
       .join(corpusH, Seq("h"), "left")
       .select(col("doc_id"), (coalesce(col("__x"), lit(0L)) === 1L).as("__exact"))
-    // shingle frame feeds band building AND jaccard verification
-    val sets = shingleSets(tagged)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle frame feeds band building AND jaccard verification;
+    // Scratch-tracked so the harness can unpersist it once the query's
+    // result is consumed (streaming calls this per micro-batch)
+    val sets = graft.util.Scratch.track(shingleSets(tagged)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val flags = tagged.select(col("doc_id"), col("__new"))
     val bands = bandHashes(minhashSignaturesFromSets(sets))
       .join(flags, Seq("doc_id"))
@@ -384,6 +386,7 @@ object Dedup {
       .select(col("doc_id"),
         md5(col("text").substr(col("pos"), lit(win))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Scratch.track(wins)
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .where(col("__nd") >= 2)

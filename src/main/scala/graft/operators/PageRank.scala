@@ -31,11 +31,11 @@ object PageRank {
   def fixedPoint(edges: DataFrame, iters: Int,
                  scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && scale >= 100)
-    val e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
+    val e = graft.util.Scratch.track(edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = graft.util.Scratch.track(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var pr = nodes.withColumn("pr", lit(scale))
     var i = 0

@@ -28,6 +28,7 @@ object PregelClosure {
       .unionByName(e.select(col("dst").as("name"))).distinct()
       .rdd.map(_.getString(0)).zipWithUniqueId().toDF("name", "id")
       .cache()
+    graft.util.Scratch.track(idDf)
     val eIds = e
       .join(idDf.toDF("src", "sid"), "src")
       .join(idDf.toDF("dst", "did"), "dst")

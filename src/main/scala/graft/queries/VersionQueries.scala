@@ -481,6 +481,30 @@ object VersionQueries {
         col("l_orderkey_o_custkey_c_name").getField("str").as("c_name"))
     }),
 
+    // GraphQL _or over an OPTIONAL field: tpch:n_note exists only for
+    // nations with n_nationkey % 7 == 3 (extra triples unioned into a
+    // derived Ctx — the other 21 nations genuinely lack the predicate).
+    // A nation lacking n_note must still match the OTHER branch; the
+    // pre-round-8 hoisted binding made n_note implicitly required and
+    // silently dropped every note-less NATION_1x from the result.
+    "ext_graphql_optional" -> ((s, d) => {
+      val base = Graft.ctx(s, d)
+      val notes = graft.storage.Eav.encodeTable(
+        Graft.table(s, d, "nation").filter(col("n_nationkey") % 7 === 3),
+        concat(lit("tpch:nation/"), col("n_nationkey").cast(StringType)),
+        "tpch:Nation",
+        Seq(("tpch:n_note", graft.storage.Eav.PStr, lit("flagged"))))
+        .filter(col("p") =!= "rdf:type") // type triples already in base
+      implicit val ctx: Ctx = base.copy(triples = base.triples.unionByName(notes))
+      val q =
+        """{ Nation(filter: {_or: [{n_note: {eq: "flagged"}},
+          |                        {n_name: {startsWith: "NATION_1"}}]}) {
+          |    n_nationkey n_name } }""".stripMargin
+      val (_, df) = graft.server.GraphQL.run(q)
+      df.select(col("n_nationkey").getField("lng").as("n_nationkey"),
+        col("n_name").getField("str").as("n_name"))
+    }),
+
     // referential integrity (§2.8 validation; reference
     // validate_instance.pl dangling-reference check): a delta adding
     // ghost references (targets that exist nowhere as subjects) plus
@@ -667,6 +691,13 @@ object VersionQueries {
         |        OR starts_with(n_name, 'NATION_1'))
         | AND NOT n_name = 'NATION_19'
         | AND c_acctbal >= 9900.0 AND c_mktsegment <> 'BUILDING'""".stripMargin,
+    // branch-1 membership (n_note = 'flagged') is exactly the %7==3
+    // nations by construction of the derived Ctx in the engine query;
+    // note-less nations must still reach the result via branch 2.
+    "ext_graphql_optional" ->
+      """SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        | FROM nation
+        | WHERE n_nationkey % 7 = 3 OR starts_with(n_name, 'NATION_1')""".stripMargin,
     "ext_graphql_deep" ->
       """SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | o_orderpriority, c_name

@@ -83,7 +83,7 @@ object WoqlQueries {
 
     "woql_cmp_less" -> woql(And(Seq(
       TriplePat(V("O"), Node("tpch:o_totalprice"), V("P")),
-      Cmp("<", V("P"), Dbl(1000.0)),
+      Cmp("<", V("P"), Dbl(5000.0)),
       TriplePat(V("O"), Node("tpch:o_orderkey"), V("K")))))(
       "o_orderkey" -> vLng("K"), "o_totalprice" -> vDbl("P")),
 
@@ -409,7 +409,7 @@ object WoqlQueries {
       "SELECT c_name FROM customer WHERE c_mktsegment = 'BUILDING'",
 
     "woql_cmp_less" ->
-      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000.0",
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000.0",
 
     "woql_isa" ->
       """SELECT 'tpch:customer/'||c_custkey AS x FROM customer

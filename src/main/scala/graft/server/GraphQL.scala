@@ -81,13 +81,37 @@ object GraphQL {
     }
     private def value(): GVal = {
       ws()
+      if (i >= s.length) err("expected value")
       s(i) match {
         case '"' =>
           i += 1; val sb = new StringBuilder
-          while (s(i) != '"') {
-            if (s(i) == '\\') { i += 1 }
-            sb.append(s(i)); i += 1
+          while (i < s.length && s(i) != '"') {
+            if (s(i) == '\\') {
+              i += 1
+              if (i >= s.length) err("unterminated string")
+              s(i) match {
+                case 'n' => sb.append('\n')
+                case 't' => sb.append('\t')
+                case 'r' => sb.append('\r')
+                case 'b' => sb.append('\b')
+                case 'f' => sb.append('\f')
+                case '"' => sb.append('"')
+                case '\\' => sb.append('\\')
+                case '/' => sb.append('/')
+                case 'u' =>
+                  if (i + 4 >= s.length) err("truncated \\u escape")
+                  val hex = s.substring(i + 1, i + 5)
+                  val cp =
+                    try Integer.parseInt(hex, 16)
+                    catch { case _: NumberFormatException =>
+                      err(s"invalid \\u escape \\u$hex") }
+                  sb.append(cp.toChar); i += 4
+                case c => err(s"unknown escape \\$c")
+              }
+              i += 1
+            } else { sb.append(s(i)); i += 1 }
           }
+          if (i >= s.length) err("unterminated string")
           i += 1; GStr(sb.toString)
         case '{' =>
           i += 1
@@ -176,22 +200,44 @@ object GraphQL {
       v
     }
 
-    /** Filter tree → a pure predicate Woql over vars bound (as a side
-      * effect) in the top-level conjunction — so `_or`/`_not` branches
-      * share one binding scan instead of re-binding per branch. */
-    def filterWoql(subjV: String, path: String, v: GVal): Woql = v match {
+    /** Filter tree → a predicate Woql. Fields referenced in the
+      * CONJUNCTIVE spine (`scope = None`) bind as a side effect in the
+      * top-level conjunction, sharing one binding scan. Fields first
+      * referenced inside an `_or` branch or a `_not` body
+      * (`scope = Some(seen)`) bind IN-BRANCH instead: hoisting them
+      * would make the field implicitly required for every solution —
+      * a document lacking the field could never match the OTHER `_or`
+      * branch, and `_not` on an absent field would drop the document
+      * instead of keeping it. Per-branch TriplePats restore optional-
+      * field semantics: an `_or` branch only constrains documents that
+      * have its fields, and a self-contained `_not` anti-joins on the
+      * subject alone (absent field ⇒ no match ⇒ document survives).
+      * `seen` dedups bindings within one branch conjunction; nested
+      * branches clone it so sibling branches stay independent. */
+    def filterWoql(subjV: String, path: String, v: GVal,
+        scope: Option[scala.collection.mutable.Set[String]] = None): Woql = v match {
       case GObj(fs) =>
+        def branchScope() =
+          Some(scope.fold(scala.collection.mutable.Set.empty[String])(_.clone()))
         And(fs.map {
-          case ("_and", GLst(items)) => And(items.map(filterWoql(subjV, path, _)))
+          case ("_and", GLst(items)) => And(items.map(filterWoql(subjV, path, _, scope)))
           case ("_or", GLst(items)) =>
-            orUsed = true; Or(items.map(filterWoql(subjV, path, _)))
-          case ("_not", o: GObj) => Not(filterWoql(subjV, path, o))
+            orUsed = true
+            Or(items.map(filterWoql(subjV, path, _, branchScope())))
+          case ("_not", o: GObj) => Not(filterWoql(subjV, path, o, branchScope()))
           case (comb, other) if comb.startsWith("_") =>
             throw new IllegalArgumentException(
               s"$comb expects ${if (comb == "_not") "an object" else "a list"}, got $other")
           case (f, GObj(ops)) =>
-            val fv = bindField(subjV, path, f)
-            And(ops.map {
+            val fv = fieldVar(path, f)
+            val binds: Seq[Woql] = scope match {
+              case None => bindField(subjV, path, f); Nil // hoisted to `pats`
+              case Some(seen) =>
+                if (bound(fv) || seen(fv)) Nil
+                else { seen += fv
+                  Seq(TriplePat(V(subjV), Node(prefix + f), V(fv))) }
+            }
+            And(binds ++ ops.map {
               case ("eq", x) => Eq(V(fv), litTerm(x))
               case ("ne", x) => Not(Eq(V(fv), litTerm(x)))
               case ("lt", x) => Cmp("<", V(fv), litTerm(x))

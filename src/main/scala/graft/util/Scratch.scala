@@ -1,0 +1,41 @@
+package graft.util
+
+import org.apache.spark.sql.Dataset
+
+/** Registry for intra-query scratch persists.
+  *
+  * Operators that `persist()` an intermediate frame (shingle sets,
+  * span windows, edge/node frames of an iterative job) must keep it
+  * cached while the frame they RETURN is being consumed — so they
+  * cannot unpersist before returning. Left alone, those blocks
+  * accumulate in the block manager for the life of the JVM: a 67-query
+  * bench run (or a long-lived server) ends up with hundreds of MB of
+  * dead cached partitions, and the resulting heap pressure shows up as
+  * multi-× slowdowns in unrelated queries (BENCH_r07: five queries at
+  * 2.4–6× their steady state with zero code change).
+  *
+  * The contract: an operator wraps each scratch persist in
+  * [[track]]; the driver (bench harness, verify harness, HTTP request
+  * boundary) calls [[drain]] once the query's results are fully
+  * consumed. Long-lived memoized artifacts (e.g. trained PQ/IVF
+  * codebooks in [[graft.llm.Clustering]]) are deliberately NOT
+  * tracked — they are caches, not scratch.
+  */
+object Scratch {
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Register a persisted scratch frame; returns it unchanged. */
+  def track[T](ds: Dataset[T]): Dataset[T] = { tracked.add(ds); ds }
+
+  /** Unpersist every tracked frame (non-blocking); returns how many. */
+  def drain(): Int = {
+    var n = 0
+    var ds = tracked.poll()
+    while (ds != null) {
+      try { val _ = ds.unpersist(false); n += 1 }
+      catch { case _: Throwable => } // session may already be stopped
+      ds = tracked.poll()
+    }
+    n
+  }
+}

@@ -142,6 +142,53 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want && got.nonEmpty)
   }
 
+  test("graphql string escapes decode; bad strings yield positioned errors") {
+    // \uXXXX decodes before matching: "AFRICA" ≡ "AFRICA"
+    val uq = "{ Region(filter: {r_name: {eq: \"\\" +
+      "u0041FRICA\"}}) { r_name } }"
+    val (_, df) = server.GraphQL.run(uq)
+    assert(strs(df, "r_name") == Seq("AFRICA"))
+    // \n decodes to a real newline (no region matches; parse must succeed)
+    val (_, nl) = server.GraphQL.run(
+      "{ Region(filter: {r_name: {eq: \"A\\nB\"}}) { r_name } }")
+    assert(nl.count() == 0)
+    val bad = intercept[IllegalArgumentException] {
+      server.GraphQL.run("{ Region(filter: {r_name: {eq: \"oops}}) { r_name } }")
+    }
+    assert(bad.getMessage.contains("unterminated") && bad.getMessage.contains("at "))
+    val unk = intercept[IllegalArgumentException] {
+      server.GraphQL.run("{ Region(filter: {r_name: {eq: \"a\\qb\"}}) { r_name } }")
+    }
+    assert(unk.getMessage.contains("escape"))
+  }
+
+  test("graphql _or branch on an optional field doesn't make it required") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StringType
+    // derive a ctx where only nations with n_nationkey % 7 == 3 carry
+    // tpch:n_note — the other 21 genuinely lack the predicate
+    val notes = storage.Eav.encodeTable(
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .filter(col("n_nationkey") % 7 === 3),
+      concat(lit("tpch:nation/"), col("n_nationkey").cast(StringType)),
+      "tpch:Nation",
+      Seq(("tpch:n_note", storage.Eav.PStr, lit("flagged"))))
+      .filter(col("p") =!= "rdf:type")
+    val ctx2 = gctx.copy(triples = gctx.triples.unionByName(notes))
+    val (_, or) = server.GraphQL.run(
+      """{ Nation(filter: {_or: [{n_note: {eq: "flagged"}},
+        |                        {n_name: {startsWith: "NATION_1"}}]}) {
+        |    n_name } }""".stripMargin)(ctx2)
+    // note-less NATION_1x must still match via the second branch
+    val want = (Set(3, 17, 24) ++ Set(1) ++ (10 to 19)).map(i => s"NATION_$i")
+    assert(strs(or, "n_name").toSet == want)
+    // _not over the optional field: absent ⇒ survives; noted ⇒ dropped
+    val (_, notQ) = server.GraphQL.run(
+      """{ Nation(filter: {_not: {n_note: {eq: "flagged"}}}) { n_name } }""")(ctx2)
+    val keep = (0 to 24).toSet.diff(Set(3, 10, 17, 24)).map(i => s"NATION_$i")
+    assert(strs(notQ, "n_name").toSet == keep)
+  }
+
   test("graphql deep links chain two hops with an exact double filter") {
     val (_, deep) = server.GraphQL.run(
       """{ Lineitem(filter: {l_quantity: {eq: 50.0}, l_returnflag: {eq: "R"}}) {
