@@ -13,28 +13,82 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * key — mismatched bucket counts reintroduce the shuffle.
   *
   * Spark-first note: this is the DataFrame-API spelling of what the
-  * reference's native storage achieves with its own layer layout;
-  * the table metadata (in-memory catalog) is per-JVM, but the bucketed
-  * FILES persist in the warehouse dir, and a fresh JVM simply rewrites
-  * the table once (mode overwrite) before reusing it. */
+  * reference's native storage achieves with its own layer layout.
+  * Safety model (round-8 hardening): the physical table name embeds a
+  * [[graft.util.Fingerprint]] of the SOURCE files, so a regenerated
+  * source can never silently reuse buckets derived from dead data; the
+  * files are written as an EXTERNAL table under the warehouse so a
+  * second JVM sharing the warehouse adopts a completed write via DDL
+  * instead of deleting live files out from under the first; and the
+  * write itself is serialized by an atomic create-exclusive lock file,
+  * so concurrent writers of the SAME fingerprint produce one write +
+  * one adoption rather than clobbering each other. */
 object Bucketing {
 
-  /** Materialize `df` as bucketed+sorted parquet table `name` (reused
-    * when the catalog already has it) and return the bucketed scan.
-    * The in-memory catalog is per-JVM while the warehouse FILES persist,
-    * so a fresh JVM may find the location without the table entry —
-    * clear the stale directory before rewriting (saveAsTable refuses to
-    * adopt an existing location it has no metadata for). */
+  /** Materialize `df` (derived from the files at `sourcePath`) as a
+    * bucketed+sorted parquet table and return the bucketed scan.
+    * `name` is a logical prefix; the physical table/location is
+    * `name_<fingerprint(sourcePath)>`. Reuse order: catalog hit →
+    * as-is; completed files on disk (`_SUCCESS`) → adopt via
+    * `CREATE TABLE … CLUSTERED BY … LOCATION` (no rewrite, bucket
+    * metadata intact so the join still plans zero input exchanges);
+    * otherwise take the lock and write. */
   def ensureBucketed(spark: SparkSession, name: String, df: DataFrame,
-                     key: String, buckets: Int): DataFrame = {
-    if (!spark.catalog.tableExists(name)) {
+                     key: String, buckets: Int, sourcePath: String): DataFrame = {
+    val table = s"${name}_${graft.util.Fingerprint.of(sourcePath)}".toLowerCase
+    if (!spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+        spark.conf.get("spark.sql.warehouse.dir"), table)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      df.write.bucketBy(buckets, key).sortBy(key)
-        .format("parquet").mode("overwrite").saveAsTable(name)
+      if (complete(fs, loc)) adopt(spark, table, df, key, buckets, loc)
+      else {
+        val lock = loc.suffix(".lock")
+        if (tryLock(fs, lock)) {
+          try {
+            // leftover from a write that died mid-flight (no _SUCCESS):
+            // ours to clean now that the lock is held
+            if (fs.exists(loc)) fs.delete(loc, true)
+            df.write.bucketBy(buckets, key).sortBy(key)
+              .format("parquet").option("path", loc.toString)
+              .mode("overwrite").saveAsTable(table)
+          } finally fs.delete(lock, false)
+        } else {
+          // another JVM is writing this fingerprint: wait for its
+          // _SUCCESS, then adopt its files
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (!complete(fs, loc) && System.nanoTime() < deadline)
+            Thread.sleep(200)
+          if (!complete(fs, loc))
+            throw new IllegalStateException(
+              s"timed out waiting for concurrent bucketed write at $loc")
+          adopt(spark, table, df, key, buckets, loc)
+        }
+      }
     }
-    spark.table(name)
+    spark.table(table)
   }
+
+  private def complete(fs: org.apache.hadoop.fs.FileSystem,
+                       loc: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+
+  /** Atomic create-exclusive (`create(…, overwrite = false)`): exactly
+    * one contender wins; losers see FileAlreadyExistsException. */
+  private def tryLock(fs: org.apache.hadoop.fs.FileSystem,
+                      lock: org.apache.hadoop.fs.Path): Boolean =
+    try { fs.create(lock, false).close(); true }
+    catch { case _: java.io.IOException => false }
+
+  /** Register existing bucketed files as an external table with the
+    * bucket spec the writer used — Spark re-derives each file's bucket
+    * id from its name, so the scan reports the same HashPartitioning
+    * as the original writer's catalog entry. */
+  private def adopt(spark: SparkSession, table: String, df: DataFrame,
+                    key: String, buckets: Int,
+                    loc: org.apache.hadoop.fs.Path): Unit =
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table (${df.schema.toDDL})
+         |USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+         |LOCATION '${loc.toString}'""".stripMargin)
 }

@@ -54,16 +54,7 @@ object Zorder {
   /** Digest of (path, size, mtime) for every file under `path` — keys
     * the layout dir so regenerated source data invalidates it instead
     * of a fresh JVM silently reusing stale files. */
-  def fingerprint(path: String): String = {
-    def files(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .toSeq.sortBy(_.getName).flatMap(files)
-      else Seq(f)
-    val desc = files(new java.io.File(path))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-  }
+  def fingerprint(path: String): String = graft.util.Fingerprint.of(path)
 
   /** Materialize `df` once as parquet range-partitioned and sorted on
     * interleave(cell16(c1), cell16(c2)) under the warehouse dir (keyed

@@ -430,10 +430,10 @@ object ExtQueries {
         d.replaceAll("[^A-Za-z0-9]", "_")
       val o = graft.operators.Bucketing.ensureBucketed(s, tbl("orders"),
         t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-        "o_custkey", 8)
+        "o_custkey", 8, d + "/orders.parquet")
       val c = graft.operators.Bucketing.ensureBucketed(s, tbl("customer"),
         t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
-        "c_custkey", 8)
+        "c_custkey", 8, d + "/customer.parquet")
       o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_okey"))

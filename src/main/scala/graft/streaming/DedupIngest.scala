@@ -31,16 +31,8 @@ object DedupIngest {
     * source — keys the staged-arrivals dir so a regenerated-in-place
     * documents.parquet invalidates the stage instead of silently
     * replaying stale arrivals. */
-  private def inputFingerprint(path: String): String = {
-    def files(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .toSeq.sortBy(_.getName).flatMap(files)
-      else Seq(f)
-    val desc = files(new java.io.File(path))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-  }
+  private def inputFingerprint(path: String): String =
+    graft.util.Fingerprint.of(path)
 
   def streamingIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val root = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav")

@@ -72,10 +72,14 @@ object Events {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source requires a directory: stage the single
     // events.parquet file into one (per scale factor, once)
+    // keyed on the SOURCE fingerprint (path:size:mtime of every data
+    // file), not the file COUNT: a regenerated events.parquet with ≤
+    // the same part count would otherwise silently replay stale data
+    val srcFile = new java.io.File(s"$sfDir/events.parquet")
     val stageDir = new java.io.File(
       sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
-        "/stream_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
-    val srcFile = new java.io.File(s"$sfDir/events.parquet")
+        "/stream_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + graft.util.Fingerprint.of(srcFile.getPath))
     // source may be a single parquet file (driver testdata) or a
     // directory of part files (derived datasets like target/sf1) —
     // stage every data file; per-file arrival also gives multi-file
