@@ -165,6 +165,74 @@ object Dedup {
         col("__m").as("near_min"))
   }
 
+  /** Materialize the corpus side of [[incremental]] as a parquet
+    * artifact — the production shape for HIGH batch counts, where the
+    * fused path's per-micro-batch corpus re-shingle is the scale
+    * killer: at 100 TB the corpus index is built ONCE per ingest epoch
+    * (three one-shuffle passes) and every arriving batch reads it.
+    * Layout under `dir`: `hashes/` (distinct canonical md5),
+    * `bands/` (LSH band table (band, bh, doc_id)), `shingles/`
+    * ((doc_id, sh) for jaccard verification). All three are per-doc
+    * functions of the corpus, so the per-batch results are bit-equal
+    * to the fused computation. Cluster upgrade path: bucket `bands`
+    * by (band, bh) and `shingles` by doc_id to make the per-batch
+    * joins co-located. */
+  def buildCorpusIndex(corpus: DataFrame, dir: String): Unit = {
+    val docs = corpus.select(col("doc_id"), col("text"))
+    val canon = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+    docs.select(canon.as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    val sets = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandHashes(minhashSignaturesFromSets(sets))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    sets.write.mode("overwrite").parquet(s"$dir/shingles")
+    val _ = sets.unpersist(false)
+    val _ok = new java.io.File(dir, "_INDEX_SUCCESS").createNewFile()
+  }
+
+  /** [[incremental]] for one arriving batch against a prebuilt
+    * [[buildCorpusIndex]] artifact. Work per batch ∝ batch size +
+    * band-collision candidates; the corpus contributes parquet READS
+    * only (hash anti-probe, band equi-join, candidate shingle fetch) —
+    * nothing corpus-sized is recomputed or reshuffled per batch. */
+  def incrementalFromIndex(batch: DataFrame, indexDir: String,
+                           threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val b = batch.select(col("doc_id"), col("text"))
+    val canon = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+    val hashed = b.select(col("doc_id"), canon.as("h"))
+    val corpusH = spark.read.parquet(s"$indexDir/hashes")
+      .withColumn("__x", lit(1L))
+    val exact = hashed.join(corpusH, Seq("h"), "left")
+      .select(col("doc_id"), (coalesce(col("__x"), lit(0L)) === 1L).as("__exact"))
+    val bsets = graft.util.Scratch.track(shingleSets(b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nb = bandHashes(minhashSignaturesFromSets(bsets))
+      .select(col("band"), col("bh"), col("doc_id").as("dn"))
+    val cb = spark.read.parquet(s"$indexDir/bands")
+      .select(col("band"), col("bh"), col("doc_id").as("dc"))
+    val cand = nb.join(cb, Seq("band", "bh"))
+      .select(col("dn"), col("dc")).distinct()
+    val csets = spark.read.parquet(s"$indexDir/shingles")
+    val near = cand
+      .join(bsets.select(col("doc_id").as("dn"), col("sh").as("sa")), Seq("dn"))
+      .join(csets.select(col("doc_id").as("dc"), col("sh").as("sb")), Seq("dc"))
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))))
+      .where(col("jac") >= threshold)
+      .groupBy(col("dn"))
+      .agg(count(lit(1)).as("__n"), min(col("dc")).as("__m"))
+    exact.join(near, exact("doc_id") === near("dn"), "left")
+      .select(exact("doc_id"),
+        when(col("__exact"), "exact")
+          .when(col("__n").isNotNull, "near")
+          .otherwise("new").as("status"),
+        coalesce(col("__n"), lit(0L)).as("n_near"),
+        col("__m").as("near_min"))
+  }
+
   /** Per-document near-dup CLUSTER assignment: connected components
     * over the verified LSH pair graph by iterative min-label
     * propagation — each doc's cluster id is the smallest doc_id

@@ -90,6 +90,21 @@ class LlmSpec extends AnyFunSuite {
     assert(ok.forall(_.getLong(1) == 1L))
   }
 
+  test("corpus-index incremental dedup is row-equal to the fused path") {
+    val isNew = pmod(col("doc_id"), lit(10L)) < 2
+    val fused = Dedup.incremental(docs.select(col("doc_id"), col("text")), isNew)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_incr_idx_spec").toString
+    Dedup.buildCorpusIndex(
+      docs.where(!isNew).select(col("doc_id"), col("text")), idxDir)
+    val viaIndex = Dedup.incrementalFromIndex(
+      docs.where(isNew).select(col("doc_id"), col("text")), idxDir)
+    val a = fused.collect().map(_.toSeq).toSet
+    val b = viaIndex.collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty,
+      s"index path diverged: only-fused=${(a -- b).take(3)} only-index=${(b -- a).take(3)}")
+  }
+
   test("simhash of near-dup docs differs in few bits") {
     val pair = Dedup.ngramJaccardPairs(docs, 0.8).select("da", "db").head()
     val sh = Dedup.simhash(docs).collect()
