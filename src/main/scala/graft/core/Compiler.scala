@@ -604,6 +604,10 @@ object Compiler {
             .when(lower(c.getField("str")).isin("false", "0"), lit(false))))
         case "xsd:dateTime" => tsVal(coalesce(c.getField("ts"),
           graft.functions.XsdTimestampCast.xsdTs(ctx.spark, c.getField("str"))))
+        // typed duration: validated lexical stored as its XSD canonical
+        // form under the xsd:duration tag (functions/XsdDuration.scala)
+        case "xsd:duration" =>
+          Vals.typedStr(typ, graft.functions.XsdDuration.canonical(Vals.text(c)))
         // xdd: extension literal types (functions/Xdd.scala): validate
         // the lexical, store the canonical form under the xdd type tag
         case "xdd:coordinate" =>

@@ -257,6 +257,32 @@ object WoqlQueries {
       "p" -> vIri("P"), "coord" -> vStr("Coord"),
       "irng" -> vStr("IRng"), "drng" -> vStr("DRng")),
 
+    // typed xsd:duration cast (§2.6 matrix completion): lexicals
+    // synthesized from order keys so every canonicalization path runs —
+    // month→year carry, second→hour/minute carry, fractional seconds
+    // (".0" canonicalizes away), the zero duration (PT0S), and invalid
+    // lexicals (negative component ⇒ null) on row-dependent inputs.
+    "woql_cast_duration" -> woql(And(Seq(
+      TriplePat(V("O"), Node("tpch:o_orderkey"), V("K")),
+      Eval(ABin("-", ATerm(V("K")), ABin("*", ATerm(Lng(25)),
+        ABin("div", ATerm(V("K")), ATerm(Lng(25))))), "M"),
+      Eval(ABin("-", ATerm(V("K")), ABin("*", ATerm(Lng(7000)),
+        ABin("div", ATerm(V("K")), ATerm(Lng(7000))))), "S"),
+      Eval(ABin("-", ATerm(V("K")), ABin("*", ATerm(Lng(4)),
+        ABin("div", ATerm(V("K")), ATerm(Lng(4))))), "F"),
+      Eval(ABin("-", ATerm(V("M")), ATerm(Lng(12))), "M2"),
+      // eval arithmetic is double-typed; the lexical needs integer
+      // renderings ("12", not "12.0")
+      CastQ(V("M"), "xsd:integer", "MI"),
+      CastQ(V("S"), "xsd:integer", "SI"),
+      CastQ(V("F"), "xsd:integer", "FI"),
+      CastQ(V("M2"), "xsd:integer", "M2I"),
+      FormatS("P%sMT%s.%sS", Seq(V("MI"), V("SI"), V("FI")), "L1"),
+      FormatS("P%sYT%sS", Seq(V("M2I"), V("SI")), "L2"),
+      CastQ(V("L1"), "xsd:duration", "D1"),
+      CastQ(V("L2"), "xsd:duration", "D2"))))(
+      "o" -> vIri("O"), "d1" -> vStr("D1"), "d2" -> vStr("D2")),
+
     "woql_member_const" -> woql(
       MemberConst("X", Seq(Str("alpha"), Str("beta"), Str("gamma"))))(
       "x" -> vStr("X")),
@@ -560,6 +586,34 @@ object WoqlQueries {
         | CASE WHEN p_size <= p_partkey
         |   THEN '['||p_size||','||p_partkey||']' END AS drng
         | FROM part""".stripMargin,
+
+    // independent re-implementation of XSD duration canonicalization in
+    // SQL: same integer decompositions (m months, s seconds, f tenths)
+    "woql_cast_duration" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderkey % 25 AS m,
+        |   o_orderkey % 7000 AS s, o_orderkey % 4 AS f FROM orders)
+        |SELECT 'tpch:orders/'||k AS o,
+        | CASE WHEN m=0 AND s=0 AND f=0 THEN 'PT0S' ELSE 'P' ||
+        |  CASE WHEN m//12 > 0 THEN (m//12)::VARCHAR||'Y' ELSE '' END ||
+        |  CASE WHEN m%12 > 0 THEN (m%12)::VARCHAR||'M' ELSE '' END ||
+        |  CASE WHEN s > 0 OR f > 0 THEN 'T' ||
+        |   CASE WHEN s//3600 > 0 THEN (s//3600)::VARCHAR||'H' ELSE '' END ||
+        |   CASE WHEN (s%3600)//60 > 0 THEN ((s%3600)//60)::VARCHAR||'M' ELSE '' END ||
+        |   CASE WHEN s%60 > 0 OR f > 0 THEN (s%60)::VARCHAR ||
+        |    CASE WHEN f > 0 THEN '.'||f::VARCHAR ELSE '' END || 'S'
+        |   ELSE '' END
+        |  ELSE '' END
+        | END AS d1,
+        | CASE WHEN m < 12 THEN NULL
+        |  WHEN m=12 AND s=0 THEN 'PT0S' ELSE 'P' ||
+        |  CASE WHEN m-12 > 0 THEN (m-12)::VARCHAR||'Y' ELSE '' END ||
+        |  CASE WHEN s > 0 THEN 'T' ||
+        |   CASE WHEN s//3600 > 0 THEN (s//3600)::VARCHAR||'H' ELSE '' END ||
+        |   CASE WHEN (s%3600)//60 > 0 THEN ((s%3600)//60)::VARCHAR||'M' ELSE '' END ||
+        |   CASE WHEN s%60 > 0 THEN (s%60)::VARCHAR||'S' ELSE '' END
+        |  ELSE '' END
+        | END AS d2
+        |FROM t""".stripMargin,
 
     "woql_member_const" ->
       "SELECT unnest(['alpha','beta','gamma']) AS x",
