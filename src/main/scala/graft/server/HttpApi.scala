@@ -25,6 +25,15 @@ import graft.storage.LayerStore
   *   POST /api/document?type=T&key=f     — insert docs (one JSON per line)
   *   GET  /api/branch                    — list branches (name → head)
   *   POST /api/branch?name=N&from=B      — create branch at B's head
+  *   POST /api/reset?branch=B&commit=C   — move a branch head
+  *   POST /api/rebase?src=A&onto=B       — replay A onto B (conflicts reported)
+  *   POST /api/squash?branch=B[&msg=M]   — one-commit equivalent head
+  *   POST /api/pack?branch=B&dest=DIR    — write a transfer directory
+  *   POST /api/clone?dest=DIR&branch=B   — clone into a fresh store root
+  *   POST /api/push?remote=DIR&branch=B  — fast-forward push to a store root
+  *   POST /api/pull?remote=DIR&branch=B  — fast-forward pull from a store root
+  *   GET  /api/prefixes                  — the database prefix context
+  *   GET  /api/triples?branch=B          — branch graph as turtle (text)
   *
   * Bindings render: IRIs as plain strings, literals as
   * `{"@type": xsd-type, "@value": v}` — the reference's JSON-LD-ish
@@ -120,6 +129,93 @@ object HttpApi {
             "branch" -> JString(name), "head" -> JString(store.refs(name))))
         case m => sys.error(s"unsupported method $m")
       }
+    })
+
+    // ---- versioning routes ([ref:server/routes.pl] rebase / squash /
+    // pack / clone / push / pull / prefixes / triples). Remote stores
+    // are addressed by store-root directory — the single-node spelling
+    // of the reference's remote URL; the pack format is the transfer
+    // directory `pack`/`unpack` already exchange. ----
+
+    def postParam(ex: HttpExchange, name: String): String = {
+      require(ex.getRequestMethod == "POST", "POST required")
+      param(ex, name).getOrElse(sys.error(s"$name parameter required"))
+    }
+
+    srv.createContext("/api/reset", route { ex =>
+      val branch = postParam(ex, "branch")
+      val commit = postParam(ex, "commit")
+      store.reset(branch, commit)
+      ok(JObject("api:status" -> JString("api:success"),
+        "branch" -> JString(branch), "head" -> JString(commit)))
+    })
+
+    srv.createContext("/api/rebase", route { ex =>
+      val src = postParam(ex, "src"); val onto = postParam(ex, "onto")
+      store.rebase(src, onto) match {
+        case Right(head) => ok(JObject(
+          "api:status" -> JString("api:success"),
+          "branch" -> JString(src), "head" -> JString(head)))
+        case Left(conflicts) => ok(JObject(
+          "api:status" -> JString("api:conflict"),
+          "conflicts" -> JArray(conflicts.toList.map { case (cid, n) =>
+            JObject("commit" -> JString(cid),
+              "missing_triples" -> JInt(BigInt(n))): JValue })))
+      }
+    })
+
+    srv.createContext("/api/squash", route { ex =>
+      val branch = postParam(ex, "branch")
+      val msg = param(ex, "msg").getOrElse("squash")
+      val head = store.optimize(branch, msg)
+      ok(JObject("api:status" -> JString("api:success"),
+        "branch" -> JString(branch), "head" -> JString(head)))
+    })
+
+    srv.createContext("/api/pack", route { ex =>
+      val branch = postParam(ex, "branch"); val dest = postParam(ex, "dest")
+      store.pack(branch, dest)
+      val layers = Option(new java.io.File(dest, "layers").list())
+        .map(_.length).getOrElse(0)
+      ok(JObject("api:status" -> JString("api:success"),
+        "branch" -> JString(branch), "dest" -> JString(dest),
+        "layers" -> JInt(BigInt(layers))))
+    })
+
+    srv.createContext("/api/clone", route { ex =>
+      val dest = postParam(ex, "dest"); val branch = postParam(ex, "branch")
+      val other = store.cloneTo(dest, branch)
+      ok(JObject("api:status" -> JString("api:success"),
+        "dest" -> JString(dest),
+        "head" -> JString(other.refs(branch))))
+    })
+
+    srv.createContext("/api/push", route { ex =>
+      val remote = postParam(ex, "remote"); val branch = postParam(ex, "branch")
+      val other = LayerStore.open(spark, remote)
+      store.push(other, branch)
+      ok(JObject("api:status" -> JString("api:success"),
+        "remote" -> JString(remote), "branch" -> JString(branch),
+        "head" -> JString(other.refs(branch))))
+    })
+
+    srv.createContext("/api/pull", route { ex =>
+      val remote = postParam(ex, "remote"); val branch = postParam(ex, "branch")
+      store.pull(LayerStore.open(spark, remote), branch)
+      ok(JObject("api:status" -> JString("api:success"),
+        "branch" -> JString(branch), "head" -> JString(store.refs(branch))))
+    })
+
+    srv.createContext("/api/prefixes", route { _ =>
+      ok(JObject("api:status" -> JString("api:success"),
+        "@context" -> JObject(graft.docs.Prefixes.Default.toList.sortBy(_._1)
+          .map { case (p, base) => p -> (JString(base): JValue) })))
+    })
+
+    srv.createContext("/api/triples", route { ex =>
+      require(ex.getRequestMethod == "GET", "GET required")
+      val branch = param(ex, "branch").getOrElse(sys.error("branch parameter required"))
+      raw(graft.sources.Turtle.dump(store.materializeBranch(branch)))
     })
 
     srv.setExecutor(null) // serve on the accept thread: control plane
