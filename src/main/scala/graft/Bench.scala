@@ -133,12 +133,17 @@ object Bench {
       }
     }
     val all = results :+ ("eav_encode" -> encodeSec)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val dj = diags.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","diag":$dj}""")
+    // The harness that collects this output keeps only the TAIL of
+    // stdout, so ordering is load-bearing: the big per-query diag JSON
+    // goes on its own line FIRST, and the compact machine-parsed totals
+    // line (total + per-query seconds, ~1.8 KB) is printed LAST.
+    println(s"""{"metric":"diag","sf":"$sfDir","diag":$dj}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,13 +74,31 @@ object Graft {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark rejects by
-    * default; read nanos as long and truncate to micros with integer
-    * division (exact — double division would lose precision at 2^60),
-    * matching DuckDB's nanos→micros truncation. */
+  /** events.parquet has shipped `ts` as TIMESTAMP(NANOS) in some
+    * environments and TIMESTAMP(MICROS)/NTZ in others; normalize both
+    * to session-zoned TimestampType so downstream operators (windows,
+    * as-of joins, watermarks) see one type. `nanosAsLong` makes the
+    * nanos variant load as LongType instead of failing analysis; it is
+    * ignored by micros files. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
+
+  /** Branch on the loaded `ts` type:
+    *  - LongType (nanos read via nanosAsLong): integer-truncate to
+    *    micros (`div` — double division would lose precision at 2^60),
+    *    matching DuckDB's nanos→micros truncation;
+    *  - TIMESTAMP_NTZ (micros/NTZ parquet): cast to TimestampType —
+    *    identity on stored values under the UTC session timezone, and
+    *    keeps oracle hash/schema parity with DuckDB's native read;
+    *  - already TimestampType: pass through. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }

@@ -34,7 +34,9 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.parquet carries TIMESTAMP(NANOS); read the raw long
+    // events.parquet may carry TIMESTAMP(NANOS); read those as raw
+    // long (micros/NTZ files are unaffected). ts passes through
+    // unchanged — Graft.events normalizes the type on read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -174,21 +174,73 @@ object Dedup {
     * `bands/` (LSH band table (band, bh, doc_id)), `shingles/`
     * ((doc_id, sh) for jaccard verification). All three are per-doc
     * functions of the corpus, so the per-batch results are bit-equal
-    * to the fused computation. Cluster upgrade path: bucket `bands`
-    * by (band, bh) and `shingles` by doc_id to make the per-batch
-    * joins co-located. */
-  def buildCorpusIndex(corpus: DataFrame, dir: String): Unit = {
+    * to the fused computation.
+    *
+    * The three components are written BUCKETED (hashes by `h`, bands
+    * by `(band, bh)`, shingles by `doc_id`) as external tables under
+    * `dir`, so every per-batch probe join plans ZERO exchange on the
+    * corpus side — only the (small) arriving batch shuffles, into
+    * bucket-count partitions. At 100 TB that is the difference between
+    * a batch costing O(batch) and re-shuffling the corpus index every
+    * micro-batch. A `_INDEX_META` file records the bucket count so a
+    * fresh JVM can adopt the files by DDL without rewriting them. */
+  def buildCorpusIndex(corpus: DataFrame, dir: String,
+                       buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
     val docs = corpus.select(col("doc_id"), col("text"))
     val canon = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
-    docs.select(canon.as("h")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/hashes")
+    def writeBucketed(df: DataFrame, part: String, keys: Seq[String]): Unit = {
+      val w = df.write.bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+      w.format("parquet").option("path", s"$dir/$part")
+        .mode("overwrite").saveAsTable(indexTable(dir, part))
+    }
+    writeBucketed(docs.select(canon.as("h")).distinct(), "hashes", Seq("h"))
     val sets = shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandHashes(minhashSignaturesFromSets(sets))
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    sets.write.mode("overwrite").parquet(s"$dir/shingles")
+    writeBucketed(bandHashes(minhashSignaturesFromSets(sets)), "bands",
+      Seq("band", "bh"))
+    writeBucketed(sets, "shingles", Seq("doc_id"))
     val _ = sets.unpersist(false)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_INDEX_META"), s"buckets=$buckets")
     val _ok = new java.io.File(dir, "_INDEX_SUCCESS").createNewFile()
+  }
+
+  /** Deterministic catalog name for one index component — keyed on the
+    * index DIRECTORY (md5 of its absolute path), so the same artifact
+    * resolves to the same table in any session sharing the warehouse. */
+  private def indexTable(dir: String, part: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"graft_cidx_${key}_$part"
+  }
+
+  /** Resolve one index component to a DataFrame with bucket metadata
+    * intact: catalog hit → as-is; bucketed files + `_INDEX_META` →
+    * adopt via `CREATE TABLE … CLUSTERED BY … LOCATION`; legacy plain
+    * layout (no meta) → plain parquet read (correct, just re-shuffles). */
+  private def readIndexPart(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, part: String,
+                            keys: Seq[String]): DataFrame = {
+    val table = indexTable(dir, part)
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else {
+      val meta = new java.io.File(dir, "_INDEX_META")
+      if (meta.exists()) {
+        val buckets = java.nio.file.Files.readString(meta.toPath)
+          .trim.stripPrefix("buckets=").toInt
+        val schema = spark.read.parquet(s"$dir/$part").schema
+        val cols = keys.mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS $table (${schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS
+             |LOCATION '$dir/$part'""".stripMargin)
+        spark.table(table)
+      } else spark.read.parquet(s"$dir/$part")
+    }
   }
 
   /** [[incremental]] for one arriving batch against a prebuilt
@@ -202,7 +254,7 @@ object Dedup {
     val b = batch.select(col("doc_id"), col("text"))
     val canon = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
     val hashed = b.select(col("doc_id"), canon.as("h"))
-    val corpusH = spark.read.parquet(s"$indexDir/hashes")
+    val corpusH = readIndexPart(spark, indexDir, "hashes", Seq("h"))
       .withColumn("__x", lit(1L))
     val exact = hashed.join(corpusH, Seq("h"), "left")
       .select(col("doc_id"), (coalesce(col("__x"), lit(0L)) === 1L).as("__exact"))
@@ -210,11 +262,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nb = bandHashes(minhashSignaturesFromSets(bsets))
       .select(col("band"), col("bh"), col("doc_id").as("dn"))
-    val cb = spark.read.parquet(s"$indexDir/bands")
+    val cb = readIndexPart(spark, indexDir, "bands", Seq("band", "bh"))
       .select(col("band"), col("bh"), col("doc_id").as("dc"))
     val cand = nb.join(cb, Seq("band", "bh"))
       .select(col("dn"), col("dc")).distinct()
-    val csets = spark.read.parquet(s"$indexDir/shingles")
+    val csets = readIndexPart(spark, indexDir, "shingles", Seq("doc_id"))
     val near = cand
       .join(bsets.select(col("doc_id").as("dn"), col("sh").as("sa")), Seq("dn"))
       .join(csets.select(col("doc_id").as("dc"), col("sh").as("sb")), Seq("dc"))

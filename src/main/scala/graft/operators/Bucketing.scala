@@ -45,12 +45,18 @@ object Bucketing {
         val lock = loc.suffix(".lock")
         if (tryLock(fs, lock)) {
           try {
-            // leftover from a write that died mid-flight (no _SUCCESS):
-            // ours to clean now that the lock is held
-            if (fs.exists(loc)) fs.delete(loc, true)
-            df.write.bucketBy(buckets, key).sortBy(key)
-              .format("parquet").option("path", loc.toString)
-              .mode("overwrite").saveAsTable(table)
+            // a competitor may have completed the write between our
+            // first `complete` check and winning the lock: adopt its
+            // finished table — never delete live files
+            if (complete(fs, loc)) adopt(spark, table, df, key, buckets, loc)
+            else {
+              // leftover from a write that died mid-flight (no
+              // _SUCCESS): ours to clean now that the lock is held
+              if (fs.exists(loc)) fs.delete(loc, true)
+              df.write.bucketBy(buckets, key).sortBy(key)
+                .format("parquet").option("path", loc.toString)
+                .mode("overwrite").saveAsTable(table)
+            }
           } finally fs.delete(lock, false)
         } else {
           // another JVM is writing this fingerprint: wait for its
@@ -72,12 +78,27 @@ object Bucketing {
                        loc: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
 
-  /** Atomic create-exclusive (`create(…, overwrite = false)`): exactly
-    * one contender wins; losers see FileAlreadyExistsException. */
+  /** Atomic create-exclusive: exactly one contender wins. On HDFS,
+    * `create(…, overwrite = false)` is atomic at the NameNode. On the
+    * LOCAL filesystem it is NOT — Raw/ChecksumLocalFileSystem spell it
+    * check-then-create, so two concurrent callers can both "win"
+    * (observed in BucketingSpec's race test). For `file:` URIs go
+    * straight to the OS's O_EXCL via NIO `CREATE_NEW`, which is atomic
+    * on every POSIX filesystem. */
   private def tryLock(fs: org.apache.hadoop.fs.FileSystem,
                       lock: org.apache.hadoop.fs.Path): Boolean =
-    try { fs.create(lock, false).close(); true }
-    catch { case _: java.io.IOException => false }
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(lock.toUri.getPath)
+      try {
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.newByteChannel(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE).close()
+        true
+      } catch { case _: java.io.IOException => false }
+    } else
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
 
   /** Register existing bucketed files as an external table with the
     * bucket spec the writer used — Spark re-derives each file's bucket

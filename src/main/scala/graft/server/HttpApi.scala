@@ -32,8 +32,13 @@ import graft.storage.LayerStore
   *   POST /api/clone?dest=DIR&branch=B   — clone into a fresh store root
   *   POST /api/push?remote=DIR&branch=B  — fast-forward push to a store root
   *   POST /api/pull?remote=DIR&branch=B  — fast-forward pull from a store root
+  *   POST /api/fetch?remote=DIR&branch=B[&name=R] — fetch layers + remote-tracking
+  *                                         ref; local branch head untouched
   *   GET  /api/prefixes                  — the database prefix context
   *   GET  /api/triples?branch=B          — branch graph as turtle (text)
+  *
+  * Auth: pass `token` to [[start]] (or set GRAFT_HTTP_TOKEN) to require
+  * `Authorization: Bearer <token>` on every route except `/api/info`.
   *
   * Bindings render: IRIs as plain strings, literals as
   * `{"@type": xsd-type, "@value": v}` — the reference's JSON-LD-ish
@@ -45,7 +50,9 @@ object HttpApi {
     def url(path: String): String = s"http://127.0.0.1:$port$path"
   }
 
-  def start(spark: SparkSession, sfDir: String, port: Int = 0): Running = {
+  def start(spark: SparkSession, sfDir: String, port: Int = 0,
+            token: Option[String] = sys.env.get("GRAFT_HTTP_TOKEN")): Running = {
+    implicit val auth: Option[String] = token
     implicit val ctx: Ctx = Graft.ctx(spark, sfDir)
     val store = LayerStore.open(spark,
       Graft.cacheRoot + "/http_store_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
@@ -206,6 +213,22 @@ object HttpApi {
         "branch" -> JString(branch), "head" -> JString(store.refs(branch))))
     })
 
+    srv.createContext("/api/fetch", route { ex =>
+      val remote = postParam(ex, "remote"); val branch = postParam(ex, "branch")
+      val name = param(ex, "name").getOrElse("origin")
+      val head = store.fetch(LayerStore.open(spark, remote), branch, name)
+      // negotiation result: where the remote is, and whether the local
+      // branch (if any) could fast-forward to it
+      val localHead = store.refs.get(branch)
+      val ff = localHead.forall(l => store.chain(head).contains(l))
+      ok(JObject("api:status" -> JString("api:success"),
+        "remote" -> JString(remote),
+        "tracking" -> JString(s"remotes/$name/$branch"),
+        "head" -> JString(head),
+        "local_head" -> localHead.map(JString(_): JValue).getOrElse(JNull),
+        "fast_forwardable" -> JBool(ff)))
+    })
+
     srv.createContext("/api/prefixes", route { _ =>
       ok(JObject("api:status" -> JString("api:success"),
         "@context" -> JObject(graft.docs.Prefixes.Default.toList.sortBy(_._1)
@@ -231,20 +254,42 @@ object HttpApi {
 
   // ---- plumbing ----
 
-  private def route(f: HttpExchange => String): com.sun.net.httpserver.HttpHandler =
+  private def route(f: HttpExchange => String)(
+      implicit auth: Option[String]): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) => {
       val (code, body) =
-        try (200, f(ex))
+        if (!authorized(ex))
+          (401, JsonMethods.compact(JsonMethods.render(JObject(
+            "api:status" -> JString("api:failure"),
+            "api:message" -> JString("authentication required")))))
+        else try (200, f(ex))
         catch { case e: Throwable =>
           (400, JsonMethods.compact(JsonMethods.render(JObject(
             "api:status" -> JString("api:failure"),
             "api:message" -> JString(Option(e.getMessage).getOrElse(e.toString))))))
         }
+      if (code == 401)
+        ex.getResponseHeaders.set("WWW-Authenticate", "Bearer realm=\"graft\"")
       val bytes = body.getBytes("UTF-8")
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
       ex.close()
+    }
+
+  /** Token auth (the reference's basic-auth surface, minimal spelling):
+    * when the server was started with a token, every route except the
+    * identity probe `/api/info` requires `Authorization: Bearer <token>`
+    * (constant-time compare). No token configured → open, as before. */
+  private def authorized(ex: HttpExchange)(implicit auth: Option[String]): Boolean =
+    auth match {
+      case None => true
+      case Some(_) if ex.getRequestURI.getPath == "/api/info" => true
+      case Some(tok) =>
+        Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
+          java.security.MessageDigest.isEqual(
+            h.getBytes("UTF-8"), s"Bearer $tok".getBytes("UTF-8"))
+        }
     }
 
   private def param(ex: HttpExchange, name: String): Option[String] =

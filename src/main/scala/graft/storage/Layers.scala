@@ -252,6 +252,24 @@ final class LayerStore(val spark: SparkSession, val root: String) {
   def pull(remote: LayerStore, branchName: String): Unit =
     remote.push(this, branchName)
 
+  /** Fetch: transfer a branch's layers from another store and record a
+    * remote-tracking ref `remotes/<name>/<branch>` — the LOCAL branch
+    * head does not move (that is [[pull]]). This is the negotiation
+    * half of the reference's remote sync: after a fetch the caller can
+    * inspect the remote head, diff it, and decide to pull/rebase.
+    * Returns the fetched head commit id. Layer transfer is
+    * content-addressed, so re-fetching an unchanged remote copies
+    * nothing new. */
+  def fetch(remote: LayerStore, branchName: String,
+            remoteName: String = "origin"): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    remote.pack(branchName, tmp)
+    val heads = unpack(tmp)
+    val head = heads(branchName)
+    writeRefs(refs + (s"remotes/$remoteName/$branchName" -> head))
+    head
+  }
+
   /** Clone this store's branch into a fresh root. */
   def cloneTo(newRoot: String, branchName: String): LayerStore = {
     val other = LayerStore.open(spark, newRoot)

@@ -65,8 +65,9 @@ object Events {
     } finally spark.conf.set(key, old)
   }
 
-  /** Streaming source over events.parquet with the same nanos→micros
-    * timestamp normalization as Graft.events. */
+  /** Streaming source over events.parquet with the same `ts`
+    * normalization as Graft.events (nanos-long or micros/NTZ →
+    * session-zoned TimestampType). */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     applyStateStore(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -99,8 +100,8 @@ object Events {
       }
     }
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(stageDir.getAbsolutePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Graft.normalizeTs(
+      spark.readStream.schema(schema).parquet(stageDir.getAbsolutePath))
   }
 
   /** Run a streaming tumbling-window aggregation over the events parquet
