@@ -97,6 +97,45 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((JsonMethods.parse(body) \ "api:status") == JString("api:failure"))
   }
 
+  test("fetch records a remote-tracking ref without moving the local head") {
+    val remoteDir = java.nio.file.Files
+      .createTempDirectory("graft_http_remote").toString
+    // seed the remote with the current main, then advance it one commit
+    val (c0, _) = post(s"/api/clone?dest=$remoteDir&branch=main", "")
+    assert(c0 == 200)
+    val remote = storage.LayerStore.open(spark, remoteDir)
+    val ahead = remote.commit("main", triples((":fx", ":p", ":fy")),
+      triples().limit(0), "remote-only commit")
+    val localBefore = srv.store.refs("main")
+
+    val (code, body) = post(s"/api/fetch?remote=$remoteDir&branch=main", "")
+    assert(code == 200)
+    val j = JsonMethods.parse(body)
+    assert((j \ "head") == JString(ahead))
+    assert((j \ "tracking") == JString("remotes/origin/main"))
+    assert((j \ "local_head") == JString(localBefore))
+    assert((j \ "fast_forwardable") == JBool(true))
+    // tracking ref recorded, local branch untouched, layers transferred
+    assert(srv.store.refs("remotes/origin/main") == ahead)
+    assert(srv.store.refs("main") == localBefore)
+    assert(srv.store.chain(ahead).contains(localBefore))
+  }
+
+  test("bearer-token auth gates every route except the identity probe") {
+    val gated = server.HttpApi.start(spark, sfDir, token = Some("sesame"))
+    try {
+      def hit(path: String, auth: Option[String]): Int = {
+        val b = HttpRequest.newBuilder(URI.create(gated.url(path))).GET()
+        auth.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(hit("/api/info", None) == 200)
+      assert(hit("/api/branch", None) == 401)
+      assert(hit("/api/branch", Some("wrong")) == 401)
+      assert(hit("/api/branch", Some("sesame")) == 200)
+    } finally gated.stop()
+  }
+
   // ---- GraphQL compiler surface (direct, no HTTP round-trip) ----
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.functions.col
