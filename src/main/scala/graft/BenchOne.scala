@@ -3,11 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Micro-bench: run selected queries N times, print per-run seconds
-  * (`runMain graft.BenchOne <sfDir> <reps> <query...>`). */
+  * (`runMain graft.BenchOne <sfDir> <reps> <query...>`).
+  *
+  * Each rep also records its GC-time delta and (with
+  * GRAFT_BENCHONE_PLAN=on) the final AQE physical join strategy — the
+  * two competing explanations whenever a rep is bimodal: a slow rep
+  * whose gc_ms ≈ its wall time is heap pressure; a slow rep with a
+  * DIFFERENT join line is AQE replanning. */
 object BenchOne {
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val reps = args(1).toInt
     val names = args.drop(2).toSeq
+    val wantPlan = sys.env.getOrElse("GRAFT_BENCHONE_PLAN", "off") == "on"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -18,12 +31,25 @@ object BenchOne {
     val _ = Graft.ctx(spark, sfDir) // warm
     names.foreach { n =>
       val times = (1 to reps).map { _ =>
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val g0 = gcMs
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gc = gcMs - g0
+        if (wantPlan) {
+          // AQE final plan: join/exchange lines only, enough to see a
+          // strategy flip between reps without dumping full plans
+          val lines = df.queryExecution.executedPlan.toString().linesIterator
+            .map(_.trim).filter(l => l.contains("Join") || l.contains("Exchange"))
+            .map(_.takeWhile(_ != '[')).mkString(" | ")
+          println(f"BENCHONE_REP $n $sec%.2f gc_ms=$gc $lines")
+        }
+        (sec, gc)
       }
       val _ = graft.util.Scratch.drain()
-      println(f"BENCHONE $n ${times.map(t => f"$t%.2f").mkString(",")} min=${times.min}%.2f")
+      println(f"BENCHONE $n ${times.map(t => f"${t._1}%.2f").mkString(",")} " +
+        f"min=${times.map(_._1).min}%.2f gc_ms=${times.map(_._2).mkString(",")}")
     }
     spark.stop()
   }
