@@ -157,6 +157,56 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucketed join must only shuffle the rollup, got $exchanges:\n$plan")
   }
 
+  test("incremental-dedup index probes never shuffle the corpus side") {
+    // the corpus index is written BUCKETED (hashes by h, bands by
+    // (band,bh), shingles by doc_id): every per-batch probe join must
+    // read the index partitioning in place — only the arriving batch
+    // may exchange. Broadcasts + AQE off so the property is visible as
+    // plan structure (at 100 TB nothing index-sized broadcasts anyway).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidx_plan").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.llm.Dedup.buildCorpusIndex(
+      docs.where(col("doc_id") % 10 >= 2), dir, buckets = 8)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = graft.llm.Dedup.incrementalFromIndex(
+        docs.where(col("doc_id") % 10 < 2), dir)
+      val plan = probe.queryExecution.executedPlan
+      def isIndexScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table.startsWith("graft_cidx_"))
+        case _ => false
+      }
+      val indexScans = plan.collect { case p if isIndexScan(p) => p }
+      assert(indexScans.size == 3,
+        s"expected 3 bucketed index scans (hashes/bands/shingles), got ${indexScans.size}")
+      // post-join shuffles of candidate-sized RESULTS are fine; what
+      // must never appear is an exchange between an index scan and the
+      // join that consumes it (that would mean the bucket partitioning
+      // was lost and the corpus side re-shuffled)
+      def scanWithoutJoinBelow(p: SparkPlan): Boolean = p match {
+        case s if isIndexScan(s) => true
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case other => other.children.exists(scanWithoutJoinBelow)
+      }
+      val shuffledIndexScans = plan.collect {
+        case e: ShuffleExchangeExec if scanWithoutJoinBelow(e.child) => e
+      }
+      assert(shuffledIndexScans.isEmpty,
+        s"corpus index side must not exchange before its probe join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   test("DSIR weight pass is scan + broadcast map, no corpus shuffle") {
     // the bucket-LM aggregation shuffles B·2 cells; the weighting pass
     // itself must stay a narrow fold under a broadcast single-row map
