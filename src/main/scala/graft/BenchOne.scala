@@ -31,9 +31,15 @@ object BenchOne {
     val _ = Graft.ctx(spark, sfDir) // warm
     names.foreach { n =>
       val times = (1 to reps).map { _ =>
-        val df = SparkEntry.queries(n)(spark, sfDir)
+        // Construction goes INSIDE the timer: iterative operators (path
+        // closures, BFS) do their work eagerly while the DataFrame is
+        // being BUILT (per-round checkpoints + counts) — hoisting
+        // construction out measures only the final count over already-
+        // materialized blocks (~0.05 s for a 3 s query). Bench.scala
+        // times fn(...)...count() the same way.
         val g0 = gcMs
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(n)(spark, sfDir)
         df.count()
         val sec = (System.nanoTime() - t0) / 1e9
         val gc = gcMs - g0

@@ -18,6 +18,24 @@ object Paths {
 
   private val MaxIters = 64
 
+  /** Materialize + truncate lineage, and register the blocks for
+    * deterministic release at the harness's `Scratch.drain()`. Every
+    * intermediate the iterative loops below pin (frontiers, step
+    * relations, per-round deltas) goes through here: left to the driver
+    * GC + ContextCleaner, those MEMORY_AND_DISK blocks accumulated to
+    * ~10 GB peak heap over a bench sequence (BENCH_r08 diagnostics,
+    * woql_path_plus_alt 3.7 s GC per run). */
+  private def cp(df: DataFrame): DataFrame =
+    graft.util.Scratch.trackCheckpoint(df.localCheckpoint(true))
+
+  /** Lazy union of per-round delta chunks. The accumulated set is only
+    * ever READ (anti-joins, the final result) — re-checkpointing the
+    * whole union every round re-materializes O(total) blocks per
+    * iteration (O(rounds × total) peak). Keeping it a union view over
+    * the already-checkpointed chunks makes peak residency O(total). */
+  private def unionAll(chunks: Seq[DataFrame]): DataFrame =
+    chunks.reduceLeft(_ unionByName _)
+
   private def edges(p: String, ctx: Ctx): DataFrame =
     ctx.triples
       .filter(col("g") === "instance" && col("p") === p && col("o_kind") === "i")
@@ -44,29 +62,28 @@ object Paths {
 
   /** Transitive closure of `e` by semi-naive iteration (1+ hops). */
   private def closure(e0: DataFrame): DataFrame = {
-    val e = e0.distinct().localCheckpoint(true)
+    val e = cp(e0.distinct())
     val nEdges = e.count()
     require(nEdges <= closureBudget,
       s"unbounded plus/star closure over $nEdges edges exceeds " +
         s"GRAFT_CLOSURE_MAX_EDGES=$closureBudget — bind one path endpoint " +
         "(seeded frontier expansion) or raise the budget for a deliberate " +
         "all-pairs run")
-    var total = e
+    val chunks = scala.collection.mutable.ArrayBuffer(e)
     var frontier = e
     var i = 0
     var done = false
     while (!done && i < MaxIters) {
       i += 1
-      val next = compose(frontier, e).distinct()
-        .join(total, Seq("src", "dst"), "left_anti")
-        .localCheckpoint(true)
+      val next = cp(compose(frontier, e).distinct()
+        .join(unionAll(chunks.toSeq), Seq("src", "dst"), "left_anti"))
       if (next.isEmpty) done = true
       else {
-        total = total.unionByName(next).localCheckpoint(true)
+        chunks += next
         frontier = next
       }
     }
-    total
+    unionAll(chunks.toSeq)
   }
 
   /** All nodes participating in any edge of the instance graph. */
@@ -89,13 +106,13 @@ object Paths {
       closure(compile(p, ctx)).unionByName(id).distinct()
     case PTimes(p, n, m) =>
       require(m >= n && n >= 0 && m >= 1, s"times($n,$m) out of range")
-      val step = compile(p, ctx).distinct().localCheckpoint(true)
+      val step = cp(compile(p, ctx).distinct())
       var cur = step
       var acc: DataFrame = if (n <= 1) step else null
       var len = 1
       while (len < m) {
         len += 1
-        cur = compose(cur, step).distinct().localCheckpoint(true)
+        cur = cp(compose(cur, step).distinct())
         if (len >= n) acc = if (acc == null) cur else acc.unionByName(cur)
       }
       val withZero =
@@ -150,7 +167,7 @@ object Paths {
       var len = 0
       while (len < m) {
         len += 1
-        cur = step(p, cur, ctx).localCheckpoint(true)
+        cur = cp(step(p, cur, ctx))
         if (len >= n) acc = if (acc == null) cur else acc.unionByName(cur)
       }
       acc.distinct()
@@ -167,7 +184,7 @@ object Paths {
     * (multi-source all-distances, guarded by the same budget as the
     * unbounded closure, since it is one). */
   def shortest(pat: PathPat, seedsOpt: Option[DataFrame], ctx: Ctx): DataFrame = {
-    val stepRel = compile(pat, ctx).distinct().localCheckpoint(true)
+    val stepRel = cp(compile(pat, ctx).distinct())
     if (seedsOpt.isEmpty) {
       val n = stepRel.count()
       require(n <= closureBudget,
@@ -181,22 +198,22 @@ object Paths {
         .select(col("n").as("src"), col("dst"))
       case None => stepRel
     }
-    var disc = first.distinct()
-      .withColumn("dist", lit(1L)).localCheckpoint(true)
-    var frontier = disc
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      cp(first.distinct().withColumn("dist", lit(1L))))
+    var frontier = chunks.head
     var i = 1
     var done = frontier.isEmpty
     while (!done && i < MaxIters) {
       i += 1
-      val next = compose(frontier.select(col("src"), col("dst")), stepRel)
+      val next = cp(compose(frontier.select(col("src"), col("dst")), stepRel)
         .distinct()
-        .join(disc.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
-        .withColumn("dist", lit(i.toLong))
-        .localCheckpoint(true)
+        .join(unionAll(chunks.toSeq).select(col("src"), col("dst")),
+          Seq("src", "dst"), "left_anti")
+        .withColumn("dist", lit(i.toLong)))
       if (next.isEmpty) done = true
-      else { disc = disc.unionByName(next).localCheckpoint(true); frontier = next }
+      else { chunks += next; frontier = next }
     }
-    disc
+    unionAll(chunks.toSeq)
   }
 
   // ---- witness-carrying expansion --------------------------------------
@@ -229,7 +246,7 @@ object Paths {
       var len = 0
       while (len < to) {
         len += 1
-        cur = stepWitness(p, cur, ctx).localCheckpoint(true)
+        cur = cp(stepWitness(p, cur, ctx))
         if (len >= from) acc = if (acc == null) cur else acc.unionByName(cur)
       }
       dedupW(acc)
@@ -237,20 +254,21 @@ object Paths {
 
   private def reachWitness(pat: PathPat, seeds: DataFrame, ctx: Ctx,
                            includeZero: Boolean): DataFrame = {
-    var total = seeds.select(col("n")).distinct().localCheckpoint(true)
-    var frontier = seeds.localCheckpoint(true)
+    val seedNodes = cp(seeds.select(col("n")).distinct())
+    val totalChunks = scala.collection.mutable.ArrayBuffer(seedNodes)
+    var frontier = cp(seeds)
     var reached: DataFrame = if (includeZero) frontier else null
     var i = 0
     var done = false
     while (!done && i < MaxIters) {
       i += 1
       val raw = stepWitness(pat, frontier, ctx)
-      val next = raw.join(total, Seq("n"), "left_anti").localCheckpoint(true)
-      reached = if (reached == null) raw.localCheckpoint(true)
+      val next = cp(raw.join(unionAll(totalChunks.toSeq), Seq("n"), "left_anti"))
+      reached = if (reached == null) cp(raw)
         else reached.unionByName(next) // first (shortest-round) witness wins
       if (next.isEmpty) done = true
       else {
-        total = total.unionByName(next.select(col("n"))).localCheckpoint(true)
+        totalChunks += next.select(col("n"))
         frontier = next
       }
     }
@@ -307,17 +325,16 @@ object Paths {
   private def repeatAll(pat: PathPat, frontier: DataFrame, ctx: Ctx,
                         minLen: Int, maxLen: Int): DataFrame = {
     val anch = s"__anch${anchSeq.incrementAndGet()}"
-    var cur = frontier.withColumn(anch, array(col("n"))).localCheckpoint(true)
+    var cur = cp(frontier.withColumn(anch, array(col("n"))))
     var acc: DataFrame = if (minLen == 0) frontier else null
     var len = 0
     var enumerated = 0L
     var done = false
     while (!done && len < math.min(maxLen, MaxIters)) {
       len += 1
-      val next = stepAllPaths(pat, cur, ctx)
+      val next = cp(stepAllPaths(pat, cur, ctx)
         .filter(!array_contains(col(anch), col("n")))
-        .withColumn(anch, concat(col(anch), array(col("n"))))
-        .localCheckpoint(true)
+        .withColumn(anch, concat(col(anch), array(col("n")))))
       // count is cheap post-checkpoint and doubles as the isEmpty probe
       val n = next.count()
       enumerated += n
@@ -359,7 +376,7 @@ object Paths {
     // lazy rel re-scans cost more than one checkpoint — 7.7s vs 5.3s on
     // the 6-predicate closure at sf0.1)
     val relOpt: Option[DataFrame] =
-      if (closureFree(pat)) Some(compile(pat, ctx).localCheckpoint(true)) else None
+      if (closureFree(pat)) Some(cp(compile(pat, ctx))) else None
     // frontiers and the visited set are usually far smaller than the
     // edge relation: broadcasting them keeps the big relation map-side
     // (zero shuffle per iteration). Above the threshold fall back to a
@@ -373,8 +390,8 @@ object Paths {
         .select(col("dst").as("n")).distinct()
       case None => step(pat, frontier, ctx)
     }
-    val seedSet = seeds.distinct().localCheckpoint(true)
-    var total = seedSet
+    val seedSet = cp(seeds.distinct())
+    val chunks = scala.collection.mutable.ArrayBuffer(seedSet)
     var totalCount = seedSet.count()
     var frontier = seedSet
     var frontierCount = totalCount
@@ -382,17 +399,17 @@ object Paths {
     var done = false
     while (!done && i < MaxIters) {
       i += 1
-      val next = oneStep(frontier, frontierCount)
-        .join(hinted(total, totalCount), Seq("n"), "left_anti")
-        .localCheckpoint(true)
+      val next = cp(oneStep(frontier, frontierCount)
+        .join(hinted(unionAll(chunks.toSeq), totalCount), Seq("n"), "left_anti"))
       frontierCount = next.count()
       if (frontierCount == 0) done = true
       else {
-        total = total.unionByName(next).localCheckpoint(true)
+        chunks += next
         totalCount += frontierCount
         frontier = next
       }
     }
+    val total = unionAll(chunks.toSeq)
     // nodes reachable in ≥1 steps = (total \ seeds) ∪ seeds re-reached
     // via a cycle — computed ONCE at the end instead of accumulating
     // every iteration's raw step output (which re-materializes the
@@ -407,7 +424,7 @@ object Paths {
         case None => // generic: one extra step from everything reached
           seedSet.join(step(pat, total, ctx), Seq("n"), "left_semi")
       }
-      nonSeed.unionByName(seedsRevisited).localCheckpoint(true)
+      cp(nonSeed.unionByName(seedsRevisited))
     }
   }
 }

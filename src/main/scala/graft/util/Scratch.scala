@@ -23,9 +23,27 @@ import org.apache.spark.sql.Dataset
   */
 object Scratch {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val cleanups = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
   /** Register a persisted scratch frame; returns it unchanged. */
   def track[T](ds: Dataset[T]): Dataset[T] = { tracked.add(ds); ds }
+
+  /** Register a `localCheckpoint(true)`-ed scratch frame so its blocks
+    * are released deterministically at [[drain]] instead of whenever the
+    * driver GC + ContextCleaner get around to it (measured: the path
+    * family's per-iteration checkpoints held ~10 GB of stale
+    * MEMORY_AND_DISK blocks across a bench sequence). UNLIKE a persist,
+    * freeing a local checkpoint is DESTRUCTIVE — the lineage was
+    * truncated, so the frame cannot be recomputed after drain. Only
+    * track checkpoints whose consumers are fully finished before the
+    * harness drains (the existing Scratch contract). */
+  def trackCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        cleanups.add(() => { val _ = l.rdd.unpersist(false) })
+    }
+    df
+  }
 
   /** Unpersist every tracked frame (non-blocking); returns how many. */
   def drain(): Int = {
@@ -35,6 +53,12 @@ object Scratch {
       try { val _ = ds.unpersist(false); n += 1 }
       catch { case _: Throwable => } // session may already be stopped
       ds = tracked.poll()
+    }
+    var f = cleanups.poll()
+    while (f != null) {
+      try { f(); n += 1 }
+      catch { case _: Throwable => }
+      f = cleanups.poll()
     }
     n
   }
