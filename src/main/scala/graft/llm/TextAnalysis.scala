@@ -163,6 +163,83 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast(LongType))
   }
 
+  /** Apply ONE BPE merge `(l, r) -> l+r` to a symbol array, greedy
+    * left-to-right (the merged occurrence consumes both symbols, so
+    * `[a,a,a]` under merge `(a,a)` becomes `[aa,a]`). A pure Catalyst
+    * `aggregate` fold — state `(out, carry)`, one pass per word, no
+    * UDF — so the whole merge application is a narrow codegen'd map
+    * over the vocabulary table. */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val lc = lit(l); val rc = lit(r); val merged = lit(l + r)
+    def emit(out: Column, x: Column) = concat(out, array(x))
+    aggregate(syms,
+      struct(array().cast(ArrayType(StringType)).as("out"),
+        lit(null).cast(StringType).as("carry")),
+      (acc, x) =>
+        when(acc.getField("carry") === lc && x === rc,
+          struct(emit(acc.getField("out"), merged).as("out"),
+            lit(null).cast(StringType).as("carry")))
+          .when(acc.getField("carry").isNotNull,
+            struct(emit(acc.getField("out"), acc.getField("carry")).as("out"),
+              x.as("carry")))
+          .otherwise(struct(acc.getField("out").as("out"), x.as("carry"))),
+      acc => when(acc.getField("carry").isNotNull,
+        emit(acc.getField("out"), acc.getField("carry")))
+        .otherwise(acc.getField("out")))
+  }
+
+  /** BPE merge-loop training (Sennrich 2016): `k` rounds of
+    * count-adjacent-pairs → take the most frequent → merge it
+    * everywhere. Returns the ordered merge table
+    * `(rank, lhs, rhs, freq)` — the tokenizer-training artifact.
+    *
+    * Scale shape: the corpus collapses to a `(word, count)` VOCABULARY
+    * table first (one shuffle, rows ∝ distinct word types — Zipf-small
+    * relative to the corpus), and every round then works on that
+    * table: pair counting is one aggregation over vocab rows, the
+    * argmax is a 1-row driver collect (bounded by construction), and
+    * the merge application is a narrow fold map. Per-round cost is
+    * independent of corpus size — the 100 TB corpus is touched exactly
+    * once. Words are lowercase letter runs with a trailing `_`
+    * end-of-word marker symbol, so every symbol stays in `[a-z_]+`
+    * (delimiter-safe for the oracle's string-state fold replay).
+    * Ties break deterministically: highest freq, then (lhs, rhs)
+    * lexicographic. */
+  def bpeTrain(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(split(col("w"), ""), array(lit("_"))).as("syms"), col("cnt"))
+    vocab = graft.util.Scratch.trackCheckpoint(vocab.localCheckpoint(true))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 0
+    var done = false
+    while (!done && round < k) {
+      round += 1
+      val pairs = vocab.where(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("pr"), col("cnt"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+      // argmax of the round: ONE row to the driver (bounded by
+      // construction — this is the merge decision, not data movement)
+      val best = pairs.orderBy(col("freq").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round.toLong, l, r, f))
+        if (round < k)
+          vocab = graft.util.Scratch.trackCheckpoint(
+            vocab.select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
+              .localCheckpoint(true))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "freq")
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(toks(col("text")))))).as("fp"))

@@ -356,6 +356,13 @@ object ExtQueries {
     "text_bpe_pairs" -> ((s, d) =>
       graft.llm.TextAnalysis.bpePairs(t(s, d, "documents"), 30)),
 
+    // full BPE merge-LOOP training: 12 rounds of pair-count -> argmax
+    // -> merge over the (word, count) vocabulary table; corpus touched
+    // once, per-round cost ∝ vocab types (oracle unrolls all 12 rounds
+    // as CTE chains with a list_reduce fold replaying the greedy merge)
+    "text_bpe_train" -> ((s, d) =>
+      graft.llm.TextAnalysis.bpeTrain(t(s, d, "documents"), 12)),
+
     // product quantization: 8 codeword ids per vector (8 subspaces ×
     // 16 codewords trained by per-slice Lloyd's) — m bytes/vector
     "emb_pq_encode" -> ((s, d) =>
@@ -1145,6 +1152,58 @@ object ExtQueries {
         | c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
         | SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
         | FROM c QUALIFY rank <= 30""".stripMargin,
+
+    // BPE merge-loop training, 12 rounds unrolled as CTE chains. Each
+    // round: pair counts from the current vocab (p_i), argmax with the
+    // engine's tie-break (b_i — ORDER BY freq DESC, pair equals the
+    // engine's (freq DESC, lhs, rhs) because symbols are [a-z_]+ and
+    // ' ' sorts below both), then the greedy left-to-right merge
+    // replayed as a list_reduce fold over a 'out|carry' string state
+    // (v_i). Merged pairs consume both symbols: [a,a,a] + (a,a) ->
+    // [aa,a], exactly the engine's aggregate() fold. Every chained CTE
+    // is MATERIALIZED: DuckDB otherwise inlines them, and a 12-round
+    // chain where each round references its predecessor twice
+    // re-evaluates exponentially (measured: >4 min inlined, 0.2 s
+    // materialized at sf0.001).
+    "text_bpe_train" -> {
+      def round(i: Int): String = {
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        val pairsBest =
+          s""", p$i AS MATERIALIZED (SELECT t.pair, sum(t.cnt) AS freq FROM (
+             |   SELECT unnest(list_transform(range(1, len(syms)),
+             |     j -> syms[j] || ' ' || syms[j+1])) AS pair, cnt
+             |   FROM $prev WHERE len(syms) >= 2) t GROUP BY t.pair),
+             | b$i AS MATERIALIZED (SELECT split_part(pair,' ',1) AS lhs,
+             |   split_part(pair,' ',2) AS rhs, freq
+             |  FROM p$i ORDER BY freq DESC, pair LIMIT 1)""".stripMargin
+        val fold =
+          s""", v$i AS MATERIALIZED (SELECT string_split(
+             |   CASE WHEN split_part(st,'|',2)='' THEN split_part(st,'|',1)
+             |        WHEN split_part(st,'|',1)='' THEN split_part(st,'|',2)
+             |        ELSE split_part(st,'|',1) || ',' || split_part(st,'|',2) END,
+             |   ',') AS syms, cnt
+             |  FROM (SELECT list_reduce(list_prepend('|', syms), (acc, x) ->
+             |   CASE WHEN split_part(acc,'|',2) = b$i.lhs AND x = b$i.rhs
+             |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
+             |          ELSE split_part(acc,'|',1)||',' END) || b$i.lhs || b$i.rhs || '|'
+             |    WHEN split_part(acc,'|',2) <> ''
+             |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
+             |          ELSE split_part(acc,'|',1)||',' END) || split_part(acc,'|',2) || '|' || x
+             |    ELSE split_part(acc,'|',1) || '|' || x END) AS st, cnt
+             |   FROM $prev, b$i) q)""".stripMargin
+        if (i < 12) pairsBest + fold else pairsBest
+      }
+      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents),
+         | wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+         | v0 AS MATERIALIZED (SELECT list_append(regexp_extract_all(w, '[a-z]'), '_') AS syms, cnt
+         |  FROM wc)
+         | ${(1 to 12).map(round).mkString("\n")}
+         | ${(1 to 12).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, freq FROM b$i")
+             .mkString(" UNION ALL ")}
+         | ORDER BY rank""".stripMargin
+    },
 
     // trained-IVF: probe the 2 nearest trained cells (c2 = centroids
     // after round 3's update schedule), exact-integer-dot rerank

@@ -211,6 +211,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
   }
 
+  test("BPE merge-loop training matches the hand-computed Sennrich example") {
+    import spark.implicits._
+    // 5×low 2×lower 6×newest 3×widest — the classic BPE walkthrough.
+    // Reference merges (greedy, corpus-frequency, (lhs,rhs) tie-break):
+    // es(9) est(9) est_(9) lo(7) low(7) ew(6)
+    val docs = Seq(
+      ("en", ("low " * 5 + "lower " * 2).trim),
+      ("en", ("newest " * 6 + "widest " * 3).trim)).toDF("lang", "text")
+    val got = graft.llm.TextAnalysis.bpeTrain(docs, 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "est", "_", 9L),
+      (4L, "l", "o", 7L), (5L, "lo", "w", 7L), (6L, "e", "w", 6L)))
+  }
+
+  test("BPE merge application is greedy left-to-right (aaa + (a,a) -> [aa,a])") {
+    import spark.implicits._
+    // "aaaa" under merge (a,a): [a,a,a,a,_] -> [aa,aa,_] (the merged
+    // symbol never re-pairs within its own round, so freq is 9 — three
+    // overlapping (a,a) per word — but only two merges land per word).
+    // Round 2 ties (aa,aa)=3 with (aa,_)=3; '_' < 'a' wins the
+    // (lhs,rhs) tie-break.
+    val docs = Seq(("en", "aaaa aaaa aaaa")).toDF("lang", "text")
+    val got = graft.llm.TextAnalysis.bpeTrain(docs, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", "a", 9L), (2L, "aa", "_", 3L)))
+  }
+
   test("fixed-point PageRank matches the hand-computed star graph") {
     import spark.implicits._
     // a→c, b→c, c→a; scale 1e9, base 0.15e9, two damped rounds
