@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multinomial Naive Bayes document classifier — the distributed
+  * version of the fastText-style linear classifier every LLM data
+  * pipeline keeps around for language-ID / quality routing (train on
+  * labelled docs, score the whole corpus).
+  *
+  * Determinism: log-probabilities are rounded to 6 decimals and scaled
+  * to integer MICRO-log units (`*1e6 → long`) BEFORE any aggregation,
+  * so per-document scores are exact integer sums — associative,
+  * partition-order-free, and bit-identical in the DuckDB oracle. The
+  * only float op is `ln`, rounded immediately (the same pattern the
+  * rest of the battery uses for cross-engine doubles).
+  *
+  * Scale shape (100 TB corpus):
+  *  - token stats are two count shuffles, rows ∝ (doc,token) pairs
+  *    resp. (class,token) pairs — both far below corpus bytes;
+  *  - the class-token model (V×C rows, C = #labels) joins the per-doc
+  *    token counts on `tok` — broadcast when the vocabulary fits,
+  *    shuffle-hash otherwise (Catalyst/AQE's call);
+  *  - absent-token mass is folded algebraically (score = prior +
+  *    dl·lp0_c + Σ_present tf·(lp − lp0_c)), so the V×C model is never
+  *    expanded per document and unseen tokens cost nothing;
+  *  - class priors/stats are a C-row broadcast.
+  */
+object Classifier {
+
+  private def toks(textCol: String) =
+    expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")
+
+  /** Micro-log units: round(ln(x)·1e6, 0) as an exact long. The round
+    * happens AT the integer boundary (not at 6 decimals followed by a
+    * scale-up, whose product can land at N±ε and truncate differently
+    * across engines): the rounded double is integer-valued, so the
+    * long cast is exact in both Spark and DuckDB. */
+  private def microLn(x: org.apache.spark.sql.Column) =
+    round(log(x) * lit(1000000.0), 0).cast(LongType)
+
+  /** Per-(class, token) add-one-smoothed log-likelihoods.
+    * `cnt` = token occurrences in the class, `lp_micro` =
+    * round(ln((cnt+1)/(tokens_c+V)), 6)·1e6. */
+  def tokenModel(docs: DataFrame): DataFrame = modelFromCounts(classCounts(docs))
+
+  private def classCounts(docs: DataFrame): DataFrame = docs
+    .select(col("lang"), explode(toks("text")).as("tok"))
+    .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+
+  private def modelFromCounts(ct: DataFrame): DataFrame = {
+    val classTotals = ct.groupBy(col("lang")).agg(sum(col("cnt")).as("tokens_c"))
+    val vocab = ct.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    ct.join(classTotals, "lang").crossJoin(broadcast(vocab))
+      .select(col("lang"), col("tok"), col("cnt"),
+        microLn((col("cnt") + lit(1)).cast(DoubleType) /
+          (col("tokens_c") + col("v")).cast(DoubleType)).as("lp_micro"))
+  }
+
+  /** Training summary: top `n` tokens per class by count (the model's
+    * strongest evidence), with their micro-log likelihoods. */
+  def train(docs: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("tok"))
+    tokenModel(docs)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= n)
+      .select(col("lang"), col("tok"), col("cnt"), col("lp_micro"), col("rank"))
+  }
+
+  /** Score every document against every class, predict the argmax
+    * (ties → lang asc). Returns (doc_id, pred_lang, score_micro). */
+  def score(docs: DataFrame): DataFrame = {
+    val ct = classCounts(docs)
+    val model = modelFromCounts(ct)
+    // C-row class table: prior + the absent-token unit mass lp0
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val vocab = ct.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val classes = docs.groupBy(col("lang")).agg(count(lit(1)).as("docs_c"))
+      .join(ct.groupBy(col("lang")).agg(sum(col("cnt")).as("tokens_c")), "lang")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(vocab))
+      .select(col("lang"),
+        microLn(col("docs_c").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("prior_micro"),
+        microLn(lit(1.0) / (col("tokens_c") + col("v")).cast(DoubleType))
+          .as("lp0_micro"))
+    // per-doc token counts + doc length (tokens)
+    val dtf = docs
+      .select(col("doc_id"), explode(toks("text")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = dtf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // evidence adjustment for tokens the class HAS seen
+    val adj = dtf.join(model.join(broadcast(classes.select(col("lang"), col("lp0_micro"))), "lang"), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf") * (col("lp_micro") - col("lp0_micro"))).as("adj_micro"))
+    val scored = dl.crossJoin(broadcast(classes))
+      .join(adj, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (col("prior_micro") + col("dl") * col("lp0_micro") +
+          coalesce(col("adj_micro"), lit(0L))).as("score_micro"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("lang"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score_micro"))
+  }
+}

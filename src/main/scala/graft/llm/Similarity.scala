@@ -35,6 +35,61 @@ object Similarity {
       .select(col("q"), col("cand"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Maximal Marginal Relevance diverse re-rank (Carbonell/Goldstein
+    * 1998): greedily pick `k` of the top-`pool` candidates per query,
+    * each step maximizing `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`.
+    * The retrieval-diversity pass every dedup-aware RAG / eval-set
+    * builder runs after ANN.
+    *
+    * Determinism: cosines are rounded once to integer MICRO units and
+    * λ=7/10 is applied as integer arithmetic (`score₁₀ = 7·sim_u −
+    * 3·maxp_u`, i.e. 10× the λ-score) — every argmax is an exact
+    * integer comparison, bit-identical in the DuckDB oracle.
+    *
+    * Scale shape: queries broadcast over the corpus scan for the pool
+    * (one pass, TakeOrdered-per-query via window on bounded groups);
+    * everything after operates on pool-sized groups — pairwise sims
+    * are pool² per query (a constant), and the k greedy steps are
+    * joins over those tiny frames, checkpointed per step to keep the
+    * plan linear. The corpus is touched exactly once. */
+  def mmrTopK(emb: DataFrame, isQuery: Column, k: Int, pool: Int): DataFrame = {
+    def micro(c: Column): Column = round(c * lit(1000000.0), 0).cast("long")
+    val q = emb.where(isQuery).select(col("vec_id").as("q"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cand"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim_u").desc, col("cand"))
+    val cands = graft.util.Scratch.trackCheckpoint(
+      broadcast(q).join(c, col("q") =!= col("cand"))
+        .withColumn("sim_u", micro(cos(col("qe"), col("ce"))))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= pool)
+        .select(col("q"), col("cand"), col("sim_u"), col("ce"))
+        .localCheckpoint(true))
+    val pairs = graft.util.Scratch.trackCheckpoint(
+      cands.select(col("q"), col("cand").as("ca"), col("ce").as("ea"))
+        .join(cands.select(col("q"), col("cand").as("cb"), col("ce").as("eb")), "q")
+        .where(col("ca") =!= col("cb"))
+        .select(col("q"), col("ca"), col("cb"), micro(cos(col("ea"), col("eb"))).as("psim_u"))
+        .localCheckpoint(true))
+    val pool0 = cands.select(col("q"), col("cand"), col("sim_u"))
+    // step 1: S empty → score is just 7·sim
+    val w1 = Window.partitionBy(col("q")).orderBy(col("sim_u").desc, col("cand"))
+    var sel = pool0.withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+      .select(col("q"), col("cand"), lit(1L).as("step"),
+        (lit(7L) * col("sim_u")).as("mmr_u"))
+    var rest = pool0.join(sel.select(col("q"), col("cand")), Seq("q", "cand"), "left_anti")
+    for (i <- 2 to k) {
+      val mp = pairs.join(sel.select(col("q"), col("cand").as("cb")), Seq("q", "cb"))
+        .groupBy(col("q"), col("ca").as("cand")).agg(max(col("psim_u")).as("mp"))
+      val ws = Window.partitionBy(col("q")).orderBy(col("score").desc, col("cand"))
+      val pick = rest.join(mp, Seq("q", "cand"))
+        .withColumn("score", lit(7L) * col("sim_u") - lit(3L) * col("mp"))
+        .withColumn("rn", row_number().over(ws)).where(col("rn") === 1)
+        .select(col("q"), col("cand"), lit(i.toLong).as("step"), col("score").as("mmr_u"))
+      sel = graft.util.Scratch.trackCheckpoint(sel.union(pick).localCheckpoint(true))
+      rest = rest.join(sel.select(col("q"), col("cand")), Seq("q", "cand"), "left_anti")
+    }
+    sel
+  }
+
   /** Deterministic coarse centroids: the min-vec_id member per label. */
   def medoidCentroids(emb: DataFrame): DataFrame =
     emb.groupBy(col("label"))

@@ -207,6 +207,14 @@ object TextAnalysis {
     * lexicographic. */
   def bpeTrain(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMerges(docs, k).toDF("rank", "lhs", "rhs", "freq")
+  }
+
+  /** The merge loop itself, returning the ordered merge decisions —
+    * shared by `bpeTrain` (which tabulates them) and `bpeApply`
+    * (which encodes the corpus with them). */
+  def bpeMerges(docs: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
     var vocab = docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -236,8 +244,42 @@ object TextAnalysis {
               .localCheckpoint(true))
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "lhs", "rhs", "freq")
+    merges.toSeq
+  }
+
+  /** BPE ENCODE with a trained merge table: per-document token counts
+    * under the `k`-merge tokenizer `bpeMerges` learns from the same
+    * corpus (train→apply, the full tokenizer loop).
+    *
+    * Scale shape: the merges are applied to the distinct word-TYPE
+    * table (rows ∝ vocabulary, Zipf-small), one `applyMerge` fold per
+    * merge as chained narrow projections — the corpus itself is never
+    * re-folded. The per-doc word counts then join the encoded types on
+    * `w` (broadcast when the vocabulary fits, shuffle-hash at 100 TB
+    * vocab — Catalyst/AQE's call) and one sum per doc finishes it.
+    * Documents with no `[a-z]` word are absent by construction (both
+    * engines drop them in the same join). */
+  def bpeApply(docs: DataFrame, k: Int): DataFrame = {
+    val merges = bpeMerges(docs, k)
+    val words = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    var types = words.select(col("w")).distinct()
+      .select(col("w"), concat(split(col("w"), ""), array(lit("_"))).as("syms"))
+    for (((_, l, r, _), i) <- merges.zipWithIndex) {
+      types = types.select(col("w"), applyMerge(col("syms"), l, r).as("syms"))
+      // break the fold chain every few merges: CollapseProject would
+      // otherwise nest k aggregate() lambdas into one expression tree
+      // whose analysis/codegen cost grows superlinearly in k
+      if ((i + 1) % 4 == 0 && i + 1 < merges.size)
+        types = graft.util.Scratch.trackCheckpoint(types.localCheckpoint(true))
+    }
+    val tokcnt = types.select(col("w"), size(col("syms")).cast(LongType).as("ntok"))
+    words.join(tokcnt, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_words"),
+        sum(col("c") * col("ntok")).cast(LongType).as("n_bpe_tokens"))
   }
 
   def fingerprint(docs: DataFrame): DataFrame =

@@ -363,6 +363,25 @@ object ExtQueries {
     "text_bpe_train" -> ((s, d) =>
       graft.llm.TextAnalysis.bpeTrain(t(s, d, "documents"), 12)),
 
+    // BPE ENCODE with the trained merges (train→apply, the complete
+    // tokenizer loop): merges fold over the word-TYPE table (rows ∝
+    // vocabulary), per-doc counts join the encoded types — the corpus
+    // is tokenized by join, never re-folded
+    "text_bpe_apply" -> ((s, d) =>
+      graft.llm.TextAnalysis.bpeApply(t(s, d, "documents"), 12)),
+
+    // multinomial Naive Bayes (fastText-class router) TRAIN: add-one
+    // smoothed per-(class,token) log-likelihoods in integer micro-log
+    // units; top-20 evidence tokens per class
+    "text_nb_train" -> ((s, d) =>
+      graft.llm.Classifier.train(t(s, d, "documents"), 20)),
+
+    // NB SCORE: every document against every class, absent-token mass
+    // folded algebraically (model never expands per-doc), exact
+    // integer argmax
+    "text_nb_score" -> ((s, d) =>
+      graft.llm.Classifier.score(t(s, d, "documents"))),
+
     // product quantization: 8 codeword ids per vector (8 subspaces ×
     // 16 codewords trained by per-slice Lloyd's) — m bytes/vector
     "emb_pq_encode" -> ((s, d) =>
@@ -374,6 +393,13 @@ object ExtQueries {
     "sim_topk_pq" -> ((s, d) =>
       graft.llm.Similarity.pqTopK(t(s, d, "embeddings"),
         col("vec_id") < 10, 5, m = 8, kSub = 16, iters = 2, dim = 64)),
+
+    // MMR diverse re-rank: greedy λ·sim − (1−λ)·max-redundancy pick of
+    // 5 from the brute top-20 pool, exact integer micro-cosine argmax
+    // at every step (λ=7/10 as integer arithmetic)
+    "sim_topk_mmr" -> ((s, d) =>
+      graft.llm.Similarity.mmrTopK(t(s, d, "embeddings"),
+        col("vec_id") < 10, k = 5, pool = 20)),
 
     // fixed-point PageRank over the orders→customer→nation→region FK
     // graph: scaled-integer power iteration (operators.PageRank) —
@@ -894,6 +920,49 @@ object ExtQueries {
         |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id)
         | WHERE rank <= 5""".stripMargin,
 
+    // MMR: pool + pairwise sims in integer micro-cosine, then the 5
+    // greedy steps unrolled as CTEs (sel_i accumulates the picks;
+    // every argmax is an exact integer comparison — same units as the
+    // engine). Cosine is unguarded like sim_topk_brute (matches
+    // GraftFunctions.cosine).
+    "sim_topk_mmr" -> {
+      def cosU(a: String, b: String) =
+        s"""CAST(round(list_dot_product($a, $b) /
+           |  (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+           |  * 1000000.0::DOUBLE, 0) AS BIGINT)""".stripMargin
+      def step(i: Int): String =
+        s""", s$i AS MATERIALIZED (
+           |  SELECT q, cand, CAST($i AS BIGINT) AS step,
+           |    7 * sim_u - 3 * mp AS mmr_u
+           |  FROM (SELECT r.q, r.cand, r.sim_u, max(p.psim_u) AS mp
+           |   FROM cand r
+           |   JOIN pr p ON p.q = r.q AND p.ca = r.cand
+           |   JOIN sel${i - 1} s ON s.q = p.q AND s.cand = p.cb
+           |   WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+           |     WHERE x.q = r.q AND x.cand = r.cand)
+           |   GROUP BY r.q, r.cand, r.sim_u) t
+           |  QUALIFY row_number() OVER (PARTITION BY q
+           |    ORDER BY 7 * sim_u - 3 * mp DESC, cand) = 1),
+           | sel$i AS (SELECT q, cand FROM sel${i - 1}
+           |  UNION ALL SELECT q, cand FROM s$i)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | c0 AS (SELECT a.vec_id AS q, b.vec_id AS cand, b.emb AS ce,
+        |    ${cosU("a.emb", "b.emb")} AS sim_u
+        |   FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id),
+        | cand AS MATERIALIZED (SELECT q, cand, ce, sim_u FROM c0
+        |   QUALIFY row_number() OVER (PARTITION BY q ORDER BY sim_u DESC, cand) <= 20),
+        | pr AS MATERIALIZED (SELECT a.q, a.cand AS ca, b.cand AS cb,
+        |    ${cosU("a.ce", "b.ce")} AS psim_u
+        |   FROM cand a JOIN cand b ON a.q = b.q AND a.cand != b.cand),
+        | s1 AS MATERIALIZED (SELECT q, cand, CAST(1 AS BIGINT) AS step,
+        |    7 * sim_u AS mmr_u FROM cand
+        |   QUALIFY row_number() OVER (PARTITION BY q ORDER BY sim_u DESC, cand) = 1),
+        | sel1 AS (SELECT q, cand FROM s1)
+        | ${(2 to 5).map(step).mkString("\n")}
+        | ${(1 to 5).map(i => s"SELECT q, cand, step, mmr_u FROM s$i")
+            .mkString(" UNION ALL ")}""".stripMargin
+    },
+
     "sim_topk_sq8" ->
       s"""WITH e AS (SELECT vec_id,
         |   list_transform(CAST(embedding AS DOUBLE[]),
@@ -1204,6 +1273,108 @@ object ExtQueries {
              .mkString(" UNION ALL ")}
          | ORDER BY rank""".stripMargin
     },
+
+    // BPE apply: the same 12-round merge chain, but the vocab rows
+    // carry their source word `w` through every fold so the final
+    // round yields a word→encoded-symbols map; per-doc word counts
+    // then join that map and sum. Folds run for ALL 12 rounds here
+    // (train skips the last — it only needs the decision).
+    "text_bpe_apply" -> {
+      def round(i: Int): String = {
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s""", p$i AS MATERIALIZED (SELECT t.pair, sum(t.cnt) AS freq FROM (
+           |   SELECT unnest(list_transform(range(1, len(syms)),
+           |     j -> syms[j] || ' ' || syms[j+1])) AS pair, cnt
+           |   FROM $prev WHERE len(syms) >= 2) t GROUP BY t.pair),
+           | b$i AS MATERIALIZED (SELECT split_part(pair,' ',1) AS lhs,
+           |   split_part(pair,' ',2) AS rhs, freq
+           |  FROM p$i ORDER BY freq DESC, pair LIMIT 1),
+           | v$i AS MATERIALIZED (SELECT w, string_split(
+           |   CASE WHEN split_part(st,'|',2)='' THEN split_part(st,'|',1)
+           |        WHEN split_part(st,'|',1)='' THEN split_part(st,'|',2)
+           |        ELSE split_part(st,'|',1) || ',' || split_part(st,'|',2) END,
+           |   ',') AS syms, cnt
+           |  FROM (SELECT w, list_reduce(list_prepend('|', syms), (acc, x) ->
+           |   CASE WHEN split_part(acc,'|',2) = b$i.lhs AND x = b$i.rhs
+           |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
+           |          ELSE split_part(acc,'|',1)||',' END) || b$i.lhs || b$i.rhs || '|'
+           |    WHEN split_part(acc,'|',2) <> ''
+           |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
+           |          ELSE split_part(acc,'|',1)||',' END) || split_part(acc,'|',2) || '|' || x
+           |    ELSE split_part(acc,'|',1) || '|' || x END) AS st, cnt
+           |   FROM $prev, b$i) q)""".stripMargin
+      }
+      s"""WITH dw AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents),
+         | dwc AS MATERIALIZED (SELECT doc_id, w, count(*) AS c
+         |  FROM dw GROUP BY doc_id, w),
+         | wc AS MATERIALIZED (SELECT w, sum(c) AS cnt FROM dwc GROUP BY w),
+         | v0 AS MATERIALIZED (SELECT w,
+         |    list_append(regexp_extract_all(w, '[a-z]'), '_') AS syms, cnt
+         |  FROM wc)
+         | ${(1 to 12).map(round).mkString("\n")}
+         | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |   CAST(sum(c * len(syms)) AS BIGINT) AS n_bpe_tokens
+         | FROM dwc JOIN v12 USING (w) GROUP BY doc_id""".stripMargin
+    },
+
+    // Naive Bayes train: add-one smoothed log-likelihoods in integer
+    // micro-log units (round AT the integer boundary — the rounded
+    // double is integer-valued so the BIGINT cast is exact in both
+    // engines), top-20 per class by (cnt DESC, tok)
+    "text_nb_train" ->
+      s"""WITH tk AS (SELECT lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents),
+        | cc AS (SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY lang, tok),
+        | tot AS (SELECT lang, sum(cnt) AS tokens_c FROM cc GROUP BY lang),
+        | voc AS (SELECT count(DISTINCT tok) AS v FROM cc)
+        | SELECT lang, tok, cnt,
+        |  CAST(round(ln((cnt + 1)::DOUBLE / (tokens_c + v)::DOUBLE)
+        |    * 1000000.0::DOUBLE, 0) AS BIGINT) AS lp_micro,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok)
+        |    AS BIGINT) AS rank
+        | FROM cc JOIN tot USING (lang) CROSS JOIN voc
+        | QUALIFY rank <= 20""".stripMargin,
+
+    // Naive Bayes score: prior + dl·lp0 + Σ_present tf·(lp − lp0),
+    // all exact integer arithmetic after the one rounded ln per model
+    // cell; argmax per doc (score DESC, lang ASC)
+    "text_nb_score" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents),
+        | cc AS (SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY lang, tok),
+        | tot AS (SELECT lang, sum(cnt) AS tokens_c FROM cc GROUP BY lang),
+        | voc AS (SELECT count(DISTINCT tok) AS v FROM cc),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | cls AS (SELECT t.lang,
+        |    CAST(round(ln(d.docs_c::DOUBLE / n.n::DOUBLE)
+        |      * 1000000.0::DOUBLE, 0) AS BIGINT) AS prior_micro,
+        |    CAST(round(ln(1.0::DOUBLE / (t.tokens_c + voc.v)::DOUBLE)
+        |      * 1000000.0::DOUBLE, 0) AS BIGINT) AS lp0_micro
+        |   FROM tot t
+        |   JOIN (SELECT lang, count(*) AS docs_c FROM documents GROUP BY lang) d
+        |     USING (lang) CROSS JOIN n CROSS JOIN voc),
+        | model AS (SELECT cc.lang, cc.tok,
+        |    CAST(round(ln((cnt + 1)::DOUBLE / (tokens_c + v)::DOUBLE)
+        |      * 1000000.0::DOUBLE, 0) AS BIGINT) AS lp_micro
+        |   FROM cc JOIN tot USING (lang) CROSS JOIN voc),
+        | dtf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        | dl AS (SELECT doc_id, sum(tf) AS dl FROM dtf GROUP BY doc_id),
+        | adj AS (SELECT dtf.doc_id, m.lang,
+        |    sum(dtf.tf * (m.lp_micro - c.lp0_micro)) AS adj_micro
+        |   FROM dtf JOIN model m USING (tok) JOIN cls c ON m.lang = c.lang
+        |   GROUP BY dtf.doc_id, m.lang),
+        | scored AS (SELECT dl.doc_id, c.lang,
+        |    c.prior_micro + dl.dl * c.lp0_micro + coalesce(a.adj_micro, 0)
+        |      AS score_micro
+        |   FROM dl CROSS JOIN cls c
+        |   LEFT JOIN adj a ON a.doc_id = dl.doc_id AND a.lang = c.lang)
+        | SELECT doc_id, lang AS pred_lang, CAST(score_micro AS BIGINT) AS score_micro
+        | FROM scored QUALIFY row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score_micro DESC, lang) = 1""".stripMargin,
 
     // trained-IVF: probe the 2 nearest trained cells (c2 = centroids
     // after round 3's update schedule), exact-integer-dot rerank

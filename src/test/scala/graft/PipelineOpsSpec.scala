@@ -239,6 +239,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a", "a", 9L), (2L, "aa", "_", 3L)))
   }
 
+  test("BPE apply encodes docs with the trained merges (Sennrich example)") {
+    import spark.implicits._
+    // Same corpus as the training test; merges after 6 rounds:
+    // es est est_ lo low ew. Encodes: low→[low,_]=2, lower→[low,e,r,_]=4,
+    // newest→[n,ew,est_]=3, widest→[w,i,d,est_]=4.
+    val docs = Seq(
+      (1L, ("low " * 5 + "lower " * 2).trim),
+      (2L, ("newest " * 6 + "widest " * 3).trim)).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.bpeApply(docs, 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((7L, 5 * 2 + 2 * 4L)),
+      2L -> ((9L, 6 * 3 + 3 * 4L))))
+  }
+
+  test("MMR re-rank trades relevance for diversity at the hand-computed step") {
+    import spark.implicits._
+    // q=[1,0]; cands: 1=[1,0] (sim 1), 2=[1,1] (sim 1/√2), 3=[0,1] (sim 0).
+    // Step 1 picks 1 (mmr 7·1e6). Step 2: cand2 scores 7·707107−3·707107
+    // (its redundancy to pick 1 is its own sim), cand3 scores 0 → cand2.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(1f, 1f)), (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity.mmrTopK(emb, col("vec_id") === 0, k = 2, pool = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 1L, 1L, 7000000L), (0L, 2L, 2L, 4L * 707107L)))
+  }
+
+  test("Naive Bayes scores match the hand-computed micro-log example") {
+    import spark.implicits._
+    // V=3; class a: x:3,y:1,z:1 (5 toks, 2 docs); class b: y:2,z:1 (3 toks).
+    val docs = Seq((1L, "a", "x x y"), (2L, "a", "x z"), (3L, "b", "y y z"))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.llm.Classifier.score(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.view.mapValues(_._1).toMap == Map(1L -> "a", 2L -> "a", 3L -> "b"))
+    // doc1 vs a: round(ln(2/3)e6) + 3·round(ln(1/8)e6)
+    //   + 2·(round(ln(4/8)e6)−round(ln(1/8)e6)) + (round(ln(2/8)e6)−round(ln(1/8)e6))
+    // = -405465 - 6238326 + 2·1386295 + 693148 = -3178053
+    assert(got(1L)._2 == -3178053L)
+  }
+
   test("fixed-point PageRank matches the hand-computed star graph") {
     import spark.implicits._
     // a→c, b→c, c→a; scale 1e9, base 0.15e9, two damped rounds
