@@ -38,9 +38,13 @@ object Bench {
     "sim_topk_lsh", "sim_topk_sq8", "sim_topk_pq", "emb_pq_encode",
     "sketch_kmv_distinct", "sketch_kmv_union", "graph_pagerank",
     "text_vocab_topk", "text_bpe_pairs",
+    // train before apply: the merge table is a memoized artifact
+    // (TextAnalysis.mergeCache), so apply measures ENCODE, not refit
+    "text_bpe_train", "text_bpe_apply",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean",
     "llm_pipeline_v2",
-    "text_bm25", "text_tfidf_topk", "llm_dsir_weights", "text_bigram_ppl")
+    "text_bm25", "text_tfidf_topk", "llm_dsir_weights", "text_bigram_ppl",
+    "text_nb_train", "text_nb_score", "sim_topk_mmr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

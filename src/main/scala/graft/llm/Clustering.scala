@@ -59,7 +59,7 @@ object Clustering {
   private val bookCache = new java.util.concurrent.ConcurrentHashMap[
     String, IndexedSeq[IndexedSeq[Double]]]()
 
-  private def planKey(df: DataFrame): String = {
+  private[llm] def planKey(df: DataFrame): String = {
     val p = df.queryExecution.logical.canonicalized
     // canonicalized file scans embed their paths (distinct + stable),
     // but a LocalRelation canonicalizes to just its schema — two
@@ -84,6 +84,7 @@ object Clustering {
     codeCache.values.forEach(df => { val _ = df.unpersist() })
     codeCache.clear()
     bookCache.clear()
+    TextAnalysis.clearArtifacts()
   }
 
   /** sq8 code frame (vec_id, qv), persisted once per source. */

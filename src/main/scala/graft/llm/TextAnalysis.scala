@@ -211,10 +211,24 @@ object TextAnalysis {
     bpeMerges(docs, k).toDF("rank", "lhs", "rhs", "freq")
   }
 
-  /** The merge loop itself, returning the ordered merge decisions —
-    * shared by `bpeTrain` (which tabulates them) and `bpeApply`
-    * (which encodes the corpus with them). */
-  def bpeMerges(docs: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
+  // A merge table is a trained ARTIFACT like a PQ codebook: fitted
+  // once, served by every encode. Same memo economics and key scheme
+  // as Clustering's codebooks (canonicalized plan + params; training
+  // is deterministic so a cached table is bit-identical to a refit).
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, Long)]]()
+
+  /** Eviction path, chained from [[Clustering.clearArtifacts]]. */
+  def clearArtifacts(): Unit = mergeCache.clear()
+
+  /** The merge loop, memoized per (source plan, k) — shared by
+    * `bpeTrain` (which tabulates the merges) and `bpeApply` (which
+    * encodes the corpus with them). */
+  def bpeMerges(docs: DataFrame, k: Int): Seq[(Long, String, String, Long)] =
+    mergeCache.computeIfAbsent(Clustering.planKey(docs) + s"#bpe_k=$k",
+      _ => bpeMergesUncached(docs, k))
+
+  private def bpeMergesUncached(docs: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
     var vocab = docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
