@@ -44,7 +44,9 @@ object Bench {
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean",
     "llm_pipeline_v2",
     "text_bm25", "text_tfidf_topk", "llm_dsir_weights", "text_bigram_ppl",
-    "text_nb_train", "text_nb_score", "sim_topk_mmr")
+    "text_nb_train", "text_nb_score", "sim_topk_mmr",
+    "sim_rrf_hybrid", "graph_triangles", "text_cdc_chunks",
+    "dedup_cdc_spans", "rel_bloom_semijoin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,50 @@ object Similarity {
       .select(col("q"), col("cand"), col("rank"), round(col("adist"), 6).as("adist"))
   }
 
+  /** Reciprocal-rank-fusion hybrid retrieval (Cormack/Clarke/Büttcher
+    * SIGIR'09): fuse a sparse (BM25) ranking and a dense (cosine)
+    * ranking by summing 1/(κ+rank) over the lists each id appears in.
+    * This is the standard first-stage of a hybrid RAG retriever —
+    * rank-space fusion needs no score calibration between the two
+    * retrievers.
+    *
+    * Determinism: contributions are integers — round(10⁹/(κ+rank)) —
+    * so the fused ordering is an exact integer comparison (ties →
+    * id asc) and replays bit-identically in the DuckDB oracle.
+    *
+    * Scale shape: both candidate lists are top-`pool` — the sparse arm
+    * is TextAnalysis.bm25 (corpus never shuffles, TakeOrdered head);
+    * the dense arm broadcasts the single query vector over one corpus
+    * scan and takes TakeOrderedAndProject(pool). Everything after the
+    * two heads operates on ≤2·pool rows (global windows there are
+    * bounded by construction). The fusion join is pool-sized. At
+    * 100 TB only the two scans touch the corpus, once each. */
+  def rrfHybrid(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                queryId: Long, pool: Int, k: Int, kap: Int = 60): DataFrame = {
+    def contrib(r: Column): Column =
+      when(r.isNotNull,
+        round(lit(1.0e9) / (lit(kap.toDouble) + r.cast("double")), 0).cast("long"))
+        .otherwise(lit(0L))
+    val wS = Window.orderBy(col("score").desc, col("doc_id"))
+    val sparse = TextAnalysis.bm25(docs, terms, n = pool)
+      .withColumn("rs", row_number().over(wS).cast("long"))
+      .select(col("doc_id").as("id"), col("rs"))
+    val q = emb.where(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val densePool = emb.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", cos(col("qe"), col("embedding")))
+      .orderBy(col("sim").desc, col("vec_id")).limit(pool)
+    val wD = Window.orderBy(col("sim").desc, col("vec_id"))
+    val dense = densePool
+      .withColumn("rd", row_number().over(wD).cast("long"))
+      .select(col("vec_id").as("id"), col("rd"))
+    sparse.join(dense, Seq("id"), "full_outer")
+      .withColumn("rrf", contrib(col("rs")) + contrib(col("rd")))
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
+      .select(col("id"), col("rrf"), col("rank"))
+  }
+
   /** IVF top-k: probe the `nprobe` closest cells, exact-rerank inside. */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int, nprobe: Int): DataFrame = {
     val cents = medoidCentroids(emb)

@@ -429,4 +429,47 @@ object TextAnalysis {
         round(aggregate(col("__t"), lit(0.0),
           (acc, t) => acc + element_at(col("__m"), bucket(t))), 6).as("weight"))
   }
+  /** Content-defined chunking (CDC — the rolling-hash cut rule of
+    * LBFS/rsync, Muthitacharoen et al. SOSP'01, at word granularity):
+    * a chunk boundary falls AFTER every word whose 32-bit content hash
+    * is ≡ 0 (mod `g`), so chunk boundaries depend only on local
+    * content — inserting a paragraph shifts ONE chunk, not every
+    * fixed-width window downstream. Expected chunk length is `g`
+    * words. This is the storage-dedup / long-document-near-dup
+    * primitive: identical spans land in identical chunks no matter
+    * where they sit in the document.
+    *
+    * Shape: posexplode (narrow, ∝ corpus tokens), a per-document
+    * running sum window (bounded by document length — never global),
+    * one groupBy(doc, chunk) shuffle ∝ token count. Chunk content
+    * hashes order words by position inside the group, so the result
+    * is partition-order-free. */
+  def cdcChunks(docs: DataFrame, g: Int = 16): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(toks(col("text"))).as(Seq("pos", "w")))
+    val b = tok.withColumn("b",
+      when(pmod(Dedup.hash32(col("w")), lit(g.toLong)) === 0, 1L).otherwise(0L))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withChunk = b.withColumn("chunk",
+      coalesce(sum(col("b")).over(wPrev), lit(0L)))
+    withChunk.groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_tok"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")))).as("ch"))
+  }
+
+  /** Cross-document duplicate spans via CDC: chunks (≥ `minTok` words)
+    * whose content hash occurs in more than one document. One extra
+    * groupBy on the chunk hash — rows ∝ distinct chunks, far below
+    * token count. The 100 TB dedup sweep every storage-efficient
+    * corpus pipeline runs before training. */
+  def cdcDupSpans(docs: DataFrame, g: Int = 16, minTok: Int = 3): DataFrame =
+    cdcChunks(docs, g).where(col("n_tok") >= minTok)
+      .groupBy(col("ch")).agg(
+        min(col("n_tok")).as("n_tok"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_docs") > 1)
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting via the degree-ordered node-iterator
+  * (Schank/Wagner 2005; the MapReduce formulation is Suri/Vassilvitskii
+  * WWW'11 "Counting triangles and the curse of the last reducer").
+  *
+  * Orient every undirected edge from its lower endpoint to its higher
+  * endpoint under the total order (degree, id). Each triangle then has
+  * exactly ONE node with two out-edges, so
+  *   wedges  = oriented ⋈ oriented on src (v ≺ w)
+  *   closed  = wedges ⋈ oriented on (v, w)
+  * counts each triangle exactly once. The orientation is the scale
+  * lever: out-degree under the degree order is O(√m) even on power-law
+  * graphs, so the wedge fan-out is bounded by √m per node instead of
+  * by the max degree — the "last reducer" (a celebrity node with 10⁸
+  * neighbors) never materializes its Θ(deg²) wedges.
+  *
+  * Shuffle inventory at 100 TB: degrees (one groupBy on node), two
+  * node-keyed joins to attach degrees (dim-sized right side — AQE
+  * picks broadcast when it fits, shuffle-hash when a 10⁹-node degree
+  * table doesn't), the wedge self-join keyed on src, and the closing
+  * join keyed on (v, w). All equi-joins on bounded-fan-out keys; no
+  * cartesian anywhere, no global window.
+  */
+object Triangles {
+
+  /** Per-node triangle participation counts, top `k` by (count desc,
+    * node asc). `edges` must be an undirected edge list with columns
+    * (a, b); duplicates and self-loops are removed here. */
+  def nodeTriangles(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    // src = the endpoint earlier in the (deg, id) total order.
+    // Persisted scratch: `oriented` feeds THREE consumers (both wedge
+    // arms and the closing probe) — without the persist each branch
+    // re-derives the whole edge list (scan + degree agg + two joins)
+    // from scratch, tripling the dominant cost at scale. Drained by
+    // the harness via the Scratch contract.
+    val oriented = graft.util.Scratch.track(withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("da").as("ds"),
+               col("b").as("dst"), col("db").as("dd")))
+        .otherwise(
+          struct(col("b").as("src"), col("db").as("ds"),
+                 col("a").as("dst"), col("da").as("dd"))).as("e"))
+      .select(col("e.src"), col("e.ds"), col("e.dst"), col("e.dd"))
+      .persist())
+    // wedges u→v, u→w with v ≺ w (same total order keeps each
+    // unordered pair once)
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+    val wedges = o1.join(o2, Seq("src"))
+      .where(col("dv") < col("dw") ||
+             (col("dv") === col("dw") && col("v") < col("w")))
+    // close the wedge: oriented edge v→w must exist (orientation of
+    // {v,w} is v→w exactly because v ≺ w)
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"))
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+    // per-node participation: each triangle credits its 3 corners
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    // global top-k on (tri desc, node) = TakeOrderedAndProject
+    perNode.orderBy(col("tri").desc, col("node")).limit(k)
+      .select(col("node"), col("tri"))
+  }
+
+  /** Co-occurrence edge list: nodes of `key` that share at least one
+    * `group` value. Per-group fan-out is the group size — bounded for
+    * market-basket-shaped inputs (TPC-H orders average ~4 lines), so
+    * the self-join is narrow per key and never quadratic globally. */
+  def coOccurrenceEdges(df: DataFrame, group: String, key: String): DataFrame = {
+    val l = df.select(col(group).as("g"), col(key).as("a")).distinct()
+    val r = df.select(col(group).as("g"), col(key).as("b")).distinct()
+    l.join(r, Seq("g")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+}

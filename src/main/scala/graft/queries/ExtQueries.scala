@@ -401,6 +401,46 @@ object ExtQueries {
       graft.llm.Similarity.mmrTopK(t(s, d, "embeddings"),
         col("vec_id") < 10, k = 5, pool = 20)),
 
+    // hybrid retrieval: BM25 top-50 ∪ dense-cosine top-50 fused by
+    // reciprocal rank (κ=60, integer 10⁹/(κ+r) contributions) — the
+    // calibration-free sparse+dense first stage of a RAG retriever
+    "sim_rrf_hybrid" -> ((s, d) =>
+      graft.llm.Similarity.rrfHybrid(t(s, d, "documents"),
+        t(s, d, "embeddings"), Seq("spark", "join", "vector"),
+        queryId = 0L, pool = 50, k = 20)),
+
+    // degree-ordered node-iterator triangle counting over the
+    // parts-co-ordered-together graph: orientation bounds wedge
+    // fan-out at O(√m) — no "last reducer" even on power-law degree
+    "graph_triangles" -> ((s, d) =>
+      graft.operators.Triangles.nodeTriangles(
+        graft.operators.Triangles.coOccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey"), 20)),
+
+    // content-defined chunking (LBFS cut rule at word granularity):
+    // boundary after words with hash ≡ 0 (mod 16) — insert-stable
+    // chunk identities for storage dedup / span-level near-dup
+    "text_cdc_chunks" -> ((s, d) =>
+      graft.llm.TextAnalysis.cdcChunks(t(s, d, "documents"), 16)),
+
+    // cross-document duplicate spans via CDC chunk hashes (≥3 tokens,
+    // in >1 doc) — one extra groupBy on the chunk hash
+    "dedup_cdc_spans" -> ((s, d) =>
+      graft.llm.TextAnalysis.cdcDupSpans(t(s, d, "documents"), 16, 3)),
+
+    // Bloom-pruned semi-join: dim keys → 2¹⁶-bit driver-built filter →
+    // codegen'd probe predicate AT THE FACT SCAN (rows that cannot
+    // join never enter a shuffle) → exact broadcast semi-join kills
+    // the false positives. Result = exact orders ⋉ BUILDING customers.
+    "rel_bloom_semijoin" -> ((s, d) => {
+      val bld = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      graft.operators.BloomJoin.semiJoin(t(s, d, "orders"), "o_custkey",
+          bld, "c_custkey")
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents"))
+    }),
+
     // fixed-point PageRank over the orders→customer→nation→region FK
     // graph: scaled-integer power iteration (operators.PageRank) —
     // bit-exact across engines, no float accumulation order anywhere
@@ -505,6 +545,48 @@ object ExtQueries {
       |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
   private val cosSql =
     "list_dot_product(ea, eb) / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))"
+
+  /** BM25 CTE chain ending in `sc(doc_id, score)` (terms spark/join/
+    * vector, k1=1.2, b=0.75, Lucene idf) — shared by text_bm25 and
+    * sim_rrf_hybrid. Every fractional literal ::DOUBLE so DuckDB runs
+    * the chain in IEEE doubles like the engine. */
+  private lazy val bm25ScCtes: String = {
+    def term(t: String) = {
+      val (tf, df) = (s"tf_$t", s"df_$t")
+      s"""ln(1.0::DOUBLE + (n - $df + 0.5::DOUBLE) / ($df + 0.5::DOUBLE))
+         | * ($tf * 2.2::DOUBLE) / ($tf + 1.2::DOUBLE * (0.25::DOUBLE
+         |   + 0.75::DOUBLE * dl / (CAST(sumdl AS DOUBLE) / n)))""".stripMargin
+    }
+    s"""tf AS (SELECT doc_id, len($toksSql) AS dl,
+      |   len(list_filter($toksSql, x -> x = 'spark')) AS tf_spark,
+      |   len(list_filter($toksSql, x -> x = 'join')) AS tf_join,
+      |   len(list_filter($toksSql, x -> x = 'vector')) AS tf_vector
+      |  FROM documents),
+      | st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+      |   count_if(tf_spark > 0) AS df_spark, count_if(tf_join > 0) AS df_join,
+      |   count_if(tf_vector > 0) AS df_vector FROM tf),
+      | sc AS (SELECT doc_id, round(${term("spark")}
+      |    + ${term("join")}
+      |    + ${term("vector")}, 6) AS score FROM tf, st)""".stripMargin
+  }
+
+  /** CDC chunk CTE chain ending in `cc(doc_id, chunk, n_tok, ch)` —
+    * boundary after words with hash32 ≡ 0 (mod 16), chunk id = count
+    * of boundaries strictly before the word (matches
+    * TextAnalysis.cdcChunks). */
+  private lazy val cdcChunkCtes: String =
+    s"""d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      | t0 AS (SELECT doc_id, unnest(toks) AS s,
+      |   generate_subscripts(toks, 1) AS pos FROM d0),
+      | b0 AS (SELECT doc_id, pos, s,
+      |   CASE WHEN ($hash32Sql) % 16 = 0 THEN 1 ELSE 0 END AS bnd FROM t0),
+      | c0 AS (SELECT doc_id, pos, s, CAST(coalesce(sum(bnd) OVER (
+      |     PARTITION BY doc_id ORDER BY pos
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk
+      |   FROM b0),
+      | cc AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tok,
+      |   md5(string_agg(s, ' ' ORDER BY pos)) AS ch
+      |  FROM c0 GROUP BY 1, 2)""".stripMargin
 
   /** MinHash-LSH verified near-dup pairs as CTEs ending in `pr(da, db,
     * jaccard)` — shared by the pair query and the cluster query. */
@@ -1400,27 +1482,89 @@ object ExtQueries {
     // DuckDB and would run the whole chain in decimal arithmetic
     // where the engine uses IEEE doubles. Term contributions add
     // left-associatively in the engine's fixed term order.
-    "text_bm25" -> {
-      def term(t: String) = {
-        val (tf, df) = (s"tf_$t", s"df_$t")
-        s"""ln(1.0::DOUBLE + (n - $df + 0.5::DOUBLE) / ($df + 0.5::DOUBLE))
-           | * ($tf * 2.2::DOUBLE) / ($tf + 1.2::DOUBLE * (0.25::DOUBLE
-           |   + 0.75::DOUBLE * dl / (CAST(sumdl AS DOUBLE) / n)))""".stripMargin
-      }
-      s"""WITH tf AS (SELECT doc_id, len($toksSql) AS dl,
-        |   len(list_filter($toksSql, x -> x = 'spark')) AS tf_spark,
-        |   len(list_filter($toksSql, x -> x = 'join')) AS tf_join,
-        |   len(list_filter($toksSql, x -> x = 'vector')) AS tf_vector
-        |  FROM documents),
-        | st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
-        |   count_if(tf_spark > 0) AS df_spark, count_if(tf_join > 0) AS df_join,
-        |   count_if(tf_vector > 0) AS df_vector FROM tf),
-        | sc AS (SELECT doc_id, round(${term("spark")}
-        |    + ${term("join")}
-        |    + ${term("vector")}, 6) AS score FROM tf, st)
+    "text_bm25" ->
+      s"""WITH $bm25ScCtes
         | SELECT doc_id, score FROM sc WHERE score > 0
-        | ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+        | ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // RRF hybrid: BM25 top-50 (same sc CTEs as text_bm25) ∪ dense
+    // cosine-vs-vec-0 top-50, fused by integer round(10⁹/(60+rank))
+    // contributions; full-outer on id, top-20 by (rrf desc, id)
+    "sim_rrf_hybrid" -> {
+      def contrib(r: String) =
+        s"coalesce(CAST(round(1000000000.0::DOUBLE / (60.0::DOUBLE + $r), 0) AS BIGINT), 0)"
+      s"""WITH $bm25ScCtes,
+        | sp AS (SELECT doc_id AS id, CAST(row_number() OVER (
+        |     ORDER BY score DESC, doc_id) AS BIGINT) AS rs
+        |   FROM (SELECT * FROM sc WHERE score > 0
+        |         ORDER BY score DESC, doc_id LIMIT 50)),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        | dn0 AS (SELECT vec_id, list_dot_product(qe, emb) /
+        |     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(emb, emb))) AS sim
+        |   FROM e, q WHERE vec_id != 0),
+        | dn AS (SELECT vec_id AS id, CAST(row_number() OVER (
+        |     ORDER BY sim DESC, vec_id) AS BIGINT) AS rd
+        |   FROM (SELECT * FROM dn0 ORDER BY sim DESC, vec_id LIMIT 50)),
+        | fu AS (SELECT coalesce(sp.id, dn.id) AS id,
+        |     ${contrib("rs")} + ${contrib("rd")} AS rrf
+        |   FROM sp FULL OUTER JOIN dn ON sp.id = dn.id)
+        | SELECT id, rrf, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank
+        | FROM fu ORDER BY rrf DESC, id LIMIT 20""".stripMargin
     },
+
+    // degree-ordered triangle counting on the co-order parts graph:
+    // orient by (deg, id), wedges from the single out-out self-join,
+    // close on the (v, w) oriented edge; each triangle counted once,
+    // then credited to its 3 corners
+    "graph_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |   FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | deg AS (SELECT v, count(*) AS deg FROM (
+        |   SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) GROUP BY 1),
+        | o AS (SELECT
+        |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+        |        THEN e0.a ELSE e0.b END AS src,
+        |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+        |        THEN e0.b ELSE e0.a END AS dst,
+        |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+        |        THEN db.deg ELSE da.deg END AS dd
+        |   FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        | w AS (SELECT o1.src AS src, o1.dst AS v, o2.dst AS w2
+        |   FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |   AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))),
+        | tr AS (SELECT w.src AS x, w.v AS y, w.w2 AS z
+        |   FROM w JOIN o o3 ON o3.src = w.v AND o3.dst = w.w2),
+        | n AS (SELECT unnest([x, y, z]) AS node FROM tr),
+        | c AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM n GROUP BY 1)
+        | SELECT node, tri FROM c ORDER BY tri DESC, node LIMIT 20""".stripMargin,
+
+    // CDC chunks: boundary AFTER words with hash32 ≡ 0 (mod 16);
+    // chunk id = boundaries strictly before pos; chunk hash = md5 of
+    // the position-ordered words
+    "text_cdc_chunks" ->
+      s"""WITH $cdcChunkCtes
+        | SELECT doc_id, chunk, n_tok, ch FROM cc""".stripMargin,
+
+    // duplicate CDC spans: ≥3-token chunks whose hash lands in >1 doc
+    "dedup_cdc_spans" ->
+      s"""WITH $cdcChunkCtes
+        | SELECT ch, CAST(min(n_tok) AS BIGINT) AS n_tok,
+        |   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |   CAST(count(*) AS BIGINT) AS n_occ
+        | FROM cc WHERE n_tok >= 3 GROUP BY 1
+        | HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    // Bloom-pruned semi-join — the Bloom pass only prunes, so the
+    // oracle is the exact semi-join; revenue summed as exact cents
+    "rel_bloom_semijoin" ->
+      """SELECT o_orderpriority AS pri, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        | FROM orders
+        | WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                     WHERE c_mktsegment = 'BUILDING')
+        | GROUP BY 1""".stripMargin,
 
     // tf·idf top-3 per doc; rank over the ROUNDED score (term-asc
     // ties) so both engines rank identical values

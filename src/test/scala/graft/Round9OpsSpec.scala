@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.TextAnalysis
+import graft.operators.{BloomJoin, Triangles}
+
+/** Round-9 operators: degree-ordered triangle counting, Bloom-pruned
+  * semi-join, content-defined chunking, RRF hybrid fusion. */
+class Round9OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("triangle counts match brute force on a known graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant
+    // 4-5 edge and an isolated edge 6-7 (no triangles)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L),
+      (2L, 1L), (3L, 1L) // duplicates reversed — must be deduped
+    ).toDF("a", "b")
+    val got = Triangles.nodeTriangles(edges, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("triangle count equals the unordered brute force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 200).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .toDF("a", "b")
+    val e = edges.where($"a" =!= $"b")
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b")).distinct()
+    val brute = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .count() // each triangle a<b<c appears exactly once in this form
+    val perNode = Triangles.nodeTriangles(edges, 1000)
+      .agg(sum("tri")).collect()(0).getLong(0)
+    assert(perNode == 3 * brute) // each triangle credits 3 corners
+  }
+
+  test("bloom filter has no false negatives and semiJoin is exact") {
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i, i % 97)).toDF("k", "v")
+    val small = Seq(3L, 97L, 512L, 1999L, 4001L).toDF("sk")
+    val pruned = BloomJoin.bloomFilter(big, $"k", small, $"sk")
+    val keys = pruned.select("k").as[Long].collect().toSet
+    assert(Set(3L, 97L, 512L, 1999L).subsetOf(keys), "false negative")
+    val exact = BloomJoin.semiJoin(big, "k", small, "sk")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(exact == Seq(3L, 97L, 512L, 1999L))
+  }
+
+  test("CDC chunks: identical spans chunk identically regardless of prefix") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val docs = Seq(
+      (1L, span.trim),
+      (2L, ("prefix words shifting everything " + span).trim)
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(docs, 4)
+      .select("doc_id", "ch").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    // content-defined: interior chunk hashes of the shared span must
+    // coincide despite the position shift (only boundary-adjacent
+    // chunks may differ)
+    val shared = chunks(1L) intersect chunks(2L)
+    assert(shared.nonEmpty, "no shared chunk hash across shifted copies")
+  }
+
+  test("CDC chunks partition the document exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j k l m n o p q r s t")).toDF("doc_id", "text")
+    val total = TextAnalysis.cdcChunks(docs, 4)
+      .agg(sum("n_tok")).collect()(0).getLong(0)
+    assert(total == 20L)
+  }
+
+  test("rrf fusion ranks ids present in both lists above single-list ids") {
+    import spark.implicits._
+    // doc that matches the BM25 terms AND is near vec 0 should fuse highest
+    val docs = Seq(
+      (1L, "spark join vector spark join vector"),
+      (2L, "nothing relevant here at all padding"),
+      (3L, "spark alone")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length($"text"))
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity.rrfHybrid(docs, emb,
+      Seq("spark", "join", "vector"), queryId = 0L, pool = 10, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.head._1 == 1L) // in both top lists → max fused score
+    assert(got.map(_._2).toSeq == (1L to got.length))
+  }
+}
