@@ -46,7 +46,8 @@ object Bench {
     "text_bm25", "text_tfidf_topk", "llm_dsir_weights", "text_bigram_ppl",
     "text_nb_train", "text_nb_score", "sim_topk_mmr",
     "sim_rrf_hybrid", "graph_triangles", "text_cdc_chunks",
-    "dedup_cdc_spans", "rel_bloom_semijoin")
+    "dedup_cdc_spans", "rel_bloom_semijoin",
+    "sketch_cms_topk", "llm_cdc_clean")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

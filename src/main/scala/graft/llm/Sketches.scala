@@ -76,4 +76,38 @@ object Sketches {
         when(col("nd") < k, col("nd").cast(DoubleType))
           .otherwise(round(lit((k - 1).toDouble) / col("uk"), 6)).as("est_distinct"))
   }
+
+  /** Count-min sketch (Cormode/Muthukrishnan 2005): d hash rows × w
+    * buckets of ADDITIVE counters — frequency estimates with one-sided
+    * error (est ≥ exact, over by ≤ εN w.h.p., ε = e/w). Built here by
+    * the distributed ROLLUP path: per-`group` cell counts summed into
+    * the global sketch — CMS merges by cell-wise addition, so the
+    * rollup is bit-equal to sketching the table at once, and at 100 TB
+    * the only thing crossing the wire is d·w longs per group/partition
+    * (map-side partial combine does most of it).
+    *
+    * The salted hash is the engine's portable hash32 over "i:value",
+    * so the oracle replays every cell exactly. `estimates` returns the
+    * per-term min over the d cells next to the EXACT count (the
+    * fixture's ground truth, exposing the one-sided error); the
+    * sketch path alone — build + probe against d·w broadcast cells —
+    * is the piece that scales. */
+  def cmsTopK(df: DataFrame, group: Column, value: Column,
+              d: Int = 4, w: Int = 256, k: Int = 20): DataFrame = {
+    def buckets(term: Column): Column = array((0 until d).map(i =>
+      pmod(Dedup.hash32(concat(lit(s"$i:"), term)), lit(w.toLong))): _*)
+    val terms = df.select(group.as("g"), value.as("term"))
+    val perGroup = terms
+      .select(col("g"), posexplode(buckets(col("term"))).as(Seq("row", "bucket")))
+      .groupBy(col("g"), col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+    val cells = perGroup.groupBy(col("row"), col("bucket"))
+      .agg(sum(col("c")).as("cnt")) // merge = cell-wise add
+    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+    val probes = exact.select(col("term"), col("exact"),
+      posexplode(buckets(col("term"))).as(Seq("row", "bucket")))
+    probes.join(broadcast(cells), Seq("row", "bucket"))
+      .groupBy(col("term"), col("exact")).agg(min(col("cnt")).as("est"))
+      .orderBy(col("est").desc, col("term")).limit(k)
+      .select(col("term"), col("exact"), col("est"))
+  }
 }

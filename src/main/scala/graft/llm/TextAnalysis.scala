@@ -444,7 +444,12 @@ object TextAnalysis {
     * one groupBy(doc, chunk) shuffle ∝ token count. Chunk content
     * hashes order words by position inside the group, so the result
     * is partition-order-free. */
-  def cdcChunks(docs: DataFrame, g: Int = 16): DataFrame = {
+  def cdcChunks(docs: DataFrame, g: Int = 16): DataFrame =
+    cdcChunksWithText(docs, g).drop("ctext")
+
+  /** cdcChunks plus the chunk's text (`ctext`) — the input to
+    * transformations that REWRITE documents chunk-wise (cdcClean). */
+  private[llm] def cdcChunksWithText(docs: DataFrame, g: Int): DataFrame = {
     val tok = docs.select(col("doc_id"),
       posexplode(toks(col("text"))).as(Seq("pos", "w")))
     val b = tok.withColumn("b",
@@ -455,9 +460,37 @@ object TextAnalysis {
       coalesce(sum(col("b")).over(wPrev), lit(0L)))
     withChunk.groupBy(col("doc_id"), col("chunk"))
       .agg(count(lit(1)).as("n_tok"),
-        md5(concat_ws(" ",
+        concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-            s => s.getField("w")))).as("ch"))
+            s => s.getField("w"))).as("ctext"))
+      .withColumn("ch", md5(col("ctext")))
+  }
+
+  /** Chunk-wise global dedup rewrite: every CDC chunk keeps its FIRST
+    * occurrence in (doc_id, chunk) order and later copies are dropped
+    * from their documents — the boilerplate-strip / repeated-span
+    * removal pass (the chunk-level analogue of exact-substring dedup,
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"). Documents are rebuilt from their surviving
+    * chunks in order; output is per-doc accounting plus the rebuilt
+    * text's fingerprint.
+    *
+    * Shape: cdcChunks' narrow scan + one (doc,chunk) groupBy, a
+    * first-occurrence window partitioned BY CHUNK HASH (groups =
+    * duplicate multiplicity, bounded), one (doc) groupBy to
+    * reassemble. Nothing global, nothing quadratic. */
+  def cdcClean(docs: DataFrame, g: Int = 16): DataFrame = {
+    val chunks = cdcChunksWithText(docs, g)
+    val firstWin = Window.partitionBy(col("ch"))
+      .orderBy(col("doc_id"), col("chunk"))
+    chunks.withColumn("rn", row_number().over(firstWin))
+      .where(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks_kept"),
+        sum(col("n_tok")).as("n_tok_clean"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("chunk"), col("ctext")))),
+            s => s.getField("ctext")))).as("clean_fp"))
   }
 
   /** Cross-document duplicate spans via CDC: chunks (≥ `minTok` words)

@@ -428,6 +428,21 @@ object ExtQueries {
     "dedup_cdc_spans" -> ((s, d) =>
       graft.llm.TextAnalysis.cdcDupSpans(t(s, d, "documents"), 16, 3)),
 
+    // count-min sketch frequency estimates, built by the per-lang
+    // rollup path (cell-wise addition) — est ≥ exact always; exact
+    // column = the fixture's ground truth exposing the one-sided error
+    "sketch_cms_topk" -> ((s, d) =>
+      graft.llm.Sketches.cmsTopK(
+        t(s, d, "documents").select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("tok")),
+        col("lang"), col("tok"), d = 4, w = 32, k = 20)),
+
+    // chunk-wise global dedup REWRITE: CDC chunks keep their first
+    // (doc_id, chunk)-ordered occurrence, documents rebuilt from the
+    // survivors — boilerplate/repeated-span strip (Lee et al. 2022)
+    "llm_cdc_clean" -> ((s, d) =>
+      graft.llm.TextAnalysis.cdcClean(t(s, d, "documents"), 16)),
+
     // Bloom-pruned semi-join: dim keys → 2¹⁶-bit driver-built filter →
     // codegen'd probe predicate AT THE FACT SCAN (rows that cannot
     // join never enter a shuffle) → exact broadcast semi-join kills
@@ -543,6 +558,8 @@ object ExtQueries {
     """CAST(list_sum(list_transform(range(1, 9),
       |  i -> (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1)
       |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+  /** hash32Sql applied to an arbitrary string expression. */
+  private def hash32On(e: String): String = hash32Sql.replace("md5(s)", s"md5($e)")
   private val cosSql =
     "list_dot_product(ea, eb) / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))"
 
@@ -585,6 +602,7 @@ object ExtQueries {
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk
       |   FROM b0),
       | cc AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tok,
+      |   string_agg(s, ' ' ORDER BY pos) AS ctext,
       |   md5(string_agg(s, ' ' ORDER BY pos)) AS ch
       |  FROM c0 GROUP BY 1, 2)""".stripMargin
 
@@ -1555,6 +1573,38 @@ object ExtQueries {
         |   CAST(count(*) AS BIGINT) AS n_occ
         | FROM cc WHERE n_tok >= 3 GROUP BY 1
         | HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    // count-min sketch: 4×256 cells over salted hash32("i:token"),
+    // estimate = min over a term's 4 cells; rollup build ≡ direct
+    // build by CMS linearity, so the oracle builds directly
+    "sketch_cms_topk" -> {
+      // NB: hash32Sql's fold variable is `i`, so the salt must be
+      // pre-concatenated (sv) — referencing the salt column inside
+      // md5(...) would be captured by the lambda binder
+      val b = s"""${hash32On("sv")} % 32"""
+      s"""WITH tok AS (SELECT unnest($toksSql) AS s FROM documents),
+        | ri AS (SELECT CAST(range AS VARCHAR) AS salt FROM range(4)),
+        | tc AS (SELECT salt, salt || ':' || s AS sv FROM tok, ri),
+        | cells AS (SELECT salt, $b AS bucket, count(*) AS cnt FROM tc GROUP BY 1, 2),
+        | ex AS (SELECT s, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY 1),
+        | pr AS (SELECT s, exact, salt, $b AS bucket
+        |   FROM (SELECT s, exact, salt, salt || ':' || s AS sv FROM ex, ri)),
+        | est AS (SELECT s AS term, exact, CAST(min(cnt) AS BIGINT) AS est
+        |   FROM pr JOIN cells USING (salt, bucket) GROUP BY 1, 2)
+        | SELECT term, exact, est FROM est
+        | ORDER BY est DESC, term LIMIT 20""".stripMargin
+    },
+
+    // CDC dedup rewrite: first (doc_id, chunk) occurrence of each
+    // chunk hash survives; docs rebuilt from survivors in chunk order
+    "llm_cdc_clean" ->
+      s"""WITH $cdcChunkCtes,
+        | fo AS (SELECT doc_id, chunk, n_tok, ctext, row_number() OVER (
+        |     PARTITION BY ch ORDER BY doc_id, chunk) AS rn FROM cc)
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
+        |   CAST(sum(n_tok) AS BIGINT) AS n_tok_clean,
+        |   md5(string_agg(ctext, ' ' ORDER BY chunk)) AS clean_fp
+        | FROM fo WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
     // Bloom-pruned semi-join — the Bloom pass only prunes, so the
     // oracle is the exact semi-join; revenue summed as exact cents

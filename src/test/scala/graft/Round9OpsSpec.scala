@@ -76,6 +76,37 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(total == 20L)
   }
 
+  test("count-min estimates dominate exact counts and rollup equals direct build") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).map(i =>
+      (s"g${i % 3}", s"tok${rnd.nextInt(40)}")).toDF("g", "v")
+    val got = graft.llm.Sketches.cmsTopK(rows, $"g", $"v", d = 4, w = 16, k = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"$t: est $est < exact $exact") }
+    // rollup (3 groups) ≡ single-group build — CMS is linear
+    val direct = graft.llm.Sketches.cmsTopK(
+      rows.withColumn("g", lit("all")), $"g", $"v", d = 4, w = 16, k = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == direct.sortBy(_._1).toSeq)
+  }
+
+  test("cdcClean keeps the first copy of duplicated chunks and conserves unique tokens") {
+    import spark.implicits._
+    val span = (1 to 30).map(i => s"word$i").mkString(" ") // 30 distinct words
+    val docs = Seq((1L, span), (2L, span),
+      (3L, "entirely different words without any overlap here")).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcClean(docs, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 1 keeps all 30 tokens; doc 2 is a full duplicate — every one
+    // of its chunks already occurred in doc 1, so it vanishes entirely
+    assert(out(1L) == 30L)
+    assert(!out.contains(2L))
+    assert(out(3L) == 7L)
+  }
+
   test("rrf fusion ranks ids present in both lists above single-list ids") {
     import spark.implicits._
     // doc that matches the BM25 terms AND is near vec 0 should fuse highest
