@@ -83,6 +83,28 @@ object Sampling {
         .otherwise(lit("test")).as("split"))
   }
 
+  /** Leakage-free train/val/test split: assign whole NEAR-DUP CLUSTERS
+    * to a split, not documents — a plain per-doc hash split puts one
+    * copy of a near-duplicate pair in train and the other in test,
+    * leaking training content into evaluation (the split-contamination
+    * failure mode; cf. the decontamination literature around Lee et
+    * al. 2022). Cluster id = min doc_id reachable through the verified
+    * MinHash near-dup relation (Dedup.nearDupClusters), so every
+    * member hashes to the SAME bucket and no near-dup edge can cross
+    * splits. Salted independently of the per-doc split so the two are
+    * uncorrelated. Cost beyond clustering: one codegen'd projection. */
+  def leakFreeSplit(docs: DataFrame, threshold: Double = 0.5,
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val clusters = Dedup.nearDupClusters(docs, threshold)
+    val bucket = pmod(Dedup.hash32(
+      concat(lit("csplit:"), col("cluster").cast(StringType))), lit(100L))
+    clusters.select(col("doc_id"), col("cluster"), bucket.as("bucket"),
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** Domain mixing to per-source token caps: measure each source's
     * token supply, derive keep-rate = min(1, cap ÷ supply), then
     * hash-threshold docs at that rate (salted independently of every

@@ -314,6 +314,11 @@ object ExtQueries {
     "llm_split" -> ((s, d) =>
       graft.llm.Sampling.trainValTest(t(s, d, "documents"))),
 
+    // leakage-free split: whole near-dup CLUSTERS assigned to a split
+    // (cluster-id hash), so no near-duplicate pair crosses train/test
+    "llm_split_leakfree" -> ((s, d) =>
+      graft.llm.Sampling.leakFreeSplit(t(s, d, "documents"), 0.5)),
+
     // domain mixing to per-source token caps: supply aggregate →
     // broadcast rates → salted hash-threshold (Sampling.mixToBudget)
     "llm_mix_budget" -> ((s, d) =>
@@ -836,6 +841,25 @@ object ExtQueries {
         |   least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
         | FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
         | GROUP BY d.doc_id""".stripMargin,
+
+    // cluster-granular split: the dedup_clusters recursive closure +
+    // the salted cluster-id bucket hash (= Sampling.leakFreeSplit)
+    "llm_split_leakfree" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        | edges AS (SELECT da, db FROM pr UNION SELECT db AS da, da AS db FROM pr),
+        | reach(a, b) AS (
+        |   SELECT da, db FROM edges
+        |   UNION
+        |   SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da),
+        | cl AS (SELECT d.doc_id,
+        |   least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id),
+        | bk AS (SELECT doc_id, cluster,
+        |   ${hash32On("'csplit:' || CAST(cluster AS VARCHAR)")} % 100 AS bucket
+        |  FROM cl)
+        | SELECT doc_id, cluster, bucket, CASE WHEN bucket < 80 THEN 'train'
+        |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM bk""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS s FROM documents),

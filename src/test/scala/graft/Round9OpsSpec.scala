@@ -107,6 +107,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(3L) == 7L)
   }
 
+  test("leak-free split never separates a near-dup pair across splits") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = (0L until 40L).map { i =>
+      // pairs (2k, 2k+1) are near-dups of each other; distinct pairs differ
+      val t = base + s"tail${i / 2} salt${i / 2}"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val split = graft.llm.Sampling.leakFreeSplit(docs, 0.5)
+    val byDoc = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.llm.Dedup.minhashNearDups(docs, 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture produced no near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"near-dups $a/$b split across ${byDoc(a)}/${byDoc(b)}") }
+    // and it is still a split: every doc labeled, labels from the 3 classes
+    assert(byDoc.size == 40 && byDoc.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("rrf fusion ranks ids present in both lists above single-list ids") {
     import spark.implicits._
     // doc that matches the BM25 terms AND is near vec 0 should fuse highest
