@@ -207,6 +207,62 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle counting plans equi-joins only — no cartesian, no nested loop") {
+    // the degree orientation exists precisely so the wedge self-join is
+    // a bounded-fan-out equi-join; a cartesian anywhere means the
+    // orientation was lost and the plan is Θ(V²) at scale
+    val df = SparkEntry.queries("graph_triangles")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle plan must be equi-joins only:\n$plan")
+  }
+
+  test("bloom semi-join probes at the fact scan, before any exchange") {
+    // the entire point of the operator: the probe predicate must sit
+    // between the orders scan and the first exchange/join, so rows that
+    // cannot join die during the scan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("rel_bloom_semijoin")(spark, sfDir)
+    // collect() does not descend into an AQE wrapper — unwrap it
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    def factScanBelow(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec => f.toString.contains("orders.parquet")
+      case other => other.children.exists(factScanBelow)
+    }
+    val probeFilters = plan.collect {
+      case f: FilterExec if factScanBelow(f) &&
+        f.condition.toString.contains("element_at") => f
+    }
+    assert(probeFilters.nonEmpty,
+      s"bloom probe predicate not applied over the fact scan:\n$plan")
+    // and no exchange between the fact scan and that filter
+    val exchangesBelowProbe = probeFilters.head.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchangesBelowProbe.isEmpty,
+      s"fact side exchanged before the bloom probe:\n$plan")
+  }
+
+  test("CMS build and RRF arms never hash-shuffle more than cell/pool rows") {
+    // CMS: the only exchanges carry (group|row,bucket) cells — d·w·G
+    // rows; RRF: both arms end in TakeOrdered heads, the corpus itself
+    // is never exchanged
+    val cms = SparkEntry.queries("sketch_cms_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!cms.contains("CartesianProduct") &&
+      !cms.contains("BroadcastNestedLoopJoin"), s"CMS plan:\n$cms")
+    val rrf = SparkEntry.queries("sim_rrf_hybrid")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(rrf.contains("TakeOrderedAndProject"),
+      s"RRF arms must be TakeOrdered heads, not global sorts:\n$rrf")
+  }
+
   test("DSIR weight pass is scan + broadcast map, no corpus shuffle") {
     // the bucket-LM aggregation shuffles B·2 cells; the weighting pass
     // itself must stay a narrow fold under a broadcast single-row map
