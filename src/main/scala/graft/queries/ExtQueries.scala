@@ -85,6 +85,10 @@ object ExtQueries {
     "stream_session_counts" -> ((s, d) => Events.streamingSessionCounts(s, d)),
     "stream_dedup_counts" -> ((s, d) => Events.streamingDedup(s, d)),
     "stream_user_stats" -> ((s, d) => Events.streamingUserStats(s, d)),
+    // CMS cells as a running streaming aggregate (bounded state: d·w
+    // counters), probed batch-side after the replay — bit-equal to the
+    // batch sketch by CMS linearity
+    "stream_cms_counts" -> ((s, d) => Events.streamingCms(s, d)),
     // stream-stream inner join, watermarks both sides + range condition
     // (bounded state on unbounded streams); oracle = the batch range join
     "stream_stream_join" -> ((s, d) => Events.streamStreamJoin(s, d)),
@@ -707,6 +711,21 @@ object ExtQueries {
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
         | FROM events GROUP BY 1, 2""".stripMargin,
+
+    // streamed CMS cells ≡ batch cells (linearity + exhaustive
+    // replay), so the oracle builds the sketch directly
+    "stream_cms_counts" -> {
+      val b = s"""${hash32On("sv")} % 32"""
+      s"""WITH tok AS (SELECT event_type AS s FROM events),
+        | ri AS (SELECT CAST(range AS VARCHAR) AS salt FROM range(4)),
+        | tc AS (SELECT salt, salt || ':' || s AS sv FROM tok, ri),
+        | cells AS (SELECT salt, $b AS bucket, count(*) AS cnt FROM tc GROUP BY 1, 2),
+        | ex AS (SELECT DISTINCT event_type AS term FROM events),
+        | pr AS (SELECT term, salt, $b AS bucket
+        |   FROM (SELECT term, salt, salt || ':' || term AS sv FROM ex, ri))
+        | SELECT term, CAST(min(cnt) AS BIGINT) AS est
+        | FROM pr JOIN cells USING (salt, bucket) GROUP BY 1""".stripMargin
+    },
 
     // append mode emits a window only once the watermark (max event
     // time − 1h) passes its END; the final still-open windows are

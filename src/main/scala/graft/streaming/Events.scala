@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -253,5 +253,31 @@ object Events {
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     runToTable(spark, deduped, "complete")
+  }
+
+  /** Count-min sketch maintained IN THE STREAM: the d×w additive cells
+    * are a running streaming aggregate (state = d·w counters total, a
+    * constant — the sketch is the canonical bounded-state answer to
+    * "frequencies over an unbounded stream"). After the replay the
+    * cells are probed batch-side for every observed event_type;
+    * because CMS is linear and the replay is exhaustive, the streamed
+    * cells — and so the estimates — are bit-equal to the batch build
+    * (llm/Sketches.cmsTopK semantics, same salted hash32). */
+  def streamingCms(spark: SparkSession, sfDir: String,
+                   d: Int = 4, w: Int = 32): DataFrame = {
+    import graft.llm.Dedup
+    def buckets(term: Column): Column = array((0 until d).map(i =>
+      pmod(Dedup.hash32(concat(lit(s"$i:"), term)), lit(w.toLong))): _*)
+    val src = eventsStream(spark, sfDir)
+    val cells = src
+      .select(posexplode(buckets(col("event_type"))).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val streamed = runToTable(spark, cells, "complete")
+    val probes = graft.Graft.table(spark, sfDir, "events")
+      .select(col("event_type").as("term")).distinct()
+      .select(col("term"),
+        posexplode(buckets(col("term"))).as(Seq("row", "bucket")))
+    probes.join(broadcast(streamed), Seq("row", "bucket"))
+      .groupBy(col("term")).agg(min(col("cnt")).as("est"))
   }
 }

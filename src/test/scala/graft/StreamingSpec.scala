@@ -202,4 +202,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streamed count-min cells equal the batch sketch (linearity)") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Events.streamingCms(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.llm.Sketches.cmsTopK(
+        graft.Graft.table(spark, sfDir, "events")
+          .select(col("event_type").as("v")),
+        org.apache.spark.sql.functions.lit("all"), col("v"),
+        d = 4, w = 32, k = 100)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(streamed == batch)
+    assert(streamed.keySet == Set("click", "view", "signup", "purchase", "error"))
+  }
 }
