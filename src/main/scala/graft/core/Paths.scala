@@ -26,7 +26,14 @@ object Paths {
     * ~10 GB peak heap over a bench sequence (BENCH_r08 diagnostics,
     * woql_path_plus_alt 3.7 s GC per run). */
   private def cp(df: DataFrame): DataFrame =
-    graft.util.Scratch.trackCheckpoint(df.localCheckpoint(true))
+    graft.util.Scratch.trackCheckpoint(df.localCheckpoint(true,
+      // SER: checkpoint blocks live as compact byte arrays instead of
+      // millions of row objects — the deserialized default held
+      // 10-13 GB of traced heap across a bench sequence and full-GC
+      // pauses were most of woql_path_plus_alt's in-sequence cost
+      // (BENCH_r09 diag: 8.3 s GC of a 16.5 s double-rep). The decode
+      // cost on re-read is per-block streaming, not per-round.
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   /** Lazy union of per-round delta chunks. The accumulated set is only
     * ever READ (anti-joins, the final result) — re-checkpointing the
