@@ -11,38 +11,50 @@ import org.apache.spark.sql.functions._
   *
   * The build side's distinct keys are hashed k ways into an m-bit
   * filter assembled ON THE DRIVER (a bounded collect: the build side
-  * is a dim table, and what crosses the wire is ≤ |keys|·k distinct
-  * bit positions, each a long). The filter ships to executors as a
-  * plan literal (m bits ≈ 8 KB at the default 2¹⁶), and the probe is
-  * a pure codegen'd column predicate — the big side is pruned DURING
-  * ITS SCAN, before any exchange, so rows that cannot join never
-  * enter a shuffle. False positives are removed by the exact join the
-  * caller runs after (result = exact semi-join; the Bloom pass only
-  * changes WHERE rows die, not which).
+  * is a dim table, and what crosses the wire is ≤ min(|keys|·k, m)
+  * distinct bit positions, each a long). The filter ships to
+  * executors as a bit-packed long-array plan literal (m/8 bytes), and
+  * the probe is a pure codegen'd column predicate — the big side is
+  * pruned DURING ITS SCAN, before any exchange, so rows that cannot
+  * join never enter a shuffle. False positives are removed by the
+  * exact join the caller runs after (result = exact semi-join; the
+  * Bloom pass only changes WHERE rows die, not which).
   *
-  * At 100 TB: the big side streams through scan+filter untouched by
-  * shuffle; the only coordination is the dim-side distinct (tiny) and
-  * one broadcast. With fpp ≈ (1-e^(-kn/m))^k — n=10⁴ keys, m=2¹⁶,
-  * k=3 gives ~2.7% — the exchange downstream sees ~FP·|big| extra
-  * rows, not |big|. */
+  * SIZING IS THE SCALE LEVER: a fixed m saturates once n ≈ m (fpp→1,
+  * the filter prunes nothing — measured at the 10× rehearsal: 300k
+  * build keys in a 2¹⁶-bit filter left the probe a no-op). Default is
+  * therefore AUTO: one count() of the dim side, then m = 16n rounded
+  * up to a power of two (k=3 → fpp ≈ (1−e^(−3/16))³ ≈ 0.5%), capped
+  * at 2²⁷ bits = 16 MB of filter — past that, n is no longer
+  * "dim-sized" and a Bloom build belongs in a distributed aggregate,
+  * not a driver literal. */
 object BloomJoin {
 
   /** Keep only `big` rows whose `bigKey` might be in `small`'s
-    * `smallKey` set (no false negatives). */
+    * `smallKey` set (no false negatives). `bits` = 0 → auto-size from
+    * the build-side distinct count. */
   def bloomFilter(big: DataFrame, bigKey: Column,
                   small: DataFrame, smallKey: Column,
-                  bits: Int = 1 << 16, k: Int = 3): DataFrame = {
-    require(Integer.bitCount(bits) == 1, "bits must be a power of two")
-    val m = bits.toLong
+                  bits: Int = 0, k: Int = 3): DataFrame = {
     val keys = small.select(smallKey.cast("long").as("k")).distinct()
+    val m: Long =
+      if (bits > 0) { require(Integer.bitCount(bits) == 1, "bits must be a power of two"); bits.toLong }
+      else {
+        val n = keys.count()
+        math.min(1L << 27, math.max(1L << 16,
+          java.lang.Long.highestOneBit(math.max(1L, 16 * n - 1)) << 1))
+      }
     val positions = keys.select(explode(array(
         (0 until k).map(i => pmod(xxhash64(col("k"), lit(i)), lit(m))): _*)).as("p"))
       .distinct().collect().map(_.getLong(0))
-    val filter = new Array[Boolean](bits)
-    positions.foreach(p => filter(p.toInt) = true)
-    val f = typedlit(filter.toSeq)
+    val words = new Array[Long]((m / 64).toInt)
+    positions.foreach(p => words((p / 64).toInt) |= (1L << (p % 64)))
+    val f = typedlit(words.toSeq)
     val probe = (0 until k).map { i =>
-      element_at(f, (pmod(xxhash64(bigKey, lit(i)), lit(m)) + 1).cast("int"))
+      val p = pmod(xxhash64(bigKey, lit(i)), lit(m))
+      val word = element_at(f, (p / 64).cast("int") + 1)
+      val bit = pmod(p, lit(64L)).cast("int")
+      call_function("shiftright", word, bit).bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
     big.where(probe)
   }
@@ -52,7 +64,7 @@ object BloomJoin {
     * positives). Result rows are exactly `big ⋉ small`. */
   def semiJoin(big: DataFrame, bigKeyName: String,
                small: DataFrame, smallKeyName: String,
-               bits: Int = 1 << 16, k: Int = 3): DataFrame = {
+               bits: Int = 0, k: Int = 3): DataFrame = {
     val keys = small.select(col(smallKeyName)).distinct()
     bloomFilter(big, col(bigKeyName), small, col(smallKeyName), bits, k)
       .join(broadcast(keys), col(bigKeyName) === keys(smallKeyName), "left_semi")
