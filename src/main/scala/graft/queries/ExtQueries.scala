@@ -437,6 +437,15 @@ object ExtQueries {
     "dedup_cdc_spans" -> ((s, d) =>
       graft.llm.TextAnalysis.cdcDupSpans(t(s, d, "documents"), 16, 3)),
 
+    // windowed funnel (click→view→purchase within 2h): one
+    // groupBy(user) + linear greedy-DP fold per user — O(events·k),
+    // no k-way self-join fan-out on hot users
+    "rel_funnel" -> ((s, d) =>
+      graft.operators.Funnel.windowFunnel(t(s, d, "events"),
+        user = "user_id", ts = "ts", tieBreak = "event_id",
+        typeCol = "event_type", steps = Seq("click", "view", "purchase"),
+        windowMicros = 7200000000L)),
+
     // count-min sketch frequency estimates, built by the per-lang
     // rollup path (cell-wise addition) — est ≥ exact always; exact
     // column = the fixture's ground truth exposing the one-sided error
@@ -1616,6 +1625,33 @@ object ExtQueries {
         |   CAST(count(*) AS BIGINT) AS n_occ
         | FROM cc WHERE n_tok >= 3 GROUP BY 1
         | HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    // funnel oracle: the k-way self-join EXISTS formulation — correct,
+    // quadratic on hot users, labelled; window constrains chain ENDS
+    // (intermediates sit between); ties chain id-ascending like the
+    // engine's (ts, event_id) fold order
+    "rel_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_us(ts) AS t,
+        |   event_type AS ty FROM events),
+        | us AS (SELECT DISTINCT u FROM e),
+        | l1 AS (SELECT DISTINCT u FROM e WHERE ty = 'click'),
+        | l2 AS (SELECT DISTINCT a.u FROM e a JOIN e b ON a.u = b.u
+        |   AND a.ty = 'click' AND b.ty = 'view'
+        |   AND (a.t < b.t OR (a.t = b.t AND a.id < b.id))
+        |   AND b.t - a.t <= 7200000000),
+        | l3 AS (SELECT DISTINCT a.u FROM e a JOIN e b ON a.u = b.u
+        |   AND a.ty = 'click' AND b.ty = 'view'
+        |   AND (a.t < b.t OR (a.t = b.t AND a.id < b.id))
+        |   JOIN e c ON c.u = a.u AND c.ty = 'purchase'
+        |   AND (b.t < c.t OR (b.t = c.t AND b.id < c.id))
+        |   AND c.t - a.t <= 7200000000),
+        | lv AS (SELECT us.u, CASE WHEN l3.u IS NOT NULL THEN 3
+        |     WHEN l2.u IS NOT NULL THEN 2
+        |     WHEN l1.u IS NOT NULL THEN 1 ELSE 0 END AS lev
+        |   FROM us LEFT JOIN l1 ON us.u = l1.u
+        |   LEFT JOIN l2 ON us.u = l2.u LEFT JOIN l3 ON us.u = l3.u)
+        | SELECT CAST(lev AS BIGINT) AS level, count(*) AS n_users
+        | FROM lv GROUP BY 1""".stripMargin,
 
     // count-min sketch: 4×256 cells over salted hash32("i:token"),
     // estimate = min over a term's 4 cells; rollup build ≡ direct

@@ -127,6 +127,39 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(byDoc.size == 40 && byDoc.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("window funnel matches the brute-force self-join on random event logs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val types = Seq("click", "view", "purchase", "other")
+    val events = (1 to 600).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(500) * 60000L),
+        types(rnd.nextInt(4)))
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val T = 3600000000L // 1h in micros
+    val got = graft.operators.Funnel.windowFunnel(events, "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view", "purchase"), T)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force per user via collected scala
+    val byUser = events.collect()
+      .map(r => (r.getLong(1), (r.getTimestamp(2).getTime * 1000, r.getLong(0),
+        r.getString(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(e => (e._1, e._2))).toMap
+    val brute = byUser.view.mapValues { es =>
+      def chains(lvl: Int): Seq[(Long, Long, Long)] = // (startT, endT, endId)
+        if (lvl == 1) es.filter(_._3 == "click").map(e => (e._1, e._1, e._2)).toSeq
+        else chains(lvl - 1).flatMap { case (s, et, eid) =>
+          es.filter(e => (e._3 == Seq("click", "view", "purchase")(lvl - 1)) &&
+            (e._1 > et || (e._1 == et && e._2 > eid)))
+            .map(e => (s, e._1, e._2))
+        }
+      (1 to 3).filter(l => chains(l).exists(c => c._2 - c._1 <= T))
+        .maxOption.getOrElse(0).toLong
+    }.toMap
+    val bruteCounts = brute.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == bruteCounts, s"got $got vs brute $bruteCounts")
+  }
+
   test("rrf fusion ranks ids present in both lists above single-list ids") {
     import spark.implicits._
     // doc that matches the BM25 terms AND is near vec 0 should fuse highest
