@@ -446,6 +446,12 @@ object ExtQueries {
         typeCol = "event_type", steps = Seq("click", "view", "purchase"),
         windowMicros = 7200000000L)),
 
+    // hourly cohort retention at +1/+3/+6 hours: two bounded
+    // aggregates + one user-keyed join — no windows, nothing quadratic
+    "rel_retention" -> ((s, d) =>
+      graft.operators.Retention.cohortRetention(t(s, d, "events"),
+        user = "user_id", ts = "ts", unit = "hour", offsets = Seq(1, 3, 6))),
+
     // count-min sketch frequency estimates, built by the per-lang
     // rollup path (cell-wise addition) — est ≥ exact always; exact
     // column = the fixture's ground truth exposing the one-sided error
@@ -1652,6 +1658,22 @@ object ExtQueries {
         |   LEFT JOIN l2 ON us.u = l2.u LEFT JOIN l3 ON us.u = l3.u)
         | SELECT CAST(lev AS BIGINT) AS level, count(*) AS n_users
         | FROM lv GROUP BY 1""".stripMargin,
+
+    // retention: first-event hour cohort; ret_k = users active in
+    // EXACTLY cohort+k hours
+    "rel_retention" ->
+      """WITH f AS (SELECT user_id AS u, date_trunc('hour', min(ts)) AS cohort
+        |   FROM events GROUP BY 1),
+        | a AS (SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS p FROM events),
+        | fl AS (SELECT a.u, cohort,
+        |   max(CASE WHEN p = cohort + INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS f1,
+        |   max(CASE WHEN p = cohort + INTERVAL 3 HOUR THEN 1 ELSE 0 END) AS f3,
+        |   max(CASE WHEN p = cohort + INTERVAL 6 HOUR THEN 1 ELSE 0 END) AS f6
+        |  FROM a JOIN f ON a.u = f.u GROUP BY 1, 2)
+        | SELECT cohort, count(*) AS n_users,
+        |  CAST(sum(f1) AS BIGINT) AS ret_1, CAST(sum(f3) AS BIGINT) AS ret_3,
+        |  CAST(sum(f6) AS BIGINT) AS ret_6
+        | FROM fl GROUP BY 1""".stripMargin,
 
     // count-min sketch: 4×256 cells over salted hash32("i:token"),
     // estimate = min over a term's 4 cells; rollup build ≡ direct

@@ -160,6 +160,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == bruteCounts, s"got $got vs brute $bruteCounts")
   }
 
+  test("cohort retention counts a hand-built log correctly") {
+    import spark.implicits._
+    def t(h: Int, m: Int) = new java.sql.Timestamp(
+      java.time.LocalDateTime.of(2024, 1, 1, h, m)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    // user 1: first 09:xx, active 10:xx (+1) and 12:xx (+3)
+    // user 2: first 09:xx, never again
+    // user 3: first 10:xx, active 11:xx (+1)
+    val ev = Seq((1L, t(9, 5)), (1L, t(9, 50)), (1L, t(10, 1)), (1L, t(12, 59)),
+      (2L, t(9, 30)), (3L, t(10, 10)), (3L, t(11, 45)))
+      .toDF("user_id", "ts")
+    val got = graft.operators.Retention.cohortRetention(ev,
+        "user_id", "ts", "hour", Seq(1, 3, 6))
+      .collect().map(r => (r.getTimestamp(0).toString,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("2024-01-01 09:00:00.0", 2L, 1L, 1L, 0L),
+      ("2024-01-01 10:00:00.0", 1L, 1L, 0L, 0L)))
+  }
+
   test("rrf fusion ranks ids present in both lists above single-list ids") {
     import spark.implicits._
     // doc that matches the BM25 terms AND is near vec 0 should fuse highest
