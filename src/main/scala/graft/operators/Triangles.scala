@@ -31,10 +31,15 @@ object Triangles {
     * node asc). `edges` must be an undirected edge list with columns
     * (a, b); duplicates and self-loops are removed here. */
   def nodeTriangles(edges: DataFrame, k: Int): DataFrame = {
-    val e = edges.where(col("a") =!= col("b"))
+    // persisted scratch: the canonical edge list feeds the degree
+    // union (2 consumers) AND both degree-attach joins — without the
+    // persist the (possibly expensive) edge derivation recomputes 4×
+    // inside the one oriented-edges job
+    val e = graft.util.Scratch.track(edges.where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val withDeg = e
@@ -55,7 +60,7 @@ object Triangles {
           struct(col("b").as("src"), col("db").as("ds"),
                  col("a").as("dst"), col("da").as("dd"))).as("e"))
       .select(col("e.src"), col("e.ds"), col("e.dst"), col("e.dd"))
-      .persist())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     // wedges u→v, u→w with v ≺ w (same total order keeps each
     // unordered pair once)
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
