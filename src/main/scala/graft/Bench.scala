@@ -43,6 +43,7 @@ object Bench {
     "text_bpe_train", "text_bpe_apply",
     "text_tokens", "text_quality", "text_fingerprint", "llm_pipeline_clean",
     "llm_pipeline_v2",
+    "llm_pipeline_v3",
     "text_bm25", "text_tfidf_topk", "llm_dsir_weights", "text_bigram_ppl",
     "text_nb_train", "text_nb_score", "sim_topk_mmr",
     "sim_rrf_hybrid", "graph_triangles", "text_cdc_chunks",

@@ -43,6 +43,30 @@ object Pipeline {
       .select(col("doc_id"), col("stop_ratio"), col("mean_tok_len"))
   }
 
+  /** Pipeline v3 — the round-9 composition: quality gate →
+    * CDC span-level dedup REWRITE (duplicated chunks stripped, docs
+    * rebuilt — finer than doc-level dedup: boilerplate dies, unique
+    * content survives) → leakage-free cluster-granular split → the
+    * per-split accounting a training run consumes. Documents whose
+    * every chunk already occurred elsewhere vanish entirely (their
+    * rewrite is empty). One declarative plan end to end; each stage's
+    * scale shape is its operator's (see cdcClean / leakFreeSplit). */
+  def cleanSpanSplitStats(docs: DataFrame,
+                          maxStopRatio: Double = 0.5,
+                          minMeanTokLen: Double = 2.0): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .where(col("stop_ratio") <= maxStopRatio &&
+        col("mean_tok_len") >= minMeanTokLen)
+    val gated = docs.join(q.select("doc_id"), Seq("doc_id"), "left_semi")
+    val rewritten = TextAnalysis.cdcClean(gated)
+    val split = Sampling.leakFreeSplit(gated)
+    rewritten.join(split.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks_kept")).as("n_chunks"),
+        sum(col("n_tok_clean")).as("n_tokens_clean"))
+  }
+
   /** Pipeline v2 — [[cleanCorpus]] composed with the deterministic
     * holdout split and the per-split accounting a training run
     * consumes: (split, n_docs, total_tokens). Still ONE declarative

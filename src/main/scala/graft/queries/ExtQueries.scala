@@ -446,6 +446,11 @@ object ExtQueries {
         typeCol = "event_type", steps = Seq("click", "view", "purchase"),
         windowMicros = 7200000000L)),
 
+    // v3: quality → CDC span-strip rewrite → leak-free split →
+    // accounting (the round-9 stages composed into one plan)
+    "llm_pipeline_v3" -> ((s, d) =>
+      graft.llm.Pipeline.cleanSpanSplitStats(t(s, d, "documents"))),
+
     // hourly cohort retention at +1/+3/+6 hours: two bounded
     // aggregates + one user-keyed join — no windows, nothing quadratic
     "rel_retention" -> ((s, d) =>
@@ -615,8 +620,9 @@ object ExtQueries {
     * boundary after words with hash32 ≡ 0 (mod 16), chunk id = count
     * of boundaries strictly before the word (matches
     * TextAnalysis.cdcChunks). */
-  private lazy val cdcChunkCtes: String =
-    s"""d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  private lazy val cdcChunkCtes: String = cdcChunkCtesFrom("documents")
+  private def cdcChunkCtesFrom(src: String): String =
+    s"""d0 AS (SELECT doc_id, $toksSql AS toks FROM $src),
       | t0 AS (SELECT doc_id, unnest(toks) AS s,
       |   generate_subscripts(toks, 1) AS pos FROM d0),
       | b0 AS (SELECT doc_id, pos, s,
@@ -632,8 +638,10 @@ object ExtQueries {
 
   /** MinHash-LSH verified near-dup pairs as CTEs ending in `pr(da, db,
     * jaccard)` — shared by the pair query and the cluster query. */
-  private val minhashPairCtes: String =
-    s"""sh AS (SELECT doc_id, $shSql AS shs FROM documents),
+  private val minhashPairCtes: String = minhashPairCtesFrom("documents")
+  /** Same chain over an arbitrary source CTE/table (needs doc_id, text). */
+  private def minhashPairCtesFrom(src: String): String =
+    s"""sh AS (SELECT doc_id, $shSql AS shs FROM $src),
        | h AS (SELECT doc_id, $hash32Sql AS hv FROM
        |        (SELECT doc_id, unnest(shs) AS s FROM sh)),
        | sig AS (SELECT doc_id,
@@ -1211,6 +1219,44 @@ object ExtQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens
         | FROM sp GROUP BY 1""".stripMargin),
+
+    // v3: quality gate → CDC span-strip rewrite → cluster-granular
+    // split → per-split accounting; fully-duplicated docs vanish
+    "llm_pipeline_v3" ->
+      s"""WITH RECURSIVE q AS (SELECT doc_id,
+        |   round(len(list_filter($toksSql, x -> list_contains(
+        |     ['the','a','of','and','to','in','is','it'], x))) * 1.0 / len($toksSql), 6)
+        |     AS stop_ratio,
+        |   round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
+        |     / len($toksSql), 6) AS mean_tok_len
+        |  FROM documents),
+        | gated AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+        |  WHERE q.stop_ratio <= 0.5 AND q.mean_tok_len >= 2.0),
+        | ${cdcChunkCtesFrom("gated")},
+        | fo AS (SELECT doc_id, chunk, n_tok, ctext, row_number() OVER (
+        |     PARTITION BY ch ORDER BY doc_id, chunk) AS rn FROM cc),
+        | rw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
+        |   CAST(sum(n_tok) AS BIGINT) AS n_tok_clean
+        |  FROM fo WHERE rn = 1 GROUP BY doc_id),
+        | ${minhashPairCtesFrom("gated")},
+        | edges AS (SELECT da, db FROM pr UNION SELECT db AS da, da AS db FROM pr),
+        | reach(a, b) AS (
+        |   SELECT da, db FROM edges
+        |   UNION
+        |   SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da),
+        | cl AS (SELECT g.doc_id,
+        |   least(g.doc_id, coalesce(min(r.b), g.doc_id)) AS cluster
+        |  FROM gated g LEFT JOIN reach r ON r.a = g.doc_id
+        |  GROUP BY g.doc_id),
+        | sp AS (SELECT doc_id,
+        |   ${hash32On("'csplit:' || CAST(cluster AS VARCHAR)")} % 100 AS bucket
+        |  FROM cl)
+        | SELECT CASE WHEN bucket < 80 THEN 'train'
+        |   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chunks_kept) AS BIGINT) AS n_chunks,
+        |  CAST(sum(n_tok_clean) AS BIGINT) AS n_tokens_clean
+        | FROM rw JOIN sp USING (doc_id) GROUP BY 1""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
