@@ -112,6 +112,30 @@ object Dedup {
     ja.select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Containment re-scoring of the LSH candidate pairs: alongside
+    * Jaccard, the ASYMMETRIC overlap |A∩B| / min(|A|,|B|) — the metric
+    * that catches a small document wholly embedded in a big one, where
+    * Jaccard is diluted by the big side (Broder's containment; the
+    * sub-document-duplication signal a doc-level near-dup pass
+    * misses). Same banded candidate generation, one extra column in
+    * the verify — candidates stay ∝ band collisions, never all-pairs;
+    * a pair must still band-collide to be scored, which is the
+    * documented recall bound (full containment search would index
+    * shingles directly). */
+  def minhashContainment(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs).localCheckpoint(true)
+    val cand = lshCandidatesFromSets(sets)
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sa")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("sb")), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast(DoubleType))
+      .withColumn("cont", col("inter") / least(size(col("sa")), size(col("sb"))))
+      .where(col("cont") >= threshold)
+      .select(col("da"), col("db"),
+        round(col("inter") / size(array_union(col("sa"), col("sb"))), 6).as("jaccard"),
+        round(col("cont"), 6).as("containment"))
+  }
+
   /** Incremental dedup — a NEW batch checked against the EXISTING
     * corpus, the nightly-ingest shape of a training pipeline: per new
     * document, `exact` (canonical hash already present in the corpus),

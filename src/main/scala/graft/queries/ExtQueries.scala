@@ -165,6 +165,11 @@ object ExtQueries {
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(t(s, d, "documents"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashNearDups(t(s, d, "documents"), 0.5)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(t(s, d, "documents"), 0.5)),
+
+    // asymmetric containment (|∩|/min) over the same banded candidates
+    // — catches sub-document duplication Jaccard dilutes away
+    "dedup_containment" -> ((s, d) =>
+      Dedup.minhashContainment(t(s, d, "documents"), 0.7)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.5)),
     // exact-recall prefix-filter join — same answer as the brute pair
@@ -883,6 +888,20 @@ object ExtQueries {
         |   least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
         | FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
         | GROUP BY d.doc_id""".stripMargin,
+
+    // containment over the same banded candidates (the pr CTE's
+    // jaccard filter is simply unused here)
+    "dedup_containment" ->
+      s"""WITH $minhashPairCtes
+        | SELECT da, db, round(inter / uni, 6) AS jaccard,
+        |   round(cont, 6) AS containment FROM (
+        |  SELECT da, db,
+        |   len(list_intersect(x.shs, y.shs)) * 1.0 AS inter,
+        |   len(list_distinct(list_concat(x.shs, y.shs))) * 1.0 AS uni,
+        |   len(list_intersect(x.shs, y.shs)) * 1.0
+        |     / least(len(x.shs), len(y.shs)) AS cont
+        |  FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db)
+        | WHERE cont >= 0.7""".stripMargin,
 
     // cluster-granular split: the dedup_clusters recursive closure +
     // the salted cluster-id bucket hash (= Sampling.leakFreeSplit)
