@@ -155,7 +155,15 @@ object ExtQueries {
           // exact decimal sum, then one double render rounded to 6 —
           // DECIMAL(28,6) hashes differently across the driver's two
           // engines even when values match (red in r5+r6); a rounded
-          // double is representation-stable on both sides
+          // double is representation-stable on both sides.
+          // Magnitude bound (r7 ADVICE): the two engines' round(x, 6)
+          // provably agree while |sum|·10⁶ stays inside double's
+          // exact-integer range, i.e. |sum| < 2⁵³/10⁶ ≈ 9·10⁹. Here
+          // sum_value ≤ Σ|value| per ≤30-min window — O(10³) at sf1 and
+          // O(10⁵) even at a 10⁴× scale-up, four orders inside the
+          // bound; re-verified strict at sf0.1 this round (BASELINE
+          // "events family re-verified"). The exact DECIMAL sum stays
+          // the source of truth; only the final render is double.
           round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
             .as("sum_value"))
     }),
