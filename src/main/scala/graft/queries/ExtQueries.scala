@@ -514,6 +514,23 @@ object ExtQueries {
       graft.operators.PageRank.fixedPoint(o.union(c).union(n), iters = 3)
     }),
 
+    // personalized PageRank on the REVERSED FK graph seeded at region
+    // 1: proximity-to-seed ranks over the region's nations → customers
+    // → orders; unreachable nodes stay exactly 0
+    "graph_ppr" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"))
+      val c = t(s, d, "customer").select(
+        concat(lit("n:"), col("c_nationkey")).as("src"),
+        concat(lit("c:"), col("c_custkey")).as("dst"))
+      val n = t(s, d, "nation").select(
+        concat(lit("r:"), col("n_regionkey")).as("src"),
+        concat(lit("n:"), col("n_nationkey")).as("dst"))
+      val seeds = s.range(1).select(lit("r:1").as("node"))
+      graft.operators.PageRank.personalized(o.union(c).union(n), seeds, iters = 3)
+    }),
+
     // BM25 relevance against a fixed query-term list: per-term tf via
     // array filters (no explode), ONE-row corpus stats broadcast back
     // over the scan, top-n as TakeOrderedAndProject — the corpus
@@ -1420,6 +1437,7 @@ object ExtQueries {
         |  ELSE round(31.0 / uk, 6) END AS est_distinct FROM a""".stripMargin,
 
     "graph_pagerank" -> pagerankSql(iters = 3),
+    "graph_ppr" -> pprSql(iters = 3),
 
     // per-group sketches → union distinct → re-truncate → estimate
     "sketch_kmv_union" ->
@@ -2011,6 +2029,29 @@ object ExtQueries {
        | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        | deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
        | p0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM nodes),
+       | $rounds
+       | SELECT node, pr FROM p$iters""".stripMargin
+  }
+
+  /** Personalized-PageRank rounds: reversed FK graph, teleport mass on
+    * the seed only (= PageRank.personalized, bit-exact). */
+  private def pprSql(iters: Int, scale: Long = 1000000000L): String = {
+    val base = 15L * scale / 100
+    val rounds = (1 to iters).map { n =>
+      s"""p$n AS (SELECT nd.node, CAST((CASE WHEN nd.node = 'r:1' THEN $base ELSE 0 END)
+         |   + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS pr
+         | FROM nodes nd LEFT JOIN (
+         |  SELECT e.dst AS node, sum(p.pr // d.deg) AS inflow
+         |  FROM e JOIN p${n - 1} p ON e.src = p.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst) i ON nd.node = i.node)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (SELECT 'c:'||o_custkey AS src, 'o:'||o_orderkey AS dst FROM orders
+       | UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey FROM customer
+       | UNION ALL SELECT 'r:'||n_regionkey, 'n:'||n_nationkey FROM nation),
+       | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       | deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       | p0 AS (SELECT node, CAST(CASE WHEN node = 'r:1' THEN $scale ELSE 0 END AS BIGINT) AS pr
+       |   FROM nodes),
        | $rounds
        | SELECT node, pr FROM p$iters""".stripMargin
   }

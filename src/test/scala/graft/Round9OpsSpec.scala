@@ -180,6 +180,20 @@ class Round9OpsSpec extends AnyFunSuite {
       ("2024-01-01 10:00:00.0", 1L, 1L, 0L, 0L)))
   }
 
+  test("personalized PageRank confines mass to the seed's reachable set") {
+    import spark.implicits._
+    // two disjoint chains: 1→2→3 and 10→11; seed = 1
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val pr = graft.operators.PageRank.personalized(edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(10L) == 0L && pr(11L) == 0L, "mass leaked outside the seed component")
+    assert(pr(1L) == 150000000L) // base only: nothing points at the seed
+    assert(pr(2L) > 0L && pr(3L) > 0L)
+    // seed's direct successor outranks the 2-hop node
+    assert(pr(2L) > pr(3L))
+  }
+
   test("rrf fusion ranks ids present in both lists above single-list ids") {
     import spark.implicits._
     // doc that matches the BM25 terms AND is near vec 0 should fuse highest
