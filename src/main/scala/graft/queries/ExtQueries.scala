@@ -531,6 +531,14 @@ object ExtQueries {
       graft.operators.PageRank.personalized(o.union(c).union(n), seeds, iters = 3)
     }),
 
+    // 60-core of the co-order parts graph: iterative peel to fixpoint
+    // (asserted ≤ 6 rounds; oracle unrolls exactly 6 — idempotent past
+    // the fixpoint)
+    "graph_kcore" -> ((s, d) =>
+      graft.operators.KCore.kCore(
+        graft.operators.Triangles.coOccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey"), k = 60)),
+
     // BM25 relevance against a fixed query-term list: per-term tf via
     // array filters (no explode), ONE-row corpus stats broadcast back
     // over the scan, top-n as TakeOrderedAndProject — the corpus
@@ -1438,6 +1446,7 @@ object ExtQueries {
 
     "graph_pagerank" -> pagerankSql(iters = 3),
     "graph_ppr" -> pprSql(iters = 3),
+    "graph_kcore" -> kcoreSql(k = 60, rounds = 6),
 
     // per-group sketches → union distinct → re-truncate → estimate
     "sketch_kmv_union" ->
@@ -2031,6 +2040,26 @@ object ExtQueries {
        | p0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM nodes),
        | $rounds
        | SELECT node, pr FROM p$iters""".stripMargin
+  }
+
+  /** Unrolled k-core peel rounds (= KCore.kCore: the peel is
+    * idempotent past its fixpoint, so a fixed unroll ≥ the engine's
+    * asserted convergence bound replays it exactly). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { n =>
+      s"""d$n AS (SELECT v, count(*) AS deg FROM (
+         |   SELECT a AS v FROM e${n - 1} UNION ALL SELECT b AS v FROM e${n - 1}) GROUP BY 1),
+         | a$n AS (SELECT v FROM d$n WHERE deg >= $k),
+         | e$n AS MATERIALIZED (SELECT e.a, e.b FROM e${n - 1} e
+         |   JOIN a$n x ON e.a = x.v JOIN a$n y ON e.b = y.v)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |   FROM lineitem a JOIN lineitem b
+       |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       | $steps
+       | SELECT v AS node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS v FROM e$rounds UNION ALL SELECT b AS v FROM e$rounds)
+       | GROUP BY 1""".stripMargin
   }
 
   /** Personalized-PageRank rounds: reversed FK graph, teleport mass on

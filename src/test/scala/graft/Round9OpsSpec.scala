@@ -194,6 +194,18 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(pr(2L) > pr(3L))
   }
 
+  test("k-core peels to the known core of a constructed graph") {
+    import spark.implicits._
+    // K5 on {1..5} (every node degree 4) plus a tail 5-6-7: the 3-core
+    // is exactly the K5; 6 and 7 peel away (6 first drops 7 to deg 0)
+    val edges = (for {
+      a <- 1L to 5L; b <- 1L to 5L if a < b
+    } yield (a, b)).toSeq ++ Seq((5L, 6L), (6L, 7L))
+    val got = graft.operators.KCore.kCore(edges.toDF("a", "b"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("rrf fusion ranks ids present in both lists above single-list ids") {
     import spark.implicits._
     // doc that matches the BM25 terms AND is near vec 0 should fuse highest
