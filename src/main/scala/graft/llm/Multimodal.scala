@@ -89,6 +89,26 @@ object Multimodal {
       .select(col("doc_id"), col("j"), round(col("v"), 6).as("v"))
   }
 
+  /** Media embeddings → ANN: assemble [[extractFeatures]]' exploded
+    * (doc_id, j, v) rows into ordered vectors and run exact cosine
+    * top-k over them — the image/audio-similarity composition
+    * (media → embedding → nearest-neighbors) end to end. Swapping
+    * `fakeDecode`/the feature stub for a real encoder changes ONLY the
+    * per-partition batch body; this plan — one groupBy to build
+    * vectors, then the broadcast-query corpus scan of bruteTopK (and
+    * the IVF/PQ tiers beyond it) — is the production shape. Features
+    * are rounded once (6 dp) BEFORE vector assembly so both engines
+    * dot identical doubles. */
+  def embedTopK(docs: DataFrame, isQuery: org.apache.spark.sql.Column,
+                k: Int, dims: Int = 8): DataFrame = {
+    val vecs = extractFeatures(withPayload(docs), dims)
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("v")))),
+        s => s.getField("v")).as("embedding"))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    Similarity.bruteTopK(vecs, isQuery, k)
+  }
+
   /** Deterministic frame-sampling stub: pick every `stride`-th byte
     * offset as a "frame" index (shape of video frame sampling). */
   def sampleFrames(withBytes: DataFrame, stride: Int): DataFrame =

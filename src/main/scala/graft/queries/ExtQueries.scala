@@ -464,6 +464,12 @@ object ExtQueries {
     "llm_pipeline_v3" -> ((s, d) =>
       graft.llm.Pipeline.cleanSpanSplitStats(t(s, d, "documents"))),
 
+    // media → embedding → ANN composition: feature vectors assembled
+    // from the per-partition extractor feed exact cosine top-k
+    "mm_embed_topk" -> ((s, d) =>
+      graft.llm.Multimodal.embedTopK(t(s, d, "documents"),
+        col("vec_id") < 5, k = 5)),
+
     // hourly cohort retention at +1/+3/+6 hours: two bounded
     // aggregates + one user-keyed join — no windows, nothing quadratic
     "rel_retention" -> ((s, d) =>
@@ -1250,6 +1256,24 @@ object ExtQueries {
         |  FROM documents, (SELECT unnest(range(0, 8)) AS j))
         | SELECT doc_id, j, round($hash32Sql / 4294967296.0, 6) AS v
         | FROM f""".stripMargin,
+
+    // media-embedding ANN: the mm_features vectors (rounded 6dp before
+    // assembly) under the sim_topk_brute cosine/rank protocol
+    "mm_embed_topk" ->
+      s"""WITH f AS (SELECT doc_id, j, text || ':' || CAST(j AS VARCHAR) AS s
+        |  FROM documents, (SELECT unnest(range(0, 8)) AS j)),
+        | fv AS (SELECT doc_id, j, round($hash32Sql / 4294967296.0, 6) AS v FROM f),
+        | e AS (SELECT doc_id AS vec_id, list(v ORDER BY j) AS emb FROM fv GROUP BY 1)
+        | SELECT q, cand, rank, round(sim, 6) AS sim FROM (
+        |  SELECT a.vec_id AS q, b.vec_id AS cand,
+        |   list_dot_product(a.emb, b.emb) /
+        |     (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS sim,
+        |   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |     list_dot_product(a.emb, b.emb) /
+        |       (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) DESC,
+        |     b.vec_id) AS rank
+        |  FROM e a JOIN e b ON a.vec_id < 5 AND a.vec_id != b.vec_id)
+        | WHERE rank <= 5""".stripMargin,
 
     "llm_pipeline_clean" -> (pipelineCleanCtes +
       """ SELECT e.doc_id, q.stop_ratio, q.mean_tok_len
