@@ -36,7 +36,7 @@ object Bench {
     "dedup_embedding_lsh", "dedup_semantic", "dedup_incremental",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_ivf_trained",
     "sim_topk_lsh", "sim_topk_sq8", "sim_topk_pq", "emb_pq_encode",
-    "sketch_kmv_distinct", "sketch_kmv_union", "graph_pagerank", "graph_ppr", "graph_kcore",
+    "sketch_kmv_distinct", "sketch_kmv_union", "sketch_grid_quantiles", "graph_pagerank", "graph_ppr", "graph_kcore",
     "text_vocab_topk", "text_bpe_pairs",
     // train before apply: the merge table is a memoized artifact
     // (TextAnalysis.mergeCache), so apply measures ENCODE, not refit

@@ -77,6 +77,34 @@ object Sketches {
           .otherwise(round(lit((k - 1).toDouble) / col("uk"), 6)).as("est_distinct"))
   }
 
+  /** Fixed-grid histogram quantiles — the scalable percentile pattern:
+    * quantize values to an integer grid (centi-units here), build a
+    * per-group histogram (ONE groupBy whose cardinality is the grid
+    * resolution, independent of row count), then read each quantile
+    * as the smallest grid cell whose cumulative count reaches
+    * ⌈q·n⌉. The cumulative window partitions by group over
+    * grid-sized inputs — bounded at any data scale, unlike a global
+    * sort — and histograms are trivially mergeable (cell-wise add),
+    * so this is also the rollup/streaming shape. All arithmetic is
+    * integer (⌈q·n⌉ = (n·q₁₀₀ + 99) div 100), so both engines agree
+    * bit-for-bit; precision is ± one grid cell by construction. */
+  def gridQuantiles(df: DataFrame, group: Column, value: Column,
+                    qs: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 100))
+    val hist = df.select(group.as("g"),
+        floor(value * 100).cast(LongType).as("cell"))
+      .groupBy(col("g"), col("cell")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val aggs = qs.map(q =>
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("cell")))
+        .as(s"p${q}_c"))
+    cum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Count-min sketch (Cormode/Muthukrishnan 2005): d hash rows × w
     * buckets of ADDITIVE counters — frequency estimates with one-sided
     * error (est ≥ exact, over by ≤ εN w.h.p., ε = e/w). Built here by

@@ -464,6 +464,12 @@ object ExtQueries {
     "llm_pipeline_v3" -> ((s, d) =>
       graft.llm.Pipeline.cleanSpanSplitStats(t(s, d, "documents"))),
 
+    // fixed-grid histogram quantiles per event_type: the histogram
+    // cardinality is the GRID, not the rows — mergeable, rollup-ready
+    "sketch_grid_quantiles" -> ((s, d) =>
+      graft.llm.Sketches.gridQuantiles(t(s, d, "events"),
+        col("event_type"), col("value"))),
+
     // media → embedding → ANN composition: feature vectors assembled
     // from the per-partition extractor feed exact cosine top-k
     "mm_embed_topk" -> ((s, d) =>
@@ -1256,6 +1262,20 @@ object ExtQueries {
         |  FROM documents, (SELECT unnest(range(0, 8)) AS j))
         | SELECT doc_id, j, round($hash32Sql / 4294967296.0, 6) AS v
         | FROM f""".stripMargin,
+
+    // grid quantiles: integer ⌈q·n⌉ thresholds over the cumulative
+    // centi-unit histogram
+    "sketch_grid_quantiles" ->
+      """WITH h AS (SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS cell,
+        |   count(*) AS c FROM events GROUP BY 1, 2),
+        | cm AS (SELECT g, cell, c,
+        |   sum(c) OVER (PARTITION BY g ORDER BY cell
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(c) OVER (PARTITION BY g) AS n FROM h)
+        | SELECT g, CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN cell END) AS BIGINT) AS p50_c,
+        |   CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN cell END) AS BIGINT) AS p95_c,
+        |   CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN cell END) AS BIGINT) AS p99_c
+        | FROM cm GROUP BY 1""".stripMargin,
 
     // media-embedding ANN: the mm_features vectors (rounded 6dp before
     // assembly) under the sim_topk_brute cosine/rank protocol

@@ -206,6 +206,22 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("grid quantiles sit within one cell of the exact percentile") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vals = (1 to 5000).map(_ => rnd.nextDouble() * 300.0)
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val got = graft.llm.Sketches.gridQuantiles(df, $"g", $"v")
+      .collect()(0)
+    val sorted = vals.sorted
+    def exact(q: Double) = sorted((q * 5000).ceil.toInt - 1)
+    for ((idx, q) <- Seq((1, 0.50), (2, 0.95), (3, 0.99))) {
+      val cellVal = got.getLong(idx) / 100.0
+      assert(math.abs(cellVal - exact(q)) <= 0.011,
+        s"q=$q grid ${cellVal} vs exact ${exact(q)}")
+    }
+  }
+
   test("rrf fusion ranks ids present in both lists above single-list ids") {
     import spark.implicits._
     // doc that matches the BM25 terms AND is near vec 0 should fuse highest
