@@ -89,6 +89,9 @@ object ExtQueries {
     // counters), probed batch-side after the replay — bit-equal to the
     // batch sketch by CMS linearity
     "stream_cms_counts" -> ((s, d) => Events.streamingCms(s, d)),
+    // quantile histogram as a running streaming aggregate (state ∝
+    // groups × grid, never rows) — batch-equal by linearity
+    "stream_grid_quantiles" -> ((s, d) => Events.streamingGridQuantiles(s, d)),
     // stream-stream inner join, watermarks both sides + range condition
     // (bounded state on unbounded streams); oracle = the batch range join
     "stream_stream_join" -> ((s, d) => Events.streamStreamJoin(s, d)),
@@ -784,6 +787,20 @@ object ExtQueries {
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
         | FROM events GROUP BY 1, 2""".stripMargin,
+
+    // streamed histogram ≡ batch histogram (linearity), so the oracle
+    // is the batch grid-quantile query
+    "stream_grid_quantiles" ->
+      """WITH h AS (SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS cell,
+        |   count(*) AS c FROM events GROUP BY 1, 2),
+        | cm AS (SELECT g, cell, c,
+        |   sum(c) OVER (PARTITION BY g ORDER BY cell
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(c) OVER (PARTITION BY g) AS n FROM h)
+        | SELECT g, CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN cell END) AS BIGINT) AS p50_c,
+        |   CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN cell END) AS BIGINT) AS p95_c,
+        |   CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN cell END) AS BIGINT) AS p99_c
+        | FROM cm GROUP BY 1""".stripMargin,
 
     // streamed CMS cells ≡ batch cells (linearity + exhaustive
     // replay), so the oracle builds the sketch directly

@@ -255,6 +255,34 @@ object Events {
     runToTable(spark, deduped, "complete")
   }
 
+  /** Fixed-grid quantile histogram maintained IN THE STREAM: the
+    * per-(group, cell) counts are a running streaming aggregate whose
+    * state is bounded by groups × grid (never by row count — the
+    * quantile-over-an-unbounded-stream answer). After the replay the
+    * cells are read batch-side into p50/p95/p99 exactly like
+    * Sketches.gridQuantiles — bit-equal to the batch build by
+    * histogram linearity. */
+  def streamingGridQuantiles(spark: SparkSession, sfDir: String,
+                             qs: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val src = eventsStream(spark, sfDir)
+    val cells = src
+      .select(col("event_type").as("g"),
+        floor(col("value") * 100).cast(LongType).as("cell"))
+      .groupBy(col("g"), col("cell")).agg(count(lit(1)).as("c"))
+    val hist = runToTable(spark, cells, "complete")
+    val w = Window.partitionBy(col("g")).orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val aggs = qs.map(q =>
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("cell")))
+        .as(s"p${q}_c"))
+    cum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Count-min sketch maintained IN THE STREAM: the d×w additive cells
     * are a running streaming aggregate (state = d·w counters total, a
     * constant — the sketch is the canonical bounded-state answer to
