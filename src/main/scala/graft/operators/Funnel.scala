@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Windowed funnel analysis (the `windowFunnel` of the product-
@@ -26,6 +27,35 @@ import org.apache.spark.sql.functions._
   * sort and chain on the same (ts, event_id) total order); all
   * arithmetic is integer micros. */
 object Funnel {
+
+  /** Last-touch attribution: each conversion event is attributed to
+    * the LATEST touch event of the same user at-or-before it (in the
+    * (ts, id) total order) and within `windowMicros` of it. Because
+    * events are time-ordered, the latest preceding touch minimizes the
+    * gap, so "latest within window" ⟺ "any within window" — one
+    * running-max window per user (group size = the user's events,
+    * bounded; no self-join) decides attribution exactly. Output is the
+    * per-hour conversion/attribution accounting a marketing pipeline
+    * reads. */
+  def lastTouchAttribution(events: DataFrame, user: String, ts: String,
+                           tieBreak: String, typeCol: String,
+                           touch: String, conv: String,
+                           windowMicros: Long): DataFrame = {
+    val ev = events.select(col(user).as("u"),
+      unix_micros(col(ts)).as("t"), col(tieBreak).as("id"),
+      col(typeCol).as("ty"), col(ts).as("__ts"))
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLast = ev.withColumn("lt",
+      max(when(col("ty") === touch, struct(col("t"), col("id")))).over(w))
+    withLast.where(col("ty") === conv)
+      .select(date_trunc("hour", col("__ts")).as("h"),
+        (col("lt").isNotNull &&
+          (col("t") - col("lt.t")) <= windowMicros).as("attr"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_conv"),
+        count_if(col("attr")).as("n_attributed"))
+  }
 
   /** Per-level user counts: (level, n_users), level = deepest step
     * reached under the window (0 = none of step₁). */

@@ -479,6 +479,14 @@ object ExtQueries {
       graft.llm.Multimodal.embedTopK(t(s, d, "documents"),
         col("vec_id") < 5, k = 5)),
 
+    // last-touch attribution (purchase ← latest click ≤ 2h before):
+    // one running-max window per user, no self-join
+    "rel_attribution" -> ((s, d) =>
+      graft.operators.Funnel.lastTouchAttribution(t(s, d, "events"),
+        user = "user_id", ts = "ts", tieBreak = "event_id",
+        typeCol = "event_type", touch = "click", conv = "purchase",
+        windowMicros = 7200000000L)),
+
     // hourly cohort retention at +1/+3/+6 hours: two bounded
     // aggregates + one user-keyed join — no windows, nothing quadratic
     "rel_retention" -> ((s, d) =>
@@ -1819,6 +1827,19 @@ object ExtQueries {
         |   LEFT JOIN l2 ON us.u = l2.u LEFT JOIN l3 ON us.u = l3.u)
         | SELECT CAST(lev AS BIGINT) AS level, count(*) AS n_users
         | FROM lv GROUP BY 1""".stripMargin,
+
+    // attribution oracle: EXISTS any same-user click before-and-within
+    // window — equivalent to the engine's latest-click check because
+    // the latest preceding touch minimizes the gap
+    "rel_attribution" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_us(ts) AS t,
+        |   ts, event_type AS ty FROM events)
+        | SELECT date_trunc('hour', p.ts) AS h, count(*) AS n_conv,
+        |  CAST(count_if(EXISTS (SELECT 1 FROM e c WHERE c.u = p.u
+        |    AND c.ty = 'click'
+        |    AND (c.t < p.t OR (c.t = p.t AND c.id < p.id))
+        |    AND p.t - c.t <= 7200000000)) AS BIGINT) AS n_attributed
+        | FROM e p WHERE p.ty = 'purchase' GROUP BY 1""".stripMargin,
 
     // retention: first-event hour cohort; ret_k = users active in
     // EXACTLY cohort+k hours

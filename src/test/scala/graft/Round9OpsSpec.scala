@@ -222,6 +222,23 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("last-touch attribution respects order, window, and user boundaries") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val ev = Seq(
+      (1L, 1L, t(0L), "click"), (2L, 1L, t(60000L), "purchase"), // attributed
+      (3L, 2L, t(0L), "purchase"), (4L, 2L, t(1L), "click"),     // click AFTER → no
+      (5L, 3L, t(0L), "click"), (6L, 3L, t(3 * 3600 * 1000L), "purchase"), // 3h > 2h → no
+      (7L, 4L, t(0L), "click"), (8L, 5L, t(60000L), "purchase")  // other user's click → no
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Funnel.lastTouchAttribution(ev,
+        "user_id", "ts", "event_id", "event_type", "click", "purchase", 7200000000L)
+      .agg(org.apache.spark.sql.functions.sum("n_conv"),
+        org.apache.spark.sql.functions.sum("n_attributed"))
+      .collect()(0)
+    assert(got.getLong(0) == 4L && got.getLong(1) == 1L)
+  }
+
   test("rrf fusion ranks ids present in both lists above single-list ids") {
     import spark.implicits._
     // doc that matches the BM25 terms AND is near vec 0 should fuse highest
