@@ -263,6 +263,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"RRF arms must be TakeOrdered heads, not global sorts:\n$rrf")
   }
 
+  test("funnel and attribution plan with NO joins — fold/window only") {
+    // both operators exist to replace k-way self-joins; a join in
+    // either plan means the one-pass formulation regressed
+    for (q <- Seq("rel_funnel", "rel_attribution")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+    }
+  }
+
   test("DSIR weight pass is scan + broadcast map, no corpus shuffle") {
     // the bucket-LM aggregation shuffles B·2 cells; the weighting pass
     // itself must stay a narrow fold under a broadcast single-row map
