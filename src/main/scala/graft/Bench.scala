@@ -48,7 +48,7 @@ object Bench {
     "text_nb_train", "text_nb_score", "sim_topk_mmr",
     "sim_rrf_hybrid", "graph_triangles", "text_cdc_chunks",
     "dedup_cdc_spans", "rel_bloom_semijoin",
-    "sketch_cms_topk", "llm_cdc_clean", "rel_funnel", "rel_retention", "rel_attribution", "stream_cms_counts",
+    "sketch_cms_topk", "llm_cdc_clean", "rel_funnel", "rel_retention", "rel_attribution", "rel_basket_lift", "stream_cms_counts",
     "stream_grid_quantiles", "mm_embed_topk")
 
   def main(args: Array[String]): Unit = {

@@ -82,6 +82,35 @@ object Triangles {
       .select(col("node"), col("tri"))
   }
 
+  /** Market-basket lift: for item pairs co-occurring in ≥ `minSupport`
+    * baskets, lift = P(ab)/(P(a)P(b)) = n_ab·N/(n_a·n_b) — the
+    * affinity statistic of recommendation co-occurrence mining.
+    * Computed in micro-units with ONE rounded double division
+    * (integer inputs → both engines divide identical values), ties →
+    * (a, b) asc. Shapes: the pair self-join is bounded per basket
+    * (baskets are small), item/pair counts are map-side-combined
+    * aggregates, N broadcasts as one row, and top-k is
+    * TakeOrderedAndProject. */
+  def basketLift(df: DataFrame, basket: String, item: String,
+                 minSupport: Long, k: Int): DataFrame = {
+    val b = df.select(col(basket).as("bk"), col(item).as("it")).distinct()
+    val n = b.select(col("bk")).distinct().agg(count(lit(1)).as("n"))
+    val items = b.groupBy(col("it")).agg(count(lit(1)).as("ni"))
+    val pairs = b.select(col("bk"), col("it").as("a"))
+      .join(b.select(col("bk"), col("it").as("b")), Seq("bk"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+      .where(col("nab") >= minSupport)
+    pairs
+      .join(items.select(col("it").as("a"), col("ni").as("na")), Seq("a"))
+      .join(items.select(col("it").as("b"), col("ni").as("nb")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("nab"),
+        round((col("nab") * col("n") * lit(1000000L)).cast("double") /
+          (col("na") * col("nb")), 0).cast("long").as("lift_u"))
+      .orderBy(col("lift_u").desc, col("a"), col("b")).limit(k)
+  }
+
   /** Co-occurrence edge list: nodes of `key` that share at least one
     * `group` value. Per-group fan-out is the group size — bounded for
     * market-basket-shaped inputs (TPC-H orders average ~4 lines), so

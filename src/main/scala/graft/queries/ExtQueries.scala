@@ -442,6 +442,12 @@ object ExtQueries {
         graft.operators.Triangles.coOccurrenceEdges(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey"), 20)),
 
+    // market-basket lift over parts-per-order (support ≥ 5): the
+    // co-occurrence affinity statistic, integer micro-lift units
+    "rel_basket_lift" -> ((s, d) =>
+      graft.operators.Triangles.basketLift(t(s, d, "lineitem"),
+        basket = "l_orderkey", item = "l_partkey", minSupport = 5L, k = 20)),
+
     // content-defined chunking (LBFS cut rule at word granularity):
     // boundary after words with hash ≡ 0 (mod 16) — insert-stable
     // chunk identities for storage dedup / span-level near-dup
@@ -1784,6 +1790,20 @@ object ExtQueries {
         | n AS (SELECT unnest([x, y, z]) AS node FROM tr),
         | c AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM n GROUP BY 1)
         | SELECT node, tri FROM c ORDER BY tri DESC, node LIMIT 20""".stripMargin,
+
+    // basket lift: nab·N·1e6/(na·nb), one rounded double division over
+    // integer inputs
+    "rel_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        | n AS (SELECT count(DISTINCT bk) AS n FROM b),
+        | items AS (SELECT it, count(*) AS ni FROM b GROUP BY 1),
+        | pairs AS (SELECT x.it AS a, y.it AS b, count(*) AS nab
+        |   FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+        |   GROUP BY 1, 2 HAVING count(*) >= 5)
+        | SELECT a, b, nab,
+        |  CAST(round(CAST(nab * n.n * 1000000 AS DOUBLE) / (ia.ni * ib.ni), 0) AS BIGINT) AS lift_u
+        | FROM pairs JOIN items ia ON ia.it = a JOIN items ib ON ib.it = b, n
+        | ORDER BY lift_u DESC, a, b LIMIT 20""".stripMargin,
 
     // CDC chunks: boundary AFTER words with hash32 ≡ 0 (mod 16);
     // chunk id = boundaries strictly before pos; chunk hash = md5 of
