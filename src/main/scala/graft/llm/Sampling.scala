@@ -168,4 +168,48 @@ object Sampling {
       .agg(first(col("supply")).as("supply"), first(col("rate")).as("rate"),
         count(lit(1)).as("n_sel"), sum(col("n_tokens")).as("sel_tokens"))
   }
+
+  /** Per-source frequency cap (the RefinedWeb/C4 "no domain may
+    * dominate the corpus" rule): keep at most `cap` documents per
+    * source, preferring the longest (n_chars desc, doc_id asc as the
+    * total-order tie-break), and return the per-source audit row —
+    * kept/dropped counts and the token mass each way.
+    *
+    * Scale shape: one window partitioned by source (parallel across
+    * sources; a pathological mega-source is one sorted partition —
+    * the same skew profile every per-domain rule has, and the sort
+    * key is 12 bytes/row) followed by one aggregate. No self-join,
+    * nothing quadratic. */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"),
+        col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= cap, col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("rk") > cap, col("n_tokens")).otherwise(0L)).as("dropped_tokens"))
+  }
+
+  /** Sequence-length bucket histogram for padded-batch planning:
+    * bucket = ⌊tokens/width⌋ (capped into a last open bucket), waste =
+    * bucket ceiling − tokens (the pad cost if batches are formed per
+    * bucket at its ceiling). All-integer — the batch planner reads
+    * exact token/waste mass per bucket, and the same histogram is how
+    * a packing run (llm/Packing.scala) is sized. One narrow map + one
+    * tiny aggregate; nothing shuffles but the ≤`maxBucket`+1 rows. */
+  def lengthBuckets(docs: DataFrame, width: Int, maxBucket: Int): DataFrame = {
+    val n = size(split(trim(col("text")), "\\s+")).cast(LongType)
+    val b = least(floor(n / width), lit(maxBucket.toLong)).cast(LongType)
+    docs.select(n.as("n_tok"), b.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        sum(when(col("bucket") < maxBucket,
+            (col("bucket") + 1) * width - col("n_tok"))
+          .otherwise(0L)).as("pad_waste"))
+  }
 }

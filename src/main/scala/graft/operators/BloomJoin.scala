@@ -69,4 +69,71 @@ object BloomJoin {
     bloomFilter(big, col(bigKeyName), small, col(smallKeyName), bits, k)
       .join(broadcast(keys), col(bigKeyName) === keys(smallKeyName), "left_semi")
   }
+
+  /** DISTRIBUTED Bloom build — the shape past the 2²⁷-bit driver-
+    * literal cap above: each partition ORs its keys into a local
+    * bit array, partials merge up Spark's aggregation tree (one
+    * `Aggregator`, no distinct, no per-position collect — what
+    * reaches the driver is exactly one merged m-bit array regardless
+    * of build-side row count), and the finished filter broadcasts
+    * back for the same codegen'd probe predicate. At 100 TB this is
+    * the only Bloom build that works: the build side never leaves
+    * the executors, and driver traffic is m/8 bytes × #partitions in
+    * a tree, not n keys.
+    *
+    * The filter is bit-identical to `bloomFilter`'s for the same
+    * (m, k): OR is commutative/associative, so partition order
+    * cannot change the result — probe answers are deterministic. */
+  def distributedFilterBits(small: DataFrame, smallKey: Column,
+                            m: Long, k: Int): Array[Long] = {
+    require(java.lang.Long.bitCount(m) == 1, "m must be a power of two")
+    val words = (m / 64).toInt
+    val agg = new org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+      def zero: Array[Long] = new Array[Long](words)
+      def reduce(b: Array[Long], key: Long): Array[Long] = {
+        var i = 0
+        while (i < k) {
+          // EXACTLY the column probe's `xxhash64(key, lit(i))`:
+          // seed 42, children folded left-to-right (long, then int)
+          val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(key, 42L)
+          val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashInt(i, h1)
+          val p = java.lang.Math.floorMod(h2, m)
+          b((p / 64).toInt) |= (1L << (p % 64))
+          i += 1
+        }
+        b
+      }
+      def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
+        var i = 0; while (i < words) { a(i) |= c(i); i += 1 }; a
+      }
+      def finish(b: Array[Long]): Array[Long] = b
+      def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+      def outputEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+    }
+    import small.sparkSession.implicits._
+    small.select(smallKey.cast("long")).as[Long]
+      .select(agg.toColumn).head()
+  }
+
+  /** Exact semi-join via the distributed Bloom build: same result,
+    * same probe, different build path (tree-merged partials instead
+    * of a driver-assembled position list). */
+  def semiJoinDistributed(big: DataFrame, bigKeyName: String,
+                          small: DataFrame, smallKeyName: String,
+                          bits: Long, k: Int = 3): DataFrame = {
+    val words = distributedFilterBits(small, col(smallKeyName), bits, k)
+    val f = typedlit(words.toSeq)
+    val m = bits
+    val probe = (0 until k).map { i =>
+      val p = pmod(xxhash64(col(bigKeyName), lit(i)), lit(m))
+      val word = element_at(f, (p / 64).cast("int") + 1)
+      val bit = pmod(p, lit(64L)).cast("int")
+      call_function("shiftright", word, bit).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    val keys = small.select(col(smallKeyName)).distinct()
+    big.where(probe)
+      .join(broadcast(keys), col(bigKeyName) === keys(smallKeyName), "left_semi")
+  }
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-style analytics over the event stream and fact tables —
+  * the dimensional-modeling operators (SCD-2 builds, gaps-and-islands,
+  * transition matrices, windowed anomaly flags) a pipeline team layers
+  * on the same engine that runs the WOQL surface. The reference has no
+  * analytics of this kind (`[ref:core/query/woql_compile.pl]` stops at
+  * group_by/order_by); these are Spark-first extensions in the spirit
+  * of SURVEY §2.5's "free via Window" note.
+  *
+  * Scale stance, uniform across the file: every window is PARTITIONED
+  * by a high-cardinality key (user, nation) — never global — so the
+  * sort is per-group and parallel; every aggregate is a plain
+  * hash-shuffle groupBy; nothing here collects, self-joins, or
+  * cross-joins. At 100 TB each operator is one shuffle on the
+  * partition key plus narrow maps.
+  */
+object Warehouse {
+
+  /** SCD type-2 dimension build: collapse a per-key ordered event log
+    * to its state-CHANGE rows, each versioned and carrying a
+    * [valid_from, valid_to) interval (valid_to null = current row).
+    * One partitioned window, two passes over it (lag to detect the
+    * change, lead/row_number over the survivors to close intervals):
+    * the classic warehouse merge expressed as two narrow window ops —
+    * no self-join, no driver state. */
+  def scd2(events: DataFrame, key: String, ts: String, tieBreak: String,
+           state: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val changes = events
+      .withColumn("__prev", lag(col(state), 1).over(w))
+      .where(col("__prev").isNull || col(state) =!= col("__prev"))
+    val wc = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    changes.select(
+      col(key), col(state).as("state"), col(ts).as("valid_from"),
+      lead(col(ts), 1).over(wc).as("valid_to"),
+      row_number().over(wc).cast("long").as("version"))
+  }
+
+  /** Gaps-and-islands: group each key's distinct active periods (hour
+    * grain) into maximal consecutive runs via the rank-difference
+    * trick (period_index − row_number is constant within a run), then
+    * roll up per key: number of islands, longest streak, total active
+    * periods. All-integer output — hash-exact across engines. */
+  def gapIslands(events: DataFrame, key: String, ts: String): DataFrame = {
+    val hours = events
+      .select(col(key), (floor(unix_timestamp(date_trunc("hour", col(ts))) / 3600))
+        .cast("long").as("hr"))
+      .distinct()
+    val w = Window.partitionBy(col(key)).orderBy(col("hr"))
+    val islands = hours
+      .withColumn("grp", col("hr") - row_number().over(w))
+      .groupBy(col(key), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col(key))
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest"),
+        sum(col("len")).as("active_hours"))
+  }
+
+  /** First-order transition matrix of a per-key ordered event log:
+    * counts of (state → next state) adjacent pairs. The Markov-chain
+    * summary behind next-event prediction and session-flow Sankeys.
+    * One partitioned window + one groupBy; counts are exact. */
+  def transitions(events: DataFrame, key: String, ts: String,
+                  tieBreak: String, state: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    events
+      .withColumn("dst_type", lead(col(state), 1).over(w))
+      .where(col("dst_type").isNotNull)
+      .groupBy(col(state).as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-group z-score anomaly summary: population mean/stddev per
+    * group (a tiny aggregate, broadcast back over the scan — never a
+    * window over a low-cardinality partition key, which would funnel
+    * the whole table through |groups| sort tasks), then count the
+    * rows whose |value − μ|/σ ≥ threshold. z is rounded to 6 decimals
+    * before the compare so both engines classify identical doubles;
+    * the group stats travel as a broadcast join, so the big side
+    * stays one narrow scan. */
+  def zscoreOutliers(df: DataFrame, group: String, value: String,
+                     threshold: Double): DataFrame = {
+    val stats = df.groupBy(col(group))
+      .agg(avg(col(value)).as("__mu"), stddev_pop(col(value)).as("__sigma"))
+    val z = round(abs(col(value) - col("__mu")) / col("__sigma"), 6)
+    df.join(broadcast(stats), group)
+      .withColumn("__z", z)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__z") >= threshold, 1L).otherwise(0L)).as("n_outliers"),
+        max(col("__z")).as("max_z"))
+  }
+}

@@ -641,7 +641,111 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_orderkey")).as("sum_okey"),
           sum(col("l_suppkey")).as("sum_skey"))
-    })
+    }),
+
+    // --- round-10 warehouse analytics (operators.Warehouse + native
+    // rollup/cube/pivot): partitioned windows and small-dim broadcast
+    // joins only — each op is one shuffle plus narrow maps at scale ---
+
+    // ROLLUP revenue hierarchy: (flag, status) → (flag) → () in ONE
+    // pass — Spark expands the grouping sets inside a single hash
+    // aggregate, no union of three scans
+    "rel_rollup" -> ((s, d) => t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_cents"))),
+
+    // full CUBE over (status, priority): all 4 grouping sets in one
+    // aggregate; exact integer cents
+    "rel_cube" -> ((s, d) => t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents"))),
+
+    // hour × event_type pivot with an EXPLICIT value list (no
+    // driver-side distinct scan to discover columns); absent cells
+    // coalesced to 0 so the wide table is dense
+    "rel_pivot" -> ((s, d) => {
+      val types = Seq("click", "view", "signup", "purchase", "error")
+      val p = t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("h") +: types.map(ty =>
+        coalesce(col(ty), lit(0L)).as("n_" + ty)): _*)
+    }),
+
+    // SCD type-2 build: per-user event_type state-change log with
+    // [valid_from, valid_to) intervals and version numbers
+    "rel_scd2" -> ((s, d) =>
+      graft.operators.Warehouse.scd2(t(s, d, "events"),
+        key = "user_id", ts = "ts", tieBreak = "event_id",
+        state = "event_type")),
+
+    // gaps-and-islands: per-user maximal consecutive-hour activity
+    // runs (rank-difference trick) rolled up to streak stats
+    "rel_gap_islands" -> ((s, d) =>
+      graft.operators.Warehouse.gapIslands(t(s, d, "events"),
+        key = "user_id", ts = "ts")),
+
+    // first-order Markov transition counts of the per-user event flow
+    "rel_next_event" -> ((s, d) =>
+      graft.operators.Warehouse.transitions(t(s, d, "events"),
+        key = "user_id", ts = "ts", tieBreak = "event_id",
+        state = "event_type")),
+
+    // per-type z-score anomaly summary: tiny stats aggregate
+    // broadcast back over the scan (never a window on a 5-value key)
+    "rel_zscore_outliers" -> ((s, d) =>
+      graft.operators.Warehouse.zscoreOutliers(t(s, d, "events"),
+        group = "event_type", value = "value", threshold = 2.0)),
+
+    // 7-day moving revenue per nation: daily grain via two broadcast
+    // dim hops, then a NATION-partitioned rows-frame window (the
+    // moving sum stays exact-integer cents; avg = cents/n on demand)
+    "rel_moving_sum" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val daily = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily.select(col("n_name"), col("day"), col("rev_cents"),
+        sum(col("rev_cents")).over(w).as("mov7_cents"),
+        count(lit(1)).over(w).as("mov7_n"))
+    }),
+
+    // DISTRIBUTED Bloom build (tree-merged per-partition bit arrays —
+    // the shape past the driver-literal cap: build side never leaves
+    // the executors) + the same codegen'd probe + exact semi-join
+    "rel_bloom_dist" -> ((s, d) => {
+      val bld = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      graft.operators.BloomJoin.semiJoinDistributed(t(s, d, "orders"),
+          "o_custkey", bld, "c_custkey", bits = 1L << 20)
+        .groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents"))
+    }),
+
+    // per-source frequency cap (RefinedWeb-style "no domain
+    // dominates"): keep ≤30 longest docs per source, audit the rest
+    "llm_domain_cap" -> ((s, d) =>
+      graft.llm.Sampling.domainCap(t(s, d, "documents"), cap = 30)),
+
+    // sequence-length bucket histogram for padded-batch planning
+    // (width 16, last bucket open) — exact token/waste mass per bucket
+    "llm_length_buckets" -> ((s, d) =>
+      graft.llm.Sampling.lengthBuckets(t(s, d, "documents"),
+        width = 16, maxBucket = 15)),
+
+    // STREAMING transition counts: last-event-per-user custom state,
+    // per-batch adjacent pairs summed at the sink — equals the batch
+    // transition matrix (rel_next_event's oracle)
+    "stream_transitions" -> ((s, d) =>
+      Events.streamingTransitions(s, d))
   )
 
   // DuckDB-side shared fragments
@@ -2012,7 +2116,138 @@ object ExtQueries {
         | CAST(sum(l_suppkey) AS BIGINT) AS sum_skey
         | FROM lineitem
         | WHERE l_orderkey BETWEEN 100 AND 700
-        |   AND l_suppkey BETWEEN 1 AND 3""".stripMargin
+        |   AND l_suppkey BETWEEN 1 AND 3""".stripMargin,
+
+    // --- round-10 warehouse analytics oracles ---
+
+    // GROUPING() bit order: leftmost argument = most significant bit
+    // in BOTH engines (Postgres semantics)
+    "rel_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        | FROM lineitem
+        | GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        | FROM orders
+        | GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "rel_pivot" ->
+      """SELECT date_trunc('hour', ts) AS h,
+        | count(*) FILTER (event_type = 'click') AS n_click,
+        | count(*) FILTER (event_type = 'view') AS n_view,
+        | count(*) FILTER (event_type = 'signup') AS n_signup,
+        | count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        | count(*) FILTER (event_type = 'error') AS n_error
+        | FROM events GROUP BY 1""".stripMargin,
+
+    // state-change rows survive; intervals close on the NEXT change
+    // (valid_to null = current); version counts changes per user
+    "rel_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS pty FROM events),
+        | ch AS (SELECT user_id, ts, event_id, event_type FROM o
+        |   WHERE pty IS NULL OR event_type <> pty)
+        | SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS version
+        | FROM ch""".stripMargin,
+
+    // islands via the rank-difference trick on distinct active hours
+    "rel_gap_islands" ->
+      """WITH h AS (SELECT DISTINCT user_id,
+        |   CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hr
+        |   FROM events),
+        | g AS (SELECT user_id, hr,
+        |   hr - row_number() OVER (PARTITION BY user_id ORDER BY hr) AS grp
+        |  FROM h),
+        | i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        | SELECT user_id, count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS longest,
+        |  CAST(sum(len) AS BIGINT) AS active_hours
+        | FROM i GROUP BY 1""".stripMargin,
+
+    "rel_next_event" ->
+      """WITH o AS (SELECT user_id, event_type AS src_type,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS dst_type FROM events)
+        | SELECT src_type, dst_type, count(*) AS n FROM o
+        | WHERE dst_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // z rounded to 6 decimals pre-compare so both engines classify
+    // identical doubles (FIXTURES.md oracle-protocol float rule)
+    "rel_zscore_outliers" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+        |   stddev_pop(value) AS sigma FROM events GROUP BY 1)
+        | SELECT e.event_type, count(*) AS n,
+        |  CAST(count_if(round(abs(value - mu) / sigma, 6) >= 2.0) AS BIGINT)
+        |    AS n_outliers,
+        |  max(round(abs(value - mu) / sigma, 6)) AS max_z
+        | FROM events e JOIN st USING (event_type) GROUP BY 1""".stripMargin,
+
+    // CAST day to TIMESTAMP: DuckDB date_trunc('day') yields DATE,
+    // Spark's yields TIMESTAMP
+    "rel_moving_sum" ->
+      """WITH daily AS (SELECT n_name,
+        |   CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |     AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        | SELECT n_name, day, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY n_name ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_cents,
+        |  CAST(count(*) OVER (PARTITION BY n_name ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_n
+        | FROM daily""".stripMargin,
+
+    // distributed Bloom build prunes only — oracle is the exact
+    // semi-join (same contract as rel_bloom_semijoin)
+    "rel_bloom_dist" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        | FROM orders
+        | WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                     WHERE c_mktsegment = 'BUILDING')
+        | GROUP BY 1""".stripMargin,
+
+    "llm_domain_cap" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |   CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY n_chars DESC, doc_id) AS rk FROM documents)
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(count_if(rk <= 30) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(n_tokens) FILTER (rk <= 30), 0) AS BIGINT) AS kept_tokens,
+        |  CAST(coalesce(sum(n_tokens) FILTER (rk > 30), 0) AS BIGINT) AS dropped_tokens
+        | FROM t GROUP BY 1""".stripMargin,
+
+    "llm_length_buckets" ->
+      s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+        | b AS (SELECT n_tok, least(n_tok // 16, 15) AS bucket FROM t)
+        | SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(sum(CASE WHEN bucket < 15 THEN (bucket + 1) * 16 - n_tok
+        |    ELSE 0 END) AS BIGINT) AS pad_waste
+        | FROM b GROUP BY 1""".stripMargin,
+
+    // streaming transitions ≡ the batch transition matrix when
+    // micro-batches respect per-key time order (file replay does)
+    "stream_transitions" ->
+      """WITH o AS (SELECT user_id, event_type AS src_type,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS dst_type FROM events)
+        | SELECT src_type, dst_type, count(*) AS n FROM o
+        | WHERE dst_type IS NOT NULL GROUP BY 1, 2""".stripMargin
   )
 
   private lazy val dsirWeightsSql: String =

@@ -212,6 +212,58 @@ object Events {
         col("f.first_ms").as("first_ms"), col("f.last_ms").as("last_ms"))
   }
 
+  /** Last-event-per-user state record for [[streamingTransitions]]. */
+  final case class LastEv(tMs: Long, id: Long, ty: String)
+
+  /** STREAMING first-order transition counts (the streaming twin of
+    * `Warehouse.transitions`): per-user custom state holds only the
+    * LAST event seen (one tiny record per user — state ∝ distinct
+    * users, not events); each micro-batch sorts its own slice of the
+    * user's events by (ts, event_id), links it to the carried state,
+    * and emits the batch's (src→dst) adjacent pairs. The sink then
+    * sums pair counts across batches — exact integers, equal to the
+    * batch transition matrix whenever micro-batch boundaries respect
+    * per-key event-time order (true for the file replay, and in
+    * production the same property a watermark-ordered ingest gives).
+    * In-batch sort is per (user, batch) — bounded by a user's arrival
+    * rate, never by stream length. */
+  def streamingTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    transitionsStream(spark, eventsStream(spark, sfDir))
+
+  /** Same, over any streaming events source (factored for multi-batch
+    * tests: counts must be identical however a time-ordered input is
+    * split into micro-batches). */
+  def transitionsStream(spark: SparkSession, src: DataFrame): DataFrame = {
+    applyStateStore(spark)
+    import spark.implicits._
+    val ds = src.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val out = ds.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (_: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String)],
+       st: GroupState[LastEv]) => {
+        val evs = it.map { case (_, ts, id, ty) => LastEv(ts.getTime, id, ty) }
+          .toArray.sortBy(e => (e.tMs, e.id))
+        if (evs.isEmpty) Iterator.empty
+        else {
+          val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          var prev = st.getOption
+          evs.foreach { e =>
+            prev.foreach(p => pairs += ((p.ty, e.ty)))
+            prev = Some(e)
+          }
+          st.update(prev.get)
+          pairs.groupBy(identity).map { case ((a, b), xs) =>
+            (a, b, xs.size.toLong)
+          }.iterator
+        }
+      })
+    runToTable(spark, out.toDF("src_type", "dst_type", "n"), "append")
+      .groupBy(col("src_type"), col("dst_type"))
+      .agg(sum(col("n")).as("n"))
+  }
+
   /** Stream-stream INNER JOIN with watermarks and a time-range
     * condition — the hardest production streaming join shape: each
     * purchase joined to every click by the same user in the hour

@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{BloomJoin, Warehouse}
+
+/** Round-10 operators: warehouse analytics (SCD-2, gaps-and-islands,
+  * transitions, z-score outliers), the distributed Bloom build, and
+  * the sampling-side domain cap / length buckets. */
+class Round10OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+
+  test("scd2 collapses an event log to versioned state intervals") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(10), 1L, "a"), (1L, ts(20), 2L, "a"), (1L, ts(30), 3L, "b"),
+      (1L, ts(40), 4L, "b"), (1L, ts(50), 5L, "a"),
+      (2L, ts(15), 6L, "x")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Warehouse.scd2(events, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, "a", ts(10), Some(ts(30)), 1L),
+      (1L, "b", ts(30), Some(ts(50)), 2L),
+      (1L, "a", ts(50), None, 3L),
+      (2L, "x", ts(15), None, 1L)))
+  }
+
+  test("scd2 tie-breaks equal timestamps by the tie column") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(10), 2L, "b"), (1L, ts(10), 1L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Warehouse.scd2(events, "user_id", "ts", "event_id", "event_type")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("a", "b")) // id 1 first despite row order
+  }
+
+  test("gap islands finds runs, gaps, and the longest streak") {
+    import spark.implicits._
+    // user 1 active hours 0,1,2 then 5 then 7,8 → 3 islands, longest 3
+    def hts(h: Int) = new java.sql.Timestamp(h * 3600L * 1000L)
+    val events = Seq(
+      (1L, hts(0)), (1L, hts(0)), (1L, hts(1)), (1L, hts(2)),
+      (1L, hts(5)), (1L, hts(7)), (1L, hts(8)),
+      (2L, hts(3))
+    ).toDF("user_id", "ts")
+    val got = Warehouse.gapIslands(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 6L)))
+    assert(got(2L) == ((1L, 1L, 1L)))
+  }
+
+  test("transition counts are the adjacent-pair matrix in time order") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "a"),
+      (2L, ts(1), 4L, "a"), (2L, ts(2), 5L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Warehouse.transitions(events, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
+  test("zscore outliers flags exactly the far points") {
+    import spark.implicits._
+    // group g: nine points at ~0 and one at 100 → only 100 has |z| >= 2
+    val df = ((1 to 9).map(i => ("g", i / 100.0)) :+ (("g", 100.0)))
+      .toDF("event_type", "value")
+    val got = Warehouse.zscoreOutliers(df, "event_type", "value", 2.0).collect()(0)
+    assert(got.getLong(1) == 10L)
+    assert(got.getLong(2) == 1L)
+    assert(got.getDouble(3) > 2.0)
+  }
+
+  test("distributed bloom build is bit-identical to the driver-literal build") {
+    import spark.implicits._
+    val keys = (1 to 500).map(i => (i * 7919L) % 100003L).toDF("k")
+      .repartition(7) // partials must merge across partitions
+    val m = 1L << 16
+    val dist = BloomJoin.distributedFilterBits(keys, $"k", m, 3)
+    // reference: the driver-literal path's positions, same hash chain
+    val pos = keys.select(explode(array(
+        (0 until 3).map(i => pmod(xxhash64($"k".cast("long"), lit(i)), lit(m))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val ref = new Array[Long]((m / 64).toInt)
+    pos.foreach(p => ref((p / 64).toInt) |= (1L << (p % 64)))
+    assert(dist.toSeq == ref.toSeq)
+  }
+
+  test("semiJoinDistributed is the exact semi-join") {
+    import spark.implicits._
+    val big = (1L to 3000L).map(i => (i, i % 13)).toDF("k", "v")
+    val small = Seq(5L, 999L, 2048L, 2999L, 9999L).toDF("sk")
+    val got = BloomJoin.semiJoinDistributed(big, "k", small, "sk", 1L << 16)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == Seq(5L, 999L, 2048L, 2999L))
+  }
+
+  test("streaming transitions equal the batch matrix across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tr").toString
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit = {
+      rows.toDF("user_id", "ts", "event_id", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp/$name")
+      val part = new java.io.File(s"$dir/tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/src").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src", s"$name.parquet"))
+    }
+    // time-ordered batches; user 1 spans the batch boundary (a→c link
+    // must come from carried state, not in-batch pairing)
+    stage("b1", Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+      (1L, ts(3), 3L, "a"), (2L, ts(2), 4L, "x")))
+    stage("b2", Seq((1L, ts(9), 5L, "c"), (2L, ts(8), 6L, "x")))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val got = graft.streaming.Events.transitionsStream(spark, src)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("a", "c") -> 1L, ("x", "x") -> 1L))
+  }
+
+  test("domain cap keeps the longest docs and conserves token mass") {
+    import spark.implicits._
+    val docs = (1 to 10).map(i =>
+        (i.toLong, ("w " * i).trim, "s0", i.toLong)) :+
+      ((11L, "a b", "s1", 2L))
+    val df = docs.toDF("doc_id", "text", "source", "n_chars")
+    val got = graft.llm.Sampling.domainCap(df, cap = 3)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // s0: 10 docs, keeps ids 10,9,8 (longest) = 27 tokens; drops 1..7 = 28
+    assert(got("s0") == ((10L, 3L, 27L, 28L)))
+    assert(got("s1") == ((1L, 1L, 2L, 0L)))
+  }
+
+  test("length buckets partition the corpus and cap the last bucket") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),                      // 3 tok → bucket 0, waste 13
+      (2L, ("w " * 20).trim),             // 20 tok → bucket 1, waste 12
+      (3L, ("w " * 400).trim)             // 400 tok → bucket 15 (capped), waste 0
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Sampling.lengthBuckets(docs, width = 16, maxBucket = 15)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((1L, 3L, 13L)))
+    assert(got(1L) == ((1L, 20L, 12L)))
+    assert(got(15L) == ((1L, 400L, 0L)))
+  }
+}
