@@ -49,7 +49,12 @@ object Bench {
     "sim_rrf_hybrid", "graph_triangles", "text_cdc_chunks",
     "dedup_cdc_spans", "rel_bloom_semijoin",
     "sketch_cms_topk", "llm_cdc_clean", "rel_funnel", "rel_retention", "rel_attribution", "rel_basket_lift", "stream_cms_counts",
-    "stream_grid_quantiles", "mm_embed_topk")
+    "stream_grid_quantiles", "mm_embed_topk",
+    // round-10 warehouse/scale tranche
+    "rel_rollup", "rel_cube", "rel_pivot", "rel_scd2", "rel_gap_islands",
+    "rel_next_event", "rel_zscore_outliers", "rel_moving_sum",
+    "rel_bloom_dist", "llm_domain_cap", "llm_length_buckets",
+    "stream_transitions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -283,4 +283,78 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), s"expected broadcast map:\n$plan")
   }
+
+  test("rollup and cube expand grouping sets inside ONE aggregate pass") {
+    // Spark's Expand feeds a single hash aggregate; a regression to a
+    // union-of-scans (one per grouping set) would read the fact table
+    // N times at 100 TB
+    for (q <- Seq("rel_rollup", "rel_cube")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"$q lost its Expand plan:\n$plan")
+      assert(!plan.contains("Union"),
+        s"$q degraded to a union of per-set scans:\n$plan")
+    }
+  }
+
+  test("scd2 runs both window passes off ONE user_id exchange") {
+    // lag-detect and lead/row_number close use the same (user_id) ×
+    // (ts, event_id) sort — a second exchange means the shared-sort
+    // reuse regressed
+    val plan = SparkEntry.queries("rel_scd2")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange [a-z]*hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+    val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(plan).toSeq
+    assert(specs.nonEmpty && specs.forall(_.group(1).startsWith("user_id")),
+      s"scd2 windows must partition by user_id:\n$plan")
+  }
+
+  test("zscore outliers broadcasts the stats — no window, no sort-merge") {
+    // a 5-value partition key must never become a window partition
+    // (the whole table would funnel through 5 sort tasks)
+    val plan = SparkEntry.queries("rel_zscore_outliers")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"stats must not be a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group stats must join back as a broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"stats join must broadcast:\n$plan")
+  }
+
+  test("moving-sum and domain-cap windows are partitioned, never global") {
+    for ((q, key) <- Seq("rel_moving_sum" -> "n_name",
+        "llm_domain_cap" -> "source", "rel_next_event" -> "user_id",
+        "rel_gap_islands" -> "user_id")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(plan).toSeq
+      assert(specs.nonEmpty && specs.forall(_.group(1).startsWith(key)),
+        s"$q window must partition by $key:\n$plan")
+    }
+  }
+
+  test("distributed bloom probe also sits at the fact scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("rel_bloom_dist")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    def factScanBelow(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec => f.toString.contains("orders.parquet")
+      case other => other.children.exists(factScanBelow)
+    }
+    val probeFilters = plan.collect {
+      case f: FilterExec if factScanBelow(f) &&
+        f.condition.toString.contains("element_at") => f
+    }
+    assert(probeFilters.nonEmpty,
+      s"bloom probe predicate not applied over the fact scan:\n$plan")
+    assert(probeFilters.head.collect {
+      case e: ShuffleExchangeExec => e
+    }.isEmpty, s"fact side exchanged before the bloom probe:\n$plan")
+  }
 }
