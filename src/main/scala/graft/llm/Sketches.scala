@@ -77,6 +77,43 @@ object Sketches {
           .otherwise(round(lit((k - 1).toDouble) / col("uk"), 6)).as("est_distinct"))
   }
 
+  /** Theta-style KMV INTERSECTION between two groups' value sets —
+    * the set-operation the plain union estimator can't answer (shared
+    * vocabulary, audience overlap, common n-grams). Build each
+    * group's k-min sketch, take θ = min of the two kth-min hashes
+    * (1.0 for a group whose full set fits in the sketch), retain each
+    * sketch's hashes < θ: every retained hash is a uniform sample of
+    * its set at rate θ, so |A'∩B'|/θ estimates |A∩B| and
+    * |A'∩B'|/|A'∪B'| estimates Jaccard (Dasgupta et al., theta
+    * sketches). Deterministic md5 hashing keeps it bit-reproducible
+    * across engines.
+    *
+    * Scale shape: the big table is scanned once per the narrow
+    * distinct; everything after operates on ≤ 2k sketch rows — the
+    * single-partition steps never see data-sized input. */
+  def kmvIntersect(df: DataFrame, group: Column, value: Column, k: Int,
+                   a: String, b: String): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val h = df.select(group.as("g"),
+        Sampling.hashU(value.cast(StringType)).as("u"))
+      .where(col("g").isin(a, b)).distinct()
+    val sk = kMinsPerGroup(h, k)
+    val theta = sk.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"), max(when(col("rn") === k, col("u"))).as("uk"))
+      .agg(min(when(col("nd") < k, lit(1.0)).otherwise(col("uk"))).as("theta"))
+    val ret = sk.crossJoin(broadcast(theta)).where(col("u") < col("theta"))
+    ret.groupBy(col("u"), col("theta"))
+      .agg(max(col("g") === a).as("ia"), max(col("g") === b).as("ib"))
+      .groupBy(col("theta"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("n_ret_a"),
+        sum(when(col("ib"), 1L).otherwise(0L)).as("n_ret_b"),
+        sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).as("n_common"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_ret_a"), col("n_ret_b"), col("n_common"),
+        round(col("n_common") / col("theta"), 6).as("est_intersect"),
+        round(col("n_common").cast(DoubleType) / col("n_union"), 6).as("est_jaccard"))
+  }
+
   /** Fixed-grid histogram quantiles — the scalable percentile pattern:
     * quantize values to an integer grid (centi-units here), build a
     * per-group histogram (ONE groupBy whose cardinality is the grid

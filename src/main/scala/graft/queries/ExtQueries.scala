@@ -745,7 +745,27 @@ object ExtQueries {
     // per-batch adjacent pairs summed at the sink — equals the batch
     // transition matrix (rel_next_event's oracle)
     "stream_transitions" -> ((s, d) =>
-      Events.streamingTransitions(s, d))
+      Events.streamingTransitions(s, d)),
+
+    // theta-style KMV intersection: en∩es vocabulary overlap from two
+    // 64-min sketches — the big table is scanned once; everything
+    // after runs on ≤128 sketch rows
+    "sketch_kmv_intersect" -> ((s, d) =>
+      graft.llm.Sketches.kmvIntersect(
+        t(s, d, "documents").select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("tok")),
+        col("lang"), col("tok"), 64, "en", "es")),
+
+    // exact interpolated quartiles per return flag (the small-group
+    // exact complement to sketch_grid_quantiles): group cardinality
+    // is 3 flags, values collected per group into percentile_approx's
+    // exact sibling — rounded to 6 so both engines render one double
+    "rel_percentiles" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q75")))
   )
 
   // DuckDB-side shared fragments
@@ -2247,7 +2267,36 @@ object ExtQueries {
         |   lead(event_type) OVER (PARTITION BY user_id
         |     ORDER BY ts, event_id) AS dst_type FROM events)
         | SELECT src_type, dst_type, count(*) AS n FROM o
-        | WHERE dst_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+        | WHERE dst_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // theta intersection replay: same md5 u-hash, same θ = min of the
+    // two kth mins (1.0 when a set fits its sketch), retained < θ
+    "sketch_kmv_intersect" ->
+      s"""WITH tok AS (SELECT lang AS g, unnest($toksSql) AS s
+        |   FROM documents WHERE lang IN ('en', 'es')),
+        | u AS (SELECT DISTINCT g, ($hash32Sql) / 4294967296.0 AS u FROM tok),
+        | sk AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn
+        |   FROM u QUALIFY rn <= 64),
+        | th AS (SELECT g, count(*) AS nd,
+        |   max(CASE WHEN rn = 64 THEN u END) AS uk FROM sk GROUP BY g),
+        | t AS (SELECT min(CASE WHEN nd < 64 THEN 1.0 ELSE uk END) AS theta FROM th),
+        | ret AS (SELECT g, u, theta FROM sk, t WHERE u < theta),
+        | m AS (SELECT u, theta, max(g = 'en') AS ia, max(g = 'es') AS ib
+        |   FROM ret GROUP BY 1, 2)
+        | SELECT CAST(count_if(ia) AS BIGINT) AS n_ret_a,
+        |  CAST(count_if(ib) AS BIGINT) AS n_ret_b,
+        |  CAST(count_if(ia AND ib) AS BIGINT) AS n_common,
+        |  round(count_if(ia AND ib) / theta, 6) AS est_intersect,
+        |  round(CAST(count_if(ia AND ib) AS DOUBLE) / count(*), 6) AS est_jaccard
+        | FROM m GROUP BY theta""".stripMargin,
+
+    // quantile_cont shares Spark percentile's linear interpolation
+    "rel_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS q75
+        | FROM lineitem GROUP BY 1""".stripMargin
   )
 
   private lazy val dsirWeightsSql: String =

@@ -143,6 +143,31 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got("s1") == ((1L, 1L, 2L, 0L)))
   }
 
+  test("kmv intersection is exact when both sets fit the sketch") {
+    import spark.implicits._
+    // |A|=50, |B|=51, overlap 21 → θ=1.0, everything retained
+    val rows = (1 to 50).map(i => ("a", i.toString)) ++
+      (30 to 80).map(i => ("b", i.toString))
+    val df = rows.toDF("g", "v")
+    val r = graft.llm.Sketches.kmvIntersect(df, col("g"), col("v"),
+      k = 100, a = "a", b = "b").collect()(0)
+    assert(r.getLong(0) == 50L && r.getLong(1) == 51L && r.getLong(2) == 21L)
+    assert(r.getDouble(3) == 21.0)
+    assert(math.abs(r.getDouble(4) - 21.0 / 80.0) < 1e-6)
+  }
+
+  test("kmv intersection estimate lands near truth under truncation") {
+    import spark.implicits._
+    // |A|=|B|=2000, true overlap 1000; k=256 → sampled estimate
+    val rows = (1 to 2000).map(i => ("a", i.toString)) ++
+      (1001 to 3000).map(i => ("b", i.toString))
+    val df = rows.toDF("g", "v")
+    val r = graft.llm.Sketches.kmvIntersect(df, col("g"), col("v"),
+      k = 256, a = "a", b = "b").collect()(0)
+    val est = r.getDouble(3)
+    assert(est > 500 && est < 1500, s"estimate $est too far from 1000")
+  }
+
   test("length buckets partition the corpus and cap the last bucket") {
     import spark.implicits._
     val docs = Seq(
