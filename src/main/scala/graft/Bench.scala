@@ -54,7 +54,8 @@ object Bench {
     "rel_rollup", "rel_cube", "rel_pivot", "rel_scd2", "rel_gap_islands",
     "rel_next_event", "rel_zscore_outliers", "rel_moving_sum",
     "rel_bloom_dist", "llm_domain_cap", "llm_length_buckets",
-    "stream_transitions", "sketch_kmv_intersect", "rel_percentiles")
+    "stream_transitions", "sketch_kmv_intersect", "rel_percentiles",
+    "stream_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

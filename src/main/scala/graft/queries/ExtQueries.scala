@@ -765,7 +765,13 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"),
         round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
         round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
-        round(expr("percentile(l_quantity, 0.75)"), 6).as("q75")))
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"))),
+
+    // STREAMING windowed funnel: the greedy DP's k+1-long state vector
+    // carried per user across micro-batches — state ∝ users; equals
+    // the batch funnel (shares its k-way self-join oracle)
+    "stream_funnel" -> ((s, d) =>
+      Events.streamingFunnel(s, d))
   )
 
   // DuckDB-side shared fragments
@@ -2296,7 +2302,32 @@ object ExtQueries {
         | round(quantile_cont(l_quantity, 0.25), 6) AS q25,
         | round(quantile_cont(l_quantity, 0.5), 6) AS q50,
         | round(quantile_cont(l_quantity, 0.75), 6) AS q75
-        | FROM lineitem GROUP BY 1""".stripMargin
+        | FROM lineitem GROUP BY 1""".stripMargin,
+
+    // streaming funnel ≡ batch funnel (time-ordered replay); same
+    // k-way self-join EXISTS oracle as rel_funnel
+    "stream_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_us(ts) AS t,
+        |   event_type AS ty FROM events),
+        | us AS (SELECT DISTINCT u FROM e),
+        | l1 AS (SELECT DISTINCT u FROM e WHERE ty = 'click'),
+        | l2 AS (SELECT DISTINCT a.u FROM e a JOIN e b ON a.u = b.u
+        |   AND a.ty = 'click' AND b.ty = 'view'
+        |   AND (a.t < b.t OR (a.t = b.t AND a.id < b.id))
+        |   AND b.t - a.t <= 7200000000),
+        | l3 AS (SELECT DISTINCT a.u FROM e a JOIN e b ON a.u = b.u
+        |   AND a.ty = 'click' AND b.ty = 'view'
+        |   AND (a.t < b.t OR (a.t = b.t AND a.id < b.id))
+        |   JOIN e c ON c.u = a.u AND c.ty = 'purchase'
+        |   AND (b.t < c.t OR (b.t = c.t AND b.id < c.id))
+        |   AND c.t - a.t <= 7200000000),
+        | lv AS (SELECT us.u, CASE WHEN l3.u IS NOT NULL THEN 3
+        |     WHEN l2.u IS NOT NULL THEN 2
+        |     WHEN l1.u IS NOT NULL THEN 1 ELSE 0 END AS lev
+        |   FROM us LEFT JOIN l1 ON us.u = l1.u
+        |   LEFT JOIN l2 ON us.u = l2.u LEFT JOIN l3 ON us.u = l3.u)
+        | SELECT CAST(lev AS BIGINT) AS level, count(*) AS n_users
+        | FROM lv GROUP BY 1""".stripMargin
   )
 
   private lazy val dsirWeightsSql: String =

@@ -213,7 +213,7 @@ object Events {
   }
 
   /** Last-event-per-user state record for [[streamingTransitions]]. */
-  final case class LastEv(tMs: Long, id: Long, ty: String)
+  final case class LastEv(tUs: Long, id: Long, ty: String)
 
   /** STREAMING first-order transition counts (the streaming twin of
     * `Warehouse.transitions`): per-user custom state holds only the
@@ -243,8 +243,11 @@ object Events {
       OutputMode.Append(), GroupStateTimeout.NoTimeout())(
       (_: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String)],
        st: GroupState[LastEv]) => {
-        val evs = it.map { case (_, ts, id, ty) => LastEv(ts.getTime, id, ty) }
-          .toArray.sortBy(e => (e.tMs, e.id))
+        // exact micros (getTime truncates to millis — a
+        // same-millisecond pair would misorder vs the (ts, id) oracle)
+        val evs = it.map { case (_, ts, id, ty) =>
+          LastEv(ts.getTime / 1000 * 1000000L + ts.getNanos / 1000, id, ty)
+        }.toArray.sortBy(e => (e.tUs, e.id))
         if (evs.isEmpty) Iterator.empty
         else {
           val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -262,6 +265,78 @@ object Events {
     runToTable(spark, out.toDF("src_type", "dst_type", "n"), "append")
       .groupBy(col("src_type"), col("dst_type"))
       .agg(sum(col("n")).as("n"))
+  }
+
+  /** Per-user funnel DP state for [[streamingFunnel]]: deepest level
+    * hit so far + latest chain start reaching each level (micros,
+    * MinValue = none) — k+1 longs per user, the same state vector the
+    * batch fold threads through `functions.aggregate`. */
+  final case class FunnelSt(lvl: Long, starts: Array[Long])
+
+  /** STREAMING windowed funnel — `operators.Funnel.windowFunnel`'s DP
+    * run incrementally: the greedy state (deepest level + latest
+    * start per level) is a fixed k+1-long vector per user, so it
+    * carries across micro-batches as custom state; each batch sorts
+    * its own slice of the user's events and continues the fold. The
+    * emitted running level is monotone, so the sink keeps the max per
+    * user — equal to the batch funnel whenever micro-batch boundaries
+    * respect per-key event-time order (file replay; production =
+    * watermark-ordered ingest). State ∝ users, never events. */
+  def streamingFunnel(spark: SparkSession, sfDir: String,
+                      steps: Seq[String] = Seq("click", "view", "purchase"),
+                      windowMicros: Long = 7200000000L): DataFrame =
+    funnelStream(spark, eventsStream(spark, sfDir), steps, windowMicros)
+
+  /** Same, over any streaming events source. */
+  def funnelStream(spark: SparkSession, src: DataFrame,
+                   steps: Seq[String], windowMicros: Long): DataFrame = {
+    applyStateStore(spark)
+    require(steps.nonEmpty && steps.size <= 8, "1-8 funnel steps")
+    val k = steps.size
+    val none = Long.MinValue
+    import spark.implicits._
+    val ds = src.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val out = ds.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String)],
+       st: GroupState[FunnelSt]) => {
+        // (ts, event_id) total order within the batch, exact MICROS
+        // like the batch fold's unix_micros (getTime alone truncates
+        // to millis — a same-millisecond pair would misorder)
+        val evs = it.map { case (_, ts, id, ty) =>
+          (ts.getTime / 1000 * 1000000L + ts.getNanos / 1000, id, ty)
+        }.toArray.sorted
+        var s = st.getOption.getOrElse(FunnelSt(0L, Array.fill(k)(none)))
+        evs.foreach { case (t, _, ty) =>
+          val pre = s.starts // reads are PRE-update, exactly like the
+          val post = pre.clone() // batch DP's element_at(st, …)
+          if (ty == steps.head) post(0) = math.max(pre(0), t)
+          var l = 2
+          while (l <= k) {
+            if (ty == steps(l - 1) && pre(l - 2) != none)
+              post(l - 1) = math.max(pre(l - 1), pre(l - 2))
+            l += 1
+          }
+          var hit = 0L
+          l = 1
+          while (l <= k) {
+            val start = if (l == 1) t else pre(l - 2)
+            if (ty == steps(l - 1) && start != none && t - start <= windowMicros)
+              hit = l.toLong
+            l += 1
+          }
+          s = FunnelSt(math.max(s.lvl, hit), post)
+        }
+        if (evs.isEmpty) Iterator.empty
+        else { st.update(s); Iterator((user, s.lvl)) }
+      })
+    // running level is monotone: max per user, then the level rollup
+    runToTable(spark, out.toDF("u", "lvl"), "append")
+      .groupBy(col("u")).agg(max(col("lvl")).as("lvl"))
+      .groupBy(col("lvl").as("level"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Stream-stream INNER JOIN with watermarks and a time-range

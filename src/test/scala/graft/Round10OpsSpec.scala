@@ -129,6 +129,47 @@ class Round10OpsSpec extends AnyFunSuite {
       ("a", "c") -> 1L, ("x", "x") -> 1L))
   }
 
+  test("streaming funnel carries DP state across micro-batch boundaries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fn").toString
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit = {
+      rows.toDF("user_id", "ts", "event_id", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp/$name")
+      val part = new java.io.File(s"$dir/tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/src").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src", s"$name.parquet"))
+    }
+    // user 1: click,view in b1; purchase in b2 (within window) → 3.
+    // user 2: click in b1, view in b2, purchase OUTSIDE window → 2.
+    // user 3: only view → 0.
+    def hts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    stage("b1", Seq((1L, hts(10), 1L, "click"), (1L, hts(20), 2L, "view"),
+      (2L, hts(10), 3L, "click"), (3L, hts(10), 4L, "view")))
+    stage("b2", Seq((1L, hts(30), 5L, "purchase"), (2L, hts(40), 6L, "view"),
+      (2L, hts(90), 7L, "purchase")))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val got = graft.streaming.Events.funnelStream(spark, src,
+        Seq("click", "view", "purchase"), windowMicros = 50000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L, 0L -> 1L))
+    // and the batch operator agrees on the same flattened log
+    val all = Seq((1L, hts(10), 1L, "click"), (1L, hts(20), 2L, "view"),
+      (2L, hts(10), 3L, "click"), (3L, hts(10), 4L, "view"),
+      (1L, hts(30), 5L, "purchase"), (2L, hts(40), 6L, "view"),
+      (2L, hts(90), 7L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val batch = graft.operators.Funnel.windowFunnel(all, "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view", "purchase"), 50000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch == got)
+  }
+
   test("domain cap keeps the longest docs and conserves token mass") {
     import spark.implicits._
     val docs = (1 to 10).map(i =>
