@@ -163,8 +163,10 @@ object GraftStrategy extends SparkStrategy {
 /** `spark.sql.extensions=graft.plans.GraftExtensions` wires every graft
   * planner extension into a session at build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GraftStrategy)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+  }
 }
 
 /** DataFrame-level API over [[AsofJoinNode]]. Key/timestamp columns are

@@ -771,7 +771,20 @@ object ExtQueries {
     // carried per user across micro-batches — state ∝ users; equals
     // the batch funnel (shares its k-way self-join oracle)
     "stream_funnel" -> ((s, d) =>
-      Events.streamingFunnel(s, d))
+      Events.streamingFunnel(s, d)),
+
+    // NATIVE per-group top-k (custom LogicalPlan/Strategy/SparkPlan,
+    // plans/GroupTopKPlan): partial bounded heaps per partition →
+    // one clustered exchange of ≤ k·partitions rows per group →
+    // rank emit — same result as rel_topk_window's full-shuffle
+    // window plan, different physical shape
+    "rel_topk_native" -> ((s, d) =>
+      graft.plans.GroupTopK.topK(
+        t(s, d, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice")),
+        Seq("l_returnflag"),
+        Seq(("l_extendedprice", true), ("l_orderkey", false),
+          ("l_linenumber", false)), 3))
   )
 
   // DuckDB-side shared fragments
@@ -2303,6 +2316,14 @@ object ExtQueries {
         | round(quantile_cont(l_quantity, 0.5), 6) AS q50,
         | round(quantile_cont(l_quantity, 0.75), 6) AS q75
         | FROM lineitem GROUP BY 1""".stripMargin,
+
+    // native group top-k: same contract as rel_topk_window
+    "rel_topk_native" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rk FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        | FROM lineitem) WHERE rk <= 3""".stripMargin,
 
     // streaming funnel ≡ batch funnel (time-ordered replay); same
     // k-way self-join EXISTS oracle as rel_funnel
