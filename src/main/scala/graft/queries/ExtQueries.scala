@@ -784,7 +784,33 @@ object ExtQueries {
           col("l_linenumber"), col("l_extendedprice")),
         Seq("l_returnflag"),
         Seq(("l_extendedprice", true), ("l_orderkey", false),
-          ("l_linenumber", false)), 3))
+          ("l_linenumber", false)), 3)),
+
+    // common-neighbor link prediction over the co-order parts graph:
+    // hub centers (deg > 40) excluded from the evidence count — the
+    // power-law mitigation baked into the definition, oracle-replayed
+    "graph_common_neighbors" -> ((s, d) =>
+      graft.operators.Triangles.commonNeighbors(
+        graft.operators.Triangles.coOccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey"),
+        minCommon = 3L, maxCenterDeg = 40L, k = 20)),
+
+    // STREAMING cohort retention: (cohort hour, offset bitmask) per
+    // user — two numbers of state regardless of event count; rollup
+    // at the sink equals the batch operator (rel_retention's oracle)
+    "stream_retention" -> ((s, d) =>
+      Events.streamingRetention(s, d)),
+
+    // deterministic per-stratum k-sample THROUGH the native top-k
+    // operator: order = salted content hash → the sample is stable
+    // across runs/engines and the shuffle carries ≤ k·partitions rows
+    // per language (GroupTopKPlan), not the corpus
+    "llm_sample_per_group" -> ((s, d) =>
+      graft.plans.GroupTopK.topK(
+        t(s, d, "documents").select(col("doc_id"), col("lang"))
+          .withColumn("h", graft.llm.Dedup.hash32(
+            concat(lit("psamp:"), col("doc_id").cast("string")))),
+        Seq("lang"), Seq(("h", false), ("doc_id", false)), 20))
   )
 
   // DuckDB-side shared fragments
@@ -2317,6 +2343,41 @@ object ExtQueries {
         | round(quantile_cont(l_quantity, 0.75), 6) AS q75
         | FROM lineitem GROUP BY 1""".stripMargin,
 
+    // capped common-neighbor evidence; full degrees in the denominator
+    "graph_common_neighbors" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |   FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | adj AS (SELECT a AS v, b AS n FROM e0
+        |   UNION ALL SELECT b AS v, a AS n FROM e0),
+        | deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+        | ctr AS (SELECT adj.v, adj.n FROM adj JOIN deg d ON d.v = adj.n
+        |   WHERE d.deg <= 40),
+        | pairs AS (SELECT x.v AS pa, y.v AS pb, count(*) AS common
+        |   FROM ctr x JOIN ctr y ON x.n = y.n AND x.v < y.v
+        |   GROUP BY 1, 2 HAVING count(*) >= 3),
+        | sc AS (SELECT pa AS a, pb AS b, CAST(common AS BIGINT) AS common,
+        |   CAST(round(CAST(common * 1000000 AS DOUBLE)
+        |     / (da.deg + db.deg - common), 0) AS BIGINT) AS jacc_u
+        |  FROM pairs JOIN deg da ON da.v = pa JOIN deg db ON db.v = pb)
+        | SELECT a, b, common, jacc_u FROM sc
+        | ORDER BY jacc_u DESC, a, b LIMIT 20""".stripMargin,
+
+    // streaming retention ≡ batch cohort retention (rel_retention)
+    "stream_retention" ->
+      """WITH f AS (SELECT user_id AS u, date_trunc('hour', min(ts)) AS cohort
+        |   FROM events GROUP BY 1),
+        | a AS (SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS p FROM events),
+        | fl AS (SELECT a.u, cohort,
+        |   max(CASE WHEN p = cohort + INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS f1,
+        |   max(CASE WHEN p = cohort + INTERVAL 3 HOUR THEN 1 ELSE 0 END) AS f3,
+        |   max(CASE WHEN p = cohort + INTERVAL 6 HOUR THEN 1 ELSE 0 END) AS f6
+        |  FROM a JOIN f ON a.u = f.u GROUP BY 1, 2)
+        | SELECT cohort, count(*) AS n_users,
+        |  CAST(sum(f1) AS BIGINT) AS ret_1, CAST(sum(f3) AS BIGINT) AS ret_3,
+        |  CAST(sum(f6) AS BIGINT) AS ret_6
+        | FROM fl GROUP BY 1""".stripMargin,
+
     // native group top-k: same contract as rel_topk_window
     "rel_topk_native" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rk FROM (
@@ -2324,6 +2385,17 @@ object ExtQueries {
         |   row_number() OVER (PARTITION BY l_returnflag
         |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
         | FROM lineitem) WHERE rk <= 3""".stripMargin,
+
+    // per-stratum hash-ordered k-sample (native top-k path)
+    "llm_sample_per_group" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5('psamp:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) AS h
+        |  FROM documents),
+        | r AS (SELECT doc_id, lang, h, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk FROM t)
+        | SELECT doc_id, lang, h, rk FROM r WHERE rk <= 20""".stripMargin,
 
     // streaming funnel ≡ batch funnel (time-ordered replay); same
     // k-way self-join EXISTS oracle as rel_funnel

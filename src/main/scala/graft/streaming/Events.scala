@@ -267,6 +267,70 @@ object Events {
       .agg(sum(col("n")).as("n"))
   }
 
+  /** Per-user retention state for [[streamingRetention]]: cohort hour
+    * (micros) + bitmask of offset hours seen. */
+  final case class RetSt(cohortUs: Long, mask: Int)
+
+  /** STREAMING cohort retention — `operators.Retention.cohortRetention`
+    * run incrementally: per-user state is (cohort hour, offset
+    * bitmask), two numbers regardless of event count. The cohort is
+    * the user's first active hour (min-folded, so a batch can only
+    * refine it downward; under per-key time-ordered replay it is fixed
+    * by the first batch); each arriving event sets the bit of the
+    * offset hour it lands in. The emitted mask is monotone under a
+    * fixed cohort → max at the sink, then the per-cohort rollup equals
+    * the batch operator. */
+  def streamingRetention(spark: SparkSession, sfDir: String,
+                         offsets: Seq[Int] = Seq(1, 3, 6)): DataFrame =
+    retentionStream(spark, eventsStream(spark, sfDir), offsets)
+
+  /** Same, over any streaming events source. */
+  def retentionStream(spark: SparkSession, src: DataFrame,
+                      offsets: Seq[Int]): DataFrame = {
+    applyStateStore(spark)
+    require(offsets.nonEmpty && offsets.size <= 30 && offsets.forall(_ > 0))
+    val offs = offsets.toArray
+    val hourUs = 3600000000L
+    import spark.implicits._
+    val ds = src.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val out = ds.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, it: Iterator[(Long, java.sql.Timestamp)],
+       st: GroupState[RetSt]) => {
+        // hour-truncated micros (UTC hours divide the epoch evenly)
+        val hours = it.map { case (_, ts) =>
+          val us = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+          us - java.lang.Math.floorMod(us, hourUs)
+        }.toArray
+        if (hours.isEmpty) Iterator.empty
+        else {
+          val batchMin = hours.min
+          var s = st.getOption.getOrElse(RetSt(batchMin, 0))
+          if (batchMin < s.cohortUs) s = RetSt(batchMin, s.mask)
+          var mask = s.mask
+          hours.foreach { h =>
+            var i = 0
+            while (i < offs.length) {
+              if (h == s.cohortUs + offs(i) * hourUs) mask |= (1 << i)
+              i += 1
+            }
+          }
+          s = RetSt(s.cohortUs, mask)
+          st.update(s)
+          Iterator((user, s.cohortUs, s.mask))
+        }
+      })
+    val sink = runToTable(spark, out.toDF("u", "cohort_us", "mask"), "append")
+    val fin = sink.groupBy(col("u"))
+      .agg(min(col("cohort_us")).as("cohort_us"), max(col("mask")).as("mask"))
+    val rets = offsets.zipWithIndex.map { case (o, i) =>
+      sum(shiftright(col("mask"), i).bitwiseAND(lit(1)).cast("long"))
+        .as(s"ret_$o") }
+    fin.groupBy(timestamp_micros(col("cohort_us")).as("cohort"))
+      .agg(count(lit(1)).as("n_users"), rets: _*)
+  }
+
   /** Per-user funnel DP state for [[streamingFunnel]]: deepest level
     * hit so far + latest chain start reaching each level (micros,
     * MinValue = none) — k+1 longs per user, the same state vector the

@@ -170,6 +170,71 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("streaming retention carries cohort+mask state across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rt").toString
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp/$name")
+      val part = new java.io.File(s"$dir/tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/src").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src", s"$name.parquet"))
+    }
+    def hts(h: Int) = new java.sql.Timestamp(h * 3600L * 1000L + 60000L)
+    // user 1: cohort h0 (b1), active h1 (b1) and h3 (b2) → ret_1, ret_3.
+    // user 2: cohort h0 (b1), never again → no flags.
+    stage("b1", Seq((1L, hts(0)), (1L, hts(1)), (2L, hts(0))))
+    stage("b2", Seq((1L, hts(3))))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val got = graft.streaming.Events.retentionStream(spark, src, Seq(1, 3, 6))
+      .collect().map(r => (r.getTimestamp(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val h0 = new java.sql.Timestamp(0L)
+    assert(got == Map(h0 -> ((2L, 1L, 1L, 0L))))
+    // batch operator agrees on the flattened log
+    val all = Seq((1L, hts(0)), (1L, hts(1)), (2L, hts(0)), (1L, hts(3)))
+      .toDF("user_id", "ts")
+    val batch = graft.operators.Retention.cohortRetention(all, "user_id", "ts",
+        "hour", Seq(1, 3, 6))
+      .collect().map(r => (r.getTimestamp(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(batch == got)
+  }
+
+  test("common neighbors equals the brute set computation") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (5L, 1L), (5L, 2L)
+    ).toDF("a", "b")
+    val got = graft.operators.Triangles.commonNeighbors(edges,
+        minCommon = 1L, maxCenterDeg = 100L, k = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // brute: neighbor sets — 1:{2,3,4,5} 2:{1,3,4,5} 3:{1,2} 4:{1,2} 5:{1,2}
+    def nb = Map(1L -> Set(2L, 3L, 4L, 5L), 2L -> Set(1L, 3L, 4L, 5L),
+      3L -> Set(1L, 2L), 4L -> Set(1L, 2L), 5L -> Set(1L, 2L))
+    val expect = (for {
+      a <- nb.keys; b <- nb.keys if a < b
+      common = (nb(a) & nb(b)).size if common >= 1
+    } yield ((a, b), (common.toLong,
+      math.round(common * 1000000.0 / (nb(a).size + nb(b).size - common))))).toMap
+    assert(got == expect)
+  }
+
+  test("common neighbors: hub centers are excluded from the evidence") {
+    import spark.implicits._
+    // star: hub 0 connects 1..5; only common neighbor of any (i,j) is
+    // the hub (deg 5) — capping at 4 kills every pair
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val got = graft.operators.Triangles.commonNeighbors(edges,
+      minCommon = 1L, maxCenterDeg = 4L, k = 10).count()
+    assert(got == 0L)
+  }
+
   test("domain cap keeps the longest docs and conserves token mass") {
     import spark.implicits._
     val docs = (1 to 10).map(i =>
