@@ -810,7 +810,32 @@ object ExtQueries {
         t(s, d, "documents").select(col("doc_id"), col("lang"))
           .withColumn("h", graft.llm.Dedup.hash32(
             concat(lit("psamp:"), col("doc_id").cast("string")))),
-        Seq("lang"), Seq(("h", false), ("doc_id", false)), 20))
+        Seq("lang"), Seq(("h", false), ("doc_id", false)), 20)),
+
+    // calendar gap-fill: nation × day grid (sequence/explode over the
+    // GLOBAL date span — grid cardinality is nations × days, a time
+    // dimension, never row count), zero-filled daily revenue + running
+    // cumulative per nation. The missing-period repair every
+    // time-series rollup needs before charting/forecasting.
+    "rel_gapfill_daily" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val daily = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      val span = o.agg(date_trunc("day", min(col("o_orderdate"))).as("d0"),
+        date_trunc("day", max(col("o_orderdate"))).as("d1"))
+      val grid = n.select(col("n_name")).crossJoin(broadcast(span))
+        .select(col("n_name"), explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val filled = grid.join(daily, Seq("n_name", "day"), "left_outer")
+        .select(col("n_name"), col("day"),
+          coalesce(col("rev"), lit(0L)).as("rev_cents"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      filled.withColumn("cum_cents", sum(col("rev_cents")).over(w))
+    })
   )
 
   // DuckDB-side shared fragments
@@ -2385,6 +2410,28 @@ object ExtQueries {
         |   row_number() OVER (PARTITION BY l_returnflag
         |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
         | FROM lineitem) WHERE rk <= 3""".stripMargin,
+
+    // grid = nations × global day span; day cast TIMESTAMP (DuckDB
+    // date_trunc yields DATE); zero-fill then running cumulative
+    "rel_gapfill_daily" ->
+      """WITH daily AS (SELECT n_name,
+        |   CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+        | span AS (SELECT CAST(date_trunc('day', min(o_orderdate)) AS TIMESTAMP) AS d0,
+        |   CAST(date_trunc('day', max(o_orderdate)) AS TIMESTAMP) AS d1 FROM orders),
+        | grid AS (SELECT n_name, unnest(generate_series(d0, d1,
+        |     INTERVAL 1 DAY)) AS day FROM nation, span),
+        | filled AS (SELECT g.n_name, g.day,
+        |   coalesce(daily.rev, 0) AS rev_cents
+        |  FROM grid g LEFT JOIN daily ON g.n_name = daily.n_name
+        |    AND g.day = daily.day)
+        | SELECT n_name, day, CAST(rev_cents AS BIGINT) AS rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY n_name ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents
+        | FROM filled""".stripMargin,
 
     // per-stratum hash-ordered k-sample (native top-k path)
     "llm_sample_per_group" ->
