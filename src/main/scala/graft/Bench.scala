@@ -56,7 +56,8 @@ object Bench {
     "rel_bloom_dist", "llm_domain_cap", "llm_length_buckets",
     "stream_transitions", "sketch_kmv_intersect", "rel_percentiles",
     "stream_funnel", "rel_topk_native", "graph_common_neighbors",
-    "stream_retention", "llm_sample_per_group", "rel_gapfill_daily")
+    "stream_retention", "llm_sample_per_group", "rel_gapfill_daily",
+    "stream_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

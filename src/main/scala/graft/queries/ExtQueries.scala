@@ -812,6 +812,12 @@ object ExtQueries {
             concat(lit("psamp:"), col("doc_id").cast("string")))),
         Seq("lang"), Seq(("h", false), ("doc_id", false)), 20)),
 
+    // STREAMING last-touch attribution: latest-touch (ts, id) per
+    // user as custom state; conversions decided at arrival, per-hour
+    // increments summed at the sink (rel_attribution's oracle)
+    "stream_attribution" -> ((s, d) =>
+      Events.streamingAttribution(s, d)),
+
     // calendar gap-fill: nation × day grid (sequence/explode over the
     // GLOBAL date span — grid cardinality is nations × days, a time
     // dimension, never row count), zero-filled daily revenue + running
@@ -2410,6 +2416,17 @@ object ExtQueries {
         |   row_number() OVER (PARTITION BY l_returnflag
         |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
         | FROM lineitem) WHERE rk <= 3""".stripMargin,
+
+    // streaming attribution ≡ the batch EXISTS formulation
+    "stream_attribution" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS id, epoch_us(ts) AS t,
+        |   ts, event_type AS ty FROM events)
+        | SELECT date_trunc('hour', p.ts) AS h, count(*) AS n_conv,
+        |  CAST(count_if(EXISTS (SELECT 1 FROM e c WHERE c.u = p.u
+        |    AND c.ty = 'click'
+        |    AND (c.t < p.t OR (c.t = p.t AND c.id < p.id))
+        |    AND p.t - c.t <= 7200000000)) AS BIGINT) AS n_attributed
+        | FROM e p WHERE p.ty = 'purchase' GROUP BY 1""".stripMargin,
 
     // grid = nations × global day span; day cast TIMESTAMP (DuckDB
     // date_trunc yields DATE); zero-fill then running cumulative

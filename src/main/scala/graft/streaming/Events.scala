@@ -331,6 +331,66 @@ object Events {
       .agg(count(lit(1)).as("n_users"), rets: _*)
   }
 
+  /** Per-user latest-touch state for [[streamingAttribution]]. */
+  final case class TouchSt(tUs: Long, id: Long)
+
+  /** STREAMING last-touch attribution — `Funnel.lastTouchAttribution`
+    * run incrementally: state per user is the latest touch event's
+    * (ts, id), two longs; each conversion is decided AT ARRIVAL
+    * against the carried touch (processing in (ts, id) order makes
+    * "latest preceding" exact), and the per-batch per-hour counts sum
+    * at the sink. Decisions never revisit — the emitted increments
+    * are append-only facts, the streaming-friendly property the batch
+    * window formulation lacks. */
+  def streamingAttribution(spark: SparkSession, sfDir: String,
+                           touch: String = "click", conv: String = "purchase",
+                           windowMicros: Long = 7200000000L): DataFrame =
+    attributionStream(spark, eventsStream(spark, sfDir), touch, conv,
+      windowMicros)
+
+  /** Same, over any streaming events source. */
+  def attributionStream(spark: SparkSession, src: DataFrame,
+                        touch: String, conv: String,
+                        windowMicros: Long): DataFrame = {
+    applyStateStore(spark)
+    val hourUs = 3600000000L
+    import spark.implicits._
+    val ds = src.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val out = ds.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (_: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String)],
+       st: GroupState[TouchSt]) => {
+        val evs = it.map { case (_, ts, id, ty) =>
+          (ts.getTime / 1000 * 1000000L + ts.getNanos / 1000, id, ty)
+        }.toArray.sorted
+        if (evs.isEmpty) Iterator.empty
+        else {
+          var last = st.getOption
+          val counts = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (Long, Long)]
+          evs.foreach { case (t, id, ty) =>
+            if (ty == conv) {
+              val h = t - java.lang.Math.floorMod(t, hourUs)
+              val attr = last.exists(c => t - c.tUs <= windowMicros)
+              val (nc, na) = counts.getOrElse(h, (0L, 0L))
+              counts(h) = (nc + 1, na + (if (attr) 1L else 0L))
+            }
+            // a same-(ts,id)-ordered earlier touch is eligible; the
+            // touch update happens AFTER the conversion check so a
+            // row can't attribute to itself even if types collide
+            if (ty == touch) last = Some(TouchSt(t, id))
+          }
+          last.foreach(st.update)
+          counts.iterator.map { case (h, (nc, na)) => (h, nc, na) }
+        }
+      })
+    runToTable(spark, out.toDF("h_us", "nc", "na"), "append")
+      .groupBy(timestamp_micros(col("h_us")).as("h"))
+      .agg(sum(col("nc")).as("n_conv"), sum(col("na")).as("n_attributed"))
+  }
+
   /** Per-user funnel DP state for [[streamingFunnel]]: deepest level
     * hit so far + latest chain start reaching each level (micros,
     * MinValue = none) — k+1 longs per user, the same state vector the

@@ -170,6 +170,36 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("streaming attribution decides conversions against carried touch state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-at").toString
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit = {
+      rows.toDF("user_id", "ts", "event_id", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp/$name")
+      val part = new java.io.File(s"$dir/tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/src").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src", s"$name.parquet"))
+    }
+    // user 1: click in b1, purchase in b2 within window → attributed
+    // (the cross-batch case); user 2: purchase with no touch → counted
+    // unattributed; user 3: click long before purchase → outside window
+    stage("b1", Seq((1L, ts(10), 1L, "click"), (3L, ts(1), 2L, "click"),
+      (2L, ts(15), 3L, "purchase")))
+    stage("b2", Seq((1L, ts(30), 4L, "purchase"), (3L, ts(90), 5L, "purchase")))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val got = graft.streaming.Events.attributionStream(spark, src,
+        "click", "purchase", windowMicros = 50000000L)
+      .collect().map(r => (r.getTimestamp(0), (r.getLong(1), r.getLong(2)))).toMap
+    val h0 = new java.sql.Timestamp(0L) // all events inside hour 0
+    assert(got == Map(h0 -> ((3L, 1L))))
+  }
+
   test("streaming retention carries cohort+mask state across batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-rt").toString
