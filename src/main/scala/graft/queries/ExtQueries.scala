@@ -818,6 +818,42 @@ object ExtQueries {
     "stream_attribution" -> ((s, d) =>
       Events.streamingAttribution(s, d)),
 
+    // JSON-lines sink → source round-trip (SURVEY §2.1 sinks: CSV via
+    // put, turtle, parquet — this covers the JSON wire): values must
+    // survive the text round-trip exactly, which the aggregate equals
+    // the direct-parquet oracle proves. Landed file is
+    // fingerprint-keyed like every derived artifact.
+    "ext_json_roundtrip" -> ((s, d) => {
+      val src = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
+        "/json_rt_" + graft.util.Fingerprint.of(d + "/events.parquet")
+      if (!new java.io.File(dir + "/_SUCCESS").exists())
+        src.write.mode("overwrite").json(dir)
+      s.read.schema(src.schema).json(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value")), 6).as("sum_value"))
+    }),
+
+    // the analytic-window suite in one entry: rank / dense_rank /
+    // ntile / percent_rank / cume_dist / first / last over one
+    // nation-partitioned order — one exchange serves all seven
+    "rel_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("prk"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("c_custkey")).over(wf).as("richest"),
+        last(col("c_custkey")).over(wf).as("poorest"))
+    }),
+
     // calendar gap-fill: nation × day grid (sequence/explode over the
     // GLOBAL date span — grid cardinality is nations × days, a time
     // dimension, never row count), zero-filled daily revenue + running
@@ -2416,6 +2452,31 @@ object ExtQueries {
         |   row_number() OVER (PARTITION BY l_returnflag
         |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
         | FROM lineitem) WHERE rk <= 3""".stripMargin,
+
+    // JSON round-trip must be value-exact → aggregate over raw parquet
+    "ext_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | round(sum(value), 6) AS sum_value
+        | FROM events GROUP BY 1""".stripMargin,
+
+    // seven analytic windows over one (nation, acctbal desc, custkey)
+    // order; percent_rank/cume_dist rounded pre-compare
+    "rel_window_suite" ->
+      """SELECT c_custkey, c_nationkey,
+        | CAST(rank() OVER w AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS prk,
+        | round(cume_dist() OVER w, 6) AS cd,
+        | first(c_custkey) OVER wf AS richest,
+        | last(c_custkey) OVER wf AS poorest
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_nationkey
+        |     ORDER BY c_acctbal DESC, c_custkey),
+        |   wf AS (PARTITION BY c_nationkey
+        |     ORDER BY c_acctbal DESC, c_custkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     // streaming attribution ≡ the batch EXISTS formulation
     "stream_attribution" ->
