@@ -334,6 +334,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("window suite runs all seven analytics off ONE exchange") {
+    val plan = SparkEntry.queries("rel_window_suite")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange [a-z]*hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("native group top-k: the only exchange carries partial survivors") {
+    val df = SparkEntry.queries("rel_topk_native")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopKPartial") && plan.contains("GroupTopKFinal"),
+      s"native top-k plan lost its two phases:\n$plan")
+  }
+
   test("distributed bloom probe also sits at the fact scan") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
