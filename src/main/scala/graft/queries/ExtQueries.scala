@@ -818,6 +818,12 @@ object ExtQueries {
     "stream_attribution" -> ((s, d) =>
       Events.streamingAttribution(s, d)),
 
+    // STREAMING gaps-and-islands: five numbers of streak state per
+    // user; field-wise-monotone emissions → max at the sink equals
+    // the batch operator (rel_gap_islands' oracle)
+    "stream_gap_islands" -> ((s, d) =>
+      Events.streamingGapIslands(s, d)),
+
     // JSON-lines sink → source round-trip (SURVEY §2.1 sinks: CSV via
     // put, turtle, parquet — this covers the JSON wire): values must
     // survive the text round-trip exactly, which the aggregate equals
@@ -2452,6 +2458,20 @@ object ExtQueries {
         |   row_number() OVER (PARTITION BY l_returnflag
         |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
         | FROM lineitem) WHERE rk <= 3""".stripMargin,
+
+    // streaming islands ≡ the batch rank-difference computation
+    "stream_gap_islands" ->
+      """WITH h AS (SELECT DISTINCT user_id,
+        |   CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hr
+        |   FROM events),
+        | g AS (SELECT user_id, hr,
+        |   hr - row_number() OVER (PARTITION BY user_id ORDER BY hr) AS grp
+        |  FROM h),
+        | i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        | SELECT user_id, count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS longest,
+        |  CAST(sum(len) AS BIGINT) AS active_hours
+        | FROM i GROUP BY 1""".stripMargin,
 
     // JSON round-trip must be value-exact → aggregate over raw parquet
     "ext_json_roundtrip" ->

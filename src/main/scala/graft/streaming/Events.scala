@@ -331,6 +331,61 @@ object Events {
       .agg(count(lit(1)).as("n_users"), rets: _*)
   }
 
+  /** Per-user streak state for [[streamingGapIslands]]: last active
+    * hour, current run length, islands so far, longest run, total
+    * active hours — five numbers regardless of event count. */
+  final case class IslandSt(lastHr: Long, curLen: Long, nIslands: Long,
+                            longest: Long, activeHours: Long)
+
+  /** STREAMING gaps-and-islands — `Warehouse.gapIslands` run
+    * incrementally: the streak fold needs only (last hour, current
+    * run, totals), so activity streaks extend or break AT ARRIVAL.
+    * Every output field is monotone per user, so the sink keeps the
+    * field-wise max ≡ the batch operator under per-key time-ordered
+    * batches. */
+  def streamingGapIslands(spark: SparkSession, sfDir: String): DataFrame =
+    gapIslandsStream(spark, eventsStream(spark, sfDir))
+
+  /** Same, over any streaming events source. */
+  def gapIslandsStream(spark: SparkSession, src: DataFrame): DataFrame = {
+    applyStateStore(spark)
+    val hourUs = 3600000000L
+    import spark.implicits._
+    val ds = src.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val out = ds.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, it: Iterator[(Long, java.sql.Timestamp)],
+       st: GroupState[IslandSt]) => {
+        val hrs = it.map { case (_, ts) =>
+          (ts.getTime / 1000 * 1000000L + ts.getNanos / 1000) / hourUs
+        }.toArray.distinct.sorted
+        if (hrs.isEmpty) Iterator.empty
+        else {
+          var s = st.getOption.getOrElse(
+            IslandSt(Long.MinValue, 0L, 0L, 0L, 0L))
+          hrs.foreach { h =>
+            if (h > s.lastHr) {
+              val (len, isl) =
+                if (h == s.lastHr + 1) (s.curLen + 1, s.nIslands)
+                else (1L, s.nIslands + 1)
+              s = IslandSt(h, len, isl, math.max(s.longest, len),
+                s.activeHours + 1)
+            }
+          }
+          st.update(s)
+          Iterator((user, s.nIslands, s.longest, s.activeHours))
+        }
+      })
+    // every field is monotone per user: field-wise max = final state
+    runToTable(spark, out.toDF("user_id", "n_islands", "longest",
+        "active_hours"), "append")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_islands")).as("n_islands"),
+        max(col("longest")).as("longest"),
+        max(col("active_hours")).as("active_hours"))
+  }
+
   /** Per-user latest-touch state for [[streamingAttribution]]. */
   final case class TouchSt(tUs: Long, id: Long)
 

@@ -170,6 +170,38 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("streaming gap islands extends a run across a batch boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gi").toString
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp/$name")
+      val part = new java.io.File(s"$dir/tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/src").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src", s"$name.parquet"))
+    }
+    def hts(h: Int) = new java.sql.Timestamp(h * 3600L * 1000L + 1000L)
+    // user 1: hours 0,1 in b1; 2 then 5 in b2 → run {0,1,2} crosses
+    // the boundary, then a gap: 2 islands, longest 3
+    stage("b1", Seq((1L, hts(0)), (1L, hts(1))))
+    stage("b2", Seq((1L, hts(2)), (1L, hts(5))))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val got = graft.streaming.Events.gapIslandsStream(spark, src)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((2L, 3L, 4L))))
+    // batch agrees
+    val all = Seq((1L, hts(0)), (1L, hts(1)), (1L, hts(2)), (1L, hts(5)))
+      .toDF("user_id", "ts")
+    val batch = graft.operators.Warehouse.gapIslands(all, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(batch == got)
+  }
+
   test("streaming attribution decides conversions against carried touch state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-at").toString
