@@ -824,6 +824,46 @@ object ExtQueries {
     "stream_gap_islands" -> ((s, d) =>
       Events.streamingGapIslands(s, d)),
 
+    // NEAREST as-of: each purchase takes the click closest in time in
+    // EITHER direction (tie → the backward match) — composed from the
+    // backward and forward as-of joins (each one shuffle + window),
+    // then a codegen'd gap compare; no self-join
+    "rel_asof_nearest" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      def clicks(tsName: String, vName: String) =
+        e.where(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as(vName))
+          .withColumnRenamed("ts", tsName)
+      val b = graft.operators.AsofJoin.backward(purchases,
+        clicks("b_ts", "b_v"), Seq("user_id"), "ts", "b_ts",
+        Seq("b_ts", "b_v"))
+      val bf = graft.operators.AsofJoin.forward(b,
+        clicks("f_ts", "f_v"), Seq("user_id"), "ts", "f_ts",
+        Seq("f_ts", "f_v"))
+      val t0 = unix_micros(col("ts"))
+      val gb = t0 - unix_micros(col("b_ts"))
+      val gf = unix_micros(col("f_ts")) - t0
+      val takeB = col("f_ts").isNull || (col("b_ts").isNotNull && gb <= gf)
+      bf.select(col("event_id"), col("user_id"), col("ts"),
+        when(takeB, col("b_ts")).otherwise(col("f_ts")).as("near_ts"),
+        when(takeB, col("b_v")).otherwise(col("f_v")).as("near_v"),
+        when(takeB, gb).otherwise(gf).as("gap_us"))
+    }),
+
+    // CDC latest-row compaction: one max_by aggregate per key — the
+    // upsert-log → current-table collapse, no window, one shuffle
+    "rel_dedup_latest" -> ((s, d) => t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("l"))
+      .select(col("user_id"), col("l.ts").as("last_ts"),
+        col("l.event_id").as("last_id"), col("l.event_type").as("last_type"),
+        col("l.value").as("last_value"))),
+
     // JSON-lines sink → source round-trip (SURVEY §2.1 sinks: CSV via
     // put, turtle, parquet — this covers the JSON wire): values must
     // survive the text round-trip exactly, which the aggregate equals
@@ -2458,6 +2498,39 @@ object ExtQueries {
         |   row_number() OVER (PARTITION BY l_returnflag
         |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
         | FROM lineitem) WHERE rk <= 3""".stripMargin,
+
+    // nearest = min |gap| of the backward (<=) and forward (>=)
+    // candidates, tie → backward; labelled correlated-subquery oracle
+    "rel_asof_nearest" ->
+      """WITH c AS (SELECT user_id AS u, ts AS c_ts,
+        |   max_by(value, event_id) AS cv FROM events
+        |   WHERE event_type = 'click' GROUP BY 1, 2),
+        | p AS (SELECT event_id, user_id AS u, ts, epoch_us(ts) AS t
+        |   FROM events WHERE event_type = 'purchase'),
+        | sel AS (SELECT p.event_id, p.u, p.ts, p.t,
+        |   (SELECT max(epoch_us(c_ts)) FROM c
+        |     WHERE c.u = p.u AND epoch_us(c_ts) <= p.t) AS bt,
+        |   (SELECT min(epoch_us(c_ts)) FROM c
+        |     WHERE c.u = p.u AND epoch_us(c_ts) >= p.t) AS ft
+        |  FROM p),
+        | nr AS (SELECT event_id, u, ts, t,
+        |   CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |    WHEN ft IS NULL THEN bt WHEN bt IS NULL THEN ft
+        |    WHEN t - bt <= ft - t THEN bt ELSE ft END AS nt
+        |  FROM sel)
+        | SELECT nr.event_id, nr.u AS user_id, nr.ts,
+        |  make_timestamp(nt) AS near_ts, c.cv AS near_v,
+        |  CAST(abs(nr.t - nt) AS BIGINT) AS gap_us
+        | FROM nr LEFT JOIN c ON c.u = nr.u AND epoch_us(c.c_ts) = nr.nt""".stripMargin,
+
+    // latest row per key via the same (ts, id) total order
+    "rel_dedup_latest" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        | SELECT user_id, ts AS last_ts, event_id AS last_id,
+        |  event_type AS last_type, value AS last_value
+        | FROM r WHERE rn = 1""".stripMargin,
 
     // streaming islands ≡ the batch rank-difference computation
     "stream_gap_islands" ->
