@@ -853,6 +853,22 @@ object ExtQueries {
         when(takeB, gb).otherwise(gf).as("gap_us"))
     }),
 
+    // SCD-2 POINT-IN-TIME lookup: facts joined to the versioned
+    // dimension AT fact time — backward as-of on valid_from with
+    // version as the tie-break ≡ interval containment (intervals
+    // tile, ends exclusive), so no range join is needed: one as-of
+    // (one shuffle + window) instead of an interval probe
+    "rel_scd2_lookup" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val dim = graft.operators.Warehouse.scd2(e, key = "user_id",
+          ts = "ts", tieBreak = "event_id", state = "event_type")
+        .withColumnRenamed("valid_from", "vf")
+      val facts = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsofJoin.backward(facts, dim, Seq("user_id"),
+        "ts", "vf", Seq("state", "version"), rightTie = Some("version"))
+    }),
+
     // CDC latest-row compaction: one max_by aggregate per key — the
     // upsert-log → current-table collapse, no window, one shuffle
     "rel_dedup_latest" -> ((s, d) => t(s, d, "events")
@@ -2522,6 +2538,24 @@ object ExtQueries {
         |  make_timestamp(nt) AS near_ts, c.cv AS near_v,
         |  CAST(abs(nr.t - nt) AS BIGINT) AS gap_us
         | FROM nr LEFT JOIN c ON c.u = nr.u AND epoch_us(c.c_ts) = nr.nt""".stripMargin,
+
+    // interval-containment oracle over the SCD-2 CTE (ends exclusive,
+    // open tail) ≡ the engine's as-of + version tie-break
+    "rel_scd2_lookup" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS pty FROM events),
+        | ch AS (SELECT user_id, ts, event_id, event_type FROM o
+        |   WHERE pty IS NULL OR event_type <> pty),
+        | iv AS (SELECT user_id, event_type AS state, ts AS vf,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+        |   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     AS BIGINT) AS version FROM ch),
+        | f AS (SELECT event_id, user_id, ts FROM events
+        |   WHERE event_type = 'purchase')
+        | SELECT f.event_id, f.user_id, f.ts, iv.state, iv.version
+        | FROM f JOIN iv ON iv.user_id = f.user_id
+        |   AND iv.vf <= f.ts AND (iv.vt IS NULL OR f.ts < iv.vt)""".stripMargin,
 
     // latest row per key via the same (ts, id) total order
     "rel_dedup_latest" ->
