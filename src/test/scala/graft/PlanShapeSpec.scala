@@ -348,6 +348,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"native top-k plan lost its two phases:\n$plan")
   }
 
+  test("latest-row compaction is ONE aggregate — no window, no join") {
+    val plan = SparkEntry.queries("rel_dedup_latest")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"compaction must stay a plain aggregate:\n$plan")
+  }
+
+  test("scd2 point-in-time lookup plans as as-of windows, never a range join") {
+    // the containment join would be a theta join (nested loop at
+    // worst); the tiling argument lets it run as one as-of pass
+    val plan = SparkEntry.queries("rel_scd2_lookup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lookup degraded to a product join:\n$plan")
+  }
+
   test("distributed bloom probe also sits at the fact scan") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
