@@ -853,6 +853,40 @@ object ExtQueries {
         when(takeB, gb).otherwise(gf).as("gap_us"))
     }),
 
+    // equi-width histogram: global min/max as a 1-row broadcast, then
+    // one narrow bucket map + a 16-row aggregate — the two-pass
+    // histogram shape (vs sketch_grid_quantiles' FIXED grid, this one
+    // adapts its range to the data)
+    "rel_histogram" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val mm = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      o.crossJoin(broadcast(mm))
+        .select(least(lit(15L), floor(
+          (col("o_totalprice") - col("lo")) * 16.0 / (col("hi") - col("lo")))
+          .cast("long")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
+    // per-doc token-distribution entropy (quality signal): counts
+    // folded in TOKEN-SORTED order on both engines so the double
+    // accumulation is association-identical (the DSIR fold rule)
+    "text_token_entropy" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n"),
+          array_sort(collect_list(struct(col("tok"), col("tf")))).as("ts"))
+        .select(col("doc_id"), col("n"),
+          round(-aggregate(col("ts"), lit(0.0),
+            (a, x) => {
+              val p = x.getField("tf").cast("double") / col("n")
+              a + p * log(p)
+            }), 6).as("entropy"))
+    }),
+
     // SCD-2 POINT-IN-TIME lookup: facts joined to the versioned
     // dimension AT fact time — backward as-of on valid_from with
     // version as the tie-break ≡ interval containment (intervals
@@ -2538,6 +2572,29 @@ object ExtQueries {
         |  make_timestamp(nt) AS near_ts, c.cv AS near_v,
         |  CAST(abs(nr.t - nt) AS BIGINT) AS gap_us
         | FROM nr LEFT JOIN c ON c.u = nr.u AND epoch_us(c.c_ts) = nr.nt""".stripMargin,
+
+    // two-pass equi-width histogram; bucket arithmetic in doubles on
+    // both engines (identical inputs → identical buckets)
+    "rel_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |   FROM orders)
+        | SELECT least(15, CAST(floor((o_totalprice - lo) * 16.0 / (hi - lo))
+        |   AS BIGINT)) AS bucket, count(*) AS n
+        | FROM orders, mm GROUP BY 1""".stripMargin,
+
+    // token-sorted entropy fold (list_reduce in tok order = the
+    // engine's array_sort + aggregate association order)
+    "text_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        | tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+        |   FROM tok GROUP BY 1, 2),
+        | agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n,
+        |   list(tf ORDER BY tok) AS ts FROM tf GROUP BY 1)
+        | SELECT doc_id, n, round(-list_reduce(
+        |   list_prepend(CAST(0 AS DOUBLE),
+        |     list_transform(ts, x -> (x / n) * ln(x / n))),
+        |   (a, x) -> a + x), 6) AS entropy
+        | FROM agg""".stripMargin,
 
     // interval-containment oracle over the SCD-2 CTE (ends exclusive,
     // open tail) ≡ the engine's as-of + version tie-break
