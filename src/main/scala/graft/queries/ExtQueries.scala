@@ -853,6 +853,17 @@ object ExtQueries {
         when(takeB, gb).otherwise(gf).as("gap_us"))
     }),
 
+    // blocked fuzzy dimension repair: misspelled probes → canonical
+    // nation names via bigram blocking + Dice ≥ 0.5, best per probe —
+    // candidates ∝ bigram collisions, never |probes|×|dim|
+    "rel_fuzzy_join" -> ((s, d) => {
+      import s.implicits._
+      val probes = Seq("NATON_1", "NATIN_12", "NATIOM_22", "XYZZY")
+        .toDF("probe")
+      graft.operators.FuzzyJoin.bestMatch(probes, "probe",
+        t(s, d, "nation"), "n_name", minSim = 0.5)
+    }),
+
     // equi-width histogram: global min/max as a 1-row broadcast, then
     // one narrow bucket map + a 16-row aggregate — the two-pass
     // histogram shape (vs sketch_grid_quantiles' FIXED grid, this one
@@ -2572,6 +2583,23 @@ object ExtQueries {
         |  make_timestamp(nt) AS near_ts, c.cv AS near_v,
         |  CAST(abs(nr.t - nt) AS BIGINT) AS gap_us
         | FROM nr LEFT JOIN c ON c.u = nr.u AND epoch_us(c.c_ts) = nr.nt""".stripMargin,
+
+    // bigram blocking is lossless above any Dice threshold > 0
+    "rel_fuzzy_join" ->
+      """WITH pr AS (SELECT unnest(['NATON_1', 'NATIN_12', 'NATIOM_22',
+        |     'XYZZY']) AS probe),
+        | lb AS (SELECT probe, unnest(list_distinct(list_transform(range(1, len(probe)), i -> substr(probe, CAST(i AS INT), 2)))) AS bg FROM pr),
+        | rb AS (SELECT n_name, unnest(list_distinct(list_transform(range(1, len(n_name)), i -> substr(n_name, CAST(i AS INT), 2)))) AS bg FROM nation),
+        | cand AS (SELECT DISTINCT probe, n_name FROM lb JOIN rb USING (bg)),
+        | sc AS (SELECT probe, n_name AS matched,
+        |   round(2.0 * len(list_intersect(list_distinct(list_transform(range(1, len(probe)), i -> substr(probe, CAST(i AS INT), 2))),
+        |       list_distinct(list_transform(range(1, len(n_name)), i -> substr(n_name, CAST(i AS INT), 2)))))
+        |     / (len(list_distinct(list_transform(range(1, len(probe)), i -> substr(probe, CAST(i AS INT), 2)))) + len(list_distinct(list_transform(range(1, len(n_name)), i -> substr(n_name, CAST(i AS INT), 2))))), 6) AS sim
+        |  FROM cand),
+        | best AS (SELECT probe, matched, sim, row_number() OVER (
+        |    PARTITION BY probe ORDER BY sim DESC, matched) AS rk
+        |  FROM sc WHERE sim >= 0.5)
+        | SELECT probe, matched, sim FROM best WHERE rk = 1""".stripMargin,
 
     // two-pass equi-width histogram; bucket arithmetic in doubles on
     // both engines (identical inputs → identical buckets)

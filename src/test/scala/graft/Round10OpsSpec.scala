@@ -297,6 +297,27 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got == 0L)
   }
 
+  test("fuzzy best-match equals the unblocked all-pairs scan") {
+    import spark.implicits._
+    val dirty = Seq("aplpe", "bananna", "qqq").toDF("probe")
+    val canon = Seq("apple", "banana", "cherry").toDF("name")
+    val got = graft.operators.FuzzyJoin.bestMatch(dirty, "probe",
+        canon, "name", 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // brute check
+    def bg(s: String) = s.sliding(2).toSet
+    def dice(a: String, b: String) =
+      2.0 * (bg(a) & bg(b)).size / (bg(a).size + bg(b).size)
+    val brute = (for {
+      p <- Seq("aplpe", "bananna", "qqq")
+      best = Seq("apple", "banana", "cherry").map(c => (c, dice(p, c)))
+        .filter(_._2 >= 0.3).sortBy { case (c, s) => (-s, c) }.headOption
+      b <- best
+    } yield p -> b._1).toMap
+    assert(got == brute)
+    assert(!got.contains("qqq")) // below threshold everywhere
+  }
+
   test("domain cap keeps the longest docs and conserves token mass") {
     import spark.implicits._
     val docs = (1 to 10).map(i =>
