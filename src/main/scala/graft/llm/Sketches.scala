@@ -114,6 +114,42 @@ object Sketches {
         round(col("n_common").cast(DoubleType) / col("n_union"), 6).as("est_jaccard"))
   }
 
+  /** HyperLogLog distinct estimate (Flajolet 2007) with DETERMINISTIC
+    * md5 registers — unlike `approx_count_distinct` (whose xxhash +
+    * implementation detail make it engine-private), every piece here
+    * is oracle-replayable: bucket = top 6 hash bits, rank = leading
+    * zeros of the remaining 26 + 1 computed EXACTLY via the binary
+    * string length (no float log), register = max rank per bucket.
+    * The 2^-register sum is a sum of exact binary fractions spanning
+    * ≤ 33 bits of precision — bit-exact in a double regardless of
+    * order — so the only cross-engine float op is the final division
+    * (identical operands) and the small-range ln correction (rounded).
+    * Registers are max-mergeable: the per-group build is one groupBy,
+    * rollups/streams merge by cell-wise max, the sketch is m bytes.
+    * Complements KMV: m fixed bytes vs k hashes, one-sided rank loss
+    * vs exact-below-k. */
+  def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val m = 64
+    val hv = Dedup.hash32(value.cast(StringType)) // [0, 2^32) long
+    val bucket = floor(hv / lit(67108864L)).cast(LongType) // top 6 bits
+    val rest = pmod(hv, lit(67108864L))               // low 26 bits
+    val rank = when(rest === 0, lit(27L))
+      .otherwise(lit(27L) - length(bin(rest)))
+    val regs = df.select(group.as("g"), bucket.as("b"), rank.as("r"))
+      .groupBy(col("g"), col("b")).agg(max(col("r")).as("reg"))
+    regs.groupBy(col("g"))
+      .agg(count(lit(1)).as("present"),
+        sum(pow(lit(2.0), -col("reg"))).as("sp"))
+      .select(col("g"),
+        {
+          val z = lit(m.toDouble) - col("present")
+          val raw = lit(0.709 * m * m) / (col("sp") + z)
+          when(raw < lit(2.5 * m) && z > 0,
+            round(lit(m.toDouble) * log(lit(m.toDouble) / z), 6))
+            .otherwise(round(raw, 6)).as("est_distinct")
+        })
+  }
+
   /** Fixed-grid histogram quantiles — the scalable percentile pattern:
     * quantize values to an integer grid (centi-units here), build a
     * per-group histogram (ONE groupBy whose cardinality is the grid

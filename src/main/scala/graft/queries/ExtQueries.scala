@@ -853,6 +853,14 @@ object ExtQueries {
         when(takeB, gb).otherwise(gf).as("gap_us"))
     }),
 
+    // deterministic-register HyperLogLog (md5 buckets/ranks, exact
+    // binary-fraction sums) — completes the sketch family beside KMV:
+    // m fixed bytes, max-mergeable registers
+    "sketch_hll_distinct" -> ((s, d) =>
+      graft.llm.Sketches.hllDistinct(t(s, d, "documents"),
+        col("lang"), col("text"))
+        .withColumnRenamed("g", "lang")),
+
     // blocked fuzzy dimension repair: misspelled probes → canonical
     // nation names via bigram blocking + Dice ≥ 0.5, best per probe —
     // candidates ∝ bigram collisions, never |probes|×|dim|
@@ -2583,6 +2591,27 @@ object ExtQueries {
         |  make_timestamp(nt) AS near_ts, c.cv AS near_v,
         |  CAST(abs(nr.t - nt) AS BIGINT) AS gap_us
         | FROM nr LEFT JOIN c ON c.u = nr.u AND epoch_us(c.c_ts) = nr.nt""".stripMargin,
+
+    // HLL replay: same md5 hash, same 6/26 bit split, rank via binary
+    // string length (no float log), same alpha and ln correction
+    "sketch_hll_distinct" ->
+      """WITH u AS (SELECT lang AS g,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) AS h
+        | FROM documents),
+        | r AS (SELECT g, h // 67108864 AS b, h % 67108864 AS rest FROM u),
+        | rk AS (SELECT g, b, max(CASE WHEN rest = 0 THEN 27
+        |    ELSE 27 - len(bin(rest)) END) AS reg FROM r GROUP BY 1, 2),
+        | ag AS (SELECT g, count(*) AS present,
+        |    sum(power(2.0, -reg)) AS sp FROM rk GROUP BY 1)
+        | SELECT g AS lang,
+        |  CASE WHEN 0.709 * 4096 / (sp + 64 - present) < 160
+        |        AND present < 64
+        |   THEN round(64 * ln(64.0 / (64 - present)), 6)
+        |   ELSE round(0.709 * 4096 / (sp + 64 - present), 6) END
+        |   AS est_distinct
+        | FROM ag""".stripMargin,
 
     // bigram blocking is lossless above any Dice threshold > 0
     "rel_fuzzy_join" ->

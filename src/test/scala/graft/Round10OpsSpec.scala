@@ -332,6 +332,29 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got("s1") == ((1L, 1L, 2L, 0L)))
   }
 
+  test("hll estimate lands within the m=64 error envelope") {
+    import spark.implicits._
+    for (n <- Seq(50, 500, 5000)) {
+      val df = (1 to n).map(i => ("g", s"value_$i")).toDF("g", "v")
+      val est = graft.llm.Sketches.hllDistinct(df, col("g"), col("v"))
+        .collect()(0).getDouble(1)
+      // standard error ≈ 1.04/√64 = 13%; allow 4σ
+      assert(math.abs(est - n) < 0.52 * n + 10,
+        s"n=$n est=$est outside envelope")
+    }
+  }
+
+  test("hll registers are duplicate-insensitive") {
+    import spark.implicits._
+    val base = (1 to 300).map(i => ("g", s"v$i"))
+    val dup = base ++ base ++ base
+    val e1 = graft.llm.Sketches.hllDistinct(base.toDF("g", "v"), col("g"), col("v"))
+      .collect()(0).getDouble(1)
+    val e2 = graft.llm.Sketches.hllDistinct(dup.toDF("g", "v"), col("g"), col("v"))
+      .collect()(0).getDouble(1)
+    assert(e1 == e2)
+  }
+
   test("kmv intersection is exact when both sets fit the sketch") {
     import spark.implicits._
     // |A|=50, |B|=51, overlap 21 → θ=1.0, everything retained
