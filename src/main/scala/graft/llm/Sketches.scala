@@ -128,27 +128,48 @@ object Sketches {
     * rollups/streams merge by cell-wise max, the sketch is m bytes.
     * Complements KMV: m fixed bytes vs k hashes, one-sided rank loss
     * vs exact-below-k. */
-  def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame = {
-    val m = 64
-    val hv = Dedup.hash32(value.cast(StringType)) // [0, 2^32) long
-    val bucket = floor(hv / lit(67108864L)).cast(LongType) // top 6 bits
-    val rest = pmod(hv, lit(67108864L))               // low 26 bits
+  def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame =
+    hllEstimate(hllRegisters(df, group, value), Seq("g"))
+
+  /** HLL register table (g, b, reg) — the mergeable artifact behind
+    * [[hllDistinct]]: union = cell-wise max, estimate read-out below. */
+  private[graft] def hllRegisters(df: DataFrame, group: Column,
+                                  value: Column): DataFrame = {
+    val hv = Dedup.hash32(value.cast(StringType))
+    val bucket = floor(hv / lit(67108864L)).cast(LongType)
+    val rest = pmod(hv, lit(67108864L))
     val rank = when(rest === 0, lit(27L))
       .otherwise(lit(27L) - length(bin(rest)))
-    val regs = df.select(group.as("g"), bucket.as("b"), rank.as("r"))
+    df.select(group.as("g"), bucket.as("b"), rank.as("r"))
       .groupBy(col("g"), col("b")).agg(max(col("r")).as("reg"))
-    regs.groupBy(col("g"))
+  }
+
+  /** Estimate read-out from a register table keyed by `keys`. */
+  private[graft] def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val m = 64
+    val grouped = if (keys.isEmpty) regs.groupBy() else regs.groupBy(keys.map(col): _*)
+    grouped
       .agg(count(lit(1)).as("present"),
         sum(pow(lit(2.0), -col("reg"))).as("sp"))
-      .select(col("g"),
-        {
-          val z = lit(m.toDouble) - col("present")
-          val raw = lit(0.709 * m * m) / (col("sp") + z)
-          when(raw < lit(2.5 * m) && z > 0,
-            round(lit(m.toDouble) * log(lit(m.toDouble) / z), 6))
-            .otherwise(round(raw, 6)).as("est_distinct")
-        })
+      .select(keys.map(col) :+ {
+        val z = lit(m.toDouble) - col("present")
+        val raw = lit(0.709 * m * m) / (col("sp") + z)
+        when(raw < lit(2.5 * m) && z > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / z), 6))
+          .otherwise(round(raw, 6)).as("est_distinct")
+      }: _*)
   }
+
+  /** Global distinct via the MERGE path: per-group register tables
+    * merged by cell-wise max, then one read-out — bit-equal to
+    * sketching the whole table at once (max of maxes), which is the
+    * rollup/shard-union shape a 100 TB pipeline runs: registers are
+    * m longs per shard, merged in one tiny aggregate. */
+  def hllUnionEstimate(df: DataFrame, group: Column, value: Column): DataFrame =
+    hllEstimate(
+      hllRegisters(df, group, value)
+        .groupBy(col("b")).agg(max(col("reg")).as("reg")),
+      Seq.empty)
 
   /** Fixed-grid histogram quantiles — the scalable percentile pattern:
     * quantize values to an integer grid (centi-units here), build a

@@ -861,6 +861,19 @@ object ExtQueries {
         col("lang"), col("text"))
         .withColumnRenamed("g", "lang")),
 
+    // the HLL rollup shape: per-lang registers merged cell-wise-max →
+    // one global estimate ≡ sketching the table at once
+    "sketch_hll_union" -> ((s, d) =>
+      graft.llm.Sketches.hllUnionEstimate(t(s, d, "documents"),
+        col("lang"), col("text"))),
+
+    // STREAMING HLL register maintenance: running (type, bucket) max
+    // over an unbounded stream — state = groups × 64 cells, constant;
+    // batch read-out ≡ the batch sketch by max-mergeability
+    "stream_hll_users" -> ((s, d) =>
+      Events.streamingHll(s, d)
+        .withColumnRenamed("g", "event_type")),
+
     // blocked fuzzy dimension repair: misspelled probes → canonical
     // nation names via bigram blocking + Dice ≥ 0.5, best per probe —
     // candidates ∝ bigram collisions, never |probes|×|dim|
@@ -2606,6 +2619,47 @@ object ExtQueries {
         | ag AS (SELECT g, count(*) AS present,
         |    sum(power(2.0, -reg)) AS sp FROM rk GROUP BY 1)
         | SELECT g AS lang,
+        |  CASE WHEN 0.709 * 4096 / (sp + 64 - present) < 160
+        |        AND present < 64
+        |   THEN round(64 * ln(64.0 / (64 - present)), 6)
+        |   ELSE round(0.709 * 4096 / (sp + 64 - present), 6) END
+        |   AS est_distinct
+        | FROM ag""".stripMargin,
+
+    // union path: merge per-lang registers by max, then read out
+    "sketch_hll_union" ->
+      """WITH u AS (SELECT lang AS g,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) AS h
+        | FROM documents),
+        | r AS (SELECT g, h // 67108864 AS b, h % 67108864 AS rest FROM u),
+        | rk AS (SELECT g, b, max(CASE WHEN rest = 0 THEN 27
+        |    ELSE 27 - len(bin(rest)) END) AS reg FROM r GROUP BY 1, 2),
+        | mg AS (SELECT b, max(reg) AS reg FROM rk GROUP BY 1),
+        | ag AS (SELECT count(*) AS present,
+        |    sum(power(2.0, -reg)) AS sp FROM mg)
+        | SELECT CASE WHEN 0.709 * 4096 / (sp + 64 - present) < 160
+        |        AND present < 64
+        |   THEN round(64 * ln(64.0 / (64 - present)), 6)
+        |   ELSE round(0.709 * 4096 / (sp + 64 - present), 6) END
+        |   AS est_distinct
+        | FROM ag""".stripMargin,
+
+    // streaming registers ≡ batch registers (max-mergeable): oracle =
+    // the batch sketch of distinct users per type
+    "stream_hll_users" ->
+      """WITH u AS (SELECT event_type AS g,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * power(16, 8 - i))) AS BIGINT) AS h
+        | FROM events),
+        | r AS (SELECT g, h // 67108864 AS b, h % 67108864 AS rest FROM u),
+        | rk AS (SELECT g, b, max(CASE WHEN rest = 0 THEN 27
+        |    ELSE 27 - len(bin(rest)) END) AS reg FROM r GROUP BY 1, 2),
+        | ag AS (SELECT g, count(*) AS present,
+        |    sum(power(2.0, -reg)) AS sp FROM rk GROUP BY 1)
+        | SELECT g AS event_type,
         |  CASE WHEN 0.709 * 4096 / (sp + 64 - present) < 160
         |        AND present < 64
         |   THEN round(64 * ln(64.0 / (64 - present)), 6)

@@ -597,6 +597,20 @@ object Events {
     * because CMS is linear and the replay is exhaustive, the streamed
     * cells — and so the estimates — are bit-equal to the batch build
     * (llm/Sketches.cmsTopK semantics, same salted hash32). */
+  /** STREAMING HyperLogLog maintenance: the register table is a
+    * running (group, bucket) → max(rank) aggregate — state is
+    * groups × m cells, a CONSTANT, over an unbounded stream; the
+    * estimate read-out runs batch-side after the replay and equals
+    * the batch sketch by max-mergeability. Distinct users per
+    * event_type here. */
+  def streamingHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = eventsStream(spark, sfDir)
+    val regs = graft.llm.Sketches.hllRegisters(src,
+      col("event_type"), col("user_id"))
+    graft.llm.Sketches.hllEstimate(runToTable(spark, regs, "complete"),
+      Seq("g"))
+  }
+
   def streamingCms(spark: SparkSession, sfDir: String,
                    d: Int = 4, w: Int = 32): DataFrame = {
     import graft.llm.Dedup
