@@ -60,7 +60,8 @@ object Bench {
     "stream_attribution", "rel_window_suite", "stream_gap_islands",
     "rel_asof_nearest", "rel_dedup_latest", "rel_scd2_lookup",
     "rel_histogram", "text_token_entropy", "rel_fuzzy_join",
-    "sketch_hll_distinct", "sketch_hll_union", "stream_hll_users")
+    "sketch_hll_distinct", "sketch_hll_union", "stream_hll_users",
+    "rel_skyline", "text_hapax")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -76,6 +76,35 @@ object Warehouse {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** 2-D skyline (Pareto frontier): the points not dominated under
+    * (minimize x, maximize y). The sweep is one pass over points in
+    * (x asc, y desc) order keeping rows whose y exceeds the running
+    * max of everything before — but a single global sort is the
+    * anti-pattern, so the operator runs LOCAL-THEN-GLOBAL like a
+    * partial aggregate: points are hash-bucketed, each bucket's local
+    * skyline computed with the same sweep (a dominated point is
+    * dominated by a point in SOME bucket… not necessarily its own —
+    * local pruning only removes points dominated WITHIN their bucket,
+    * which is sound: survivors are a superset of the true skyline),
+    * and only survivors reach the one global ordered pass. At 100 TB
+    * the global window sees Σ local-skyline sizes, not the data. */
+  def skyline2d(df: DataFrame, x: String, y: String,
+                buckets: Int = 32): DataFrame = {
+    val pts = df.select(col(x).cast("double").as("x"),
+      col(y).cast("double").as("y")).distinct()
+    def sweep(w: org.apache.spark.sql.expressions.WindowSpec)(d: DataFrame) =
+      d.withColumn("__cm",
+          max(col("y")).over(w.orderBy(col("x").asc, col("y").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .where(col("__cm").isNull || col("y") > col("__cm"))
+        .drop("__cm")
+    val local = sweep(Window.partitionBy(
+      pmod(graft.llm.Dedup.hash32(concat(col("x"), lit(":"), col("y"))),
+        lit(buckets.toLong))))(pts)
+    sweep(Window.partitionBy())(local)
+      .select(col("x"), col("y"))
+  }
+
   /** Per-group z-score anomaly summary: population mean/stddev per
     * group (a tiny aggregate, broadcast back over the scan — never a
     * window over a low-cardinality partition key, which would funnel

@@ -853,6 +853,26 @@ object ExtQueries {
         when(takeB, gb).otherwise(gf).as("gap_us"))
     }),
 
+    // 2-D skyline over parts: cheapest-for-the-size Pareto frontier
+    // (minimize price, maximize size) — local-then-global sweep, the
+    // global window sees only local-skyline survivors
+    "rel_skyline" -> ((s, d) =>
+      graft.operators.Warehouse.skyline2d(t(s, d, "part"),
+        x = "p_retailprice", y = "p_size")),
+
+    // hapax-legomena ratio (vocabulary richness quality signal):
+    // exact type/hapax counts + one rounded division per doc
+    "text_hapax" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tok"), count(lit(1)).as("n_types"),
+          sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("hapax_ratio",
+          round(col("n_hapax").cast("double") / col("n_types"), 6))
+    }),
+
     // deterministic-register HyperLogLog (md5 buckets/ranks, exact
     // binary-fraction sums) — completes the sketch family beside KMV:
     // m fixed bytes, max-mergeable registers
@@ -2625,6 +2645,23 @@ object ExtQueries {
         |   ELSE round(0.709 * 4096 / (sp + 64 - present), 6) END
         |   AS est_distinct
         | FROM ag""".stripMargin,
+
+    // skyline oracle: the quadratic NOT-EXISTS dominance scan (labelled)
+    "rel_skyline" ->
+      """WITH p AS (SELECT DISTINCT CAST(p_retailprice AS DOUBLE) AS x,
+        |   CAST(p_size AS DOUBLE) AS y FROM part)
+        | SELECT x, y FROM p a WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b WHERE b.x <= a.x AND b.y >= a.y
+        |    AND (b.x < a.x OR b.y > a.y))""".stripMargin,
+
+    "text_hapax" ->
+      s"""WITH tf AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        | c AS (SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY 1, 2)
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |  count(*) AS n_types,
+        |  CAST(count_if(tf = 1) AS BIGINT) AS n_hapax,
+        |  round(CAST(count_if(tf = 1) AS DOUBLE) / count(*), 6) AS hapax_ratio
+        | FROM c GROUP BY 1""".stripMargin,
 
     // union path: merge per-lang registers by max, then read out
     "sketch_hll_union" ->

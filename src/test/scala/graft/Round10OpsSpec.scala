@@ -297,6 +297,20 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got == 0L)
   }
 
+  test("skyline equals the brute dominance scan on random points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (1 to 400).map(_ => (rnd.nextInt(50).toDouble,
+      rnd.nextInt(50).toDouble)).distinct
+    val got = graft.operators.Warehouse.skyline2d(
+        pts.toDF("p", "q").repartition(7), "p", "q")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val brute = pts.filterNot { case (x, y) =>
+      pts.exists { case (bx, by) =>
+        bx <= x && by >= y && (bx < x || by > y) } }.toSet
+    assert(got == brute)
+  }
+
   test("fuzzy best-match equals the unblocked all-pairs scan") {
     import spark.implicits._
     val dirty = Seq("aplpe", "bananna", "qqq").toDF("probe")
