@@ -61,7 +61,8 @@ object Bench {
     "rel_asof_nearest", "rel_dedup_latest", "rel_scd2_lookup",
     "rel_histogram", "text_token_entropy", "rel_fuzzy_join",
     "sketch_hll_distinct", "sketch_hll_union", "stream_hll_users",
-    "rel_skyline", "text_hapax")
+    "rel_skyline", "text_hapax", "stream_bloom_semijoin",
+    "rel_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

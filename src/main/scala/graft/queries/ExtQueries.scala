@@ -853,6 +853,32 @@ object ExtQueries {
         when(takeB, gb).otherwise(gf).as("gap_us"))
     }),
 
+    // STREAMING Bloom build: per-word bit_or running aggregate (state
+    // = m/64 words, constant; streamed filter ≡ batch filter by OR
+    // associativity), batch probe + exact semi-join
+    "stream_bloom_semijoin" -> ((s, d) =>
+      Events.streamingBloomSemiJoin(s, d)),
+
+    // MAD robust outliers: median + median-absolute-deviation per
+    // type (5 small groups — exact percentile), flag |v−med| > 3·MAD
+    // on the rounded statistic — the robust complement to z-score
+    "rel_mad_outliers" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val withMed = e.join(broadcast(med), "event_type")
+      val mad = withMed.groupBy(col("event_type"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+          first(col("med")).as("med"))
+      e.join(broadcast(mad), "event_type")
+        .withColumn("__dev", round(abs(col("value") - col("med")) / col("mad"), 6))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__dev") > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+          round(first(col("med")), 6).as("med"),
+          round(first(col("mad")), 6).as("mad"))
+    }),
+
     // 2-D skyline over parts: cheapest-for-the-size Pareto frontier
     // (minimize price, maximize size) — local-then-global sweep, the
     // global window sees only local-skyline survivors
@@ -2645,6 +2671,26 @@ object ExtQueries {
         |   ELSE round(0.709 * 4096 / (sp + 64 - present), 6) END
         |   AS est_distinct
         | FROM ag""".stripMargin,
+
+    // streamed filter ≡ batch filter; result = exact clicks ⋉ purchasers
+    "stream_bloom_semijoin" ->
+      """SELECT user_id, count(*) AS n_clicks FROM events
+        | WHERE event_type = 'click' AND user_id IN (
+        |   SELECT user_id FROM events WHERE event_type = 'purchase')
+        | GROUP BY 1""".stripMargin,
+
+    // median/MAD via quantile_cont; dev rounded pre-compare
+    "rel_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |   FROM events GROUP BY 1),
+        | mad AS (SELECT e.event_type,
+        |   quantile_cont(abs(value - med), 0.5) AS mad, any_value(med) AS med
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+        | SELECT e.event_type, count(*) AS n,
+        |  CAST(count_if(round(abs(value - m.med) / m.mad, 6) > 3.0) AS BIGINT)
+        |    AS n_outliers,
+        |  round(any_value(m.med), 6) AS med, round(any_value(m.mad), 6) AS mad
+        | FROM events e JOIN mad m USING (event_type) GROUP BY 1""".stripMargin,
 
     // skyline oracle: the quadratic NOT-EXISTS dominance scan (labelled)
     "rel_skyline" ->

@@ -597,6 +597,42 @@ object Events {
     * because CMS is linear and the replay is exhaustive, the streamed
     * cells — and so the estimates — are bit-equal to the batch build
     * (llm/Sketches.cmsTopK semantics, same salted hash32). */
+  /** STREAMING Bloom-filter build: the filter's words are a running
+    * per-word `bit_or` aggregate over the streamed build side — OR is
+    * commutative/associative, so the streamed filter is bit-identical
+    * to the batch build (same hash chain as operators.BloomJoin) and
+    * state is m/64 words, a CONSTANT. The probe + exact semi-join run
+    * batch-side: purchase users streamed into the filter, clicks
+    * pruned at the scan, false positives removed exactly. */
+  def streamingBloomSemiJoin(spark: SparkSession, sfDir: String,
+                             m: Long = 1L << 16, k: Int = 3): DataFrame = {
+    val src = eventsStream(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"))
+    val pos = src.select(explode(array((0 until k).map(i =>
+      pmod(xxhash64(col("user_id").cast("long"), lit(i)), lit(m))): _*)).as("p"))
+    val words = pos.select(floor(col("p") / 64).cast("long").as("w"),
+        pmod(col("p"), lit(64L)).cast("int").as("b"))
+      .groupBy(col("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), col("b"))).as("word"))
+    val streamed = runToTable(spark, words, "complete")
+    val arr = new Array[Long]((m / 64).toInt)
+    streamed.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    val f = typedlit(arr.toSeq)
+    val probe = (0 until k).map { i =>
+      val p = pmod(xxhash64(col("user_id"), lit(i)), lit(m))
+      val word = element_at(f, (p / 64).cast("int") + 1)
+      val bit = pmod(p, lit(64L)).cast("int")
+      call_function("shiftright", word, bit).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    val batch = graft.Graft.events(spark, sfDir)
+    val purchasers = batch.where(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    batch.where(col("event_type") === "click").where(probe)
+      .join(broadcast(purchasers), Seq("user_id"), "left_semi")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+  }
+
   /** STREAMING HyperLogLog maintenance: the register table is a
     * running (group, bucket) → max(rank) aggregate — state is
     * groups × m cells, a CONSTANT, over an unbounded stream; the
