@@ -1013,7 +1013,12 @@ object ExtQueries {
 
     // the analytic-window suite in one entry: rank / dense_rank /
     // ntile / percent_rank / cume_dist / first / last over one
-    // nation-partitioned order — one exchange serves all seven
+    // nation-partitioned order — one exchange serves all seven.
+    // cume_dist is emitted as its EXACT integer numerator (cd·n — an
+    // integer by construction): at group sizes like 640, ranks/640
+    // terminate at 7 decimals and a round-6 lands on exact halves,
+    // which Spark and DuckDB round apart; percent_rank stays rounded
+    // (its (n−1) denominators here never produce decimal halves)
     "rel_window_suite" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -1023,7 +1028,9 @@ object ExtQueries {
         dense_rank().over(w).cast("long").as("drnk"),
         ntile(4).over(w).cast("long").as("quartile"),
         round(percent_rank().over(w), 6).as("prk"),
-        round(cume_dist().over(w), 6).as("cd"),
+        round(cume_dist().over(w) * count(lit(1)).over(wf), 0)
+          .cast("long").as("cd_num"),
+        count(lit(1)).over(wf).as("n"),
         first(col("c_custkey")).over(wf).as("richest"),
         last(col("c_custkey")).over(wf).as("poorest"))
     }),
@@ -2839,14 +2846,15 @@ object ExtQueries {
         | FROM events GROUP BY 1""".stripMargin,
 
     // seven analytic windows over one (nation, acctbal desc, custkey)
-    // order; percent_rank/cume_dist rounded pre-compare
+    // order; cume_dist as its exact integer numerator (see engine note)
     "rel_window_suite" ->
       """SELECT c_custkey, c_nationkey,
         | CAST(rank() OVER w AS BIGINT) AS rnk,
         | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
         | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         | round(percent_rank() OVER w, 6) AS prk,
-        | round(cume_dist() OVER w, 6) AS cd,
+        | CAST(round(cume_dist() OVER w * count(*) OVER wf, 0) AS BIGINT) AS cd_num,
+        | count(*) OVER wf AS n,
         | first(c_custkey) OVER wf AS richest,
         | last(c_custkey) OVER wf AS poorest
         | FROM customer
