@@ -53,6 +53,18 @@ object Compiler {
 
   def run(q: Woql)(implicit ctx: Ctx): DataFrame = compile(q, unit(ctx)).df
 
+  /** Cartesian-product budget. A conjunction with ZERO shared
+    * variables is a cross join — correct WOQL semantics, but at
+    * 100 TB almost always a forgotten join variable: the product
+    * explodes multiplicatively with no key to partition on. Same
+    * treatment as the unbounded-closure guard in [[Paths]]: refuse
+    * past the budget with an actionable message; deliberate products
+    * raise GRAFT_CARTESIAN_MAX_ROWS. */
+  private def cartesianBudget: Long =
+    sys.props.get("graft.cartesian.maxRows")
+      .orElse(sys.env.get("GRAFT_CARTESIAN_MAX_ROWS"))
+      .map(_.toLong).getOrElse(10000000L)
+
   // ---- conjunction join (the heart: shared vars = equi-join keys) ----
   private def conj(cur: BF, nxt: BF): BF = {
     if (cur.isUnit) nxt
@@ -60,8 +72,15 @@ object Compiler {
     else {
       val shared = (cur.vars intersect nxt.vars).toSeq.sorted
       val df =
-        if (shared.isEmpty) cur.df.crossJoin(nxt.df)
-        else cur.df.join(nxt.df, shared, "inner")
+        if (shared.isEmpty) {
+          val product = BigInt(cur.df.count()) * BigInt(nxt.df.count())
+          require(product <= cartesianBudget,
+            s"conjunction with no shared variables is a $product-row " +
+              s"cartesian product, over GRAFT_CARTESIAN_MAX_ROWS=" +
+              s"$cartesianBudget — join the conjuncts on a shared " +
+              "variable, or raise the budget for a deliberate product")
+          cur.df.crossJoin(nxt.df)
+        } else cur.df.join(nxt.df, shared, "inner")
       BF(df, cur.vars ++ nxt.vars)
     }
   }

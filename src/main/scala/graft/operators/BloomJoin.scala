@@ -30,13 +30,34 @@ import org.apache.spark.sql.functions._
   * not a driver literal. */
 object BloomJoin {
 
+  /** Build and probe must hash IDENTICAL inputs: the build side folds
+    * keys as longs, so a probe on the key's native column type (e.g.
+    * IntegerType, which xxhash64 hashes via hashInt) lands on
+    * different bit positions and silently drops matching rows. Both
+    * sides therefore cast to long — sound only for keys where that
+    * cast is injective-or-consistent, i.e. numeric types (a fractional
+    * key truncates identically on both sides: false positives only,
+    * removed by the exact join). Non-numeric keys (strings) would cast
+    * to NULL and produce false NEGATIVES, so they are refused. */
+  private def requireNumericKey(df: DataFrame, key: Column, side: String): Unit = {
+    val dt = df.select(key).schema.head.dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"Bloom $side key must be numeric (got $dt): a non-numeric key casts " +
+        "to NULL as long and the pre-filter would drop genuinely matching rows")
+  }
+
   /** Keep only `big` rows whose `bigKey` might be in `small`'s
     * `smallKey` set (no false negatives). `bits` = 0 → auto-size from
     * the build-side distinct count. */
   def bloomFilter(big: DataFrame, bigKey: Column,
                   small: DataFrame, smallKey: Column,
                   bits: Int = 0, k: Int = 3): DataFrame = {
-    val keys = small.select(smallKey.cast("long").as("k")).distinct()
+    requireNumericKey(small, smallKey, "build")
+    requireNumericKey(big, bigKey, "probe")
+    // null keys never equi-join; dropping them here also keeps the
+    // position collect NPE-free
+    val keys = small.select(smallKey.cast("long").as("k"))
+      .where(col("k").isNotNull).distinct()
     val m: Long =
       if (bits > 0) { require(Integer.bitCount(bits) == 1, "bits must be a power of two"); bits.toLong }
       else {
@@ -51,7 +72,8 @@ object BloomJoin {
     positions.foreach(p => words((p / 64).toInt) |= (1L << (p % 64)))
     val f = typedlit(words.toSeq)
     val probe = (0 until k).map { i =>
-      val p = pmod(xxhash64(bigKey, lit(i)), lit(m))
+      // cast to long: hash EXACTLY what the build side hashed
+      val p = pmod(xxhash64(bigKey.cast("long"), lit(i)), lit(m))
       val word = element_at(f, (p / 64).cast("int") + 1)
       val bit = pmod(p, lit(64L)).cast("int")
       call_function("shiftright", word, bit).bitwiseAND(lit(1L)) === lit(1L)
@@ -113,7 +135,9 @@ object BloomJoin {
       def outputEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
     }
     import small.sparkSession.implicits._
-    small.select(smallKey.cast("long")).as[Long]
+    // null build keys never equi-join; un-dropped they would NPE in
+    // the non-nullable Long decode below
+    small.select(smallKey.cast("long").as("k")).na.drop().as[Long]
       .select(agg.toColumn).head()
   }
 
@@ -123,11 +147,14 @@ object BloomJoin {
   def semiJoinDistributed(big: DataFrame, bigKeyName: String,
                           small: DataFrame, smallKeyName: String,
                           bits: Long, k: Int = 3): DataFrame = {
+    requireNumericKey(small, col(smallKeyName), "build")
+    requireNumericKey(big, col(bigKeyName), "probe")
     val words = distributedFilterBits(small, col(smallKeyName), bits, k)
     val f = typedlit(words.toSeq)
     val m = bits
     val probe = (0 until k).map { i =>
-      val p = pmod(xxhash64(col(bigKeyName), lit(i)), lit(m))
+      // cast to long: the build side folded keys via XXH64.hashLong
+      val p = pmod(xxhash64(col(bigKeyName).cast("long"), lit(i)), lit(m))
       val word = element_at(f, (p / 64).cast("int") + 1)
       val bit = pmod(p, lit(64L)).cast("int")
       call_function("shiftright", word, bit).bitwiseAND(lit(1L)) === lit(1L)

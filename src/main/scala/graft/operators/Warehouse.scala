@@ -117,7 +117,12 @@ object Warehouse {
                      threshold: Double): DataFrame = {
     val stats = df.groupBy(col(group))
       .agg(avg(col(value)).as("__mu"), stddev_pop(col(value)).as("__sigma"))
-    val z = round(abs(col(value) - col("__mu")) / col("__sigma"), 6)
+    // σ=0 (constant group) guard: x/0 is NULL in Spark but ±inf in
+    // IEEE-default engines — define z=0 explicitly so the statistic
+    // is engine-independent on degenerate data (no point is an
+    // outlier of a constant group)
+    val z = when(col("__sigma") === 0, lit(0.0))
+      .otherwise(round(abs(col(value) - col("__mu")) / col("__sigma"), 6))
     df.join(broadcast(stats), group)
       .withColumn("__z", z)
       .groupBy(col(group))

@@ -871,7 +871,9 @@ object ExtQueries {
         .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
           first(col("med")).as("med"))
       e.join(broadcast(mad), "event_type")
-        .withColumn("__dev", round(abs(col("value") - col("med")) / col("mad"), 6))
+        // MAD=0 guard (constant group): dev=0, engine-independent
+        .withColumn("__dev", when(col("mad") === 0, lit(0.0))
+          .otherwise(round(abs(col("value") - col("med")) / col("mad"), 6)))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("__dev") > 3.0, 1L).otherwise(0L)).as("n_outliers"),
@@ -940,9 +942,12 @@ object ExtQueries {
       val mm = o.agg(min(col("o_totalprice")).as("lo"),
         max(col("o_totalprice")).as("hi"))
       o.crossJoin(broadcast(mm))
-        .select(least(lit(15L), floor(
-          (col("o_totalprice") - col("lo")) * 16.0 / (col("hi") - col("lo")))
-          .cast("long")).as("bucket"))
+        // hi=lo guard (constant column): everything in bucket 0 —
+        // x/0 differs across engines (NULL vs inf/nan)
+        .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(15L), floor(
+            (col("o_totalprice") - col("lo")) * 16.0 / (col("hi") - col("lo")))
+            .cast("long"))).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     }),
 
@@ -1003,8 +1008,23 @@ object ExtQueries {
           col("value"))
       val dir = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
         "/json_rt_" + graft.util.Fingerprint.of(d + "/events.parquet")
-      if (!new java.io.File(dir + "/_SUCCESS").exists())
-        src.write.mode("overwrite").json(dir)
+      // write-then-ATOMIC-rename: two concurrent sessions on the same
+      // fingerprint must never expose a half-written dir (the loser's
+      // rename fails onto the winner's completed copy and is discarded)
+      if (!new java.io.File(dir + "/_SUCCESS").exists()) {
+        val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+        src.write.mode("overwrite").json(tmp)
+        if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
+          // lost the race (or stale dir without _SUCCESS): keep the
+          // winner's copy, drop ours
+          if (!new java.io.File(dir + "/_SUCCESS").exists()) {
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+            val _ = new java.io.File(tmp).renameTo(new java.io.File(dir))
+          }
+          if (new java.io.File(tmp).exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
+      }
       s.read.schema(src.schema).json(dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
@@ -2496,15 +2516,18 @@ object ExtQueries {
         | WHERE dst_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // z rounded to 6 decimals pre-compare so both engines classify
-    // identical doubles (FIXTURES.md oracle-protocol float rule)
+    // identical doubles (FIXTURES.md oracle-protocol float rule);
+    // σ=0 → z=0 explicitly (Spark x/0 is NULL, DuckDB is inf)
     "rel_zscore_outliers" ->
       """WITH st AS (SELECT event_type, avg(value) AS mu,
-        |   stddev_pop(value) AS sigma FROM events GROUP BY 1)
-        | SELECT e.event_type, count(*) AS n,
-        |  CAST(count_if(round(abs(value - mu) / sigma, 6) >= 2.0) AS BIGINT)
-        |    AS n_outliers,
-        |  max(round(abs(value - mu) / sigma, 6)) AS max_z
-        | FROM events e JOIN st USING (event_type) GROUP BY 1""".stripMargin,
+        |   stddev_pop(value) AS sigma FROM events GROUP BY 1),
+        | z AS (SELECT e.event_type, round(CASE WHEN sigma = 0 THEN 0
+        |     ELSE abs(value - mu) / sigma END, 6) AS z
+        |  FROM events e JOIN st USING (event_type))
+        | SELECT event_type, count(*) AS n,
+        |  CAST(count_if(z >= 2.0) AS BIGINT) AS n_outliers,
+        |  max(z) AS max_z
+        | FROM z GROUP BY 1""".stripMargin,
 
     // CAST day to TIMESTAMP: DuckDB date_trunc('day') yields DATE,
     // Spark's yields TIMESTAMP
@@ -2686,7 +2709,8 @@ object ExtQueries {
         |   SELECT user_id FROM events WHERE event_type = 'purchase')
         | GROUP BY 1""".stripMargin,
 
-    // median/MAD via quantile_cont; dev rounded pre-compare
+    // median/MAD via quantile_cont; dev rounded pre-compare;
+    // MAD=0 → dev=0 explicitly (Spark x/0 is NULL, DuckDB is inf)
     "rel_mad_outliers" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |   FROM events GROUP BY 1),
@@ -2694,7 +2718,8 @@ object ExtQueries {
         |   quantile_cont(abs(value - med), 0.5) AS mad, any_value(med) AS med
         |  FROM events e JOIN med USING (event_type) GROUP BY 1)
         | SELECT e.event_type, count(*) AS n,
-        |  CAST(count_if(round(abs(value - m.med) / m.mad, 6) > 3.0) AS BIGINT)
+        |  CAST(count_if(round(CASE WHEN m.mad = 0 THEN 0
+        |    ELSE abs(value - m.med) / m.mad END, 6) > 3.0) AS BIGINT)
         |    AS n_outliers,
         |  round(any_value(m.med), 6) AS med, round(any_value(m.mad), 6) AS mad
         | FROM events e JOIN mad m USING (event_type) GROUP BY 1""".stripMargin,
@@ -2775,12 +2800,14 @@ object ExtQueries {
         | SELECT probe, matched, sim FROM best WHERE rk = 1""".stripMargin,
 
     // two-pass equi-width histogram; bucket arithmetic in doubles on
-    // both engines (identical inputs → identical buckets)
+    // both engines (identical inputs → identical buckets); hi=lo →
+    // bucket 0 explicitly (x/0: NULL in Spark, inf/nan in DuckDB)
     "rel_histogram" ->
       """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |   FROM orders)
-        | SELECT least(15, CAST(floor((o_totalprice - lo) * 16.0 / (hi - lo))
-        |   AS BIGINT)) AS bucket, count(*) AS n
+        | SELECT CASE WHEN hi = lo THEN 0
+        |   ELSE least(15, CAST(floor((o_totalprice - lo) * 16.0 / (hi - lo))
+        |     AS BIGINT)) END AS bucket, count(*) AS n
         | FROM orders, mm GROUP BY 1""".stripMargin,
 
     // token-sorted entropy fold (list_reduce in tok order = the

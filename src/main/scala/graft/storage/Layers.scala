@@ -282,8 +282,16 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     * is a CONFLICT (the reference's db_rebase surfaces these rather than
     * silently dropping them): the rebase aborts, `src` is restored to its
     * original head, and Left(conflicting commit → missing-triple count)
-    * is returned. Right(newHead) on success. */
-  def rebase(src: String, onto: String): Either[Seq[(String, Long)], String] = {
+    * is returned. Right(newHead) on success.
+    *
+    * When a `schema` graph is supplied, every replayed commit is
+    * RE-VALIDATED against the state it now lands on (the reference's
+    * db_rebase replays each divergent commit *with validation*): a delta
+    * that was valid on its original base can violate cardinality/domain
+    * constraints on the new one. A violation aborts exactly like a
+    * replay conflict, reported as `"<cid>:validation:<check>"` → count. */
+  def rebase(src: String, onto: String, schema: DataFrame = null,
+             subclass: DataFrame = null): Either[Seq[(String, Long)], String] = {
     val origHead = refs(src)
     val srcChain = chain(origHead)
     val ontoChain = chain(refs(onto)).toSet
@@ -301,11 +309,29 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     // conflict (stray writes, last-conflict-wins reporting)
     toReplay.iterator.takeWhile(_ => conflict.isEmpty).foreach { cid =>
       val rm = removes(cid)
-      val missing = if (rm.isEmpty) 0L else antiNS(rm, materialize(head)).count()
+      val base = materialize(head)
+      val missing = if (rm.isEmpty) 0L else antiNS(rm, base).count()
       if (missing > 0) conflict = Some((cid, missing))
       else {
-        writeRefs(refs + (src -> head))
-        head = commit(src, adds(cid), rm, s"rebase of $cid")
+        if (schema != null) {
+          // validate the replayed delta against the post-remove state
+          // of the NEW base — the graph this commit actually lands on
+          val postRm = if (rm.isEmpty) base else antiNS(base, rm)
+          // default closure must at least be reflexive over typed
+          // classes — an empty frame would flag every typed subject
+          val sub = if (subclass != null) subclass
+            else postRm.filter(col("p") === "rdf:type")
+              .select(col("o_iri").as("sub")).distinct()
+              .withColumn("sup", col("sub"))
+          val bad = Validator.validate(postRm, adds(cid), schema, sub)
+            .map { case (k, v) => k -> v.count() }.find(_._2 > 0)
+          bad.foreach { case (check, n) =>
+            conflict = Some((s"$cid:validation:$check", n)) }
+        }
+        if (conflict.isEmpty) {
+          writeRefs(refs + (src -> head))
+          head = commit(src, adds(cid), rm, s"rebase of $cid")
+        }
       }
     }
     conflict match {

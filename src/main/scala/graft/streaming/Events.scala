@@ -268,18 +268,25 @@ object Events {
   }
 
   /** Per-user retention state for [[streamingRetention]]: cohort hour
-    * (micros) + bitmask of offset hours seen. */
-  final case class RetSt(cohortUs: Long, mask: Int)
+    * (micros) + bitmap of ACTIVE HOURS relative to the cohort (bit
+    * k−1 ⇔ hour cohort+k seen, k ∈ [1, maxOffset]). */
+  final case class RetSt(cohortUs: Long, hours: Long)
 
   /** STREAMING cohort retention — `operators.Retention.cohortRetention`
-    * run incrementally: per-user state is (cohort hour, offset
-    * bitmask), two numbers regardless of event count. The cohort is
-    * the user's first active hour (min-folded, so a batch can only
-    * refine it downward; under per-key time-ordered replay it is fixed
-    * by the first batch); each arriving event sets the bit of the
-    * offset hour it lands in. The emitted mask is monotone under a
-    * fixed cohort → max at the sink, then the per-cohort rollup equals
-    * the batch operator. */
+    * run incrementally and EXACT under out-of-order ingest: per-user
+    * state is (cohort hour, relative active-hour bitmap), two numbers
+    * regardless of event count. The cohort is the user's first active
+    * hour (min-folded, so a later batch can only refine it DOWNWARD);
+    * when it does, the bitmap is remapped — every recorded hour shifts
+    * right by the cohort delta and the old cohort hour itself becomes
+    * a candidate offset. The remap is lossless because the cohort is
+    * monotone decreasing: an hour currently beyond cohort+maxOffset
+    * only gets FARTHER from every future cohort, so a maxOffset-bit
+    * window is all the state an exact answer ever needs. The emitted
+    * row carries the derived offset mask; the sink max-merges masks
+    * PER (user, cohort) and the rollup takes each user's final (=
+    * minimum) cohort, so stale pre-refinement rows can't pollute the
+    * counts. */
   def streamingRetention(spark: SparkSession, sfDir: String,
                          offsets: Seq[Int] = Seq(1, 3, 6)): DataFrame =
     retentionStream(spark, eventsStream(spark, sfDir), offsets)
@@ -288,8 +295,10 @@ object Events {
   def retentionStream(spark: SparkSession, src: DataFrame,
                       offsets: Seq[Int]): DataFrame = {
     applyStateStore(spark)
-    require(offsets.nonEmpty && offsets.size <= 30 && offsets.forall(_ > 0))
+    require(offsets.nonEmpty && offsets.size <= 30 && offsets.forall(_ > 0)
+      && offsets.max <= 62, "offsets must fit the 62-bit hour window")
     val offs = offsets.toArray
+    val maxOff = offs.max
     val hourUs = 3600000000L
     import spark.implicits._
     val ds = src.select(col("user_id"), col("ts"))
@@ -306,24 +315,43 @@ object Events {
         if (hours.isEmpty) Iterator.empty
         else {
           val batchMin = hours.min
-          var s = st.getOption.getOrElse(RetSt(batchMin, 0))
-          if (batchMin < s.cohortUs) s = RetSt(batchMin, s.mask)
-          var mask = s.mask
-          hours.foreach { h =>
-            var i = 0
-            while (i < offs.length) {
-              if (h == s.cohortUs + offs(i) * hourUs) mask |= (1 << i)
-              i += 1
-            }
+          var s = st.getOption.getOrElse(RetSt(batchMin, 0L))
+          if (batchMin < s.cohortUs) {
+            // cohort refined downward: shift every recorded hour by
+            // the delta and record the OLD cohort hour as active —
+            // bits sliding past maxOff can never matter again (the
+            // cohort is monotone decreasing)
+            val d = (s.cohortUs - batchMin) / hourUs
+            var bits = if (d >= 63) 0L else (s.hours << d) | (1L << (d - 1))
+            if (maxOff < 63) bits &= (1L << maxOff) - 1
+            s = RetSt(batchMin, bits)
           }
-          s = RetSt(s.cohortUs, mask)
+          var bits = s.hours
+          hours.foreach { h =>
+            val rel = (h - s.cohortUs) / hourUs
+            if (rel >= 1 && rel <= maxOff) bits |= (1L << (rel - 1))
+          }
+          s = RetSt(s.cohortUs, bits)
           st.update(s)
-          Iterator((user, s.cohortUs, s.mask))
+          // derive the OFFSET mask the rollup consumes
+          var mask = 0
+          var i = 0
+          while (i < offs.length) {
+            if ((bits & (1L << (offs(i) - 1))) != 0) mask |= (1 << i)
+            i += 1
+          }
+          Iterator((user, s.cohortUs, mask))
         }
       })
     val sink = runToTable(spark, out.toDF("u", "cohort_us", "mask"), "append")
-    val fin = sink.groupBy(col("u"))
-      .agg(min(col("cohort_us")).as("cohort_us"), max(col("mask")).as("mask"))
+    // masks are monotone only under a FIXED cohort: merge per
+    // (user, cohort), then keep each user's final (minimum) cohort so
+    // rows emitted before a cohort refinement can't pollute the counts
+    val fin = sink.groupBy(col("u"), col("cohort_us"))
+      .agg(max(col("mask")).as("mask"))
+      .groupBy(col("u"))
+      .agg(min_by(struct(col("cohort_us"), col("mask")), col("cohort_us")).as("s"))
+      .select(col("u"), col("s.cohort_us").as("cohort_us"), col("s.mask").as("mask"))
     val rets = offsets.zipWithIndex.map { case (o, i) =>
       sum(shiftright(col("mask"), i).bitwiseAND(lit(1)).cast("long"))
         .as(s"ret_$o") }

@@ -53,6 +53,29 @@ class ClusteringSpec extends AnyFunSuite {
     assert(a(2L) == 0L)
   }
 
+  test("planKey distinguishes same-schema corpora read in one session") {
+    // Regression: the canonicalized logical plan of a lazy parquet
+    // read prints NO path ("paths: 1 provided"), so keying on it alone
+    // collides sf0.001 with sf0.01 and serves wrong-corpus artifacts.
+    // The key must embed the resolved input files.
+    val a = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert(Clustering.planKey(a) != Clustering.planKey(b))
+    // and it must still be STABLE for re-reads of the same corpus
+    val a2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(Clustering.planKey(a) == Clustering.planKey(a2))
+  }
+
+  test("BPE merge tables differ across corpora within one session") {
+    // end-to-end twin of the planKey test: train on one corpus, then
+    // the other, same JVM — the memo must NOT serve the first table
+    val a = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val ma = graft.llm.TextAnalysis.bpeMerges(a, 5)
+    val mb = graft.llm.TextAnalysis.bpeMerges(b, 5)
+    assert(ma != mb, "same merge table for two different corpora — cache key collision")
+  }
+
   test("trained-IVF top-k: high recall vs exact sq8 ranking") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -33,6 +33,20 @@ class CompilerSpec extends AnyFunSuite {
     assert(names(assign, "Y") == Set("hi"))
   }
 
+  test("zero-shared-var conjunction: small products allowed, budget refuses big ones") {
+    // disjoint variable sets → cross join; the 3×2 product is fine
+    val q = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      TriplePat(V("A"), Node("age"), V("B"))))
+    assert(Compiler.run(q).count() == 6)
+    // same query over a 1-row budget must be refused with the guard
+    System.setProperty("graft.cartesian.maxRows", "1")
+    try {
+      val e = intercept[IllegalArgumentException] { Compiler.run(q).count() }
+      assert(e.getMessage.contains("GRAFT_CARTESIAN_MAX_ROWS"))
+    } finally System.clearProperty("graft.cartesian.maxRows")
+  }
+
   test("or aligns missing vars as nulls across asymmetric branches") {
     val q = Or(Seq(
       TriplePat(V("X"), Node("name"), V("N")),

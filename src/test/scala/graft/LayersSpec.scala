@@ -93,6 +93,31 @@ class LayersSpec extends AnyFunSuite {
     assert(st.refs("dev") == devHead)           // branch restored on abort
   }
 
+  test("rebase re-validates replayed commits against the NEW base") {
+    import spark.implicits._
+    // maxCard(age)=1. dev's add of (:a age 40) was VALID on its own
+    // base (no age there), but main has since added (:a age 30) —
+    // replaying dev's delta onto main's head violates cardinality and
+    // must be refused like a conflict, branch restored.
+    val schema = Seq(("age", "graft:maxCard", 1L))
+      .toDF("s", "p", "n")
+      .select(col("s"), col("p"), lit(null).cast("string").as("o_iri"),
+        col("n").as("o_lng"), lit(null).cast("string").as("o_str"),
+        lit(null).cast("boolean").as("o_bool"))
+    val st = freshStore()
+    st.commit("main", triples((":x", "p", "vx")), empty, "base")
+    st.branch("dev", "main")
+    val d1 = st.commit("dev", triples((":a", "age", 40)), empty, "dev age")
+    val devHead = st.refs("dev")
+    st.commit("main", triples((":a", "age", 30)), empty, "main age")
+    val res = st.rebase("dev", "main", schema = schema)
+    assert(res.isLeft)
+    assert(res.left.toOption.get.head._1 == s"$d1:validation:cardinality")
+    assert(st.refs("dev") == devHead) // branch restored on abort
+    // and the same rebase WITHOUT the gate still replays (old behavior)
+    assert(st.rebase("dev", "main").isRight)
+  }
+
   test("commit ids are content-addressed: same shape, different content") {
     val st = freshStore()
     val id1 = st.commit("b1", triples((":a", "p", "v1")), empty, "m")

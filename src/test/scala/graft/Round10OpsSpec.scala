@@ -101,6 +101,25 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got == Seq(5L, 999L, 2048L, 2999L))
   }
 
+  test("bloom semi-joins are exact for INT-typed keys and skip null build keys") {
+    import spark.implicits._
+    // regression: build hashed keys as long, probe hashed the native
+    // int column (different hash) — matching rows silently dropped
+    val big = (1 to 3000).map(i => (i, i % 13)).toDF("k", "v")
+    val small = Seq[Integer](5, 999, 2048, 2999, 9999, null).toDF("sk")
+    val got = BloomJoin.semiJoinDistributed(big, "k", small, "sk", 1L << 16)
+      .select("k").as[Int].collect().sorted.toSeq
+    assert(got == Seq(5, 999, 2048, 2999))
+    val got2 = BloomJoin.semiJoin(big, "k", small, "sk")
+      .select("k").as[Int].collect().sorted.toSeq
+    assert(got2 == Seq(5, 999, 2048, 2999))
+    // string keys cast to null-long (false NEGATIVES) — refused up front
+    val sbig = Seq(("a", 1)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(sbig, "k", Seq("a").toDF("sk"), "sk")
+    }
+  }
+
   test("streaming transitions equal the batch matrix across micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-tr").toString
@@ -261,6 +280,43 @@ class Round10OpsSpec extends AnyFunSuite {
     // batch operator agrees on the flattened log
     val all = Seq((1L, hts(0)), (1L, hts(1)), (2L, hts(0)), (1L, hts(3)))
       .toDF("user_id", "ts")
+    val batch = graft.operators.Retention.cohortRetention(all, "user_id", "ts",
+        "hour", Seq(1, 3, 6))
+      .collect().map(r => (r.getTimestamp(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(batch == got)
+  }
+
+  test("streaming retention stays exact when a late batch refines the cohort") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rt2").toString
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tmp/$name")
+      val part = new java.io.File(s"$dir/tmp/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/src").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/src", s"$name.parquet"))
+    }
+    def hts(h: Int) = new java.sql.Timestamp(h * 3600L * 1000L + 60000L)
+    // b1 sees user 1 from h2 with a ret_3 hit at h5; b2 delivers a LATE
+    // h1 event: the cohort refines to h1, h2 becomes the ret_1 hit, and
+    // h5 (now rel 4) must STOP counting as ret_3 — a kept-mask bug
+    // would report ret_3=1 and miss ret_1
+    stage("b1", Seq((1L, hts(2)), (1L, hts(5))))
+    stage("b2", Seq((1L, hts(1))))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val got = graft.streaming.Events.retentionStream(spark, src, Seq(1, 3, 6))
+      .collect().map(r => (r.getTimestamp(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val h1 = new java.sql.Timestamp(3600L * 1000L)
+    assert(got == Map(h1 -> ((1L, 1L, 0L, 0L))))
+    // batch operator agrees on the flattened log
+    val all = Seq((1L, hts(2)), (1L, hts(5)), (1L, hts(1))).toDF("user_id", "ts")
     val batch = graft.operators.Retention.cohortRetention(all, "user_id", "ts",
         "hour", Seq(1, 3, 6))
       .collect().map(r => (r.getTimestamp(0),
