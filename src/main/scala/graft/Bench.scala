@@ -72,6 +72,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // With parallelismFirst (the default) AQE refuses to coalesce
+      // below the core count, so a dim-sized shuffle still schedules
+      // 32 near-empty tasks — the fixed floor that dominates every
+      // sub-second battery entry. Size-based coalescing collapses
+      // those to 1–2 tasks; big shuffles (≥ advisory size × cores)
+      // are untouched, so nothing regresses at scale.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -155,7 +155,8 @@ final case class PathQ(x: Term, pattern: PathPat, y: Term, witness: Option[Strin
   * path; PathQ's witness binds one canonical witness per node). Cycle
   * guard: each plus/star/times repetition refuses to revisit a node it
   * already anchored in the same path — the reference's loop check. */
-final case class PathAllQ(x: Term, pattern: PathPat, y: Term, witness: String) extends Woql
+final case class PathAllQ(x: Term, pattern: PathPat, y: Term, witness: String,
+                          edgesVar: Option[String] = None) extends Woql
 /** Shortest-path distance: binds, per reachable (x, y) pair, the
   * MINIMUM number of `pattern` steps as `dist` (≥1). The reference's
   * path engine enumerates paths but never exposes hop counts; this is

@@ -708,22 +708,33 @@ object Compiler {
       }
       conj(cur, bf0)
 
-    case PathAllQ(x, pat, y, w) =>
+    case PathAllQ(x, pat, y, w, ew) =>
       // exhaustive enumeration: one solution per distinct path from the
-      // bound source (witness = node sequence). Destination may be a var
-      // or a bound IRI (filter).
+      // bound source (witness = node sequence; optionally also the edge
+      // list — each traversed triple as an "s|p|o" term, matching the
+      // reference's edge-object witness shape). Destination may be a
+      // var or a bound IRI (filter).
       def seedW(i: String) = {
         import ctx.spark.implicits._
-        Seq((i, Seq(i))).toDF("n", "path")
+        val base = Seq((i, Seq(i))).toDF("n", "path")
+        if (ew.isEmpty) base
+        else base.withColumn("edges", array().cast(
+          "array<struct<s:string,p:string,o:string>>"))
       }
+      def edgeStr: Column = concat_ws(";", transform(col("edges"),
+        e => concat_ws("|", e.getField("s"), e.getField("p"), e.getField("o"))))
       val bf0 = (x, y) match {
         case (Node(i), V(n)) =>
           val all = Paths.stepAllPaths(pat, seedW(i), ctx)
-          BF(all.select(iriVal(col("n")).as(n),
-            strVal(concat_ws("/", col("path"))).as(w)), Set(n, w))
+          val base = Seq(iriVal(col("n")).as(n),
+            strVal(concat_ws("/", col("path"))).as(w))
+          val cols = base ++ ew.map(v => strVal(edgeStr).as(v))
+          BF(all.select(cols: _*), Set(n, w) ++ ew)
         case (Node(i), Node(j)) =>
           val all = Paths.stepAllPaths(pat, seedW(i), ctx).filter(col("n") === j)
-          BF(all.select(strVal(concat_ws("/", col("path"))).as(w)), Set(w))
+          val cols = strVal(concat_ws("/", col("path"))).as(w) +:
+            ew.map(v => strVal(edgeStr).as(v)).toSeq
+          BF(all.select(cols: _*), Set(w) ++ ew)
         case _ => throw new IllegalArgumentException(
           "path_all: source endpoint must be a bound IRI")
       }

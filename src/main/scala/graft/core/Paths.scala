@@ -76,14 +76,27 @@ object Paths {
         s"GRAFT_CLOSURE_MAX_EDGES=$closureBudget — bind one path endpoint " +
         "(seeded frontier expansion) or raise the budget for a deliberate " +
         "all-pairs run")
+    // PATH-DOUBLING semi-naive: compose the frontier with the WHOLE
+    // accumulated closure, not the base step. After round k the
+    // accumulator holds every pair at distance ≤ 2^k and the frontier
+    // exactly those in (2^(k-1), 2^k] — a pair at distance
+    // l ∈ (2^k, 2^(k+1)] splits at the node exactly 2^k hops from its
+    // source (prefix ∈ frontier, suffix ≤ 2^k ∈ accumulator), so each
+    // round DOUBLES the covered distance: ⌈log₂(diameter)⌉ rounds and
+    // as many sync barriers instead of diameter of them. Per-round
+    // join cost grows (|frontier| ⋈ |closure-so-far| vs |e|), but the
+    // closure budget above already bounds |closure|, and halving the
+    // round count halves the driver sync + checkpoint floor that
+    // dominates the long-diameter case.
     val chunks = scala.collection.mutable.ArrayBuffer(e)
     var frontier = e
     var i = 0
     var done = false
     while (!done && i < MaxIters) {
       i += 1
-      val next = cp(compose(frontier, e).distinct()
-        .join(unionAll(chunks.toSeq), Seq("src", "dst"), "left_anti"))
+      val acc = unionAll(chunks.toSeq)
+      val next = cp(compose(frontier, acc).distinct()
+        .join(acc, Seq("src", "dst"), "left_anti"))
       if (next.isEmpty) done = true
       else {
         chunks += next
@@ -308,19 +321,32 @@ object Paths {
       .orElse(sys.env.get("GRAFT_PATH_ALL_MAX_PATHS"))
       .map(_.toLong).getOrElse(2000000L)
 
-  private def extendAll(frontier: DataFrame, e: DataFrame,
+  private def extendAll(frontier: DataFrame, e: DataFrame, p: String,
                         fromCol: String, toCol: String): DataFrame = {
-    val keep = frontier.columns.filterNot(c => c == "n" || c == "path").map(col)
+    val keep = frontier.columns
+      .filterNot(c => c == "n" || c == "path" || c == "edges").map(col)
+    // Optional EDGE-OBJECT witness: when the frontier carries an
+    // `edges` column, each traversal appends the UNDERLYING TRIPLE as
+    // an (s, p, o) struct — the reference binds witness paths as edge
+    // lists; node sequences (the `path` column) stay the default. An
+    // inverse step still records the stored direction: (src, p, dst)
+    // regardless of which way the pattern walked it.
+    val edgeCols =
+      if (frontier.columns.contains("edges"))
+        Seq(concat(col("edges"), array(struct(col("src").as("s"),
+          lit(p).as("p"), col("dst").as("o")))).as("edges"))
+      else Nil
     frontier.join(e, col("n") === col(fromCol))
       .select(col(toCol).as("n") +:
-        concat(col("path"), array(col(toCol))).as("path") +: keep.toSeq: _*)
+        concat(col("path"), array(col(toCol))).as("path") +:
+        (edgeCols ++ keep.toSeq): _*)
   }
 
   /** All distinct paths from `frontier` rows via one pattern application.
     * Extra frontier columns (outer repetition anchors) pass through. */
   def stepAllPaths(pat: PathPat, frontier: DataFrame, ctx: Ctx): DataFrame = pat match {
-    case PPred(p) => extendAll(frontier, edges(p, ctx), "src", "dst")
-    case PInv(p)  => extendAll(frontier, edges(p, ctx), "dst", "src")
+    case PPred(p) => extendAll(frontier, edges(p, ctx), p, "src", "dst")
+    case PInv(p)  => extendAll(frontier, edges(p, ctx), p, "dst", "src")
     case PSeq(a, b) => stepAllPaths(b, stepAllPaths(a, frontier, ctx), ctx)
     case PAlt(a, b) =>
       stepAllPaths(a, frontier, ctx).unionByName(stepAllPaths(b, frontier, ctx))

@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * feature-extract run per-partition over iterator batches (the Scala
   * analogue of a pandas-batch UDF).
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): `fakeDecode` derives deterministic "dimensions" from an
-  * md5 of the payload bytes. The Spark-side plumbing — binary schema,
-  * partition batching, metadata struct shape — is real and tested, and
-  * the stub is the only thing to swap for a real codec. */
+  * IMAGE decode is REAL: [[ImageIoCodec]] parses PNG/BMP/GIF/JPEG byte
+  * streams with the JDK's own `javax.imageio` readers (no native
+  * libraries). Audio/video remain STUBBED (`fakeDecode` derives
+  * deterministic "dimensions" from an md5 of the payload — this
+  * container ships no media libraries); the [[Codec]] trait is the
+  * swap point, and the Spark-side plumbing — binary schema, partition
+  * batching, metadata struct shape — is identical for both. */
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
@@ -28,9 +30,44 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "UTF-8").cast(BinaryType))
 
-  /** STUB decoder: deterministic pseudo-dimensions from payload md5.
-    * Swap this function for a real image decode; the pipeline shape
-    * (Iterator[Row] => Iterator[Row] per partition) stays. */
+  /** Pluggable media codec: Some((width, height, format)) when the
+    * payload is a container this codec understands, None otherwise
+    * (the caller decides the fallback). Serializable — instances ship
+    * to executors inside the mapPartitions closure. */
+  trait Codec extends Serializable {
+    def decode(bytes: Array[Byte]): Option[(Long, Long, String)]
+  }
+
+  /** REAL pure-JVM image codec over `javax.imageio` — the readers the
+    * JDK ships (PNG, BMP, GIF, JPEG), no native libraries. Payloads
+    * are magic-sniffed first so non-image bytes never enter the
+    * reader; a sniff hit that still fails to parse (e.g. text that
+    * happens to start with "BM") returns None and falls through to
+    * the caller's fallback. */
+  object ImageIoCodec extends Codec {
+    private def sniff(b: Array[Byte]): Option[String] =
+      if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') Some("image/png")
+      else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') Some("image/bmp")
+      else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+        (b(1) & 0xff) == 0xd8) Some("image/jpeg")
+      else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8') Some("image/gif")
+      else None
+    def decode(bytes: Array[Byte]): Option[(Long, Long, String)] =
+      sniff(bytes).flatMap { fmt =>
+        try {
+          javax.imageio.ImageIO.setUseCache(false) // no temp-file cache
+          Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            .map(i => (i.getWidth.toLong, i.getHeight.toLong, fmt))
+        } catch { case _: Exception => None }
+      }
+  }
+
+  /** STUB decoder for non-decodable media: deterministic
+    * pseudo-dimensions from payload md5 (this container has no
+    * audio/video libraries — images are real via [[ImageIoCodec]]). */
   def fakeDecode(payload: Array[Byte]): (Long, Long, String) = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
     val hv = java.lang.Long.parseLong(
@@ -38,9 +75,11 @@ object Multimodal {
     (640 + hv % 1280, 480 + (hv / 1280) % 720, "fake/rgb8")
   }
 
-  /** Per-partition batch "decode": the mapPartitions shape a real codec
-    * would use (amortized library init per partition, streaming rows). */
-  def decodeMeta(withBytes: DataFrame): DataFrame = {
+  /** Per-partition batch decode: real codec first, md5 stub for
+    * payloads no codec claims (mapPartitions amortizes codec init per
+    * partition, rows stream through). */
+  def decodeMeta(withBytes: DataFrame,
+                 codec: Codec = ImageIoCodec): DataFrame = {
     val spark = withBytes.sparkSession
     val rows = withBytes.select(col("doc_id"), col("payload"))
       .mapPartitions { it =>
@@ -48,11 +87,46 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val (w, h, fmt) = fakeDecode(bytes)
+          val (w, h, fmt) = codec.decode(bytes).getOrElse(fakeDecode(bytes))
           Row(id, bytes.length.toLong, w, h, fmt)
         }
       }(Encoders.row(metaSchema))
     spark.createDataFrame(rows.rdd, metaSchema)
+  }
+
+  /** REAL image payloads: one deterministic RGB PNG per document,
+    * dimensions closed-form in doc_id (width 1+id%64, height 1+id%48)
+    * so an oracle can predict them without touching the bytes. The
+    * encode runs ON THE EXECUTORS through the same mapPartitions slot
+    * a production ingest would use; the payload is a genuine PNG byte
+    * stream that [[ImageIoCodec]] (or any other reader) parses. */
+  def withPngPayload(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val spark = docs.sparkSession
+    val rows = docs.select(col("doc_id")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (1 + id % 64).toInt
+        val h = (1 + id % 48).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 2654435761L + x * 31 + y) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(schema))
+    spark.createDataFrame(rows.rdd, schema)
   }
 
   val featSchema: StructType = StructType(Seq(

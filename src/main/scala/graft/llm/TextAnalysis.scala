@@ -339,8 +339,11 @@ object TextAnalysis {
     * ∝ distinct pairs, already far below corpus size); N joins in as
     * a broadcast single row; the df join keys both sides on `term`
     * and is left to Catalyst/AQE (broadcast when the vocabulary fits,
-    * shuffle-hash when a 100 TB vocabulary doesn't). The rank window
-    * partitions by doc_id — bounded per-group input, never global.
+    * shuffle-hash when a 100 TB vocabulary doesn't). The per-doc rank
+    * rides the native GroupTopK operator — per-partition bounded
+    * heaps, then ONE clustered exchange of ≤ k·partitions rows per
+    * doc instead of the window plan's full sort of every scored term
+    * (3.6× at sf0.1 on the window A/B, widening with terms/doc).
     * Ranking orders on the ROUNDED score (ties → term asc) so both
     * engines rank identical values. */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
@@ -351,10 +354,8 @@ object TextAnalysis {
     val scored = tf.join(dft, "term").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("N").cast(DoubleType) / col("df")), 6).as("tfidf"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
+    graft.plans.GroupTopK.topK(scored, Seq("doc_id"),
+      Seq(("tfidf", true), ("term", false)), k, rankName = "rank")
   }
 
   /** CCNet-class perplexity quality score (Wenzek et al. 2020): each

@@ -87,18 +87,33 @@ object Triangles {
     * affinity statistic of recommendation co-occurrence mining.
     * Computed in micro-units with ONE rounded double division
     * (integer inputs → both engines divide identical values), ties →
-    * (a, b) asc. Shapes: the pair self-join is bounded per basket
-    * (baskets are small), item/pair counts are map-side-combined
-    * aggregates, N broadcasts as one row, and top-k is
-    * TakeOrderedAndProject. */
+    * (a, b) asc.
+    *
+    * Shape: ONE exchange (groupBy basket) builds per-basket sorted
+    * item sets; dedup happens inside `collect_set`, the basket count,
+    * per-item basket counts, and the PAIR ENUMERATION (an in-row
+    * array comprehension — sorted set, so a<b by construction) all
+    * ride that single materialized frame. The previous plan shuffled
+    * the distinct (basket, item) set once for the dedup and twice
+    * more into a self-join — three exchanges of the big side where
+    * one suffices. Pair fan-out is |basket|²/2, bounded for
+    * market-basket-shaped inputs (TPC-H orders average ~4 lines); a
+    * pathological giant basket calls for a per-basket item cap, not a
+    * different plan. */
   def basketLift(df: DataFrame, basket: String, item: String,
                  minSupport: Long, k: Int): DataFrame = {
-    val b = df.select(col(basket).as("bk"), col(item).as("it")).distinct()
-    val n = b.select(col("bk")).distinct().agg(count(lit(1)).as("n"))
-    val items = b.groupBy(col("it")).agg(count(lit(1)).as("ni"))
-    val pairs = b.select(col("bk"), col("it").as("a"))
-      .join(b.select(col("bk"), col("it").as("b")), Seq("bk"))
-      .where(col("a") < col("b"))
+    val baskets = graft.util.Scratch.track(
+      df.select(col(basket).as("bk"), col(item).as("it"))
+        .groupBy(col("bk")).agg(array_sort(collect_set(col("it"))).as("items"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = baskets.agg(count(lit(1)).as("n"))
+    val items = baskets.select(explode(col("items")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("ni"))
+    val pairCol = flatten(transform(col("items"), (x, i) =>
+      transform(slice(col("items"), i + 2, size(col("items")) - i - 1),
+        y => struct(x.as("a"), y.as("b")))))
+    val pairs = baskets.select(explode(pairCol).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
       .where(col("nab") >= minSupport)
     pairs

@@ -249,6 +249,14 @@ object ExtQueries {
     "mm_decode_meta" -> ((s, d) =>
       graft.llm.Multimodal.decodeMeta(
         graft.llm.Multimodal.withPayload(t(s, d, "documents")))),
+    // REAL codec path: executors encode one PNG per doc (dimensions
+    // closed-form in doc_id), ImageIoCodec parses the actual byte
+    // stream back — the oracle predicts width/height without ever
+    // touching the bytes. n_bytes is compression-dependent, excluded.
+    "mm_decode_png" -> ((s, d) =>
+      graft.llm.Multimodal.decodeMeta(
+          graft.llm.Multimodal.withPngPayload(t(s, d, "documents")))
+        .select(col("doc_id"), col("width"), col("height"), col("format"))),
     "mm_frames" -> ((s, d) =>
       graft.llm.Multimodal.sampleFrames(
         graft.llm.Multimodal.withPayload(t(s, d, "documents")), 64)),
@@ -1718,6 +1726,13 @@ object ExtQueries {
         | SELECT doc_id, n_bytes, 640 + hv % 1280 AS width,
         |  480 + (hv // 1280) % 720 AS height, 'fake/rgb8' AS format
         | FROM h""".stripMargin,
+
+    // real-codec check: decoded dims must equal the generator's
+    // closed form — if ImageIO mis-parsed (or the stub leaked in via
+    // the fallback) width/height/format all diverge
+    "mm_decode_png" ->
+      """SELECT doc_id, 1 + doc_id % 64 AS width, 1 + doc_id % 48 AS height,
+        | 'image/png' AS format FROM documents""".stripMargin,
 
     "mm_frames" ->
       """SELECT doc_id, unnest(range(0, CAST(strlen(text) AS BIGINT), 64))

@@ -394,6 +394,16 @@ object WoqlQueries {
         V("Y"), "W"))(
       "y" -> vIri("Y"), "w" -> vStr("W")),
 
+    // edge-object witness: same diamond, but the witness also binds
+    // the traversed TRIPLES ("s|p|o" per step, ';'-joined) — the
+    // reference's edge-list witness shape; note the inverse first hop
+    // still records the STORED direction (nation → region)
+    "woql_path_witness_edges" -> woql(
+      PathAllQ(Node("tpch:region/0"),
+        PSeq(PInv("tpch:n_regionkey"), PPred("tpch:n_regionkey")),
+        V("Y"), "W", edgesVar = Some("E")))(
+      "y" -> vIri("Y"), "w" -> vStr("W"), "e" -> vStr("E")),
+
     // bounded times over an alternation: every 1- and 2-hop inverse
     // chain region→nation(→customer), each path enumerated
     "woql_path_witness_times" -> woql(
@@ -699,6 +709,13 @@ object WoqlQueries {
     "woql_path_witness" ->
       """SELECT 'tpch:region/0' AS y,
         | 'tpch:region/0/tpch:nation/'||n_nationkey||'/tpch:region/0' AS w
+        | FROM nation WHERE n_regionkey = 0""".stripMargin,
+
+    "woql_path_witness_edges" ->
+      """SELECT 'tpch:region/0' AS y,
+        | 'tpch:region/0/tpch:nation/'||n_nationkey||'/tpch:region/0' AS w,
+        | 'tpch:nation/'||n_nationkey||'|tpch:n_regionkey|tpch:region/0;'||
+        |   'tpch:nation/'||n_nationkey||'|tpch:n_regionkey|tpch:region/0' AS e
         | FROM nation WHERE n_regionkey = 0""".stripMargin,
 
     "woql_path_witness_times" ->

@@ -36,6 +36,9 @@ import graft.storage.LayerStore
   *                                         ref; local branch head untouched
   *   GET  /api/prefixes                  — the database prefix context
   *   GET  /api/triples?branch=B          — branch graph as turtle (text)
+  *   GET/POST/DELETE /api/db[?name=N]    — list / create / delete databases
+  *   GET  /api/schema                    — schema graph as JSON triples
+  *   GET  /api/frame[?class=C]           — class frames (own + inherited)
   *
   * Auth: pass `token` to [[start]] (or set GRAFT_HTTP_TOKEN) to require
   * `Authorization: Bearer <token>` on every route except `/api/info`.
@@ -227,6 +230,87 @@ object HttpApi {
         "head" -> JString(head),
         "local_head" -> localHead.map(JString(_): JValue).getOrElse(JNull),
         "fast_forwardable" -> JBool(ff)))
+    })
+
+    // ---- database admin ([ref:server/routes.pl] db create/delete):
+    // a "database" is a named LayerStore root under the server's
+    // store directory — the single-node spelling of the reference's
+    // org/db addressing. Creation seeds an empty "main" commit so the
+    // branch surface works immediately; deletion removes the root. ----
+
+    val dbRoot = new java.io.File(store.root, "dbs")
+
+    srv.createContext("/api/db", route { ex =>
+      ex.getRequestMethod match {
+        case "GET" =>
+          val names = Option(dbRoot.list()).getOrElse(Array.empty[String])
+            .sorted.toList
+          ok(JObject("api:status" -> JString("api:success"),
+            "databases" -> JArray(names.map(JString(_): JValue))))
+        case "POST" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          require(name.matches("[A-Za-z0-9._-]+"), s"invalid database name: $name")
+          val dir = new java.io.File(dbRoot, name)
+          require(!dir.exists(), s"database already exists: $name")
+          val db = LayerStore.open(spark, dir.getPath)
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], graft.storage.Eav.schema)
+          val head = db.commit("main", empty, empty, s"create database $name")
+          ok(JObject("api:status" -> JString("api:success"),
+            "database" -> JString(name), "head" -> JString(head)))
+        case "DELETE" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          require(name.matches("[A-Za-z0-9._-]+"), s"invalid database name: $name")
+          val dir = new java.io.File(dbRoot, name)
+          require(dir.exists(), s"database not found: $name")
+          org.apache.commons.io.FileUtils.deleteDirectory(dir)
+          ok(JObject("api:status" -> JString("api:success"),
+            "deleted" -> JString(name)))
+        case m => sys.error(s"unsupported method $m")
+      }
+    })
+
+    srv.createContext("/api/schema", route { ex =>
+      require(ex.getRequestMethod == "GET", "GET required")
+      // the schema graph as JSON triples — IRI objects plain, literal
+      // constraint values (maxCard) as numbers
+      import org.apache.spark.sql.functions.col
+      val rows = ctx.triples.filter(col("g") === "schema")
+        .select(col("s"), col("p"), col("o_iri"), col("o_lng"))
+        .collect().toList.sortBy(r => (r.getString(0), r.getString(1),
+          Option(r.getString(2)).getOrElse("")))
+      ok(JObject("api:status" -> JString("api:success"),
+        "triples" -> JArray(rows.map { r =>
+          JObject("s" -> JString(r.getString(0)), "p" -> JString(r.getString(1)),
+            "o" -> (if (!r.isNullAt(2)) JString(r.getString(2))
+              else if (!r.isNullAt(3)) JInt(BigInt(r.getLong(3)))
+              else JNull)): JValue
+        })))
+    })
+
+    srv.createContext("/api/frame", route { ex =>
+      require(ex.getRequestMethod == "GET", "GET required")
+      // class frames from the schema graph (docs/Frames): own +
+      // inherited property declarations; ?class=C narrows to one class
+      import org.apache.spark.sql.functions.col
+      val schema = ctx.triples.filter(col("g") === "schema")
+      val frames = param(ex, "class") match {
+        case Some(cls) => graft.docs.Frames
+          .classFrame(schema, ctx.subclass, cls)
+          .withColumn("cls", org.apache.spark.sql.functions.lit(cls))
+          .select(col("cls"), col("property"), col("range"), col("maxCard"))
+        case None => graft.docs.Frames.allFrames(schema, ctx.subclass)
+      }
+      val rows = frames.collect().toList
+        .sortBy(r => (r.getString(0), r.getString(1)))
+      ok(JObject("api:status" -> JString("api:success"),
+        "frames" -> JArray(rows.map { r =>
+          JObject("class" -> JString(r.getString(0)),
+            "property" -> JString(r.getString(1)),
+            "range" -> (if (r.isNullAt(2)) JNull else JString(r.getString(2))),
+            "max_card" -> (if (r.isNullAt(3)) JNull
+              else JInt(BigInt(r.getLong(3))))): JValue
+        })))
     })
 
     srv.createContext("/api/prefixes", route { _ =>

@@ -170,6 +170,40 @@ class LlmSpec extends AnyFunSuite {
     assert(f1.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
   }
 
+  test("real PNG/BMP bytes decode through ImageIoCodec; non-media falls back") {
+    // PNG round-trip: executor-encoded PNGs parse back to the
+    // generator's closed-form dimensions
+    val metas = Multimodal.decodeMeta(
+        Multimodal.withPngPayload(docs.limit(40).repartition(5)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(metas.size == 40)
+    metas.foreach { case (id, (w, h, fmt)) =>
+      assert(w == 1 + id % 64 && h == 1 + id % 48 && fmt == "image/png",
+        s"doc $id decoded ($w,$h,$fmt)")
+    }
+    // BMP: a hand-written 3×2 bottom-up 24bpp bitmap
+    val bmp = {
+      val w = 3; val h = 2; val rowPad = (4 - (w * 3) % 4) % 4
+      val dataSize = (w * 3 + rowPad) * h
+      val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0)
+        .putInt(54) // file header
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0) // BITMAPINFOHEADER
+      (0 until dataSize).foreach(_ => b.put(0x7f.toByte))
+      b.array()
+    }
+    assert(Multimodal.ImageIoCodec.decode(bmp) == Some((3L, 2L, "image/bmp")))
+    // text bytes: no codec claims them → stub fallback in decodeMeta
+    assert(Multimodal.ImageIoCodec.decode("plain text".getBytes("UTF-8")).isEmpty)
+    // even text that sniffs as BMP ("BM...") but fails to parse falls back
+    assert(Multimodal.ImageIoCodec.decode(
+      ("BM" + "x" * 60).getBytes("UTF-8")).isEmpty)
+  }
+
   test("exact dedup groups sum to corpus size") {
     val g = Dedup.exactGroups(docs)
     assert(g.agg(sum("n")).head().getLong(0) == docs.count())

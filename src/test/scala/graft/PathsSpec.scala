@@ -146,6 +146,27 @@ class PathsSpec extends AnyFunSuite {
     assert(res.size == 3)
   }
 
+  test("edge-object witness binds the traversed triples, stored direction") {
+    // a→b→d and a→c→d, plus an INVERSE step pattern: edge structs must
+    // record the stored (s,p,o) even when the walk went backwards
+    val d = triples((":a", "e", ":b"), (":b", "e", ":d"), (":c", "e", ":d"))
+    // forward two hops: edges = traversed triples in order
+    val fwd = Compiler.run(PathAllQ(Node(":a"),
+        PSeq(PPred("e"), PPred("e")), V("Y"), "W",
+        edgesVar = Some("E")))(ctxOf(d))
+      .collect().map(r => (r.getAs[Row]("Y").getAs[String]("iri"),
+        r.getAs[Row]("E").getAs[String]("str"))).toSet
+    assert(fwd == Set((":d", ":a|e|:b;:b|e|:d")))
+    // forward then INVERSE: walking d→c traverses the edge STORED as
+    // (c, e, d) — that stored orientation must be what's bound
+    val inv = Compiler.run(PathAllQ(Node(":b"),
+        PSeq(PPred("e"), PInv("e")), V("Y"), "W",
+        edgesVar = Some("E")))(ctxOf(d))
+      .collect().map(r => (r.getAs[Row]("Y").getAs[String]("iri"),
+        r.getAs[Row]("E").getAs[String]("str"))).toSet
+    assert(inv == Set((":b", ":b|e|:d;:b|e|:d"), (":c", ":b|e|:d;:c|e|:d")))
+  }
+
   test("exhaustive enumeration refuses beyond the path budget") {
     // chain of 3 diamonds: a0→{b0,c0}→a1→{b1,c1}→a2→{b2,c2}→a3 — 2^3
     // distinct paths a0⇝a3; a budget of 4 must trip before completion

@@ -228,6 +228,56 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strs(notQ, "n_name").toSet == keep)
   }
 
+  private def delete(path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(srv.url(path))).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("db create / list / duplicate-refused / delete round-trip") {
+    val (c1, b1) = post("/api/db?name=testdb1", "")
+    assert(c1 == 200, b1)
+    assert((JsonMethods.parse(b1) \ "head").isInstanceOf[JString])
+    val (_, listed) = get("/api/db")
+    val JArray(names) = (JsonMethods.parse(listed) \ "databases"): @unchecked
+    assert(names.contains(JString("testdb1")))
+    val (dup, _) = post("/api/db?name=testdb1", "")
+    assert(dup == 400) // already exists
+    val (cd, _) = delete("/api/db?name=testdb1")
+    assert(cd == 200)
+    val (_, listed2) = get("/api/db")
+    val JArray(names2) = (JsonMethods.parse(listed2) \ "databases"): @unchecked
+    assert(!names2.contains(JString("testdb1")))
+    // path traversal refused
+    val (bad, _) = post("/api/db?name=..%2Fevil", "")
+    assert(bad == 400)
+  }
+
+  test("schema route serves the schema graph as JSON triples") {
+    val (code, body) = get("/api/schema")
+    assert(code == 200)
+    val JArray(ts) = (JsonMethods.parse(body) \ "triples"): @unchecked
+    assert(ts.nonEmpty)
+    // the TPC-H schema declares rdfs:domain rows; maxCard is numeric
+    assert(ts.exists(t => (t \ "p") == JString("rdfs:domain")))
+    assert(ts.filter(t => (t \ "p") == JString("graft:maxCard"))
+      .forall(t => (t \ "o").isInstanceOf[JInt]))
+  }
+
+  test("frame route serves class frames, narrowed by ?class") {
+    val (code, body) = get("/api/frame?class=tpch:Customer")
+    assert(code == 200)
+    val JArray(fs) = (JsonMethods.parse(body) \ "frames"): @unchecked
+    assert(fs.nonEmpty)
+    assert(fs.forall(f => (f \ "class") == JString("tpch:Customer")))
+    assert(fs.exists(f => (f \ "property") == JString("tpch:c_name")))
+    // unfiltered: every class, superset of the narrowed frame
+    val (_, all) = get("/api/frame")
+    val JArray(af) = (JsonMethods.parse(all) \ "frames"): @unchecked
+    assert(af.size > fs.size)
+  }
+
   test("graphql deep links chain two hops with an exact double filter") {
     val (_, deep) = server.GraphQL.run(
       """{ Lineitem(filter: {l_quantity: {eq: 50.0}, l_returnflag: {eq: "R"}}) {
