@@ -76,10 +76,14 @@ object Bench {
       // below the core count, so a dim-sized shuffle still schedules
       // 32 near-empty tasks — the fixed floor that dominates every
       // sub-second battery entry. Size-based coalescing collapses
-      // those to 1–2 tasks; big shuffles (≥ advisory size × cores)
-      // are untouched, so nothing regresses at scale.
+      // those to 1–2 tasks. The advisory size must stay SMALL here:
+      // at the default 64m a mid-size (~100 MB) shuffle coalesces to
+      // 2 tasks and runs 1/16th-parallel (measured: graph_triangles
+      // 4.4 s → 19.9 s). 1m keeps every shuffle above ~32 MB at full
+      // 32-way parallelism while sub-MB dim shuffles still collapse.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -414,7 +414,9 @@ object Paths {
     // edge relation: broadcasting them keeps the big relation map-side
     // (zero shuffle per iteration). Above the threshold fall back to a
     // shuffle join.
-    val BroadcastRows = 2000000L
+    val BroadcastRows = sys.props.get("graft.path.broadcastRows")
+      .orElse(sys.env.get("GRAFT_PATH_BROADCAST_ROWS"))
+      .map(_.toLong).getOrElse(2000000L)
     def hinted(df: DataFrame, rows: Long): DataFrame =
       if (rows >= 0 && rows < BroadcastRows) broadcast(df) else df
     def oneStep(frontier: DataFrame, rows: Long): DataFrame = relOpt match {

@@ -135,13 +135,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"BM25 must not shuffle the corpus:\n$plan")
   }
 
-  test("tf-idf rank window partitions by doc_id, never globally") {
+  test("tf-idf rank rides native GroupTopK: partial heaps before ONE doc_id exchange") {
     val plan = SparkEntry.queries("text_tfidf_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    // every window spec in the plan must carry the doc_id partition key
-    val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(plan).toSeq
-    assert(specs.nonEmpty && specs.forall(_.group(1).startsWith("doc_id")),
-      s"window must partition by doc_id:\n$plan")
+    // per-partition bounded heaps must sit BELOW the doc_id exchange
+    // (≤ k·partitions rows per doc cross it), final emit above — the
+    // window plan this replaced full-sorted every scored term
+    assert(plan.contains("GroupTopKPartial") && plan.contains("GroupTopKFinal"),
+      s"expected native GroupTopK plan:\n$plan")
+    assert("GroupTopKPartial \\[doc_id".r.findFirstIn(plan).isDefined,
+      s"partial heap must group by doc_id:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"no window should remain in the tf-idf plan:\n$plan")
   }
 
   test("bucketed fact join shuffles nothing but the rollup") {
