@@ -466,6 +466,20 @@ object VersionQueries {
         col("_c_nationkey_of_Customer_c_acctbal").getField("dbl").as("c_acctbal"))
     }),
 
+    // GraphQL INTROSPECTION (read-only by design, like the reference —
+    // document mutation goes through the document API): __schema lists
+    // the schema graph's classes, __type a class's frame with range +
+    // cardinality, both prefix-stripped to query-form names
+    "ext_graphql_introspect" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      graft.server.GraphQL.run("{ __schema { types { name } } }")._2
+    }),
+    "ext_graphql_type" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      graft.server.GraphQL.run(
+        """{ __type(name: "Customer") { fields { name type max_card } } }""")._2
+    }),
+
     // GraphQL deep traversal: lineitem → orders → customer, two link
     // hops, with an exact-equality filter on a DOUBLE field (struct
     // equality against the canonical value representation)
@@ -698,6 +712,22 @@ object VersionQueries {
       """SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
         | FROM nation
         | WHERE n_nationkey % 7 = 3 OR starts_with(n_name, 'NATION_1')""".stripMargin,
+    // the declared schema classes (rdfs:domain owners + subClassOf
+    // endpoints), short-form
+    "ext_graphql_introspect" ->
+      """SELECT * FROM (VALUES ('Agent'),('Customer'),('Entity'),
+        | ('Lineitem'),('Nation'),('Orders'),('Part'),('Region'),
+        | ('Supplier')) AS t(name)""".stripMargin,
+    // Customer frame: own properties + rdfs:label inherited from
+    // Entity via Agent, with ranges and cardinality bounds
+    "ext_graphql_type" ->
+      """SELECT * FROM (VALUES
+        | ('c_acctbal', 'xsd:double', CAST(1 AS BIGINT)),
+        | ('c_mktsegment', 'xsd:string', CAST(NULL AS BIGINT)),
+        | ('c_name', 'xsd:string', CAST(1 AS BIGINT)),
+        | ('c_nationkey', 'Nation', CAST(NULL AS BIGINT)),
+        | ('rdfs:label', 'xsd:string', CAST(NULL AS BIGINT)))
+        | AS t(name, type, max_card)""".stripMargin,
     "ext_graphql_deep" ->
       """SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | o_orderpriority, c_name

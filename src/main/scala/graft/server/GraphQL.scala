@@ -342,11 +342,54 @@ object GraphQL {
     (root.name, Select(cols, q), cols)
   }
 
+  /** Introspection subset: `{ __schema { types { name } } }` lists
+    * the classes the schema graph declares (rdfs:domain owners +
+    * rdfs:subClassOf endpoints), `{ __type(name: "C") { fields } }`
+    * lists a class's frame — own + inherited properties with range
+    * and cardinality (docs/Frames). Names are prefix-stripped to the
+    * same short form queries use. Responses are FLAT binding frames
+    * like every other query (the facade nests them under the root
+    * field). The reference's GraphQL is likewise READ-only — document
+    * mutation goes through the document API — so introspection
+    * completes the read surface; no mutations by design. */
+  private def introspect(root: Sel, prefix: String)(
+      implicit ctx: Ctx): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = ctx.triples.filter(col("g") === "schema")
+    def short(c: org.apache.spark.sql.Column) = regexp_replace(
+      c, "^" + java.util.regex.Pattern.quote(prefix), "")
+    root.name match {
+      case "__schema" =>
+        val subs = schema.filter(col("p") === "rdfs:subClassOf")
+        schema.filter(col("p") === "rdfs:domain").select(col("o_iri").as("cls"))
+          .union(subs.select(col("s").as("cls")))
+          .union(subs.select(col("o_iri").as("cls")))
+          .distinct()
+          .select(short(col("cls")).as("name"))
+          .orderBy(col("name"))
+      case "__type" =>
+        val name = root.args.collectFirst { case ("name", GStr(v)) => v }
+          .getOrElse(throw new IllegalArgumentException(
+            "__type requires a name: String argument"))
+        graft.docs.Frames.classFrame(schema, ctx.subclass, prefix + name)
+          .select(short(col("property")).as("name"),
+            short(col("range")).as("type"),
+            col("maxCard").as("max_card"))
+          .orderBy(col("name"))
+      case other => throw new IllegalArgumentException(
+        s"unknown introspection root $other")
+    }
+  }
+
   /** Execute a GraphQL query against a compile context; bindings frame
     * with one column per selected field, in selection order. */
   def run(query: String, prefix: String = "tpch:")(implicit ctx: Ctx): (String, DataFrame) = {
-    val (cls, woql, cols) = toWoql(parse(query), prefix)
-    val df = Compiler.run(woql)
-    (cls, df.select(cols.map(org.apache.spark.sql.functions.col): _*))
+    val root = parse(query)
+    if (root.name.startsWith("__")) (root.name, introspect(root, prefix))
+    else {
+      val (cls, woql, cols) = toWoql(root, prefix)
+      val df = Compiler.run(woql)
+      (cls, df.select(cols.map(org.apache.spark.sql.functions.col): _*))
+    }
   }
 }

@@ -90,7 +90,18 @@ object HttpApi {
       val (cls, df) = GraphQL.run(query)
       val rows: List[JValue] = df.collect().toList.map { r =>
         JObject(df.columns.toList.map { c =>
-          c -> Option(r.getAs[Row](c)).map(plainVal).getOrElse(JNull)
+          // data queries bind Vals structs; introspection binds plain
+          // scalars — render both
+          c -> (r.get(r.fieldIndex(c)) match {
+            case null => JNull
+            case row: Row => plainVal(row)
+            case s: String => JString(s)
+            case l: Long => JInt(BigInt(l))
+            case i: Int => JInt(BigInt(i))
+            case d: Double => JDouble(d)
+            case b: Boolean => JBool(b)
+            case other => JString(other.toString)
+          })
         })
       }
       ok(JObject("data" -> JObject(cls -> JArray(rows))))
@@ -190,6 +201,17 @@ object HttpApi {
       ok(JObject("api:status" -> JString("api:success"),
         "branch" -> JString(branch), "dest" -> JString(dest),
         "layers" -> JInt(BigInt(layers))))
+    })
+
+    srv.createContext("/api/unpack", route { ex =>
+      // import a transfer directory's layers; reports the pack's
+      // branch heads WITHOUT moving local refs (reset/pull move them —
+      // the reference's unpack route has the same import-only contract)
+      val src = postParam(ex, "src")
+      val heads = store.unpack(src)
+      ok(JObject("api:status" -> JString("api:success"),
+        "heads" -> JObject(heads.toList.sortBy(_._1)
+          .map { case (b, h) => b -> (JString(h): JValue) })))
     })
 
     srv.createContext("/api/clone", route { ex =>

@@ -278,6 +278,47 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(af.size > fs.size)
   }
 
+  test("pack -> unpack imports layers and reports heads without moving refs") {
+    // seed a branch on the server store, pack it out, then unpack the
+    // pack back in: heads reported, local refs untouched
+    val (_, bs) = post("/api/branch?name=packsrc&from=main", "")
+    val head0 = (JsonMethods.parse(bs) \ "head") match {
+      case JString(h) => h
+      case other => fail(s"no head in $bs: $other")
+    }
+    val dest = java.nio.file.Files.createTempDirectory("graft-packrt").toString
+    val (cp, _) = post("/api/pack?branch=packsrc&dest=" +
+      java.net.URLEncoder.encode(dest, "UTF-8"), "")
+    assert(cp == 200)
+    val (cu, bu) = post("/api/unpack?src=" +
+      java.net.URLEncoder.encode(dest, "UTF-8"), "")
+    assert(cu == 200, bu)
+    assert((JsonMethods.parse(bu) \ "heads" \ "packsrc") == JString(head0))
+    // refs unmoved
+    val (_, bl) = get("/api/branch")
+    assert((JsonMethods.parse(bl) \ "branches" \ "packsrc") == JString(head0))
+  }
+
+  test("graphql introspection lists classes and class frames") {
+    val (_, schemaDf) = server.GraphQL.run("{ __schema { types { name } } }")(
+      graft.Graft.ctx(spark, sfDir))
+    val names = schemaDf.collect().map(_.getString(0)).toSeq
+    assert(names == names.sorted)
+    assert(names.contains("Customer") && names.contains("Entity"))
+    val (_, typeDf) = server.GraphQL.run(
+      """{ __type(name: "Customer") { fields { name type max_card } } }""")(
+      graft.Graft.ctx(spark, sfDir))
+    val fields = typeDf.collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(fields("c_nationkey") == "Nation") // link range prefix-stripped
+    assert(fields("rdfs:label") == "xsd:string") // inherited from Entity
+    // over the wire too
+    val (code, body) = post("/api/graphql", """{"query":"{ __schema { types { name } } }"}""")
+    assert(code == 200)
+    val JArray(rows) = (JsonMethods.parse(body) \ "data" \ "__schema"): @unchecked
+    assert(rows.exists(r => (r \ "name") == JString("Customer")))
+  }
+
   test("graphql deep links chain two hops with an exact double filter") {
     val (_, deep) = server.GraphQL.run(
       """{ Lineitem(filter: {l_quantity: {eq: 50.0}, l_returnflag: {eq: "R"}}) {
