@@ -62,7 +62,9 @@ object Bench {
     "rel_histogram", "text_token_entropy", "rel_fuzzy_join",
     "sketch_hll_distinct", "sketch_hll_union", "stream_hll_users",
     "rel_skyline", "text_hapax", "stream_bloom_semijoin",
-    "rel_mad_outliers")
+    "rel_mad_outliers",
+    // round-11 tranche: real image codec + edge-object witnesses
+    "mm_decode_png", "woql_path_witness_edges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

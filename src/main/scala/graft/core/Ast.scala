@@ -149,7 +149,9 @@ final case class MemberConst(into: String, items: Seq[Term]) extends Woql
 final case class DotQ(doc: Term, field: String, into: String) extends Woql
 
 // ---- path (§2.7) ----
-final case class PathQ(x: Term, pattern: PathPat, y: Term, witness: Option[String] = None) extends Woql
+final case class PathQ(x: Term, pattern: PathPat, y: Term,
+                       witness: Option[String] = None,
+                       edgesVar: Option[String] = None) extends Woql
 /** Exhaustive path-witness enumeration from a bound source: one solution
   * per DISTINCT path (reference: core/query/path.pl enumerates every
   * path; PathQ's witness binds one canonical witness per node). Cycle

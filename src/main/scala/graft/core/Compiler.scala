@@ -677,7 +677,7 @@ object Compiler {
       }
       BF(cur.df.withColumn(into, dblVal(sim)), cur.vars + into)
 
-    case PathQ(x, pat, y, _witness) =>
+    case PathQ(x, pat, y, _witness, ew) =>
       // Bound endpoint → frontier expansion from that side (work ∝
       // reachable set); both free → full pair relation (SURVEY §4.1).
       def seed(i: String) = {
@@ -686,14 +686,23 @@ object Compiler {
       }
       def seedW(i: String) = {
         import ctx.spark.implicits._
-        Seq((i, Seq(i))).toDF("n", "path")
+        val base = Seq((i, Seq(i))).toDF("n", "path")
+        if (ew.isEmpty) base
+        else base.withColumn("edges", array().cast(
+          "array<struct<s:string,p:string,o:string>>"))
       }
+      def edgeStrW: Column = concat_ws(";", transform(col("edges"),
+        e => concat_ws("|", e.getField("s"), e.getField("p"), e.getField("o"))))
       val bf0 = (x, y, _witness) match {
         case (Node(i), V(n), Some(w)) =>
-          // canonical witness per reachable node, bound as node sequence
+          // canonical witness per reachable node, bound as node
+          // sequence (+ optionally the traversed triples as edge
+          // objects — the list belonging to the canonical path)
           val wdf = Paths.stepWitness(pat, seedW(i), ctx)
-          BF(wdf.select(iriVal(col("n")).as(n),
-            strVal(concat_ws("/", col("path"))).as(w)), Set(n, w))
+          val base = Seq(iriVal(col("n")).as(n),
+            strVal(concat_ws("/", col("path"))).as(w))
+          val cols = base ++ ew.map(v => strVal(edgeStrW).as(v))
+          BF(wdf.select(cols: _*), Set(n, w) ++ ew)
         case (Node(i), V(n), None) =>
           BF(Paths.step(pat, seed(i), ctx).select(iriVal(col("n")).as(n)), Set(n))
         case (V(n), Node(i), _) =>

@@ -160,7 +160,7 @@ object JsonWoqlWrite {
       "member" -> v(into), "list" -> v(l))
     case DotQ(doc, field, into) => JObject("@type" -> JString("Dot"),
       "document" -> term(doc), "field" -> JString(field), "value" -> v(into))
-    case PathQ(x, pat, y, w) =>
+    case PathQ(x, pat, y, w, _) =>
       val base = List("@type" -> JString("Path"), "subject" -> term(x),
         "pattern" -> path(pat), "object" -> term(y))
       JObject(w.map(n => base :+ ("path" -> v(n))).getOrElse(base): _*)

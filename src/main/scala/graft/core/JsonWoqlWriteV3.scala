@@ -127,7 +127,7 @@ object JsonWoqlWriteV3 {
       "woql:query" -> toJson(x))
     case Eval(e, into) => JObject(t("Eval"),
       "woql:expression" -> arith(e), "woql:result" -> term(V(into)))
-    case PathQ(s, pat, o, w) =>
+    case PathQ(s, pat, o, w, _) =>
       val base = List(t("Path"), "woql:subject" -> term(s),
         "woql:path_pattern" -> path(pat), "woql:object" -> term(o))
       JObject(w.map(n => base :+ ("woql:path" -> term(V(n)))).getOrElse(base): _*)

@@ -245,16 +245,36 @@ object Paths {
   // the reachable set); documented divergence. Witness = node sequence.
 
   private def dedupW(df: DataFrame): DataFrame =
-    df.groupBy(col("n")).agg(min(col("path")).as("path"))
+    if (df.columns.contains("edges"))
+      // canonical = least PATH; its edge list rides along inside the
+      // min-struct (path is the struct's leading field, so struct-min
+      // IS path-min, edges resolved by the same winner)
+      df.groupBy(col("n"))
+        .agg(min(struct(col("path"), col("edges"))).as("__pe"))
+        .select(col("n"), col("__pe.path").as("path"),
+          col("__pe.edges").as("edges"))
+    else df.groupBy(col("n")).agg(min(col("path")).as("path"))
+
+  /** Append the traversed STORED triple when the frontier carries an
+    * `edges` column (see extendAll — same stored-orientation rule). */
+  private def withEdge(frontier: DataFrame, p: String): Seq[Column] =
+    if (frontier.columns.contains("edges"))
+      Seq(concat(col("edges"), array(struct(col("src").as("s"),
+        lit(p).as("p"), col("dst").as("o")))).as("edges"))
+    else Nil
 
   /** One pattern application carrying witness node-paths. */
   def stepWitness(pat: PathPat, frontier: DataFrame, ctx: Ctx): DataFrame = pat match {
     case PPred(p) => dedupW(frontier
       .join(edges(p, ctx), col("n") === col("src"))
-      .select(col("dst").as("n"), concat(col("path"), array(col("dst"))).as("path")))
+      .select(col("dst").as("n") +:
+        concat(col("path"), array(col("dst"))).as("path") +:
+        withEdge(frontier, p): _*))
     case PInv(p) => dedupW(frontier
       .join(edges(p, ctx), col("n") === col("dst"))
-      .select(col("src").as("n"), concat(col("path"), array(col("src"))).as("path")))
+      .select(col("src").as("n") +:
+        concat(col("path"), array(col("src"))).as("path") +:
+        withEdge(frontier, p): _*))
     case PSeq(a, b) => stepWitness(b, stepWitness(a, frontier, ctx), ctx)
     case PAlt(a, b) => dedupW(
       stepWitness(a, frontier, ctx).unionByName(stepWitness(b, frontier, ctx)))

@@ -394,6 +394,13 @@ object WoqlQueries {
         V("Y"), "W"))(
       "y" -> vIri("Y"), "w" -> vStr("W")),
 
+    // canonical witness WITH edge objects: the zero-hop solution binds
+    // an empty edge list, the one-hop one its traversed triple
+    "woql_path_witness_canon_edges" -> woql(
+      PathQ(Node("tpch:nation/3"), PStar(PPred("tpch:n_regionkey")),
+        V("Y"), witness = Some("W"), edgesVar = Some("E")))(
+      "y" -> vIri("Y"), "w" -> vStr("W"), "e" -> vStr("E")),
+
     // edge-object witness: same diamond, but the witness also binds
     // the traversed TRIPLES ("s|p|o" per step, ';'-joined) — the
     // reference's edge-list witness shape; note the inverse first hop
@@ -710,6 +717,14 @@ object WoqlQueries {
       """SELECT 'tpch:region/0' AS y,
         | 'tpch:region/0/tpch:nation/'||n_nationkey||'/tpch:region/0' AS w
         | FROM nation WHERE n_regionkey = 0""".stripMargin,
+
+    "woql_path_witness_canon_edges" ->
+      """SELECT 'tpch:nation/3' AS y, 'tpch:nation/3' AS w, '' AS e
+        | UNION ALL
+        | SELECT 'tpch:region/'||n_regionkey,
+        |   'tpch:nation/3/tpch:region/'||n_regionkey,
+        |   'tpch:nation/3|tpch:n_regionkey|tpch:region/'||n_regionkey
+        | FROM nation WHERE n_nationkey = 3""".stripMargin,
 
     "woql_path_witness_edges" ->
       """SELECT 'tpch:region/0' AS y,

@@ -146,6 +146,20 @@ class PathsSpec extends AnyFunSuite {
     assert(res.size == 3)
   }
 
+  test("canonical witness edge list belongs to the CANONICAL path") {
+    // two 2-hop routes a⇝d; canonical = lexicographically-least node
+    // path (via :b) — its edge list must be :b's edges, never a mix
+    val d = triples((":a", "e", ":b"), (":a", "e", ":c"),
+      (":b", "e", ":d"), (":c", "e", ":d"))
+    val res = Compiler.run(PathQ(Node(":a"), PPlus(PPred("e")), V("Y"),
+        witness = Some("W"), edgesVar = Some("E")))(ctxOf(d))
+      .collect().map(r => (r.getAs[Row]("Y").getAs[String]("iri"),
+        (r.getAs[Row]("W").getAs[String]("str"),
+          r.getAs[Row]("E").getAs[String]("str")))).toMap
+    assert(res(":d") == ((":a/:b/:d", ":a|e|:b;:b|e|:d")))
+    assert(res(":b") == ((":a/:b", ":a|e|:b")))
+  }
+
   test("edge-object witness binds the traversed triples, stored direction") {
     // a→b→d and a→c→d, plus an INVERSE step pattern: edge structs must
     // record the stored (s,p,o) even when the walk went backwards
