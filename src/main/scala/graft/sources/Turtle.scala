@@ -3,18 +3,20 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import graft.storage.Eav
 
-/** Turtle subset reader/writer for bulk graph load/dump (SURVEY §2.1;
-  * reference: core/triple/turtle_utils.pl). Supported subset: @prefix /
-  * @base directives, <iri> refs, prefixed names, `a` for rdf:type,
-  * `;` / `,` continuation syntax, plain/typed/lang literals (short and
-  * `"""long"""` forms), integers, decimals, booleans, blank-node labels
-  * (`_:x`), and anonymous blank nodes `[ ... ]` in subject or object
-  * position (fresh `_:gbN` labels), and RDF collections `( e1 e2 … )`
-  * in subject or object position (expanded to the standard
-  * rdf:first / rdf:rest / rdf:nil chain over fresh blanks; `()` is the
-  * node rdf:nil). Parsing is a pure function per statement, so bulk load can run
-  * inside mapPartitions over line-chunked input at scale; dump formats
-  * from the EAV frame. */
+/** Turtle reader/writer for bulk graph load/dump (SURVEY §2.1;
+  * reference: core/triple/turtle_utils.pl). Supported: @prefix /
+  * @base AND SPARQL-style PREFIX / BASE directives (case-insensitive,
+  * dotless), <iri> refs, prefixed names, `a` for rdf:type, `;` / `,`
+  * continuation syntax, plain/typed/lang literals in all four quote
+  * forms (`"…"`, `'…'`, `"""…"""`, `'''…'''`), ECHAR + \uXXXX /
+  * \UXXXXXXXX escapes, integers, decimals, doubles, booleans,
+  * blank-node labels (`_:x`), anonymous blank nodes `[ ... ]` in
+  * subject or object position (fresh `_:gbN` labels), and RDF
+  * collections `( e1 e2 … )` in subject or object position (expanded
+  * to the standard rdf:first / rdf:rest / rdf:nil chain over fresh
+  * blanks; `()` is the node rdf:nil). Parsing is a pure function per
+  * statement, so bulk load can run inside mapPartitions over
+  * line-chunked input at scale; dump formats from the EAV frame. */
 object Turtle {
 
   // ---- tokenizer ------------------------------------------------------
@@ -34,6 +36,32 @@ object Turtle {
   private case object TRParen extends Tok // )
   private case class TDirective(v: String) extends Tok
 
+  /** Append the char(s) of one string escape; `i` points at the char
+    * AFTER the backslash; returns the index after the escape. Covers
+    * the Turtle ECHAR set plus \\uXXXX and \\UXXXXXXXX numeric
+    * escapes (appended as code points — astral chars become surrogate
+    * pairs). */
+  private def appendEscape(s: String, i: Int, sb: StringBuilder): Int =
+    s(i) match {
+      case 'n' => sb += '\n'; i + 1
+      case 't' => sb += '\t'; i + 1
+      case 'r' => sb += '\r'; i + 1
+      case 'b' => sb += '\b'; i + 1
+      case 'f' => sb += '\f'; i + 1
+      case 'u' =>
+        if (i + 4 >= s.length) throw new IllegalArgumentException(
+          "truncated \\u escape")
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+        i + 5
+      case 'U' =>
+        if (i + 8 >= s.length) throw new IllegalArgumentException(
+          "truncated \\U escape")
+        sb.append(new String(Character.toChars(
+          Integer.parseInt(s.substring(i + 1, i + 9), 16))))
+        i + 9
+      case other => sb += other; i + 1
+    }
+
   private def tokenize(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer[Tok]()
     var i = 0
@@ -46,49 +74,45 @@ object Turtle {
           if (j < 0) throw new IllegalArgumentException(
             s"unterminated IRI starting at offset $i")
           out += TIri(s.substring(i + 1, j)); i = j + 1
-        case '"' if s.startsWith("\"\"\"", i) =>
-          // long (triple-quoted) string: literal newlines/quotes allowed.
-          // Per the Turtle grammar the content may contain runs of one or
-          // two unescaped quotes, so the CLOSING delimiter is greedy: in a
-          // run of q >= 3 quotes, q-3 belong to the content ("""ab"""" has
+        case q @ ('"' | '\'') if s.startsWith(s"$q$q$q", i) =>
+          // long (triple-quoted) string, double- OR single-quoted:
+          // literal newlines/quotes allowed. Per the Turtle grammar the
+          // content may contain runs of one or two unescaped delimiter
+          // quotes, so the CLOSING delimiter is greedy: in a run of
+          // n >= 3 quotes, n-3 belong to the content ("""ab"""" has
           // content ab").
           val sb = new StringBuilder; i += 3
           var closed = false
           while (!closed) {
             if (i >= s.length) throw new IllegalArgumentException(
-              "unterminated \"\"\" long string literal")
-            if (s(i) == '"') {
-              var q = 0
-              while (i + q < s.length && s(i + q) == '"') q += 1
-              if (q >= 3) {
-                if (q > 5) throw new IllegalArgumentException(
-                  s"run of $q quotes after long string content — at most 2 " +
-                    "unescaped quotes may precede the closing \"\"\"")
-                sb.append("\"" * (q - 3)); i += q; closed = true
-              } else { sb.append("\"" * q); i += q }
+              s"unterminated $q$q$q long string literal")
+            if (s(i) == q) {
+              var n = 0
+              while (i + n < s.length && s(i + n) == q) n += 1
+              if (n >= 3) {
+                if (n > 5) throw new IllegalArgumentException(
+                  s"run of $n quotes after long string content — at most 2 " +
+                    s"unescaped quotes may precede the closing $q$q$q")
+                sb.append(q.toString * (n - 3)); i += n; closed = true
+              } else { sb.append(q.toString * n); i += n }
             } else if (s(i) == '\\') {
               if (i + 1 >= s.length) throw new IllegalArgumentException(
                 "dangling escape at end of long string literal")
-              i += 1; sb += (s(i) match {
-                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-                case other => other }); i += 1
+              i = appendEscape(s, i + 1, sb)
             } else { sb += s(i); i += 1 }
           }
           out += TStr(sb.toString)
-        case '"' =>
+        case q @ ('"' | '\'') =>
           val sb = new StringBuilder; i += 1
-          while (i < s.length && s(i) != '"') {
+          while (i < s.length && s(i) != q) {
             if (s(i) == '\\') {
               if (i + 1 >= s.length) throw new IllegalArgumentException(
                 "dangling escape at end of string literal")
-              i += 1; sb += (s(i) match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-              case other => other }) }
-            else sb += s(i)
-            i += 1
+              i = appendEscape(s, i + 1, sb)
+            } else { sb += s(i); i += 1 }
           }
           if (i >= s.length) throw new IllegalArgumentException(
-            "unterminated \" string literal")
+            s"unterminated $q string literal")
           i += 1; out += TStr(sb.toString)
         case '@' =>
           val j0 = i + 1; var j = j0
@@ -115,7 +139,7 @@ object Turtle {
         case _ =>
           val j0 = i
           while (i < s.length && !s(i).isWhitespace &&
-            !".;,^<\"#[]()".contains(s(i))) i += 1
+            !".;,^<\"'#[]()".contains(s(i))) i += 1
           out += TPName(s.substring(j0, i))
       }
     }
@@ -298,6 +322,15 @@ object Turtle {
       case TDirective("prefix") :: TPName(pfx) :: TIri(iri) :: TDot :: tl =>
         prefixes(pfx) = iri; rest = tl
       case TDirective("base") :: TIri(_) :: TDot :: tl => rest = tl
+      // SPARQL-style directives (Turtle 1.1): case-insensitive keyword,
+      // NO trailing dot (one tolerated). The pname-with-trailing-colon
+      // guard keeps a genuine subject named "prefix" parseable.
+      case TPName(w) :: TPName(pfx) :: TIri(iri) :: tl
+          if w.equalsIgnoreCase("prefix") && pfx.endsWith(":") =>
+        prefixes(pfx) = iri
+        rest = tl match { case TDot :: r => r; case r => r }
+      case TPName(w) :: TIri(_) :: tl if w.equalsIgnoreCase("base") =>
+        rest = tl match { case TDot :: r => r; case r => r }
       case TLBrack :: tl0 =>
         // blank-node subject: `[] p o .` / `[ p1 o1 ; ... ] p o .` /
         // `[ p1 o1 ] .`

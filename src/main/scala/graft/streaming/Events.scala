@@ -291,6 +291,47 @@ object Events {
                          offsets: Seq[Int] = Seq(1, 3, 6)): DataFrame =
     retentionStream(spark, eventsStream(spark, sfDir), offsets)
 
+  /** PURE per-batch retention state transition (extracted so the
+    * remap algebra is property-testable without the streaming
+    * machinery): fold a batch of hour-truncated event times into the
+    * (cohort, relative active-hour bitmap) state. Cohort = min seen
+    * hour (monotone decreasing across batches); bit k−1 ⇔ hour
+    * cohort+k active, k ∈ [1, maxOff]. On a downward cohort
+    * refinement every recorded bit shifts by the delta and the OLD
+    * cohort hour becomes a recorded active hour; bits sliding past
+    * maxOff are discarded — sound because hours beyond cohort+maxOff
+    * only get FARTHER from every future (smaller) cohort. */
+  private[graft] def retentionUpdate(st: RetSt, hourUsBatch: Array[Long],
+                                     maxOff: Int): RetSt = {
+    val hourUs = 3600000000L
+    val batchMin = hourUsBatch.min
+    var s = st
+    if (batchMin < s.cohortUs) {
+      val d = (s.cohortUs - batchMin) / hourUs
+      var bits = if (d >= 63) 0L else (s.hours << d) | (1L << (d - 1))
+      if (maxOff < 63) bits &= (1L << maxOff) - 1
+      s = RetSt(batchMin, bits)
+    }
+    var bits = s.hours
+    hourUsBatch.foreach { h =>
+      val rel = (h - s.cohortUs) / hourUs
+      if (rel >= 1 && rel <= maxOff) bits |= (1L << (rel - 1))
+    }
+    RetSt(s.cohortUs, bits)
+  }
+
+  /** Offset mask (bit i ⇔ offsets(i) hit) derived from the hour
+    * bitmap — what the rollup consumes. */
+  private[graft] def retentionMask(hourBits: Long, offs: Array[Int]): Int = {
+    var mask = 0
+    var i = 0
+    while (i < offs.length) {
+      if ((hourBits & (1L << (offs(i) - 1))) != 0) mask |= (1 << i)
+      i += 1
+    }
+    mask
+  }
+
   /** Same, over any streaming events source. */
   def retentionStream(spark: SparkSession, src: DataFrame,
                       offsets: Seq[Int]): DataFrame = {
@@ -314,33 +355,10 @@ object Events {
         }.toArray
         if (hours.isEmpty) Iterator.empty
         else {
-          val batchMin = hours.min
-          var s = st.getOption.getOrElse(RetSt(batchMin, 0L))
-          if (batchMin < s.cohortUs) {
-            // cohort refined downward: shift every recorded hour by
-            // the delta and record the OLD cohort hour as active —
-            // bits sliding past maxOff can never matter again (the
-            // cohort is monotone decreasing)
-            val d = (s.cohortUs - batchMin) / hourUs
-            var bits = if (d >= 63) 0L else (s.hours << d) | (1L << (d - 1))
-            if (maxOff < 63) bits &= (1L << maxOff) - 1
-            s = RetSt(batchMin, bits)
-          }
-          var bits = s.hours
-          hours.foreach { h =>
-            val rel = (h - s.cohortUs) / hourUs
-            if (rel >= 1 && rel <= maxOff) bits |= (1L << (rel - 1))
-          }
-          s = RetSt(s.cohortUs, bits)
+          val s = retentionUpdate(
+            st.getOption.getOrElse(RetSt(hours.min, 0L)), hours, maxOff)
           st.update(s)
-          // derive the OFFSET mask the rollup consumes
-          var mask = 0
-          var i = 0
-          while (i < offs.length) {
-            if ((bits & (1L << (offs(i) - 1))) != 0) mask |= (1 << i)
-            i += 1
-          }
-          Iterator((user, s.cohortUs, mask))
+          Iterator((user, s.cohortUs, retentionMask(s.hours, offs)))
         }
       })
     val sink = runToTable(spark, out.toDF("u", "cohort_us", "mask"), "append")

@@ -36,6 +36,43 @@ class PropertySpec extends AnyFunSuite {
       }
     }.toSet
 
+  test("retention state fold is batch-split-invariant and equals brute force") {
+    // any event-hour multiset, split into arbitrarily ordered batches,
+    // must fold to the same (cohort, offset mask) the batch operator
+    // computes from the flat log — this is exactly the out-of-order
+    // remap algebra (cohort refinements shifting recorded bits)
+    val hourUs = 3600000000L
+    val offs = Array(1, 3, 6, 24)
+    val maxOff = offs.max
+    val hoursGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 30L).map(_ * hourUs)))
+    val cutsGen = Gen.listOf(Gen.chooseNum(1, 11))
+    (1L to 300L).foreach { seed =>
+      val hours = sample(hoursGen, seed)
+      val cuts = sample(cutsGen, seed + 1000).filter(_ < hours.size)
+      // split into batches at the cut points (keeps original order)
+      val batches = {
+        val idx = (0 +: cuts.distinct.sorted :+ hours.size).distinct.sorted
+        idx.zip(idx.tail).map { case (a, b) => hours.slice(a, b).toArray }
+          .filter(_.nonEmpty)
+      }
+      // seed each batch exactly like the stream does: state absent →
+      // RetSt(batchMin, 0)
+      val st = batches.foldLeft(Option.empty[graft.streaming.Events.RetSt]) {
+        (s, b) => Some(graft.streaming.Events.retentionUpdate(
+          s.getOrElse(graft.streaming.Events.RetSt(b.min, 0L)), b, maxOff))
+      }.get
+      // brute: cohort = min hour, mask = offsets present in the log
+      val cohort = hours.min
+      val present = hours.map(h => ((h - cohort) / hourUs).toInt).toSet
+      val expMask = offs.zipWithIndex
+        .collect { case (o, i) if present(o) => 1 << i }.sum
+      assert(st.cohortUs == cohort, s"seed $seed cohort")
+      assert(graft.streaming.Events.retentionMask(st.hours, offs) == expMask,
+        s"seed $seed: hours=$hours batches=${batches.map(_.toSeq)}")
+    }
+  }
+
   test("turtle dump → load round-trips adversarial string literals") {
     // alphabet deliberately includes every character the dump must
     // escape (quote, backslash, newline, tab, CR) plus unicode

@@ -35,6 +35,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.filter(col("p") === "http://ex.org/height").head().getDouble(7) == 1.88)
   }
 
+  test("turtle parses SPARQL directives, single-quoted strings, unicode escapes") {
+    val sq3 = "'''"
+    val ttl =
+      s"""PREFIX ex: <http://ex.org/>
+         |BASE <http://ex.org/>
+         |ex:a ex:name 'Ada' ;
+         |  ex:memo ${sq3}it's
+         |a 'quoted' memo${sq3} ;
+         |  ex:uni "snow\\u2603man" ;
+         |  ex:astral "g\\U0001F600clef" .
+         |""".stripMargin
+    val df = Turtle.load(spark, ttl)
+    def str(p: String) =
+      df.filter(col("p") === s"http://ex.org/$p").head().getString(6)
+    assert(str("name") == "Ada")
+    assert(str("memo") == "it's\na 'quoted' memo")
+    assert(str("uni") == "snow☃man")
+    assert(str("astral") == "g" + new String(Character.toChars(0x1F600)) + "clef")
+  }
+
   test("turtle parses long strings, blank-node labels and [ ] property lists") {
     val tq = "\"\"\""
     val ttl =
