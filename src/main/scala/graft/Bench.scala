@@ -63,8 +63,10 @@ object Bench {
     "sketch_hll_distinct", "sketch_hll_union", "stream_hll_users",
     "rel_skyline", "text_hapax", "stream_bloom_semijoin",
     "rel_mad_outliers",
-    // round-11 tranche: real image codec + edge-object witnesses
-    "mm_decode_png", "woql_path_witness_edges")
+    // round-11 tranche: real image codec + edge-object witnesses +
+    // streaming media ingest + ORC sink round-trip
+    "mm_decode_png", "woql_path_witness_edges", "stream_mm_meta",
+    "ext_orc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

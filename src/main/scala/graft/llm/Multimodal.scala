@@ -75,13 +75,12 @@ object Multimodal {
     (640 + hv % 1280, 480 + (hv / 1280) % 720, "fake/rgb8")
   }
 
-  /** Per-partition batch decode: real codec first, md5 stub for
-    * payloads no codec claims (mapPartitions amortizes codec init per
-    * partition, rows stream through). */
-  def decodeMeta(withBytes: DataFrame,
-                 codec: Codec = ImageIoCodec): DataFrame = {
-    val spark = withBytes.sparkSession
-    val rows = withBytes.select(col("doc_id"), col("payload"))
+  /** Per-partition decode as a STREAM-SAFE transform (no RDD
+    * round-trip): works identically on a batch frame or a streaming
+    * micro-batch — the codec slot is stateless and narrow. */
+  def decodeMetaDs(withBytes: DataFrame,
+                   codec: Codec = ImageIoCodec): DataFrame =
+    withBytes.select(col("doc_id"), col("payload"))
       .mapPartitions { it =>
         // per-partition init happens here (codec handles, buffers, …)
         it.map { r =>
@@ -91,7 +90,14 @@ object Multimodal {
           Row(id, bytes.length.toLong, w, h, fmt)
         }
       }(Encoders.row(metaSchema))
-    spark.createDataFrame(rows.rdd, metaSchema)
+
+  /** Per-partition batch decode: real codec first, md5 stub for
+    * payloads no codec claims (mapPartitions amortizes codec init per
+    * partition, rows stream through). */
+  def decodeMeta(withBytes: DataFrame,
+                 codec: Codec = ImageIoCodec): DataFrame = {
+    val spark = withBytes.sparkSession
+    spark.createDataFrame(decodeMetaDs(withBytes, codec).rdd, metaSchema)
   }
 
   /** REAL image payloads: one deterministic RGB PNG per document,

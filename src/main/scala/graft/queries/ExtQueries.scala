@@ -1039,6 +1039,38 @@ object ExtQueries {
           round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // ORC sink → source round-trip: the columnar sibling of the JSON
+    // one (completes §2.1 sinks: CSV put, turtle, parquet, JSON, ORC).
+    // Values survive the typed columnar round-trip exactly — proven by
+    // the aggregate equalling the direct-parquet oracle.
+    "ext_orc_roundtrip" -> ((s, d) => {
+      val src = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
+        "/orc_rt_" + graft.util.Fingerprint.of(d + "/events.parquet")
+      if (!new java.io.File(dir + "/_SUCCESS").exists()) {
+        val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+        src.write.mode("overwrite").orc(tmp)
+        if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
+          if (!new java.io.File(dir + "/_SUCCESS").exists()) {
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+            val _ = new java.io.File(tmp).renameTo(new java.io.File(dir))
+          }
+          if (new java.io.File(tmp).exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
+      }
+      s.read.schema(src.schema).orc(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value")), 6).as("sum_value"))
+    }),
+
+    // STREAMING multimodal ingest: per-micro-batch real PNG decode —
+    // same per-doc closed-form oracle as the batch mm_decode_png
+    "stream_mm_meta" -> ((s, d) => Events.streamingMmMeta(s, d)),
+
     // the analytic-window suite in one entry: rank / dense_rank /
     // ntile / percent_rank / cume_dist / first / last over one
     // nation-partitioned order — one exchange serves all seven.
@@ -2886,6 +2918,18 @@ object ExtQueries {
         | CAST(sum(user_id) AS BIGINT) AS sum_uid,
         | round(sum(value), 6) AS sum_value
         | FROM events GROUP BY 1""".stripMargin,
+
+    // typed columnar round-trip must be value-exact too
+    "ext_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | round(sum(value), 6) AS sum_value
+        | FROM events GROUP BY 1""".stripMargin,
+
+    // streaming decode must reproduce the batch codec's closed form
+    "stream_mm_meta" ->
+      """SELECT doc_id, 1 + doc_id % 64 AS width, 1 + doc_id % 48 AS height,
+        | 'image/png' AS format FROM documents""".stripMargin,
 
     // seven analytic windows over one (nation, acctbal desc, custkey)
     // order; cume_dist as its exact integer numerator (see engine note)

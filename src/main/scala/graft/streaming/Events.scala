@@ -597,6 +597,40 @@ object Events {
     runToTable(spark, joined, "append")
   }
 
+  /** STREAMING multimodal ingest: image payloads decoded (real
+    * javax.imageio codec — Multimodal.decodeMetaDs is stream-safe) as
+    * files arrive. Stateless and narrow: no state store, no shuffle —
+    * exactly how a production media-ingest front-end runs the codec
+    * slot, per micro-batch. The staged source holds (doc_id, payload)
+    * with one executor-encoded PNG per document (dimensions
+    * closed-form in doc_id), split over several files so the replay
+    * has real micro-batch boundaries. */
+  def streamingMmMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    applyStateStore(spark)
+    val srcFile = new java.io.File(s"$sfDir/documents.parquet")
+    val stageDir = new java.io.File(
+      sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
+        "/mmstage_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + graft.util.Fingerprint.of(srcFile.getPath))
+    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
+      graft.llm.Multimodal.withPngPayload(
+          graft.Graft.table(spark, sfDir, "documents"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(stageDir.getAbsolutePath)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir.getAbsolutePath)
+    val metas = graft.llm.Multimodal.decodeMetaDs(src)
+      .select(col("doc_id"), col("width"), col("height"), col("format"))
+    runToTable(spark, metas, "append")
+  }
+
   /** Streaming exact dedup within the watermark window. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val src = eventsStream(spark, sfDir)
