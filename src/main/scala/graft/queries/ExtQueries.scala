@@ -576,6 +576,23 @@ object ExtQueries {
         graft.operators.Triangles.coOccurrenceEdges(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey"), k = 60)),
 
+    // weakly-connected components over the FK entity graph
+    // (customer/supplier→nation→region): min-label propagation
+    // (Dedup.clustersFromPairs — the same engine that labels near-dup
+    // clusters), components labeled by their least member IRI. The FK
+    // shape gives a closed-form oracle: one component per region.
+    "graph_wcc" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      val fks = Seq("tpch:c_nationkey", "tpch:n_regionkey", "tpch:s_nationkey")
+      val e = ctx.triples.filter(col("g") === "instance" &&
+          col("p").isin(fks: _*) && col("o_kind") === "i")
+        .select(col("s").as("da"), col("o_iri").as("db"))
+      val nodes = e.select(col("da").as("doc_id"))
+        .unionByName(e.select(col("db").as("doc_id"))).distinct()
+      graft.llm.Dedup.clustersFromPairs(nodes, e)
+        .select(col("doc_id").as("node"), col("cluster").as("component"))
+    }),
+
     // BM25 relevance against a fixed query-term list: per-term tf via
     // array filters (no explode), ONE-row corpus stats broadcast back
     // over the scan, top-n as TakeOrderedAndProject — the corpus
@@ -962,6 +979,25 @@ object ExtQueries {
     // per-doc token-distribution entropy (quality signal): counts
     // folded in TOKEN-SORTED order on both engines so the double
     // accumulation is association-identical (the DSIR fold rule)
+    // per-user EWMA of event values (α=0.3) — the time-series
+    // smoothing fold: values folded in (ts, event_id) order
+    // left-to-right, so the float op sequence is exactly the oracle's
+    // ordered list_reduce; final smoothed level rounded once. The
+    // collect_list per user is bounded by per-user event counts (the
+    // same per-key sequential-state bound the streaming twins carry).
+    "rel_ewma" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))).as("vs"))
+        .select(col("user_id"), size(col("vs")).as("n"),
+          round(aggregate(
+            expr("slice(vs, 2, size(vs) - 1)"),
+            element_at(col("vs"), 1).getField("value"),
+            (acc, x) => lit(0.3) * x.getField("value") + lit(0.7) * acc), 6)
+            .as("ewma"))
+    }),
+
     "text_token_entropy" -> ((s, d) => {
       val toks = t(s, d, "documents").select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
@@ -2007,6 +2043,21 @@ object ExtQueries {
     "graph_ppr" -> pprSql(iters = 3),
     "graph_kcore" -> kcoreSql(k = 60, rounds = 6),
 
+    // closed-form: the FK graph's components ARE the regions; each
+    // component's label is its least member IRI
+    "graph_wcc" ->
+      """WITH members AS (
+        |   SELECT 'tpch:region/'||r_regionkey AS node, r_regionkey AS comp
+        |    FROM region
+        |   UNION ALL SELECT 'tpch:nation/'||n_nationkey, n_regionkey FROM nation
+        |   UNION ALL SELECT 'tpch:customer/'||c_custkey, n_regionkey
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |   UNION ALL SELECT 'tpch:supplier/'||s_suppkey, n_regionkey
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        | lbl AS (SELECT comp, min(node) AS label FROM members GROUP BY 1)
+        | SELECT m.node, l.label AS component
+        | FROM members m JOIN lbl l USING (comp)""".stripMargin,
+
     // per-group sketches → union distinct → re-truncate → estimate
     "sketch_kmv_union" ->
       """WITH u AS (SELECT DISTINCT lang AS g,
@@ -2918,6 +2969,16 @@ object ExtQueries {
         | CAST(sum(user_id) AS BIGINT) AS sum_uid,
         | round(sum(value), 6) AS sum_value
         | FROM events GROUP BY 1""".stripMargin,
+
+    // ordered fold replay: DuckDB's list_reduce seeds with the first
+    // element and folds (acc, x) left-to-right — exactly the engine's
+    // aggregate(slice(vs,2,…), first, …); same float op sequence
+    "rel_ewma" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        |   FROM events GROUP BY 1)
+        | SELECT user_id, CAST(len(vs) AS INTEGER) AS n,
+        |  round(list_reduce(vs, (a, x) -> 0.3 * x + 0.7 * a), 6) AS ewma
+        | FROM g""".stripMargin,
 
     // typed columnar round-trip must be value-exact too
     "ext_orc_roundtrip" ->
