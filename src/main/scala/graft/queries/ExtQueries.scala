@@ -231,6 +231,25 @@ object ExtQueries {
       Similarity.ivfTrainedTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5,
         nprobe = 2, cells = 8, iters = 3, dim = 64)),
 
+    // index-quality EVALUATION as a first-class query: recall@5 of the
+    // IVF arm against exact search, per query vector — the measurement
+    // a pipeline runs before trusting an ANN tier. Both arms are the
+    // same operators the standalone entries run; the oracle wraps
+    // their SQLs as subqueries (no second definition to drift).
+    "sim_recall_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+        .select(col("q"), col("cand"))
+      val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10, 5, nprobe = 2)
+        .select(col("q"), col("cand"))
+      val hits = brute.join(ivf, Seq("q", "cand"), "left_semi")
+        .groupBy(col("q")).agg(count(lit(1)).as("hits"))
+      brute.select(col("q")).distinct()
+        .join(hits, Seq("q"), "left")
+        .select(col("q"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall"))
+    }),
+
     // --- end-to-end corpus cleaning (quality gate → exact dedup →
     //     LSH near-dup removal), one composed plan ---
     "llm_pipeline_clean" -> ((s, d) =>
@@ -1266,7 +1285,7 @@ object ExtQueries {
        |    CAST(sum(CASE WHEN d0.dp >= 0 THEN (CAST(1 AS BIGINT) << d0.j) ELSE 0 END) AS BIGINT) AS b
        |  FROM dots d0 JOIN e ON e.vec_id = d0.vec_id GROUP BY d0.vec_id, e.emb)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
 
     "rel_q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -3333,4 +3352,17 @@ object ExtQueries {
       s"qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)), " +
       s"$iterCtes $select"
   }
+
+  /** Oracles, plus entries DERIVED from other entries (the recall
+    * evaluation wraps the brute and IVF top-k SQLs as subqueries —
+    * one definition, no drift between an arm and its eval). */
+  val oracleSql: Map[String, String] = baseOracleSql + (
+    "sim_recall_ivf" ->
+      s"""WITH brute AS (SELECT * FROM (${baseOracleSql("sim_topk_brute")}) tb),
+        | ivf AS (SELECT * FROM (${baseOracleSql("sim_topk_ivf")}) ti),
+        | hits AS (SELECT b.q, CAST(count(*) AS BIGINT) AS hits
+        |   FROM brute b JOIN ivf i ON b.q = i.q AND b.cand = i.cand GROUP BY 1)
+        | SELECT q, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+        |  round(coalesce(hits, 0) / 5.0, 6) AS recall
+        | FROM (SELECT DISTINCT q FROM brute) qs LEFT JOIN hits USING (q)""".stripMargin)
 }
