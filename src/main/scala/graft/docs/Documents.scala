@@ -176,6 +176,18 @@ object Documents {
   def readJson(graph: DataFrame, id: String): String =
     JsonMethods.compact(JsonMethods.render(read(graph, id)))
 
+  /** Paged root-id listing for a document type — id-ordered so paging
+    * is DETERMINISTIC across requests (the reference's
+    * GET-documents-by-type skip/count contract). Subdocument subjects
+    * (`root/...`) never carry the type triple, so only roots list. */
+  def listIds(graph: DataFrame, docType: String,
+              skip: Int, count: Int): Seq[String] =
+    graph.filter(col("p") === "rdf:type" && col("o_kind") === "i" &&
+        col("o_iri") === s"doc:$docType")
+      .select(col("s")).distinct().orderBy(col("s"))
+      .offset(skip).limit(count)
+      .collect().map(_.getString(0)).toSeq
+
   /** Staged removal of a document subgraph. */
   def delete(graph: DataFrame, id: String): DataFrame =
     graph.filter(col("s") === id || col("s").startsWith(id + "/"))

@@ -109,12 +109,24 @@ object HttpApi {
 
     srv.createContext("/api/document", route { ex =>
       ex.getRequestMethod match {
-        case "GET" =>
-          val id = param(ex, "id").getOrElse(sys.error("id parameter required"))
-          val df = Compiler.run(ReadDocQ(Node(id), "D"))
-          val rows = df.collect()
-          require(rows.nonEmpty, s"document not found: $id")
-          raw(rows.head.getAs[Row]("D").getAs[String]("str"))
+        case "GET" => param(ex, "id") match {
+          case Some(id) =>
+            val df = Compiler.run(ReadDocQ(Node(id), "D"))
+            val rows = df.collect()
+            require(rows.nonEmpty, s"document not found: $id")
+            raw(rows.head.getAs[Row]("D").getAs[String]("str"))
+          case None =>
+            // paged list-by-type: one JSON document per line, ordered
+            // by id so skip/count page deterministically
+            val ty = param(ex, "type")
+              .getOrElse(sys.error("id or type parameter required"))
+            val skip = param(ex, "skip").map(_.toInt).getOrElse(0)
+            val count = param(ex, "count").map(_.toInt).getOrElse(100)
+            val graph = store.refs.get("main").map(store.materialize)
+              .getOrElse(ctx.triples)
+            val ids = graft.docs.Documents.listIds(graph, ty, skip, count)
+            raw(ids.map(graft.docs.Documents.readJson(graph, _)).mkString("\n"))
+        }
         case "POST" =>
           val docType = param(ex, "type").getOrElse(sys.error("type parameter required"))
           val keyFields = param(ex, "key").map(_.split(",").toSeq)

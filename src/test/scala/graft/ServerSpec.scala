@@ -83,6 +83,21 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((JsonMethods.parse(b3) \ "head") == mainHead)
   }
 
+  test("document list-by-type pages deterministically with skip/count") {
+    // runs after the insert test: doc:Thing/{alpha,beta} exist on main
+    val (c1, b1) = get("/api/document?type=Thing")
+    assert(c1 == 200)
+    val lines = b1.split("\n").toSeq
+    assert(lines.size == 2)
+    assert((JsonMethods.parse(lines.head) \ "name") == JString("alpha"))
+    // paging: skip=1 yields only the second id-ordered doc
+    val (_, b2) = get("/api/document?type=Thing&skip=1&count=5")
+    assert(b2.split("\n").toSeq.size == 1)
+    assert((JsonMethods.parse(b2) \ "name") == JString("beta"))
+    val (_, b3) = get("/api/document?type=Thing&skip=0&count=1")
+    assert((JsonMethods.parse(b3) \ "name") == JString("alpha"))
+  }
+
   test("graphql endpoint compiles into the engine") {
     val q = """{"query": "{ Region(orderBy: {r_name: ASC}, limit: 2) { r_name } }"}"""
     val (code, body) = post("/api/graphql", q)
