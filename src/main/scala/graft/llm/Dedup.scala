@@ -341,14 +341,16 @@ object Dedup {
           Seq("db"))
         .groupBy(col("da")).agg(min(col("nc")).as("nmin"))
         .withColumnRenamed("da", "doc_id")
+      // the change flag rides INSIDE the label join (one join per
+      // round, counted over the checkpointed blocks) — a separate
+      // next⋈labels diff join doubled the per-round join count
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("__chg"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-        .where(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("__chg")).count()
+      labels = next.drop("__chg")
     }
     // rounds ∝ cluster diameter — a chain longer than maxRounds means the
     // labels have NOT converged; raise rather than return a partial
