@@ -149,6 +149,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no window should remain in the tf-idf plan:\n$plan")
   }
 
+  test("basket lift never self-joins the fact: pairs enumerate in-row") {
+    val plan = SparkEntry.queries("rel_basket_lift")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // ONE basket-keyed exchange builds the per-basket sets, cached and
+    // reused by every consumer (the printed tree repeats the cached
+    // subplan per InMemoryTableScan — same physical exchange); pair
+    // enumeration is an in-row array comprehension over that cache, so
+    // no sort-merge self-join of the distinct (basket, item) set may
+    // appear (the pre-round-11 plan shuffled it three times)
+    assert(plan.contains("InMemoryTableScan"),
+      s"per-basket sets must be cached and reused:\n$plan")
+    assert("Generate explode\\(flatten\\(transform".r.findFirstIn(plan).isDefined,
+      s"pairs must enumerate in-row via the array comprehension:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"pair enumeration must not self-join the fact:\n$plan")
+    // and every bk exchange in the text is the SAME cached one — it
+    // only ever appears directly under an InMemoryRelation print
+    val uncached = plan.linesIterator.zipWithIndex.filter(_._1
+      .contains("Exchange hashpartitioning(bk")).map(_._2)
+      .filterNot { i =>
+        plan.linesIterator.slice(math.max(0, i - 3), i)
+          .exists(_.contains("InMemoryRelation"))
+      }
+    assert(uncached.isEmpty,
+      s"found a basket exchange outside the cached build:\n$plan")
+  }
+
   test("bucketed fact join shuffles nothing but the rollup") {
     // both sides bucketBy(8, custkey): the merge join reads aligned
     // buckets in place — the ONLY exchange in the whole plan is the
