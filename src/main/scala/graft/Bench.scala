@@ -66,7 +66,8 @@ object Bench {
     // round-11 tranche: real image codec + edge-object witnesses +
     // streaming media ingest + ORC sink round-trip
     "mm_decode_png", "woql_path_witness_edges", "stream_mm_meta",
-    "ext_orc_roundtrip", "graph_wcc", "rel_ewma", "sim_recall_ivf")
+    "ext_orc_roundtrip", "graph_wcc", "rel_ewma", "sim_recall_ivf",
+    "stream_ingest_commits")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1126,6 +1126,45 @@ object ExtQueries {
     // same per-doc closed-form oracle as the batch mm_decode_png
     "stream_mm_meta" -> ((s, d) => Events.streamingMmMeta(s, d)),
 
+    // STREAMING triple ingestion end-to-end (§2.10): an EAV triple
+    // stream lands as ONE COMMIT LAYER PER MICRO-BATCH
+    // (Ingest.streamIntoStore foreachBatch), then the materialized
+    // branch must equal the batch encode — per-predicate counts
+    // against the raw table. The ingested store is fingerprint-keyed
+    // and built once via atomic rename (concurrent sessions see either
+    // nothing or the finished store, never a partial commit chain).
+    "stream_ingest_commits" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      val preds = Seq("tpch:o_custkey", "tpch:o_totalprice")
+      val cacheRoot = sys.env.getOrElse("GRAFT_EAV_CACHE",
+        "/root/repo/target/eav")
+      val fp = graft.util.Fingerprint.of(d + "/orders.parquet")
+      val storeDir = new java.io.File(s"$cacheRoot/ingest_store_$fp")
+      if (!storeDir.exists()) {
+        val stageDir = new java.io.File(s"$cacheRoot/ingest_stage_$fp")
+        ctx.triples.filter(col("p").isin(preds: _*))
+          .repartition(3) // three files → three micro-batches/commits
+          .write.mode("overwrite").parquet(stageDir.getAbsolutePath)
+        val tmp = new java.io.File(storeDir.getPath + ".tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        val st = graft.storage.LayerStore.open(s, tmp.getPath)
+        val stream = s.readStream.schema(graft.storage.Eav.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stageDir.getAbsolutePath)
+        graft.streaming.Ingest.streamIntoStore(stream, st, "main")
+          .awaitTermination()
+        require(st.chain(st.refs("main")).size >= 2,
+          "streamed ingest must land multiple commit layers")
+        if (!tmp.renameTo(storeDir)) {
+          // lost the build race: keep the winner's store
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        }
+      }
+      graft.storage.LayerStore.open(s, storeDir.getPath)
+        .materializeBranch("main")
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    }),
+
     // the analytic-window suite in one entry: rank / dense_rank /
     // ntile / percent_rank / cume_dist / first / last over one
     // nation-partitioned order — one exchange serves all seven.
@@ -3010,6 +3049,13 @@ object ExtQueries {
     "stream_mm_meta" ->
       """SELECT doc_id, 1 + doc_id % 64 AS width, 1 + doc_id % 48 AS height,
         | 'image/png' AS format FROM documents""".stripMargin,
+
+    // the commit-per-micro-batch chain must materialize to exactly the
+    // batch encode: one triple per order per streamed predicate
+    "stream_ingest_commits" ->
+      """SELECT 'tpch:o_custkey' AS p, count(*) AS n FROM orders
+        | UNION ALL
+        | SELECT 'tpch:o_totalprice', count(*) FROM orders""".stripMargin,
 
     // seven analytic windows over one (nation, acctbal desc, custkey)
     // order; cume_dist as its exact integer numerator (see engine note)
