@@ -101,11 +101,24 @@ object Triangles {
     * pathological giant basket calls for a per-basket item cap, not a
     * different plan. */
   def basketLift(df: DataFrame, basket: String, item: String,
-                 minSupport: Long, k: Int): DataFrame = {
-    val baskets = graft.util.Scratch.track(
+                 minSupport: Long, k: Int,
+                 maxBasketItems: Int = Int.MaxValue): DataFrame = {
+    val baskets0 = graft.util.Scratch.track(
       df.select(col(basket).as("bk"), col(item).as("it"))
         .groupBy(col("bk")).agg(array_sort(collect_set(col("it"))).as("items"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Pair fan-out is |basket|²/2 IN ONE ROW — a pathological giant
+    // basket (a crawler session touching every item) is a per-row
+    // memory bomb, not a shuffle-skew problem, so the guard REFUSES
+    // loudly rather than silently capping: at 100 TB set
+    // maxBasketItems and pre-filter deliberately.
+    if (maxBasketItems != Int.MaxValue) {
+      val over = baskets0.where(size(col("items")) > maxBasketItems).count()
+      require(over == 0,
+        s"$over baskets exceed maxBasketItems=$maxBasketItems — their in-row " +
+          "pair fan-out is quadratic; pre-filter or raise the cap deliberately")
+    }
+    val baskets = baskets0
     val n = baskets.agg(count(lit(1)).as("n"))
     val items = baskets.select(explode(col("items")).as("it"))
       .groupBy(col("it")).agg(count(lit(1)).as("ni"))

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Triangles
+
+/** Round-11 operator units: basket lift (in-row pair enumeration)
+  * against a brute-force pair scan, and its giant-basket guard. */
+class Round11OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("basket lift equals the brute pair computation") {
+    import spark.implicits._
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a,b} 4:{b,c} 5:{a} + dup rows
+    val rows = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L), // dup (1,a)
+      (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L),
+      (4L, 11L), (4L, 12L),
+      (5L, 10L))
+    val df = rows.toDF("bk", "it")
+    val got = Triangles.basketLift(df, "bk", "it", minSupport = 2L, k = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // brute: n=5 baskets; n_a(10)=4, n_b(11)=4, n_c(12)=2;
+    // pairs: (10,11) in baskets 1,2,3 → nab=3; (10,12) in 1 → below
+    // support; (11,12) in 1,4 → nab=2
+    assert(got.keySet == Set((10L, 11L), (11L, 12L)))
+    val (nab1, lift1) = got((10L, 11L))
+    assert(nab1 == 3L && lift1 == math.round(3.0 * 5 * 1000000L / (4.0 * 4)))
+    val (nab2, lift2) = got((11L, 12L))
+    assert(nab2 == 2L && lift2 == math.round(2.0 * 5 * 1000000L / (4.0 * 2)))
+  }
+
+  test("basket lift refuses giant baskets when capped, passes under the cap") {
+    import spark.implicits._
+    val big = (1 to 50).map(i => (1L, i.toLong)) ++ Seq((2L, 1L), (2L, 2L))
+    val df = big.toDF("bk", "it")
+    val e = intercept[IllegalArgumentException] {
+      Triangles.basketLift(df, "bk", "it", 1L, 5, maxBasketItems = 10).count()
+    }
+    assert(e.getMessage.contains("maxBasketItems"))
+    // same data, cap high enough: computes normally
+    assert(Triangles.basketLift(df, "bk", "it", 1L, 5,
+      maxBasketItems = 64).count() > 0)
+  }
+}
