@@ -75,9 +75,13 @@ class PropertySpec extends AnyFunSuite {
 
   test("turtle dump → load round-trips adversarial string literals") {
     // alphabet deliberately includes every character the dump must
-    // escape (quote, backslash, newline, tab, CR) plus unicode
+    // escape (quote, backslash, newline, tab, CR), single quotes (the
+    // round-11 quote form), unicode incl. an ASTRAL char (surrogate
+    // pair — exercises the \U escape path end to end)
+    val astral = new String(Character.toChars(0x1F600))
     val charGen = Gen.oneOf(
-      Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '\r', ' ', 'é', '→'))
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("\"", "'", "\\", "\n", "\t", "\r", " ", "é", "→", astral))
     val strGen = Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, charGen))
       .map(_.mkString)
     (1L to 4L).foreach { seed =>
