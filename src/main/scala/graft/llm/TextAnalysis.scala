@@ -41,6 +41,30 @@ object TextAnalysis {
       round(size(array_distinct(t)) / n, 6).as("ttr"))
   }
 
+  /** C4/Gopher-style rule-based quality filter (Raffel 2020 C4 rules;
+    * Rae 2021 Gopher bounds): word-count window, mean-word-length
+    * window, alphabetic-word fraction, and the C4 blocklist signals
+    * (curly brace, "lorem ipsum"). One narrow projection — every
+    * signal folds over the SAME token array; the keep decision is
+    * computed from the ROUNDED statistics so both engines decide
+    * identical borderline docs. */
+  def c4Filters(docs: DataFrame): DataFrame = {
+    val ws = toks(col("text"))
+    val nw = size(ws)
+    val meanLen = round(
+      aggregate(ws, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) / nw, 6)
+    val alphaFrac = round(
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / nw, 6)
+    docs.select(col("doc_id"), nw.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+        (col("text").contains("{") ||
+          lower(col("text")).contains("lorem ipsum")).as("flagged"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_frac") > 0.8 && !col("flagged"))
+  }
+
   /** Marker-word language-ID heuristic. The synthetic corpus is
     * English-ish word salad, so this mostly scores `en` — the point is
     * the deterministic scoring shape (per-language marker hit counts,
