@@ -36,6 +36,7 @@ import graft.storage.LayerStore
   *                                         ref; local branch head untouched
   *   GET  /api/prefixes                  — the database prefix context
   *   GET  /api/triples?branch=B          — branch graph as turtle (text)
+  *   POST /api/triples?branch=B          — turtle body → one commit
   *   GET/POST/DELETE /api/db[?name=N]    — list / create / delete databases
   *   GET  /api/schema                    — schema graph as JSON triples
   *   GET  /api/frame[?class=C]           — class frames (own + inherited)
@@ -354,9 +355,24 @@ object HttpApi {
     })
 
     srv.createContext("/api/triples", route { ex =>
-      require(ex.getRequestMethod == "GET", "GET required")
       val branch = param(ex, "branch").getOrElse(sys.error("branch parameter required"))
-      raw(graft.sources.Turtle.dump(store.materializeBranch(branch)))
+      ex.getRequestMethod match {
+        case "GET" =>
+          raw(graft.sources.Turtle.dump(store.materializeBranch(branch)))
+        case "POST" | "PUT" =>
+          // turtle upload: parse the body, land it as ONE commit on the
+          // branch — the put half of the reference's triples route
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          val adds = graft.sources.Turtle.load(spark, body)
+          val n = adds.count()
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], graft.storage.Eav.schema)
+          val cid = store.commit(branch, adds, empty, s"turtle put ($n triples)")
+          ok(JObject("api:status" -> JString("api:success"),
+            "branch" -> JString(branch), "head" -> JString(cid),
+            "inserted" -> JInt(BigInt(n))))
+        case m => sys.error(s"unsupported method $m")
+      }
     })
 
     srv.setExecutor(null) // serve on the accept thread: control plane

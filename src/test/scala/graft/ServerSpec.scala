@@ -314,6 +314,24 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((JsonMethods.parse(bl) \ "branches" \ "packsrc") == JString(head0))
   }
 
+  test("triples PUT round-trips through the turtle GET") {
+    val (_, bb) = post("/api/branch?name=ttlrt&from=main", "")
+    assert((JsonMethods.parse(bb) \ "api:status") == JString("api:success"))
+    val ttl =
+      """@prefix ex: <http://ex.org/> .
+        |ex:x ex:name 'Xavier' ; ex:age 41 .
+        |""".stripMargin
+    val (code, body) = post("/api/triples?branch=ttlrt", ttl)
+    assert(code == 200, body)
+    assert((JsonMethods.parse(body) \ "inserted") == JInt(BigInt(2)))
+    val (cg, dump) = get("/api/triples?branch=ttlrt")
+    assert(cg == 200)
+    assert(dump.contains("Xavier") && dump.contains("http://ex.org/age"))
+    // the uploaded triples parse back to the same rows
+    val again = graft.sources.Turtle.load(spark, dump)
+    assert(again.filter(col("s") === "http://ex.org/x").count() == 2)
+  }
+
   test("graphql introspection lists classes and class frames") {
     val (_, schemaDf) = server.GraphQL.run("{ __schema { types { name } } }")(
       graft.Graft.ctx(spark, sfDir))
