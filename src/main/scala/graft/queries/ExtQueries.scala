@@ -206,6 +206,22 @@ object ExtQueries {
     // first-row read is a hidden driver action — keep oracle/bench plans
     // pure (no job boundary inside what looks like an expression)
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingLshDups(t(s, d, "embeddings"), dim = 64)),
+    // dedup-tier EVALUATION (same shape as sim_recall_ivf): pair
+    // recall of the bucketed SRP-LSH mutual-NN detector against the
+    // brute mutual-NN baseline — ONE summary row; the oracle wraps
+    // the two existing SQLs so the eval can't drift from the arms
+    "dedup_recall_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val brute = Dedup.embeddingMutualNN(emb).select(col("da"), col("db"))
+      val lsh = Dedup.embeddingLshDups(emb, dim = 64)
+        .select(col("da"), col("db"))
+      brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(brute.join(lsh, Seq("da", "db"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(col("n_brute"), col("n_lsh"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_brute"), 6).as("recall"))
+    }),
 
     // SemDeDup-style semantic dedup: k-means blocking, exact cosine
     // within clusters only, lower-id winner at tau=0.40 (the synthetic
@@ -3424,6 +3440,16 @@ object ExtQueries {
     * evaluation wraps the brute and IVF top-k SQLs as subqueries —
     * one definition, no drift between an arm and its eval). */
   val oracleSql: Map[String, String] = baseOracleSql + (
+    "dedup_recall_lsh" ->
+      s"""WITH brute AS (SELECT da, db FROM (${baseOracleSql("dedup_embedding_nn")}) tb),
+        | lsh AS (SELECT da, db FROM (${baseOracleSql("dedup_embedding_lsh")}) tl)
+        | SELECT (SELECT CAST(count(*) AS BIGINT) FROM brute) AS n_brute,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM brute b
+        |    JOIN lsh l ON b.da = l.da AND b.db = l.db) AS n_hit,
+        |  round((SELECT count(*) FROM brute b
+        |    JOIN lsh l ON b.da = l.da AND b.db = l.db) * 1.0 /
+        |   (SELECT count(*) FROM brute), 6) AS recall""".stripMargin,
     "sim_recall_ivf" ->
       s"""WITH brute AS (SELECT * FROM (${baseOracleSql("sim_topk_brute")}) tb),
         | ivf AS (SELECT * FROM (${baseOracleSql("sim_topk_ivf")}) ti),
