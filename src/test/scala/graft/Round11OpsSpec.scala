@@ -32,6 +32,34 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(nab2 == 2L && lift2 == math.round(2.0 * 5 * 1000000L / (4.0 * 2)))
   }
 
+  test("basket lift equals the brute model over random baskets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val rows = Seq.fill(60)((rnd.nextInt(8).toLong + 1, rnd.nextInt(6).toLong + 10))
+      val got = Triangles.basketLift(rows.toDF("bk", "it"), "bk", "it",
+          minSupport = 2L, k = 1000)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      // brute in Scala: distinct (bk, it), N baskets, per-item basket
+      // counts, per-pair co-occurrence counts, micro-lift
+      val b = rows.distinct
+      val n = b.map(_._1).distinct.size
+      val ni = b.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+      val byBk = b.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+      val nab = byBk.values.flatMap(items =>
+          for (i <- items.indices; j <- i + 1 until items.size)
+            yield (items(i), items(j)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= 2)
+      val want = nab.map { case ((a, c), cnt) =>
+        (a, c) -> ((cnt,
+          math.round(cnt.toDouble * n * 1000000L / (ni(a).toDouble * ni(c)))))
+      }
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
   test("basket lift refuses giant baskets when capped, passes under the cap") {
     import spark.implicits._
     val big = (1 to 50).map(i => (1L, i.toLong)) ++ Seq((2L, 1L), (2L, 2L))
