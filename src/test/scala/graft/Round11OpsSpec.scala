@@ -60,6 +60,24 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIoCodec decodes JDK-encoded JPEG and GIF byte streams") {
+    import graft.llm.Multimodal
+    def enc(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    assert(Multimodal.ImageIoCodec.decode(enc("jpg", 17, 9))
+      == Some((17L, 9L, "image/jpeg")))
+    assert(Multimodal.ImageIoCodec.decode(enc("gif", 5, 7))
+      == Some((5L, 7L, "image/gif")))
+  }
+
   test("basket lift refuses giant baskets when capped, passes under the cap") {
     import spark.implicits._
     val big = (1 to 50).map(i => (1L, i.toLong)) ++ Seq((2L, 1L), (2L, 2L))
