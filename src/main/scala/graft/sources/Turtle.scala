@@ -179,8 +179,40 @@ object Turtle {
   }
 
   /** Parse turtle text into EAV rows. */
+  /** Simplified RFC 3986 resolution for relative IRI refs: scheme'd
+    * refs pass through; `#frag` replaces the base's fragment; `/abs`
+    * keeps the base's authority; anything else resolves against the
+    * base's last path segment. (No ../ normalization — the reference
+    * corpus never emits dot-segments.) */
+  private def resolveIri(base: Option[String], i: String): String =
+    if (base.isEmpty || i.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")) i
+    else {
+      val b = base.get
+      if (i.startsWith("#")) b.takeWhile(_ != '#') + i
+      else if (i.startsWith("/"))
+        b.replaceAll("^([A-Za-z][A-Za-z0-9+.\\-]*://[^/]*).*", "$1") + i
+      else b.substring(0, b.lastIndexOf('/') + 1) + i
+    }
+
   def parse(text: String): Seq[Row] = {
-    val toks = tokenize(text)
+    // resolve relative IRI refs in one forward pass — @base / BASE
+    // apply to every <ref> AFTER them (incl. @prefix expansions);
+    // the base IRI itself must be absolute and passes through
+    val toks = {
+      var base: Option[String] = None
+      val out = List.newBuilder[Tok]
+      var rest0 = tokenize(text)
+      while (rest0.nonEmpty) rest0 match {
+        case (d @ TDirective("base")) :: TIri(b) :: tl =>
+          base = Some(b); out += d; out += TIri(b); rest0 = tl
+        case (p @ TPName(w)) :: TIri(b) :: tl if w.equalsIgnoreCase("base") =>
+          base = Some(b); out += p; out += TIri(b); rest0 = tl
+        case TIri(i) :: tl =>
+          out += TIri(resolveIri(base, i)); rest0 = tl
+        case t :: tl => out += t; rest0 = tl
+      }
+      out.result()
+    }
     val prefixes = scala.collection.mutable.Map[String, String]()
     val rows = scala.collection.mutable.ListBuffer[Row]()
 

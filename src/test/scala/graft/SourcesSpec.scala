@@ -55,6 +55,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(str("astral") == "g" + new String(Character.toChars(0x1F600)) + "clef")
   }
 
+  test("turtle resolves relative IRIs against @base") {
+    val ttl =
+      """@base <http://ex.org/data/page> .
+        |@prefix r: <rel/> .
+        |<x> <p> <#frag> .
+        |<x> r:q </root> .
+        |""".stripMargin
+    val df = Turtle.load(spark, ttl)
+    def obj(p: String) =
+      df.filter(col("p") === p).head().getString(4)
+    assert(df.filter(col("s") === "http://ex.org/data/x").count() == 2)
+    assert(obj("http://ex.org/data/p") == "http://ex.org/data/page#frag")
+    // relative @prefix IRI resolves against base too, then expands
+    assert(obj("http://ex.org/data/rel/q") == "http://ex.org/root")
+  }
+
   test("turtle parses long strings, blank-node labels and [ ] property lists") {
     val tq = "\"\"\""
     val ttl =
