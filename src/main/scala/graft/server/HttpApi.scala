@@ -73,7 +73,15 @@ object HttpApi {
       require(ex.getRequestMethod == "POST", "POST required")
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       val ast = JsonWoql.parse(body)
-      bindingsJson(Compiler.run(ast))
+      // resource addressing: ?branch=B queries a branch head,
+      // ?commit=C any commit (TIME TRAVEL — the reference's
+      // commit-descriptor resources); default is the base dataset
+      val qctx = (param(ex, "commit"), param(ex, "branch")) match {
+        case (Some(c), _) => ctx.copy(triples = store.materialize(c))
+        case (_, Some(b)) => ctx.copy(triples = store.materializeBranch(b))
+        case _ => ctx
+      }
+      bindingsJson(Compiler.run(ast)(qctx))
     })
 
     srv.createContext("/api/graphql", route { ex =>

@@ -332,6 +332,28 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.filter(col("s") === "http://ex.org/x").count() == 2)
   }
 
+  test("woql queries a branch head and TIME-TRAVELS to a commit") {
+    post("/api/branch?name=tt&from=main", "")
+    val (_, b1) = post("/api/triples?branch=tt",
+      "<http://tt/x> <http://tt/p> 'v1' .")
+    val c1 = (JsonMethods.parse(b1) \ "head") match {
+      case JString(h) => h; case o => fail(s"$o") }
+    post("/api/triples?branch=tt", "<http://tt/x> <http://tt/p> 'v2' .")
+    val wire =
+      """{"@type":"Triple","subject":{"node":"http://tt/x"},
+        |"predicate":{"node":"http://tt/p"},"object":{"variable":"V"}}""".stripMargin
+    def vals(extra: String): Set[String] = {
+      val (code, body) = post(s"/api/woql$extra", wire)
+      assert(code == 200, body)
+      val JArray(bs) = (JsonMethods.parse(body) \ "bindings"): @unchecked
+      bs.map(b => (b \ "V" \ "@value") match {
+        case JString(v) => v; case o => o.toString }).toSet
+    }
+    assert(vals("?branch=tt") == Set("v1", "v2")) // head sees both commits
+    assert(vals(s"?commit=$c1") == Set("v1"))     // time travel: first only
+    assert(vals("") == Set.empty)                 // base dataset: neither
+  }
+
   test("graphql introspection lists classes and class frames") {
     val (_, schemaDf) = server.GraphQL.run("{ __schema { types { name } } }")(
       graft.Graft.ctx(spark, sfDir))
