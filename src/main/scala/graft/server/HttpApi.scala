@@ -120,10 +120,20 @@ object HttpApi {
       ex.getRequestMethod match {
         case "GET" => param(ex, "id") match {
           case Some(id) =>
-            val df = Compiler.run(ReadDocQ(Node(id), "D"))
-            val rows = df.collect()
-            require(rows.nonEmpty, s"document not found: $id")
-            raw(rows.head.getAs[Row]("D").getAs[String]("str"))
+            // ?branch=B reads the document from a branch head (default:
+            // the base dataset through the WOQL ReadDocument op)
+            param(ex, "branch") match {
+              case Some(b) =>
+                val g = store.materializeBranch(b)
+                require(!g.filter(org.apache.spark.sql.functions
+                  .col("s") === id).isEmpty, s"document not found: $id")
+                raw(graft.docs.Documents.readJson(g, id))
+              case None =>
+                val df = Compiler.run(ReadDocQ(Node(id), "D"))
+                val rows = df.collect()
+                require(rows.nonEmpty, s"document not found: $id")
+                raw(rows.head.getAs[Row]("D").getAs[String]("str"))
+            }
           case None =>
             // paged list-by-type: one JSON document per line, ordered
             // by id so skip/count page deterministically

@@ -332,6 +332,15 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.filter(col("s") === "http://ex.org/x").count() == 2)
   }
 
+  test("document GET reads from a branch head with ?branch") {
+    // docs committed to main by the insert test
+    val (code, body) = get("/api/document?id=doc:Thing/alpha&branch=main")
+    assert(code == 200, body)
+    assert((JsonMethods.parse(body) \ "name") == JString("alpha"))
+    val (miss, _) = get("/api/document?id=doc:Thing/nope&branch=main")
+    assert(miss == 400)
+  }
+
   test("woql queries a branch head and TIME-TRAVELS to a commit") {
     post("/api/branch?name=tt&from=main", "")
     val (_, b1) = post("/api/triples?branch=tt",
