@@ -75,10 +75,15 @@ object HttpApi {
       val ast = JsonWoql.parse(body)
       // resource addressing: ?branch=B queries a branch head,
       // ?commit=C any commit (TIME TRAVEL — the reference's
-      // commit-descriptor resources); default is the base dataset
+      // commit-descriptor resources); default is the base dataset.
+      // The subsumption closure re-derives from the ADDRESSED graph —
+      // a branch's own schema triples drive isa there, not the base's.
+      def at(g: org.apache.spark.sql.DataFrame) =
+        ctx.copy(triples = g,
+          subclass = graft.storage.Eav.subclassClosure(spark, g))
       val qctx = (param(ex, "commit"), param(ex, "branch")) match {
-        case (Some(c), _) => ctx.copy(triples = store.materialize(c))
-        case (_, Some(b)) => ctx.copy(triples = store.materializeBranch(b))
+        case (Some(c), _) => at(store.materialize(c))
+        case (_, Some(b)) => at(store.materializeBranch(b))
         case _ => ctx
       }
       bindingsJson(Compiler.run(ast)(qctx))
