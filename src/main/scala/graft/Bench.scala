@@ -67,7 +67,7 @@ object Bench {
     // streaming media ingest + ORC sink round-trip
     "mm_decode_png", "woql_path_witness_edges", "stream_mm_meta",
     "ext_orc_roundtrip", "graph_wcc", "rel_ewma", "sim_recall_ivf",
-    "stream_ingest_commits", "text_c4_filters")
+    "stream_ingest_commits", "text_c4_filters", "stream_c4_filters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -342,6 +342,9 @@ object ExtQueries {
     // so both engines agree on borderline docs
     "text_c4_filters" -> ((s, d) =>
       TextAnalysis.c4Filters(t(s, d, "documents"))),
+    // the same rule bundle applied per streaming micro-batch
+    // (stateless ingest-gate shape) — row-identical to the batch op
+    "stream_c4_filters" -> ((s, d) => Events.streamingC4(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(t(s, d, "documents"))),
@@ -2001,6 +2004,23 @@ object ExtQueries {
 
     // keep decided from the same ROUNDED stats in both engines
     "text_c4_filters" ->
+      s"""WITH st AS (SELECT doc_id,
+        |   CAST(len($toksSql) AS BIGINT) AS n_words,
+        |   round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
+        |     / len($toksSql), 6) AS mean_word_len,
+        |   round(len(list_filter($toksSql, x -> regexp_matches(x, '[A-Za-z]')))
+        |     * 1.0 / len($toksSql), 6) AS alpha_frac,
+        |   (contains(text, '{') OR contains(lower(text), 'lorem ipsum'))
+        |     AS flagged
+        |  FROM documents)
+        | SELECT doc_id, n_words, mean_word_len, alpha_frac, flagged,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND alpha_frac > 0.8 AND NOT flagged) AS keep
+        | FROM st""".stripMargin,
+
+    // streaming replay must be row-identical to the batch rule bundle
+    "stream_c4_filters" ->
       s"""WITH st AS (SELECT doc_id,
         |   CAST(len($toksSql) AS BIGINT) AS n_words,
         |   round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0

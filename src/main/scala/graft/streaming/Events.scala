@@ -631,6 +631,38 @@ object Events {
     runToTable(spark, metas, "append")
   }
 
+  /** STREAMING quality gate: the C4/Gopher rule bundle applied per
+    * micro-batch as documents arrive — stateless and narrow (pure
+    * projection), the front-of-pipeline ingest filter shape. Same
+    * rounded-statistics keep rule as the batch operator, so the
+    * replay is row-identical to it. */
+  def streamingC4(spark: SparkSession, sfDir: String): DataFrame = {
+    applyStateStore(spark)
+    val srcFile = new java.io.File(s"$sfDir/documents.parquet")
+    val stageDir = new java.io.File(
+      sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
+        "/docstream_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + graft.util.Fingerprint.of(srcFile.getPath))
+    val parts: Seq[java.io.File] =
+      if (srcFile.isDirectory)
+        Option(srcFile.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      else Seq(srcFile)
+    if (!stageDir.exists() ||
+        Option(stageDir.list()).forall(_.count(_.endsWith(".parquet")) < parts.size)) {
+      stageDir.mkdirs()
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(stageDir, f"part-$i%05d.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val schema = spark.read.parquet(srcFile.getPath).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.getAbsolutePath)
+    runToTable(spark, graft.llm.TextAnalysis.c4Filters(src), "append")
+  }
+
   /** Streaming exact dedup within the watermark window. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val src = eventsStream(spark, sfDir)
