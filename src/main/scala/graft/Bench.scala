@@ -166,8 +166,25 @@ object Bench {
           }
         }
         val drained = graft.util.Scratch.drain()
+        // Leak assertion: after drain, the block manager must be empty —
+        // a query that leaves cached RDDs behind taxes every LATER entry
+        // of the in-sequence battery with heap pressure the per-query
+        // numbers can't attribute (the r11 driver run regressed six
+        // queries whose plans hadn't changed). Loud stderr line + a
+        // leak field in the diag JSON; not fatal, so one leak doesn't
+        // void the rest of the battery's numbers.
+        val leaked = spark.sparkContext.getRDDStorageInfo
+        val leakMb = leaked.map(i => i.memSize + i.diskSize).sum >> 20
+        if (leaked.nonEmpty) {
+          System.err.println(s"[bench][leak] $name left ${leaked.length} " +
+            s"cached RDDs ($leakMb MB) after drain: " +
+            leaked.take(5).map(i => s"rdd${i.id}(${i.name})").mkString(", "))
+          leaked.foreach(i => spark.sparkContext.getPersistentRDDs.get(i.id)
+            .foreach(_.unpersist(false)))
+        }
         diags(name) = s"""{"gc_ms":${gcMs - gc0},"peak_heap_mb":$peakHeapMb,""" +
-          s""""cached_mb":$cachedMb,"drained":$drained}"""
+          s""""cached_mb":$cachedMb,"drained":$drained,""" +
+          s""""leaked_rdds":${leaked.length},"leaked_mb":$leakMb}"""
         name -> secs.min
       }
     }

@@ -52,6 +52,14 @@ final case class PutCsv(cols: Seq[(String, String)], q: Woql, path: String) exte
 /** `with(Graph, Resource, Query)` — query-local temp graph loaded from a
   * resource (EAV parquet dir, or CSV with s,p,o columns). */
 final case class WithGraph(g: String, resource: String, q: Woql) extends Woql
+/** `using(Resource, Query)` — subquery-level resource scoping
+  * ([ref:core/query/woql_compile.pl] using/from clauses): triple
+  * patterns (and isa/subsumption frames) inside `q` read from the
+  * addressed graph — `branch/<name>` or `commit/<id>` of the attached
+  * store — while outer bindings keep flowing through. Enables
+  * cross-commit joins ("head vs commit X in one query"), the WOQL-level
+  * spelling of the HTTP layer's ?branch/?commit time travel. */
+final case class Using(resource: String, q: Woql) extends Woql
 /** `triple_count(Resource, N)` — triples in a graph. */
 final case class TripleCount(g: String, into: String) extends Woql
 /** ReadDocument: bind the (flat) JSON document rooted at an IRI —

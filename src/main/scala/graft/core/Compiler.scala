@@ -19,7 +19,15 @@ final case class Ctx(
     removes: String => DataFrame = _ => null,
     /** Predicates with ≤1 triple per subject — enables star-join
       * collapse (one scan + one shuffle for a subject's pattern star). */
-    functionalPreds: Set[String] = Set.empty)
+    functionalPreds: Set[String] = Set.empty,
+    /** Resource resolver for [[Using]]: maps "branch/<b>" /
+      * "commit/<c>" to an addressed Ctx (triples AND subclass frames
+      * re-derived from the addressed graph). Wired by
+      * [[graft.storage.Updates.ctxFromStore]] and the HTTP layer;
+      * contexts without a store refuse Using at plan time. */
+    resolve: String => Ctx = r => sys.error(
+      s"using('$r'): no store attached to this context — " +
+        "build the Ctx with Updates.ctxFromStore (or via the HTTP API)"))
 
 /** WOQL → DataFrame compiler.
   *
@@ -73,12 +81,26 @@ object Compiler {
       val shared = (cur.vars intersect nxt.vars).toSeq.sorted
       val df =
         if (shared.isEmpty) {
-          val product = BigInt(cur.df.count()) * BigInt(nxt.df.count())
-          require(product <= cartesianBudget,
-            s"conjunction with no shared variables is a $product-row " +
-              s"cartesian product, over GRAFT_CARTESIAN_MAX_ROWS=" +
-              s"$cartesianBudget — join the conjuncts on a shared " +
-              "variable, or raise the budget for a deliberate product")
+          // Bounded probes, not full counts: a refusal must not cost two
+          // full scans at 100 TB. `limit(n).count()` plans a CollectLimit
+          // that stops reading once n rows are seen, so each probe touches
+          // at most budget+1 rows. A ≤1-row side (the scalar-aggregate
+          // broadcast idiom: 1-row stats frame crossed with an N-row side)
+          // bypasses the budget entirely — its product is just N.
+          def atMost(d: DataFrame, n: Long): Long =
+            d.limit(math.min(n + 1, Int.MaxValue.toLong).toInt).count()
+          val curN = atMost(cur.df, cartesianBudget)
+          if (curN > 1) {
+            val nxtN = atMost(nxt.df, cartesianBudget)
+            if (nxtN > 1) {
+              val product = BigInt(curN) * BigInt(nxtN)
+              require(product <= cartesianBudget,
+                s"conjunction with no shared variables is a >=$product-row " +
+                  s"cartesian product, over GRAFT_CARTESIAN_MAX_ROWS=" +
+                  s"$cartesianBudget — join the conjuncts on a shared " +
+                  "variable, or raise the budget for a deliberate product")
+            }
+          }
           cur.df.crossJoin(nxt.df)
         } else cur.df.join(nxt.df, shared, "inner")
       BF(df, cur.vars ++ nxt.vars)
@@ -248,6 +270,12 @@ object Compiler {
         } else ctx.spark.read.parquet(resource).withColumn("g", lit(g))
           .select(graft.storage.Eav.schema.fieldNames.map(col): _*)
       compile(sub, cur)(ctx.copy(triples = ctx.triples.unionByName(loaded)))
+
+    case Using(resource, sub) =>
+      // swap the compile context for the subquery's duration; the
+      // current binding frame threads through unchanged, so shared
+      // variables still join across resources (head-vs-commit joins)
+      compile(sub, cur)(ctx.resolve(resource))
 
     case TripleCount(g, into) =>
       val counted = ctx.triples.filter(col("g") === g)
@@ -693,6 +721,18 @@ object Compiler {
       }
       def edgeStrW: Column = concat_ws(";", transform(col("edges"),
         e => concat_ws("|", e.getField("s"), e.getField("p"), e.getField("o"))))
+      // Edge objects ride on the canonical witness walk, so they require
+      // the (bound source, free dest, witness) shape — fail loudly at
+      // plan time rather than silently never binding the variable
+      // (mirrors PathAllQ's bound-source requirement).
+      (x, y, _witness) match {
+        case (Node(_), V(_), Some(_)) => // supported
+        case _ => require(ew.isEmpty,
+          "path: edge-object variable requires a bound IRI source, a " +
+            "free destination variable, and a path witness variable — " +
+            "use path(Node(...), pat, V(...), witness, edges) or drop " +
+            "the edges variable")
+      }
       val bf0 = (x, y, _witness) match {
         case (Node(i), V(n), Some(w)) =>
           // canonical witness per reachable node, bound as node

@@ -146,6 +146,7 @@ object JsonWoql {
     case JString("Once") => Once(toWoql(j \ "query"))
     case JString("Immediately") => Immediately(toWoql(j \ "query"))
     case JString("When") => WhenQ(toWoql(j \ "query"), toWoql(j \ "consequent"))
+    case JString("Using") => Using(str(j \ "collection"), toWoql(j \ "query"))
     case JString("True") => True
     case JString("Select") => Select(strs(j \ "variables"), toWoql(j \ "query"))
     case JString("Distinct") => Distinct(strs(j \ "variables"), toWoql(j \ "query"))

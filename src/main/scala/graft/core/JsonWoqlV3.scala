@@ -130,6 +130,14 @@ object JsonWoqlV3 {
     case "Select" =>
       Select(listOf(j, "woql:variable_list").map(str), toWoql(j \ "woql:query"))
     case "Not" => Not(toWoql(j \ "woql:query"))
+    case "Using" => Using(
+      (j \ "woql:collection") match {
+        case JString(s) => s
+        case o => (o \ "@value") match {
+          case JString(s) => s
+          case other => throw new IllegalArgumentException(s"bad collection $other")
+        }
+      }, toWoql(j \ "woql:query"))
     case "Optional" | "Opt" => Opt(toWoql(j \ "woql:query"))
     case "Immediately" => Immediately(toWoql(j \ "woql:query"))
     case "When" => WhenQ(toWoql(j \ "woql:query"), toWoql(j \ "woql:consequent"))

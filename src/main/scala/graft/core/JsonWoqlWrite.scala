@@ -84,6 +84,8 @@ object JsonWoqlWrite {
     case And(qs) => JObject("@type" -> JString("And"), "and" -> JArray(qs.toList.map(toJson)))
     case Or(qs) => JObject("@type" -> JString("Or"), "or" -> JArray(qs.toList.map(toJson)))
     case Not(x) => JObject("@type" -> JString("Not"), "query" -> toJson(x))
+    case Using(res, x) => JObject("@type" -> JString("Using"),
+      "collection" -> JString(res), "query" -> toJson(x))
     case Opt(x) => JObject("@type" -> JString("Optional"), "query" -> toJson(x))
     case Once(x) => JObject("@type" -> JString("Once"), "query" -> toJson(x))
     case Immediately(x) => JObject("@type" -> JString("Immediately"), "query" -> toJson(x))
@@ -160,6 +162,12 @@ object JsonWoqlWrite {
       "member" -> v(into), "list" -> v(l))
     case DotQ(doc, field, into) => JObject("@type" -> JString("Dot"),
       "document" -> term(doc), "field" -> JString(field), "value" -> v(into))
+    case PathQ(_, _, _, _, ew) if ew.nonEmpty =>
+      // the v10 wire Path has no edge-object slot; dropping the variable
+      // silently would make the round-trip lossy with no error
+      throw new IllegalArgumentException(
+        "Path with an edge-object variable is not expressible in the " +
+          "v10 wire format — drop the edges variable before serializing")
     case PathQ(x, pat, y, w, _) =>
       val base = List("@type" -> JString("Path"), "subject" -> term(x),
         "pattern" -> path(pat), "object" -> term(y))

@@ -102,6 +102,8 @@ object JsonWoqlWriteV3 {
     case Select(vars, x) => JObject(t("Select"),
       "woql:variable_list" -> varList(vars), "woql:query" -> toJson(x))
     case Not(x) => JObject(t("Not"), "woql:query" -> toJson(x))
+    case Using(res, x) => JObject(t("Using"),
+      "woql:collection" -> JString(res), "woql:query" -> toJson(x))
     case Opt(x) => JObject(t("Optional"), "woql:query" -> toJson(x))
     case Immediately(x) => JObject(t("Immediately"), "woql:query" -> toJson(x))
     case WhenQ(c, cq) => JObject(t("When"),
@@ -127,6 +129,10 @@ object JsonWoqlWriteV3 {
       "woql:query" -> toJson(x))
     case Eval(e, into) => JObject(t("Eval"),
       "woql:expression" -> arith(e), "woql:result" -> term(V(into)))
+    case PathQ(_, _, _, _, ew) if ew.nonEmpty =>
+      throw new IllegalArgumentException(
+        "Path with an edge-object variable is not expressible in the " +
+          "v3 wire format — drop the edges variable before serializing")
     case PathQ(s, pat, o, w, _) =>
       val base = List(t("Path"), "woql:subject" -> term(s),
         "woql:path_pattern" -> path(pat), "woql:object" -> term(o))

@@ -150,7 +150,10 @@ object Documents {
         val p = r.getString(1)
         if (p == "rdf:type" || p == "graft:idx") None
         else {
-          val field = p.stripPrefix("doc:")
+          // any-prefix strip (doc:, tpch:, …) — same field naming as
+          // the WOQL ReadDocument projection, so a document reads the
+          // same through both surfaces
+          val field = p.replaceFirst("^[^:]*:", "")
           val v: JValue =
             if (r.getString(2) == "i") assemble(r.getString(3))
             else if (r.getString(5) != null) JString(r.getString(5))

@@ -51,10 +51,13 @@ object TextAnalysis {
   def c4Filters(docs: DataFrame): DataFrame = {
     val ws = toks(col("text"))
     val nw = size(ws)
-    val meanLen = round(
-      aggregate(ws, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) / nw, 6)
-    val alphaFrac = round(
-      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / nw, 6)
+    // n_words = 0 guard (empty/whitespace-only doc): NULL here vs
+    // inf/nan in a SQL oracle would diverge the engines — pin both
+    // ratios to 0 (keep is then false via the word-count window)
+    val meanLen = when(nw === 0, lit(0.0)).otherwise(round(
+      aggregate(ws, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) / nw, 6))
+    val alphaFrac = when(nw === 0, lit(0.0)).otherwise(round(
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / nw, 6))
     docs.select(col("doc_id"), nw.cast("long").as("n_words"),
         meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
         (col("text").contains("{") ||
@@ -252,13 +255,24 @@ object TextAnalysis {
     mergeCache.computeIfAbsent(Clustering.planKey(docs) + s"#bpe_k=$k",
       _ => bpeMergesUncached(docs, k))
 
-  private def bpeMergesUncached(docs: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
+  private def bpeMergesUncached(docs: DataFrame, k: Int): Seq[(Long, String, String, Long)] =
+    bpeRoundCandidates(docs, k, 1).map { case (round, _, l, r, f) => (round, l, r, f) }
+
+  /** The merge loop, generalized to keep the top-`top` argmax
+    * CANDIDATES of every round (the merge decision is always the
+    * top-1). `top = 1` is training; `top = 3` is the divergence probe
+    * [[bpeTrainRounds]] — when an oracle disagrees on a merge, the
+    * per-round candidate table localizes WHICH round's pair counts
+    * diverged instead of cascading silently through the remaining
+    * rounds. */
+  private def bpeRoundCandidates(docs: DataFrame, k: Int, top: Int)
+      : Seq[(Long, Long, String, String, Long)] = {
     var vocab = docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(concat(split(col("w"), ""), array(lit("_"))).as("syms"), col("cnt"))
     vocab = graft.util.Scratch.trackCheckpoint(vocab.localCheckpoint(true))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String, Long)]
     var round = 0
     var done = false
     while (!done && round < k) {
@@ -269,20 +283,34 @@ object TextAnalysis {
             element_at(col("syms"), i + 2).as("r")))).as("pr"), col("cnt"))
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum(col("cnt")).as("freq"))
-      // argmax of the round: ONE row to the driver (bounded by
+      // argmax of the round: `top` rows to the driver (bounded by
       // construction — this is the merge decision, not data movement)
-      val best = pairs.orderBy(col("freq").desc, col("l"), col("r")).limit(1).collect()
+      val best = pairs.orderBy(col("freq").desc, col("l"), col("r")).limit(top).collect()
       if (best.isEmpty) done = true
       else {
-        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((round.toLong, l, r, f))
+        best.zipWithIndex.foreach { case (row, j) =>
+          out += ((round.toLong, (j + 1).toLong,
+            row.getString(0), row.getString(1), row.getLong(2)))
+        }
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
         if (round < k)
           vocab = graft.util.Scratch.trackCheckpoint(
             vocab.select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
               .localCheckpoint(true))
       }
     }
-    merges.toSeq
+    out.toSeq
+  }
+
+  /** Divergence probe for [[bpeTrain]]: the top-3 argmax candidates of
+    * every round as `(round, cand_rank, lhs, rhs, freq)`. A red
+    * `text_bpe_train` row plus a green/partially-red probe pinpoints
+    * the first round where the two engines' pair counts disagree. */
+  def bpeTrainRounds(docs: DataFrame, k: Int, top: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeRoundCandidates(docs, k, top)
+      .toDF("round", "cand_rank", "lhs", "rhs", "freq")
   }
 
   /** BPE ENCODE with a trained merge table: per-document token counts

@@ -434,9 +434,16 @@ object ExtQueries {
     // full BPE merge-LOOP training: 12 rounds of pair-count -> argmax
     // -> merge over the (word, count) vocabulary table; corpus touched
     // once, per-round cost ∝ vocab types (oracle unrolls all 12 rounds
-    // as CTE chains with a list_reduce fold replaying the greedy merge)
+    // as CTE chains, replaying each greedy merge with an unnest+window
+    // formulation — gaps-and-islands over candidate positions)
     "text_bpe_train" -> ((s, d) =>
       graft.llm.TextAnalysis.bpeTrain(t(s, d, "documents"), 12)),
+
+    // divergence probe for text_bpe_train: top-3 argmax candidates of
+    // every round, so an oracle mismatch localizes to the FIRST round
+    // whose pair counts disagree instead of cascading silently
+    "text_bpe_train_rounds" -> ((s, d) =>
+      graft.llm.TextAnalysis.bpeTrainRounds(t(s, d, "documents"), 12)),
 
     // BPE ENCODE with the trained merges (train→apply, the complete
     // tokenizer loop): merges fold over the word-TYPE table (rows ∝
@@ -1253,6 +1260,61 @@ object ExtQueries {
   private val cosSql =
     "list_dot_product(ea, eb) / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))"
 
+  /** BPE merge-loop CTE chain (shared by text_bpe_train and its
+    * divergence probe): `v0` = (word, symbol-list, count) vocabulary;
+    * per round i: `p_i` pair counts, `b_i` argmax, and the greedy
+    * left-to-right merge replayed with unnest + window functions only
+    * — `u_i` explodes (position, symbol) rows, `c_i` marks candidate
+    * positions where (sym, next-sym) = the merge pair, `s_i` does
+    * gaps-and-islands over consecutive candidates (odd candidates
+    * within a run merge — greedy semantics, since runs > 1 only occur
+    * when lhs = rhs), `v_i` re-lists with merged pairs substituted and
+    * their consumed right neighbors dropped. No list_reduce / string
+    * state machine anywhere, so the chain is robust across DuckDB
+    * versions. Everything MATERIALIZED to stop exponential CTE
+    * inlining. The last round emits only p/b (no fold — training
+    * needs only the decision). */
+  private def bpeWindowChain(k: Int): String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      val pairsBest =
+        s""", p$i AS MATERIALIZED (SELECT t.pair, sum(t.cnt) AS freq FROM (
+           |   SELECT unnest(list_transform(range(1, len(syms)),
+           |     j -> syms[j] || ' ' || syms[j+1])) AS pair, cnt
+           |   FROM $prev WHERE len(syms) >= 2) t GROUP BY t.pair),
+           | b$i AS MATERIALIZED (SELECT split_part(pair,' ',1) AS lhs,
+           |   split_part(pair,' ',2) AS rhs, freq
+           |  FROM p$i ORDER BY freq DESC, pair LIMIT 1)""".stripMargin
+      val fold =
+        s""", u$i AS MATERIALIZED (SELECT w, cnt,
+           |   unnest(range(1, len(syms)+1)) AS i, unnest(syms) AS sym FROM $prev),
+           | c$i AS MATERIALIZED (SELECT u.w, u.cnt, u.i, u.sym,
+           |   (u.sym = b.lhs AND
+           |    lead(u.sym) OVER (PARTITION BY u.w ORDER BY u.i) = b.rhs) AS cand
+           |  FROM u$i u CROSS JOIN b$i b),
+           | s$i AS MATERIALIZED (SELECT w, i,
+           |   (row_number() OVER (PARTITION BY w, i - rn ORDER BY i) % 2 = 1) AS merged
+           |  FROM (SELECT w, i, row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+           |        FROM c$i WHERE cand)),
+           | v$i AS MATERIALIZED (SELECT w, list(sym2 ORDER BY i) AS syms, min(cnt) AS cnt
+           |  FROM (SELECT c.w, c.cnt, c.i,
+           |     CASE WHEN coalesce(s.merged, false) THEN b.lhs || b.rhs ELSE c.sym END AS sym2,
+           |     coalesce(lag(coalesce(s.merged, false))
+           |       OVER (PARTITION BY c.w ORDER BY c.i), false) AS pm
+           |    FROM c$i c LEFT JOIN s$i s ON s.w = c.w AND s.i = c.i
+           |    CROSS JOIN b$i b) q
+           |  WHERE NOT pm GROUP BY w)""".stripMargin
+      if (i < k) pairsBest + fold else pairsBest
+    }
+    s"""w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       | wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+       | v0 AS MATERIALIZED (SELECT w,
+       |   list_append(regexp_extract_all(w, '[a-z]'), '_') AS syms, cnt
+       |  FROM wc)
+       | ${(1 to k).map(round).mkString("\n")}""".stripMargin
+  }
+
   /** BM25 CTE chain ending in `sc(doc_id, score)` (terms spark/join/
     * vector, k1=1.2, b=0.75, Lucene idf) — shared by text_bm25 and
     * sim_rrf_hybrid. Every fractional literal ::DOUBLE so DuckDB runs
@@ -2006,10 +2068,12 @@ object ExtQueries {
     "text_c4_filters" ->
       s"""WITH st AS (SELECT doc_id,
         |   CAST(len($toksSql) AS BIGINT) AS n_words,
-        |   round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
-        |     / len($toksSql), 6) AS mean_word_len,
-        |   round(len(list_filter($toksSql, x -> regexp_matches(x, '[A-Za-z]')))
-        |     * 1.0 / len($toksSql), 6) AS alpha_frac,
+        |   CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE
+        |    round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
+        |     / len($toksSql), 6) END AS mean_word_len,
+        |   CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE
+        |    round(len(list_filter($toksSql, x -> regexp_matches(x, '[A-Za-z]')))
+        |     * 1.0 / len($toksSql), 6) END AS alpha_frac,
         |   (contains(text, '{') OR contains(lower(text), 'lorem ipsum'))
         |     AS flagged
         |  FROM documents)
@@ -2023,10 +2087,12 @@ object ExtQueries {
     "stream_c4_filters" ->
       s"""WITH st AS (SELECT doc_id,
         |   CAST(len($toksSql) AS BIGINT) AS n_words,
-        |   round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
-        |     / len($toksSql), 6) AS mean_word_len,
-        |   round(len(list_filter($toksSql, x -> regexp_matches(x, '[A-Za-z]')))
-        |     * 1.0 / len($toksSql), 6) AS alpha_frac,
+        |   CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE
+        |    round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
+        |     / len($toksSql), 6) END AS mean_word_len,
+        |   CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE
+        |    round(len(list_filter($toksSql, x -> regexp_matches(x, '[A-Za-z]')))
+        |     * 1.0 / len($toksSql), 6) END AS alpha_frac,
         |   (contains(text, '{') OR contains(lower(text), 'lorem ipsum'))
         |     AS flagged
         |  FROM documents)
@@ -2210,51 +2276,40 @@ object ExtQueries {
     // engine's tie-break (b_i — ORDER BY freq DESC, pair equals the
     // engine's (freq DESC, lhs, rhs) because symbols are [a-z_]+ and
     // ' ' sorts below both), then the greedy left-to-right merge
-    // replayed as a list_reduce fold over a 'out|carry' string state
-    // (v_i). Merged pairs consume both symbols: [a,a,a] + (a,a) ->
-    // [aa,a], exactly the engine's aggregate() fold. Every chained CTE
-    // is MATERIALIZED: DuckDB otherwise inlines them, and a 12-round
-    // chain where each round references its predecessor twice
-    // re-evaluates exponentially (measured: >4 min inlined, 0.2 s
-    // materialized at sf0.001).
+    // replayed with unnest + window functions ONLY (u_i: position/
+    // symbol rows; c_i: candidate mark where (sym, next sym) = the
+    // merge pair; s_i: gaps-and-islands over consecutive candidate
+    // positions — within a run, every ODD candidate merges, which IS
+    // greedy left-to-right since runs longer than 1 only occur when
+    // lhs = rhs; v_i: re-list with merged pairs substituted and their
+    // consumed right symbols dropped). Merged pairs consume both
+    // symbols: [a,a,a] + (a,a) -> [aa,a]. This formulation uses no
+    // list_reduce/lambda-fold state machine, so it is robust across
+    // DuckDB versions. Every chained CTE is MATERIALIZED: DuckDB
+    // otherwise inlines them, and a 12-round chain where each round
+    // references its predecessor multiple times re-evaluates
+    // exponentially (measured: >4 min inlined, 0.2 s materialized at
+    // sf0.001).
     "text_bpe_train" -> {
-      def round(i: Int): String = {
-        val prev = if (i == 1) "v0" else s"v${i - 1}"
-        val pairsBest =
-          s""", p$i AS MATERIALIZED (SELECT t.pair, sum(t.cnt) AS freq FROM (
-             |   SELECT unnest(list_transform(range(1, len(syms)),
-             |     j -> syms[j] || ' ' || syms[j+1])) AS pair, cnt
-             |   FROM $prev WHERE len(syms) >= 2) t GROUP BY t.pair),
-             | b$i AS MATERIALIZED (SELECT split_part(pair,' ',1) AS lhs,
-             |   split_part(pair,' ',2) AS rhs, freq
-             |  FROM p$i ORDER BY freq DESC, pair LIMIT 1)""".stripMargin
-        val fold =
-          s""", v$i AS MATERIALIZED (SELECT string_split(
-             |   CASE WHEN split_part(st,'|',2)='' THEN split_part(st,'|',1)
-             |        WHEN split_part(st,'|',1)='' THEN split_part(st,'|',2)
-             |        ELSE split_part(st,'|',1) || ',' || split_part(st,'|',2) END,
-             |   ',') AS syms, cnt
-             |  FROM (SELECT list_reduce(list_prepend('|', syms), (acc, x) ->
-             |   CASE WHEN split_part(acc,'|',2) = b$i.lhs AND x = b$i.rhs
-             |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
-             |          ELSE split_part(acc,'|',1)||',' END) || b$i.lhs || b$i.rhs || '|'
-             |    WHEN split_part(acc,'|',2) <> ''
-             |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
-             |          ELSE split_part(acc,'|',1)||',' END) || split_part(acc,'|',2) || '|' || x
-             |    ELSE split_part(acc,'|',1) || '|' || x END) AS st, cnt
-             |   FROM $prev, b$i) q)""".stripMargin
-        if (i < 12) pairsBest + fold else pairsBest
-      }
-      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |  FROM documents),
-         | wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM w GROUP BY w),
-         | v0 AS MATERIALIZED (SELECT list_append(regexp_extract_all(w, '[a-z]'), '_') AS syms, cnt
-         |  FROM wc)
-         | ${(1 to 12).map(round).mkString("\n")}
+      s"""WITH ${bpeWindowChain(12)}
          | ${(1 to 12).map(i =>
              s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, freq FROM b$i")
              .mkString(" UNION ALL ")}
          | ORDER BY rank""".stripMargin
+    },
+
+    // divergence probe: top-3 argmax candidates of every round (same
+    // chain as text_bpe_train; only the emitted projection differs)
+    "text_bpe_train_rounds" -> {
+      s"""WITH ${bpeWindowChain(12)}
+         | SELECT round, cand_rank, lhs, rhs, freq FROM (
+         |  ${(1 to 12).map(i =>
+             s"""SELECT CAST($i AS BIGINT) AS round, split_part(pair,' ',1) AS lhs,
+                | split_part(pair,' ',2) AS rhs, freq,
+                | CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS cand_rank
+                | FROM p$i QUALIFY cand_rank <= 3""".stripMargin)
+             .mkString(" UNION ALL ")})
+         | ORDER BY round, cand_rank""".stripMargin
     },
 
     // BPE apply: the same 12-round merge chain, but the vocab rows

@@ -188,6 +188,25 @@ object VersionQueries {
         .select(col("S").getField("iri").as("s"), col("O").getField("str").as("o"))
     }),
 
+    // WOQL-level resource scoping (`using` — the in-query spelling of
+    // the HTTP layer's ?branch/?commit time travel): join the branch
+    // HEAD against the FIRST commit in ONE query. Shared variable S
+    // equi-joins across the two addressed graphs; solutions are the
+    // nations present in both (1–14: 0 was removed by the delta,
+    // 15–24 didn't exist yet).
+    "woql_using_commit" -> ((s, d) => {
+      val st = deltaStore(s, d)
+      implicit val ctx: Ctx = Updates.ctxFromStore(st, "main")
+      val first = st.chain(st.refs("main")).head
+      Compiler.run(And(Seq(
+          TriplePat(V("S"), Node("tpch:n_name"), V("Now")),
+          Using(s"commit/$first",
+            TriplePat(V("S"), Node("tpch:n_name"), V("Then"))))))
+        .select(col("S").getField("iri").as("s"),
+          col("Now").getField("str").as("now_name"),
+          col("Then").getField("str").as("then_name"))
+    }),
+
     // materialization after the delta (fold of adds/removes)
     "woql_materialized" -> ((s, d) => {
       val st = deltaStore(s, d)
@@ -466,6 +485,24 @@ object VersionQueries {
         col("_c_nationkey_of_Customer_c_acctbal").getField("dbl").as("c_acctbal"))
     }),
 
+    // GraphQL PATH argument (reference v10 GraphQL regular-path
+    // traversal): from a filtered Lineitem root set, traverse
+    // (l_orderkey|o_custkey)+ — a PLUS over an alternation — and keep
+    // targets that have c_name (the selection binding narrows the
+    // mixed-type reachable set to customers). Compiles onto the same
+    // path engine as WOQL path(); per lineitem exactly its order's
+    // customer survives.
+    "ext_graphql_path" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val q =
+        """{ Lineitem(filter: {l_quantity: {eq: 50.0}, l_returnflag: {eq: "R"}}) {
+          |    l_linenumber
+          |    reached(path: "(l_orderkey|o_custkey)+") { c_name } } }""".stripMargin
+      val (_, df) = graft.server.GraphQL.run(q)
+      df.select(col("l_linenumber").getField("lng").as("l_linenumber"),
+        col("reached_c_name").getField("str").as("c_name"))
+    }),
+
     // GraphQL INTROSPECTION (read-only by design, like the reference —
     // document mutation goes through the document API): __schema lists
     // the schema graph's classes, __type a class's frame with range +
@@ -712,6 +749,13 @@ object VersionQueries {
       """SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
         | FROM nation
         | WHERE n_nationkey % 7 = 3 OR starts_with(n_name, 'NATION_1')""".stripMargin,
+    // reachable-through-(l_orderkey|o_custkey)+ targets with c_name
+    // are exactly each filtered lineitem's order's customer
+    "ext_graphql_path" ->
+      """SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber, c_name
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE l_quantity = 50.0 AND l_returnflag = 'R'""".stripMargin,
     // the declared schema classes (rdfs:domain owners + subClassOf
     // endpoints), short-form
     "ext_graphql_introspect" ->
@@ -755,6 +799,10 @@ object VersionQueries {
     "woql_materialized" ->
       """SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS o FROM nation
         | WHERE n_nationkey >= 1""".stripMargin,
+    "woql_using_commit" ->
+      """SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS now_name,
+        | n_name AS then_name FROM nation
+        | WHERE n_nationkey BETWEEN 1 AND 14""".stripMargin,
     "woql_put_csv" ->
       "SELECT n_name FROM nation",
     "woql_with_graph" ->

@@ -33,7 +33,10 @@ import graft.core._
   * Class `C` maps to IRI `prefix + C`, field `f` to predicate
   * `prefix + f`. Root arguments: `filter`, `orderBy`, `limit`,
   * `offset`, `id: "<iri>"`, `ids: ["<iri>", ...]`; link selections
-  * accept `filter` only. Filter ops: eq, ne, lt, le, gt, ge,
+  * accept `filter`, plus `path: "<pattern>"` for regular-path
+  * traversal (`knows+`, `(a|b),c`, `<inv`, `p{1,3}` — the reference's
+  * path string syntax, compiled onto the WOQL path engine; the field
+  * name is then just the output label). Filter ops: eq, ne, lt, le, gt, ge,
   * startsWith, regex (partial match), plus the combinators
   * `_and: [...]`, `_or: [...]`, `_not: {...}`. Nested link fields
   * surface as `link_field` output columns (path-joined with `_`);
@@ -281,6 +284,22 @@ object GraphQL {
         linkArgs(lv, fieldVar(path, name), args)
         require(subs.nonEmpty, s"back-link $name needs a selection set")
         compileSels(lv, fieldVar(path, name), subs)
+      case Sel(f, args, subs) if args.exists(_._1 == "path") =>
+        // regular-path traversal (the reference v10 GraphQL `path:`
+        // argument): targets reachable from this subject through the
+        // path expression, compiled onto the SAME path engine as WOQL
+        // path(). The field name is the output label; the selection
+        // set's bindings narrow mixed-type targets (inner semantics,
+        // like every link).
+        val patStr = args.collectFirst { case ("path", GStr(p)) => p }
+          .getOrElse(throw new IllegalArgumentException(
+            s"path argument of $f must be a string"))
+        require(subs.nonEmpty, s"path field $f needs a selection set")
+        val lv = "__" + fieldVar(path, f)
+        pats :+= PathQ(V(subjV), PathSyntax.parse(patStr, prefix), V(lv))
+        subjs :+= lv
+        linkArgs(lv, fieldVar(path, f), args.filterNot(_._1 == "path"))
+        compileSels(lv, fieldVar(path, f), subs)
       case Sel(f, args, Nil) =>
         require(args.isEmpty, s"scalar field $f takes no arguments")
         outs += bindField(subjV, path, f)

@@ -43,6 +43,12 @@ import graft.storage.LayerStore
   *
   * Auth: pass `token` to [[start]] (or set GRAFT_HTTP_TOKEN) to require
   * `Authorization: Bearer <token>` on every route except `/api/info`.
+  * Pass `capabilities` (a [[Capabilities.Catalog]] of orgs/users/roles)
+  * to replace the shared token with per-user bearer tokens and
+  * route-level action checks — 401 for unknown tokens, 403 when the
+  * user's grants don't cover the route's `(action, database)` (see
+  * `requiredCap` for the policy table; the base dataset is database
+  * `_default`).
   *
   * Bindings render: IRIs as plain strings, literals as
   * `{"@type": xsd-type, "@value": v}` — the reference's JSON-LD-ish
@@ -55,11 +61,16 @@ object HttpApi {
   }
 
   def start(spark: SparkSession, sfDir: String, port: Int = 0,
-            token: Option[String] = sys.env.get("GRAFT_HTTP_TOKEN")): Running = {
+            token: Option[String] = sys.env.get("GRAFT_HTTP_TOKEN"),
+            capabilities: Option[Capabilities.Catalog] = None): Running = {
     implicit val auth: Option[String] = token
-    implicit val ctx: Ctx = Graft.ctx(spark, sfDir)
+    implicit val caps: Option[Capabilities.Catalog] = capabilities
     val store = LayerStore.open(spark,
       Graft.cacheRoot + "/http_store_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    // the base ctx carries the store's `using` resolver, so WOQL-level
+    // Using(branch/..., q) works over the wire as well as ?branch/?commit
+    implicit val ctx: Ctx = Graft.ctx(spark, sfDir)
+      .copy(resolve = graft.storage.Updates.resolver(store))
     val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
 
     srv.createContext("/api/info", route { ex =>
@@ -121,24 +132,32 @@ object HttpApi {
       ok(JObject("data" -> JObject(cls -> JArray(rows))))
     })
 
+    // Default document graph, shared by the by-id and list-by-type
+    // sub-routes: the base dataset plus (when it exists) the main
+    // branch head, so API-committed documents and the loaded corpus
+    // are both visible without an explicit ?branch. A `def`: main's
+    // head moves with every commit.
+    def defaultGraph: org.apache.spark.sql.DataFrame =
+      store.refs.get("main").map(h => ctx.triples.unionByName(store.materialize(h)))
+        .getOrElse(ctx.triples)
+
     srv.createContext("/api/document", route { ex =>
       ex.getRequestMethod match {
         case "GET" => param(ex, "id") match {
           case Some(id) =>
             // ?branch=B reads the document from a branch head (default:
             // the base dataset through the WOQL ReadDocument op)
-            param(ex, "branch") match {
-              case Some(b) =>
-                val g = store.materializeBranch(b)
-                require(!g.filter(org.apache.spark.sql.functions
-                  .col("s") === id).isEmpty, s"document not found: $id")
-                raw(graft.docs.Documents.readJson(g, id))
-              case None =>
-                val df = Compiler.run(ReadDocQ(Node(id), "D"))
-                val rows = df.collect()
-                require(rows.nonEmpty, s"document not found: $id")
-                raw(rows.head.getAs[Row]("D").getAs[String]("str"))
+            // default graph matches the list-by-type sub-route below
+            // (base dataset ∪ main head) so a document returned by the
+            // listing never 404s on the follow-up id fetch, and base
+            // documents stay readable once an API commit creates main
+            val g = param(ex, "branch") match {
+              case Some(b) => store.materializeBranch(b)
+              case None => defaultGraph
             }
+            require(!g.filter(org.apache.spark.sql.functions
+              .col("s") === id).isEmpty, s"document not found: $id")
+            raw(graft.docs.Documents.readJson(g, id))
           case None =>
             // paged list-by-type: one JSON document per line, ordered
             // by id so skip/count page deterministically
@@ -146,8 +165,7 @@ object HttpApi {
               .getOrElse(sys.error("id or type parameter required"))
             val skip = param(ex, "skip").map(_.toInt).getOrElse(0)
             val count = param(ex, "count").map(_.toInt).getOrElse(100)
-            val graph = store.refs.get("main").map(store.materialize)
-              .getOrElse(ctx.triples)
+            val graph = defaultGraph
             val ids = graft.docs.Documents.listIds(graph, ty, skip, count)
             raw(ids.map(graft.docs.Documents.readJson(graph, _)).mkString("\n"))
         }
@@ -298,6 +316,19 @@ object HttpApi {
 
     val dbRoot = new java.io.File(store.root, "dbs")
 
+    // A db name must start with a letter/digit/underscore (all-dot names
+    // like "." and ".." would otherwise resolve to the store root / its
+    // parent and turn DELETE into a recursive wipe), and — defense in
+    // depth — the resolved directory must sit directly under dbRoot.
+    def dbDir(name: String): java.io.File = {
+      require(name.matches("[A-Za-z0-9_][A-Za-z0-9._-]*"),
+        s"invalid database name: $name")
+      val dir = new java.io.File(dbRoot, name)
+      require(dir.getCanonicalFile.getParentFile == dbRoot.getCanonicalFile,
+        s"database name escapes the store root: $name")
+      dir
+    }
+
     srv.createContext("/api/db", route { ex =>
       ex.getRequestMethod match {
         case "GET" =>
@@ -307,8 +338,7 @@ object HttpApi {
             "databases" -> JArray(names.map(JString(_): JValue))))
         case "POST" =>
           val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
-          require(name.matches("[A-Za-z0-9._-]+"), s"invalid database name: $name")
-          val dir = new java.io.File(dbRoot, name)
+          val dir = dbDir(name)
           require(!dir.exists(), s"database already exists: $name")
           val db = LayerStore.open(spark, dir.getPath)
           val empty = spark.createDataFrame(
@@ -318,8 +348,7 @@ object HttpApi {
             "database" -> JString(name), "head" -> JString(head)))
         case "DELETE" =>
           val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
-          require(name.matches("[A-Za-z0-9._-]+"), s"invalid database name: $name")
-          val dir = new java.io.File(dbRoot, name)
+          val dir = dbDir(name)
           require(dir.exists(), s"database not found: $name")
           org.apache.commons.io.FileUtils.deleteDirectory(dir)
           ok(JObject("api:status" -> JString("api:success"),
@@ -412,18 +441,19 @@ object HttpApi {
   // ---- plumbing ----
 
   private def route(f: HttpExchange => String)(
-      implicit auth: Option[String]): com.sun.net.httpserver.HttpHandler =
+      implicit auth: Option[String],
+      catalog: Option[Capabilities.Catalog]): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) => {
+      def fail(msg: String) = JsonMethods.compact(JsonMethods.render(JObject(
+        "api:status" -> JString("api:failure"), "api:message" -> JString(msg))))
       val (code, body) =
-        if (!authorized(ex))
-          (401, JsonMethods.compact(JsonMethods.render(JObject(
-            "api:status" -> JString("api:failure"),
-            "api:message" -> JString("authentication required")))))
-        else try (200, f(ex))
-        catch { case e: Throwable =>
-          (400, JsonMethods.compact(JsonMethods.render(JObject(
-            "api:status" -> JString("api:failure"),
-            "api:message" -> JString(Option(e.getMessage).getOrElse(e.toString))))))
+        if (!authorized(ex)) (401, fail("authentication required"))
+        else capabilityDenied(ex) match {
+          case Some(reason) => (403, fail(reason))
+          case None => try (200, f(ex))
+            catch { case e: Throwable =>
+              (400, fail(Option(e.getMessage).getOrElse(e.toString)))
+            }
         }
       if (code == 401)
         ex.getResponseHeaders.set("WWW-Authenticate", "Bearer realm=\"graft\"")
@@ -434,19 +464,76 @@ object HttpApi {
       ex.close()
     }
 
+  private def bearer(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+
   /** Token auth (the reference's basic-auth surface, minimal spelling):
-    * when the server was started with a token, every route except the
-    * identity probe `/api/info` requires `Authorization: Bearer <token>`
-    * (constant-time compare). No token configured → open, as before. */
-  private def authorized(ex: HttpExchange)(implicit auth: Option[String]): Boolean =
-    auth match {
-      case None => true
-      case Some(_) if ex.getRequestURI.getPath == "/api/info" => true
-      case Some(tok) =>
-        Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
-          java.security.MessageDigest.isEqual(
-            h.getBytes("UTF-8"), s"Bearer $tok".getBytes("UTF-8"))
-        }
+    * with a capability catalog, the bearer token must name a catalog
+    * user (the single shared token is replaced); with only a token,
+    * every route except the identity probe `/api/info` requires
+    * `Authorization: Bearer <token>` (constant-time compare). Neither
+    * configured → open, as before. */
+  private def authorized(ex: HttpExchange)(implicit auth: Option[String],
+      catalog: Option[Capabilities.Catalog]): Boolean =
+    catalog match {
+      case Some(cat) =>
+        ex.getRequestURI.getPath == "/api/info" ||
+          bearer(ex).exists(cat.user(_).isDefined)
+      case None => auth match {
+        case None => true
+        case Some(_) if ex.getRequestURI.getPath == "/api/info" => true
+        case Some(tok) =>
+          Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
+            java.security.MessageDigest.isEqual(
+              h.getBytes("UTF-8"), s"Bearer $tok".getBytes("UTF-8"))
+          }
+      }
+    }
+
+  /** The served base dataset's database name under the capability
+    * model (the reference scopes grants per `org/db`; a single-db
+    * server addresses its one dataset as `_default`). */
+  val BaseDb = "_default"
+
+  /** Route-level policy table: which action on which database each
+    * request needs ([ref:core/account/capabilities.pl] route guards).
+    * Centralized here so the mapping is auditable in one place. */
+  private def requiredCap(ex: HttpExchange): Option[(String, String)] = {
+    import Capabilities.Actions._
+    val get = ex.getRequestMethod == "GET"
+    ex.getRequestURI.getPath match {
+      case "/api/info" => None
+      case "/api/db" =>
+        if (get) None // listing names is identity-level, like /api/info
+        else if (ex.getRequestMethod == "POST")
+          Some((CreateDb, param(ex, "name").getOrElse("")))
+        else Some((DeleteDb, param(ex, "name").getOrElse("")))
+      case "/api/woql" | "/api/graphql" => Some((InstanceRead, BaseDb))
+      case "/api/document" =>
+        Some((if (get) InstanceRead else InstanceWrite, BaseDb))
+      case "/api/triples" =>
+        Some((if (get) InstanceRead else InstanceWrite, BaseDb))
+      case "/api/schema" | "/api/frame" | "/api/prefixes" =>
+        Some((SchemaRead, BaseDb))
+      case "/api/branch" => Some((if (get) InstanceRead else Branch, BaseDb))
+      case "/api/reset" | "/api/rebase" | "/api/squash" =>
+        Some((Branch, BaseDb))
+      case "/api/pack" | "/api/clone" | "/api/push" | "/api/pull" |
+           "/api/fetch" => Some((Transfer, BaseDb))
+      case _ => Some((InstanceRead, BaseDb)) // default-deny to read level
+    }
+  }
+
+  private def capabilityDenied(ex: HttpExchange)(
+      implicit catalog: Option[Capabilities.Catalog]): Option[String] =
+    catalog.flatMap { cat =>
+      requiredCap(ex).flatMap { case (action, db) =>
+        val u = bearer(ex).flatMap(cat.user)
+        if (u.exists(cat.allows(_, action, db))) None
+        else Some(s"user '${u.map(_.name).getOrElse("?")}' lacks " +
+          s"$action on database '$db'")
+      }
     }
 
   private def param(ex: HttpExchange, name: String): Option[String] =

@@ -116,11 +116,32 @@ object Updates {
   }
 
   /** Compile context reading a store branch (enables added_triple /
-    * removed_triple against real commit deltas). */
+    * removed_triple against real commit deltas, and `using`-scoped
+    * subqueries addressing any branch/commit of the store). */
   def ctxFromStore(store: LayerStore, branch: String): Ctx = {
     val triples = store.materializeBranch(branch)
     val closure = Eav.subclassClosure(store.spark, triples)
     Ctx(store.spark, triples, closure,
-      adds = c => store.adds(c), removes = c => store.removes(c))
+      adds = c => store.adds(c), removes = c => store.removes(c),
+      resolve = resolver(store))
+  }
+
+  /** `using` resource resolver over a store: `branch/<name>` reads a
+    * branch head, `commit/<id>` any commit (time travel). The resolved
+    * context re-derives the subsumption closure from the ADDRESSED
+    * graph — a branch's own schema triples drive isa there — and
+    * carries the same resolver, so Using nests. */
+  def resolver(store: LayerStore): String => Ctx = { resource =>
+    val graph = resource match {
+      case s if s.startsWith("branch/") =>
+        store.materializeBranch(s.stripPrefix("branch/"))
+      case s if s.startsWith("commit/") =>
+        store.materialize(s.stripPrefix("commit/"))
+      case other => sys.error(
+        s"using('$other'): expected branch/<name> or commit/<id>")
+    }
+    Ctx(store.spark, graph, Eav.subclassClosure(store.spark, graph),
+      adds = c => store.adds(c), removes = c => store.removes(c),
+      resolve = resolver(store))
   }
 }

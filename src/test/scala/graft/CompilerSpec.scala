@@ -44,7 +44,45 @@ class CompilerSpec extends AnyFunSuite {
     try {
       val e = intercept[IllegalArgumentException] { Compiler.run(q).count() }
       assert(e.getMessage.contains("GRAFT_CARTESIAN_MAX_ROWS"))
+      // …but the scalar-broadcast idiom (a ≤1-row aggregate crossed
+      // with an N-row side) bypasses the budget: its product is just N
+      val scalar = And(Seq(
+        CountQ(TriplePat(V("X"), Node("knows"), V("Y")), "N"),
+        TriplePat(V("A"), Node("age"), V("B"))))
+      assert(Compiler.run(scalar).count() == 2)
     } finally System.clearProperty("graft.cartesian.maxRows")
+  }
+
+  test("cartesian guard probes are bounded limit scans, not full counts") {
+    // the guard decides from limit(budget+1) probes: with budget B and
+    // both sides > 1 row, the reported product is capped near B+1 per
+    // side rather than the true cardinalities — observable via the
+    // error message ("≥" product, not the exact 3×2=6)
+    System.setProperty("graft.cartesian.maxRows", "2")
+    try {
+      val q = And(Seq(
+        TriplePat(V("X"), Node("knows"), V("Y")),
+        TriplePat(V("A"), Node("age"), V("B"))))
+      val e = intercept[IllegalArgumentException] { Compiler.run(q).count() }
+      // probe caps at budget+1 = 3 rows/side → product reported from
+      // capped counts (3×2=6 here since side2 has 2 rows < cap)
+      assert(e.getMessage.contains(">="))
+    } finally System.clearProperty("graft.cartesian.maxRows")
+  }
+
+  test("path edge-object variable requires the supported endpoint shape") {
+    val e = intercept[IllegalArgumentException] {
+      Compiler.run(PathQ(V("X"), PPred("knows"), V("Y"),
+        witness = None, edgesVar = Some("E")))
+    }
+    assert(e.getMessage.contains("edge-object"))
+  }
+
+  test("using without an attached store fails at plan time with a clear error") {
+    val e = intercept[RuntimeException] {
+      Compiler.run(Using("branch/dev", TriplePat(V("S"), Node("name"), V("N"))))
+    }
+    assert(e.getMessage.contains("no store attached"))
   }
 
   test("or aligns missing vars as nulls across asymmetric branches") {

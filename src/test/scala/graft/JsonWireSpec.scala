@@ -36,6 +36,9 @@ class JsonWireSpec extends AnyFunSuite {
     rt(Once(TriplePat(V("S"), Node("p"), V("O"))))
     rt(Immediately(TriplePat(V("S"), Node("p"), V("O"))))
     rt(WhenQ(Eq(V("A"), Str("x")), TriplePat(V("S"), Node("p"), V("A"))))
+    rt(Using("branch/dev", TriplePat(V("S"), Node("p"), V("O"))))
+    rt(Using("commit/abc123", And(Seq(
+      TriplePat(V("S"), Node("p"), V("O")), Eq(V("O"), Str("x"))))))
     rt(Cmp("<", V("A"), Lng(5))); rt(Cmp(">", V("A"), Lng(5)))
     rt(LikeSim(V("A"), Str("NATION_1"), "Sim"))
     rt(Isa(V("X"), Node("tpch:Customer")))
@@ -83,6 +86,12 @@ class JsonWireSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       JsonWoqlWriteV3.write(Eq(V("X"), Dbl(Double.PositiveInfinity)))
     }
+  }
+
+  test("edge-object path variable is rejected by both wire writers (no silent drop)") {
+    val q = PathQ(Node("n"), PPred("p"), V("Y"), Some("W"), Some("E"))
+    intercept[IllegalArgumentException] { JsonWoqlWrite.write(q) }
+    intercept[IllegalArgumentException] { JsonWoqlWriteV3.write(q) }
   }
 
   test("whole battery flagship + engine-internal nodes raise") {

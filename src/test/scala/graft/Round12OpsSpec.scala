@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** Round-12 additions: path-pattern string syntax, the GraphQL `path:`
+  * argument, and capability-catalog semantics. */
+class Round12OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("path syntax: precedence, grouping, inverse, bounds, prefixing") {
+    assert(PathSyntax.parse("knows") == PPred("knows"))
+    assert(PathSyntax.parse("knows", "t:") == PPred("t:knows"))
+    assert(PathSyntax.parse("t:knows", "x:") == PPred("t:knows")) // prefixed stays
+    assert(PathSyntax.parse("<knows") == PInv("knows"))
+    assert(PathSyntax.parse("a,b|c") ==
+      PAlt(PSeq(PPred("a"), PPred("b")), PPred("c"))) // ',' binds tighter than '|'
+    assert(PathSyntax.parse("a,(b|c)") ==
+      PSeq(PPred("a"), PAlt(PPred("b"), PPred("c"))))
+    assert(PathSyntax.parse("a+") == PPlus(PPred("a")))
+    assert(PathSyntax.parse("(a|b)*") == PStar(PAlt(PPred("a"), PPred("b"))))
+    assert(PathSyntax.parse("a{1,3}") == PTimes(PPred("a"), 1, 3))
+    assert(PathSyntax.parse("a{1,3}+") == PPlus(PTimes(PPred("a"), 1, 3)))
+    assert(PathSyntax.parse(" a , <b | c* ") ==
+      PAlt(PSeq(PPred("a"), PInv("b")), PStar(PPred("c"))))
+    intercept[IllegalArgumentException] { PathSyntax.parse("a,") }
+    intercept[IllegalArgumentException] { PathSyntax.parse("(a") }
+    intercept[IllegalArgumentException] { PathSyntax.parse("a{1}") }
+    intercept[IllegalArgumentException] { PathSyntax.parse("a b") }
+  }
+
+  test("graphql path argument traverses the path engine from a filtered root") {
+    val g = triples(
+      (":a", ":knows", ":b"), (":b", ":knows", ":c"),
+      (":a", ":name", "alice"), (":b", ":name", "bob"), (":c", ":name", "carol"),
+      (":a", "rdf:type", ":Person"), (":b", "rdf:type", ":Person"),
+      (":c", "rdf:type", ":Person"))
+    implicit val ctx: Ctx = ctxOf(g)
+    val (_, df) = server.GraphQL.run(
+      """{ Person(filter: {name: {eq: "alice"}}) {
+        |    name
+        |    reach(path: "knows+") { name } } }""".stripMargin, prefix = ":")
+    val rows = df.collect().map(r =>
+      (r.getAs[org.apache.spark.sql.Row]("name").getAs[String]("str"),
+        r.getAs[org.apache.spark.sql.Row]("reach_name").getAs[String]("str"))).toSet
+    assert(rows == Set(("alice", "bob"), ("alice", "carol")))
+  }
+
+  test("capability catalog: scope resolution and unknown-role refusal") {
+    import server.Capabilities._
+    val cat = Catalog(
+      Seq(Org("acme", Set("x", "y"))),
+      Seq(ReaderRole, AdminRole),
+      Seq(User("u", "t", Seq(Capability("reader", "org/acme")))))
+    val u = cat.user("t").get
+    assert(cat.allows(u, Actions.InstanceRead, "x"))
+    assert(cat.allows(u, Actions.InstanceRead, "y"))
+    assert(!cat.allows(u, Actions.InstanceRead, "z"))    // not in org
+    assert(!cat.allows(u, Actions.InstanceWrite, "x"))   // reader role
+    assert(cat.user("nope").isEmpty)
+    intercept[IllegalArgumentException] {
+      Catalog(Nil, Nil, Seq(User("u", "t", Seq(Capability("ghost", "*")))))
+    }
+    intercept[IllegalArgumentException] { Role("bad", Set("not_an_action")) }
+  }
+}

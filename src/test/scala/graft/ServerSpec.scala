@@ -59,7 +59,9 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (code, body) = get("/api/document?id=tpch:region/0")
     assert(code == 200)
     val j = JsonMethods.parse(body)
-    assert((j \ "r_regionkey") == JString("0"))
+    // typed document JSON (numbers as numbers) — the Documents.read
+    // shape, shared with the list-by-type route
+    assert((j \ "r_regionkey") == JInt(0))
     assert((j \ "r_name").isInstanceOf[JString])
   }
 
@@ -267,6 +269,17 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // path traversal refused
     val (bad, _) = post("/api/db?name=..%2Fevil", "")
     assert(bad == 400)
+    // all-dot names would resolve to the store root / its parent:
+    // DELETE name=.. must NOT recursively destroy the layer store
+    for (dots <- Seq(".", "..", "...")) {
+      val (cDel, _) = delete(s"/api/db?name=$dots")
+      assert(cDel == 400, s"name=$dots must be refused")
+      val (cPost, _) = post(s"/api/db?name=$dots", "")
+      assert(cPost == 400, s"name=$dots must be refused")
+    }
+    // leading-dot names are refused too (must start with [A-Za-z0-9_])
+    val (cHidden, _) = post("/api/db?name=.hidden", "")
+    assert(cHidden == 400)
   }
 
   test("schema route serves the schema graph as JSON triples") {
@@ -391,5 +404,63 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_quantity") === 50.0 && col("l_returnflag") === "R").count()
     assert(n == li && n > 0)
+  }
+
+  test("capability catalog enforces per-user, per-db route grants") {
+    import server.Capabilities._
+    val catalog = Catalog(
+      orgs = Seq(Org("acme", Set("dbA", "dbB"))),
+      roles = Seq(AdminRole, ReaderRole, WriterRole,
+        Role("db_owner", Set(Actions.CreateDb, Actions.DeleteDb))),
+      users = Seq(
+        User("root", "tok-root", Seq(Capability("admin", "*"))),
+        User("alice", "tok-alice", Seq(Capability("reader", s"db/${server.HttpApi.BaseDb}"))),
+        User("bob", "tok-bob", Seq(Capability("db_owner", "db/dbA"))),
+        User("carol", "tok-carol", Seq(Capability("db_owner", "org/acme")))))
+    val capSrv = server.HttpApi.start(spark, sfDir, capabilities = Some(catalog))
+    try {
+      def req(method: String, path: String, tok: String): Int = {
+        val b = HttpRequest.newBuilder(URI.create(capSrv.url(path)))
+          .header("Authorization", s"Bearer $tok")
+        val r = client.send((method match {
+          case "GET" => b.GET()
+          case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(""))
+          case "DELETE" => b.DELETE()
+        }).build(), HttpResponse.BodyHandlers.ofString())
+        r.statusCode()
+      }
+      // unknown token → 401; /api/info stays open
+      assert(req("GET", "/api/branch", "tok-nobody") == 401)
+      assert(req("GET", "/api/info", "tok-nobody") == 200)
+      // reader: read routes allowed, writes and db admin 403
+      assert(req("GET", "/api/branch", "tok-alice") == 200)
+      assert(req("GET", "/api/schema", "tok-alice") == 200)
+      assert(req("POST", "/api/document?type=T&key=k", "tok-alice") == 403)
+      assert(req("POST", "/api/db?name=dbA", "tok-alice") == 403)
+      // bob may create/delete dbA but NOT dbB (per-db grant)
+      assert(req("POST", "/api/db?name=dbB", "tok-bob") == 403)
+      assert(req("POST", "/api/db?name=dbA", "tok-bob") == 200)
+      assert(req("DELETE", "/api/db?name=dbA", "tok-bob") == 200)
+      // bob has no read grant on the base dataset
+      assert(req("GET", "/api/branch", "tok-bob") == 403)
+      // carol's org-scoped grant covers both acme dbs
+      assert(req("POST", "/api/db?name=dbB", "tok-carol") == 200)
+      assert(req("DELETE", "/api/db?name=dbB", "tok-carol") == 200)
+      // root's * admin covers everything
+      assert(req("GET", "/api/branch", "tok-root") == 200)
+      assert(req("POST", "/api/db?name=dbC", "tok-root") == 200)
+      assert(req("DELETE", "/api/db?name=dbC", "tok-root") == 200)
+    } finally capSrv.stop()
+  }
+
+  test("capability catalog is introspectable as a system graph") {
+    import server.Capabilities._
+    val catalog = Catalog(Seq(Org("acme", Set("dbA"))), Seq(ReaderRole),
+      Seq(User("alice", "secret-token", Seq(Capability("reader", "db/dbA")))))
+    val g = catalog.toTriples(spark)
+    assert(g.filter(col("p") === "rdf:type" && col("o_str") === "sys:User").count() == 1)
+    assert(g.filter(col("p") === "sys:action").count() == ReaderRole.actions.size)
+    // tokens never enter the graph — only hashes
+    assert(g.filter(col("o_str").contains("secret-token")).count() == 0)
   }
 }

@@ -94,4 +94,40 @@ class VersioningSpec extends AnyFunSuite {
 
     assert(origin.sizeBytes("main") > 0)
   }
+
+  test("using scopes a subquery to a branch or commit; bindings join across") {
+    def tmp() = java.nio.file.Files.createTempDirectory("graft-using").toString
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Eav.schema)
+    val st = LayerStore.open(spark, tmp())
+    st.commit("main", triples((":a", "name", "v1"), (":b", "name", "old")), empty, "c1")
+    st.commit("main", triples((":a", "name", "v2")),
+      triples((":a", "name", "v1")), "c2")
+    st.branch("dev", st.chain(st.refs("main")).head) // dev = first commit
+    implicit val ctx: Ctx = graft.storage.Updates.ctxFromStore(st, "main")
+
+    // head vs first commit in ONE query: S joins across resources
+    val first = st.chain(st.refs("main")).head
+    val q = And(Seq(
+      TriplePat(V("S"), Node("name"), V("Now")),
+      Using(s"commit/$first", TriplePat(V("S"), Node("name"), V("Then")))))
+    val rows = Compiler.run(q).collect().map(r =>
+      (r.getAs[Row]("S").getAs[String]("iri"),
+        r.getAs[Row]("Now").getAs[String]("str"),
+        r.getAs[Row]("Then").getAs[String]("str"))).toSet
+    // :a renamed v1→v2 (join sees both versions), :b unchanged
+    assert(rows == Set((":a", "v2", "v1"), (":b", "old", "old")))
+
+    // branch addressing and nesting: dev IS the first commit
+    val qb = Using("branch/dev", TriplePat(V("S"), Node("name"), V("N")))
+    val branchRows = Compiler.run(qb).collect().map(r =>
+      (r.getAs[Row]("S").getAs[String]("iri"),
+        r.getAs[Row]("N").getAs[String]("str"))).toSet
+    assert(branchRows == Set((":a", "v1"), (":b", "old")))
+
+    // unknown resource syntax fails loudly
+    val e = intercept[RuntimeException] {
+      Compiler.run(Using("garbage", True))
+    }
+    assert(e.getMessage.contains("branch/<name> or commit/<id>"))
+  }
 }
