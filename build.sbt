@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC pauses under load (BENCH_r04 showed 49s on a 2s query). Headroom
   // is cheap on the 128 GiB bench host.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The 135-entry battery generates thousands of whole-stage-codegen
+  // classes in one JVM; the JDK default 240m code cache fills mid-
+  // sequence and the JIT stops compiling — late compute-bound entries
+  // (graph_triangles) then ran 2-3x their standalone time with no plan
+  // change and near-zero GC. 512m keeps the whole battery compiled.
+  "-XX:ReservedCodeCacheSize=512m",
 )

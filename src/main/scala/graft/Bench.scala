@@ -89,6 +89,14 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // ContextCleaner only reclaims shuffle files/broadcasts when the
+      // DRIVER GCs; with a 24g heap a 5-minute battery may never
+      // old-gen-GC, so ~90 queries of shuffle files pile up on disk and
+      // late shuffle-heavy entries slow 2-3x (measured: graph_triangles
+      // 4.3s standalone vs 10s at position ~90 with identical plans and
+      // near-zero gc_ms). Default periodicGC is 30min — far past one
+      // battery; 30s keeps the cleaner live at negligible cost.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

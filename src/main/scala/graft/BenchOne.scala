@@ -21,12 +21,23 @@ object BenchOne {
     val sfDir = args(0); val reps = args(1).toInt
     val names = args.drop(2).toSeq
     val wantPlan = sys.env.getOrElse("GRAFT_BENCHONE_PLAN", "off") == "on"
-    val spark = SparkSession.builder()
+    // GRAFT_BENCHONE_CONF=bench replicates Bench.scala's AQE session
+    // config, so a full-battery slowdown can be bisected to either the
+    // config (reproduces here) or in-sequence JVM state (doesn't)
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (sys.env.getOrElse("GRAFT_BENCHONE_CONF", "") == "bench") {
+      builder
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          sys.env.getOrElse("GRAFT_AQE_ADVISORY", "1m"))
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val _ = Graft.ctx(spark, sfDir) // warm
     names.foreach { n =>

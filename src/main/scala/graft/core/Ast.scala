@@ -49,6 +49,12 @@ final case class RemovedTriple(s: Term, p: Term, o: Term, commit: String) extend
 final case class GetCsv(asVars: Seq[(String, String)], path: String, header: Boolean = true) extends Woql
 /** Tabular CSV output `put(AsVars, Query, Resource)` — eager sink. */
 final case class PutCsv(cols: Seq[(String, String)], q: Woql, path: String) extends Woql
+/** `get` over a TURTLE resource as bindings ([ref:core/query/
+  * resolve_query_resource.pl] turtle branch): one solution per parsed
+  * triple, subject/predicate bound as IRIs, object as its typed
+  * value. Resource forms match [[GetCsv]] (path, file://, http(s)://,
+  * inline: body). */
+final case class GetTurtle(s: String, p: String, o: String, path: String) extends Woql
 /** `with(Graph, Resource, Query)` — query-local temp graph loaded from a
   * resource (EAV parquet dir, or CSV with s,p,o columns). */
 final case class WithGraph(g: String, resource: String, q: Woql) extends Woql

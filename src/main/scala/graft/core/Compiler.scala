@@ -248,6 +248,19 @@ object Compiler {
       val df = raw.select(asVars.map { case (v, c) => strVal(col(c)).as(v) }: _*)
       conj(cur, BF(df, asVars.map(_._1).toSet))
 
+    case GetTurtle(sv, pv, ov, path) =>
+      // turtle-as-bindings: the resource resolves like GetCsv, parses
+      // with the full Turtle 1.1 reader, and each triple becomes one
+      // solution row. The tokenizer is driver-side (a turtle document
+      // is not line-splittable once prefixes/collections are allowed);
+      // bulk graph loads at scale go through the EAV encode path, this
+      // op is the reference's small-resource get.
+      val ttl = graft.sources.Resources.text(ctx.spark, path)
+      val parsed = graft.sources.Turtle.load(ctx.spark, ttl)
+      val bound = parsed.select(iriVal(col("s")).as(sv),
+        iriVal(col("p")).as(pv), objVal.as(ov))
+      conj(cur, BF(bound, Set(sv, pv, ov)))
+
     case PutCsv(cols, sub, path) =>
       val inner = compile(sub, cur)
       inner.df.select(cols.map { case (out, v) => Vals.text(col(v)).as(out) }: _*)

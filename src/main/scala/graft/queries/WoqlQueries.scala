@@ -70,6 +70,29 @@ object WoqlQueries {
         "nk" -> vStr("NK"), "n_name" -> vStr("NName"))(spark, dir)
     }),
 
+    // get over a TURTLE resource as bindings (§2.1; the reference's
+    // resolve_query_resource turtle branch): one solution per parsed
+    // triple — subject/predicate as IRIs, object typed
+    "woql_get_turtle" -> ((spark, dir) => {
+      val ttl = s"${Graft.cacheRoot}/ttl_region_${dir.replaceAll("[^A-Za-z0-9.]", "_")}.ttl"
+      if (!new java.io.File(ttl).exists()) {
+        val lines = graft.sources.Turtle.dumpLines(
+          graft.storage.Eav.encodeTable(
+            Graft.table(spark, dir, "region"),
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("tpch:region/"),
+              col("r_regionkey").cast("string")),
+            "tpch:Region",
+            Seq(("tpch:r_name", graft.storage.Eav.PStr, col("r_name"))))
+            .filter(col("p") === "tpch:r_name"))
+          .collect().map(_.getString(0)).sorted
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(ttl),
+          lines.mkString("", "\n", "\n"))
+      }
+      woql(GetTurtle("S", "P", "O", ttl))(
+        "s" -> vIri("S"), "p" -> vIri("P"), "name" -> vStr("O"))(spark, dir)
+    }),
+
     // --- §2.2 projection / predicates ---
     "woql_select_distinct" -> woql(
       Distinct(Seq("Seg"), TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg"))))(
@@ -444,6 +467,10 @@ object WoqlQueries {
 
     "woql_get_csv" ->
       "SELECT CAST(n_nationkey AS VARCHAR) AS nk, n_name FROM nation",
+
+    "woql_get_turtle" ->
+      """SELECT 'tpch:region/'||r_regionkey AS s, 'tpch:r_name' AS p,
+        | r_name AS name FROM region""".stripMargin,
 
     "woql_select_distinct" ->
       "SELECT DISTINCT c_mktsegment AS seg FROM customer",

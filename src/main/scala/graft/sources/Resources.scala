@@ -85,6 +85,31 @@ object Resources {
     dest.toString
   }
 
+  /** Whole resource body as a driver string (turtle `get` — the parser
+    * is a driver tokenizer; bulk loads use the EAV encode path). Same
+    * resource forms as [[csv]]; http bodies land content-addressed
+    * first, so repeats don't re-fetch. */
+  def text(spark: SparkSession, resource: String): String = resource match {
+    case r if r.startsWith("inline:") => r.stripPrefix("inline:")
+    case r if r.startsWith("http://") || r.startsWith("https://") =>
+      val landed = land(spark, "http", md5Hex(r), () => {
+        val conn = new java.net.URL(r).openConnection()
+        conn.setConnectTimeout(ConnectTimeoutMs)
+        conn.setReadTimeout(ReadTimeoutMs)
+        conn.getInputStream
+      })
+      readText(spark, landed)
+    case r => readText(spark, r.stripPrefix("file://"))
+  }
+
+  private def readText(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

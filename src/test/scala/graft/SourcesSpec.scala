@@ -234,6 +234,31 @@ class SourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("get over a turtle resource binds one solution per triple, typed") {
+    implicit val ctx: Ctx = ctxOf(triples((":x", "p", "v")))
+    val ttl =
+      """@prefix ex: <http://ex.org/> .
+        |ex:a ex:name "alice" ; ex:age 30 .
+        |ex:a ex:knows ex:b .""".stripMargin
+    val got = Compiler.run(GetTurtle("S", "P", "O", "inline:" + ttl))
+    val rows = got.collect().map { r =>
+      val o = r.getAs[org.apache.spark.sql.Row]("O")
+      (r.getAs[org.apache.spark.sql.Row]("S").getAs[String]("iri"),
+        r.getAs[org.apache.spark.sql.Row]("P").getAs[String]("iri"),
+        Option(o.getAs[String]("iri")).orElse(Option(o.getAs[String]("str")))
+          .getOrElse(o.getAs[Any]("lng").toString))
+    }.toSet
+    assert(rows == Set(
+      ("http://ex.org/a", "http://ex.org/name", "alice"),
+      ("http://ex.org/a", "http://ex.org/age", "30"),
+      ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b")))
+    // file resource form
+    val f = java.nio.file.Files.createTempFile("graft-get", ".ttl")
+    java.nio.file.Files.writeString(f, ttl)
+    val viaFile = Compiler.run(GetTurtle("S", "P", "O", f.toString))
+    assert(viaFile.count() == 3)
+  }
+
   test("get parses RFC-4180 quoted fields with embedded newlines") {
     implicit val ctx: Ctx = ctxOf(triples((":x", "p", "v")))
     // a quoted field containing a literal newline — line-splitting parsers
