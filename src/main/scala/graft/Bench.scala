@@ -181,7 +181,14 @@ object Bench {
         // queries whose plans hadn't changed). Loud stderr line + a
         // leak field in the diag JSON; not fatal, so one leak doesn't
         // void the rest of the battery's numbers.
-        val leaked = spark.sparkContext.getRDDStorageInfo
+        var leaked = spark.sparkContext.getRDDStorageInfo
+        if (leaked.nonEmpty) {
+          // drain's unpersists are non-blocking — give the async
+          // removals one beat before declaring a leak, so the report
+          // only names frames nobody released
+          Thread.sleep(100)
+          leaked = spark.sparkContext.getRDDStorageInfo
+        }
         val leakMb = leaked.map(i => i.memSize + i.diskSize).sum >> 20
         if (leaked.nonEmpty) {
           System.err.println(s"[bench][leak] $name left ${leaked.length} " +

@@ -55,6 +55,11 @@ final case class PutCsv(cols: Seq[(String, String)], q: Woql, path: String) exte
   * value. Resource forms match [[GetCsv]] (path, file://, http(s)://,
   * inline: body). */
 final case class GetTurtle(s: String, p: String, o: String, path: String) extends Woql
+/** `get` over a JSON-lines resource (the reference's panda_json
+  * format family): one solution per JSON object, named top-level
+  * fields bound as strings (same stringly contract as [[GetCsv]] —
+  * `typecast` narrows downstream). */
+final case class GetJson(asVars: Seq[(String, String)], path: String) extends Woql
 /** `with(Graph, Resource, Query)` — query-local temp graph loaded from a
   * resource (EAV parquet dir, or CSV with s,p,o columns). */
 final case class WithGraph(g: String, resource: String, q: Woql) extends Woql

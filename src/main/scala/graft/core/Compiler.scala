@@ -248,6 +248,12 @@ object Compiler {
       val df = raw.select(asVars.map { case (v, c) => strVal(col(c)).as(v) }: _*)
       conj(cur, BF(df, asVars.map(_._1).toSet))
 
+    case GetJson(asVars, path) =>
+      val raw = graft.sources.Resources.jsonLines(ctx.spark, path)
+      val df = raw.select(asVars.map { case (v, f) =>
+        strVal(col(f).cast(StringType)).as(v) }: _*)
+      conj(cur, BF(df, asVars.map(_._1).toSet))
+
     case GetTurtle(sv, pv, ov, path) =>
       // turtle-as-bindings: the resource resolves like GetCsv, parses
       // with the full Turtle 1.1 reader, and each triple becomes one

@@ -93,6 +93,18 @@ object WoqlQueries {
         "s" -> vIri("S"), "p" -> vIri("P"), "name" -> vStr("O"))(spark, dir)
     }),
 
+    // get over a JSON-LINES resource (§2.1 panda_json family): named
+    // top-level fields bound per object, stringly like get(csv)
+    "woql_get_json" -> ((spark, dir) => {
+      val jd = s"${Graft.cacheRoot}/json_nation_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      if (!new java.io.File(s"$jd/_SUCCESS").exists()) {
+        Graft.table(spark, dir, "nation").select("n_nationkey", "n_name")
+          .coalesce(1).write.mode("overwrite").json(jd)
+      }
+      woql(GetJson(Seq(("NK", "n_nationkey"), ("NName", "n_name")), jd))(
+        "nk" -> vStr("NK"), "n_name" -> vStr("NName"))(spark, dir)
+    }),
+
     // --- §2.2 projection / predicates ---
     "woql_select_distinct" -> woql(
       Distinct(Seq("Seg"), TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg"))))(
@@ -471,6 +483,9 @@ object WoqlQueries {
     "woql_get_turtle" ->
       """SELECT 'tpch:region/'||r_regionkey AS s, 'tpch:r_name' AS p,
         | r_name AS name FROM region""".stripMargin,
+
+    "woql_get_json" ->
+      "SELECT CAST(n_nationkey AS VARCHAR) AS nk, n_name FROM nation",
 
     "woql_select_distinct" ->
       "SELECT DISTINCT c_mktsegment AS seg FROM customer",

@@ -85,6 +85,28 @@ object Resources {
     dest.toString
   }
 
+  /** JSON-lines resource (the reference's panda_json family) — same
+    * resolution forms as [[csv]]; a JSON-lines file IS line-splittable,
+    * so the path/file form reads fully distributed. */
+  def jsonLines(spark: SparkSession, resource: String): DataFrame =
+    resource match {
+      case r if r.startsWith("inline:") =>
+        val content = r.stripPrefix("inline:")
+        val landed = land(spark, "inlinej", md5Hex(content),
+          () => new java.io.ByteArrayInputStream(
+            content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        spark.read.json(landed)
+      case r if r.startsWith("http://") || r.startsWith("https://") =>
+        val landed = land(spark, "httpj", md5Hex(r), () => {
+          val conn = new java.net.URL(r).openConnection()
+          conn.setConnectTimeout(ConnectTimeoutMs)
+          conn.setReadTimeout(ReadTimeoutMs)
+          conn.getInputStream
+        })
+        spark.read.json(landed)
+      case r => spark.read.json(r.stripPrefix("file://"))
+    }
+
   /** Whole resource body as a driver string (turtle `get` — the parser
     * is a driver tokenizer; bulk loads use the EAV encode path). Same
     * resource forms as [[csv]]; http bodies land content-addressed

@@ -259,6 +259,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaFile.count() == 3)
   }
 
+  test("get over a JSON-lines resource binds named fields per object") {
+    implicit val ctx: Ctx = ctxOf(triples((":x", "p", "v")))
+    val got = Compiler.run(GetJson(Seq(("A", "a"), ("B", "b")),
+      "inline:{\"a\":1,\"b\":\"x\"}\n{\"a\":2,\"b\":\"y\"}"))
+    val rows = got.collect().map(r =>
+      r.getAs[org.apache.spark.sql.Row]("A").getAs[String]("str") ->
+        r.getAs[org.apache.spark.sql.Row]("B").getAs[String]("str")).toMap
+    assert(rows == Map("1" -> "x", "2" -> "y"))
+  }
+
   test("get parses RFC-4180 quoted fields with embedded newlines") {
     implicit val ctx: Ctx = ctxOf(triples((":x", "p", "v")))
     // a quoted field containing a literal newline — line-splitting parsers
