@@ -67,7 +67,10 @@ object Bench {
     // streaming media ingest + ORC sink round-trip
     "mm_decode_png", "woql_path_witness_edges", "stream_mm_meta",
     "ext_orc_roundtrip", "graph_wcc", "rel_ewma", "sim_recall_ivf",
-    "stream_ingest_commits", "text_c4_filters", "stream_c4_filters")
+    "stream_ingest_commits", "text_c4_filters", "stream_c4_filters",
+    // round-12 tranche
+    "mm_decode_wav", "woql_using_commit", "ext_graphql_path",
+    "woql_get_turtle", "woql_get_json", "text_bpe_train_rounds")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * analogue of a pandas-batch UDF).
   *
   * IMAGE decode is REAL: [[ImageIoCodec]] parses PNG/BMP/GIF/JPEG byte
-  * streams with the JDK's own `javax.imageio` readers (no native
-  * libraries). Audio/video remain STUBBED (`fakeDecode` derives
-  * deterministic "dimensions" from an md5 of the payload — this
-  * container ships no media libraries); the [[Codec]] trait is the
-  * swap point, and the Spark-side plumbing — binary schema, partition
-  * batching, metadata struct shape — is identical for both. */
+  * streams with the JDK's own `javax.imageio` readers. AUDIO decode is
+  * REAL too: [[WavCodec]] parses WAV/AIFF/AU with `javax.sound.sampled`
+  * (frame count + sample rate — no native libraries either way). Only
+  * VIDEO remains STUBBED (`fakeDecode` derives deterministic
+  * "dimensions" from an md5 of the payload — no pure-JDK video reader
+  * exists); the [[Codec]] trait is the swap point, and the Spark-side
+  * plumbing — binary schema, partition batching, metadata struct
+  * shape — is identical for all of them. */
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
@@ -65,9 +67,48 @@ object Multimodal {
       }
   }
 
+  /** REAL pure-JVM AUDIO codec over `javax.sound.sampled` — the
+    * JDK's own WAV/AIFF/AU readers, no native libraries. For audio the
+    * generic (width, height) dimension slots carry (frame count,
+    * sample rate in Hz): the two numbers every audio pipeline filter
+    * keys on (duration = frames / rate). RIFF/AIFF/AU magic-sniffed
+    * first, parse failures fall through to the caller's fallback. */
+  object WavCodec extends Codec {
+    private def sniff(b: Array[Byte]): Option[String] =
+      if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E') Some("audio/wav")
+      else if (b.length >= 4 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+        b(3) == 'M') Some("audio/aiff")
+      else if (b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' &&
+        b(3) == 'd') Some("audio/basic")
+      else None
+    def decode(bytes: Array[Byte]): Option[(Long, Long, String)] =
+      sniff(bytes).flatMap { fmt =>
+        try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          val frames = aff.getFrameLength.toLong
+          val rate = aff.getFormat.getSampleRate.toLong
+          if (frames >= 0 && rate > 0) Some((frames, rate, fmt)) else None
+        } catch { case _: Exception => None }
+      }
+  }
+
+  /** First-match codec chain — the production default tries every real
+    * decoder before the caller falls back to the stub. */
+  final case class ChainCodec(codecs: Seq[Codec]) extends Codec {
+    def decode(bytes: Array[Byte]): Option[(Long, Long, String)] =
+      codecs.iterator.flatMap(_.decode(bytes)).nextOption()
+  }
+
+  /** Images then audio, both pure-JDK real decoders. */
+  val DefaultCodec: Codec = ChainCodec(Seq(ImageIoCodec, WavCodec))
+
   /** STUB decoder for non-decodable media: deterministic
-    * pseudo-dimensions from payload md5 (this container has no
-    * audio/video libraries — images are real via [[ImageIoCodec]]). */
+    * pseudo-dimensions from payload md5 (VIDEO has no pure-JDK
+    * reader — images and audio are real via [[ImageIoCodec]] /
+    * [[WavCodec]]). */
   def fakeDecode(payload: Array[Byte]): (Long, Long, String) = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
     val hv = java.lang.Long.parseLong(
@@ -79,7 +120,7 @@ object Multimodal {
     * round-trip): works identically on a batch frame or a streaming
     * micro-batch — the codec slot is stateless and narrow. */
   def decodeMetaDs(withBytes: DataFrame,
-                   codec: Codec = ImageIoCodec): DataFrame =
+                   codec: Codec = DefaultCodec): DataFrame =
     withBytes.select(col("doc_id"), col("payload"))
       .mapPartitions { it =>
         // per-partition init happens here (codec handles, buffers, …)
@@ -95,7 +136,7 @@ object Multimodal {
     * payloads no codec claims (mapPartitions amortizes codec init per
     * partition, rows stream through). */
   def decodeMeta(withBytes: DataFrame,
-                 codec: Codec = ImageIoCodec): DataFrame = {
+                 codec: Codec = DefaultCodec): DataFrame = {
     val spark = withBytes.sparkSession
     spark.createDataFrame(decodeMetaDs(withBytes, codec).rdd, metaSchema)
   }
@@ -130,6 +171,47 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(schema))
+    spark.createDataFrame(rows.rdd, schema)
+  }
+
+  /** REAL audio payloads: one deterministic 16-bit PCM WAV per
+    * document, parameters closed-form in doc_id (rate 8000 Hz,
+    * channels 1 + id%2, frames 100 + id%400) so an oracle predicts
+    * frame count / rate / byte size without touching the bytes
+    * (n_bytes = 44-byte RIFF header + frames·channels·2). Hand-rolled
+    * canonical RIFF header on the executors — and [[WavCodec]]
+    * (javax.sound.sampled) genuinely parses the result. */
+  def withWavPayload(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val spark = docs.sparkSession
+    val rows = docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val channels = (1 + id % 2).toInt
+        val frames = (100 + id % 400).toInt
+        val rate = 8000
+        val dataLen = frames * channels * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1.toShort)                   // PCM
+          .putShort(channels.toShort)
+          .putInt(rate)
+          .putInt(rate * channels * 2)           // byte rate
+          .putShort((channels * 2).toShort)      // block align
+          .putShort(16.toShort)                  // bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < frames * channels) {
+          bb.putShort(((id * 31 + i * 7) % 32768).toShort)
+          i += 1
+        }
+        Row(id, bb.array())
       }
     }(Encoders.row(schema))
     spark.createDataFrame(rows.rdd, schema)

@@ -292,6 +292,16 @@ object ExtQueries {
       graft.llm.Multimodal.decodeMeta(
           graft.llm.Multimodal.withPngPayload(t(s, d, "documents")))
         .select(col("doc_id"), col("width"), col("height"), col("format"))),
+    // REAL audio codec path: executors hand-roll one PCM WAV per doc
+    // (rate/channels/frames closed-form in doc_id), WavCodec parses
+    // the actual RIFF stream back via javax.sound.sampled — width
+    // carries frame count, height the sample rate; n_bytes is the
+    // exact 44 + frames*channels*2 (PCM is uncompressed, so unlike
+    // the PNG entry the byte size IS oracle-predictable)
+    "mm_decode_wav" -> ((s, d) =>
+      graft.llm.Multimodal.decodeMeta(
+        graft.llm.Multimodal.withWavPayload(t(s, d, "documents")))),
+
     "mm_frames" -> ((s, d) =>
       graft.llm.Multimodal.sampleFrames(
         graft.llm.Multimodal.withPayload(t(s, d, "documents")), 64)),
@@ -1944,6 +1954,14 @@ object ExtQueries {
     "mm_decode_png" ->
       """SELECT doc_id, 1 + doc_id % 64 AS width, 1 + doc_id % 48 AS height,
         | 'image/png' AS format FROM documents""".stripMargin,
+
+    // real-audio check: decoded frame count / sample rate / byte size
+    // must equal the PCM generator's closed form
+    "mm_decode_wav" ->
+      """SELECT doc_id,
+        | 44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2 AS n_bytes,
+        | 100 + doc_id % 400 AS width, 8000 AS height,
+        | 'audio/wav' AS format FROM documents""".stripMargin,
 
     "mm_frames" ->
       """SELECT doc_id, unnest(range(0, CAST(strlen(text) AS BIGINT), 64))

@@ -46,6 +46,33 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rows == Set(("alice", "bob"), ("alice", "carol")))
   }
 
+  test("WavCodec decodes hand-rolled PCM WAVs; chain codec keeps order") {
+    import graft.llm.Multimodal
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 7L).toDF("doc_id")
+    val rows = Multimodal.withWavPayload(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    for ((id, bytes) <- rows) {
+      val got = Multimodal.WavCodec.decode(bytes)
+      assert(got.contains((100 + id % 400, 8000L, "audio/wav")), s"doc $id")
+      assert(bytes.length == 44 + (100 + id % 400) * (1 + id % 2) * 2)
+      // javax.sound really parses it (not just our own header math)
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(aff.getFormat.getChannels == 1 + id % 2)
+    }
+    // truncated/corrupt payloads fall through to None, never throw
+    assert(Multimodal.WavCodec.decode(Array[Byte]('R', 'I', 'F', 'F')).isEmpty)
+    assert(Multimodal.WavCodec.decode("RIFFxxxxWAVEgarbage".getBytes).isEmpty)
+    assert(Multimodal.WavCodec.decode("plain text".getBytes).isEmpty)
+    // the default chain: PNG bytes hit ImageIoCodec, WAV bytes WavCodec
+    val png = Multimodal.withPngPayload(Seq(3L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(Multimodal.DefaultCodec.decode(png).exists(_._3 == "image/png"))
+    assert(Multimodal.DefaultCodec.decode(rows(1L)).exists(_._3 == "audio/wav"))
+  }
+
   test("capability catalog: scope resolution and unknown-role refusal") {
     import server.Capabilities._
     val cat = Catalog(
