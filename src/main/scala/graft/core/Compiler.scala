@@ -767,6 +767,27 @@ object Compiler {
         case (V(n), Node(i), _) =>
           BF(Paths.step(Paths.invert(pat), seed(i), ctx)
             .select(iriVal(col("n")).as(n)), Set(n))
+        case (V(a), V(b), _) if cur.vars(a) =>
+          // source var already bound by the frame → pair-carrying
+          // frontier walk from the binding set (work ∝ reachable set,
+          // never the graph's full pair closure); conj then equi-joins
+          // the origins back onto the frame
+          val seeds = cur.df
+            .select(col(a).getField("iri").as("orig"))
+            .where(col("orig").isNotNull).distinct()
+            .select(col("orig"), col("orig").as("n"))
+          val walked = Paths.stepPairs(pat, seeds, ctx)
+          BF(walked.select(iriVal(col("orig")).as(a), iriVal(col("n")).as(b)),
+            Set(a, b))
+        case (V(a), V(b), _) if cur.vars(b) =>
+          // bound destination: same walk over the inverted pattern
+          val seeds = cur.df
+            .select(col(b).getField("iri").as("orig"))
+            .where(col("orig").isNotNull).distinct()
+            .select(col("orig"), col("orig").as("n"))
+          val walked = Paths.stepPairs(Paths.invert(pat), seeds, ctx)
+          BF(walked.select(iriVal(col("orig")).as(b), iriVal(col("n")).as(a)),
+            Set(a, b))
         case (V(a), V(b), _) =>
           val pairs = Paths.compile(pat, ctx)
           BF(pairs.select(iriVal(col("src")).as(a), iriVal(col("dst")).as(b)), Set(a, b))

@@ -423,6 +423,89 @@ object Paths {
     * materialized ONCE and reused each iteration — the loop then only
     * joins shrinking frontiers against it, instead of re-scanning the
     * triple store per predicate per iteration. */
+  /** Pair-carrying variant of [[step]]: frontier rows are `(orig, n)`
+    * and the ORIGIN rides through every pattern application. This is
+    * the execution shape for a path whose source VARIABLE is already
+    * bound by the enclosing frame: expand from the binding set (work ∝
+    * nodes reachable from those bindings) instead of materializing the
+    * full pair closure of the graph and joining afterwards — at 100 TB
+    * the closure is |V|²-shaped, the frontier walk is answer-shaped. */
+  def stepPairs(pat: PathPat, frontier: DataFrame, ctx: Ctx): DataFrame = pat match {
+    case PPred(p) => frontier
+      .join(edges(p, ctx), col("n") === col("src"))
+      .select(col("orig"), col("dst").as("n")).distinct()
+    case PInv(p) => frontier
+      .join(edges(p, ctx), col("n") === col("dst"))
+      .select(col("orig"), col("src").as("n")).distinct()
+    case PSeq(a, b) => stepPairs(b, stepPairs(a, frontier, ctx), ctx)
+    case PAlt(a, b) =>
+      stepPairs(a, frontier, ctx).unionByName(stepPairs(b, frontier, ctx)).distinct()
+    case PPlus(p) => reachPairs(p, frontier, ctx, includeZero = false)
+    case PStar(p) => reachPairs(p, frontier, ctx, includeZero = true)
+    case PTimes(p, n, m) =>
+      var cur = frontier
+      var acc: DataFrame = if (n == 0) frontier else null
+      var len = 0
+      while (len < m) {
+        len += 1
+        cur = cp(stepPairs(p, cur, ctx))
+        if (len >= n) acc = if (acc == null) cur else acc.unionByName(cur)
+      }
+      acc.distinct()
+  }
+
+  /** Semi-naive closure over `(orig, n)` frontiers — [[reach]] with the
+    * origin carried through (same broadcast hinting, checkpoint
+    * cadence, and lazy chunk union; anti-joins key on BOTH columns so
+    * each origin explores independently). */
+  private def reachPairs(pat: PathPat, seeds: DataFrame, ctx: Ctx,
+                         includeZero: Boolean): DataFrame = {
+    val relOpt: Option[DataFrame] =
+      if (closureFree(pat)) Some(cp(compile(pat, ctx))) else None
+    val BroadcastRows = sys.props.get("graft.path.broadcastRows")
+      .orElse(sys.env.get("GRAFT_PATH_BROADCAST_ROWS"))
+      .map(_.toLong).getOrElse(2000000L)
+    def hinted(df: DataFrame, rows: Long): DataFrame =
+      if (rows >= 0 && rows < BroadcastRows) broadcast(df) else df
+    def oneStep(frontier: DataFrame, rows: Long): DataFrame = relOpt match {
+      case Some(rel) => hinted(frontier, rows)
+        .join(rel, col("n") === col("src"))
+        .select(col("orig"), col("dst").as("n")).distinct()
+      case None => stepPairs(pat, frontier, ctx)
+    }
+    val seedSet = cp(seeds.distinct())
+    val chunks = scala.collection.mutable.ArrayBuffer(seedSet)
+    var totalCount = seedSet.count()
+    var frontier = seedSet
+    var frontierCount = totalCount
+    var i = 0
+    var done = false
+    while (!done && i < MaxIters) {
+      i += 1
+      val next = cp(oneStep(frontier, frontierCount)
+        .join(hinted(unionAll(chunks.toSeq), totalCount),
+          Seq("orig", "n"), "left_anti"))
+      frontierCount = next.count()
+      if (frontierCount == 0) done = true
+      else {
+        chunks += next
+        totalCount += frontierCount
+        frontier = next
+      }
+    }
+    val total = unionAll(chunks.toSeq)
+    if (includeZero) total
+    else {
+      val nonSeed = total.join(seedSet, Seq("orig", "n"), "left_anti")
+      // a seed pair (o, o) belongs in the ≥1-step result iff one more
+      // application from anything o reached lands back on it (a cycle
+      // through the origin)
+      val seedsRevisited = seedSet.join(
+        oneStep(total, -1L), Seq("orig", "n"), "left_semi")
+      cp(nonSeed.unionByName(seedsRevisited))
+    }
+  }
+
   private def reach(pat: PathPat, seeds: DataFrame, ctx: Ctx,
                     includeZero: Boolean): DataFrame = {
     // rel is materialized once and reused every iteration (measured:

@@ -192,6 +192,7 @@ object GraphQL {
     var bound = Set.empty[String]   // output/filter binding vars
     var subjs = Vector(subj)        // subject + link vars (frame identity)
     var orUsed = false              // _or may duplicate → dedup frame-wide
+    var pathDeferred = Vector.empty[() => Unit] // path subtrees, run post-filter
 
     def fieldVar(path: String, f: String) =
       if (path.isEmpty) f else s"${path}_$f"
@@ -290,16 +291,20 @@ object GraphQL {
         // path expression, compiled onto the SAME path engine as WOQL
         // path(). The field name is the output label; the selection
         // set's bindings narrow mixed-type targets (inner semantics,
-        // like every link).
+        // like every link). The whole subtree is DEFERRED until the
+        // root constraints are in `pats`, so the walk seeds from the
+        // filtered root set (see the pathDeferred note below).
         val patStr = args.collectFirst { case ("path", GStr(p)) => p }
           .getOrElse(throw new IllegalArgumentException(
             s"path argument of $f must be a string"))
         require(subs.nonEmpty, s"path field $f needs a selection set")
-        val lv = "__" + fieldVar(path, f)
-        pats :+= PathQ(V(subjV), PathSyntax.parse(patStr, prefix), V(lv))
-        subjs :+= lv
-        linkArgs(lv, fieldVar(path, f), args.filterNot(_._1 == "path"))
-        compileSels(lv, fieldVar(path, f), subs)
+        pathDeferred :+= { () =>
+          val lv = "__" + fieldVar(path, f)
+          pats :+= PathQ(V(subjV), PathSyntax.parse(patStr, prefix), V(lv))
+          subjs :+= lv
+          linkArgs(lv, fieldVar(path, f), args.filterNot(_._1 == "path"))
+          compileSels(lv, fieldVar(path, f), subs)
+        }
       case Sel(f, args, Nil) =>
         require(args.isEmpty, s"scalar field $f takes no arguments")
         outs += bindField(subjV, path, f)
@@ -331,6 +336,16 @@ object GraphQL {
       val pred = filterWoql(subj, "", f) // binds fields into pats first
       pats :+= pred
     }
+
+    // Path traversals compile AFTER the root id/ids/filter constraints:
+    // the conjunction folds left-to-right, so the frontier walk seeds
+    // from the FILTERED root set instead of every instance of the class
+    // (measured at sf0.1: filtered-seed walk vs full-closure-then-join
+    // was 0.3 s vs 6.6 s on ext_graphql_path). Deferring ONLY the path
+    // subtrees keeps the scalar/_or binding order unchanged — hoisting
+    // the whole filter ahead of the selections would re-bind _or-branch
+    // fields in-branch and break optional-field null alignment.
+    pathDeferred.foreach(_.apply())
 
     var q: Woql = And(pats)
     // overlapping _or branches union their frames; collapse exact-
