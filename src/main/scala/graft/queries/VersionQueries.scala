@@ -261,6 +261,32 @@ object VersionQueries {
         .select(col("s"), col("o_str").as("tag"))
     }),
 
+    // `into` write-graph scoping (§2 using/from/into): the staged
+    // inserts land in the SCHEMA graph; querying them back needs a
+    // schema-scoped quad — the instance graph must not see them
+    "woql_into_schema" -> ((s, d) => {
+      val root = s"$cacheRoot/store_into_${san(d)}"
+      val st = LayerStore.open(s, root)
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      if (st.refs.isEmpty) {
+        val q = And(Seq(
+          TriplePat(V("R"), Node("tpch:r_name"), V("N"))))
+        val (adds, removes) = Updates.stage(q,
+          inserts = Seq((V("R"), Node("rdfs:comment"), V("N"))),
+          graph = "schema")
+        st.commit("main", adds, removes, "annotate regions in schema graph")
+      }
+      val mat = st.materializeBranch("main")
+      // quad-scoped readback: present in schema, absent from instance
+      val inSchema = mat.filter(col("g") === "schema" &&
+        col("p") === "rdfs:comment")
+        .select(col("s"), col("o_str").as("comment"))
+      val leakedToInstance = mat.filter(col("g") === "instance" &&
+        col("p") === "rdfs:comment").count()
+      require(leakedToInstance == 0, "into(schema) leaked to instance graph")
+      inSchema
+    }),
+
     // document insert → triples (§2.8 document CRUD; ids are lexical keys)
     "doc_insert" -> ((s, d) => {
       import s.implicits._
@@ -815,6 +841,9 @@ object VersionQueries {
     "woql_update_staged" ->
       """SELECT 'tpch:customer/'||c_custkey AS s, 'building' AS tag
         | FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "woql_into_schema" ->
+      """SELECT 'tpch:region/'||r_regionkey AS s, r_name AS comment
+        | FROM region""".stripMargin,
     "doc_insert" ->
       "SELECT 'doc:Nation/'||n_name AS s, n_name AS name FROM nation",
     "doc_update" ->

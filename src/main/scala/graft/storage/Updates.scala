@@ -13,7 +13,7 @@ object Updates {
 
   /** Project a triple template over a binding frame into EAV rows. */
   private def project(df: DataFrame, vars: Set[String],
-                      t: (Term, Term, Term)): DataFrame = {
+                      t: (Term, Term, Term), graph: String): DataFrame = {
     def valOf(term: Term): Column = term match {
       case V(n) if vars(n) => col(n)
       case V(n) => throw new IllegalArgumentException(s"unbound var $n in template")
@@ -22,7 +22,7 @@ object Updates {
     val (s, p, o) = t
     val sv = valOf(s); val pv = valOf(p); val ov = valOf(o)
     df.select(
-      lit("instance").as("g"),
+      lit(graph).as("g"),
       sv.getField("iri").as("s"),
       pv.getField("iri").as("p"),
       ov.getField("k").as("o_kind"),
@@ -40,16 +40,20 @@ object Updates {
   /** Run `q`, stage one add/remove set per template per solution.
     * Solutions with an unbound (null) template slot are skipped — this is
     * what makes `when(Cond, Insert)` a conditional update: rows Cond
-    * rejected carry null Then-vars and stage nothing. */
+    * rejected carry null Then-vars and stage nothing. `graph` is the
+    * WOQL `into` write-graph scope ([ref:core/query/woql_compile.pl]
+    * into clauses): staged rows land in that graph — "schema" writes
+    * schema triples, the default is the instance graph. */
   def stage(q: Woql, inserts: Seq[(Term, Term, Term)],
-            deletes: Seq[(Term, Term, Term)] = Nil)(
+            deletes: Seq[(Term, Term, Term)] = Nil,
+            graph: String = "instance")(
       implicit ctx: Ctx): (DataFrame, DataFrame) = {
     val bf = Compiler.compile(q, Compiler.unit(ctx))
     val none = ctx.spark.createDataFrame(
       ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Eav.schema)
     def build(ts: Seq[(Term, Term, Term)]): DataFrame =
       if (ts.isEmpty) none
-      else ts.map(project(bf.df, bf.vars, _)).reduce(_ unionByName _)
+      else ts.map(project(bf.df, bf.vars, _, graph)).reduce(_ unionByName _)
         .where(col("s").isNotNull && col("p").isNotNull && col("o_kind").isNotNull)
         .distinct()
     (build(inserts), build(deletes))
