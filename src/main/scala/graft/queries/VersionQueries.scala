@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Graft
 import graft.core._
-import graft.storage.{Eav, LayerStore, Updates, Validator}
+import graft.storage.{Eav, LayerStore, Migration, Updates, Validator}
 
 /** Versioning, update, source/sink, and wire-format operators — each
   * driven end-to-end (real commit layers under target/) with a
@@ -285,6 +285,41 @@ object VersionQueries {
         col("p") === "rdfs:comment").count()
       require(leakedToInstance == 0, "into(schema) leaked to instance graph")
       inSchema
+    }),
+
+    // schema MIGRATION (§2.8 family; the reference's migration API):
+    // rename a property (schema + every instance triple rewritten) and
+    // retype another (string → integer through the typecast ladder),
+    // both as ONE commit — then read the migrated head back
+    "woql_migrate" -> ((s, d) => {
+      val root = s"$cacheRoot/store_migr_${san(d)}"
+      val st = LayerStore.open(s, root)
+      if (st.refs.isEmpty) {
+        val nation = Graft.table(s, d, "nation")
+        val inst = Eav.encodeTable(nation,
+          concat(lit("tpch:nation/"), col("n_nationkey").cast(StringType)),
+          "tpch:Nation",
+          Seq(("tpch:n_name", Eav.PStr, col("n_name")),
+            ("tpch:nk_str", Eav.PStr, col("n_nationkey").cast(StringType))))
+        st.commit("main", inst, emptyEav(s), "seed")
+        Migration.migrate(st, "main", Seq(
+          Migration.AddProperty("tpch:n_name", "tpch:Nation", "xsd:string"),
+          Migration.RenameProperty("tpch:n_name", "rdfs:label"),
+          Migration.CastProperty("tpch:nk_str", "xsd:integer")),
+          "rename n_name -> label; nk_str -> integer")
+      }
+      val mat = st.materializeBranch("main")
+      val labels = mat.filter(col("g") === "instance" && col("p") === "rdfs:label")
+        .select(col("s"), col("o_str").as("label"))
+      val nks = mat.filter(col("g") === "instance" && col("p") === "tpch:nk_str")
+        .select(col("s"), col("o_lng").as("nk"), col("o_typ").as("nk_type"))
+      // the rename must leave NO tpch:n_name instance rows behind
+      require(mat.filter(col("g") === "instance" &&
+        col("p") === "tpch:n_name").isEmpty, "rename left old rows")
+      // and the renamed schema rows must exist under the new subject
+      require(!mat.filter(col("g") === "schema" && col("s") === "rdfs:label" &&
+        col("p") === "rdfs:domain").isEmpty, "schema rows not renamed")
+      labels.join(nks, "s")
     }),
 
     // document insert → triples (§2.8 document CRUD; ids are lexical keys)
@@ -844,6 +879,10 @@ object VersionQueries {
     "woql_into_schema" ->
       """SELECT 'tpch:region/'||r_regionkey AS s, r_name AS comment
         | FROM region""".stripMargin,
+    "woql_migrate" ->
+      """SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS label,
+        | CAST(n_nationkey AS BIGINT) AS nk, 'xsd:integer' AS nk_type
+        | FROM nation""".stripMargin,
     "doc_insert" ->
       "SELECT 'doc:Nation/'||n_name AS s, n_name AS name FROM nation",
     "doc_update" ->

@@ -73,6 +73,52 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(Multimodal.DefaultCodec.decode(rows(1L)).exists(_._3 == "audio/wav"))
   }
 
+  test("migration ops: rename/cast/delete semantics and refusals") {
+    import graft.storage.{Eav, LayerStore, Migration}
+    import org.apache.spark.sql.functions.col
+    def tmp() = java.nio.file.Files.createTempDirectory("graft-migr").toString
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Eav.schema)
+    val st = LayerStore.open(spark, tmp())
+    st.commit("main", triples(
+      (":a", "rdf:type", ":Thing"), (":a", "age", "30"), (":a", "name", "x"),
+      (":b", "rdf:type", ":Thing"), (":b", "age", "31"), (":b", "name", "y")),
+      empty, "seed")
+
+    // cast string → integer rewrites every instance row, typed
+    Migration.migrate(st, "main", Seq(Migration.CastProperty("age", "xsd:integer")))
+    val afterCast = st.materializeBranch("main")
+    val ages = afterCast.filter(col("p") === "age")
+      .select("o_lng", "o_typ").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ages == Set((30L, "xsd:integer"), (31L, "xsd:integer")))
+
+    // uncastable values refuse and name an offender
+    st.commit("main", triples((":c", "bad", "not-a-number")), empty, "bad")
+    val e = intercept[IllegalArgumentException] {
+      Migration.migrate(st, "main", Seq(Migration.CastProperty("bad", "xsd:integer")))
+    }
+    assert(e.getMessage.contains("uncastable"))
+
+    // rename moves instance rows; delete_property drops them
+    Migration.migrate(st, "main", Seq(
+      Migration.RenameProperty("name", "rdfs:label"),
+      Migration.DeleteProperty("bad")))
+    val head = st.materializeBranch("main")
+    assert(head.filter(col("p") === "name").isEmpty)
+    assert(head.filter(col("p") === "rdfs:label").count() == 2)
+    assert(head.filter(col("p") === "bad").isEmpty)
+
+    // delete_class refuses while instances remain; force drops subgraphs
+    val e2 = intercept[IllegalArgumentException] {
+      Migration.migrate(st, "main", Seq(Migration.DeleteClass(":Thing")))
+    }
+    assert(e2.getMessage.contains("instances remain"))
+    Migration.migrate(st, "main", Seq(Migration.DeleteClass(":Thing", force = true)))
+    val gone = st.materializeBranch("main")
+    assert(gone.filter(col("s").isin(":a", ":b")).isEmpty)
+  }
+
   test("capability catalog: scope resolution and unknown-role refusal") {
     import server.Capabilities._
     val cat = Catalog(
