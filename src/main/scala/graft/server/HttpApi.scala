@@ -28,6 +28,8 @@ import graft.storage.LayerStore
   *   POST /api/reset?branch=B&commit=C   — move a branch head
   *   POST /api/rebase?src=A&onto=B       — replay A onto B (conflicts reported)
   *   POST /api/squash?branch=B[&msg=M]   — one-commit equivalent head
+  *   POST /api/migration[?branch=B]      — schema migration ops (JSON list)
+  *                                         → one commit, data rewritten
   *   POST /api/pack?branch=B&dest=DIR    — write a transfer directory
   *   POST /api/clone?dest=DIR&branch=B   — clone into a fresh store root
   *   POST /api/push?remote=DIR&branch=B  — fast-forward push to a store root
@@ -245,6 +247,47 @@ object HttpApi {
       val head = store.optimize(branch, msg)
       ok(JObject("api:status" -> JString("api:success"),
         "branch" -> JString(branch), "head" -> JString(head)))
+    })
+
+    srv.createContext("/api/migration", route { ex =>
+      // schema migration ([ref:core/api/api_migration.pl]): a JSON list
+      // of operations, applied as ONE commit on ?branch (default main).
+      // [{"op":"rename_property","from":"p","to":"q"},
+      //  {"op":"cast_property","property":"p","range":"xsd:integer"},
+      //  {"op":"add_class","class":"C","super":"D"},
+      //  {"op":"delete_class","class":"C","force":true},
+      //  {"op":"add_property","property":"p","domain":"C","range":"xsd:string"},
+      //  {"op":"delete_property","property":"p"}]
+      require(ex.getRequestMethod == "POST", "POST required")
+      val branch = param(ex, "branch").getOrElse("main")
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      import graft.storage.Migration
+      def s(j: JValue, f: String): String = (j \ f) match {
+        case JString(x) => x
+        case _ => sys.error(s"migration op needs string field '$f'")
+      }
+      val ops = JsonMethods.parse(body) match {
+        case JArray(items) => items.map { j =>
+          s(j, "op") match {
+            case "add_class" => Migration.AddClass(s(j, "class"),
+              (j \ "super") match { case JString(x) => Some(x); case _ => None })
+            case "delete_class" => Migration.DeleteClass(s(j, "class"),
+              (j \ "force") == JBool(true))
+            case "add_property" => Migration.AddProperty(s(j, "property"),
+              s(j, "domain"), s(j, "range"))
+            case "delete_property" => Migration.DeleteProperty(s(j, "property"))
+            case "rename_property" => Migration.RenameProperty(s(j, "from"), s(j, "to"))
+            case "cast_property" => Migration.CastProperty(s(j, "property"), s(j, "range"))
+            case other => sys.error(s"unknown migration op '$other'")
+          }
+        }
+        case _ => sys.error("migration body must be a JSON list of ops")
+      }
+      val head = Migration.migrate(store, branch, ops,
+        param(ex, "msg").getOrElse("migration"))
+      ok(JObject("api:status" -> JString("api:success"),
+        "branch" -> JString(branch), "head" -> JString(head),
+        "ops" -> JInt(BigInt(ops.size))))
     })
 
     srv.createContext("/api/pack", route { ex =>
@@ -519,6 +562,7 @@ object HttpApi {
       case "/api/branch" => Some((if (get) InstanceRead else Branch, BaseDb))
       case "/api/reset" | "/api/rebase" | "/api/squash" =>
         Some((Branch, BaseDb))
+      case "/api/migration" => Some((SchemaWrite, BaseDb))
       case "/api/pack" | "/api/clone" | "/api/push" | "/api/pull" |
            "/api/fetch" => Some((Transfer, BaseDb))
       case _ => Some((InstanceRead, BaseDb)) // default-deny to read level

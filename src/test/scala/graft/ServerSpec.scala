@@ -406,6 +406,23 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == li && n > 0)
   }
 
+  test("migration route applies a rename as one commit on a branch") {
+    // isolate on a fresh branch so the shared store's main is untouched
+    val (cb, _) = post("/api/branch?name=migtest&from=main", "")
+    assert(cb == 200)
+    val ops =
+      """[{"op":"add_property","property":"doc:size","domain":"doc:Thing","range":"xsd:integer"},
+        | {"op":"rename_property","from":"doc:size","to":"doc:bytes"}]""".stripMargin
+    val (code, body) = post("/api/migration?branch=migtest&msg=rename", ops)
+    assert(code == 200, body)
+    val j = JsonMethods.parse(body)
+    assert((j \ "ops") == JInt(2))
+    assert((j \ "head").isInstanceOf[JString])
+    // malformed op list is a 400, not a commit
+    val (bad, _) = post("/api/migration?branch=migtest", """[{"op":"nope"}]""")
+    assert(bad == 400)
+  }
+
   test("capability catalog enforces per-user, per-db route grants") {
     import server.Capabilities._
     val catalog = Catalog(
