@@ -752,6 +752,17 @@ object Compiler {
             "use path(Node(...), pat, V(...), witness, edges) or drop " +
             "the edges variable")
       }
+      // Bound-VARIABLE walks read the current frame twice — once to
+      // derive the seed set (consumed EAGERLY by the iterative walk's
+      // per-round checkpoints) and once as the final join side. One
+      // localCheckpoint makes both reads hit materialized blocks
+      // instead of recomputing the frame's join tree (measured at
+      // sf0.1: ~1.5 s off ext_graphql_path's 4-pattern root frame).
+      lazy val curCp: BF =
+        if (cur.isUnit) cur
+        else BF(graft.util.Scratch.trackCheckpoint(
+          cur.df.localCheckpoint(true)), cur.vars, cur.isUnit)
+      var joinCur: BF = cur
       val bf0 = (x, y, _witness) match {
         case (Node(i), V(n), Some(w)) =>
           // canonical witness per reachable node, bound as node
@@ -772,7 +783,8 @@ object Compiler {
           // frontier walk from the binding set (work ∝ reachable set,
           // never the graph's full pair closure); conj then equi-joins
           // the origins back onto the frame
-          val seeds = cur.df
+          joinCur = curCp
+          val seeds = curCp.df
             .select(col(a).getField("iri").as("orig"))
             .where(col("orig").isNotNull).distinct()
             .select(col("orig"), col("orig").as("n"))
@@ -781,7 +793,8 @@ object Compiler {
             Set(a, b))
         case (V(a), V(b), _) if cur.vars(b) =>
           // bound destination: same walk over the inverted pattern
-          val seeds = cur.df
+          joinCur = curCp
+          val seeds = curCp.df
             .select(col(b).getField("iri").as("orig"))
             .where(col("orig").isNotNull).distinct()
             .select(col("orig"), col("orig").as("n"))
@@ -795,7 +808,7 @@ object Compiler {
           BF(Paths.step(pat, seed(i), ctx).filter(col("n") === j).select(), Set.empty)
         case _ => throw new IllegalArgumentException("path: endpoints must be IRIs or vars")
       }
-      conj(cur, bf0)
+      conj(joinCur, bf0)
 
     case PathAllQ(x, pat, y, w, ew) =>
       // exhaustive enumeration: one solution per distinct path from the
