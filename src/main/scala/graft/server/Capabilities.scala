@@ -52,6 +52,52 @@ object Capabilities {
     Set(Actions.InstanceRead, Actions.InstanceWrite, Actions.SchemaRead,
       Actions.Branch))
 
+  /** Catalog from JSON — the deployable spelling (env `GRAFT_CAPS_FILE`
+    * points the server at it):
+    * {{{
+    * {"orgs":  [{"name":"acme","dbs":["dbA","dbB"]}],
+    *  "roles": [{"name":"reader","actions":["instance_read_access"]}],
+    *  "users": [{"name":"alice","token":"tok-alice",
+    *             "capabilities":[{"role":"reader","scope":"db/_default"}]}]}
+    * }}}
+    * The built-in admin/reader/writer roles are always available and
+    * need not be declared. */
+  def fromJson(json: String): Catalog = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def str(j: JValue, f: String): String = (j \ f) match {
+      case JString(x) => x
+      case other => throw new IllegalArgumentException(
+        s"capability catalog: field '$f' must be a string, got $other")
+    }
+    def arr(j: JValue, f: String): Seq[JValue] = (j \ f) match {
+      case JArray(xs) => xs
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(
+        s"capability catalog: field '$f' must be a list, got $other")
+    }
+    val j = JsonMethods.parse(json)
+    val orgs = arr(j, "orgs").map(o =>
+      Org(str(o, "name"), arr(o, "dbs").map {
+        case JString(d) => d
+        case other => throw new IllegalArgumentException(s"bad db $other")
+      }.toSet))
+    val roles = arr(j, "roles").map(r =>
+      Role(str(r, "name"), arr(r, "actions").map {
+        case JString(a) => a
+        case other => throw new IllegalArgumentException(s"bad action $other")
+      }.toSet))
+    val builtins = Seq(AdminRole, ReaderRole, WriterRole)
+      .filterNot(b => roles.exists(_.name == b.name))
+    val users = arr(j, "users").map(u =>
+      User(str(u, "name"), str(u, "token"),
+        arr(u, "capabilities").map(c => Capability(str(c, "role"), str(c, "scope")))))
+    Catalog(orgs, roles ++ builtins, users)
+  }
+
+  def fromFile(path: String): Catalog =
+    fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
   final case class Catalog(orgs: Seq[Org], roles: Seq[Role],
                            users: Seq[User]) {
     private val roleMap = roles.map(r => r.name -> r).toMap

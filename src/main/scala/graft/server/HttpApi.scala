@@ -64,7 +64,8 @@ object HttpApi {
 
   def start(spark: SparkSession, sfDir: String, port: Int = 0,
             token: Option[String] = sys.env.get("GRAFT_HTTP_TOKEN"),
-            capabilities: Option[Capabilities.Catalog] = None): Running = {
+            capabilities: Option[Capabilities.Catalog] =
+              sys.env.get("GRAFT_CAPS_FILE").map(Capabilities.fromFile)): Running = {
     implicit val auth: Option[String] = token
     implicit val caps: Option[Capabilities.Catalog] = capabilities
     val store = LayerStore.open(spark,

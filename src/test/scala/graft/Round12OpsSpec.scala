@@ -119,6 +119,21 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(gone.filter(col("s").isin(":a", ":b")).isEmpty)
   }
 
+  test("capability catalog parses from JSON with built-in roles available") {
+    import server.Capabilities._
+    val cat = fromJson(
+      """{"orgs":[{"name":"acme","dbs":["x"]}],
+        | "roles":[{"name":"dbadmin","actions":["create_database","delete_database"]}],
+        | "users":[{"name":"u","token":"t",
+        |           "capabilities":[{"role":"dbadmin","scope":"org/acme"},
+        |                           {"role":"reader","scope":"*"}]}]}""".stripMargin)
+    val u = cat.user("t").get
+    assert(cat.allows(u, Actions.CreateDb, "x"))
+    assert(cat.allows(u, Actions.InstanceRead, "anything")) // built-in reader
+    assert(!cat.allows(u, Actions.InstanceWrite, "x"))
+    intercept[IllegalArgumentException] { fromJson("""{"users":[{"name":"u"}]}""") }
+  }
+
   test("capability catalog: scope resolution and unknown-role refusal") {
     import server.Capabilities._
     val cat = Catalog(
