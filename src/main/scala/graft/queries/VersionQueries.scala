@@ -47,6 +47,36 @@ object VersionQueries {
     st
   }
 
+  /** Fixed-content three-commit store (plus a `mid` branch at commit 1)
+    * for the HTTP log/diff oracles. Content is literal — independent of
+    * the sf dir — so the store path AND the expected log/diff are
+    * static; commit ids are content-addressed, hence identical across
+    * runs, and the log oracle re-walks them from the on-disk commit
+    * catalog itself. */
+  private def httpFixedStore(spark: SparkSession): LayerStore = synchronized {
+    val st = LayerStore.open(spark, s"$cacheRoot/store_http_fixed")
+    if (st.refs.isEmpty) {
+      import spark.implicits._
+      def t(pairs: (Int, String)*) =
+        nameTriples(pairs.toSeq.toDF("n_nationkey", "n_name"))
+      st.commit("main", t((0, "HTTP_0"), (1, "HTTP_1"), (2, "HTTP_2")),
+        emptyEav(spark), "base")
+      st.branch("mid", "main")
+      st.commit("main",
+        t((1, "HTTP_1_V2"), (10, "HTTP_10"), (11, "HTTP_11")),
+        t((0, "HTTP_0"), (1, "HTTP_1")), "delta")
+      st.commit("main", t((12, "HTTP_12")), emptyEav(spark), "final")
+    }
+    st
+  }
+
+  private def httpGet(url: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    client.send(java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
   /** Ad-hoc schema-constraint rows for the validator queries, in the
     * column shape `Validator.constraintsFrom` reads: IRI-valued
     * (rdfs:domain / rdfs:range), string-valued (graft:oneOf),
@@ -134,6 +164,57 @@ object VersionQueries {
       }
       import s.implicits._
       rows.toDF("c_name", "c_acctbal")
+    }),
+
+    // the /api/log route end-to-end against a fixed-content store; the
+    // oracle RE-WALKS the same on-disk commit catalog (refs + parent
+    // links) with a DuckDB recursive CTE, so route, catalog encoding
+    // and chain order are all driver-gated
+    "ext_http_log" -> ((s, d) => {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val st = httpFixedStore(s)
+      val running = graft.server.HttpApi.start(s, d, storeRoot = Some(st.root))
+      val resp = try httpGet(running.url("/api/log?branch=main"))
+        finally running.stop()
+      val rows = (JsonMethods.parse(resp) \ "commits") match {
+        case JArray(cs) => cs.zipWithIndex.map { case (c, i) =>
+          def str(f: String) = (c \ f) match {
+            case JString(x) => x
+            case JNull => null
+            case other => sys.error(s"bad $f: $other")
+          }
+          (i.toLong + 1, str("identifier"), str("parent"), str("message"))
+        }
+        case other => sys.error(s"bad commits: $other")
+      }
+      import s.implicits._
+      rows.toDF("rank", "commit_id", "parent", "message")
+    }),
+
+    // the /api/diff route end-to-end: branch-addressed from/to, patch
+    // presentation with swap fusion — expected rows are closed-form
+    // from the fixed store's construction
+    "ext_http_diff" -> ((s, d) => {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val st = httpFixedStore(s)
+      val running = graft.server.HttpApi.start(s, d, storeRoot = Some(st.root))
+      val resp = try httpGet(running.url("/api/diff?from=mid&to=main"))
+        finally running.stop()
+      val rows = (JsonMethods.parse(resp) \ "patch") match {
+        case JArray(ps) => ps.map { p =>
+          def str(f: String) = (p \ f) match {
+            case JString(x) => x
+            case JNull => null
+            case other => sys.error(s"bad $f: $other")
+          }
+          (str("subject"), str("property"), str("op"), str("old"), str("new"))
+        }
+        case other => sys.error(s"bad patch: $other")
+      }
+      import s.implicits._
+      rows.toDF("subject", "property", "op", "old_v", "new_v")
     }),
 
     // storage size (§2.4 size / reference `size(Resource,Bytes)` API):
@@ -839,6 +920,30 @@ object VersionQueries {
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         | WHERE l_quantity = 50.0 AND l_returnflag = 'R'""".stripMargin,
+    // independent re-walk of the engine-written commit catalog: head
+    // ref → parent chain, newest first (recursive CTE over the same
+    // parquet files the store maintains)
+    "ext_http_log" ->
+      (s"""WITH RECURSIVE walk(commit_id, parent, message, rank) AS (
+        | SELECT c.commit_id, c.parent, c.message, CAST(1 AS BIGINT)
+        |  FROM read_parquet('$cacheRoot/store_http_fixed/_catalog/commits/*.parquet') c
+        |  JOIN read_parquet('$cacheRoot/store_http_fixed/_catalog/refs/*.parquet') r
+        |    ON r.ref = 'main' AND r.commit_id = c.commit_id
+        | UNION ALL
+        | SELECT c.commit_id, c.parent, c.message, w.rank + 1
+        |  FROM read_parquet('$cacheRoot/store_http_fixed/_catalog/commits/*.parquet') c
+        |  JOIN walk w ON c.commit_id = w.parent)
+        | SELECT rank, commit_id, parent, message FROM walk""".stripMargin),
+    // closed-form from the fixed store: mid = {0,1,2}, main head =
+    // {1→V2, 2, 10, 11, 12} ⇒ one delete, one swap, three inserts
+    "ext_http_diff" ->
+      """SELECT * FROM (VALUES
+        | ('tpch:nation/0','tpch:n_name','delete','HTTP_0',CAST(NULL AS VARCHAR)),
+        | ('tpch:nation/1','tpch:n_name','swap','HTTP_1','HTTP_1_V2'),
+        | ('tpch:nation/10','tpch:n_name','insert',CAST(NULL AS VARCHAR),'HTTP_10'),
+        | ('tpch:nation/11','tpch:n_name','insert',CAST(NULL AS VARCHAR),'HTTP_11'),
+        | ('tpch:nation/12','tpch:n_name','insert',CAST(NULL AS VARCHAR),'HTTP_12'))
+        | AS t(subject, property, op, old_v, new_v)""".stripMargin,
     // re-measure the engine-written layer files byte-for-byte
     "woql_size" ->
       (s"""SELECT regexp_extract(filename, 'layers/([^/]+)/', 1) AS layer,

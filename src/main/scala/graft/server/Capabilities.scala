@@ -98,6 +98,29 @@ object Capabilities {
   def fromFile(path: String): Catalog =
     fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 
+  /** Catalog → the same JSON shape [[fromJson]] reads (round-trip
+    * exact), so CRUD mutations over the management routes persist back
+    * to the deployable `GRAFT_CAPS_FILE` spelling. Built-in roles are
+    * written too — redundant on read, but the file then documents the
+    * full effective policy. */
+  def toJson(c: Catalog): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JObject(
+      "orgs" -> JArray(c.orgs.toList.map(o => JObject(
+        "name" -> JString(o.name),
+        "dbs" -> JArray(o.dbs.toList.sorted.map(JString(_): JValue))))),
+      "roles" -> JArray(c.roles.toList.map(r => JObject(
+        "name" -> JString(r.name),
+        "actions" -> JArray(r.actions.toList.sorted.map(JString(_): JValue))))),
+      "users" -> JArray(c.users.toList.map(u => JObject(
+        "name" -> JString(u.name), "token" -> JString(u.token),
+        "capabilities" -> JArray(u.capabilities.toList.map(cap => JObject(
+          "role" -> JString(cap.role),
+          "scope" -> JString(cap.scope)): JValue))))))
+    JsonMethods.pretty(JsonMethods.render(j))
+  }
+
   final case class Catalog(orgs: Seq[Org], roles: Seq[Role],
                            users: Seq[User]) {
     private val roleMap = roles.map(r => r.name -> r).toMap

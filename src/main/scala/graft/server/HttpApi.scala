@@ -36,6 +36,20 @@ import graft.storage.LayerStore
   *   POST /api/pull?remote=DIR&branch=B  — fast-forward pull from a store root
   *   POST /api/fetch?remote=DIR&branch=B[&name=R] — fetch layers + remote-tracking
   *                                         ref; local branch head untouched
+  *   GET  /api/log?branch=B[&start=N&count=M] — commit log, newest first
+  *   GET  /api/diff?from=X&to=Y[&id=IRI][&format=triples] — patch
+  *                                         presentation (swap/insert/
+  *                                         delete) or lossless EAV rows
+  *   POST /api/patch?branch=B            — apply a triples-format patch
+  *                                         body as one commit
+  *   POST /api/apply?branch=B&from=X&to=Y — server-side diff-and-commit
+  *   POST /api/optimize?branch=B         — flatten the head's layer
+  *                                         chain (history untouched)
+  *   GET/POST/DELETE /api/remote         — named remote catalog
+  *   GET  /api/ok                        — liveness probe (no auth)
+  *   GET/POST/DELETE /api/user | /api/organization | /api/role,
+  *   POST/DELETE /api/capability         — capability management
+  *                                         (requires manage_capabilities)
   *   GET  /api/prefixes                  — the database prefix context
   *   GET  /api/triples?branch=B          — branch graph as turtle (text)
   *   POST /api/triples?branch=B          — turtle body → one commit
@@ -62,14 +76,22 @@ object HttpApi {
     def url(path: String): String = s"http://127.0.0.1:$port$path"
   }
 
+  /** Mutable capability state: the management routes (`/api/user`,
+    * `/api/role`, …) swap whole immutable [[Capabilities.Catalog]]
+    * values through this reference — auth checks read one volatile. */
+  type CapsRef =
+    java.util.concurrent.atomic.AtomicReference[Option[Capabilities.Catalog]]
+
   def start(spark: SparkSession, sfDir: String, port: Int = 0,
             token: Option[String] = sys.env.get("GRAFT_HTTP_TOKEN"),
             capabilities: Option[Capabilities.Catalog] =
-              sys.env.get("GRAFT_CAPS_FILE").map(Capabilities.fromFile)): Running = {
+              sys.env.get("GRAFT_CAPS_FILE").map(Capabilities.fromFile),
+            capsFile: Option[String] = sys.env.get("GRAFT_CAPS_FILE"),
+            storeRoot: Option[String] = None): Running = {
     implicit val auth: Option[String] = token
-    implicit val caps: Option[Capabilities.Catalog] = capabilities
-    val store = LayerStore.open(spark,
-      Graft.cacheRoot + "/http_store_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    implicit val caps: CapsRef = new CapsRef(capabilities)
+    val store = LayerStore.open(spark, storeRoot.getOrElse(
+      Graft.cacheRoot + "/http_store_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")))
     // the base ctx carries the store's `using` resolver, so WOQL-level
     // Using(branch/..., q) works over the wire as well as ?branch/?commit
     implicit val ctx: Ctx = Graft.ctx(spark, sfDir)
@@ -320,8 +342,30 @@ object HttpApi {
         "head" -> JString(other.refs(branch))))
     })
 
+    // ---- named remotes ([ref:server/routes.pl] remote CRUD): a small
+    // name → store-root catalog persisted next to the commit catalog;
+    // push/pull/fetch accept either a remote name or a literal root ----
+
+    val remotesPath = java.nio.file.Paths.get(store.root, "_catalog", "remotes.json")
+    def readRemotes: Map[String, String] =
+      if (!java.nio.file.Files.exists(remotesPath)) Map.empty
+      else JsonMethods.parse(java.nio.file.Files.readString(remotesPath)) match {
+        case JObject(fields) => fields.collect {
+          case (n, JString(loc)) => n -> loc }.toMap
+        case _ => Map.empty
+      }
+    def writeRemotes(m: Map[String, String]): Unit = {
+      java.nio.file.Files.createDirectories(remotesPath.getParent)
+      java.nio.file.Files.writeString(remotesPath,
+        JsonMethods.pretty(JsonMethods.render(JObject(
+          m.toList.sortBy(_._1).map { case (n, l) => n -> (JString(l): JValue) }))))
+    }
+    def remoteRoot(nameOrPath: String): String =
+      readRemotes.getOrElse(nameOrPath, nameOrPath)
+
     srv.createContext("/api/push", route { ex =>
-      val remote = postParam(ex, "remote"); val branch = postParam(ex, "branch")
+      val remote = remoteRoot(postParam(ex, "remote"))
+      val branch = postParam(ex, "branch")
       val other = LayerStore.open(spark, remote)
       store.push(other, branch)
       ok(JObject("api:status" -> JString("api:success"),
@@ -330,14 +374,16 @@ object HttpApi {
     })
 
     srv.createContext("/api/pull", route { ex =>
-      val remote = postParam(ex, "remote"); val branch = postParam(ex, "branch")
+      val remote = remoteRoot(postParam(ex, "remote"))
+      val branch = postParam(ex, "branch")
       store.pull(LayerStore.open(spark, remote), branch)
       ok(JObject("api:status" -> JString("api:success"),
         "branch" -> JString(branch), "head" -> JString(store.refs(branch))))
     })
 
     srv.createContext("/api/fetch", route { ex =>
-      val remote = postParam(ex, "remote"); val branch = postParam(ex, "branch")
+      val remote = remoteRoot(postParam(ex, "remote"))
+      val branch = postParam(ex, "branch")
       val name = param(ex, "name").getOrElse("origin")
       val head = store.fetch(LayerStore.open(spark, remote), branch, name)
       // negotiation result: where the remote is, and whether the local
@@ -350,6 +396,139 @@ object HttpApi {
         "head" -> JString(head),
         "local_head" -> localHead.map(JString(_): JValue).getOrElse(JNull),
         "fast_forwardable" -> JBool(ff)))
+    })
+
+    // ---- history / diff / patch / storage routes ----
+
+    srv.createContext("/api/log", route { ex =>
+      // commit log, newest first, paged ([ref:server/routes.pl] log)
+      require(ex.getRequestMethod == "GET", "GET required")
+      val branch = param(ex, "branch").getOrElse("main")
+      val startAt = param(ex, "start").map(_.toInt).getOrElse(0)
+      val count = param(ex, "count").map(_.toInt).getOrElse(Int.MaxValue)
+      val upto = math.min(startAt.toLong + count, Int.MaxValue.toLong).toInt
+      val entries = store.log(branch).slice(startAt, upto)
+      ok(JObject("api:status" -> JString("api:success"),
+        "branch" -> JString(branch),
+        "commits" -> JArray(entries.toList.map { case (id, parent, msg, at) =>
+          JObject("identifier" -> JString(id),
+            "parent" -> parent.map(JString(_): JValue).getOrElse(JNull),
+            "message" -> JString(msg),
+            "timestamp" -> JString(at)): JValue
+        })))
+    })
+
+    // from/to accept a branch name or a commit id on all three routes
+    def resolveCommit(x: String): String = store.refs.getOrElse(x, x)
+
+    def diffFrame(ex: HttpExchange): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val from = param(ex, "from").getOrElse(sys.error("from parameter required"))
+      val to = param(ex, "to").getOrElse(sys.error("to parameter required"))
+      val (added, removed) = store.diff(resolveCommit(from), resolveCommit(to))
+      val d = added.withColumn("op", lit("insert"))
+        .unionByName(removed.withColumn("op", lit("delete")))
+      // ?id=IRI narrows to one document's subgraph — the reference's
+      // document-level diff
+      param(ex, "id").map(i => d.filter(col("s") === i)).getOrElse(d)
+    }
+
+    srv.createContext("/api/diff", route { ex =>
+      // diff two commits/branches ([ref:server/routes.pl] diff route,
+      // core/document/patch.pl). Default render is the patch
+      // presentation (swap/insert/delete per changed field);
+      // ?format=triples emits the lossless EAV+op rows (one JSON
+      // object per line) that POST /api/patch applies verbatim.
+      val d = diffFrame(ex)
+      param(ex, "format") match {
+        case Some("triples") => raw(d.toJSON.collect().sorted.mkString("\n"))
+        case _ =>
+          val rows = graft.docs.Diff.patchView(d).collect().toList
+            .sortBy(r => (r.getString(0), r.getString(1), r.getString(2)))
+          ok(JObject("api:status" -> JString("api:success"),
+            "patch" -> JArray(rows.map { r =>
+              JObject("subject" -> JString(r.getString(0)),
+                "property" -> JString(r.getString(1)),
+                "op" -> JString(r.getString(2)),
+                "old" -> (if (r.isNullAt(3)) JNull else JString(r.getString(3))),
+                "new" -> (if (r.isNullAt(4)) JNull else JString(r.getString(4)))): JValue
+            })))
+      }
+    })
+
+    val opSchema = org.apache.spark.sql.types.StructType(
+      graft.storage.Eav.schema.fields :+
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType))
+
+    srv.createContext("/api/patch", route { ex =>
+      // apply a triples-format patch (the /api/diff?format=triples
+      // payload) as ONE commit on ?branch ([ref:core/document/patch.pl]
+      // apply half). Round-trip contract: patching `from` with
+      // diff(from → to) materializes to exactly `to`'s graph.
+      require(ex.getRequestMethod == "POST", "POST required")
+      val branch = param(ex, "branch").getOrElse("main")
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val d = spark.read.schema(opSchema)
+        .json(body.split("\n").toSeq.filter(_.trim.nonEmpty).toDS())
+      val cols = graft.storage.Eav.schema.fieldNames.toSeq.map(col)
+      val adds = d.filter(col("op") === "insert").select(cols: _*)
+      val removes = d.filter(col("op") === "delete").select(cols: _*)
+      val cid = store.commit(branch, adds, removes,
+        param(ex, "msg").getOrElse("patch"))
+      ok(JObject("api:status" -> JString("api:success"),
+        "branch" -> JString(branch), "head" -> JString(cid)))
+    })
+
+    srv.createContext("/api/apply", route { ex =>
+      // server-side diff-and-commit ([ref:server/routes.pl] apply):
+      // the change set between two commits replayed onto a branch,
+      // without the patch payload ever leaving the engine
+      require(ex.getRequestMethod == "POST", "POST required")
+      val branch = postParam(ex, "branch")
+      val from = postParam(ex, "from"); val to = postParam(ex, "to")
+      val (added, removed) = store.diff(resolveCommit(from), resolveCommit(to))
+      val cid = store.commit(branch, added, removed,
+        param(ex, "msg").getOrElse(s"apply $from..$to"))
+      ok(JObject("api:status" -> JString("api:success"),
+        "branch" -> JString(branch), "head" -> JString(cid)))
+    })
+
+    srv.createContext("/api/optimize", route { ex =>
+      // storage optimization WITHOUT history rewrite ([ref:server/
+      // routes.pl] optimize vs squash): fold the head's layer chain
+      // into a flat cache layer; refs, commit ids and the log are
+      // untouched, reads of this head now cost one layer
+      val branch = postParam(ex, "branch")
+      val folded = store.compact(branch)
+      ok(JObject("api:status" -> JString("api:success"),
+        "branch" -> JString(branch), "head" -> JString(store.refs(branch)),
+        "layers_folded" -> JInt(BigInt(folded))))
+    })
+
+    srv.createContext("/api/remote", route { ex =>
+      ex.getRequestMethod match {
+        case "GET" =>
+          ok(JObject("api:status" -> JString("api:success"),
+            "remotes" -> JObject(readRemotes.toList.sortBy(_._1)
+              .map { case (n, l) => n -> (JString(l): JValue) })))
+        case "POST" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          val location = param(ex, "location")
+            .getOrElse(sys.error("location parameter required"))
+          writeRemotes(readRemotes + (name -> location))
+          ok(JObject("api:status" -> JString("api:success"),
+            "remote" -> JString(name), "location" -> JString(location)))
+        case "DELETE" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          require(readRemotes.contains(name), s"remote not found: $name")
+          writeRemotes(readRemotes - name)
+          ok(JObject("api:status" -> JString("api:success"),
+            "deleted" -> JString(name)))
+        case m => sys.error(s"unsupported method $m")
+      }
     })
 
     // ---- database admin ([ref:server/routes.pl] db create/delete):
@@ -471,6 +650,138 @@ object HttpApi {
       }
     })
 
+    srv.createContext("/api/ok", route { _ =>
+      // liveness probe: unauthenticated, constant ([ref:server/routes.pl] ok)
+      ok(JObject("api:status" -> JString("api:success")))
+    })
+
+    // ---- capability management ([ref:core/account/capabilities.pl]
+    // org/user/role/grant CRUD — the reference's _system db admin
+    // surface). Only live when a catalog is configured; each mutation
+    // swaps a whole immutable catalog (its constructor re-validates
+    // referential integrity, so e.g. deleting a role still in use
+    // fails the request instead of corrupting the policy) and persists
+    // back to the caps file. All four routes require the manage
+    // action. Tokens never appear in responses. ----
+
+    def catalogNow: Capabilities.Catalog =
+      caps.get().getOrElse(sys.error("no capability catalog configured"))
+    def swapCatalog(f: Capabilities.Catalog => Capabilities.Catalog): Unit = {
+      val next = f(catalogNow) // validates before any state changes
+      caps.set(Some(next))
+      capsFile.foreach(p => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), Capabilities.toJson(next)))
+    }
+    def listParam(ex: HttpExchange, name: String): Set[String] =
+      param(ex, name).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+
+    srv.createContext("/api/user", route { ex =>
+      ex.getRequestMethod match {
+        case "GET" =>
+          ok(JObject("api:status" -> JString("api:success"),
+            "users" -> JArray(catalogNow.users.toList.sortBy(_.name).map { u =>
+              JObject("name" -> JString(u.name),
+                "capabilities" -> JArray(u.capabilities.toList.map(c =>
+                  JObject("role" -> JString(c.role),
+                    "scope" -> JString(c.scope)): JValue))): JValue
+            })))
+        case "POST" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          val tok = param(ex, "token").getOrElse(sys.error("token parameter required"))
+          swapCatalog(c => c.copy(users = c.users.filterNot(_.name == name) :+
+            Capabilities.User(name, tok, Nil)))
+          ok(JObject("api:status" -> JString("api:success"),
+            "user" -> JString(name)))
+        case "DELETE" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          require(catalogNow.users.exists(_.name == name), s"user not found: $name")
+          swapCatalog(c => c.copy(users = c.users.filterNot(_.name == name)))
+          ok(JObject("api:status" -> JString("api:success"),
+            "deleted" -> JString(name)))
+        case m => sys.error(s"unsupported method $m")
+      }
+    })
+
+    srv.createContext("/api/organization", route { ex =>
+      ex.getRequestMethod match {
+        case "GET" =>
+          ok(JObject("api:status" -> JString("api:success"),
+            "organizations" -> JArray(catalogNow.orgs.toList.sortBy(_.name).map { o =>
+              JObject("name" -> JString(o.name),
+                "databases" -> JArray(o.dbs.toList.sorted
+                  .map(JString(_): JValue))): JValue
+            })))
+        case "POST" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          val dbs = listParam(ex, "dbs")
+          swapCatalog(c => c.copy(orgs = c.orgs.filterNot(_.name == name) :+
+            Capabilities.Org(name, dbs)))
+          ok(JObject("api:status" -> JString("api:success"),
+            "organization" -> JString(name)))
+        case "DELETE" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          require(catalogNow.orgs.exists(_.name == name), s"organization not found: $name")
+          swapCatalog(c => c.copy(orgs = c.orgs.filterNot(_.name == name)))
+          ok(JObject("api:status" -> JString("api:success"),
+            "deleted" -> JString(name)))
+        case m => sys.error(s"unsupported method $m")
+      }
+    })
+
+    srv.createContext("/api/role", route { ex =>
+      ex.getRequestMethod match {
+        case "GET" =>
+          ok(JObject("api:status" -> JString("api:success"),
+            "roles" -> JArray(catalogNow.roles.toList.sortBy(_.name).map { r =>
+              JObject("name" -> JString(r.name),
+                "actions" -> JArray(r.actions.toList.sorted
+                  .map(JString(_): JValue))): JValue
+            })))
+        case "POST" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          // Role's constructor rejects unknown actions
+          val role = Capabilities.Role(name, listParam(ex, "actions"))
+          swapCatalog(c => c.copy(roles = c.roles.filterNot(_.name == name) :+ role))
+          ok(JObject("api:status" -> JString("api:success"),
+            "role" -> JString(name)))
+        case "DELETE" =>
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          require(catalogNow.roles.exists(_.name == name), s"role not found: $name")
+          swapCatalog(c => c.copy(roles = c.roles.filterNot(_.name == name)))
+          ok(JObject("api:status" -> JString("api:success"),
+            "deleted" -> JString(name)))
+        case m => sys.error(s"unsupported method $m")
+      }
+    })
+
+    srv.createContext("/api/capability", route { ex =>
+      // grant / revoke one (role, scope) capability on a user
+      val user = param(ex, "user").getOrElse(sys.error("user parameter required"))
+      val role = param(ex, "role").getOrElse(sys.error("role parameter required"))
+      val scope = param(ex, "scope").getOrElse(sys.error("scope parameter required"))
+      val cap = Capabilities.Capability(role, scope)
+      def update(f: Seq[Capabilities.Capability] => Seq[Capabilities.Capability]) =
+        swapCatalog { c =>
+          val u = c.users.find(_.name == user)
+            .getOrElse(sys.error(s"user not found: $user"))
+          c.copy(users = c.users.filterNot(_.name == user) :+
+            u.copy(capabilities = f(u.capabilities)))
+        }
+      ex.getRequestMethod match {
+        case "POST" =>
+          update(cs => if (cs.contains(cap)) cs else cs :+ cap)
+          ok(JObject("api:status" -> JString("api:success"),
+            "user" -> JString(user), "role" -> JString(role),
+            "scope" -> JString(scope)))
+        case "DELETE" =>
+          update(cs => cs.filterNot(_ == cap))
+          ok(JObject("api:status" -> JString("api:success"),
+            "user" -> JString(user), "revoked" -> JString(role)))
+        case m => sys.error(s"unsupported method $m")
+      }
+    })
+
     srv.setExecutor(null) // serve on the accept thread: control plane
     // start from a daemon thread: the JDK dispatcher inherits daemon
     // status from its creator, so a server left running can never
@@ -486,7 +797,7 @@ object HttpApi {
 
   private def route(f: HttpExchange => String)(
       implicit auth: Option[String],
-      catalog: Option[Capabilities.Catalog]): com.sun.net.httpserver.HttpHandler =
+      catalog: CapsRef): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) => {
       def fail(msg: String) = JsonMethods.compact(JsonMethods.render(JObject(
         "api:status" -> JString("api:failure"), "api:message" -> JString(msg))))
@@ -519,14 +830,14 @@ object HttpApi {
     * `Authorization: Bearer <token>` (constant-time compare). Neither
     * configured → open, as before. */
   private def authorized(ex: HttpExchange)(implicit auth: Option[String],
-      catalog: Option[Capabilities.Catalog]): Boolean =
-    catalog match {
+      catalog: CapsRef): Boolean =
+    catalog.get() match {
       case Some(cat) =>
-        ex.getRequestURI.getPath == "/api/info" ||
+        openRoute(ex.getRequestURI.getPath) ||
           bearer(ex).exists(cat.user(_).isDefined)
       case None => auth match {
         case None => true
-        case Some(_) if ex.getRequestURI.getPath == "/api/info" => true
+        case Some(_) if openRoute(ex.getRequestURI.getPath) => true
         case Some(tok) =>
           Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
             java.security.MessageDigest.isEqual(
@@ -547,7 +858,13 @@ object HttpApi {
     import Capabilities.Actions._
     val get = ex.getRequestMethod == "GET"
     ex.getRequestURI.getPath match {
-      case "/api/info" => None
+      case "/api/info" | "/api/ok" => None
+      case "/api/log" | "/api/diff" => Some((InstanceRead, BaseDb))
+      case "/api/patch" | "/api/apply" => Some((InstanceWrite, BaseDb))
+      case "/api/optimize" => Some((Branch, BaseDb))
+      case "/api/remote" => Some((Transfer, BaseDb))
+      case "/api/user" | "/api/organization" | "/api/role" |
+           "/api/capability" => Some((Manage, BaseDb))
       case "/api/db" =>
         if (get) None // listing names is identity-level, like /api/info
         else if (ex.getRequestMethod == "POST")
@@ -570,9 +887,14 @@ object HttpApi {
     }
   }
 
+  /** Unauthenticated routes: engine identity and the liveness probe
+    * (the reference's `/api/ok` health endpoint). */
+  private def openRoute(path: String): Boolean =
+    path == "/api/info" || path == "/api/ok"
+
   private def capabilityDenied(ex: HttpExchange)(
-      implicit catalog: Option[Capabilities.Catalog]): Option[String] =
-    catalog.flatMap { cat =>
+      implicit catalog: CapsRef): Option[String] =
+    catalog.get().flatMap { cat =>
       requiredCap(ex).flatMap { case (action, db) =>
         val u = bearer(ex).flatMap(cat.user)
         if (u.exists(cat.allows(_, action, db))) None

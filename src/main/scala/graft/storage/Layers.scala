@@ -65,6 +65,21 @@ final class LayerStore(val spark: SparkSession, val root: String) {
       .takeWhile(_.isDefined).map(_.get).toSeq.reverse
   }
 
+  /** Commit log of a branch, NEWEST first (the reference's `/api/log`
+    * route): `(commit_id, parent, message, at)` per commit on the
+    * branch's parent chain. Driver-side — the commit DAG is a small
+    * catalog even when the data is 100 TB. */
+  def log(branch: String): Seq[(String, Option[String], String, String)] = {
+    val meta = commits.collect().map(r => r.getString(0) ->
+      ((Option(r.getString(1)), r.getString(2), r.getString(3)))).toMap
+    chain(refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"no such branch $branch")))
+      .reverse.map { id =>
+        val (p, m, at) = meta(id)
+        (id, p, m, at)
+      }
+  }
+
   // ---- layers ---------------------------------------------------------
 
   def adds(commitId: String): DataFrame = readLayer(commitId, "adds")
@@ -121,7 +136,15 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     * by one), so an update that deletes a subgraph and re-inserts an
     * identical triple keeps it visible — the reference's commit
     * semantics. */
-  def materialize(commitId: String): DataFrame = {
+  def materialize(commitId: String): DataFrame =
+    // flat-cache fast path: `compact` materialized this exact commit
+    // into one base layer; commit ids are content-addressed so the
+    // cache can never go stale — read 1 layer instead of O(history)
+    if (Files.exists(Paths.get(path("flat", commitId, "adds", "_SUCCESS"))))
+      spark.read.parquet(path("flat", commitId, "adds"))
+    else fold(commitId)
+
+  private def fold(commitId: String): DataFrame = {
     val ids = chain(commitId)
     val parts = ids.zipWithIndex.flatMap { case (id, i) =>
       Seq(adds(id).withColumn("__seq", lit(i.toLong * 2 + 2)),
@@ -180,6 +203,26 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     writeRefs(refs + (branchName -> id))
     val _ = empty
     id
+  }
+
+  /** Storage optimization WITHOUT history rewrite (the reference's
+    * `/api/optimize`, vs `optimize` above which is its squash): fold
+    * the branch head's layer chain once and cache it as a single flat
+    * base layer under `flat/<head>/adds`. Refs, commit ids and the log
+    * are untouched — only the read path changes: [[materialize]] of
+    * the compacted head reads ONE layer instead of O(history). The
+    * cache is keyed by the content-addressed commit id, so it is
+    * immutable-correct by construction; a later commit gets a new head
+    * id and simply misses the cache until compacted again. Returns the
+    * number of layers folded. */
+  def compact(branchName: String): Int = {
+    val head = refs.getOrElse(branchName,
+      throw new IllegalArgumentException(s"no such branch $branchName"))
+    val n = chain(head).size
+    if (!Files.exists(Paths.get(path("flat", head, "adds", "_SUCCESS"))))
+      conform(fold(head)).write.mode("overwrite")
+        .parquet(path("flat", head, "adds"))
+    n
   }
 
   /** Storage size in bytes of a branch's layer stack (the reference's

@@ -470,6 +470,197 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally capSrv.stop()
   }
 
+  test("ok route is an unauthenticated liveness probe") {
+    val gated = server.HttpApi.start(spark, sfDir, token = Some("sesame"))
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(gated.url("/api/ok"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert((JsonMethods.parse(r.body()) \ "api:status") == JString("api:success"))
+    } finally gated.stop()
+  }
+
+  test("log route pages the commit chain newest first") {
+    post("/api/branch?name=logb&from=main", "")
+    val heads = (1 to 3).map { i =>
+      val (_, b) = post("/api/triples?branch=logb",
+        s"<http://log/x$i> <http://log/p> 'v$i' .")
+      (JsonMethods.parse(b) \ "head") match {
+        case JString(h) => h; case o => fail(s"$o") }
+    }
+    val (code, body) = get("/api/log?branch=logb")
+    assert(code == 200, body)
+    val JArray(commits) = (JsonMethods.parse(body) \ "commits"): @unchecked
+    val ids = commits.map(c => (c \ "identifier") match {
+      case JString(x) => x; case o => fail(s"$o") })
+    // newest first; the three turtle commits lead the chain
+    assert(ids.take(3) == heads.reverse)
+    // parent links agree with the order
+    assert(commits.head \ "parent" == JString(ids(1)))
+    assert(commits.forall(c => (c \ "message").isInstanceOf[JString]))
+    // paging
+    val (_, page) = get("/api/log?branch=logb&start=1&count=1")
+    val JArray(one) = (JsonMethods.parse(page) \ "commits"): @unchecked
+    assert(one.map(c => c \ "identifier") == List(JString(ids(1))))
+  }
+
+  test("diff route presents swaps and round-trips through patch") {
+    // base branch with one value; fork and change it + add a triple
+    post("/api/branch?name=dbase&from=main", "")
+    srv.store.commit("dbase", triples((":da", ":p", "v1")),
+      triples().limit(0), "base value")
+    post("/api/branch?name=dfork&from=dbase", "")
+    srv.store.commit("dfork",
+      triples((":da", ":p", "v2"), (":db", ":p", "w")),
+      triples((":da", ":p", "v1")), "swap + insert")
+
+    // patch presentation: the changed field fuses into a swap
+    val (c1, b1) = get("/api/diff?from=dbase&to=dfork")
+    assert(c1 == 200, b1)
+    val JArray(patch) = (JsonMethods.parse(b1) \ "patch"): @unchecked
+    val byOp = patch.groupBy(p => p \ "op")
+    assert(byOp(JString("swap")).exists(p =>
+      (p \ "subject") == JString(":da") &&
+        (p \ "old") == JString("v1") && (p \ "new") == JString("v2")))
+    assert(byOp(JString("insert")).exists(p => (p \ "subject") == JString(":db")))
+
+    // document-scoped diff: only :da rows
+    val (_, bDoc) = get("/api/diff?from=dbase&to=dfork&id=:da")
+    val JArray(docPatch) = (JsonMethods.parse(bDoc) \ "patch"): @unchecked
+    assert(docPatch.nonEmpty &&
+      docPatch.forall(p => (p \ "subject") == JString(":da")))
+
+    // lossless triples format applied onto a third branch reproduces
+    // the fork's graph exactly
+    val (c2, payload) = get("/api/diff?from=dbase&to=dfork&format=triples")
+    assert(c2 == 200)
+    post("/api/branch?name=dpatch&from=dbase", "")
+    val (c3, b3) = post("/api/patch?branch=dpatch&msg=replay", payload)
+    assert(c3 == 200, b3)
+    val got = srv.store.materializeBranch("dpatch")
+    val want = srv.store.materializeBranch("dfork")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("apply route replays a change set onto another branch") {
+    post("/api/branch?name=abase&from=main", "")
+    srv.store.commit("abase", triples((":aa", ":p", "x")),
+      triples().limit(0), "base")
+    post("/api/branch?name=afork&from=abase", "")
+    srv.store.commit("afork", triples((":ab", ":p", "y")),
+      triples().limit(0), "fork adds :ab")
+    post("/api/branch?name=atarget&from=abase", "")
+    val (code, body) = post("/api/apply?branch=atarget&from=abase&to=afork", "")
+    assert(code == 200, body)
+    val got = srv.store.materializeBranch("atarget")
+    val want = srv.store.materializeBranch("afork")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("optimize flattens storage without rewriting history") {
+    post("/api/branch?name=optb&from=main", "")
+    srv.store.commit("optb", triples((":o1", ":p", "a")), triples().limit(0), "c1")
+    srv.store.commit("optb", triples((":o2", ":p", "b")), triples((":o1", ":p", "a")), "c2")
+    val headBefore = srv.store.refs("optb")
+    val logBefore = srv.store.log("optb").map(_._1)
+    val matBefore = srv.store.materializeBranch("optb").collect().toSet
+
+    val (code, body) = post("/api/optimize?branch=optb", "")
+    assert(code == 200, body)
+    val j = JsonMethods.parse(body)
+    assert((j \ "head") == JString(headBefore)) // head UNCHANGED
+    assert((j \ "layers_folded") match {
+      case JInt(n) => n >= 2; case o => fail(s"$o") })
+    // history intact, reads unchanged (now served from the flat cache)
+    assert(srv.store.refs("optb") == headBefore)
+    assert(srv.store.log("optb").map(_._1) == logBefore)
+    assert(srv.store.materializeBranch("optb").collect().toSet == matBefore)
+    // a later commit gets a fresh head → cache miss → still correct
+    srv.store.commit("optb", triples((":o3", ":p", "c")), triples().limit(0), "c3")
+    val after = srv.store.materializeBranch("optb")
+    assert(after.filter(col("s") === ":o3").count() == 1)
+    assert(after.filter(col("s") === ":o1").count() == 0) // c2's remove holds
+  }
+
+  test("named remotes resolve in push/pull and round-trip CRUD") {
+    val remoteDir = java.nio.file.Files
+      .createTempDirectory("graft_named_remote").toString
+    val (c1, _) = post("/api/remote?name=origin2&location=" +
+      java.net.URLEncoder.encode(remoteDir, "UTF-8"), "")
+    assert(c1 == 200)
+    val (_, listed) = get("/api/remote")
+    assert((JsonMethods.parse(listed) \ "remotes" \ "origin2") ==
+      JString(remoteDir))
+    // push by NAME, not path
+    val (c2, b2) = post("/api/push?remote=origin2&branch=main", "")
+    assert(c2 == 200, b2)
+    assert(storage.LayerStore.open(spark, remoteDir).refs.contains("main"))
+    val (c3, _) = delete("/api/remote?name=origin2")
+    assert(c3 == 200)
+    val (_, listed2) = get("/api/remote")
+    assert((JsonMethods.parse(listed2) \ "remotes" \ "origin2") == JNothing)
+    // deleting an unknown remote is a 400
+    val (c4, _) = delete("/api/remote?name=nope")
+    assert(c4 == 400)
+  }
+
+  test("capability management routes mutate and persist the catalog") {
+    import server.Capabilities._
+    val catalog = Catalog(
+      orgs = Seq(Org("acme", Set("dbA"))),
+      roles = Seq(AdminRole, ReaderRole, WriterRole),
+      users = Seq(
+        User("root", "tok-root", Seq(Capability("admin", "*"))),
+        User("alice", "tok-alice",
+          Seq(Capability("reader", s"db/${server.HttpApi.BaseDb}")))))
+    val capsFile = java.nio.file.Files.createTempFile("graft_caps", ".json")
+    val capSrv = server.HttpApi.start(spark, sfDir,
+      capabilities = Some(catalog), capsFile = Some(capsFile.toString))
+    try {
+      def req(method: String, path: String, tok: String): (Int, String) = {
+        val b = HttpRequest.newBuilder(URI.create(capSrv.url(path)))
+          .header("Authorization", s"Bearer $tok")
+        val r = client.send((method match {
+          case "GET" => b.GET()
+          case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(""))
+          case "DELETE" => b.DELETE()
+        }).build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // management requires the manage action: reader 403, admin 200
+      assert(req("GET", "/api/user", "tok-alice")._1 == 403)
+      val (cl, bl) = req("GET", "/api/user", "tok-root")
+      assert(cl == 200)
+      assert(!bl.contains("tok-root")) // tokens never leave the server
+      // create a user, grant writer on the base db → token becomes live
+      assert(req("POST", "/api/user?name=dave&token=tok-dave", "tok-root")._1 == 200)
+      assert(req("GET", "/api/branch", "tok-dave")._1 == 403) // no grants yet
+      assert(req("POST", "/api/capability?user=dave&role=writer" +
+        s"&scope=db/${server.HttpApi.BaseDb}", "tok-root")._1 == 200)
+      assert(req("GET", "/api/branch", "tok-dave")._1 == 200)
+      // revoke → gone again
+      assert(req("DELETE", "/api/capability?user=dave&role=writer" +
+        s"&scope=db/${server.HttpApi.BaseDb}", "tok-root")._1 == 200)
+      assert(req("GET", "/api/branch", "tok-dave")._1 == 403)
+      // deleting a role still in use fails validation, catalog intact
+      assert(req("DELETE", "/api/role?name=reader", "tok-root")._1 == 400)
+      assert(req("GET", "/api/branch", "tok-alice")._1 == 200)
+      // org + role CRUD
+      assert(req("POST", "/api/role?name=auditor&actions=" +
+        "instance_read_access,schema_read_access", "tok-root")._1 == 200)
+      assert(req("POST", "/api/role?name=bad&actions=launch_missiles",
+        "tok-root")._1 == 400)
+      assert(req("POST", "/api/organization?name=emca&dbs=dbX,dbY",
+        "tok-root")._1 == 200)
+      assert(req("DELETE", "/api/organization?name=emca", "tok-root")._1 == 200)
+      // mutations persisted to the caps file in the readable shape
+      val persisted = fromFile(capsFile.toString)
+      assert(persisted.users.exists(_.name == "dave"))
+      assert(persisted.roles.exists(_.name == "auditor"))
+    } finally capSrv.stop()
+  }
+
   test("capability catalog is introspectable as a system graph") {
     import server.Capabilities._
     val catalog = Catalog(Seq(Org("acme", Set("dbA"))), Seq(ReaderRole),
