@@ -217,6 +217,34 @@ object VersionQueries {
       rows.toDF("subject", "property", "op", "old_v", "new_v")
     }),
 
+    // the /api/history route end-to-end: per-document commit history
+    // with added/removed counts; the oracle re-walks the same commit
+    // catalog AND re-counts the same delta-layer parquet files
+    "ext_http_history" -> ((s, d) => {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val st = httpFixedStore(s)
+      val running = graft.server.HttpApi.start(s, d, storeRoot = Some(st.root))
+      val resp = try httpGet(running.url(
+        "/api/history?branch=main&id=tpch:nation/1"))
+        finally running.stop()
+      val rows = (JsonMethods.parse(resp) \ "commits") match {
+        case JArray(cs) => cs.zipWithIndex.map { case (c, i) =>
+          def str(f: String) = (c \ f) match {
+            case JString(x) => x; case other => sys.error(s"bad $f: $other")
+          }
+          def num(f: String) = (c \ f) match {
+            case JInt(x) => x.toLong; case other => sys.error(s"bad $f: $other")
+          }
+          (i.toLong + 1, str("identifier"), str("message"),
+            num("added"), num("removed"))
+        }
+        case other => sys.error(s"bad commits: $other")
+      }
+      import s.implicits._
+      rows.toDF("seq", "commit_id", "message", "added", "removed")
+    }),
+
     // storage size (§2.4 size / reference `size(Resource,Bytes)` API):
     // per-layer byte totals of the fixed-content store, measured
     // DISTRIBUTED via the binaryFile source (no driver-side File.walk —
@@ -944,6 +972,35 @@ object VersionQueries {
         | ('tpch:nation/11','tpch:n_name','insert',CAST(NULL AS VARCHAR),'HTTP_11'),
         | ('tpch:nation/12','tpch:n_name','insert',CAST(NULL AS VARCHAR),'HTTP_12'))
         | AS t(subject, property, op, old_v, new_v)""".stripMargin,
+    // independent re-walk + re-count: chain order from the commit
+    // catalog, per-commit added/removed for the one subject re-counted
+    // from the delta-layer parquet files themselves
+    "ext_http_history" ->
+      (s"""WITH RECURSIVE walk(commit_id, parent, message, rank) AS (
+        | SELECT c.commit_id, c.parent, c.message, CAST(1 AS BIGINT)
+        |  FROM read_parquet('$cacheRoot/store_http_fixed/_catalog/commits/*.parquet') c
+        |  JOIN read_parquet('$cacheRoot/store_http_fixed/_catalog/refs/*.parquet') r
+        |    ON r.ref = 'main' AND r.commit_id = c.commit_id
+        | UNION ALL
+        | SELECT c.commit_id, c.parent, c.message, w.rank + 1
+        |  FROM read_parquet('$cacheRoot/store_http_fixed/_catalog/commits/*.parquet') c
+        |  JOIN walk w ON c.commit_id = w.parent),
+        | touches AS (
+        |  SELECT regexp_extract(filename, 'layers/([^/]+)/', 1) AS commit_id,
+        |    CAST(1 AS BIGINT) AS add_n, CAST(0 AS BIGINT) AS rem_n
+        |  FROM read_parquet('$cacheRoot/store_http_fixed/layers/*/adds/*.parquet',
+        |    filename=true) WHERE s = 'tpch:nation/1'
+        |  UNION ALL
+        |  SELECT regexp_extract(filename, 'layers/([^/]+)/', 1),
+        |    CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM read_parquet('$cacheRoot/store_http_fixed/layers/*/removes/*.parquet',
+        |    filename=true) WHERE s = 'tpch:nation/1'),
+        | agg AS (SELECT commit_id, sum(add_n) AS added, sum(rem_n) AS removed
+        |  FROM touches GROUP BY 1)
+        | SELECT CAST(row_number() OVER (ORDER BY w.rank) AS BIGINT) AS seq,
+        |  w.commit_id, w.message, CAST(a.added AS BIGINT) AS added,
+        |  CAST(a.removed AS BIGINT) AS removed
+        | FROM walk w JOIN agg a USING (commit_id)""".stripMargin),
     // re-measure the engine-written layer files byte-for-byte
     "woql_size" ->
       (s"""SELECT regexp_extract(filename, 'layers/([^/]+)/', 1) AS layer,

@@ -418,6 +418,28 @@ object HttpApi {
         })))
     })
 
+    srv.createContext("/api/history", route { ex =>
+      // commit history of ONE document ([ref:server/routes.pl] history
+      // route): the commits on the branch chain that touched ?id,
+      // newest first, with per-commit added/removed triple counts.
+      // The subject predicate is pushed into every delta-layer scan —
+      // cost ∝ the document's own change history, not the store.
+      require(ex.getRequestMethod == "GET", "GET required")
+      val branch = param(ex, "branch").getOrElse("main")
+      val id = param(ex, "id").getOrElse(sys.error("id parameter required"))
+      val startAt = param(ex, "start").map(_.toInt).getOrElse(0)
+      val count = param(ex, "count").map(_.toInt).getOrElse(Int.MaxValue)
+      val upto = math.min(startAt.toLong + count, Int.MaxValue.toLong).toInt
+      val entries = store.history(branch, id).slice(startAt, upto)
+      ok(JObject("api:status" -> JString("api:success"),
+        "branch" -> JString(branch), "id" -> JString(id),
+        "commits" -> JArray(entries.toList.map { case (cid, msg, at, a, rm) =>
+          JObject("identifier" -> JString(cid),
+            "message" -> JString(msg), "timestamp" -> JString(at),
+            "added" -> JInt(BigInt(a)), "removed" -> JInt(BigInt(rm))): JValue
+        })))
+    })
+
     // from/to accept a branch name or a commit id on all three routes
     def resolveCommit(x: String): String = store.refs.getOrElse(x, x)
 
@@ -433,26 +455,69 @@ object HttpApi {
       param(ex, "id").map(i => d.filter(col("s") === i)).getOrElse(d)
     }
 
+    // one parsed JSON document → an EAV frame rooted at its @id (or
+    // _:doc), the shape both content-mode routes diff/patch over.
+    // `forceSubject` roots the document at a caller-chosen id so a
+    // before/after pair always diffs field-by-field, never as two
+    // unrelated subjects.
+    def docFrame(j: JValue, forceSubject: Option[String] = None): (String, DataFrame) = {
+      val o = j match {
+        case o: JObject => o
+        case other => sys.error(s"document must be a JSON object, got $other")
+      }
+      val subject = forceSubject.getOrElse((o \ "@id") match {
+        case JString(s) => s; case _ => "_:doc"
+      })
+      val docType = (o \ "@type") match {
+        case JString(t) => t; case _ => "Document"
+      }
+      val body = JObject(o.obj.filterNot { case (k, _) => k.startsWith("@") })
+      val rows = graft.docs.Documents.expand(docType, subject, body)
+      (subject, spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), graft.storage.Eav.schema))
+    }
+
+    def renderPatch(d: DataFrame): String = {
+      val rows = graft.docs.Diff.patchView(d).collect().toList
+        .sortBy(r => (r.getString(0), r.getString(1), r.getString(2)))
+      ok(JObject("api:status" -> JString("api:success"),
+        "patch" -> JArray(rows.map { r =>
+          JObject("subject" -> JString(r.getString(0)),
+            "property" -> JString(r.getString(1)),
+            "op" -> JString(r.getString(2)),
+            "old" -> (if (r.isNullAt(3)) JNull else JString(r.getString(3))),
+            "new" -> (if (r.isNullAt(4)) JNull else JString(r.getString(4)))): JValue
+        })))
+    }
+
     srv.createContext("/api/diff", route { ex =>
       // diff two commits/branches ([ref:server/routes.pl] diff route,
       // core/document/patch.pl). Default render is the patch
       // presentation (swap/insert/delete per changed field);
       // ?format=triples emits the lossless EAV+op rows (one JSON
       // object per line) that POST /api/patch applies verbatim.
-      val d = diffFrame(ex)
+      // CONTENT MODE (the reference's stateless diff): POST a JSON
+      // body {"before": {...}, "after": {...}} — no store involved;
+      // both documents expand to EAV rooted at the same subject and
+      // diff exactly like two commits.
+      val body =
+        if (ex.getRequestMethod == "POST")
+          new String(ex.getRequestBody.readAllBytes(), "UTF-8").trim
+        else ""
+      val d =
+        if (body.startsWith("{")) {
+          val j = JsonMethods.parse(body)
+          (j \ "before", j \ "after") match {
+            case (b: JObject, a: JObject) =>
+              val (subj, bf) = docFrame(b)
+              graft.docs.Diff.diffTriples(bf, docFrame(a, Some(subj))._2)
+            case _ => sys.error(
+              "content diff body must carry before and after objects")
+          }
+        } else diffFrame(ex)
       param(ex, "format") match {
         case Some("triples") => raw(d.toJSON.collect().sorted.mkString("\n"))
-        case _ =>
-          val rows = graft.docs.Diff.patchView(d).collect().toList
-            .sortBy(r => (r.getString(0), r.getString(1), r.getString(2)))
-          ok(JObject("api:status" -> JString("api:success"),
-            "patch" -> JArray(rows.map { r =>
-              JObject("subject" -> JString(r.getString(0)),
-                "property" -> JString(r.getString(1)),
-                "op" -> JString(r.getString(2)),
-                "old" -> (if (r.isNullAt(3)) JNull else JString(r.getString(3))),
-                "new" -> (if (r.isNullAt(4)) JNull else JString(r.getString(4)))): JValue
-            })))
+        case _ => renderPatch(d)
       }
     })
 
@@ -461,25 +526,51 @@ object HttpApi {
         org.apache.spark.sql.types.StructField("op",
           org.apache.spark.sql.types.StringType))
 
+    // triples-format patch lines (the /api/diff?format=triples payload)
+    // → an EAV+op frame
+    def patchFrame(lines: Seq[String]): DataFrame = {
+      import spark.implicits._
+      spark.read.schema(opSchema).json(lines.filter(_.trim.nonEmpty).toDS())
+    }
+
     srv.createContext("/api/patch", route { ex =>
       // apply a triples-format patch (the /api/diff?format=triples
       // payload) as ONE commit on ?branch ([ref:core/document/patch.pl]
       // apply half). Round-trip contract: patching `from` with
       // diff(from → to) materializes to exactly `to`'s graph.
+      // CONTENT MODE (the reference's stateless patch): POST a JSON
+      // body {"before": {...}, "patch": [<triples rows>]} — returns
+      // the patched document, no store involved; with the content
+      // diff above, diff(before, after) patched onto before yields
+      // exactly after.
       require(ex.getRequestMethod == "POST", "POST required")
-      val branch = param(ex, "branch").getOrElse("main")
-      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      import spark.implicits._
       import org.apache.spark.sql.functions.col
-      val d = spark.read.schema(opSchema)
-        .json(body.split("\n").toSeq.filter(_.trim.nonEmpty).toDS())
       val cols = graft.storage.Eav.schema.fieldNames.toSeq.map(col)
-      val adds = d.filter(col("op") === "insert").select(cols: _*)
-      val removes = d.filter(col("op") === "delete").select(cols: _*)
-      val cid = store.commit(branch, adds, removes,
-        param(ex, "msg").getOrElse("patch"))
-      ok(JObject("api:status" -> JString("api:success"),
-        "branch" -> JString(branch), "head" -> JString(cid)))
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8").trim
+      if (body.startsWith("{") &&
+          (JsonMethods.parse(body) \ "before").isInstanceOf[JObject]) {
+        val j = JsonMethods.parse(body)
+        val before = (j \ "before").asInstanceOf[JObject]
+        val lines = (j \ "patch") match {
+          case JArray(rows) =>
+            rows.map(r => JsonMethods.compact(JsonMethods.render(r)))
+          case JString(s) => s.split("\n").toSeq
+          case other => sys.error(s"bad patch field: $other")
+        }
+        val (subj, bf) = docFrame(before)
+        val after = graft.docs.Diff.applyPatch(bf, patchFrame(lines))
+        ok(JObject("api:status" -> JString("api:success"),
+          "after" -> graft.docs.Documents.read(after, subj)))
+      } else {
+        val branch = param(ex, "branch").getOrElse("main")
+        val d = patchFrame(body.split("\n").toSeq)
+        val adds = d.filter(col("op") === "insert").select(cols: _*)
+        val removes = d.filter(col("op") === "delete").select(cols: _*)
+        val cid = store.commit(branch, adds, removes,
+          param(ex, "msg").getOrElse("patch"))
+        ok(JObject("api:status" -> JString("api:success"),
+          "branch" -> JString(branch), "head" -> JString(cid)))
+      }
     })
 
     srv.createContext("/api/apply", route { ex =>
@@ -859,7 +950,8 @@ object HttpApi {
     val get = ex.getRequestMethod == "GET"
     ex.getRequestURI.getPath match {
       case "/api/info" | "/api/ok" => None
-      case "/api/log" | "/api/diff" => Some((InstanceRead, BaseDb))
+      case "/api/log" | "/api/diff" | "/api/history" =>
+        Some((InstanceRead, BaseDb))
       case "/api/patch" | "/api/apply" => Some((InstanceWrite, BaseDb))
       case "/api/optimize" => Some((Branch, BaseDb))
       case "/api/remote" => Some((Transfer, BaseDb))

@@ -80,6 +80,38 @@ final class LayerStore(val spark: SparkSession, val root: String) {
       }
   }
 
+  /** Commit history of one DOCUMENT (the reference's `/api/history`
+    * route): the commits on `branch`'s chain that touched `subject`,
+    * newest first, with how many of its triples each added/removed.
+    * Distributed where it counts: the per-commit delta layers are
+    * unioned with their commit id and scanned ONCE with the subject
+    * predicate pushed into every parquet scan — cost ∝ Σ|delta|
+    * matching s, never O(history) materializations. Only the
+    * per-commit summary (bounded by chain length) reaches the
+    * driver, where it joins the tiny commit catalog. */
+  def history(branch: String, subject: String): Seq[(String, String, String, Long, Long)] = {
+    val ids = chain(refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"no such branch $branch")))
+    val parts = ids.flatMap { id =>
+      Seq(adds(id).select(col("s"), lit(id).as("__cid"), lit(1L).as("__add")),
+        removes(id).select(col("s"), lit(id).as("__cid"), lit(0L).as("__add")))
+    }
+    val touched = parts.reduce(_ unionByName _)
+      .filter(col("s") === subject)
+      .groupBy("__cid")
+      .agg(sum(col("__add")).as("added"),
+        sum(lit(1L) - col("__add")).as("removed"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val meta = commits.collect().map(r => r.getString(0) ->
+      ((r.getString(2), r.getString(3)))).toMap
+    ids.reverse.flatMap { id =>
+      touched.get(id).map { case (a, rm) =>
+        val (msg, at) = meta(id)
+        (id, msg, at, a, rm)
+      }
+    }
+  }
+
   // ---- layers ---------------------------------------------------------
 
   def adds(commitId: String): DataFrame = readLayer(commitId, "adds")

@@ -543,6 +543,61 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("history route lists the commits touching one document") {
+    post("/api/branch?name=histb&from=main", "")
+    srv.store.commit("histb", triples((":ha", ":p", "v1"), (":hz", ":p", "z")),
+      triples().limit(0), "h base")
+    srv.store.commit("histb", triples((":hz", ":q", "z2")),
+      triples().limit(0), "unrelated")
+    srv.store.commit("histb", triples((":ha", ":p", "v2")),
+      triples((":ha", ":p", "v1")), "h swap")
+    val (code, body) = get("/api/history?branch=histb&id=:ha")
+    assert(code == 200, body)
+    val JArray(cs) = (JsonMethods.parse(body) \ "commits"): @unchecked
+    // newest first, the unrelated middle commit filtered out
+    assert(cs.map(c => c \ "message") ==
+      List(JString("h swap"), JString("h base")))
+    assert(cs.head \ "added" == JInt(1) && cs.head \ "removed" == JInt(1))
+    assert(cs(1) \ "added" == JInt(1) && cs(1) \ "removed" == JInt(0))
+    // paging slices the filtered history
+    val (_, page) = get("/api/history?branch=histb&id=:ha&start=1&count=1")
+    val JArray(one) = (JsonMethods.parse(page) \ "commits"): @unchecked
+    assert(one.map(c => c \ "message") == List(JString("h base")))
+  }
+
+  test("content diff and patch work on raw documents, no store") {
+    val before = """{"@id":"doc:City/1","@type":"City",
+      |"name":"Utrecht","population":360000}""".stripMargin
+    val after = """{"@id":"doc:City/1","@type":"City",
+      |"name":"Utrecht","population":375000,"country":"NL"}""".stripMargin
+    val (c1, b1) = post("/api/diff",
+      s"""{"before":$before,"after":$after}""")
+    assert(c1 == 200, b1)
+    val JArray(patch) = (JsonMethods.parse(b1) \ "patch"): @unchecked
+    assert(patch.exists(p => (p \ "op") == JString("swap") &&
+      (p \ "property") == JString("doc:population") &&
+      (p \ "old") == JString("360000") && (p \ "new") == JString("375000")))
+    assert(patch.exists(p => (p \ "op") == JString("insert") &&
+      (p \ "property") == JString("doc:country")))
+    // name is unchanged — no row for it
+    assert(!patch.exists(p => (p \ "property") == JString("doc:name")))
+
+    // lossless round-trip: content diff (triples format) patched onto
+    // before reproduces after exactly
+    val (c2, lines) = post("/api/diff?format=triples",
+      s"""{"before":$before,"after":$after}""")
+    assert(c2 == 200)
+    val rows = lines.split("\n").filter(_.trim.nonEmpty)
+      .mkString("[", ",", "]")
+    val (c3, b3) = post("/api/patch",
+      s"""{"before":$before,"patch":$rows}""")
+    assert(c3 == 200, b3)
+    val got = JsonMethods.parse(b3) \ "after"
+    assert((got \ "population") == JInt(375000))
+    assert((got \ "country") == JString("NL"))
+    assert((got \ "name") == JString("Utrecht"))
+  }
+
   test("apply route replays a change set onto another branch") {
     post("/api/branch?name=abase&from=main", "")
     srv.store.commit("abase", triples((":aa", ":p", "x")),
