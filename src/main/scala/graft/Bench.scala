@@ -69,7 +69,7 @@ object Bench {
     "ext_orc_roundtrip", "graph_wcc", "rel_ewma", "sim_recall_ivf",
     "stream_ingest_commits", "text_c4_filters", "stream_c4_filters",
     // round-12 tranche
-    "mm_decode_wav", "woql_using_commit", "ext_graphql_path",
+    "mm_decode_wav", "woql_using_commit", "woql_using_db", "ext_graphql_path",
     "woql_get_turtle", "woql_get_json", "text_bpe_train_rounds")
 
   def main(args: Array[String]): Unit = {

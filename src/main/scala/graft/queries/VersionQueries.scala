@@ -67,6 +67,16 @@ object VersionQueries {
         t((0, "HTTP_0"), (1, "HTTP_1")), "delta")
       st.commit("main", t((12, "HTTP_12")), emptyEav(spark), "final")
     }
+    // nested named database (the /api/db layout: <root>/dbs/<name>)
+    // for the cross-db using() oracle — also fixed-content
+    val aux = LayerStore.open(spark, s"${st.root}/dbs/aux")
+    if (aux.refs.isEmpty) {
+      import spark.implicits._
+      def t(pairs: (Int, String)*) =
+        nameTriples(pairs.toSeq.toDF("n_nationkey", "n_name"))
+      aux.commit("main", t((1, "AUX_1"), (2, "AUX_2"), (3, "AUX_3")),
+        emptyEav(spark), "aux base")
+    }
     st
   }
 
@@ -314,6 +324,22 @@ object VersionQueries {
         .select(col("S").getField("iri").as("s"),
           col("Now").getField("str").as("now_name"),
           col("Then").getField("str").as("then_name"))
+    }),
+
+    // cross-DATABASE using (the reference's org/db resource strings):
+    // one query joins the fixed store's main head against the nested
+    // named database's main branch — heads {1:V2, 2, 10, 11, 12} ∩
+    // aux {1, 2, 3} on the shared subject variable
+    "woql_using_db" -> ((s, d) => {
+      val st = httpFixedStore(s)
+      implicit val ctx: Ctx = Updates.ctxFromStore(st, "main")
+      Compiler.run(And(Seq(
+          TriplePat(V("S"), Node("tpch:n_name"), V("Name")),
+          Using("db/aux",
+            TriplePat(V("S"), Node("tpch:n_name"), V("Aux"))))))
+        .select(col("S").getField("iri").as("s"),
+          col("Name").getField("str").as("name"),
+          col("Aux").getField("str").as("aux_name"))
     }),
 
     // materialization after the delta (fold of adds/removes)
@@ -1026,6 +1052,12 @@ object VersionQueries {
       """SELECT 'tpch:nation/'||n_nationkey AS s, n_name AS now_name,
         | n_name AS then_name FROM nation
         | WHERE n_nationkey BETWEEN 1 AND 14""".stripMargin,
+    // closed-form from the two fixed stores' construction: head ∩ aux
+    "woql_using_db" ->
+      """SELECT * FROM (VALUES
+        | ('tpch:nation/1', 'HTTP_1_V2', 'AUX_1'),
+        | ('tpch:nation/2', 'HTTP_2', 'AUX_2'))
+        | AS t(s, name, aux_name)""".stripMargin,
     "woql_put_csv" ->
       "SELECT n_name FROM nation",
     "woql_with_graph" ->

@@ -135,17 +135,32 @@ object Updates {
     * context re-derives the subsumption closure from the ADDRESSED
     * graph — a branch's own schema triples drive isa there — and
     * carries the same resolver, so Using nests. */
-  def resolver(store: LayerStore): String => Ctx = { resource =>
-    val graph = resource match {
-      case s if s.startsWith("branch/") =>
-        store.materializeBranch(s.stripPrefix("branch/"))
-      case s if s.startsWith("commit/") =>
-        store.materialize(s.stripPrefix("commit/"))
-      case other => sys.error(
-        s"using('$other'): expected branch/<name> or commit/<id>")
-    }
-    Ctx(store.spark, graph, Eav.subclassClosure(store.spark, graph),
-      adds = c => store.adds(c), removes = c => store.removes(c),
-      resolve = resolver(store))
+  def resolver(store: LayerStore): String => Ctx = {
+    case s if s.startsWith("db/") =>
+      // cross-DATABASE addressing (the reference's org/db resource
+      // strings, e.g. using("db/aux/branch/dev")): named stores live
+      // under <root>/dbs/<name> — the same convention the HTTP db
+      // admin routes create. Bare "db/<name>" means its main branch.
+      val rest = s.stripPrefix("db/")
+      val (name, sub) = rest.indexOf('/') match {
+        case -1 => (rest, "branch/main")
+        case i => (rest.substring(0, i), rest.substring(i + 1))
+      }
+      require(name.matches("[A-Za-z0-9_][A-Za-z0-9._-]*"),
+        s"invalid database name in using: $name")
+      resolver(LayerStore.open(store.spark, s"${store.root}/dbs/$name"))(sub)
+    case resource =>
+      val graph = resource match {
+        case s if s.startsWith("branch/") =>
+          store.materializeBranch(s.stripPrefix("branch/"))
+        case s if s.startsWith("commit/") =>
+          store.materialize(s.stripPrefix("commit/"))
+        case other => sys.error(
+          s"using('$other'): expected branch/<name>, commit/<id>, " +
+            "or db/<name>[/branch/<b>|/commit/<c>]")
+      }
+      Ctx(store.spark, graph, Eav.subclassClosure(store.spark, graph),
+        adds = c => store.adds(c), removes = c => store.removes(c),
+        resolve = resolver(store))
   }
 }
