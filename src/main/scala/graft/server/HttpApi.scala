@@ -203,6 +203,25 @@ object HttpApi {
           val jsons = body.split("\n").toSeq.filter(_.trim.nonEmpty).toDS()
           val adds = graft.docs.Documents.insertAll(jsons, docType,
             graft.docs.Documents.LexicalKey(keyFields))
+          // ?validate=true: run the full commit-time constraint set
+          // ([ref:core/validation/validate_instance.pl]) BEFORE the
+          // commit — schema rows come from the base dataset AND main's
+          // head (g = "schema"), so constraints committed through the
+          // API are enforced here too. Violations 400 with per-check
+          // counts; the store is untouched.
+          if (param(ex, "validate").contains("true")) {
+            import org.apache.spark.sql.functions.col
+            val g0 = defaultGraph
+            val results = graft.storage.Validator.validate(
+              g0.filter(col("g") === "instance"), adds,
+              g0.filter(col("g") === "schema"), ctx.subclass)
+            val bad = results.toList.sortBy(_._1)
+              .map { case (k, df) => k -> df.limit(11).count() }
+              .filter(_._2 > 0)
+            require(bad.isEmpty, "schema validation failed: " +
+              bad.map { case (k, n) =>
+                s"$k(${if (n > 10) "10+" else n.toString})" }.mkString(", "))
+          }
           val ids = adds.filter(org.apache.spark.sql.functions.col("p") === "rdf:type")
             .select("s").distinct().collect().map(_.getString(0)).toList.sorted
           val commitId = store.commit("main", adds,
@@ -714,10 +733,51 @@ object HttpApi {
         })))
     })
 
-    srv.createContext("/api/prefixes", route { _ =>
-      ok(JObject("api:status" -> JString("api:success"),
-        "@context" -> JObject(graft.docs.Prefixes.Default.toList.sortBy(_._1)
-          .map { case (p, base) => p -> (JString(base): JValue) })))
+    // ---- prefix context ([ref:server/routes.pl] prefixes route):
+    // the engine defaults plus a per-store overlay persisted next to
+    // the commit catalog; POST/DELETE manage the overlay only (the
+    // built-in context is not deletable) ----
+
+    val prefixesPath =
+      java.nio.file.Paths.get(store.root, "_catalog", "prefixes.json")
+    def readPrefixOverrides: Map[String, String] =
+      if (!java.nio.file.Files.exists(prefixesPath)) Map.empty
+      else JsonMethods.parse(java.nio.file.Files.readString(prefixesPath)) match {
+        case JObject(fields) => fields.collect {
+          case (p, JString(base)) => p -> base }.toMap
+        case _ => Map.empty
+      }
+    def writePrefixOverrides(m: Map[String, String]): Unit = {
+      java.nio.file.Files.createDirectories(prefixesPath.getParent)
+      java.nio.file.Files.writeString(prefixesPath,
+        JsonMethods.pretty(JsonMethods.render(JObject(
+          m.toList.sortBy(_._1).map { case (p, b) => p -> (JString(b): JValue) }))))
+    }
+
+    srv.createContext("/api/prefixes", route { ex =>
+      ex.getRequestMethod match {
+        case "GET" =>
+          val merged = graft.docs.Prefixes.Default ++ readPrefixOverrides
+          ok(JObject("api:status" -> JString("api:success"),
+            "@context" -> JObject(merged.toList.sortBy(_._1)
+              .map { case (p, base) => p -> (JString(base): JValue) })))
+        case "POST" =>
+          val p = param(ex, "prefix").getOrElse(sys.error("prefix parameter required"))
+          val base = param(ex, "base").getOrElse(sys.error("base parameter required"))
+          require(p.matches("[A-Za-z][A-Za-z0-9_-]*"),
+            s"prefix must be a bare name (no colon): $p")
+          writePrefixOverrides(readPrefixOverrides + (p -> base))
+          ok(JObject("api:status" -> JString("api:success"),
+            "prefix" -> JString(p), "base" -> JString(base)))
+        case "DELETE" =>
+          val p = param(ex, "prefix").getOrElse(sys.error("prefix parameter required"))
+          require(readPrefixOverrides.contains(p),
+            s"prefix not in the overlay (built-ins are not deletable): $p")
+          writePrefixOverrides(readPrefixOverrides - p)
+          ok(JObject("api:status" -> JString("api:success"),
+            "deleted" -> JString(p)))
+        case m => sys.error(s"unsupported method $m")
+      }
     })
 
     srv.createContext("/api/triples", route { ex =>
@@ -967,8 +1027,9 @@ object HttpApi {
         Some((if (get) InstanceRead else InstanceWrite, BaseDb))
       case "/api/triples" =>
         Some((if (get) InstanceRead else InstanceWrite, BaseDb))
-      case "/api/schema" | "/api/frame" | "/api/prefixes" =>
-        Some((SchemaRead, BaseDb))
+      case "/api/schema" | "/api/frame" => Some((SchemaRead, BaseDb))
+      case "/api/prefixes" =>
+        Some((if (get) SchemaRead else SchemaWrite, BaseDb))
       case "/api/branch" => Some((if (get) InstanceRead else Branch, BaseDb))
       case "/api/reset" | "/api/rebase" | "/api/squash" =>
         Some((Branch, BaseDb))

@@ -598,6 +598,55 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((got \ "name") == JString("Utrecht"))
   }
 
+  test("validated document insert enforces committed schema constraints") {
+    import org.apache.spark.sql.functions.lit
+    // enum constraint committed through the store into the SCHEMA graph:
+    // doc:status ∈ {open, closed}
+    srv.store.commit("main",
+      triples(("doc:status", "graft:oneOf", "open"),
+        ("doc:status", "graft:oneOf", "closed"))
+        .withColumn("g", lit("schema")),
+      triples().limit(0), "status enum")
+    // unique type per run: the spec store persists across test runs
+    val ty = s"Ticket${System.nanoTime}"
+    val (cBad, bBad) = post(s"/api/document?type=$ty&key=name&validate=true",
+      """{"name":"t1","status":"weird"}""")
+    assert(cBad == 400, bBad)
+    assert(bBad.contains("enum"))
+    // the violating insert must not have committed anything
+    val (_, list0) = get(s"/api/document?type=$ty")
+    assert(list0.trim.isEmpty)
+    val (cOk, bOk) = post(s"/api/document?type=$ty&key=name&validate=true",
+      """{"name":"t2","status":"open"}""")
+    assert(cOk == 200, bOk)
+    val (_, b2) = get(s"/api/document?id=doc:$ty/t2")
+    assert((JsonMethods.parse(b2) \ "status") == JString("open"))
+  }
+
+  test("prefix overlay is managed over the route and merges with defaults") {
+    val (c0, b0) = get("/api/prefixes")
+    assert(c0 == 200)
+    val JObject(ctx0) = (JsonMethods.parse(b0) \ "@context"): @unchecked
+    assert(ctx0.exists(_._1 == "rdf"))
+    val (c1, _) = post("/api/prefixes?prefix=ex&base=http://example.org/ns%23", "")
+    assert(c1 == 200)
+    val (_, b2) = get("/api/prefixes")
+    assert((JsonMethods.parse(b2) \ "@context" \ "ex") ==
+      JString("http://example.org/ns#"))
+    // malformed prefix refused
+    val (c3, _) = post("/api/prefixes?prefix=ex:&base=http://x/", "")
+    assert(c3 == 400)
+    // overlay deletable, built-ins not
+    val del = client.send(
+      HttpRequest.newBuilder(URI.create(srv.url("/api/prefixes?prefix=ex")))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+    assert(del.statusCode() == 200)
+    val delRdf = client.send(
+      HttpRequest.newBuilder(URI.create(srv.url("/api/prefixes?prefix=rdf")))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+    assert(delRdf.statusCode() == 400)
+  }
+
   test("apply route replays a change set onto another branch") {
     post("/api/branch?name=abase&from=main", "")
     srv.store.commit("abase", triples((":aa", ":p", "x")),
