@@ -219,6 +219,43 @@ object JsonWoql {
         case p => Some(varName(p))
       }
       PathQ(toTerm(j \ "subject"), toPath(j \ "pattern"), toTerm(j \ "object"), w)
+    // update leaves parse to True in the READ view; [[parseUpdate]]
+    // collects them into staging templates (same design as the v3
+    // reader's AddTriple/DeleteTriple handling)
+    case JString("AddTriple") | JString("DeleteTriple") => True
     case other => throw new IllegalArgumentException(s"unsupported WOQL op $other")
+  }
+
+  /** One collected write template: (s, p, o, graph, isInsert). */
+  type WriteTemplate = (Term, Term, Term, String, Boolean)
+
+  /** Parse a v10 UPDATE query ([ref:core/query/woql_compile.pl]
+    * AddTriple/DeleteTriple compiled against the transaction builder):
+    * returns the read query (update leaves replaced by True) plus every
+    * collected write template with its graph — the shape
+    * `Updates.stage(q, inserts, deletes, graph)` consumes per graph
+    * group. An AST with no templates is a plain read query. */
+  def parseUpdate(json: String): (Woql, Seq[WriteTemplate]) = {
+    val root = JsonMethods.parse(json)
+    val writes = scala.collection.mutable.ArrayBuffer.empty[WriteTemplate]
+    def graphOf(o: JValue): String = o \ "graph" match {
+      case JString(g) => g; case _ => "instance"
+    }
+    def walk(j: JValue): Unit = j match {
+      case o: JObject =>
+        (o \ "@type") match {
+          case JString("AddTriple") =>
+            writes += ((toTerm(o \ "subject"), toTerm(o \ "predicate"),
+              toTerm(o \ "object"), graphOf(o), true))
+          case JString("DeleteTriple") =>
+            writes += ((toTerm(o \ "subject"), toTerm(o \ "predicate"),
+              toTerm(o \ "object"), graphOf(o), false))
+          case _ => o.obj.foreach { case (_, v) => walk(v) }
+        }
+      case JArray(xs) => xs.foreach(walk)
+      case _ => ()
+    }
+    walk(root)
+    (toWoql(root), writes.toSeq)
   }
 }

@@ -87,6 +87,14 @@ object VersionQueries {
       java.net.http.HttpResponse.BodyHandlers.ofString()).body()
   }
 
+  private def httpPost(url: String, body: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    client.send(java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
   /** Ad-hoc schema-constraint rows for the validator queries, in the
     * column shape `Validator.constraintsFrom` reads: IRI-valued
     * (rdfs:domain / rdfs:range), string-valued (graft:oneOf),
@@ -340,6 +348,34 @@ object VersionQueries {
         .select(col("S").getField("iri").as("s"),
           col("Name").getField("str").as("name"),
           col("Aux").getField("str").as("aux_name"))
+    }),
+
+    // WOQL WRITE query over the wire: AddTriple leaves in a v10 JSON
+    // body staged per solution of the read part and landed as one
+    // commit on the server's main branch — end-to-end through
+    // /api/woql, then read back from the engine-written store
+    "woql_wire_update" -> ((s, d) => {
+      val root = s"$cacheRoot/store_wire_${san(d)}"
+      val st = LayerStore.open(s, root)
+      if (st.refs.isEmpty) {
+        val running = graft.server.HttpApi.start(s, d, storeRoot = Some(root))
+        val body =
+          """{"@type":"And","and":[
+            | {"@type":"Triple","subject":{"variable":"C"},
+            |  "predicate":{"node":"tpch:c_mktsegment"},
+            |  "object":{"variable":"Seg"}},
+            | {"@type":"Equals","left":{"variable":"Seg"},
+            |  "right":{"data":{"@type":"xsd:string","@value":"BUILDING"}}},
+            | {"@type":"AddTriple","subject":{"variable":"C"},
+            |  "predicate":{"node":"tpch:tag"},
+            |  "object":{"data":{"@type":"xsd:string","@value":"building"}}}
+            |]}""".stripMargin
+        val resp = try httpPost(running.url("/api/woql?msg=tag+building"), body)
+          finally running.stop()
+        require(resp.contains("api:success"), s"wire update failed: $resp")
+      }
+      st.materializeBranch("main").filter(col("p") === "tpch:tag")
+        .select(col("s"), col("o_str").as("tag"))
     }),
 
     // materialization after the delta (fold of adds/removes)
@@ -1068,6 +1104,9 @@ object VersionQueries {
         | + (SELECT count(*)*7 FROM part) + (SELECT count(*)*8 FROM orders)
         | + (SELECT count(*)*12 FROM lineitem) AS n""".stripMargin,
     "woql_update_staged" ->
+      """SELECT 'tpch:customer/'||c_custkey AS s, 'building' AS tag
+        | FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "woql_wire_update" ->
       """SELECT 'tpch:customer/'||c_custkey AS s, 'building' AS tag
         | FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "woql_into_schema" ->

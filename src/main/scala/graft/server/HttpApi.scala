@@ -108,7 +108,7 @@ object HttpApi {
     srv.createContext("/api/woql", route { ex =>
       require(ex.getRequestMethod == "POST", "POST required")
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      val ast = JsonWoql.parse(body)
+      val (ast, writes) = JsonWoql.parseUpdate(body)
       // resource addressing: ?branch=B queries a branch head,
       // ?commit=C any commit (TIME TRAVEL — the reference's
       // commit-descriptor resources); default is the base dataset.
@@ -122,7 +122,42 @@ object HttpApi {
         case (_, Some(b)) => at(store.materializeBranch(b))
         case _ => ctx
       }
-      bindingsJson(Compiler.run(ast)(qctx))
+      if (writes.isEmpty) bindingsJson(Compiler.run(ast)(qctx))
+      else {
+        // WOQL WRITE query over the wire ([ref:server/routes.pl] woql
+        // against a writable resource): AddTriple/DeleteTriple leaves
+        // become staging templates driven by the read part's solutions,
+        // landed as ONE commit on ?branch (default main). The read part
+        // queries the addressed resource like every other woql call.
+        // Requires instance_write_access (the route-level gate only
+        // covers reads) — 403, not 400, when the grant is missing.
+        caps.get().foreach { cat =>
+          val u = bearer(ex).flatMap(cat.user)
+          if (!u.exists(cat.allows(_,
+              Capabilities.Actions.InstanceWrite, BaseDb)))
+            throw Denied("requires instance_write_access on " + BaseDb)
+        }
+        require(param(ex, "commit").isEmpty,
+          "cannot write to a commit resource — address a branch")
+        val branch = param(ex, "branch").getOrElse("main")
+        val byGraph = writes.groupBy(_._4)
+        var adds = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], graft.storage.Eav.schema)
+        var removes = adds
+        byGraph.toList.sortBy(_._1).foreach { case (g, ts) =>
+          val (a, r) = graft.storage.Updates.stage(ast,
+            inserts = ts.filter(_._5).map(t => (t._1, t._2, t._3)),
+            deletes = ts.filterNot(_._5).map(t => (t._1, t._2, t._3)),
+            graph = g)(qctx)
+          adds = adds.unionByName(a); removes = removes.unionByName(r)
+        }
+        val (na, nr) = (adds.count(), removes.count())
+        val head = store.commit(branch, adds, removes,
+          param(ex, "msg").getOrElse("woql update"))
+        ok(JObject("api:status" -> JString("api:success"),
+          "branch" -> JString(branch), "head" -> JString(head),
+          "inserts" -> JInt(BigInt(na)), "deletes" -> JInt(BigInt(nr))))
+      }
     })
 
     srv.createContext("/api/graphql", route { ex =>
@@ -946,6 +981,12 @@ object HttpApi {
 
   // ---- plumbing ----
 
+  /** Thrown by handlers that discover a capability requirement only
+    * after reading the body (e.g. a WOQL write query on the read
+    * route) — mapped to 403 like the route-level gate. */
+  private final case class Denied(reason: String)
+    extends RuntimeException(reason)
+
   private def route(f: HttpExchange => String)(
       implicit auth: Option[String],
       catalog: CapsRef): com.sun.net.httpserver.HttpHandler =
@@ -957,8 +998,10 @@ object HttpApi {
         else capabilityDenied(ex) match {
           case Some(reason) => (403, fail(reason))
           case None => try (200, f(ex))
-            catch { case e: Throwable =>
-              (400, fail(Option(e.getMessage).getOrElse(e.toString)))
+            catch {
+              case Denied(reason) => (403, fail(reason))
+              case e: Throwable =>
+                (400, fail(Option(e.getMessage).getOrElse(e.toString)))
             }
         }
       if (code == 401)

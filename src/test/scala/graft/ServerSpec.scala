@@ -647,6 +647,60 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delRdf.statusCode() == 400)
   }
 
+  test("woql write query commits AddTriple/DeleteTriple over the wire") {
+    post("/api/branch?name=wwr&from=main", "")
+    srv.store.commit("wwr", triples((":wa", ":p", "old"), (":wb", ":p", "keep")),
+      triples().limit(0), "wire base")
+    // read part binds S over the branch; AddTriple tags every solution,
+    // DeleteTriple drops the old value of :wa
+    val body =
+      """{"@type":"And","and":[
+        | {"@type":"Triple","subject":{"node":":wa"},
+        |  "predicate":{"node":":p"},"object":{"variable":"O"}},
+        | {"@type":"DeleteTriple","subject":{"node":":wa"},
+        |  "predicate":{"node":":p"},"object":{"variable":"O"}},
+        | {"@type":"AddTriple","subject":{"node":":wa"},
+        |  "predicate":{"node":":p"},
+        |  "object":{"data":{"@type":"xsd:string","@value":"new"}}}
+        |]}""".stripMargin
+    val (code, resp) = post("/api/woql?branch=wwr", body)
+    assert(code == 200, resp)
+    val j = JsonMethods.parse(resp)
+    assert((j \ "inserts") == JInt(1) && (j \ "deletes") == JInt(1))
+    val after = srv.store.materializeBranch("wwr")
+    import org.apache.spark.sql.functions.col
+    val waVals = after.filter(col("s") === ":wa")
+      .select("o_str").collect().map(_.getString(0)).toSet
+    assert(waVals == Set("new"))
+    // writes to a commit resource are refused
+    val head = srv.store.refs("wwr")
+    val (cBad, _) = post(s"/api/woql?commit=$head", body)
+    assert(cBad == 400)
+  }
+
+  test("woql write query requires instance_write_access") {
+    val catalog = server.Capabilities.fromJson(
+      """{"orgs":[{"name":"o","dbs":["_default"]}],
+        |"roles":[{"name":"reader","actions":["instance_read_access"]}],
+        |"users":[{"name":"r","token":"rtok",
+        |  "capabilities":[{"role":"reader","scope":"org/o"}]}]}""".stripMargin)
+    val gated = server.HttpApi.start(spark, sfDir,
+      capabilities = Some(catalog), capsFile = None)
+    try {
+      val body =
+        """{"@type":"AddTriple","subject":{"node":":x"},
+          |"predicate":{"node":":p"},
+          |"object":{"data":{"@type":"xsd:string","@value":"v"}}}""".stripMargin
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(gated.url("/api/woql")))
+          .header("Authorization", "Bearer rtok")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 403, r.body())
+      assert(r.body().contains("instance_write_access"))
+    } finally gated.stop()
+  }
+
   test("apply route replays a change set onto another branch") {
     post("/api/branch?name=abase&from=main", "")
     srv.store.commit("abase", triples((":aa", ":p", "x")),
