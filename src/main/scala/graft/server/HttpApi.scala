@@ -172,7 +172,19 @@ object HttpApi {
         }
         case None => body
       }
-      val (cls, df) = GraphQL.run(query)
+      // same resource addressing as /api/woql: ?branch=B serves a
+      // branch head, ?commit=C any commit — the reference's per-branch
+      // GraphQL endpoints; subsumption re-derives from the addressed
+      // graph
+      def at(g: org.apache.spark.sql.DataFrame) =
+        ctx.copy(triples = g,
+          subclass = graft.storage.Eav.subclassClosure(spark, g))
+      val gctx = (param(ex, "commit"), param(ex, "branch")) match {
+        case (Some(c), _) => at(store.materialize(c))
+        case (_, Some(b)) => at(store.materializeBranch(b))
+        case _ => ctx
+      }
+      val (cls, df) = GraphQL.run(query)(gctx)
       val rows: List[JValue] = df.collect().toList.map { r =>
         JObject(df.columns.toList.map { c =>
           // data queries bind Vals structs; introspection binds plain

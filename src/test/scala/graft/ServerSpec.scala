@@ -701,6 +701,31 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally gated.stop()
   }
 
+  test("graphql serves a branch head via ?branch addressing") {
+    post("/api/branch?name=gqb&from=main", "")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // GraphQL maps class Widget to IRI prefix+Widget = tpch:Widget;
+    // the triples() helper only emits ":"-led IRIs, so patch the type
+    val gqData = triples(("tpch:thing/1", "rdf:type", ":w"),
+        ("tpch:thing/1", "tpch:w_name", "gizmo"))
+      .withColumn("o_iri", when(col("o_iri") === ":w",
+        lit("tpch:Widget")).otherwise(col("o_iri")))
+    srv.store.commit("gqb", gqData, triples().limit(0), "gq data")
+    // the committed triples only exist on the branch: rdf:type must be
+    // an IRI object; the type IRI is prefix + class name
+    val (code, resp) = post("/api/graphql?branch=gqb",
+      """{"query":"{ Widget { w_name } }"}""")
+    assert(code == 200, resp)
+    val JArray(rows) =
+      (JsonMethods.parse(resp) \ "data" \ "Widget"): @unchecked
+    assert(rows.map(r => r \ "w_name") == List(JString("gizmo")))
+    // the base context has no Widget instances
+    val (c2, r2) = post("/api/graphql", """{"query":"{ Widget { w_name } }"}""")
+    assert(c2 == 200)
+    val JArray(none) = (JsonMethods.parse(r2) \ "data" \ "Widget"): @unchecked
+    assert(none.isEmpty)
+  }
+
   test("apply route replays a change set onto another branch") {
     post("/api/branch?name=abase&from=main", "")
     srv.store.commit("abase", triples((":aa", ":p", "x")),
