@@ -327,11 +327,22 @@ object Dedup {
     * embeddingLshDups(emb).select(col("ia").as("da"), col("ib").as("db")))`). */
   def clustersFromPairs(ids: DataFrame, pairs: DataFrame,
                         maxRounds: Int = 64): DataFrame = {
-    val edges = pairs.select(col("da"), col("db"))
-      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
-      .localCheckpoint(true)
-    var labels = ids.select(col("doc_id"))
-      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
+    // every checkpoint is Scratch-tracked (released at the harness's
+    // drain), and each round eagerly frees the PREVIOUS round's label
+    // blocks — rounds ∝ component diameter, so without the release a
+    // deep component pins O(rounds × |V|) dead blocks for the whole
+    // query (and the bench leak assertion flags whatever survives)
+    def cp(df: DataFrame): DataFrame =
+      graft.util.Scratch.trackCheckpoint(df.localCheckpoint(true))
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          val _ = l.rdd.unpersist(false)
+      }
+    val edges = cp(pairs.select(col("da"), col("db"))
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db"))))
+    var labels = cp(ids.select(col("doc_id"))
+      .withColumn("cluster", col("doc_id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxRounds) {
@@ -344,12 +355,12 @@ object Dedup {
       // the change flag rides INSIDE the label join (one join per
       // round, counted over the checkpointed blocks) — a separate
       // next⋈labels diff join doubled the per-round join count
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val next = cp(labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("__chg"))
-        .localCheckpoint(true)
+          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("__chg")))
       changed = next.where(col("__chg")).count()
+      release(labels)
       labels = next.drop("__chg")
     }
     // rounds ∝ cluster diameter — a chain longer than maxRounds means the

@@ -128,6 +128,6 @@ class VersioningSpec extends AnyFunSuite {
     val e = intercept[RuntimeException] {
       Compiler.run(Using("garbage", True))
     }
-    assert(e.getMessage.contains("branch/<name> or commit/<id>"))
+    assert(e.getMessage.contains("branch/<name>, commit/<id>"))
   }
 }
