@@ -202,14 +202,23 @@ object Bench {
         // queries whose plans hadn't changed). Loud stderr line + a
         // leak field in the diag JSON; not fatal, so one leak doesn't
         // void the rest of the battery's numbers.
-        var leaked = spark.sparkContext.getRDDStorageInfo
+        // declared caches (Scratch.isCacheRdd — e.g. the path engine's
+        // step relations) are exempt: they survive drain on purpose,
+        // and force-dropping a cached CHECKPOINT destroys data with no
+        // lineage to rebuild it; their residency reports separately.
+        def undeclared = spark.sparkContext.getRDDStorageInfo
+          .filterNot(i => graft.util.Scratch.isCacheRdd(i.id))
+        var leaked = undeclared
         if (leaked.nonEmpty) {
           // drain's unpersists are non-blocking — give the async
           // removals one beat before declaring a leak, so the report
           // only names frames nobody released
           Thread.sleep(100)
-          leaked = spark.sparkContext.getRDDStorageInfo
+          leaked = undeclared
         }
+        val cacheArtifactMb = spark.sparkContext.getRDDStorageInfo
+          .filter(i => graft.util.Scratch.isCacheRdd(i.id))
+          .map(i => i.memSize + i.diskSize).sum >> 20
         val leakMb = leaked.map(i => i.memSize + i.diskSize).sum >> 20
         if (leaked.nonEmpty) {
           System.err.println(s"[bench][leak] $name left ${leaked.length} " +
@@ -221,7 +230,8 @@ object Bench {
         diags(name) = s"""{"gc_ms":${gcMs - gc0},"gc_forced":$gcForced,""" +
           s""""peak_heap_mb":$peakHeapMb,""" +
           s""""cached_mb":$cachedMb,"drained":$drained,""" +
-          s""""leaked_rdds":${leaked.length},"leaked_mb":$leakMb}"""
+          s""""leaked_rdds":${leaked.length},"leaked_mb":$leakMb,""" +
+          s""""cache_artifact_mb":$cacheArtifactMb}"""
         name -> secs.min
       }
     }

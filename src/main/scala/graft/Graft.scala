@@ -66,7 +66,10 @@ object Graft {
         .groupBy(col("p")).agg(max(col("count")).as("m"))
         .filter(col("m") === 1)
         .select("p").collect().map(_.getString(0)).toSet
-    Ctx(spark, triples, closure, functionalPreds = funcPreds)
+    Ctx(spark, triples, closure, functionalPreds = funcPreds,
+      // the encoded EAV dir is immutable once written — a stable
+      // identity for cross-query memoization (path step relations)
+      graphKey = Some(dir))
   }
 
   /** Plain relational reads for the extension operators. */

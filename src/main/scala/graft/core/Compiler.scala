@@ -27,7 +27,13 @@ final case class Ctx(
       * contexts without a store refuse Using at plan time. */
     resolve: String => Ctx = r => sys.error(
       s"using('$r'): no store attached to this context — " +
-        "build the Ctx with Updates.ctxFromStore (or via the HTTP API)"))
+        "build the Ctx with Updates.ctxFromStore (or via the HTTP API)"),
+    /** Content-stable identity of `triples` (EAV cache dir for the base
+      * dataset, `<storeRoot>@<commitId>` for layer stores). Set ONLY
+      * when the graph a key describes is immutable under that key —
+      * it unlocks cross-query memoization (e.g. the path engine's step
+      * relations). None disables those caches, never correctness. */
+    graphKey: Option[String] = None)
 
 /** WOQL → DataFrame compiler.
   *
@@ -288,7 +294,10 @@ object Compiler {
               lit(null).cast(Vals.Dec38).as("o_dec"))
         } else ctx.spark.read.parquet(resource).withColumn("g", lit(g))
           .select(graft.storage.Eav.schema.fieldNames.map(col): _*)
-      compile(sub, cur)(ctx.copy(triples = ctx.triples.unionByName(loaded)))
+      // the temp-graph union is a DIFFERENT graph: clear graphKey so
+      // the path engine's step-relation cache never serves base edges
+      compile(sub, cur)(ctx.copy(
+        triples = ctx.triples.unionByName(loaded), graphKey = None))
 
     case Using(resource, sub) =>
       // swap the compile context for the subquery's duration; the

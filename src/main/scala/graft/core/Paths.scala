@@ -55,6 +55,72 @@ object Paths {
       .select(col("src"), col("__d").as("dst"))
   }
 
+  /** Cross-query cache of materialized STEP RELATIONS for the
+    * iterative walks, keyed by (session, [[Ctx.graphKey]], pattern).
+    * The graph key is content-stable (EAV cache dir / store@commit),
+    * so a hit can never serve stale edges; contexts without a key skip
+    * the cache entirely. A long-running engine re-runs path queries
+    * against the same immutable graph constantly — re-materializing
+    * the identical step relation per query was the dominant fixed cost
+    * of the bound-endpoint walks (the same artifact-memoization
+    * contract as the BPE merge table and the IVF codebooks; cached
+    * frames are deliberately NOT Scratch-tracked). Bounded: LRU of
+    * [[MaxEntries]]; relations over the row cap are not cached (at
+    * 100 TB a hub-heavy step relation should not pin executor memory)
+    * and fall back to the query-scoped tracked checkpoint. */
+  private object RelCache {
+    private val MaxEntries = 8
+    private def maxRows: Long = sys.props.get("graft.path.relCacheMaxRows")
+      .orElse(sys.env.get("GRAFT_PATH_RELCACHE_MAX_ROWS"))
+      .map(_.toLong).getOrElse(20000000L)
+    private val lru = new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        if (size() > MaxEntries) { releaseFrame(e.getValue); true } else false
+    }
+    private def rddIds(df: DataFrame): Seq[Int] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+    private def releaseFrame(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          graft.util.Scratch.deregisterCacheRdd(l.rdd.id)
+          val _ = l.rdd.unpersist(false)
+      }
+    def getOrBuild(key: String, build: () => DataFrame): DataFrame =
+      synchronized {
+        Option(lru.get(key)).getOrElse {
+          val df = build().distinct().localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          if (df.count() <= maxRows) {
+            // declared cache: leak assertions must not force-drop a
+            // checkpoint (truncated lineage = unrecoverable data)
+            rddIds(df).foreach(graft.util.Scratch.registerCacheRdd)
+            lru.put(key, df); df
+          } else graft.util.Scratch.trackCheckpoint(df)
+        }
+      }
+    def clear(): Unit = synchronized {
+      lru.values().forEach(releaseFrame(_))
+      lru.clear()
+    }
+  }
+
+  /** Drop every cached step relation (test isolation / session end). */
+  def clearRelCache(): Unit = RelCache.clear()
+
+  /** The materialized one-step relation for an iterative walk:
+    * cache-memoized when the context carries a stable graph key,
+    * query-scoped (tracked checkpoint) otherwise. */
+  private def stepRelation(pat: PathPat, ctx: Ctx): DataFrame =
+    ctx.graphKey match {
+      case Some(gk) => RelCache.getOrBuild(
+        s"${System.identityHashCode(ctx.spark)}|$gk|$pat",
+        () => compile(pat, ctx))
+      case None => cp(compile(pat, ctx).distinct())
+    }
+
   /** Unbounded-closure budget. With BOTH endpoints free, plus/star is
     * all-pairs reachability: cost ∝ |closure| (potentially |V|²), not
     * the answer a user usually wants — at 100 TB that query is almost
@@ -204,7 +270,7 @@ object Paths {
     * (multi-source all-distances, guarded by the same budget as the
     * unbounded closure, since it is one). */
   def shortest(pat: PathPat, seedsOpt: Option[DataFrame], ctx: Ctx): DataFrame = {
-    val stepRel = cp(compile(pat, ctx).distinct())
+    val stepRel = stepRelation(pat, ctx)
     if (seedsOpt.isEmpty) {
       val n = stepRel.count()
       require(n <= closureBudget,
@@ -469,7 +535,7 @@ object Paths {
     // measured note). The checkpoint is one sequential write; rounds
     // then join a broadcast frontier against cached blocks.
     val relOpt: Option[DataFrame] =
-      if (closureFree(pat)) Some(cp(compile(pat, ctx))) else None
+      if (closureFree(pat)) Some(stepRelation(pat, ctx)) else None
     val BroadcastRows = sys.props.get("graft.path.broadcastRows")
       .orElse(sys.env.get("GRAFT_PATH_BROADCAST_ROWS"))
       .map(_.toLong).getOrElse(2000000L)
@@ -519,7 +585,7 @@ object Paths {
     // lazy rel re-scans cost more than one checkpoint — 7.7s vs 5.3s on
     // the 6-predicate closure at sf0.1)
     val relOpt: Option[DataFrame] =
-      if (closureFree(pat)) Some(cp(compile(pat, ctx))) else None
+      if (closureFree(pat)) Some(stepRelation(pat, ctx)) else None
     // frontiers and the visited set are usually far smaller than the
     // edge relation: broadcasting them keeps the big relation map-side
     // (zero shuffle per iteration). Above the threshold fall back to a

@@ -778,7 +778,8 @@ object VersionQueries {
         "tpch:Nation",
         Seq(("tpch:n_note", graft.storage.Eav.PStr, lit("flagged"))))
         .filter(col("p") =!= "rdf:type") // type triples already in base
-      implicit val ctx: Ctx = base.copy(triples = base.triples.unionByName(notes))
+      implicit val ctx: Ctx = base.copy(
+        triples = base.triples.unionByName(notes), graphKey = None)
       val q =
         """{ Nation(filter: {_or: [{n_note: {eq: "flagged"}},
           |                        {n_name: {startsWith: "NATION_1"}}]}) {

@@ -114,12 +114,16 @@ object HttpApi {
       // commit-descriptor resources); default is the base dataset.
       // The subsumption closure re-derives from the ADDRESSED graph —
       // a branch's own schema triples drive isa there, not the base's.
-      def at(g: org.apache.spark.sql.DataFrame) =
+      // graphKey re-derives with the ADDRESSED graph (commit-id keyed)
+      // — carrying the base key over would poison the path engine's
+      // step-relation cache with the wrong graph's edges
+      def at(g: org.apache.spark.sql.DataFrame, commitId: String) =
         ctx.copy(triples = g,
-          subclass = graft.storage.Eav.subclassClosure(spark, g))
+          subclass = graft.storage.Eav.subclassClosure(spark, g),
+          graphKey = Option(commitId).map(c => s"${store.root}@$c"))
       val qctx = (param(ex, "commit"), param(ex, "branch")) match {
-        case (Some(c), _) => at(store.materialize(c))
-        case (_, Some(b)) => at(store.materializeBranch(b))
+        case (Some(c), _) => at(store.materialize(c), c)
+        case (_, Some(b)) => at(store.materializeBranch(b), store.refs(b))
         case _ => ctx
       }
       if (writes.isEmpty) bindingsJson(Compiler.run(ast)(qctx))
@@ -176,12 +180,14 @@ object HttpApi {
       // branch head, ?commit=C any commit — the reference's per-branch
       // GraphQL endpoints; subsumption re-derives from the addressed
       // graph
-      def at(g: org.apache.spark.sql.DataFrame) =
+      // same graphKey re-derivation note as /api/woql above
+      def at(g: org.apache.spark.sql.DataFrame, commitId: String) =
         ctx.copy(triples = g,
-          subclass = graft.storage.Eav.subclassClosure(spark, g))
+          subclass = graft.storage.Eav.subclassClosure(spark, g),
+          graphKey = Option(commitId).map(c => s"${store.root}@$c"))
       val gctx = (param(ex, "commit"), param(ex, "branch")) match {
-        case (Some(c), _) => at(store.materialize(c))
-        case (_, Some(b)) => at(store.materializeBranch(b))
+        case (Some(c), _) => at(store.materialize(c), c)
+        case (_, Some(b)) => at(store.materializeBranch(b), store.refs(b))
         case _ => ctx
       }
       val (cls, df) = GraphQL.run(query)(gctx)
@@ -217,15 +223,16 @@ object HttpApi {
       ex.getRequestMethod match {
         case "GET" => param(ex, "id") match {
           case Some(id) =>
-            // ?branch=B reads the document from a branch head (default:
-            // the base dataset through the WOQL ReadDocument op)
+            // ?branch=B reads the document from a branch head, and
+            // ?commit=C from any commit (time travel, like /api/woql);
             // default graph matches the list-by-type sub-route below
             // (base dataset ∪ main head) so a document returned by the
             // listing never 404s on the follow-up id fetch, and base
             // documents stay readable once an API commit creates main
-            val g = param(ex, "branch") match {
-              case Some(b) => store.materializeBranch(b)
-              case None => defaultGraph
+            val g = (param(ex, "commit"), param(ex, "branch")) match {
+              case (Some(c), _) => store.materialize(c)
+              case (_, Some(b)) => store.materializeBranch(b)
+              case _ => defaultGraph
             }
             require(!g.filter(org.apache.spark.sql.functions
               .col("s") === id).isEmpty, s"document not found: $id")

@@ -127,7 +127,9 @@ object Updates {
     val closure = Eav.subclassClosure(store.spark, triples)
     Ctx(store.spark, triples, closure,
       adds = c => store.adds(c), removes = c => store.removes(c),
-      resolve = resolver(store))
+      resolve = resolver(store),
+      // commit ids are content-addressed: root@head is immutable
+      graphKey = store.refs.get(branch).map(h => s"${store.root}@$h"))
   }
 
   /** `using` resource resolver over a store: `branch/<name>` reads a
@@ -150,17 +152,20 @@ object Updates {
         s"invalid database name in using: $name")
       resolver(LayerStore.open(store.spark, s"${store.root}/dbs/$name"))(sub)
     case resource =>
-      val graph = resource match {
+      val commitId = resource match {
         case s if s.startsWith("branch/") =>
-          store.materializeBranch(s.stripPrefix("branch/"))
-        case s if s.startsWith("commit/") =>
-          store.materialize(s.stripPrefix("commit/"))
+          store.refs.getOrElse(s.stripPrefix("branch/"),
+            throw new IllegalArgumentException(
+              s"no such branch ${s.stripPrefix("branch/")}"))
+        case s if s.startsWith("commit/") => s.stripPrefix("commit/")
         case other => sys.error(
           s"using('$other'): expected branch/<name>, commit/<id>, " +
             "or db/<name>[/branch/<b>|/commit/<c>]")
       }
+      val graph = store.materialize(commitId)
       Ctx(store.spark, graph, Eav.subclassClosure(store.spark, graph),
         adds = c => store.adds(c), removes = c => store.removes(c),
-        resolve = resolver(store))
+        resolve = resolver(store),
+        graphKey = Some(s"${store.root}@$commitId"))
   }
 }

@@ -62,4 +62,23 @@ object Scratch {
     }
     n
   }
+
+  // ---- deliberate cross-query caches ---------------------------------
+  //
+  // A memoized artifact (path step relations, trained codebooks) is
+  // NOT scratch: it must survive drain(), and — when it is a local
+  // CHECKPOINT — an external force-unpersist destroys data that has no
+  // lineage to recompute from. Caches REGISTER their block-holding RDD
+  // ids here so harness-level leak assertions can tell "forgot to
+  // drain" from "cache, on purpose" and leave the latter alone.
+
+  private val cacheRdds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Declare an RDD id as a deliberate cache (exempt from leak checks). */
+  def registerCacheRdd(id: Int): Unit = { val _ = cacheRdds.add(id) }
+
+  /** Withdraw a cache declaration (call when the cache releases it). */
+  def deregisterCacheRdd(id: Int): Unit = { val _ = cacheRdds.remove(id) }
+
+  def isCacheRdd(id: Int): Boolean = cacheRdds.contains(id)
 }

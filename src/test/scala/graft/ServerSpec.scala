@@ -726,6 +726,20 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.isEmpty)
   }
 
+  test("document GET time-travels with ?commit addressing") {
+    post("/api/branch?name=dtt&from=main", "")
+    val c1 = srv.store.commit("dtt",
+      triples(("doc:Pt/1", "rdf:type", ":t"), ("doc:Pt/1", "doc:v", "one")),
+      triples().limit(0), "v one")
+    srv.store.commit("dtt", triples(("doc:Pt/1", "doc:v", "two")),
+      triples(("doc:Pt/1", "doc:v", "one")), "v two")
+    val (cHead, bHead) = get("/api/document?id=doc:Pt/1&branch=dtt")
+    assert(cHead == 200 && (JsonMethods.parse(bHead) \ "v") == JString("two"))
+    val (cOld, bOld) = get(s"/api/document?id=doc:Pt/1&commit=$c1")
+    assert(cOld == 200, bOld)
+    assert((JsonMethods.parse(bOld) \ "v") == JString("one"))
+  }
+
   test("apply route replays a change set onto another branch") {
     post("/api/branch?name=abase&from=main", "")
     srv.store.commit("abase", triples((":aa", ":p", "x")),
