@@ -209,11 +209,14 @@ object Bench {
         def undeclared = spark.sparkContext.getRDDStorageInfo
           .filterNot(i => graft.util.Scratch.isCacheRdd(i.id))
         var leaked = undeclared
-        if (leaked.nonEmpty) {
+        var settle = 0
+        while (leaked.nonEmpty && settle < 10) {
           // drain's unpersists are non-blocking — give the async
-          // removals one beat before declaring a leak, so the report
-          // only names frames nobody released
+          // removals up to a second before declaring a leak, so the
+          // report only names frames nobody released (100 ms was not
+          // always enough for multi-MB disk blocks)
           Thread.sleep(100)
+          settle += 1
           leaked = undeclared
         }
         val cacheArtifactMb = spark.sparkContext.getRDDStorageInfo
