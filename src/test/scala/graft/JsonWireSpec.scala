@@ -94,6 +94,42 @@ class JsonWireSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { JsonWoqlWriteV3.write(q) }
   }
 
+  test("parseUpdate splits v10 write leaves from the read query") {
+    val body =
+      """{"@type":"And","and":[
+        | {"@type":"Triple","subject":{"variable":"S"},
+        |  "predicate":{"node":"p"},"object":{"variable":"O"}},
+        | {"@type":"AddTriple","subject":{"variable":"S"},
+        |  "predicate":{"node":"q"},
+        |  "object":{"data":{"@type":"xsd:string","@value":"v"}}},
+        | {"@type":"AddTriple","subject":{"variable":"S"},
+        |  "predicate":{"node":"r"},"object":{"variable":"O"},
+        |  "graph":"schema"},
+        | {"@type":"DeleteTriple","subject":{"variable":"S"},
+        |  "predicate":{"node":"p"},"object":{"variable":"O"}}
+        |]}""".stripMargin
+    val (q, writes) = JsonWoql.parseUpdate(body)
+    // read view: write leaves become True
+    assert(q == And(Seq(TriplePat(V("S"), Node("p"), V("O")),
+      True, True, True)))
+    assert(writes == Seq(
+      (V("S"), Node("q"), Str("v"), "instance", true),
+      (V("S"), Node("r"), V("O"), "schema", true),
+      (V("S"), Node("p"), V("O"), "instance", false)))
+    // a body without write leaves is a plain read query
+    val (q2, w2) = JsonWoql.parseUpdate(
+      """{"@type":"Triple","subject":{"variable":"S"},
+        |"predicate":{"node":"p"},"object":{"variable":"O"}}""".stripMargin)
+    assert(w2.isEmpty && q2 == TriplePat(V("S"), Node("p"), V("O")))
+    // nested writes (inside Select) are still collected
+    val (_, w3) = JsonWoql.parseUpdate(
+      """{"@type":"Select","variables":["S"],"query":
+        | {"@type":"AddTriple","subject":{"variable":"S"},
+        |  "predicate":{"node":"p"},
+        |  "object":{"data":{"@type":"xsd:integer","@value":7}}}}""".stripMargin)
+    assert(w3 == Seq((V("S"), Node("p"), Lng(7L), "instance", true)))
+  }
+
   test("whole battery flagship + engine-internal nodes raise") {
     rt(graft.queries.WoqlQueries.flagship)
     intercept[IllegalArgumentException] {
