@@ -108,7 +108,15 @@ object HttpApi {
     srv.createContext("/api/woql", route { ex =>
       require(ex.getRequestMethod == "POST", "POST required")
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      val (ast, writes) = JsonWoql.parseUpdate(body)
+      // wire-version sniff: v3 clients ship `woql:`-prefixed @type
+      // values ([ref:core/query/json_woql.pl]); both dialects execute
+      // through the same AST, reads AND writes
+      val (ast, writes) =
+        if (body.contains("\"woql:")) {
+          val (q, adds, dels) = graft.core.JsonWoqlV3.parseUpdate(body)
+          (q, adds.map(t => (t._1, t._2, t._3, "instance", true)) ++
+            dels.map(t => (t._1, t._2, t._3, "instance", false)))
+        } else JsonWoql.parseUpdate(body)
       // resource addressing: ?branch=B queries a branch head,
       // ?commit=C any commit (TIME TRAVEL — the reference's
       // commit-descriptor resources); default is the base dataset.
@@ -300,6 +308,14 @@ object HttpApi {
           store.branch(name, store.refs(from))
           ok(JObject("api:status" -> JString("api:success"),
             "branch" -> JString(name), "head" -> JString(store.refs(name))))
+        case "DELETE" =>
+          // ref removal only — commits are content-addressed and may be
+          // shared ([ref:core/api/db_branch.pl] branch delete); main is
+          // protected
+          val name = param(ex, "name").getOrElse(sys.error("name parameter required"))
+          store.deleteBranch(name)
+          ok(JObject("api:status" -> JString("api:success"),
+            "deleted" -> JString(name)))
         case m => sys.error(s"unsupported method $m")
       }
     })

@@ -208,6 +208,15 @@ final class LayerStore(val spark: SparkSession, val root: String) {
   def reset(branch: String, commitId: String): Unit =
     writeRefs(refs + (branch -> commitId))
 
+  /** Delete a branch ref (the reference's branch delete). Layers stay:
+    * commits are content-addressed and may be shared by other branches
+    * — ref removal is metadata-only, like git. `main` is protected. */
+  def deleteBranch(name: String): Unit = {
+    require(name != "main", "cannot delete the main branch")
+    require(refs.contains(name), s"no such branch $name")
+    writeRefs(refs - name)
+  }
+
   /** Triple-level diff between two commits (added, removed).
     * EAV rows carry nulls in unused typed slots, so the anti-join must
     * be null-safe (`<=>`) — a plain using-columns join would treat every

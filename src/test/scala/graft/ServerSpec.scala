@@ -740,6 +740,48 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((JsonMethods.parse(bOld) \ "v") == JString("one"))
   }
 
+  test("branch delete removes the ref and protects main") {
+    post("/api/branch?name=bdel&from=main", "")
+    assert(srv.store.refs.contains("bdel"))
+    val del = client.send(
+      HttpRequest.newBuilder(URI.create(srv.url("/api/branch?name=bdel")))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+    assert(del.statusCode() == 200, del.body())
+    assert(!srv.store.refs.contains("bdel"))
+    val delMain = client.send(
+      HttpRequest.newBuilder(URI.create(srv.url("/api/branch?name=main")))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+    assert(delMain.statusCode() == 400)
+  }
+
+  test("woql route accepts the v3 wire dialect, reads and writes") {
+    // v3 read: woql:-prefixed types execute through the same AST
+    val v3read =
+      """{"@type":"woql:Triple",
+        |"woql:subject":{"@type":"woql:Variable","woql:variable_name":"S"},
+        |"woql:predicate":{"@type":"woql:Node","woql:node":"tpch:r_name"},
+        |"woql:object":{"@type":"woql:Variable","woql:variable_name":"N"}}""".stripMargin
+    val (c1, b1) = post("/api/woql", v3read)
+    assert(c1 == 200, b1)
+    val JArray(bindings) = (JsonMethods.parse(b1) \ "bindings"): @unchecked
+    assert(bindings.size == 5)
+    // v3 write: AddTriple leaf commits like the v10 path
+    post("/api/branch?name=v3w&from=main", "")
+    val v3write =
+      """{"@type":"woql:AddTriple",
+        |"woql:subject":{"@type":"woql:Node","woql:node":":v3s"},
+        |"woql:predicate":{"@type":"woql:Node","woql:node":":p"},
+        |"woql:object":{"@type":"woql:Datatype","woql:datatype":
+        |  {"@type":"xsd:string","@value":"v3v"}}}""".stripMargin
+    val (c2, b2) = post("/api/woql?branch=v3w", v3write)
+    assert(c2 == 200, b2)
+    import org.apache.spark.sql.functions.col
+    val vals = srv.store.materializeBranch("v3w")
+      .filter(col("s") === ":v3s").select("o_str")
+      .collect().map(_.getString(0)).toSet
+    assert(vals == Set("v3v"))
+  }
+
   test("apply route replays a change set onto another branch") {
     post("/api/branch?name=abase&from=main", "")
     srv.store.commit("abase", triples((":aa", ":p", "x")),
