@@ -227,6 +227,23 @@ object HttpApi {
       store.refs.get("main").map(h => ctx.triples.unionByName(store.materialize(h)))
         .getOrElse(ctx.triples)
 
+    // document JSON with the reference's @id/@type envelope
+    // ([ref:core/document/json.pl] json document shape) — metadata
+    // first, fields after, like the reference's document responses
+    def docJsonWithMeta(g: org.apache.spark.sql.DataFrame, id: String): String = {
+      import org.apache.spark.sql.functions.col
+      val ty = g.filter(col("s") === id && col("p") === "rdf:type" &&
+          col("o_kind") === "i").select("o_iri").limit(1)
+        .collect().headOption.map(_.getString(0))
+      val body = graft.docs.Documents.read(g, id) match {
+        case JObject(fields) => fields
+        case other => List("value" -> other)
+      }
+      JsonMethods.compact(JsonMethods.render(JObject(
+        ("@id" -> (JString(id): JValue)) ::
+          ty.map(t => "@type" -> (JString(t): JValue)).toList ::: body)))
+    }
+
     srv.createContext("/api/document", route { ex =>
       ex.getRequestMethod match {
         case "GET" => param(ex, "id") match {
@@ -244,7 +261,7 @@ object HttpApi {
             }
             require(!g.filter(org.apache.spark.sql.functions
               .col("s") === id).isEmpty, s"document not found: $id")
-            raw(graft.docs.Documents.readJson(g, id))
+            raw(docJsonWithMeta(g, id))
           case None =>
             // paged list-by-type: one JSON document per line, ordered
             // by id so skip/count page deterministically
@@ -254,7 +271,7 @@ object HttpApi {
             val count = param(ex, "count").map(_.toInt).getOrElse(100)
             val graph = defaultGraph
             val ids = graft.docs.Documents.listIds(graph, ty, skip, count)
-            raw(ids.map(graft.docs.Documents.readJson(graph, _)).mkString("\n"))
+            raw(ids.map(docJsonWithMeta(graph, _)).mkString("\n"))
         }
         case "POST" =>
           val docType = param(ex, "type").getOrElse(sys.error("type parameter required"))

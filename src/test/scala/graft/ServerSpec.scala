@@ -59,8 +59,10 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (code, body) = get("/api/document?id=tpch:region/0")
     assert(code == 200)
     val j = JsonMethods.parse(body)
-    // typed document JSON (numbers as numbers) — the Documents.read
-    // shape, shared with the list-by-type route
+    // typed document JSON (numbers as numbers) with the reference's
+    // @id/@type envelope
+    assert((j \ "@id") == JString("tpch:region/0"))
+    assert((j \ "@type") == JString("tpch:Region"))
     assert((j \ "r_regionkey") == JInt(0))
     assert((j \ "r_name").isInstanceOf[JString])
   }
