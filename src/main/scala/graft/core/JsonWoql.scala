@@ -219,12 +219,20 @@ object JsonWoql {
         case p => Some(varName(p))
       }
       PathQ(toTerm(j \ "subject"), toPath(j \ "pattern"), toTerm(j \ "object"), w)
-    // update leaves parse to True in the READ view; [[parseUpdate]]
-    // collects them into staging templates (same design as the v3
-    // reader's AddTriple/DeleteTriple handling)
-    case JString("AddTriple") | JString("DeleteTriple") => True
+    // update leaves parse to True only inside [[parseUpdate]]'s read
+    // view (which collects them into staging templates, same design as
+    // the v3 reader); plain [[parse]] keeps the LOUD failure — a read
+    // path silently discarding writes would be data loss
+    case JString("AddTriple") | JString("DeleteTriple") =>
+      if (writeView.value) True
+      else throw new IllegalArgumentException(
+        "AddTriple/DeleteTriple are write operations — execute them " +
+          "through parseUpdate (POST /api/woql) rather than the " +
+          "read-only parse")
     case other => throw new IllegalArgumentException(s"unsupported WOQL op $other")
   }
+
+  private val writeView = new scala.util.DynamicVariable(false)
 
   /** One collected write template: (s, p, o, graph, isInsert). */
   type WriteTemplate = (Term, Term, Term, String, Boolean)
@@ -256,6 +264,6 @@ object JsonWoql {
       case _ => ()
     }
     walk(root)
-    (toWoql(root), writes.toSeq)
+    (writeView.withValue(true)(toWoql(root)), writes.toSeq)
   }
 }

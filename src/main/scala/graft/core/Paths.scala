@@ -76,32 +76,54 @@ object Paths {
     private val lru = new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, DataFrame]): Boolean =
-        if (size() > MaxEntries) { releaseFrame(e.getValue); true } else false
+        // EVICTION MUST NOT UNPERSIST: a concurrent query may still be
+        // joining against this frame, and a localCheckpoint has no
+        // lineage to recompute from. Withdraw the cache declaration
+        // (leak checks may now see it) and let the ContextCleaner
+        // reclaim the blocks once the last reference is gone — the
+        // same end state, without yanking data from under a reader.
+        if (size() > MaxEntries) { deregister(e.getValue); true } else false
     }
     private def rddIds(df: DataFrame): Seq[Int] =
       df.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
       }
+    private def deregister(df: DataFrame): Unit =
+      rddIds(df).foreach(graft.util.Scratch.deregisterCacheRdd)
     private def releaseFrame(df: DataFrame): Unit =
       df.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           graft.util.Scratch.deregisterCacheRdd(l.rdd.id)
           val _ = l.rdd.unpersist(false)
       }
-    def getOrBuild(key: String, build: () => DataFrame): DataFrame =
-      synchronized {
-        Option(lru.get(key)).getOrElse {
+    def getOrBuild(key: String, build: () => DataFrame): DataFrame = {
+      // fast path under the monitor; MATERIALIZATION runs outside it —
+      // holding a global lock through a multi-second Spark job would
+      // serialize every path query engine-wide, including pure hits on
+      // other keys. A miss race can build the same relation twice; the
+      // loser's copy is released (nobody else holds it), the winner's
+      // is served.
+      synchronized { Option(lru.get(key)) } match {
+        case Some(df) => df
+        case None =>
           val df = build().distinct().localCheckpoint(true,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-          if (df.count() <= maxRows) {
-            // declared cache: leak assertions must not force-drop a
-            // checkpoint (truncated lineage = unrecoverable data)
-            rddIds(df).foreach(graft.util.Scratch.registerCacheRdd)
-            lru.put(key, df); df
-          } else graft.util.Scratch.trackCheckpoint(df)
-        }
+          if (df.count() > maxRows) graft.util.Scratch.trackCheckpoint(df)
+          else synchronized {
+            Option(lru.get(key)) match {
+              case Some(winner) => releaseFrame(df); winner
+              case None =>
+                // declared cache: leak assertions must not force-drop a
+                // checkpoint (truncated lineage = unrecoverable data)
+                rddIds(df).foreach(graft.util.Scratch.registerCacheRdd)
+                lru.put(key, df); df
+            }
+          }
       }
+    }
     def clear(): Unit = synchronized {
+      // test-isolation / session-teardown only: callers guarantee no
+      // query is in flight, so eager unpersist is safe here
       lru.values().forEach(releaseFrame(_))
       lru.clear()
     }
@@ -116,7 +138,14 @@ object Paths {
   private def stepRelation(pat: PathPat, ctx: Ctx): DataFrame =
     ctx.graphKey match {
       case Some(gk) => RelCache.getOrBuild(
-        s"${System.identityHashCode(ctx.spark)}|$gk|$pat",
+        // keyed by SparkContext identity (applicationId + startTime),
+        // not the session's identityHashCode: cached blocks live in
+        // the CONTEXT's block manager (sharing across sessions of one
+        // context is correct), and a restarted context gets a new
+        // appId/startTime — no hash-reuse collision can serve a frame
+        // bound to a stopped context
+        s"${ctx.spark.sparkContext.applicationId}@" +
+          s"${ctx.spark.sparkContext.startTime}|$gk|$pat",
         () => compile(pat, ctx))
       case None => cp(compile(pat, ctx).distinct())
     }

@@ -105,35 +105,45 @@ object HttpApi {
         "spark_version" -> JString(spark.version)))
     })
 
-    srv.createContext("/api/woql", route { ex =>
-      require(ex.getRequestMethod == "POST", "POST required")
-      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      // wire-version sniff: v3 clients ship `woql:`-prefixed @type
-      // values ([ref:core/query/json_woql.pl]); both dialects execute
-      // through the same AST, reads AND writes
-      val (ast, writes) =
-        if (body.contains("\"woql:")) {
-          val (q, adds, dels) = graft.core.JsonWoqlV3.parseUpdate(body)
-          (q, adds.map(t => (t._1, t._2, t._3, "instance", true)) ++
-            dels.map(t => (t._1, t._2, t._3, "instance", false)))
-        } else JsonWoql.parseUpdate(body)
-      // resource addressing: ?branch=B queries a branch head,
-      // ?commit=C any commit (TIME TRAVEL — the reference's
-      // commit-descriptor resources); default is the base dataset.
-      // The subsumption closure re-derives from the ADDRESSED graph —
-      // a branch's own schema triples drive isa there, not the base's.
-      // graphKey re-derives with the ADDRESSED graph (commit-id keyed)
-      // — carrying the base key over would poison the path engine's
-      // step-relation cache with the wrong graph's edges
+    // resource addressing shared by the woql and graphql routes:
+    // ?branch=B queries a branch head, ?commit=C any commit (TIME
+    // TRAVEL — the reference's commit-descriptor resources); default
+    // is the base dataset. The subsumption closure re-derives from the
+    // ADDRESSED graph — a branch's own schema triples drive isa there,
+    // not the base's — and graphKey re-derives commit-id-keyed:
+    // carrying the base key over would poison the path engine's
+    // step-relation cache with the wrong graph's edges.
+    def addressedCtx(ex: HttpExchange): Ctx = {
       def at(g: org.apache.spark.sql.DataFrame, commitId: String) =
         ctx.copy(triples = g,
           subclass = graft.storage.Eav.subclassClosure(spark, g),
           graphKey = Option(commitId).map(c => s"${store.root}@$c"))
-      val qctx = (param(ex, "commit"), param(ex, "branch")) match {
+      (param(ex, "commit"), param(ex, "branch")) match {
         case (Some(c), _) => at(store.materialize(c), c)
         case (_, Some(b)) => at(store.materializeBranch(b), store.refs(b))
         case _ => ctx
       }
+    }
+
+    srv.createContext("/api/woql", route { ex =>
+      require(ex.getRequestMethod == "POST", "POST required")
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      // wire-version sniff on the PARSED root @type ([ref:core/query/
+      // json_woql.pl]): v3 roots are `woql:`-prefixed. Substring
+      // sniffing on the raw body would misroute v10 queries whose
+      // string DATA merely contains "woql:". Both dialects execute
+      // through the same AST, reads AND writes.
+      val isV3 = JsonMethods.parseOpt(body).exists(j => (j \ "@type") match {
+        case JString(t) => t.startsWith("woql:")
+        case _ => false
+      })
+      val (ast, writes) =
+        if (isV3) {
+          val (q, adds, dels) = graft.core.JsonWoqlV3.parseUpdate(body)
+          (q, adds.map(t => (t._1, t._2, t._3, "instance", true)) ++
+            dels.map(t => (t._1, t._2, t._3, "instance", false)))
+        } else JsonWoql.parseUpdate(body)
+      val qctx = addressedCtx(ex)
       if (writes.isEmpty) bindingsJson(Compiler.run(ast)(qctx))
       else {
         // WOQL WRITE query over the wire ([ref:server/routes.pl] woql
@@ -141,13 +151,20 @@ object HttpApi {
         // become staging templates driven by the read part's solutions,
         // landed as ONE commit on ?branch (default main). The read part
         // queries the addressed resource like every other woql call.
-        // Requires instance_write_access (the route-level gate only
-        // covers reads) — 403, not 400, when the grant is missing.
+        // Requires instance_write_access — and schema_write_access when
+        // any template targets the schema graph, mirroring the prefix
+        // route's gate (a writer role must not be able to inject
+        // constraint rows). 403, not 400, when a grant is missing.
         caps.get().foreach { cat =>
           val u = bearer(ex).flatMap(cat.user)
           if (!u.exists(cat.allows(_,
               Capabilities.Actions.InstanceWrite, BaseDb)))
             throw Denied("requires instance_write_access on " + BaseDb)
+          if (writes.exists(_._4 == "schema") &&
+              !u.exists(cat.allows(_,
+                Capabilities.Actions.SchemaWrite, BaseDb)))
+            throw Denied("schema-graph templates require " +
+              "schema_write_access on " + BaseDb)
         }
         require(param(ex, "commit").isEmpty,
           "cannot write to a commit resource — address a branch")
@@ -184,21 +201,9 @@ object HttpApi {
         }
         case None => body
       }
-      // same resource addressing as /api/woql: ?branch=B serves a
-      // branch head, ?commit=C any commit — the reference's per-branch
-      // GraphQL endpoints; subsumption re-derives from the addressed
-      // graph
-      // same graphKey re-derivation note as /api/woql above
-      def at(g: org.apache.spark.sql.DataFrame, commitId: String) =
-        ctx.copy(triples = g,
-          subclass = graft.storage.Eav.subclassClosure(spark, g),
-          graphKey = Option(commitId).map(c => s"${store.root}@$c"))
-      val gctx = (param(ex, "commit"), param(ex, "branch")) match {
-        case (Some(c), _) => at(store.materialize(c), c)
-        case (_, Some(b)) => at(store.materializeBranch(b), store.refs(b))
-        case _ => ctx
-      }
-      val (cls, df) = GraphQL.run(query)(gctx)
+      // same ?branch/?commit resource addressing as /api/woql — the
+      // reference's per-branch GraphQL endpoints
+      val (cls, df) = GraphQL.run(query)(addressedCtx(ex))
       val rows: List[JValue] = df.collect().toList.map { r =>
         JObject(df.columns.toList.map { c =>
           // data queries bind Vals structs; introspection binds plain
@@ -291,9 +296,14 @@ object HttpApi {
           if (param(ex, "validate").contains("true")) {
             import org.apache.spark.sql.functions.col
             val g0 = defaultGraph
+            // subclass closure re-derives from the SAME merged graph
+            // the schema rows come from — an API-committed
+            // rdfs:subClassOf must reach the domain checks, not just
+            // the base dataset's startup-time closure
             val results = graft.storage.Validator.validate(
               g0.filter(col("g") === "instance"), adds,
-              g0.filter(col("g") === "schema"), ctx.subclass)
+              g0.filter(col("g") === "schema"),
+              graft.storage.Eav.subclassClosure(spark, g0))
             val bad = results.toList.sortBy(_._1)
               .map { case (k, df) => k -> df.limit(11).count() }
               .filter(_._2 > 0)
@@ -452,20 +462,25 @@ object HttpApi {
     // name → store-root catalog persisted next to the commit catalog;
     // push/pull/fetch accept either a remote name or a literal root ----
 
-    val remotesPath = java.nio.file.Paths.get(store.root, "_catalog", "remotes.json")
-    def readRemotes: Map[String, String] =
-      if (!java.nio.file.Files.exists(remotesPath)) Map.empty
-      else JsonMethods.parse(java.nio.file.Files.readString(remotesPath)) match {
+    // small name→string catalogs persisted next to the commit catalog
+    // (remotes, prefix overlay) share one read/write pair
+    def readJsonMap(p: java.nio.file.Path): Map[String, String] =
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else JsonMethods.parse(java.nio.file.Files.readString(p)) match {
         case JObject(fields) => fields.collect {
-          case (n, JString(loc)) => n -> loc }.toMap
+          case (n, JString(v)) => n -> v }.toMap
         case _ => Map.empty
       }
-    def writeRemotes(m: Map[String, String]): Unit = {
-      java.nio.file.Files.createDirectories(remotesPath.getParent)
-      java.nio.file.Files.writeString(remotesPath,
+    def writeJsonMap(p: java.nio.file.Path, m: Map[String, String]): Unit = {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p,
         JsonMethods.pretty(JsonMethods.render(JObject(
-          m.toList.sortBy(_._1).map { case (n, l) => n -> (JString(l): JValue) }))))
+          m.toList.sortBy(_._1).map { case (n, v) => n -> (JString(v): JValue) }))))
     }
+
+    val remotesPath = java.nio.file.Paths.get(store.root, "_catalog", "remotes.json")
+    def readRemotes: Map[String, String] = readJsonMap(remotesPath)
+    def writeRemotes(m: Map[String, String]): Unit = writeJsonMap(remotesPath, m)
     def remoteRoot(nameOrPath: String): String =
       readRemotes.getOrElse(nameOrPath, nameOrPath)
 
@@ -653,29 +668,45 @@ object HttpApi {
       import org.apache.spark.sql.functions.col
       val cols = graft.storage.Eav.schema.fieldNames.toSeq.map(col)
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8").trim
-      if (body.startsWith("{") &&
-          (JsonMethods.parse(body) \ "before").isInstanceOf[JObject]) {
-        val j = JsonMethods.parse(body)
-        val before = (j \ "before").asInstanceOf[JObject]
-        val lines = (j \ "patch") match {
-          case JArray(rows) =>
-            rows.map(r => JsonMethods.compact(JsonMethods.render(r)))
-          case JString(s) => s.split("\n").toSeq
-          case other => sys.error(s"bad patch field: $other")
+      // content-mode sniff that never parses a multi-row store body as
+      // one document (that would depend on the mapper's lenient
+      // trailing-token default silently reading just the first row):
+      // store-mode bodies are one COMPLETE JSON row per line, so
+      // either the first line parses (single-line body or a store row
+      // — decided by the "before" key) or the body is one multi-line
+      // JSON document (content mode by construction).
+      val firstLine = body.linesIterator.next()
+      val contentMode: Option[JValue] =
+        if (!body.startsWith("{")) None
+        else JsonMethods.parseOpt(firstLine) match {
+          case Some(j) if (j \ "before").isInstanceOf[JObject] =>
+            Some(if (body == firstLine) j else JsonMethods.parse(body))
+          case Some(_) => None // a store-mode triples row
+          case None => JsonMethods.parseOpt(body)
+            .filter(j => (j \ "before").isInstanceOf[JObject])
         }
-        val (subj, bf) = docFrame(before)
-        val after = graft.docs.Diff.applyPatch(bf, patchFrame(lines))
-        ok(JObject("api:status" -> JString("api:success"),
-          "after" -> graft.docs.Documents.read(after, subj)))
-      } else {
-        val branch = param(ex, "branch").getOrElse("main")
-        val d = patchFrame(body.split("\n").toSeq)
-        val adds = d.filter(col("op") === "insert").select(cols: _*)
-        val removes = d.filter(col("op") === "delete").select(cols: _*)
-        val cid = store.commit(branch, adds, removes,
-          param(ex, "msg").getOrElse("patch"))
-        ok(JObject("api:status" -> JString("api:success"),
-          "branch" -> JString(branch), "head" -> JString(cid)))
+      contentMode match {
+        case Some(j) =>
+          val before = (j \ "before").asInstanceOf[JObject]
+          val lines = (j \ "patch") match {
+            case JArray(rows) =>
+              rows.map(r => JsonMethods.compact(JsonMethods.render(r)))
+            case JString(s) => s.split("\n").toSeq
+            case other => sys.error(s"bad patch field: $other")
+          }
+          val (subj, bf) = docFrame(before)
+          val after = graft.docs.Diff.applyPatch(bf, patchFrame(lines))
+          ok(JObject("api:status" -> JString("api:success"),
+            "after" -> graft.docs.Documents.read(after, subj)))
+        case None =>
+          val branch = param(ex, "branch").getOrElse("main")
+          val d = patchFrame(body.split("\n").toSeq)
+          val adds = d.filter(col("op") === "insert").select(cols: _*)
+          val removes = d.filter(col("op") === "delete").select(cols: _*)
+          val cid = store.commit(branch, adds, removes,
+            param(ex, "msg").getOrElse("patch"))
+          ok(JObject("api:status" -> JString("api:success"),
+            "branch" -> JString(branch), "head" -> JString(cid)))
       }
     })
 
@@ -827,19 +858,9 @@ object HttpApi {
 
     val prefixesPath =
       java.nio.file.Paths.get(store.root, "_catalog", "prefixes.json")
-    def readPrefixOverrides: Map[String, String] =
-      if (!java.nio.file.Files.exists(prefixesPath)) Map.empty
-      else JsonMethods.parse(java.nio.file.Files.readString(prefixesPath)) match {
-        case JObject(fields) => fields.collect {
-          case (p, JString(base)) => p -> base }.toMap
-        case _ => Map.empty
-      }
-    def writePrefixOverrides(m: Map[String, String]): Unit = {
-      java.nio.file.Files.createDirectories(prefixesPath.getParent)
-      java.nio.file.Files.writeString(prefixesPath,
-        JsonMethods.pretty(JsonMethods.render(JObject(
-          m.toList.sortBy(_._1).map { case (p, b) => p -> (JString(b): JValue) }))))
-    }
+    def readPrefixOverrides: Map[String, String] = readJsonMap(prefixesPath)
+    def writePrefixOverrides(m: Map[String, String]): Unit =
+      writeJsonMap(prefixesPath, m)
 
     srv.createContext("/api/prefixes", route { ex =>
       ex.getRequestMethod match {
@@ -871,7 +892,23 @@ object HttpApi {
       val branch = param(ex, "branch").getOrElse(sys.error("branch parameter required"))
       ex.getRequestMethod match {
         case "GET" =>
-          raw(graft.sources.Turtle.dump(store.materializeBranch(branch)))
+          // ?expand=true: emit fully-qualified IRIs by expanding stored
+          // CURIEs against the prefix context (defaults ∪ the overlay
+          // managed on /api/prefixes) — the overlay's engine-side
+          // consumer, so a registered prefix changes real exports
+          val g0 = store.materializeBranch(branch)
+          val g =
+            if (param(ex, "expand").contains("true")) {
+              import org.apache.spark.sql.functions.{col, when}
+              val pctx = graft.docs.Prefixes.Default ++ readPrefixOverrides
+              def ex1(c: String) =
+                graft.docs.Prefixes.expandCol(pctx, col(c))
+              g0.withColumn("s", ex1("s")).withColumn("p", ex1("p"))
+                .withColumn("o_iri",
+                  when(col("o_kind") === "i", ex1("o_iri"))
+                    .otherwise(col("o_iri")))
+            } else g0
+          raw(graft.sources.Turtle.dump(g))
         case "POST" | "PUT" =>
           // turtle upload: parse the body, land it as ONE commit on the
           // branch — the put half of the reference's triples route

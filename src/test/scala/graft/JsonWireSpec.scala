@@ -128,6 +128,14 @@ class JsonWireSpec extends AnyFunSuite {
         |  "predicate":{"node":"p"},
         |  "object":{"data":{"@type":"xsd:integer","@value":7}}}}""".stripMargin)
     assert(w3 == Seq((V("S"), Node("p"), Lng(7L), "instance", true)))
+    // the read-only parse keeps the LOUD failure — silently dropping a
+    // write leaf would be data loss
+    intercept[IllegalArgumentException] {
+      JsonWoql.parse(
+        """{"@type":"AddTriple","subject":{"variable":"S"},
+          |"predicate":{"node":"p"},
+          |"object":{"data":{"@type":"xsd:string","@value":"v"}}}""".stripMargin)
+    }
   }
 
   test("whole battery flagship + engine-internal nodes raise") {

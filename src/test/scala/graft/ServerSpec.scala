@@ -784,6 +784,43 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals == Set("v3v"))
   }
 
+  test("schema-graph wire writes demand schema_write_access") {
+    val catalog = server.Capabilities.fromJson(
+      """{"orgs":[{"name":"o","dbs":["_default"]}],
+        |"roles":[{"name":"w","actions":
+        |  ["instance_read_access","instance_write_access"]}],
+        |"users":[{"name":"u","token":"wtok",
+        |  "capabilities":[{"role":"w","scope":"org/o"}]}]}""".stripMargin)
+    val gated = server.HttpApi.start(spark, sfDir,
+      capabilities = Some(catalog), capsFile = None)
+    try {
+      val body =
+        """{"@type":"AddTriple","subject":{"node":":sx"},
+          |"predicate":{"node":"graft:oneOf"},
+          |"object":{"data":{"@type":"xsd:string","@value":"v"}},
+          |"graph":"schema"}""".stripMargin
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(gated.url("/api/woql")))
+          .header("Authorization", "Bearer wtok")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 403, r.body())
+      assert(r.body().contains("schema_write_access"))
+    } finally gated.stop()
+  }
+
+  test("turtle export expands CURIEs against the managed prefix context") {
+    post("/api/prefixes?prefix=exq&base=http://ex.org/q%23", "")
+    post("/api/branch?name=texp&from=main", "")
+    srv.store.commit("texp", triples(("exq:a", "exq:p", "w")),
+      triples().limit(0), "prefixed")
+    val (c1, raw1) = get("/api/triples?branch=texp")
+    assert(c1 == 200 && raw1.contains("<exq:a>"))
+    val (c2, expanded) = get("/api/triples?branch=texp&expand=true")
+    assert(c2 == 200, expanded)
+    assert(expanded.contains("<http://ex.org/q#a> <http://ex.org/q#p>"))
+  }
+
   test("apply route replays a change set onto another branch") {
     post("/api/branch?name=abase&from=main", "")
     srv.store.commit("abase", triples((":aa", ":p", "x")),
