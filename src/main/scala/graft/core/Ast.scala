@@ -60,6 +60,12 @@ final case class GetTurtle(s: String, p: String, o: String, path: String) extend
   * fields bound as strings (same stringly contract as [[GetCsv]] —
   * `typecast` narrows downstream). */
 final case class GetJson(asVars: Seq[(String, String)], path: String) extends Woql
+/** `get` over an XML resource (the reference's panda tabular family
+  * beyond csv/json): one solution per `rowTag` element, named child
+  * elements bound as strings (same stringly contract as [[GetCsv]] —
+  * `typecast` narrows downstream). Spark 4 ships the XML source
+  * built-in, so the path/file form reads distributed per row tag. */
+final case class GetXml(asVars: Seq[(String, String)], path: String, rowTag: String = "row") extends Woql
 /** `with(Graph, Resource, Query)` — query-local temp graph loaded from a
   * resource (EAV parquet dir, or CSV with s,p,o columns). */
 final case class WithGraph(g: String, resource: String, q: Woql) extends Woql

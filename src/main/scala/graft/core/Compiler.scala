@@ -260,6 +260,15 @@ object Compiler {
         strVal(col(f).cast(StringType)).as(v) }: _*)
       conj(cur, BF(df, asVars.map(_._1).toSet))
 
+    case GetXml(asVars, path, rowTag) =>
+      // XML-as-bindings: one solution per rowTag element, child
+      // elements bound stringly (typecast narrows downstream) — the
+      // same contract as GetCsv/GetJson, on Spark 4's built-in source
+      val raw = graft.sources.Resources.xml(ctx.spark, path, rowTag)
+      val df = raw.select(asVars.map { case (v, f) =>
+        strVal(col(f).cast(StringType)).as(v) }: _*)
+      conj(cur, BF(df, asVars.map(_._1).toSet))
+
     case GetTurtle(sv, pv, ov, path) =>
       // turtle-as-bindings: the resource resolves like GetCsv, parses
       // with the full Turtle 1.1 reader, and each triple becomes one

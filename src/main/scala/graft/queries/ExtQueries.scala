@@ -1162,6 +1162,37 @@ object ExtQueries {
           round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // XML sink → source round-trip: the markup sibling (completes
+    // §2.1 sinks: CSV put, turtle, parquet, JSON, ORC, XML — Spark 4
+    // ships the XML source built-in). Values must survive the text
+    // round-trip exactly, proven by the aggregate equalling the
+    // direct-parquet oracle.
+    "ext_xml_roundtrip" -> ((s, d) => {
+      val src = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
+        "/xml_rt_" + graft.util.Fingerprint.of(d + "/events.parquet")
+      if (!new java.io.File(dir + "/_SUCCESS").exists()) {
+        val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+        src.write.mode("overwrite").format("xml")
+          .option("rowTag", "event").save(tmp)
+        if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
+          if (!new java.io.File(dir + "/_SUCCESS").exists()) {
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+            val _ = new java.io.File(tmp).renameTo(new java.io.File(dir))
+          }
+          if (new java.io.File(tmp).exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
+      }
+      s.read.schema(src.schema).format("xml").option("rowTag", "event")
+        .load(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // STREAMING multimodal ingest: per-micro-batch real PNG decode —
     // same per-doc closed-form oracle as the batch mm_decode_png
     "stream_mm_meta" -> ((s, d) => Events.streamingMmMeta(s, d)),
@@ -3170,6 +3201,14 @@ object ExtQueries {
 
     // typed columnar round-trip must be value-exact too
     "ext_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | round(sum(value), 6) AS sum_value
+        | FROM events GROUP BY 1""".stripMargin,
+
+    // markup round-trip must be value-exact too (full-precision double
+    // text round-trip through the XML writer/parser)
+    "ext_xml_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(user_id) AS BIGINT) AS sum_uid,
         | round(sum(value), 6) AS sum_value

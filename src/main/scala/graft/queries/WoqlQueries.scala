@@ -105,6 +105,20 @@ object WoqlQueries {
         "nk" -> vStr("NK"), "n_name" -> vStr("NName"))(spark, dir)
     }),
 
+    // get over an XML resource (§2.1 panda tabular family, beyond
+    // csv/json): one solution per row element, child elements bound
+    // stringly — Spark 4's built-in XML source does the parse
+    "woql_get_xml" -> ((spark, dir) => {
+      val xd = s"${Graft.cacheRoot}/xml_nation_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      if (!new java.io.File(s"$xd/_SUCCESS").exists()) {
+        Graft.table(spark, dir, "nation").select("n_nationkey", "n_name")
+          .coalesce(1).write.mode("overwrite").format("xml")
+          .option("rowTag", "nation").save(xd)
+      }
+      woql(GetXml(Seq(("NK", "n_nationkey"), ("NName", "n_name")), xd, "nation"))(
+        "nk" -> vStr("NK"), "n_name" -> vStr("NName"))(spark, dir)
+    }),
+
     // --- §2.2 projection / predicates ---
     "woql_select_distinct" -> woql(
       Distinct(Seq("Seg"), TriplePat(V("C"), Node("tpch:c_mktsegment"), V("Seg"))))(
@@ -485,6 +499,9 @@ object WoqlQueries {
         | r_name AS name FROM region""".stripMargin,
 
     "woql_get_json" ->
+      "SELECT CAST(n_nationkey AS VARCHAR) AS nk, n_name FROM nation",
+
+    "woql_get_xml" ->
       "SELECT CAST(n_nationkey AS VARCHAR) AS nk, n_name FROM nation",
 
     "woql_select_distinct" ->

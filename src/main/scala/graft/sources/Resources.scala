@@ -107,6 +107,30 @@ object Resources {
       case r => spark.read.json(r.stripPrefix("file://"))
     }
 
+  /** XML resource — same resolution forms as [[csv]]. Spark 4 ships the
+    * XML data source built-in (spark-sql); reads are distributed and
+    * split per `rowTag` element, so a large landed/object-store XML
+    * file still parallelizes across executors. */
+  def xml(spark: SparkSession, resource: String, rowTag: String): DataFrame = {
+    def rd(p: String): DataFrame =
+      spark.read.format("xml").option("rowTag", rowTag).load(p)
+    resource match {
+      case r if r.startsWith("inline:") =>
+        val content = r.stripPrefix("inline:")
+        rd(land(spark, "inlinex", md5Hex(content),
+          () => new java.io.ByteArrayInputStream(
+            content.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      case r if r.startsWith("http://") || r.startsWith("https://") =>
+        rd(land(spark, "httpx", md5Hex(r), () => {
+          val conn = new java.net.URL(r).openConnection()
+          conn.setConnectTimeout(ConnectTimeoutMs)
+          conn.setReadTimeout(ReadTimeoutMs)
+          conn.getInputStream
+        }))
+      case r => rd(r.stripPrefix("file://"))
+    }
+  }
+
   /** Whole resource body as a driver string (turtle `get` — the parser
     * is a driver tokenizer; bulk loads use the EAV encode path). Same
     * resource forms as [[csv]]; http bodies land content-addressed

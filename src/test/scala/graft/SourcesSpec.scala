@@ -269,6 +269,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows == Map("1" -> "x", "2" -> "y"))
   }
 
+  test("get over an XML resource binds named child elements per row") {
+    implicit val ctx: Ctx = ctxOf(triples((":x", "p", "v")))
+    val got = Compiler.run(GetXml(Seq(("A", "a"), ("B", "b")),
+      "inline:<rows><r><a>1</a><b>x</b></r><r><a>2</a><b>y</b></r></rows>",
+      rowTag = "r"))
+    val rows = got.collect().map(r =>
+      r.getAs[org.apache.spark.sql.Row]("A").getAs[String]("str") ->
+        r.getAs[org.apache.spark.sql.Row]("B").getAs[String]("str")).toMap
+    assert(rows == Map("1" -> "x", "2" -> "y"))
+  }
+
   test("get parses RFC-4180 quoted fields with embedded newlines") {
     implicit val ctx: Ctx = ctxOf(triples((":x", "p", "v")))
     // a quoted field containing a literal newline — line-splitting parsers
