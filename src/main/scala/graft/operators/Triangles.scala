@@ -150,6 +150,50 @@ object Triangles {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    * correlation between the degrees at either end of each undirected
+    * edge — positive means hubs attach to hubs, negative means
+    * hub-to-leaf (most social graphs are positive, most technological
+    * graphs negative). One number summarizing mixing structure.
+    *
+    * Engine-independence: degrees are integers, so the symmetrized
+    * moment sums S1=Σx, S2=Σx², Sxy=Σxy are EXACT on both engines
+    * (decimal here, HUGEINT in the oracle); the only float ops are the
+    * final casts of two exact integers and one division — the same
+    * IEEE sequence either side, so round(…,6) agrees bit-for-bit.
+    *
+    * Scale shapes: one degree aggregate, two node-keyed joins to
+    * attach endpoint degrees (AQE broadcasts when the degree table
+    * fits), one 1-row moment aggregate. Work ∝ edges; no vertex-pair
+    * enumeration anywhere. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).cast(LongType).as("deg"))
+    val pairs = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("da"), col("db"))
+    // symmetrize so each undirected edge contributes both (x,y) and
+    // (y,x) — the standard formulation (S1x = S1y by construction)
+    val sym = pairs.unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
+    // deg < 10^18 assumed (comfortably true: deg ≤ |V|); the decimal(18)
+    // casts keep every product inside decimal(38,0) exact arithmetic
+    def d18(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 0))
+    val m = sym.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum(d18(col("da"))).as("s1"),
+      sum(d18(col("da")) * d18(col("db"))).as("sxy"),
+      sum(d18(col("da")) * d18(col("da"))).as("s2"))
+    val num = d18(col("n")) * col("sxy") - col("s1") * col("s1")
+    val den = d18(col("n")) * col("s2") - col("s1") * col("s1")
+    m.select(col("n").as("n_ends"),
+      when(den === 0, lit(0.0)).otherwise(
+        round(num.cast(DoubleType) / den.cast(DoubleType), 6))
+        .as("assortativity"))
+  }
+
   /** Common-neighbor link prediction: for node pairs sharing ≥
     * `minCommon` neighbors, the Jaccard-style score
     * common/(deg(a)+deg(b)−common) in rounded micro-units, top `k` by

@@ -515,6 +515,13 @@ object ExtQueries {
       graft.operators.Triangles.basketLift(t(s, d, "lineitem"),
         basket = "l_orderkey", item = "l_partkey", minSupport = 5L, k = 20)),
 
+    // degree assortativity over the same co-occurrence graph: exact
+    // integer moment sums → one IEEE division, identical both engines
+    "graph_assortativity" -> ((s, d) =>
+      graft.operators.Triangles.assortativity(
+        graft.operators.Triangles.coOccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey"))),
+
     // content-defined chunking (LBFS cut rule at word granularity):
     // boundary after words with hash ≡ 0 (mod 16) — insert-stable
     // chunk identities for storage dedup / span-level near-dup
@@ -744,6 +751,18 @@ object ExtQueries {
     // aggregate; exact integer cents
     "rel_cube" -> ((s, d) => t(s, d, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents"))),
+
+    // ARBITRARY grouping sets — the general form rollup/cube are
+    // special cases of: (status, priority), (status), (priority) but
+    // NOT the grand total. Still ONE expand + ONE hash aggregate.
+    "rel_grouping_sets" -> ((s, d) => t(s, d, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents"))),
@@ -2547,6 +2566,26 @@ object ExtQueries {
 
     // basket lift: nab·N·1e6/(na·nb), one rounded double division over
     // integer inputs
+    // assortativity: exact HUGEINT moment sums over symmetrized edge
+    // ends, then the same two double casts + one division as the engine
+    "graph_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |   FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | deg AS (SELECT v, count(*) AS deg FROM (
+        |   SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) GROUP BY 1),
+        | p AS (SELECT da.deg AS x, db.deg AS y
+        |   FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        | s AS (SELECT x, y FROM p UNION ALL SELECT y AS x, x AS y FROM p),
+        | m AS (SELECT count(*) AS n, sum(x) AS s1, sum(x*y) AS sxy,
+        |   sum(x*x) AS s2 FROM s)
+        | SELECT CAST(n AS BIGINT) AS n_ends,
+        |  CASE WHEN n*s2 - s1*s1 = 0 THEN 0.0
+        |       ELSE round(CAST(n*sxy - s1*s1 AS DOUBLE)
+        |                  / CAST(n*s2 - s1*s1 AS DOUBLE), 6)
+        |  END AS assortativity
+        | FROM m""".stripMargin,
+
     "rel_basket_lift" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
         | n AS (SELECT count(DISTINCT bk) AS n FROM b),
@@ -2787,6 +2826,15 @@ object ExtQueries {
         | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
         | FROM orders
         | GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        | FROM orders
+        | GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |   (o_orderstatus), (o_orderpriority))""".stripMargin,
 
     "rel_pivot" ->
       """SELECT date_trunc('hour', ts) AS h,

@@ -151,4 +151,36 @@ class Round12OpsSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { Role("bad", Set("not_an_action")) }
   }
+
+  test("assortativity matches the brute Pearson on known graphs") {
+    import spark.implicits._
+    def brute(es: Seq[(Long, Long)]): Double = {
+      val deg = es.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val xs = es.flatMap { case (a, b) =>
+        Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+      val n = xs.size.toDouble
+      val s1 = xs.map(_._1).sum.toDouble
+      val s2 = xs.map(p => p._1 * p._1).sum.toDouble
+      val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+      val den = n * s2 - s1 * s1
+      if (den == 0) 0.0 else (n * sxy - s1 * s1) / den
+    }
+    // star K1,3: perfectly disassortative (r = -1)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val gotStar = operators.Triangles.assortativity(
+      star.toDF("a", "b")).collect()(0)
+    assert(gotStar.getAs[Double]("assortativity") == -1.0)
+    // path graph 1-2-3-4 + pendant 3-5: mixed degrees
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L))
+    val got = operators.Triangles.assortativity(g.toDF("a", "b")).collect()(0)
+    assert(got.getAs[Long]("n_ends") == 8L)
+    assert(math.abs(got.getAs[Double]("assortativity") -
+      math.rint(brute(g) * 1e6) / 1e6) < 1e-9)
+    // 4-cycle: regular graph, zero variance → guarded 0.0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val gotCyc = operators.Triangles.assortativity(
+      cyc.toDF("a", "b")).collect()(0)
+    assert(gotCyc.getAs[Double]("assortativity") == 0.0)
+  }
 }
