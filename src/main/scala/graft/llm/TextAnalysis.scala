@@ -26,6 +26,26 @@ object TextAnalysis {
         .cast(LongType).as("n_bpe_tokens"),
       length(col("text")).cast(LongType).as("n_chars"))
 
+  /** Flesch reading-ease proxy: syllables approximated as vowel-group
+    * runs (the standard cheap heuristic), sentences as terminal-punct
+    * runs floored at 1. Both engines count with the SAME regexes —
+    * exact integers — then evaluate the same left-associated float
+    * formula over them, so round(…,4) agrees bit-for-bit. Narrow
+    * per-doc map, no shuffle; at 100 TB this is a pure scan. */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = size(toks(col("text"))).cast(LongType)
+    val syl = regexp_count(col("text"), lit("[aeiouy]+")).cast(LongType)
+    val sen = greatest(
+      regexp_count(col("text"), lit("[.!?]+")).cast(LongType), lit(1L))
+    docs.select(col("doc_id"), w.as("n_words"), syl.as("n_syllables"),
+      sen.as("n_sentences"),
+      when(w === 0, lit(0.0)).otherwise(
+        round(lit(206.835)
+          - lit(1.015) * (w.cast(DoubleType) / sen.cast(DoubleType))
+          - lit(84.6) * (syl.cast(DoubleType) / w.cast(DoubleType)), 4))
+        .as("flesch"))
+  }
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** Quality signals: stopword ratio, mean token length, type-token

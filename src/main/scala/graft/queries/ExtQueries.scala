@@ -348,6 +348,11 @@ object ExtQueries {
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"))),
+
+    // Flesch reading-ease proxy (vowel-run syllables): the classic
+    // readability quality signal — exact counts, one shared formula
+    "text_readability" -> ((s, d) =>
+      TextAnalysis.readability(t(s, d, "documents"))),
     // C4/Gopher rule bundle: keep decided from the ROUNDED statistics
     // so both engines agree on borderline docs
     "text_c4_filters" -> ((s, d) =>
@@ -2131,6 +2136,23 @@ object ExtQueries {
         |   / len($toksSql), 6) AS mean_tok_len,
         | round(len(list_distinct($toksSql)) * 1.0 / len($toksSql), 6) AS ttr
         | FROM documents""".stripMargin,
+
+    // same exact regex counts, same left-associated float formula
+    "text_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+        |  CAST(len($toksSql) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |    AS n_sentences
+        | FROM documents)
+        | SELECT doc_id, n_words, n_syllables, n_sentences,
+        |  CASE WHEN n_words = 0 THEN 0.0 ELSE
+        |   round(206.835
+        |     - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |     - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+        |  END AS flesch
+        | FROM c""".stripMargin,
 
     // keep decided from the same ROUNDED stats in both engines
     "text_c4_filters" ->

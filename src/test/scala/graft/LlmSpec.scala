@@ -237,4 +237,19 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) == ((600L, 700L, 2L, 2L)))
     assert(out(4L) == ((0L, 10L, 0L, 0L))) // zh partition starts at 0
   }
+
+  test("readability: vowel-run syllables, punct sentences, Flesch formula") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat. sat!"), (2L, "bcd qrst")).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.readability(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_syllables"),
+          r.getAs[Long]("n_sentences"), r.getAs[Double]("flesch")))).toMap
+    // 3 words, vowel runs e/a/a = 3, sentence runs "." "!" = 2:
+    // 206.835 - 1.015*(3/2) - 84.6*(3/3) = 120.7125
+    assert(out(1L) == ((3L, 3L, 2L, 120.7125)))
+    // no vowels, no terminators (sentence floor = 1):
+    // 206.835 - 1.015*2 - 0 = 204.805
+    assert(out(2L) == ((2L, 0L, 1L, 204.805)))
+  }
 }
