@@ -310,6 +310,59 @@ object Similarity {
       .select(col("id"), col("rrf"), col("rank"))
   }
 
+  /** IVF-ADC top-k (the FAISS IVF-PQ serving shape, sans residual
+    * encoding): a TRAINED coarse quantizer prunes candidates to the
+    * `nprobe` closest cells, then PQ asymmetric distances rank inside
+    * the probed cells. This composes the two memory/scale levers the
+    * standalone tiers exercise separately — candidates ∝
+    * corpus/cells × nprobe (never the corpus), distances from m-byte
+    * codes (never the vectors). Training, probing, and ADC all run on
+    * the sq8 integer codes with the exact float-op sequences the
+    * standalone `sim_topk_ivf_trained` / `sim_topk_pq` oracles replay,
+    * so the composite stays bit-deterministic: the oracle is literally
+    * the two CTE chains joined. With nprobe = cells the candidate set
+    * degenerates to everything and the result EQUALS pqTopK — the
+    * spec's invariant. */
+  def ivfPqTopK(emb: DataFrame, isQuery: Column, k: Int, nprobe: Int,
+                cells: Int, ivfIters: Int, m: Int, kSub: Int,
+                pqIters: Int, dim: Int): DataFrame = {
+    val q0 = Clustering.codes(emb)
+    val cents = Clustering.trainCentroids(q0, cells, ivfIters, dim)
+    val assigned = Clustering.assign(q0, cents)
+    val books = Clustering.trainPqBooks(q0, m, kSub, pqIters, dim)
+    val enc = Clustering.pqEncodeWith(q0, books, dim)
+    val sub = dim / m
+    val qcodes = emb.where(isQuery).select(col("vec_id"))
+      .join(q0, Seq("vec_id"))
+      .select(col("vec_id").as("q"), col("qv").as("qa"))
+    val qsx = qcodes.select(col("q"), col("qa"),
+        posexplode(Clustering.distArray(col("qa"), cents)))
+      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "cdist")
+    val wq = Window.partitionBy(col("q")).orderBy(col("cdist"), col("cell"))
+    val probes = qsx.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("q"), col("qa"), col("cell").cast("long").as("cell"))
+    val candCols = col("cluster").as("cell") +: col("vec_id").as("cand") +:
+      (0 until m).map(s => col(s"c$s"))
+    val encCells = enc.join(assigned.select(col("vec_id"), col("cluster")),
+        Seq("vec_id")).select(candCols: _*)
+    val cand = broadcast(probes).join(encCells, Seq("cell"))
+      .where(col("q") =!= col("cand"))
+    val adist = (0 until m).map { s =>
+      val qSlice = slice(col("qa"), s * sub + 1, sub)
+      val cw = element_at(typedLit(books(s).map(_.toSeq).toSeq),
+        (col(s"c$s") + 1).cast("int"))
+      aggregate(zip_with(qSlice, cw, (x, y) => { val d = x - y; d * d }),
+        lit(0.0), (a, x) => a + x)
+    }.reduce(_ + _)
+    val sims = cand.withColumn("adist", adist)
+    val w = Window.partitionBy(col("q")).orderBy(col("adist"), col("cand"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q"), col("cand"), col("rank"),
+        round(col("adist"), 6).as("adist"))
+  }
+
   /** IVF top-k: probe the `nprobe` closest cells, exact-rerank inside. */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int, nprobe: Int): DataFrame = {
     val cents = medoidCentroids(emb)

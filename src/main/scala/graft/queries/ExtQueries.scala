@@ -491,6 +491,14 @@ object ExtQueries {
       graft.llm.Similarity.pqTopK(t(s, d, "embeddings"),
         col("vec_id") < 10, 5, m = 8, kSub = 16, iters = 2, dim = 64)),
 
+    // IVF-ADC composite (the FAISS IVF-PQ serving shape): trained
+    // coarse cells prune candidates, PQ codes rank them — candidates
+    // ∝ corpus/cells × nprobe, distances from m-byte codes
+    "sim_topk_ivfpq" -> ((s, d) =>
+      graft.llm.Similarity.ivfPqTopK(t(s, d, "embeddings"),
+        col("vec_id") < 10, 5, nprobe = 2, cells = 8, ivfIters = 3,
+        m = 8, kSub = 16, pqIters = 2, dim = 64)),
+
     // MMR diverse re-rank: greedy λ·sim − (1−λ)·max-redundancy pick of
     // 5 from the brute top-20 pool, exact integer micro-cosine argmax
     // at every step (λ=7/10 as integer arithmetic)
@@ -2290,6 +2298,7 @@ object ExtQueries {
       "SELECT vec_id, " + (0 until 8).map(s => s"c$s").mkString(", ") + " FROM enc"),
 
     "sim_topk_pq" -> pqSql(pqAdcSelect()),
+    "sim_topk_ivfpq" -> ivfpqSql(),
 
     "llm_sample_diverse" -> kmeansSql(
       """SELECT cid AS cluster, vec_id,
@@ -3562,16 +3571,23 @@ object ExtQueries {
   private def kmDistSql(q: String, c: String, dim: Int = 64): String =
     (1 to dim).map(i => s"($q[$i]-$c[$i])*($q[$i]-$c[$i])").mkString(" + ")
 
+  /** Shared sq8 quantization of the embedding column (the SQL twin of
+    * the engine's Similarity.sq8). A def, not a val: the oracle maps
+    * above initialize before this point in the object body. */
+  private def sq8QvSql: String =
+    "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> greatest(-128, least(127, floor(x * 256))))"
+
   /** Unrolled PER-SUBSPACE Lloyd chains replaying
     * Clustering.trainPqBooks + pqEncodeWith (m subspaces of dim/m,
     * kSub codewords, 2 rounds): for each subspace s, qs$s = slice,
     * c0s$s = init, a1s$s = round-1 assignment, c1s$s = the trained
-    * book, a2s$s = the code; `enc` joins the m codes per vector. */
-  private def pqSql(select: String, m: Int = 8, kSub: Int = 16,
-                    dim: Int = 64): String = {
+    * book, a2s$s = the code; `enc` joins the m codes per vector.
+    * Emitted WITHOUT the WITH/q header — shared by [[pqSql]] and
+    * [[ivfpqSql]], which prepends the k-means chain too. */
+  private def pqChainCtes(m: Int = 8, kSub: Int = 16,
+                          dim: Int = 64): String = {
     val sub = dim / m
-    val qv = "list_transform(CAST(embedding AS DOUBLE[]), " +
-      "x -> greatest(-128, least(127, floor(x * 256))))"
     val sums = (1 to sub).map(i => s"sum(qv[$i])/count(*)").mkString(", ")
     val chains = (0 until m).map { s =>
       val lo = s * sub
@@ -3591,9 +3607,13 @@ object ExtQueries {
     }.mkString(", ")
     val encJoin = (1 until m).map(s => s"JOIN a2s$s USING (vec_id)").mkString(" ")
     val encCols = (0 until m).map(s => s"a2s$s.cid AS c$s").mkString(", ")
-    s"WITH q AS (SELECT vec_id, $qv AS qv FROM embeddings), $chains, " +
-      s"enc AS (SELECT a2s0.vec_id, $encCols FROM a2s0 $encJoin) $select"
+    s"$chains, enc AS (SELECT a2s0.vec_id, $encCols FROM a2s0 $encJoin)"
   }
+
+  private def pqSql(select: String, m: Int = 8, kSub: Int = 16,
+                    dim: Int = 64): String =
+    s"WITH q AS (SELECT vec_id, $sq8QvSql AS qv FROM embeddings), " +
+      s"${pqChainCtes(m, kSub, dim)} $select"
 
   /** ADC select over the [[pqSql]] CTEs: query slices vs the cand's
     * codeword per subspace, subspace sums added left-to-right (the
@@ -3614,10 +3634,10 @@ object ExtQueries {
       s"AS BIGINT) AS rank, round(adist, 6) AS adist FROM sims QUALIFY rank <= $k"
   }
 
-  private def kmeansSql(select: String, k: Int = 8, iters: Int = 3,
-                        dim: Int = 64): String = {
-    val qv = "list_transform(CAST(embedding AS DOUBLE[]), " +
-      "x -> greatest(-128, least(127, floor(x * 256))))"
+  /** The coarse k-means chain CTEs alone (c0, a1..c{iters−1}, a{iters})
+    * — no WITH/q header, shared by [[kmeansSql]] and [[ivfpqSql]]. */
+  private def kmeansCtes(k: Int = 8, iters: Int = 3,
+                         dim: Int = 64): String = {
     def dist(q: String, c: String) = kmDistSql(q, c, dim)
     val sums = (1 to dim).map(i => s"sum(qv[$i])/count(*)").mkString(", ")
     val iterCtes = (1 to iters).map { n =>
@@ -3632,10 +3652,46 @@ object ExtQueries {
           s"FROM a$n GROUP BY cid) g ON p.cid = g.cid)"
       aN + cN
     }.mkString(", ")
-    s"WITH q AS (SELECT vec_id, $qv AS qv FROM embeddings), " +
-      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid, " +
+    "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid, " +
       s"qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)), " +
-      s"$iterCtes $select"
+      s"$iterCtes"
+  }
+
+  private def kmeansSql(select: String, k: Int = 8, iters: Int = 3,
+                        dim: Int = 64): String =
+    s"WITH q AS (SELECT vec_id, $sq8QvSql AS qv FROM embeddings), " +
+      s"${kmeansCtes(k, iters, dim)} $select"
+
+  /** IVF-ADC oracle replaying Similarity.ivfPqTopK: the coarse k-means
+    * chain provides probe centroids (c{iters−1}) and cell assignments
+    * (a{iters}); the PQ chains provide codes (enc) and trained books
+    * (c1s*); ADC ranks candidates inside the probed cells with the
+    * same per-subspace left folds added left-to-right. */
+  private def ivfpqSql(k: Int = 5, nprobe: Int = 2, cells: Int = 8,
+                       ivfIters: Int = 3, m: Int = 8, kSub: Int = 16,
+                       dim: Int = 64): String = {
+    val sub = dim / m
+    val qaCols = (0 until m).map { s =>
+      s"list_slice(qa, ${s * sub + 1}, ${s * sub + sub}) AS qa$s"
+    }.mkString(", ")
+    val dists = (0 until m)
+      .map(s => s"(${kmDistSql(s"p.qa$s", s"b$s.cv", sub)})").mkString(" + ")
+    val bookJoins = (0 until m)
+      .map(s => s"JOIN c1s$s b$s ON b$s.cid = e.c$s").mkString(" ")
+    s"WITH q AS (SELECT vec_id, $sq8QvSql AS qv FROM embeddings), " +
+      s"${kmeansCtes(cells, ivfIters, dim)}, ${pqChainCtes(m, kSub, dim)}, " +
+      s"p AS (SELECT vec_id AS q_id, $qaCols, cid AS cell FROM (" +
+      s"SELECT q.vec_id, q.qv AS qa, c.cid, " +
+      s"${kmDistSql("q.qv", "c.cv", dim)} AS cdist " +
+      s"FROM q CROSS JOIN c${ivfIters - 1} c WHERE q.vec_id < 10) t " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) " +
+      s"<= $nprobe), " +
+      s"sims AS (SELECT p.q_id, a.vec_id AS cand, $dists AS adist " +
+      s"FROM p JOIN a$ivfIters a ON p.cell = a.cid AND p.q_id != a.vec_id " +
+      s"JOIN enc e ON e.vec_id = a.vec_id $bookJoins) " +
+      "SELECT q_id AS q, cand, CAST(row_number() OVER (PARTITION BY q_id " +
+      s"ORDER BY adist, cand) AS BIGINT) AS rank, round(adist, 6) AS adist " +
+      s"FROM sims QUALIFY rank <= $k"
   }
 
   /** Oracles, plus entries DERIVED from other entries (the recall

@@ -151,4 +151,26 @@ class ClusteringSpec extends AnyFunSuite {
     // exemplars are distinct documents
     assert(got.map(_._2).distinct.length == got.length)
   }
+
+  test("IVF-ADC with nprobe = cells degenerates to exact pqTopK") {
+    import org.apache.spark.sql.functions.col
+    // probing every cell makes the coarse quantizer a no-op filter, so
+    // the composite must EQUAL the standalone PQ ranking row-for-row
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val pq = rows(graft.llm.Similarity.pqTopK(emb, col("vec_id") < 10, 5,
+      m = 8, kSub = 16, iters = 2, dim = 64))
+    val ivfpq = rows(graft.llm.Similarity.ivfPqTopK(emb, col("vec_id") < 10,
+      5, nprobe = 8, cells = 8, ivfIters = 3, m = 8, kSub = 16,
+      pqIters = 2, dim = 64))
+    assert(ivfpq == pq)
+    // and the pruned variant keeps full result shape (10 × top-5)
+    val pruned = rows(graft.llm.Similarity.ivfPqTopK(emb, col("vec_id") < 10,
+      5, nprobe = 2, cells = 8, ivfIters = 3, m = 8, kSub = 16,
+      pqIters = 2, dim = 64))
+    assert(pruned.size == 50)
+    assert(pruned.groupBy(_._1).forall(_._2.map(_._3).toSeq.sorted == (1L to 5L)))
+  }
 }
