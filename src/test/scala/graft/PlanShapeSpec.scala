@@ -320,7 +320,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // Spark's Expand feeds a single hash aggregate; a regression to a
     // union-of-scans (one per grouping set) would read the fact table
     // N times at 100 TB
-    for (q <- Seq("rel_rollup", "rel_cube")) {
+    for (q <- Seq("rel_rollup", "rel_cube", "rel_grouping_sets")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("Expand"), s"$q lost its Expand plan:\n$plan")
