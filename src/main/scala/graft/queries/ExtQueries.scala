@@ -17,6 +17,34 @@ object ExtQueries {
   private def t(spark: SparkSession, dir: String, name: String) =
     Graft.table(spark, dir, name)
 
+  /** Fingerprint-keyed landed sink dir with write-then-ATOMIC-rename:
+    * the key embeds the source file's (path, size, mtime) so
+    * regenerated testdata invalidates, and two concurrent sessions on
+    * the same fingerprint never expose a half-written dir — the
+    * loser's rename fails onto the winner's completed copy and is
+    * discarded. Shared by every sink round-trip entry and the
+    * landed-resource `get` entries. */
+  private[queries] def landedRoundTrip(prefix: String, srcFile: String)
+                                      (write: String => Unit): String = {
+    val dir = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
+      "/" + prefix + "_" + graft.util.Fingerprint.of(srcFile)
+    if (!new java.io.File(dir + "/_SUCCESS").exists()) {
+      val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+      write(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
+        // lost the race (or stale dir without _SUCCESS): keep the
+        // winner's copy, drop ours
+        if (!new java.io.File(dir + "/_SUCCESS").exists()) {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+          val _ = new java.io.File(tmp).renameTo(new java.io.File(dir))
+        }
+        if (new java.io.File(tmp).exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    dir
+  }
+
   val queries: Map[String, Q] = Map(
 
     // --- relational core: agg / window / broadcast join pushdown ---
@@ -1141,25 +1169,8 @@ object ExtQueries {
       val src = t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
-      val dir = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
-        "/json_rt_" + graft.util.Fingerprint.of(d + "/events.parquet")
-      // write-then-ATOMIC-rename: two concurrent sessions on the same
-      // fingerprint must never expose a half-written dir (the loser's
-      // rename fails onto the winner's completed copy and is discarded)
-      if (!new java.io.File(dir + "/_SUCCESS").exists()) {
-        val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-        src.write.mode("overwrite").json(tmp)
-        if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
-          // lost the race (or stale dir without _SUCCESS): keep the
-          // winner's copy, drop ours
-          if (!new java.io.File(dir + "/_SUCCESS").exists()) {
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-            val _ = new java.io.File(tmp).renameTo(new java.io.File(dir))
-          }
-          if (new java.io.File(tmp).exists())
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        }
-      }
+      val dir = landedRoundTrip("json_rt", d + "/events.parquet")(
+        tmp => src.write.mode("overwrite").json(tmp))
       s.read.schema(src.schema).json(dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
@@ -1174,20 +1185,8 @@ object ExtQueries {
       val src = t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
-      val dir = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
-        "/orc_rt_" + graft.util.Fingerprint.of(d + "/events.parquet")
-      if (!new java.io.File(dir + "/_SUCCESS").exists()) {
-        val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-        src.write.mode("overwrite").orc(tmp)
-        if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
-          if (!new java.io.File(dir + "/_SUCCESS").exists()) {
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-            val _ = new java.io.File(tmp).renameTo(new java.io.File(dir))
-          }
-          if (new java.io.File(tmp).exists())
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        }
-      }
+      val dir = landedRoundTrip("orc_rt", d + "/events.parquet")(
+        tmp => src.write.mode("overwrite").orc(tmp))
       s.read.schema(src.schema).orc(dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
@@ -1203,21 +1202,9 @@ object ExtQueries {
       val src = t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
-      val dir = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
-        "/xml_rt_" + graft.util.Fingerprint.of(d + "/events.parquet")
-      if (!new java.io.File(dir + "/_SUCCESS").exists()) {
-        val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-        src.write.mode("overwrite").format("xml")
-          .option("rowTag", "event").save(tmp)
-        if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
-          if (!new java.io.File(dir + "/_SUCCESS").exists()) {
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-            val _ = new java.io.File(tmp).renameTo(new java.io.File(dir))
-          }
-          if (new java.io.File(tmp).exists())
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        }
-      }
+      val dir = landedRoundTrip("xml_rt", d + "/events.parquet")(
+        tmp => src.write.mode("overwrite").format("xml")
+          .option("rowTag", "event").save(tmp))
       s.read.schema(src.schema).format("xml").option("rowTag", "event")
         .load(dir)
         .groupBy(col("event_type"))

@@ -61,11 +61,13 @@ object WoqlQueries {
       "sub" -> vIri("Sub"), "sup" -> vIri("Sup")),
 
     "woql_get_csv" -> ((spark, dir) => {
-      val csvDir = s"${Graft.cacheRoot}/csv_nation_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-      if (!new java.io.File(s"$csvDir/_SUCCESS").exists()) {
+      // fingerprint-keyed + atomic-rename landing (regenerated
+      // testdata invalidates; concurrent sessions never see a half
+      // write) — shared with the sink round-trip entries
+      val csvDir = ExtQueries.landedRoundTrip("csv_nation",
+        dir + "/nation.parquet")(tmp =>
         Graft.table(spark, dir, "nation").select("n_nationkey", "n_name")
-          .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
-      }
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp))
       woql(GetCsv(Seq(("NK", "n_nationkey"), ("NName", "n_name")), csvDir))(
         "nk" -> vStr("NK"), "n_name" -> vStr("NName"))(spark, dir)
     }),
@@ -74,7 +76,10 @@ object WoqlQueries {
     // resolve_query_resource turtle branch): one solution per parsed
     // triple — subject/predicate as IRIs, object typed
     "woql_get_turtle" -> ((spark, dir) => {
-      val ttl = s"${Graft.cacheRoot}/ttl_region_${dir.replaceAll("[^A-Za-z0-9.]", "_")}.ttl"
+      // fingerprint-keyed single file; tmp-write + ATOMIC_MOVE so a
+      // concurrent lander never reads a partial document
+      val ttl = s"${Graft.cacheRoot}/ttl_region_" +
+        graft.util.Fingerprint.of(dir + "/region.parquet") + ".ttl"
       if (!new java.io.File(ttl).exists()) {
         val lines = graft.sources.Turtle.dumpLines(
           graft.storage.Eav.encodeTable(
@@ -86,8 +91,14 @@ object WoqlQueries {
             Seq(("tpch:r_name", graft.storage.Eav.PStr, col("r_name"))))
             .filter(col("p") === "tpch:r_name"))
           .collect().map(_.getString(0)).sorted
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(ttl),
+        val tmp = java.nio.file.Paths.get(
+          ttl + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+        java.nio.file.Files.writeString(tmp,
           lines.mkString("", "\n", "\n"))
+        try java.nio.file.Files.move(tmp, java.nio.file.Paths.get(ttl),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) }
       }
       woql(GetTurtle("S", "P", "O", ttl))(
         "s" -> vIri("S"), "p" -> vIri("P"), "name" -> vStr("O"))(spark, dir)
@@ -96,11 +107,10 @@ object WoqlQueries {
     // get over a JSON-LINES resource (§2.1 panda_json family): named
     // top-level fields bound per object, stringly like get(csv)
     "woql_get_json" -> ((spark, dir) => {
-      val jd = s"${Graft.cacheRoot}/json_nation_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-      if (!new java.io.File(s"$jd/_SUCCESS").exists()) {
+      val jd = ExtQueries.landedRoundTrip("json_nation",
+        dir + "/nation.parquet")(tmp =>
         Graft.table(spark, dir, "nation").select("n_nationkey", "n_name")
-          .coalesce(1).write.mode("overwrite").json(jd)
-      }
+          .coalesce(1).write.mode("overwrite").json(tmp))
       woql(GetJson(Seq(("NK", "n_nationkey"), ("NName", "n_name")), jd))(
         "nk" -> vStr("NK"), "n_name" -> vStr("NName"))(spark, dir)
     }),
@@ -109,12 +119,11 @@ object WoqlQueries {
     // csv/json): one solution per row element, child elements bound
     // stringly — Spark 4's built-in XML source does the parse
     "woql_get_xml" -> ((spark, dir) => {
-      val xd = s"${Graft.cacheRoot}/xml_nation_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-      if (!new java.io.File(s"$xd/_SUCCESS").exists()) {
+      val xd = ExtQueries.landedRoundTrip("xml_nation",
+        dir + "/nation.parquet")(tmp =>
         Graft.table(spark, dir, "nation").select("n_nationkey", "n_name")
           .coalesce(1).write.mode("overwrite").format("xml")
-          .option("rowTag", "nation").save(xd)
-      }
+          .option("rowTag", "nation").save(tmp))
       woql(GetXml(Seq(("NK", "n_nationkey"), ("NName", "n_name")), xd, "nation"))(
         "nk" -> vStr("NK"), "n_name" -> vStr("NName"))(spark, dir)
     }),

@@ -66,11 +66,12 @@ object Resources {
     * process-unique temp name and an atomic rename, so a concurrent lander
     * of the same key never exposes a half-written file. */
   private def land(spark: SparkSession, tag: String, key: String,
-                   open: () => java.io.InputStream): String = {
+                   open: () => java.io.InputStream,
+                   ext: String = "csv"): String = {
     val dir = new Path(landingDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val dest = new Path(dir, s"res_${tag}_$key.csv")
+    val dest = new Path(dir, s"res_${tag}_$key.$ext")
     if (fs.exists(dest)) return dest.toString
     val tmp = new Path(dir, s".res_${tag}_${key}_${System.nanoTime()}.tmp")
     val in = open()
@@ -94,7 +95,8 @@ object Resources {
         val content = r.stripPrefix("inline:")
         val landed = land(spark, "inlinej", md5Hex(content),
           () => new java.io.ByteArrayInputStream(
-            content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            content.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          ext = "json")
         spark.read.json(landed)
       case r if r.startsWith("http://") || r.startsWith("https://") =>
         val landed = land(spark, "httpj", md5Hex(r), () => {
@@ -102,7 +104,7 @@ object Resources {
           conn.setConnectTimeout(ConnectTimeoutMs)
           conn.setReadTimeout(ReadTimeoutMs)
           conn.getInputStream
-        })
+        }, ext = "json")
         spark.read.json(landed)
       case r => spark.read.json(r.stripPrefix("file://"))
     }
@@ -119,14 +121,15 @@ object Resources {
         val content = r.stripPrefix("inline:")
         rd(land(spark, "inlinex", md5Hex(content),
           () => new java.io.ByteArrayInputStream(
-            content.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+            content.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          ext = "xml"))
       case r if r.startsWith("http://") || r.startsWith("https://") =>
         rd(land(spark, "httpx", md5Hex(r), () => {
           val conn = new java.net.URL(r).openConnection()
           conn.setConnectTimeout(ConnectTimeoutMs)
           conn.setReadTimeout(ReadTimeoutMs)
           conn.getInputStream
-        }))
+        }, ext = "xml"))
       case r => rd(r.stripPrefix("file://"))
     }
   }
