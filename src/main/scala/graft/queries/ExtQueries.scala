@@ -294,6 +294,25 @@ object ExtQueries {
           round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall"))
     }),
 
+    // recall@5 of the IVF-ADC composite against exact search — the
+    // quantization-loss measurement for the PQ-coded tier (same
+    // derived-oracle scheme as sim_recall_ivf)
+    "sim_recall_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+        .select(col("q"), col("cand"))
+      val ann = Similarity.ivfPqTopK(emb, col("vec_id") < 10, 5,
+          nprobe = 2, cells = 8, ivfIters = 3, m = 8, kSub = 16,
+          pqIters = 2, dim = 64)
+        .select(col("q"), col("cand"))
+      val hits = brute.join(ann, Seq("q", "cand"), "left_semi")
+        .groupBy(col("q")).agg(count(lit(1)).as("hits"))
+      brute.select(col("q")).distinct()
+        .join(hits, Seq("q"), "left")
+        .select(col("q"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall"))
+    }),
+
     // --- end-to-end corpus cleaning (quality gate → exact dedup →
     //     LSH near-dup removal), one composed plan ---
     "llm_pipeline_clean" -> ((s, d) =>
@@ -3700,6 +3719,14 @@ object ExtQueries {
         | ivf AS (SELECT * FROM (${baseOracleSql("sim_topk_ivf")}) ti),
         | hits AS (SELECT b.q, CAST(count(*) AS BIGINT) AS hits
         |   FROM brute b JOIN ivf i ON b.q = i.q AND b.cand = i.cand GROUP BY 1)
+        | SELECT q, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+        |  round(coalesce(hits, 0) / 5.0, 6) AS recall
+        | FROM (SELECT DISTINCT q FROM brute) qs LEFT JOIN hits USING (q)""".stripMargin,
+    "sim_recall_ivfpq" ->
+      s"""WITH brute AS (SELECT * FROM (${baseOracleSql("sim_topk_brute")}) tb),
+        | ann AS (SELECT * FROM (${baseOracleSql("sim_topk_ivfpq")}) ta),
+        | hits AS (SELECT b.q, CAST(count(*) AS BIGINT) AS hits
+        |   FROM brute b JOIN ann a ON b.q = a.q AND b.cand = a.cand GROUP BY 1)
         | SELECT q, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
         |  round(coalesce(hits, 0) / 5.0, 6) AS recall
         | FROM (SELECT DISTINCT q FROM brute) qs LEFT JOIN hits USING (q)""".stripMargin)
