@@ -137,6 +137,26 @@ object ExtQueries {
       graft.operators.AsofJoin.backward(purchases, clicks, Seq("user_id"),
         "ts", "c_ts", Seq("c_ts", "c_value"))
     }),
+    // as-of with a MATCH TOLERANCE (pandas merge_asof's `tolerance`):
+    // the nearest backward match still wins, but is nulled out when
+    // older than 1 hour — same single-exchange as-of plan plus a
+    // codegen'd gap compare, no extra shuffle
+    "rel_asof_tolerance" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("c_value"))
+        .withColumnRenamed("ts", "c_ts")
+      val j = graft.operators.AsofJoin.backward(purchases, clicks,
+        Seq("user_id"), "ts", "c_ts", Seq("c_ts", "c_value"))
+      val keep = col("c_ts").isNotNull &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+      j.select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(keep, col("c_ts")).as("c_ts"),
+        when(keep, col("c_value")).as("c_value"))
+    }),
     // identical query through the NATIVE as-of operator (custom
     // LogicalPlan/Strategy/SparkPlan, graft.plans.AsofJoinPlan) — same
     // oracle, different physical plan: per-side shuffles + streaming
@@ -881,6 +901,27 @@ object ExtQueries {
         count(lit(1)).over(w).as("mov7_n"))
     }),
 
+    // VALUE-range window frame (the rows-frame sibling above counts 7
+    // ROWS; this one covers 7 calendar DAYS, so gaps in the series
+    // shrink the window instead of silently stretching it): Spark
+    // range frame over epoch seconds ≡ DuckDB RANGE INTERVAL — the
+    // day-truncated timestamps make the bounds exact integers. Same
+    // one-exchange window shape.
+    "rel_range_window" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val daily = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("day").cast("long"))
+        .rangeBetween(-6L * 86400, 0)
+      daily.select(col("n_name"), col("day"), col("rev_cents"),
+        sum(col("rev_cents")).over(w).as("r7_cents"),
+        count(lit(1)).over(w).as("r7_n"))
+    }),
+
     // DISTRIBUTED Bloom build (tree-merged per-partition bit arrays —
     // the shape past the driver-literal cap: build side never leaves
     // the executors) + the same codegen'd probe + exact semi-join
@@ -1618,6 +1659,19 @@ object ExtQueries {
         | c AS (SELECT user_id, ts AS c_ts, arg_max(value, event_id) AS c_value
         |   FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         | SELECT p.event_id, p.user_id, p.ts, p.value, c.c_ts, c.c_value
+        | FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts <= p.ts""".stripMargin,
+
+    // nearest-backward still wins; the CASE nulls it past tolerance
+    "rel_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts AS c_ts, arg_max(value, event_id) AS c_value
+        |   FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        | SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  CASE WHEN c.c_ts >= p.ts - INTERVAL 1 HOUR THEN c.c_ts END AS c_ts,
+        |  CASE WHEN c.c_ts >= p.ts - INTERVAL 1 HOUR THEN c.c_value END
+        |    AS c_value
         | FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.c_ts <= p.ts""".stripMargin,
 
@@ -2947,6 +3001,22 @@ object ExtQueries {
         |  CAST(count(*) OVER (PARTITION BY n_name ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_n
         | FROM daily""".stripMargin,
+
+    // value-RANGE frame over day-truncated timestamps ≡ the engine's
+    // epoch-second range frame (bounds land on exact midnights)
+    "rel_range_window" ->
+      """WITH daily AS (SELECT n_name,
+        |   CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |     AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        | SELECT n_name, day, rev_cents,
+        |  CAST(sum(rev_cents) OVER w AS BIGINT) AS r7_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS r7_n
+        | FROM daily WINDOW w AS (PARTITION BY n_name ORDER BY day
+        |   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // distributed Bloom build prunes only — oracle is the exact
     // semi-join (same contract as rel_bloom_semijoin)
