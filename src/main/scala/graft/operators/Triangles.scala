@@ -82,6 +82,30 @@ object Triangles {
       .select(col("node"), col("tri"))
   }
 
+  /** Local clustering coefficient for the top-`k` triangle nodes:
+    * lcc = 2·tri / (deg·(deg−1)), i.e. what fraction of a node's
+    * neighbor pairs are themselves connected — the node-level mixing
+    * signal next to the global assortativity. Emitted in integer
+    * micro-units from exact integer (tri, deg): ONE rounded double
+    * division over identical values in both engines. Top-k nodes come
+    * from [[nodeTriangles]] (they all have deg ≥ 2 by construction —
+    * a triangle corner has two neighbors); the degree re-aggregate is
+    * one more groupBy over the same canonical edge list, joined to a
+    * k-row frame (AQE broadcasts the tiny side). */
+  def localClustering(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("deg"))
+    nodeTriangles(edges, k).join(deg, Seq("node"))
+      .select(col("node"), col("tri"), col("deg"),
+        round(col("tri") * lit(2000000.0) / (col("deg") * (col("deg") - 1)), 0)
+          .cast(org.apache.spark.sql.types.LongType).as("lcc_micro"))
+  }
+
   /** Market-basket lift: for item pairs co-occurring in ≥ `minSupport`
     * baskets, lift = P(ab)/(P(a)P(b)) = n_ab·N/(n_a·n_b) — the
     * affinity statistic of recommendation co-occurrence mining.

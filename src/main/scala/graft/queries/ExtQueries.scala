@@ -589,6 +589,15 @@ object ExtQueries {
         graft.operators.Triangles.coOccurrenceEdges(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey"), 20)),
 
+    // local clustering coefficient of the top triangle nodes: exact
+    // (tri, deg) ints → one rounded micro-unit division. NOT in the
+    // bench headline: it re-runs nodeTriangles (same double-count
+    // rationale as emb_kmeans vs llm_sample_diverse).
+    "graph_lcc" -> ((s, d) =>
+      graft.operators.Triangles.localClustering(
+        graft.operators.Triangles.coOccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey"), 20)),
+
     // market-basket lift over parts-per-order (support ≥ 5): the
     // co-occurrence affinity statistic, integer micro-lift units
     "rel_basket_lift" -> ((s, d) =>
@@ -3792,6 +3801,19 @@ object ExtQueries {
         | SELECT q, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
         |  round(coalesce(hits, 0) / 5.0, 6) AS recall
         | FROM (SELECT DISTINCT q FROM brute) qs LEFT JOIN hits USING (q)""".stripMargin,
+    // triangle counts come from the full triangles oracle as a
+    // subquery; degrees re-derive from the same e0 definition
+    "graph_lcc" ->
+      s"""WITH t AS (SELECT * FROM (${baseOracleSql("graph_triangles")}) tt),
+        | e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |   FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | deg AS (SELECT v, count(*) AS deg FROM (
+        |   SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) GROUP BY 1)
+        | SELECT t.node, t.tri, CAST(deg.deg AS BIGINT) AS deg,
+        |  CAST(round(t.tri * 2000000.0 / (deg.deg * (deg.deg - 1)), 0)
+        |    AS BIGINT) AS lcc_micro
+        | FROM t JOIN deg ON deg.v = t.node""".stripMargin,
     "sim_recall_ivfpq" ->
       s"""WITH brute AS (SELECT * FROM (${baseOracleSql("sim_topk_brute")}) tb),
         | ann AS (SELECT * FROM (${baseOracleSql("sim_topk_ivfpq")}) ta),

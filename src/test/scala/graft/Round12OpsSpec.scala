@@ -152,6 +152,21 @@ class Round12OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Role("bad", Set("not_an_action")) }
   }
 
+  test("local clustering coefficient on K3 plus a pendant") {
+    import spark.implicits._
+    // triangle 1-2-3, pendant 4 on node 1: deg(1)=3 so only 1 of its
+    // 3 neighbor pairs closes (333333 micro); 2 and 3 are fully
+    // clustered (1000000 micro)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = operators.Triangles.localClustering(g, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 3L, 333333L)),
+      2L -> ((1L, 2L, 1000000L)),
+      3L -> ((1L, 2L, 1000000L))))
+  }
+
   test("assortativity matches the brute Pearson on known graphs") {
     import spark.implicits._
     def brute(es: Seq[(Long, Long)]): Double = {
