@@ -220,6 +220,11 @@ object ExtQueries {
     }),
     "stream_enrich_counts" -> ((s, d) => Events.streamingEnrichedCounts(s, d)),
 
+    // STREAMING SCD2 point-in-time lookup: stream-static containment
+    // join against the versioned dim — append mode, zero state; same
+    // oracle as the batch as-of lookup
+    "stream_scd2_lookup" -> ((s, d) => Events.streamingScd2Lookup(s, d)),
+
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(t(s, d, "documents"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashNearDups(t(s, d, "documents"), 0.5)),
@@ -3801,6 +3806,8 @@ object ExtQueries {
         | SELECT q, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
         |  round(coalesce(hits, 0) / 5.0, 6) AS recall
         | FROM (SELECT DISTINCT q FROM brute) qs LEFT JOIN hits USING (q)""".stripMargin,
+    // the streaming twin must equal the batch point-in-time lookup
+    "stream_scd2_lookup" -> baseOracleSql("rel_scd2_lookup"),
     // triangle counts come from the full triangles oracle as a
     // subquery; degrees re-derive from the same e0 definition
     "graph_lcc" ->

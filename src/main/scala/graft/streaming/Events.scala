@@ -166,6 +166,32 @@ object Events {
     runToTable(spark, agg, "complete")
   }
 
+  /** STREAMING SCD2 point-in-time lookup: the fact stream enriched
+    * with the dimension version valid AT event time — a stream-static
+    * broadcast join on interval containment (SCD2 intervals tile,
+    * ends exclusive → exactly one dim row matches), APPEND mode with
+    * ZERO streaming state. This is the canonical "enrich an unbounded
+    * stream against a versioned dimension" shape at 100 TB: the dim
+    * broadcasts, the stream never shuffles, nothing accumulates.
+    * Result ≡ the batch as-of lookup (`rel_scd2_lookup`, same
+    * oracle). */
+  def streamingScd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Graft.table(spark, sfDir, "events")
+    val dim = graft.operators.Warehouse.scd2(e, key = "user_id",
+        ts = "ts", tieBreak = "event_id", state = "event_type")
+      .select(col("user_id").as("d_uid"), col("state"),
+        col("valid_from"), col("valid_to"), col("version"))
+    val facts = eventsStream(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val joined = facts.join(broadcast(dim),
+      col("user_id") === col("d_uid") && col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("state"),
+        col("version"))
+    runToTable(spark, joined, "append")
+  }
+
   /** Running per-user aggregate carried in CUSTOM STATE
     * (`flatMapGroupsWithState` — SURVEY §2.10 "custom state"): the
     * state store holds one small record per user, each micro-batch
