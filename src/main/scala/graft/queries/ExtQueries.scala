@@ -1267,6 +1267,22 @@ object ExtQueries {
           round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // CSV sink → source round-trip: same aggregate-exactness proof as
+    // the JSON/ORC/XML siblings for the RFC-4180 text format (header +
+    // schema'd re-read — the `put`/`get` ops cover the stringly WOQL
+    // path; this one proves typed values survive)
+    "ext_csv_roundtrip" -> ((s, d) => {
+      val src = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dir = landedRoundTrip("csv_rt", d + "/events.parquet")(
+        tmp => src.write.mode("overwrite").option("header", "true").csv(tmp))
+      s.read.schema(src.schema).option("header", "true").csv(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // XML sink → source round-trip: the markup sibling (completes
     // §2.1 sinks: CSV put, turtle, parquet, JSON, ORC, XML — Spark 4
     // ships the XML source built-in). Values must survive the text
@@ -3370,6 +3386,13 @@ object ExtQueries {
 
     // typed columnar round-trip must be value-exact too
     "ext_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | round(sum(value), 6) AS sum_value
+        | FROM events GROUP BY 1""".stripMargin,
+
+    // RFC-4180 text round-trip must be value-exact too
+    "ext_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(user_id) AS BIGINT) AS sum_uid,
         | round(sum(value), 6) AS sum_value
