@@ -329,6 +329,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("assortativity joins on endpoints — no pair enumeration") {
+    // the moment sums must come from edge-keyed equi-joins; a
+    // cartesian/BNLJ means someone enumerated vertex pairs
+    val plan = SparkEntry.queries("graph_assortativity")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"assortativity enumerated pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"assortativity degraded to BNLJ:\n$plan")
+  }
+
+  test("ivf-adc broadcasts the probes over the encoded corpus") {
+    // candidates come from a cell-keyed equi-join with the tiny probe
+    // side broadcast; the corpus must never shuffle for the join
+    val plan = SparkEntry.queries("sim_topk_ivfpq")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"ivf-adc lost the probe broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"ivf-adc degraded to a cartesian:\n$plan")
+  }
+
   test("scd2 runs both window passes off ONE user_id exchange") {
     // lag-detect and lead/row_number close use the same (user_id) ×
     // (ts, event_id) sort — a second exchange means the shared-sort
