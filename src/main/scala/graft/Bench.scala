@@ -74,7 +74,10 @@ object Bench {
     "woql_wire_update", "woql_get_xml", "ext_xml_roundtrip",
     "graph_assortativity", "rel_grouping_sets", "text_readability",
     "sim_topk_ivfpq", "sim_recall_ivfpq", "rel_asof_tolerance",
-    "rel_range_window", "stream_scd2_lookup", "ext_csv_roundtrip")
+    "rel_range_window", "stream_scd2_lookup", "ext_csv_roundtrip",
+    // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the
+    // emb_kmeans double-count rationale) — oracle-only, not benched
+    )
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

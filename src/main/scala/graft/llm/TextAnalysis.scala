@@ -467,6 +467,26 @@ object TextAnalysis {
         round(exp(-col("__cum") / col("n_bigrams")), 6).as("ppl"), col("n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into head / middle / tail terciles of LM
+    * perplexity — the standard corpus-quality partition (head = lowest
+    * ppl = cleanest; tail is usually dropped or down-sampled).
+    * Ordering is on the ROUNDED ppl (already engine-stable — the
+    * `text_bigram_ppl` entry proves it bit-equal) with doc_id as the
+    * tie-break, so the NTILE assignment replays exactly. One window
+    * over (lang) after the perplexity scoring — languages are few, so
+    * the exchange is cheap next to the scoring scan. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val ppl = bigramPerplexity(docs).select(col("doc_id"), col("ppl"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang")).join(ppl, Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(w).cast(LongType))
+      .select(col("doc_id"), col("lang"), col("ppl"), col("tercile"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): hashed-unigram
     * bucket LMs for the target slice (`lang = targetLang`) and the

@@ -784,6 +784,12 @@ object ExtQueries {
     "text_bigram_ppl" -> ((s, d) =>
       TextAnalysis.bigramPerplexity(t(s, d, "documents"))),
 
+    // CCNet head/middle/tail perplexity terciles per language — the
+    // standard corpus-quality partition, replayed exactly via NTILE
+    // over the (rounded ppl, doc_id) total order
+    "llm_ccnet_buckets" -> ((s, d) =>
+      TextAnalysis.ccnetBuckets(t(s, d, "documents"))),
+
     // α-power temperature rebalancing (XLM-R multilingual mix):
     // supply^0.5 shares of a 30k-token budget, salted hash-threshold
     "llm_sample_temp" -> ((s, d) =>
@@ -3831,6 +3837,19 @@ object ExtQueries {
         | FROM (SELECT DISTINCT q FROM brute) qs LEFT JOIN hits USING (q)""".stripMargin,
     // the streaming twin must equal the batch point-in-time lookup
     "stream_scd2_lookup" -> baseOracleSql("rel_scd2_lookup"),
+    // CCNet terciles over the bigram-ppl oracle as a subquery: same
+    // rounded ppl, same (ppl, doc_id) NTILE order
+    "llm_ccnet_buckets" ->
+      s"""WITH p AS (SELECT doc_id, ppl
+        |   FROM (${baseOracleSql("text_bigram_ppl")}) tp),
+        | j AS (SELECT d.doc_id, d.lang, p.ppl,
+        |   CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, d.doc_id)
+        |     AS BIGINT) AS tercile
+        |  FROM documents d JOIN p ON p.doc_id = d.doc_id)
+        | SELECT doc_id, lang, ppl, tercile,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        | FROM j""".stripMargin,
     // triangle counts come from the full triangles oracle as a
     // subquery; degrees re-derive from the same e0 definition
     "graph_lcc" ->
