@@ -114,6 +114,37 @@ object Sketches {
         round(col("n_common").cast(DoubleType) / col("n_union"), 6).as("est_jaccard"))
   }
 
+  /** Theta-style KMV set DIFFERENCE (A \ B and B \ A) — completes the
+    * sketch set algebra next to [[kmvUnion]] and [[kmvIntersect]].
+    * Same retained-sample argument: below the common theta every
+    * retained hash is a uniform sample of A ∪ B, so
+    * |A\B| ≈ (ret_a − common)/θ — the standard theta-sketch a-not-b.
+    * Identical scale shape: one narrow distinct over the big table,
+    * then ≤ 2k sketch rows. */
+  def kmvDifference(df: DataFrame, group: Column, value: Column, k: Int,
+                    a: String, b: String): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val h = df.select(group.as("g"),
+        Sampling.hashU(value.cast(StringType)).as("u"))
+      .where(col("g").isin(a, b)).distinct()
+    val sk = kMinsPerGroup(h, k)
+    val theta = sk.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"), max(when(col("rn") === k, col("u"))).as("uk"))
+      .agg(min(when(col("nd") < k, lit(1.0)).otherwise(col("uk"))).as("theta"))
+    val ret = sk.crossJoin(broadcast(theta)).where(col("u") < col("theta"))
+    ret.groupBy(col("u"), col("theta"))
+      .agg(max(col("g") === a).as("ia"), max(col("g") === b).as("ib"))
+      .groupBy(col("theta"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("n_ret_a"),
+        sum(when(col("ib"), 1L).otherwise(0L)).as("n_ret_b"),
+        sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).as("n_common"))
+      .select(col("n_ret_a"), col("n_ret_b"), col("n_common"),
+        round((col("n_ret_a") - col("n_common")) / col("theta"), 6)
+          .as("est_diff_ab"),
+        round((col("n_ret_b") - col("n_common")) / col("theta"), 6)
+          .as("est_diff_ba"))
+  }
+
   /** HyperLogLog distinct estimate (Flajolet 2007) with DETERMINISTIC
     * md5 registers — unlike `approx_count_distinct` (whose xxhash +
     * implementation detail make it engine-private), every piece here

@@ -980,6 +980,14 @@ object ExtQueries {
           explode(split(trim(col("text")), "\\s+")).as("tok")),
         col("lang"), col("tok"), 64, "en", "es")),
 
+    // theta-sketch a-not-b over the same retained sample — completes
+    // the sketch set algebra (union / intersect / difference)
+    "sketch_kmv_diff" -> ((s, d) =>
+      graft.llm.Sketches.kmvDifference(
+        t(s, d, "documents").select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("tok")),
+        col("lang"), col("tok"), 64, "en", "es")),
+
     // exact interpolated quartiles per return flag (the small-group
     // exact complement to sketch_grid_quantiles): group cardinality
     // is 3 flags, values collected per group into percentile_approx's
@@ -3112,6 +3120,26 @@ object ExtQueries {
         |  CAST(count_if(ia AND ib) AS BIGINT) AS n_common,
         |  round(count_if(ia AND ib) / theta, 6) AS est_intersect,
         |  round(CAST(count_if(ia AND ib) AS DOUBLE) / count(*), 6) AS est_jaccard
+        | FROM m GROUP BY theta""".stripMargin,
+
+    // same retained-sample CTEs; a-not-b / b-not-a estimates
+    "sketch_kmv_diff" ->
+      s"""WITH tok AS (SELECT lang AS g, unnest($toksSql) AS s
+        |   FROM documents WHERE lang IN ('en', 'es')),
+        | u AS (SELECT DISTINCT g, ($hash32Sql) / 4294967296.0 AS u FROM tok),
+        | sk AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn
+        |   FROM u QUALIFY rn <= 64),
+        | th AS (SELECT g, count(*) AS nd,
+        |   max(CASE WHEN rn = 64 THEN u END) AS uk FROM sk GROUP BY g),
+        | t AS (SELECT min(CASE WHEN nd < 64 THEN 1.0 ELSE uk END) AS theta FROM th),
+        | ret AS (SELECT g, u, theta FROM sk, t WHERE u < theta),
+        | m AS (SELECT u, theta, max(g = 'en') AS ia, max(g = 'es') AS ib
+        |   FROM ret GROUP BY 1, 2)
+        | SELECT CAST(count_if(ia) AS BIGINT) AS n_ret_a,
+        |  CAST(count_if(ib) AS BIGINT) AS n_ret_b,
+        |  CAST(count_if(ia AND ib) AS BIGINT) AS n_common,
+        |  round((count_if(ia) - count_if(ia AND ib)) / theta, 6) AS est_diff_ab,
+        |  round((count_if(ib) - count_if(ia AND ib)) / theta, 6) AS est_diff_ba
         | FROM m GROUP BY theta""".stripMargin,
 
     // quantile_cont shares Spark percentile's linear interpolation
