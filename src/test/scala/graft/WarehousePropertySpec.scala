@@ -115,6 +115,31 @@ class WarehousePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("range frame equals brute trailing-interval sum on random logs") {
+    // the rel_range_window shape: sum over [t−6, t] by VALUE, per key —
+    // brute per-row filter-sum is the ground truth; gaps in t must
+    // shrink the window (the rows-frame failure mode)
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 51L to 56L) {
+      val log = sample(logGen, seed)
+      val in = df(log).select(col("user_id"), col("ts").cast("long").as("t"),
+        col("event_id").as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        .rangeBetween(-6L, 0)
+      val got = in.select(col("user_id"), col("t"), col("v"),
+          sum(col("v")).over(w).as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      val rows = log.map { case (u, t, id, _) => (u, t, id) }
+      for ((u, t, id) <- rows) {
+        val brute = rows.filter { case (u2, t2, _) =>
+          u2 == u && t2 >= t - 6 && t2 <= t }.map(_._3).sum
+        assert(got((u, t, id)) == brute, s"seed $seed at ($u,$t)")
+      }
+    }
+  }
+
   test("funnel level counts: streaming fold equals batch on random logs") {
     for (seed <- 41L to 44L) {
       val log = sample(logGen, seed)
