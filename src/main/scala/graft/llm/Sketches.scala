@@ -91,8 +91,13 @@ object Sketches {
     * Scale shape: the big table is scanned once per the narrow
     * distinct; everything after operates on ≤ 2k sketch rows — the
     * single-partition steps never see data-sized input. */
-  def kmvIntersect(df: DataFrame, group: Column, value: Column, k: Int,
-                   a: String, b: String): DataFrame = {
+  /** Shared two-set retained-sample frame: below the common theta every
+    * retained hash is a uniform sample of A ∪ B, with per-hash set
+    * membership aggregated to (theta, n_ret_a, n_ret_b, n_common,
+    * n_union). Both the intersection and difference estimators are one
+    * projection over this. */
+  private def kmvRetained(df: DataFrame, group: Column, value: Column,
+                          k: Int, a: String, b: String): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val h = df.select(group.as("g"),
         Sampling.hashU(value.cast(StringType)).as("u"))
@@ -109,41 +114,28 @@ object Sketches {
         sum(when(col("ib"), 1L).otherwise(0L)).as("n_ret_b"),
         sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).as("n_common"),
         count(lit(1)).as("n_union"))
+  }
+
+  def kmvIntersect(df: DataFrame, group: Column, value: Column, k: Int,
+                   a: String, b: String): DataFrame =
+    kmvRetained(df, group, value, k, a, b)
       .select(col("n_ret_a"), col("n_ret_b"), col("n_common"),
         round(col("n_common") / col("theta"), 6).as("est_intersect"),
         round(col("n_common").cast(DoubleType) / col("n_union"), 6).as("est_jaccard"))
-  }
 
   /** Theta-style KMV set DIFFERENCE (A \ B and B \ A) — completes the
-    * sketch set algebra next to [[kmvUnion]] and [[kmvIntersect]].
-    * Same retained-sample argument: below the common theta every
-    * retained hash is a uniform sample of A ∪ B, so
-    * |A\B| ≈ (ret_a − common)/θ — the standard theta-sketch a-not-b.
+    * sketch set algebra next to [[kmvUnion]] and [[kmvIntersect]]:
+    * |A\B| ≈ (ret_a − common)/θ, the standard theta-sketch a-not-b.
     * Identical scale shape: one narrow distinct over the big table,
     * then ≤ 2k sketch rows. */
   def kmvDifference(df: DataFrame, group: Column, value: Column, k: Int,
-                    a: String, b: String): DataFrame = {
-    require(k >= 2, "KMV needs k >= 2")
-    val h = df.select(group.as("g"),
-        Sampling.hashU(value.cast(StringType)).as("u"))
-      .where(col("g").isin(a, b)).distinct()
-    val sk = kMinsPerGroup(h, k)
-    val theta = sk.groupBy(col("g"))
-      .agg(count(lit(1)).as("nd"), max(when(col("rn") === k, col("u"))).as("uk"))
-      .agg(min(when(col("nd") < k, lit(1.0)).otherwise(col("uk"))).as("theta"))
-    val ret = sk.crossJoin(broadcast(theta)).where(col("u") < col("theta"))
-    ret.groupBy(col("u"), col("theta"))
-      .agg(max(col("g") === a).as("ia"), max(col("g") === b).as("ib"))
-      .groupBy(col("theta"))
-      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("n_ret_a"),
-        sum(when(col("ib"), 1L).otherwise(0L)).as("n_ret_b"),
-        sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).as("n_common"))
+                    a: String, b: String): DataFrame =
+    kmvRetained(df, group, value, k, a, b)
       .select(col("n_ret_a"), col("n_ret_b"), col("n_common"),
         round((col("n_ret_a") - col("n_common")) / col("theta"), 6)
           .as("est_diff_ab"),
         round((col("n_ret_b") - col("n_common")) / col("theta"), 6)
           .as("est_diff_ba"))
-  }
 
   /** HyperLogLog distinct estimate (Flajolet 2007) with DETERMINISTIC
     * md5 registers — unlike `approx_count_distinct` (whose xxhash +

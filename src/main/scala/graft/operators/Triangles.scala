@@ -30,7 +30,14 @@ object Triangles {
   /** Per-node triangle participation counts, top `k` by (count desc,
     * node asc). `edges` must be an undirected edge list with columns
     * (a, b); duplicates and self-loops are removed here. */
-  def nodeTriangles(edges: DataFrame, k: Int): DataFrame = {
+  def nodeTriangles(edges: DataFrame, k: Int): DataFrame =
+    trianglesAndDeg(edges, k)._1
+
+  /** [[nodeTriangles]] plus the degree table it already derives — so
+    * [[localClustering]] reuses the persisted canonical edge list
+    * instead of re-running the (possibly expensive) edge derivation a
+    * second time for degrees. */
+  private def trianglesAndDeg(edges: DataFrame, k: Int): (DataFrame, DataFrame) = {
     // persisted scratch: the canonical edge list feeds the degree
     // union (2 consumers) AND both degree-attach joins — without the
     // persist the (possibly expensive) edge derivation recomputes 4×
@@ -78,8 +85,10 @@ object Triangles {
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
     // global top-k on (tri desc, node) = TakeOrderedAndProject
-    perNode.orderBy(col("tri").desc, col("node")).limit(k)
+    val topk = perNode.orderBy(col("tri").desc, col("node")).limit(k)
       .select(col("node"), col("tri"))
+    (topk, deg.select(col("v").as("node"),
+      col("deg").cast(org.apache.spark.sql.types.LongType).as("deg")))
   }
 
   /** Local clustering coefficient for the top-`k` triangle nodes:
@@ -93,14 +102,8 @@ object Triangles {
     * one more groupBy over the same canonical edge list, joined to a
     * k-row frame (AQE broadcasts the tiny side). */
   def localClustering(edges: DataFrame, k: Int): DataFrame = {
-    val e = edges.where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
-    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("deg"))
-    nodeTriangles(edges, k).join(deg, Seq("node"))
+    val (topk, deg) = trianglesAndDeg(edges, k)
+    topk.join(deg, Seq("node"))
       .select(col("node"), col("tri"), col("deg"),
         round(col("tri") * lit(2000000.0) / (col("deg") * (col("deg") - 1)), 0)
           .cast(org.apache.spark.sql.types.LongType).as("lcc_micro"))

@@ -17,6 +17,24 @@ object ExtQueries {
   private def t(spark: SparkSession, dir: String, name: String) =
     Graft.table(spark, dir, name)
 
+  /** recall@5 of an ANN arm against exact search, per query vector —
+    * the index-quality measurement a pipeline runs before trusting a
+    * tier. Shared by every `sim_recall_*` entry (one harness, one
+    * drift surface); each oracle wraps the two arms' SQLs as
+    * subqueries. */
+  private def recallAt5(emb: DataFrame,
+                        ann: DataFrame => DataFrame): DataFrame = {
+    val brute = graft.llm.Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+      .select(col("q"), col("cand"))
+    val arm = ann(emb).select(col("q"), col("cand"))
+    val hits = brute.join(arm, Seq("q", "cand"), "left_semi")
+      .groupBy(col("q")).agg(count(lit(1)).as("hits"))
+    brute.select(col("q")).distinct()
+      .join(hits, Seq("q"), "left")
+      .select(col("q"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall"))
+  }
+
   /** Fingerprint-keyed landed sink dir with write-then-ATOMIC-rename:
     * the key embeds the source file's (path, size, mtime) so
     * regenerated testdata invalidates, and two concurrent sessions on
@@ -305,38 +323,18 @@ object ExtQueries {
     // a pipeline runs before trusting an ANN tier. Both arms are the
     // same operators the standalone entries run; the oracle wraps
     // their SQLs as subqueries (no second definition to drift).
-    "sim_recall_ivf" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
-        .select(col("q"), col("cand"))
-      val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10, 5, nprobe = 2)
-        .select(col("q"), col("cand"))
-      val hits = brute.join(ivf, Seq("q", "cand"), "left_semi")
-        .groupBy(col("q")).agg(count(lit(1)).as("hits"))
-      brute.select(col("q")).distinct()
-        .join(hits, Seq("q"), "left")
-        .select(col("q"), coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall"))
-    }),
+    "sim_recall_ivf" -> ((s, d) =>
+      recallAt5(t(s, d, "embeddings"),
+        emb => Similarity.ivfTopK(emb, col("vec_id") < 10, 5, nprobe = 2))),
 
     // recall@5 of the IVF-ADC composite against exact search — the
     // quantization-loss measurement for the PQ-coded tier (same
     // derived-oracle scheme as sim_recall_ivf)
-    "sim_recall_ivfpq" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
-        .select(col("q"), col("cand"))
-      val ann = Similarity.ivfPqTopK(emb, col("vec_id") < 10, 5,
+    "sim_recall_ivfpq" -> ((s, d) =>
+      recallAt5(t(s, d, "embeddings"),
+        emb => Similarity.ivfPqTopK(emb, col("vec_id") < 10, 5,
           nprobe = 2, cells = 8, ivfIters = 3, m = 8, kSub = 16,
-          pqIters = 2, dim = 64)
-        .select(col("q"), col("cand"))
-      val hits = brute.join(ann, Seq("q", "cand"), "left_semi")
-        .groupBy(col("q")).agg(count(lit(1)).as("hits"))
-      brute.select(col("q")).distinct()
-        .join(hits, Seq("q"), "left")
-        .select(col("q"), coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall"))
-    }),
+          pqIters = 2, dim = 64))),
 
     // --- end-to-end corpus cleaning (quality gate → exact dedup →
     //     LSH near-dup removal), one composed plan ---
@@ -3855,14 +3853,7 @@ object ExtQueries {
         |  round((SELECT count(*) FROM brute b
         |    JOIN lsh l ON b.da = l.da AND b.db = l.db) * 1.0 /
         |   (SELECT count(*) FROM brute), 6) AS recall""".stripMargin,
-    "sim_recall_ivf" ->
-      s"""WITH brute AS (SELECT * FROM (${baseOracleSql("sim_topk_brute")}) tb),
-        | ivf AS (SELECT * FROM (${baseOracleSql("sim_topk_ivf")}) ti),
-        | hits AS (SELECT b.q, CAST(count(*) AS BIGINT) AS hits
-        |   FROM brute b JOIN ivf i ON b.q = i.q AND b.cand = i.cand GROUP BY 1)
-        | SELECT q, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
-        |  round(coalesce(hits, 0) / 5.0, 6) AS recall
-        | FROM (SELECT DISTINCT q FROM brute) qs LEFT JOIN hits USING (q)""".stripMargin,
+    "sim_recall_ivf" -> recallSql("sim_topk_ivf"),
     // the streaming twin must equal the batch point-in-time lookup
     "stream_scd2_lookup" -> baseOracleSql("rel_scd2_lookup"),
     // CCNet terciles over the bigram-ppl oracle as a subquery: same
@@ -3891,12 +3882,17 @@ object ExtQueries {
         |  CAST(round(t.tri * 2000000.0 / (deg.deg * (deg.deg - 1)), 0)
         |    AS BIGINT) AS lcc_micro
         | FROM t JOIN deg ON deg.v = t.node""".stripMargin,
-    "sim_recall_ivfpq" ->
-      s"""WITH brute AS (SELECT * FROM (${baseOracleSql("sim_topk_brute")}) tb),
-        | ann AS (SELECT * FROM (${baseOracleSql("sim_topk_ivfpq")}) ta),
-        | hits AS (SELECT b.q, CAST(count(*) AS BIGINT) AS hits
-        |   FROM brute b JOIN ann a ON b.q = a.q AND b.cand = a.cand GROUP BY 1)
-        | SELECT q, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
-        |  round(coalesce(hits, 0) / 5.0, 6) AS recall
-        | FROM (SELECT DISTINCT q FROM brute) qs LEFT JOIN hits USING (q)""".stripMargin)
+    "sim_recall_ivfpq" -> recallSql("sim_topk_ivfpq"))
+
+  /** The recall@5 oracle shell around any ANN arm's SQL — the SQL twin
+    * of [[recallAt5]]. A def, not a val: the maps above initialize
+    * first (see the init-order note at [[sq8QvSql]]). */
+  private def recallSql(annKey: String): String =
+    s"""WITH brute AS (SELECT * FROM (${baseOracleSql("sim_topk_brute")}) tb),
+      | ann AS (SELECT * FROM (${baseOracleSql(annKey)}) ta),
+      | hits AS (SELECT b.q, CAST(count(*) AS BIGINT) AS hits
+      |   FROM brute b JOIN ann a ON b.q = a.q AND b.cand = a.cand GROUP BY 1)
+      | SELECT q, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+      |  round(coalesce(hits, 0) / 5.0, 6) AS recall
+      | FROM (SELECT DISTINCT q FROM brute) qs LEFT JOIN hits USING (q)""".stripMargin
 }

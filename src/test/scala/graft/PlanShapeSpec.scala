@@ -341,12 +341,17 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("ivf-adc broadcasts the probes over the encoded corpus") {
-    // candidates come from a cell-keyed equi-join with the tiny probe
-    // side broadcast; the corpus must never shuffle for the join
+    // the CELL-keyed candidate join specifically must be a broadcast
+    // hash join (other joins in this plan legitimately broadcast too,
+    // so a bare contains("BroadcastExchange") would stay green even if
+    // this one regressed to a corpus shuffle)
     val plan = SparkEntry.queries("sim_topk_ivfpq")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastExchange"),
-      s"ivf-adc lost the probe broadcast:\n$plan")
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(plan).isDefined,
+      s"ivf-adc's cell-keyed candidate join lost the probe broadcast:\n$plan")
+    assert(!("(SortMergeJoin|ShuffledHashJoin) \\[cell".r
+        .findFirstIn(plan).isDefined),
+      s"ivf-adc's cell join shuffles the corpus:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"ivf-adc degraded to a cartesian:\n$plan")
   }
