@@ -487,6 +487,20 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Sequence-length cap with exact truncation accounting — the
+    * pre-tokenizer length cap every training pipeline applies before
+    * packing. The kept prefix is content-proved (md5 of the re-joined
+    * kept tokens), not just counted, so a slice off-by-one can't hide
+    * behind equal lengths. Pure narrow map, no shuffle. */
+  def truncateCap(docs: DataFrame, maxTokens: Int): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t).cast(LongType)
+    docs.select(col("doc_id"), n.as("n_tokens"),
+      least(n, lit(maxTokens.toLong)).as("n_kept"),
+      (n > maxTokens).as("truncated"),
+      md5(concat_ws(" ", slice(t, 1, maxTokens))).as("kept_hash"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): hashed-unigram
     * bucket LMs for the target slice (`lang = targetLang`) and the

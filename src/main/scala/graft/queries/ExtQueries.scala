@@ -788,6 +788,11 @@ object ExtQueries {
     "llm_ccnet_buckets" -> ((s, d) =>
       TextAnalysis.ccnetBuckets(t(s, d, "documents"))),
 
+    // sequence-length cap at 256 tokens with content-proved kept
+    // prefix (md5 of the re-joined tokens, not just counts)
+    "llm_truncate_cap" -> ((s, d) =>
+      TextAnalysis.truncateCap(t(s, d, "documents"), 256)),
+
     // α-power temperature rebalancing (XLM-R multilingual mix):
     // supply^0.5 shares of a 30k-token budget, salted hash-threshold
     "llm_sample_temp" -> ((s, d) =>
@@ -3856,6 +3861,15 @@ object ExtQueries {
     "sim_recall_ivf" -> recallSql("sim_topk_ivf"),
     // the streaming twin must equal the batch point-in-time lookup
     "stream_scd2_lookup" -> baseOracleSql("rel_scd2_lookup"),
+    // kept prefix content-proved via the same md5 over the re-joined
+    // token slice
+    "llm_truncate_cap" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        | CAST(least(len($toksSql), 256) AS BIGINT) AS n_kept,
+        | len($toksSql) > 256 AS truncated,
+        | md5(array_to_string(list_slice($toksSql, 1, 256), ' '))
+        |   AS kept_hash
+        | FROM documents""".stripMargin,
     // CCNet terciles over the bigram-ppl oracle as a subquery: same
     // rounded ppl, same (ppl, doc_id) NTILE order
     "llm_ccnet_buckets" ->
