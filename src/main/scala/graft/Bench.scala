@@ -75,7 +75,7 @@ object Bench {
     "graph_assortativity", "rel_grouping_sets", "text_readability",
     "sim_topk_ivfpq", "sim_recall_ivfpq", "rel_asof_tolerance",
     "rel_range_window", "stream_scd2_lookup", "ext_csv_roundtrip",
-    "sketch_kmv_diff", "llm_truncate_cap",
+    "sketch_kmv_diff", "llm_truncate_cap", "rel_unpivot",
     // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the
     // emb_kmeans double-count rationale) — oracle-only, not benched
     )

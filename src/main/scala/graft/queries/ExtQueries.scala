@@ -858,6 +858,24 @@ object ExtQueries {
         count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents"))),
 
+    // UNPIVOT (wide → long melt): the pivot's inverse, proved by
+    // round-tripping the hour × type pivot back into the direct
+    // long-form aggregate. Spark's Dataset.unpivot is one Expand —
+    // the same shape class as pivot's aggregate, no join anywhere.
+    "rel_unpivot" -> ((s, d) => {
+      val types = Seq("click", "view", "signup", "purchase", "error")
+      val wide = t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .pivot("event_type", types).agg(count(lit(1)))
+      val dense = wide.select(col("h") +:
+        types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
+      dense.unpivot(Array(col("h")), types.map(col).toArray,
+          "event_type", "n")
+        .where(col("n") > 0)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_hours"))
+    }),
+
     // ARBITRARY grouping sets — the general form rollup/cube are
     // special cases of: (status, priority), (status), (priority) but
     // NOT the grand total. Still ONE expand + ONE hash aggregate.
@@ -2964,6 +2982,12 @@ object ExtQueries {
         | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
         | FROM orders
         | GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // the unpivoted roundtrip must equal the direct long-form answer
+    "rel_unpivot" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+        | FROM events GROUP BY 1""".stripMargin,
 
     "rel_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
