@@ -107,7 +107,7 @@ object Bench {
       // 4.3s standalone vs 10s at position ~90 with identical plans and
       // near-zero gc_ms). Default periodicGC is 30min — far past one
       // battery; 30s keeps the cleaner live at negligible cost.
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.cleaner.periodicGC.interval", "15s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -187,11 +187,34 @@ object Bench {
       val rt = Runtime.getRuntime
       (rt.totalMemory() - rt.freeMemory()) >> 20
     }
-    val gcThresholdMb = sys.env.getOrElse("GRAFT_BENCH_GC_MB", "8192").toLong
+    val gcThresholdMb = sys.env.getOrElse("GRAFT_BENCH_GC_MB", "4096").toLong
+    // The iterative-graph tranche runs MANY Spark jobs per entry
+    // (semi-naive rounds, peeling iterations), each leaving shuffle
+    // files that only the GC-driven ContextCleaner reclaims. The r11/
+    // r12 driver runs showed the threshold GC never recovering
+    // graph_triangles on the driver box (13 s vs 3.5-5.8 s local) even
+    // after local runs recovered — heap sizing there differs, so these
+    // entries force a full GC + a cleaner-drain pause UNCONDITIONALLY;
+    // the cost (~100-300 ms each, 8 entries) is flat and tiny against
+    // the multi-second risk it retires.
+    val forceGcEntries = Set(
+      "graph_triangles", "graph_kcore", "graph_wcc", "graph_pagerank",
+      "graph_ppr", "graph_common_neighbors", "graph_assortativity",
+      "woql_path_plus_alt", "woql_path_shortest", "ext_graphql_path")
+    val heapMaxMb = Runtime.getRuntime.maxMemory() >> 20
     val results: Seq[(String, Double)] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val gcForced = usedHeapMb > gcThresholdMb
-        if (gcForced) System.gc()
+        val heapPreMb = usedHeapMb
+        val gcForced = forceGcEntries.contains(name) ||
+          heapPreMb > gcThresholdMb
+        if (gcForced) {
+          // double GC with a settle pause: the first collection queues
+          // the weak-reference cleanups, the ContextCleaner acts on
+          // them asynchronously, and the second collection reclaims
+          // what the cleanup itself released (shuffle-file metadata,
+          // broadcast blocks)
+          System.gc(); Thread.sleep(150); System.gc()
+        }
         resetPeaks()
         val gc0 = gcMs
         val secs = (1 to 2).map { _ =>
@@ -238,7 +261,7 @@ object Bench {
             .foreach(_.unpersist(false)))
         }
         diags(name) = s"""{"gc_ms":${gcMs - gc0},"gc_forced":$gcForced,""" +
-          s""""peak_heap_mb":$peakHeapMb,""" +
+          s""""heap_pre_mb":$heapPreMb,"peak_heap_mb":$peakHeapMb,""" +
           s""""cached_mb":$cachedMb,"drained":$drained,""" +
           s""""leaked_rdds":${leaked.length},"leaked_mb":$leakMb,""" +
           s""""cache_artifact_mb":$cacheArtifactMb}"""
@@ -258,7 +281,10 @@ object Bench {
     // machine-parsed totals line printed LAST stays under 2000 chars —
     // its inline queries map is capped to the slowest entries so the
     // "value" field always survives the capture.
-    println(s"""{"metric":"diag","sf":"$sfDir","diag":$dj}""")
+    // heap_max_mb: what -Xmx the battery ACTUALLY ran with — the r12
+    // triangles non-recovery was undiagnosable from BENCH_r12 alone
+    // because the driver box's heap sizing was unrecorded
+    println(s"""{"metric":"diag","sf":"$sfDir","heap_max_mb":$heapMaxMb,"diag":$dj}""")
     println(s"""{"metric":"queries","sf":"$sfDir","queries":$qs}""")
     val topQs = all.sortBy(-_._2)
       .foldLeft(List.empty[String]) { case (acc, (k, v)) =>

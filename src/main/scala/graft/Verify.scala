@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name subset (local
+    // iteration only — the driver always passes exactly two args)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +27,9 @@ object Verify {
     // compare then records an unmissable schema/hash mismatch for that
     // key — and collect messages into errors.json for humans.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,8 +46,9 @@ object Verify {
     // Belt and braces: every registered oracle key must now have a
     // result directory (real or marker). Crash the run if not — a
     // missing key means the queries/oracleSql maps drifted apart.
-    val missing = SparkEntry.oracleSql.keySet.filterNot(k =>
-      new java.io.File(s"$outDir/$k").exists())
+    val missing = SparkEntry.oracleSql.keySet
+      .filter(k => only.forall(_.contains(k)))
+      .filterNot(k => new java.io.File(s"$outDir/$k").exists())
     require(missing.isEmpty, s"oracle keys with no result dir: $missing")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -285,24 +285,34 @@ object TextAnalysis {
     * per-round candidate table localizes WHICH round's pair counts
     * diverged instead of cascading silently through the remaining
     * rounds. */
+  /** `(w, syms, cnt)` initial BPE vocabulary: word types of the
+    * lowercased corpus, each split to char symbols + end-of-word '_'. */
+  private def bpeVocab0(docs: DataFrame): DataFrame =
+    docs.select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), concat(split(col("w"), ""), array(lit("_"))).as("syms"),
+        col("cnt"))
+
+  /** Adjacent-symbol pair counts `(l, r, freq)` of a vocabulary table
+    * — one aggregation over vocab rows (∝ word types, not corpus). */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.where(size(col("syms")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
+        i => struct(element_at(col("syms"), i + 1).as("l"),
+          element_at(col("syms"), i + 2).as("r")))).as("pr"), col("cnt"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum(col("cnt")).as("freq"))
+
   private def bpeRoundCandidates(docs: DataFrame, k: Int, top: Int)
       : Seq[(Long, Long, String, String, Long)] = {
-    var vocab = docs
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(concat(split(col("w"), ""), array(lit("_"))).as("syms"), col("cnt"))
+    var vocab = bpeVocab0(docs).select(col("syms"), col("cnt"))
     vocab = graft.util.Scratch.trackCheckpoint(vocab.localCheckpoint(true))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String, Long)]
     var round = 0
     var done = false
     while (!done && round < k) {
       round += 1
-      val pairs = vocab.where(size(col("syms")) >= 2)
-        .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
-          i => struct(element_at(col("syms"), i + 1).as("l"),
-            element_at(col("syms"), i + 2).as("r")))).as("pr"), col("cnt"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum(col("cnt")).as("freq"))
+      val pairs = bpePairCounts(vocab)
       // argmax of the round: `top` rows to the driver (bounded by
       // construction — this is the merge decision, not data movement)
       val best = pairs.orderBy(col("freq").desc, col("l"), col("r")).limit(top).collect()
@@ -320,6 +330,31 @@ object TextAnalysis {
       }
     }
     out.toSeq
+  }
+
+  /** Round-1 isolation probe A: the FULL round-1 pair-count table
+    * `(l, r, freq)`. If this diverges from the oracle, the pair-count
+    * construct itself (unnest of adjacent pairs + group-sum) is the
+    * culprit; if it matches while training diverges, the fault is
+    * downstream (argmax tie-break or the greedy-merge replay). */
+  def bpeProbePairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    bpePairCounts(bpeVocab0(docs))
+      .select(col("l"), col("r"), col("freq").cast(LongType).as("freq"))
+  }
+
+  /** Round-1 isolation probe B: the vocabulary AFTER the first greedy
+    * merge, symbols re-joined with spaces so ordering is hash-exact.
+    * Isolates the merge-replay machinery (the oracle's unnest + window
+    * gaps-and-islands fold) against the engine's aggregate() fold. */
+  def bpeProbeVocab(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val v0 = bpeVocab0(docs)
+    val best = bpePairCounts(v0)
+      .orderBy(col("freq").desc, col("l"), col("r")).limit(1).collect()
+    val (l, r) = (best(0).getString(0), best(0).getString(1))
+    v0.select(col("w"), array_join(applyMerge(col("syms"), l, r), " ").as("syms"),
+      col("cnt").cast(LongType).as("cnt"))
   }
 
   /** Divergence probe for [[bpeTrain]]: the top-3 argmax candidates of

@@ -530,6 +530,15 @@ object ExtQueries {
     "text_bpe_train_rounds" -> ((s, d) =>
       graft.llm.TextAnalysis.bpeTrainRounds(t(s, d, "documents"), 12)),
 
+    // round-1 isolation probes (VERDICT r12 #1): one SQL construct per
+    // entry — probe_pairs exercises ONLY pair counting, probe_merge
+    // ONLY the greedy-merge replay; whichever goes red first names
+    // the diverging construct
+    "text_bpe_probe_pairs" -> ((s, d) =>
+      graft.llm.TextAnalysis.bpeProbePairs(t(s, d, "documents"))),
+    "text_bpe_probe_merge" -> ((s, d) =>
+      graft.llm.TextAnalysis.bpeProbeVocab(t(s, d, "documents"))),
+
     // BPE ENCODE with the trained merges (train→apply, the complete
     // tokenizer loop): merges fold over the word-TYPE table (rows ∝
     // vocabulary), per-doc counts join the encoded types — the corpus
@@ -2514,26 +2523,46 @@ object ExtQueries {
     // references its predecessor multiple times re-evaluates
     // exponentially (measured: >4 min inlined, 0.2 s materialized at
     // sf0.001).
+    // NOTE freq is CAST AS BIGINT at the final projection: `sum()` of
+    // an integer is HUGEINT in DuckDB, and HUGEINT's arrow/pandas
+    // export representation differs across DuckDB versions — every
+    // other integer-sum oracle in this map already casts (sum_okey
+    // etc.); the two BPE entries were the only uncast exports and the
+    // only hash-red rows for three rounds.
     "text_bpe_train" -> {
       s"""WITH ${bpeWindowChain(12)}
          | ${(1 to 12).map(i =>
-             s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, freq FROM b$i")
+             s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, CAST(freq AS BIGINT) AS freq FROM b$i")
              .mkString(" UNION ALL ")}
          | ORDER BY rank""".stripMargin
     },
 
     // divergence probe: top-3 argmax candidates of every round (same
     // chain as text_bpe_train; only the emitted projection differs)
+    // (freq cast for the same HUGEINT-export reason as text_bpe_train)
     "text_bpe_train_rounds" -> {
       s"""WITH ${bpeWindowChain(12)}
          | SELECT round, cand_rank, lhs, rhs, freq FROM (
          |  ${(1 to 12).map(i =>
              s"""SELECT CAST($i AS BIGINT) AS round, split_part(pair,' ',1) AS lhs,
-                | split_part(pair,' ',2) AS rhs, freq,
+                | split_part(pair,' ',2) AS rhs, CAST(freq AS BIGINT) AS freq,
                 | CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS cand_rank
                 | FROM p$i QUALIFY cand_rank <= 3""".stripMargin)
              .mkString(" UNION ALL ")})
          | ORDER BY round, cand_rank""".stripMargin
+    },
+
+    // round-1 isolation probes: pair counting alone, resp. the
+    // unnest+window merge replay alone (see the query-side comment)
+    "text_bpe_probe_pairs" -> {
+      s"""WITH ${bpeWindowChain(1)}
+         | SELECT split_part(pair,' ',1) AS l, split_part(pair,' ',2) AS r,
+         |   CAST(freq AS BIGINT) AS freq FROM p1""".stripMargin
+    },
+    "text_bpe_probe_merge" -> {
+      s"""WITH ${bpeWindowChain(2)}
+         | SELECT w, array_to_string(syms, ' ') AS syms,
+         |   CAST(cnt AS BIGINT) AS cnt FROM v1""".stripMargin
     },
 
     // BPE apply: the same 12-round merge chain, but the vocab rows

@@ -345,7 +345,16 @@ object GraphQL {
     // subtrees keeps the scalar/_or binding order unchanged — hoisting
     // the whole filter ahead of the selections would re-bind _or-branch
     // fields in-branch and break optional-field null alignment.
-    pathDeferred.foreach(_.apply())
+    // Drain as a QUEUE, not a snapshot iteration: a deferred closure
+    // that compiles a nested selection set can itself append to
+    // pathDeferred (a `path:` field inside another path field's
+    // selections); foreach over the Vector captured at call time would
+    // silently drop those late arrivals.
+    while (pathDeferred.nonEmpty) {
+      val f = pathDeferred.head
+      pathDeferred = pathDeferred.tail
+      f()
+    }
 
     var q: Woql = And(pats)
     // overlapping _or branches union their frames; collapse exact-

@@ -86,9 +86,14 @@ object Migration {
           if (!force) none
           else {
             val roots = instances.select(col("s").as("__root"))
+            // whole-subtree match by ROOT PREFIX (`root` or `root/...`):
+            // a parent-extraction regex would only climb one level and —
+            // with a greedy `(.*)` — to the WRONG level for depth ≥ 2
+            // subjects (root/sub/leaf extracts root/sub), orphaning
+            // grandchildren. Prefix match removes the whole subgraph.
             graph.filter(col("g") === "instance").join(roots,
               col("s") === col("__root") ||
-                regexp_extract(col("s"), "^(.*)/[^/]*$", 1) === col("__root"),
+                col("s").startsWith(concat(col("__root"), lit("/"))),
               "left_semi")
           }
         (none, schemaGone.unionByName(instGone))
@@ -191,18 +196,21 @@ object Migration {
     * cast composes. */
   def migrate(store: LayerStore, branch: String, ops: Seq[Op],
               message: String = "migration"): String = {
-    var graph = store.materializeBranch(branch)
-    val spark = graph.sparkSession
-    var adds = emptyEav(spark)
-    var removes = emptyEav(spark)
+    val head = store.materializeBranch(branch)
+    var graph = head
     ops.foreach { op =>
       val (a, r) = delta(graph, op)
       // evolve the view: (graph ∖ r) ∪ a — exceptAll/union keeps the
       // fold declarative; materialization happens once, in commit()
       graph = graph.exceptAll(r).unionByName(a)
-      adds = adds.unionByName(a)
-      removes = removes.unionByName(r)
     }
-    store.commit(branch, adds, removes, message)
+    // Commit the NET delta (finalGraph vs head), not the accumulated
+    // per-op adds/removes: when a later op removes a row an earlier op
+    // in the same migration added (rename a→b then b→c, or the
+    // documented rename-then-cast), the commit's add-wins materialize
+    // order (add seq > remove seq within one commit) would resurrect
+    // the stale intermediate rows. Netting cancels them exactly, and
+    // multiset exceptAll keeps multiplicity honest in both directions.
+    store.commit(branch, graph.exceptAll(head), head.exceptAll(graph), message)
   }
 }
