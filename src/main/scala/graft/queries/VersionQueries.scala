@@ -263,6 +263,46 @@ object VersionQueries {
       rows.toDF("seq", "commit_id", "message", "added", "removed")
     }),
 
+    // NETWORK remote transfer end-to-end ([ref:core/api/api_pack.pl]):
+    // TWO HttpApi servers over two fresh stores, synced ONLY over real
+    // HTTP — clone(B←A) → B commits → push(B→A, refs-negotiated: the
+    // layer count assertion proves exactly ONE layer travelled) →
+    // A commits → pull(B←A, fast-forward). Result = B's materialized
+    // graph, whose expected content is closed-form.
+    "ext_http_transfer" -> ((s, d) => {
+      import s.implicits._
+      def t(pairs: (Int, String)*) =
+        nameTriples(pairs.toSeq.toDF("n_nationkey", "n_name"))
+      def layerCount(root: String): Int =
+        Option(new java.io.File(root, "layers").list()).map(_.length).getOrElse(0)
+      def enc(u: String) = java.net.URLEncoder.encode(u, "UTF-8")
+      val tmpA = java.nio.file.Files.createTempDirectory("graft-xferA").toString
+      val tmpB = java.nio.file.Files.createTempDirectory("graft-xferB").toString
+      val stA = LayerStore.open(s, tmpA)
+      stA.commit("main", t((0, "XFER_0"), (1, "XFER_1"), (2, "XFER_2")),
+        emptyEav(s), "base")
+      stA.commit("main", t((3, "XFER_3")), t((0, "XFER_0")), "delta")
+      val srvA = graft.server.HttpApi.start(s, d, storeRoot = Some(tmpA))
+      val srvB = graft.server.HttpApi.start(s, d, storeRoot = Some(tmpB))
+      try {
+        val stB = srvB.store
+        val base = enc(srvA.url(""))
+        httpPost(srvB.url(s"/api/clone?src=$base&branch=main"), "")
+        require(stB.refs("main") == stA.refs("main"), "clone head mismatch")
+        stB.commit("main", t((4, "XFER_4")), emptyEav(s), "b-extra")
+        val layersA0 = layerCount(tmpA)
+        httpPost(srvB.url(s"/api/push?remote=$base&branch=main"), "")
+        require(stA.refs("main") == stB.refs("main"), "push head mismatch")
+        require(layerCount(tmpA) == layersA0 + 1,
+          "negotiated push must ship exactly the one missing layer")
+        stA.commit("main", t((5, "XFER_5")), emptyEav(s), "a-extra")
+        httpPost(srvB.url(s"/api/pull?remote=$base&branch=main"), "")
+        require(stB.refs("main") == stA.refs("main"), "pull head mismatch")
+        stB.materializeBranch("main")
+          .select(col("s"), col("o_str").as("n_name")).orderBy(col("s"))
+      } finally { srvA.stop(); srvB.stop() }
+    }),
+
     // storage size (§2.4 size / reference `size(Resource,Bytes)` API):
     // per-layer byte totals of the fixed-content store, measured
     // DISTRIBUTED via the binaryFile source (no driver-side File.walk —
@@ -1027,6 +1067,14 @@ object VersionQueries {
         | SELECT rank, commit_id, parent, message FROM walk""".stripMargin),
     // closed-form from the fixed store: mid = {0,1,2}, main head =
     // {1→V2, 2, 10, 11, 12} ⇒ one delete, one swap, three inserts
+    // closed-form from the transfer scenario's construction: base
+    // {0,1,2} − 0 + 3 (A), + 4 (pushed from B), + 5 (pulled from A)
+    "ext_http_transfer" ->
+      """SELECT * FROM (VALUES
+        | ('tpch:nation/1','XFER_1'), ('tpch:nation/2','XFER_2'),
+        | ('tpch:nation/3','XFER_3'), ('tpch:nation/4','XFER_4'),
+        | ('tpch:nation/5','XFER_5')) AS t(s, n_name) ORDER BY s""".stripMargin,
+
     "ext_http_diff" ->
       """SELECT * FROM (VALUES
         | ('tpch:nation/0','tpch:n_name','delete','HTTP_0',CAST(NULL AS VARCHAR)),

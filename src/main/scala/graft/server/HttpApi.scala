@@ -429,38 +429,10 @@ object HttpApi {
         "ops" -> JInt(BigInt(ops.size))))
     })
 
-    srv.createContext("/api/pack", route { ex =>
-      val branch = postParam(ex, "branch"); val dest = postParam(ex, "dest")
-      store.pack(branch, dest)
-      val layers = Option(new java.io.File(dest, "layers").list())
-        .map(_.length).getOrElse(0)
-      ok(JObject("api:status" -> JString("api:success"),
-        "branch" -> JString(branch), "dest" -> JString(dest),
-        "layers" -> JInt(BigInt(layers))))
-    })
-
-    srv.createContext("/api/unpack", route { ex =>
-      // import a transfer directory's layers; reports the pack's
-      // branch heads WITHOUT moving local refs (reset/pull move them —
-      // the reference's unpack route has the same import-only contract)
-      val src = postParam(ex, "src")
-      val heads = store.unpack(src)
-      ok(JObject("api:status" -> JString("api:success"),
-        "heads" -> JObject(heads.toList.sortBy(_._1)
-          .map { case (b, h) => b -> (JString(h): JValue) })))
-    })
-
-    srv.createContext("/api/clone", route { ex =>
-      val dest = postParam(ex, "dest"); val branch = postParam(ex, "branch")
-      val other = store.cloneTo(dest, branch)
-      ok(JObject("api:status" -> JString("api:success"),
-        "dest" -> JString(dest),
-        "head" -> JString(other.refs(branch))))
-    })
-
     // ---- named remotes ([ref:server/routes.pl] remote CRUD): a small
     // name → store-root catalog persisted next to the commit catalog;
-    // push/pull/fetch accept either a remote name or a literal root ----
+    // push/pull/fetch/clone accept a remote name, a literal filesystem
+    // root, or an `http(s)://` base URL of another graft server ----
 
     // small name→string catalogs persisted next to the commit catalog
     // (remotes, prefix overlay) share one read/write pair
@@ -483,21 +455,113 @@ object HttpApi {
     def writeRemotes(m: Map[String, String]): Unit = writeJsonMap(remotesPath, m)
     def remoteRoot(nameOrPath: String): String =
       readRemotes.getOrElse(nameOrPath, nameOrPath)
+    def isHttp(root: String): Boolean =
+      root.startsWith("http://") || root.startsWith("https://")
+    // credential for the remote goes in ?remote_token= — the caller's
+    // own bearer is NEVER forwarded implicitly (that would hand this
+    // server's credential to whatever URL the request names)
+    def httpRemote(ex: HttpExchange, root: String) =
+      graft.storage.RemoteTransfer.HttpRemote(root, param(ex, "remote_token"))
+
+    srv.createContext("/api/pack", route { ex =>
+      val branch = postParam(ex, "branch")
+      param(ex, "dest") match {
+        case Some(dest) => // filesystem transfer-dir mode (same host)
+          store.pack(branch, dest)
+          val layers = Option(new java.io.File(dest, "layers").list())
+            .map(_.length).getOrElse(0)
+          ok(JObject("api:status" -> JString("api:success"),
+            "branch" -> JString(branch), "dest" -> JString(dest),
+            "layers" -> JInt(BigInt(layers))))
+        case None =>
+          // network mode ([ref:core/api/api_pack.pl]): respond with the
+          // ZIP'd pack itself; ?have=<comma-separated commit ids> is the
+          // receiver's negotiation set — their layers are not packed
+          val have = param(ex, "have")
+            .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+          val bytes = graft.storage.RemoteTransfer.packBytes(store, branch, have)
+          ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          null // response already sent
+      }
+    })
+
+    srv.createContext("/api/unpack", route { ex =>
+      // import layers; reports the pack's branch heads WITHOUT moving
+      // local refs by default (reset/pull move them — the reference's
+      // unpack route has the same import-only contract). With
+      // ?advance=<branch> the route is the receiving half of PUSH: it
+      // fast-forwards that branch ref to the packed head, refusing
+      // non-fast-forward moves.
+      val heads = param(ex, "src") match {
+        case Some(src) => store.unpack(src) // filesystem mode
+        case None => graft.storage.RemoteTransfer.unpackBytes(
+          store, ex.getRequestBody.readAllBytes())
+      }
+      param(ex, "advance").foreach { b =>
+        val newHead = heads.getOrElse(b,
+          sys.error(s"pack carries no head for branch $b"))
+        store.refs.get(b).foreach { old =>
+          require(store.chain(newHead).contains(old),
+            s"non-fast-forward push of $b rejected")
+        }
+        store.reset(b, newHead)
+      }
+      ok(JObject("api:status" -> JString("api:success"),
+        "heads" -> JObject(heads.toList.sortBy(_._1)
+          .map { case (b, h) => b -> (JString(h): JValue) })))
+    })
+
+    // branch → head map: the discovery half of refs negotiation (a
+    // pushing client learns the remote head here, then packs only the
+    // segment past it)
+    srv.createContext("/api/refs", route { ex =>
+      ok(JObject("api:status" -> JString("api:success"),
+        "refs" -> JObject(store.refs.toList.sortBy(_._1)
+          .map { case (b, h) => b -> (JString(h): JValue) })))
+    })
+
+    srv.createContext("/api/clone", route { ex =>
+      val branch = postParam(ex, "branch")
+      param(ex, "src") match {
+        case Some(src) => // clone FROM a remote (http or catalog name)
+          val head = graft.storage.RemoteTransfer.cloneFrom(
+            store, httpRemote(ex, remoteRoot(src)), branch)
+          ok(JObject("api:status" -> JString("api:success"),
+            "src" -> JString(src), "head" -> JString(head)))
+        case None => // clone this store TO a fresh filesystem root
+          val dest = postParam(ex, "dest")
+          val other = store.cloneTo(dest, branch)
+          ok(JObject("api:status" -> JString("api:success"),
+            "dest" -> JString(dest),
+            "head" -> JString(other.refs(branch))))
+      }
+    })
 
     srv.createContext("/api/push", route { ex =>
       val remote = remoteRoot(postParam(ex, "remote"))
       val branch = postParam(ex, "branch")
-      val other = LayerStore.open(spark, remote)
-      store.push(other, branch)
+      val head =
+        if (isHttp(remote))
+          graft.storage.RemoteTransfer.push(store, httpRemote(ex, remote), branch)
+        else {
+          val other = LayerStore.open(spark, remote)
+          store.push(other, branch)
+          other.refs(branch)
+        }
       ok(JObject("api:status" -> JString("api:success"),
         "remote" -> JString(remote), "branch" -> JString(branch),
-        "head" -> JString(other.refs(branch))))
+        "head" -> JString(head)))
     })
 
     srv.createContext("/api/pull", route { ex =>
       val remote = remoteRoot(postParam(ex, "remote"))
       val branch = postParam(ex, "branch")
-      store.pull(LayerStore.open(spark, remote), branch)
+      if (isHttp(remote))
+        graft.storage.RemoteTransfer.pull(store, httpRemote(ex, remote), branch)
+      else store.pull(LayerStore.open(spark, remote), branch)
       ok(JObject("api:status" -> JString("api:success"),
         "branch" -> JString(branch), "head" -> JString(store.refs(branch))))
     })
@@ -506,7 +570,10 @@ object HttpApi {
       val remote = remoteRoot(postParam(ex, "remote"))
       val branch = postParam(ex, "branch")
       val name = param(ex, "name").getOrElse("origin")
-      val head = store.fetch(LayerStore.open(spark, remote), branch, name)
+      val head =
+        if (isHttp(remote))
+          graft.storage.RemoteTransfer.fetch(store, httpRemote(ex, remote), branch, name)
+        else store.fetch(LayerStore.open(spark, remote), branch, name)
       // negotiation result: where the remote is, and whether the local
       // branch (if any) could fast-forward to it
       val localHead = store.refs.get(branch)
@@ -1095,11 +1162,14 @@ object HttpApi {
         }
       if (code == 401)
         ex.getResponseHeaders.set("WWW-Authenticate", "Bearer realm=\"graft\"")
-      val bytes = body.getBytes("UTF-8")
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
-      ex.close()
+      if (body == null) () // handler streamed its own (binary) response
+      else {
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
     }
 
   private def bearer(ex: HttpExchange): Option[String] =
@@ -1116,11 +1186,11 @@ object HttpApi {
       catalog: CapsRef): Boolean =
     catalog.get() match {
       case Some(cat) =>
-        openRoute(ex.getRequestURI.getPath) ||
+        openRoute(routedPath(ex)) ||
           bearer(ex).exists(cat.user(_).isDefined)
       case None => auth match {
         case None => true
-        case Some(_) if openRoute(ex.getRequestURI.getPath) => true
+        case Some(_) if openRoute(routedPath(ex)) => true
         case Some(tok) =>
           Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
             java.security.MessageDigest.isEqual(
@@ -1134,15 +1204,28 @@ object HttpApi {
     * server addresses its one dataset as `_default`). */
   val BaseDb = "_default"
 
+  /** The path the JDK server actually ROUTED to. HttpServer dispatches
+    * by longest context-path prefix (raw startsWith), so a request like
+    * `POST /api/user/x` reaches the `/api/user` handler; keying the
+    * policy table on the raw request path would let such requests fall
+    * into the lenient default case while still executing the privileged
+    * handler. The registered context path is the only routing-faithful
+    * policy key. */
+  private def routedPath(ex: HttpExchange): String =
+    Option(ex.getHttpContext).map(_.getPath)
+      .getOrElse(ex.getRequestURI.getPath)
+
   /** Route-level policy table: which action on which database each
     * request needs ([ref:core/account/capabilities.pl] route guards).
-    * Centralized here so the mapping is auditable in one place. */
+    * Centralized here so the mapping is auditable in one place.
+    * Keyed on [[routedPath]] — the handler that will run — never on
+    * the raw request path (see routedPath's note on prefix routing). */
   private def requiredCap(ex: HttpExchange): Option[(String, String)] = {
     import Capabilities.Actions._
     val get = ex.getRequestMethod == "GET"
-    ex.getRequestURI.getPath match {
+    routedPath(ex) match {
       case "/api/info" | "/api/ok" => None
-      case "/api/log" | "/api/diff" | "/api/history" =>
+      case "/api/log" | "/api/diff" | "/api/history" | "/api/refs" =>
         Some((InstanceRead, BaseDb))
       case "/api/patch" | "/api/apply" => Some((InstanceWrite, BaseDb))
       case "/api/optimize" => Some((Branch, BaseDb))
@@ -1166,8 +1249,8 @@ object HttpApi {
       case "/api/reset" | "/api/rebase" | "/api/squash" =>
         Some((Branch, BaseDb))
       case "/api/migration" => Some((SchemaWrite, BaseDb))
-      case "/api/pack" | "/api/clone" | "/api/push" | "/api/pull" |
-           "/api/fetch" => Some((Transfer, BaseDb))
+      case "/api/pack" | "/api/unpack" | "/api/clone" | "/api/push" |
+           "/api/pull" | "/api/fetch" => Some((Transfer, BaseDb))
       case _ => Some((InstanceRead, BaseDb)) // default-deny to read level
     }
   }

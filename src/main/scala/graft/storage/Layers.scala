@@ -290,18 +290,33 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Pack the layers + metadata of a branch into a transfer directory. */
-  def pack(branchName: String, dest: String): Unit = {
-    val ids = chain(refs(branchName))
+  /** Every commit id in the catalog — the receiver's `have` set for
+    * pack negotiation (DAG-sized; bounded like the other catalog
+    * collects). */
+  def commitIds: Set[String] =
+    commits.select("commit_id").collect().map(_.getString(0)).toSet
+
+  /** Pack the layers + metadata of a branch into a transfer directory.
+    * `have` = commit ids the receiver already holds (refs negotiation,
+    * [ref:core/api/api_pack.pl]): their layers and metadata are
+    * SKIPPED, so an incremental push/fetch ships only the chain
+    * segment the other side is missing. The branch head ref is always
+    * included — it is the negotiation's answer. */
+  def pack(branchName: String, dest: String,
+           have: Set[String] = Set.empty): Unit = {
+    val head = refs(branchName)
+    val ids = chain(head).filterNot(have)
     ids.foreach { id =>
       copyDir(java.nio.file.Paths.get(path("layers", id)),
         java.nio.file.Paths.get(dest, "layers", id))
     }
     import spark.implicits._
-    val meta = commits.filter(col("commit_id").isin(ids: _*))
-    meta.write.mode("overwrite").parquet(s"$dest/_catalog/commits")
-    Seq((branchName, refs(branchName))).toDF("ref", "commit_id")
-      .write.mode("overwrite").parquet(s"$dest/_catalog/refs")
+    val meta =
+      if (ids.isEmpty) commits.limit(0)
+      else commits.filter(col("commit_id").isin(ids: _*))
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$dest/_catalog/commits")
+    Seq((branchName, head)).toDF("ref", "commit_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/_catalog/refs")
   }
 
   /** Unpack a transfer directory into this store (fetch); does not move

@@ -949,4 +949,109 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // tokens never enter the graph — only hashes
     assert(g.filter(col("o_str").contains("secret-token")).count() == 0)
   }
+
+  test("policy keys on the ROUTED context: prefix paths cannot bypass caps") {
+    // JDK HttpServer dispatches by context-path PREFIX, so a request
+    // like 'POST /api/user/x' runs the privileged /api/user handler;
+    // the policy table must key on the routed context, never the raw
+    // request path (which would fall into the lenient default case).
+    import server.Capabilities._
+    val catalog = Catalog(
+      orgs = Seq(Org("acme", Set("dbA"))),
+      roles = Seq(AdminRole, ReaderRole),
+      users = Seq(
+        User("root", "tok-root", Seq(Capability("admin", "*"))),
+        User("alice", "tok-alice",
+          Seq(Capability("reader", s"db/${server.HttpApi.BaseDb}")))))
+    val capSrv = server.HttpApi.start(spark, sfDir, capabilities = Some(catalog))
+    try {
+      def req(method: String, path: String, tok: String): Int = {
+        val b = HttpRequest.newBuilder(URI.create(capSrv.url(path)))
+          .header("Authorization", s"Bearer $tok")
+        val r = client.send((method match {
+          case "GET" => b.GET()
+          case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(""))
+          case "DELETE" => b.DELETE()
+        }).build(), HttpResponse.BodyHandlers.ofString())
+        r.statusCode()
+      }
+      // reader hitting privileged handlers through prefix paths → 403
+      assert(req("POST", "/api/user/?name=eve&token=t&caps=admin:*",
+        "tok-alice") == 403)
+      assert(req("POST", "/api/user/x?name=eve&token=t&caps=admin:*",
+        "tok-alice") == 403)
+      assert(req("DELETE", "/api/db/?name=dbA", "tok-alice") == 403)
+      assert(req("DELETE", "/api/db/x?name=dbA", "tok-alice") == 403)
+      assert(req("POST", "/api/migration/x?ops=%5B%5D", "tok-alice") == 403)
+      // exact paths still work for the admin
+      assert(req("GET", "/api/branch", "tok-alice") == 200)
+      assert(req("POST", "/api/user?name=eve&token=t&caps=reader:db/_default",
+        "tok-root") == 200)
+    } finally capSrv.stop()
+  }
+
+  test("two servers sync over HTTP: clone, push with negotiation, pull") {
+    import storage.{LayerStore, RemoteTransfer}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, concat}
+    def t(pairs: (Int, String)*) = pairs.toSeq.toDF("n_nationkey", "n_name")
+      .select(lit("instance").as("g"),
+        concat(lit("x:n/"), col("n_nationkey").cast(org.apache.spark.sql.types.StringType)).as("s"),
+        lit("x:name").as("p"), lit("l").as("o_kind"),
+        lit(null).cast(org.apache.spark.sql.types.StringType).as("o_iri"),
+        lit("xsd:string").as("o_typ"), col("n_name").as("o_str"),
+        lit(null).cast(org.apache.spark.sql.types.DoubleType).as("o_dbl"),
+        lit(null).cast(org.apache.spark.sql.types.LongType).as("o_lng"),
+        lit(null).cast(org.apache.spark.sql.types.TimestampType).as("o_ts"),
+        lit(null).cast(org.apache.spark.sql.types.BooleanType).as("o_bool"),
+        lit(null).cast(org.apache.spark.sql.types.StringType).as("o_lang"),
+        lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
+    def none = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      storage.Eav.schema)
+    val rootA = java.nio.file.Files.createTempDirectory("xfer-a").toString
+    val rootB = java.nio.file.Files.createTempDirectory("xfer-b").toString
+    val stA = LayerStore.open(spark, rootA)
+    stA.commit("main", t((1, "A1"), (2, "A2")), none, "base")
+    stA.commit("main", t((3, "A3")), none, "delta")
+    val srvA = server.HttpApi.start(spark, sfDir, storeRoot = Some(rootA))
+    val srvB = server.HttpApi.start(spark, sfDir, storeRoot = Some(rootB))
+    try {
+      val stB = srvB.store
+      val remoteA = RemoteTransfer.HttpRemote(srvA.url(""))
+      // clone: B gets A's two layers and head
+      RemoteTransfer.cloneFrom(stB, remoteA, "main")
+      assert(stB.refs("main") == stA.refs("main"))
+      assert(stB.commitIds == stA.commitIds)
+      // push: B commits, negotiated push ships exactly ONE layer
+      stB.commit("main", t((4, "B4")), none, "b-only")
+      val layersA0 = Option(new java.io.File(rootA, "layers").list())
+        .map(_.length).getOrElse(0)
+      RemoteTransfer.push(stB, remoteA, "main")
+      assert(stA.refs("main") == stB.refs("main"))
+      assert(new java.io.File(rootA, "layers").list().length == layersA0 + 1)
+      // pull: A advances, B fast-forwards over HTTP
+      stA.commit("main", t((5, "A5")), none, "a-extra")
+      RemoteTransfer.pull(stB, remoteA, "main")
+      assert(stB.refs("main") == stA.refs("main"))
+      val names = stB.materializeBranch("main")
+        .select("o_str").collect().map(_.getString(0)).toSet
+      assert(names == Set("A1", "A2", "A3", "B4", "A5"))
+      // non-fast-forward push is refused by the RECEIVING server too:
+      // reset B's main back, commit a divergent layer, push → reject
+      val aHead = stA.refs("main")
+      val preChain = stB.chain(stB.refs("main"))
+      stB.reset("main", preChain(preChain.length - 2))
+      stB.commit("main", t((6, "B6")), none, "diverge")
+      val ex = intercept[Exception](RemoteTransfer.push(stB, remoteA, "main"))
+      assert(ex.getMessage.contains("non-fast-forward"))
+      assert(stA.refs("main") == aHead) // remote ref unmoved
+      // and the server-side advance check rejects a crafted direct pack
+      val bytes = RemoteTransfer.packBytes(stB, "main",
+        stA.commitIds.intersect(stB.commitIds))
+      val ex2 = intercept[Exception](remoteA.sendPack(bytes, Some("main")))
+      assert(ex2.getMessage.contains("rejected pack"))
+      assert(stA.refs("main") == aHead)
+    } finally { srvA.stop(); srvB.stop() }
+  }
 }
