@@ -70,13 +70,16 @@ object Documents {
     * Nested objects become subdocuments with `parent/field` subjects;
     * arrays expand to one triple per element plus a graft:idx triple on
     * subdocument elements (v10 array-index style). */
-  def expand(docType: String, subject: String, j: JObject): Seq[Row] = {
+  def expand(docType: String, subject: String, j: JObject,
+             listFields: Set[String] = Set.empty): Seq[Row] = {
     val typeRow = row(subject, "rdf:type", iri = Some(s"doc:$docType"))
-    val fieldRows = j.obj.flatMap { case (field, v) => value(subject, field, v) }
+    val fieldRows = j.obj.flatMap { case (field, v) =>
+      value(subject, field, v, listFields) }
     typeRow +: fieldRows
   }
 
-  private def value(subject: String, field: String, v: JValue): Seq[Row] = v match {
+  private def value(subject: String, field: String, v: JValue,
+                    listFields: Set[String]): Seq[Row] = v match {
     case JString(s)  => Seq(row(subject, s"doc:$field", str = Some(s)))
     case JInt(i)     => Seq(row(subject, s"doc:$field", lng = Some(i.toLong)))
     case JDouble(d)  => Seq(row(subject, s"doc:$field", dbl = Some(d)))
@@ -85,12 +88,37 @@ object Documents {
     case JNull       => Seq.empty
     case o: JObject  =>
       val sub = s"$subject/$field"
-      row(subject, s"doc:$field", iri = Some(sub)) +: expandSub(sub, o)
+      row(subject, s"doc:$field", iri = Some(sub)) +: expandSub(sub, o, listFields)
+    // `@type: List` fields write ORDERED rdf cons cells
+    // ([ref:core/document/json.pl] list handling) — cell subjects stay
+    // under the document prefix so read/delete capture them
+    case JArray(xs) if listFields(field) =>
+      if (xs.isEmpty) Seq(row(subject, s"doc:$field", iri = Some("rdf:nil")))
+      else {
+        def cell(i: Int) = s"$subject/$field/_l$i"
+        val head = row(subject, s"doc:$field", iri = Some(cell(0)))
+        head +: xs.zipWithIndex.flatMap { case (x, i) =>
+          val restTo = if (i == xs.length - 1) "rdf:nil" else cell(i + 1)
+          val rest = row(cell(i), "rdf:rest", iri = Some(restTo))
+          val first: Seq[Row] = x match {
+            case JString(s) => Seq(row(cell(i), "rdf:first", str = Some(s)))
+            case JInt(n)    => Seq(row(cell(i), "rdf:first", lng = Some(n.toLong)))
+            case JDouble(d) => Seq(row(cell(i), "rdf:first", dbl = Some(d)))
+            case JBool(b)   => Seq(row(cell(i), "rdf:first", bool = Some(b)))
+            case o: JObject =>
+              val sub = s"${cell(i)}/v"
+              row(cell(i), "rdf:first", iri = Some(sub)) +:
+                expandSub(sub, o, listFields)
+            case _ => Seq.empty
+          }
+          first :+ rest
+        }
+      }
     case JArray(xs)  => xs.zipWithIndex.flatMap {
       case (o: JObject, i) =>
         val sub = s"$subject/$field/$i"
         Seq(row(subject, s"doc:$field", iri = Some(sub)),
-          row(sub, "graft:idx", lng = Some(i.toLong))) ++ expandSub(sub, o)
+          row(sub, "graft:idx", lng = Some(i.toLong))) ++ expandSub(sub, o, listFields)
       case (JString(s), _) => Seq(row(subject, s"doc:$field", str = Some(s)))
       case (JInt(n), _)    => Seq(row(subject, s"doc:$field", lng = Some(n.toLong)))
       case (JDouble(d), _) => Seq(row(subject, s"doc:$field", dbl = Some(d)))
@@ -100,8 +128,9 @@ object Documents {
     case _ => Seq.empty
   }
 
-  private def expandSub(subject: String, o: JObject): Seq[Row] =
-    o.obj.flatMap { case (f, v) => value(subject, f, v) }
+  private def expandSub(subject: String, o: JObject,
+                        listFields: Set[String]): Seq[Row] =
+    o.obj.flatMap { case (f, v) => value(subject, f, v, listFields) }
 
   private def row(s: String, p: String, iri: Option[String] = None,
                   str: Option[String] = None, dbl: Option[Double] = None,
@@ -125,12 +154,13 @@ object Documents {
   /** Bulk insert: Dataset of JSON strings → EAV triples DataFrame.
     * Parsing + id-gen + expansion run inside mapPartitions (scales out;
     * no driver round-trip). */
-  def insertAll(docs: Dataset[String], docType: String, key: KeyStrategy): DataFrame = {
+  def insertAll(docs: Dataset[String], docType: String, key: KeyStrategy,
+                listFields: Set[String] = Set.empty): DataFrame = {
     val spark = docs.sparkSession
     val rows = docs.mapPartitions { it =>
       it.flatMap { s =>
         JsonMethods.parse(s) match {
-          case o: JObject => expand(docType, genId(docType, o, key), o)
+          case o: JObject => expand(docType, genId(docType, o, key), o, listFields)
           case _ => Seq.empty
         }
       }
@@ -138,29 +168,122 @@ object Documents {
     spark.createDataFrame(rows.rdd, Eav.schema)
   }
 
-  /** Reassemble one document (recursive over subdocument edges). */
+  /** Ordered rdf:List chains from `heads`: `(head → elements in
+    * position order)`, each element as a raw value row. POINTER
+    * DOUBLING over the `rdf:rest` relation — round k covers positions
+    * < 2^k, so a length-n chain costs ⌈log₂ n⌉ distributed joins, not
+    * n driver round-trips (the reference walks cons cells one Prolog
+    * call at a time; that shape would serialize a long list read).
+    * Reachability is seeded from `heads`, so unrelated lists in the
+    * graph are touched only through the shared (persisted) jump
+    * relation. A malformed CYCLE cannot loop: positions are deduped by
+    * min per (head, node), and growth stops when no new node appears. */
+  private def consChains(graph: DataFrame, heads: Seq[String])
+      : Map[String, Seq[Row]] = {
+    if (heads.isEmpty) return Map.empty
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val rest = graph.filter(col("p") === "rdf:rest" && col("o_kind") === "i")
+      .select(col("s").as("node"), col("o_iri").as("next"))
+    // jump(node, next, len): node's 2^k-step successor after k doublings
+    var jump = graft.util.Scratch.trackCheckpoint(
+      rest.withColumn("len", lit(1L)).localCheckpoint(true))
+    var reach = graft.util.Scratch.trackCheckpoint(heads.toDF("head")
+      .select(col("head"), col("head").as("node"), lit(0L).as("pos"))
+      .localCheckpoint(true))
+    var grew = true
+    var rounds = 0
+    while (grew && rounds < 40) { // 2^40 positions ≫ any real list
+      rounds += 1
+      val stepped = reach.join(jump, Seq("node"))
+        .select(col("head"), col("next").as("node"), (col("pos") + col("len")).as("pos"))
+      val merged = graft.util.Scratch.trackCheckpoint(
+        reach.unionByName(stepped)
+          .groupBy(col("head"), col("node")).agg(min(col("pos")).as("pos"))
+          .localCheckpoint(true))
+      grew = merged.count() > reach.count()
+      reach = merged
+      if (grew)
+        jump = graft.util.Scratch.trackCheckpoint(
+          jump.as("a").join(jump.as("b"), col("a.next") === col("b.node"))
+            .select(col("a.node").as("node"), col("b.next").as("next"),
+              (col("a.len") + col("b.len")).as("len"))
+            .groupBy(col("node"), col("next")).agg(min(col("len")).as("len"))
+            .localCheckpoint(true))
+    }
+    val firsts = graph.filter(col("p") === "rdf:first")
+      .select(col("s").as("node"), col("o_kind"), col("o_iri"), col("o_typ"),
+        col("o_str"), col("o_dbl"), col("o_lng"), col("o_bool"))
+    reach.filter(col("node") =!= "rdf:nil")
+      .join(firsts, Seq("node"))
+      .select(col("head"), col("pos"), col("o_kind"), col("o_iri"),
+        col("o_typ"), col("o_str"), col("o_dbl"), col("o_lng"), col("o_bool"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (h, rows) => h -> rows.sortBy(_.getLong(1)).toSeq }
+  }
+
+  /** Reassemble one document (recursive over subdocument edges;
+    * rdf:List cons chains — own writes AND turtle-loaded collections,
+    * including blank-node cells outside the subject prefix — re-form
+    * as JSON arrays, [ref:core/document/json.pl] list handling). */
   def read(graph: DataFrame, id: String): JValue = {
     val triples = graph
       .filter(col("s") === id || col("s").startsWith(id + "/"))
       .select("s", "p", "o_kind", "o_iri", "o_typ", "o_str", "o_dbl", "o_lng", "o_bool")
       .collect()
+    val have = triples.map(_.getString(0)).toSet
+    // list heads: IRI field values that carry rdf:first — in-prefix
+    // cells are already collected; out-of-prefix targets (turtle blank
+    // nodes) are probed with ONE filter
+    val iriTargets = triples.filter(r =>
+      r.getString(2) == "i" && r.getString(1) != "rdf:type").map(_.getString(3))
+    val inPrefixHeads = iriTargets.filter(t => have(t) &&
+      triples.exists(r => r.getString(0) == t && r.getString(1) == "rdf:first"))
+    val outTargets = iriTargets.filterNot(have).filter(_ != "rdf:nil").distinct
+    val probedHeads: Seq[String] =
+      if (outTargets.isEmpty) Seq.empty
+      else graph.filter(col("p") === "rdf:first" &&
+          col("s").isin(outTargets.toIndexedSeq: _*))
+        .select(col("s")).distinct().collect().map(_.getString(0)).toSeq
+    val chains = consChains(graph, (inPrefixHeads ++ probedHeads).distinct.toSeq)
+    def valueOf(kind: String, oIri: String, oStr: String,
+                dblAt: => Option[Double], lngAt: => Option[Long],
+                boolAt: => Option[Boolean],
+                assembleIri: String => JValue): JValue =
+      if (kind == "i") assembleIri(oIri)
+      else if (oStr != null) JString(oStr)
+      else dblAt.map(JDouble(_): JValue)
+        .orElse(lngAt.map(l => JInt(BigInt(l)): JValue))
+        .orElse(boolAt.map(JBool(_): JValue))
+        .getOrElse(JNull)
     def assemble(subject: String): JValue = {
       val mine = triples.filter(_.getString(0) == subject)
       val fields: List[(String, JValue)] = mine.toList.flatMap { r =>
         val p = r.getString(1)
-        if (p == "rdf:type" || p == "graft:idx") None
+        if (p == "rdf:type" || p == "graft:idx" ||
+            p == "rdf:first" || p == "rdf:rest") None
         else {
           // any-prefix strip (doc:, tpch:, …) — same field naming as
           // the WOQL ReadDocument projection, so a document reads the
           // same through both surfaces
           val field = p.replaceFirst("^[^:]*:", "")
           val v: JValue =
-            if (r.getString(2) == "i") assemble(r.getString(3))
-            else if (r.getString(5) != null) JString(r.getString(5))
-            else if (!r.isNullAt(6)) JDouble(r.getDouble(6))
-            else if (!r.isNullAt(7)) JInt(BigInt(r.getLong(7)))
-            else if (!r.isNullAt(8)) JBool(r.getBoolean(8))
-            else JNull
+            if (r.getString(2) == "i" && r.getString(3) == "rdf:nil")
+              JArray(Nil)
+            else if (r.getString(2) == "i" && chains.contains(r.getString(3)))
+              JArray(chains(r.getString(3)).toList.map { e =>
+                valueOf(e.getString(2), e.getString(3), e.getString(5),
+                  if (e.isNullAt(6)) None else Some(e.getDouble(6)),
+                  if (e.isNullAt(7)) None else Some(e.getLong(7)),
+                  if (e.isNullAt(8)) None else Some(e.getBoolean(8)),
+                  assemble)
+              })
+            else valueOf(r.getString(2), r.getString(3), r.getString(5),
+              if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+              if (r.isNullAt(7)) None else Some(r.getLong(7)),
+              if (r.isNullAt(8)) None else Some(r.getBoolean(8)),
+              assemble)
           Some(field -> v)
         }
       }

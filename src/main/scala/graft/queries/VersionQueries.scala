@@ -712,6 +712,102 @@ object VersionQueries {
       graft.storage.Validator.cardinalityViolations(slice, slice, c)
     }),
 
+    // v10 type-family validation ([ref:core/document/schema.pl]):
+    // Optional (card ≤ 1), Set (no duplicate members), Array
+    // (graft:idx contiguous 0..n-1) declarations enforced over a
+    // crafted delta built from the nation table — doc:capital gives
+    // every region 5 values (Optional violations), doc:initial
+    // duplicates first letters inside most regions (Set), doc:member
+    // indexes elements by raw nationkey (non-contiguous per region —
+    // Array violations) while doc:memberok indexes by dense rank
+    // (contiguous — MUST yield no rows, the no-overfire arm)
+    "woql_validate_family" -> ((s, d) => {
+      import s.implicits._
+      val nation = s.read.parquet(s"$d/nation.parquet")
+      def eav(src: DataFrame, subj: Column, p: String,
+              iri: Column = lit(null).cast(StringType),
+              str: Column = lit(null).cast(StringType),
+              lng: Column = lit(null).cast(LongType)) =
+        src.select(lit("instance").as("g"), subj.as("s"), lit(p).as("p"),
+          when(iri.isNotNull, "i").otherwise("l").as("o_kind"),
+          iri.as("o_iri"),
+          when(iri.isNotNull, lit(null).cast(StringType))
+            .when(str.isNotNull, "xsd:string").otherwise("xsd:integer").as("o_typ"),
+          str.as("o_str"), lit(null).cast(DoubleType).as("o_dbl"),
+          lng.as("o_lng"), lit(null).cast(TimestampType).as("o_ts"),
+          lit(null).cast(BooleanType).as("o_bool"),
+          lit(null).cast(StringType).as("o_lang"),
+          lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
+      val subj = concat(lit("fam:r"), col("n_regionkey").cast(StringType))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_regionkey").orderBy("n_nationkey")
+      val ranked = nation.withColumn("ix", row_number().over(w) - 1)
+      val delta = eav(nation, subj, "doc:capital", str = col("n_name"))
+        .unionByName(eav(nation, subj, "doc:initial",
+          str = substring(col("n_name"), 1, 1)))
+        .unionByName(eav(nation, subj, "doc:member",
+          iri = concat(lit("fam:el"), col("n_nationkey").cast(StringType))))
+        .unionByName(eav(nation,
+          concat(lit("fam:el"), col("n_nationkey").cast(StringType)),
+          "graft:idx", lng = col("n_nationkey").cast(LongType)))
+        .unionByName(eav(nation, subj, "doc:memberok",
+          iri = concat(lit("fam:ok"), col("n_nationkey").cast(StringType))))
+        .unionByName(eav(ranked,
+          concat(lit("fam:ok"), col("n_nationkey").cast(StringType)),
+          "graft:idx", lng = col("ix").cast(LongType)))
+      val schema = Seq(("doc:capital", "Optional"), ("doc:initial", "Set"),
+          ("doc:member", "Array"), ("doc:memberok", "Array"))
+        .toDF("s", "o_str")
+        .select(col("s"), lit("graft:family").as("p"), col("o_str"),
+          lit(null).cast(LongType).as("o_lng"),
+          lit(null).cast(StringType).as("o_iri"),
+          lit(null).cast(BooleanType).as("o_bool"))
+      val c = graft.storage.Validator.constraintsFrom(schema)
+      graft.storage.Validator.familyViolations(delta, delta, c)
+        .orderBy(col("s"), col("p"))
+    }),
+
+    // rdf:List document round trip ([ref:core/document/json.pl] list
+    // handling): a turtle COLLECTION (blank-node cons cells, outside
+    // the document's subject prefix) reassembles to a JSON array in
+    // order; re-inserting that array as a List field emits prefix-
+    // owned cons cells that read back identically and satisfy the
+    // List family shape check
+    "doc_list_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      import org.json4s._
+      val ttl =
+        """@prefix ex: <http://ex.org/> .
+          |ex:doc1 ex:name 'listdoc' ;
+          |  ex:tags ("alpha" "beta" "gamma" "delta") .""".stripMargin
+      val g = graft.sources.Turtle.load(s, ttl)
+      val j = graft.docs.Documents.read(g, "http://ex.org/doc1")
+      val tags = (j \ "//ex.org/tags") match {
+        case JArray(xs) => xs
+        case other => sys.error(s"tags did not reassemble as array: $other")
+      }
+      val obj = JObject(List("name" -> (j \ "//ex.org/name"), "tags" -> JArray(tags)))
+      val rows2 = graft.docs.Documents.expand("RT", "doc:RT/x", obj,
+        listFields = Set("tags"))
+      val g2 = s.createDataFrame(
+        s.sparkContext.parallelize(rows2, 1), graft.storage.Eav.schema)
+      val j2 = graft.docs.Documents.read(g2, "doc:RT/x")
+      require((j2 \ "tags") == JArray(tags),
+        s"re-inserted list reads differently: ${j2 \ "tags"} vs $tags")
+      val famSchema = Seq(("doc:tags", "List")).toDF("s", "o_str")
+        .select(col("s"), lit("graft:family").as("p"), col("o_str"),
+          lit(null).cast(LongType).as("o_lng"),
+          lit(null).cast(StringType).as("o_iri"),
+          lit(null).cast(BooleanType).as("o_bool"))
+      val famOk = graft.storage.Validator.familyViolations(
+        g2, g2, graft.storage.Validator.constraintsFrom(famSchema))
+      require(famOk.isEmpty, "re-inserted cons chain violates List shape")
+      tags.zipWithIndex.map {
+        case (JString(t), i) => (i.toLong, t)
+        case (other, i) => sys.error(s"non-string tag at $i: $other")
+      }.toDF("pos", "tag").orderBy(col("pos"))
+    }),
+
     // GraphQL surface driven end-to-end: filter + orderBy + limit + a
     // link traversal parse into the SAME WOQL engine (server/GraphQL
     // compiles to the WOQL AST — no second execution path); the oracle
@@ -1067,6 +1163,42 @@ object VersionQueries {
         | SELECT rank, commit_id, parent, message FROM walk""".stripMargin),
     // closed-form from the fixed store: mid = {0,1,2}, main head =
     // {1→V2, 2, 10, 11, 12} ⇒ one delete, one swap, three inserts
+    // independent replay of the family checks from the nation parquet:
+    // Optional = >1 value per region; Set = regions with duplicated
+    // first letters; Array = nationkey indexes fail 0..n-1 contiguity;
+    // the rank-indexed memberok arm contributes no rows by the same
+    // HAVING (proving the check does not overfire)
+    "woql_validate_family" ->
+      """WITH n AS (SELECT n_regionkey AS r, n_nationkey AS k, n_name FROM nation),
+        | opt AS (SELECT 'fam:r' || r AS s, 'doc:capital' AS p,
+        |   'Optional' AS fam, CAST(count(*) AS BIGINT) AS n
+        |  FROM n GROUP BY r HAVING count(*) > 1),
+        | ini AS (SELECT 'fam:r' || r AS s, 'doc:initial' AS p,
+        |   'Set' AS fam, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT r, substr(n_name, 1, 1) AS v FROM n
+        |        GROUP BY r, v HAVING count(*) > 1) GROUP BY r),
+        | arr AS (SELECT 'fam:r' || r AS s, 'doc:member' AS p,
+        |   'Array' AS fam, CAST(count(*) AS BIGINT) AS n
+        |  FROM n GROUP BY r
+        |  HAVING count(DISTINCT k) <> count(*) OR min(k) <> 0
+        |      OR max(k) <> count(*) - 1),
+        | arrok AS (SELECT 'fam:r' || r AS s, 'doc:memberok' AS p,
+        |   'Array' AS fam, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT r, row_number() OVER (PARTITION BY r ORDER BY k) - 1 AS ix
+        |        FROM n) GROUP BY r
+        |  HAVING count(DISTINCT ix) <> count(*) OR min(ix) <> 0
+        |      OR max(ix) <> count(*) - 1)
+        | SELECT s, p, fam, n FROM (SELECT * FROM opt UNION ALL
+        |   SELECT * FROM ini UNION ALL SELECT * FROM arr UNION ALL
+        |   SELECT * FROM arrok) ORDER BY s, p""".stripMargin,
+
+    // closed-form: the fixed turtle collection's members in order
+    "doc_list_roundtrip" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT),'alpha'), (CAST(1 AS BIGINT),'beta'),
+        | (CAST(2 AS BIGINT),'gamma'), (CAST(3 AS BIGINT),'delta'))
+        | AS t(pos, tag) ORDER BY pos""".stripMargin,
+
     // closed-form from the transfer scenario's construction: base
     // {0,1,2} − 0 + 3 (A), + 4 (pushed from B), + 5 (pulled from A)
     "ext_http_transfer" ->

@@ -22,7 +22,8 @@ object Validator {
       maxCard: DataFrame, // (p, n)
       oneOf: DataFrame,   // (p, v)    — allowed literal values (enum)
       unique: DataFrame,  // (p)       — key predicates: value ↦ ≤1 subject
-      subdoc: DataFrame   // (cls)     — subdocument classes: exactly 1 owner
+      subdoc: DataFrame,  // (cls)     — subdocument classes: exactly 1 owner
+      family: DataFrame   // (p, fam)  — v10 type family: Optional/Set/List/Array
   )
 
   def constraintsFrom(schema: DataFrame): Constraints = Constraints(
@@ -37,7 +38,9 @@ object Validator {
     unique = schema.filter(col("p") === "graft:unique" && col("o_bool") === true)
       .select(col("s").as("cp")),
     subdoc = schema.filter(col("p") === "graft:subdocument" && col("o_bool") === true)
-      .select(col("s").as("cls")))
+      .select(col("s").as("cls")),
+    family = schema.filter(col("p") === "graft:family")
+      .select(col("s").as("cp"), col("o_str").as("fam")))
 
   /** Restrict graph to subjects touched by the delta (incremental). */
   def touched(graph: DataFrame, delta: DataFrame): DataFrame =
@@ -142,6 +145,73 @@ object Validator {
       .where(col("owners") =!= 1)
   }
 
+  /** v10 type-family shapes ([ref:core/document/schema.pl] — the
+    * reference's `Optional`/`Set`/`List`/`Array` field declarations),
+    * enforced at commit over delta-touched subjects like every other
+    * check. One violations frame `(s, p, fam, n)`:
+    *  - Optional: more than one value for the field (`n` = value count);
+    *  - Set: duplicate members (`n` = how many distinct values repeat —
+    *    the slot-tagged key logic of [[uniqueViolations]] keeps
+    *    cross-type lexical collisions apart);
+    *  - Array: element subdocuments must carry `graft:idx` values that
+    *    are exactly 0..n-1 — no gaps, no duplicates, no missing index
+    *    (`n` = element count);
+    *  - List: the field must point at `rdf:nil` or a cons cell, and
+    *    every delta-touched cons node must have exactly one
+    *    `rdf:first` and one `rdf:rest` (local well-formedness; chain
+    *    TERMINATION is a read-side concern — a cycle is still
+    *    reachable only through these nodes, and the reader's
+    *    min-position dedup refuses to loop).
+    * All shapes are one aggregation over the predicate-filtered scope
+    * joined to the broadcast family table — cost ∝ delta. */
+  def familyViolations(graph: DataFrame, delta: DataFrame,
+                       c: Constraints): DataFrame = {
+    val scope = touched(graph, delta)
+    val bySP = scope
+      .filter(!col("p").isin("rdf:type", "graft:idx", "rdf:first", "rdf:rest"))
+      .join(broadcast(c.family), col("p") === col("cp"), "inner")
+    val opt = bySP.filter(col("fam") === "Optional")
+      .groupBy(col("s"), col("p"), col("fam"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1)
+    val setKey = concat_ws("#",
+      coalesce(col("o_iri"), lit("")),
+      coalesce(col("o_str"), col("o_lng").cast("string"),
+        col("o_dbl").cast("string"), col("o_dec").cast("string"),
+        col("o_ts").cast("string"), col("o_bool").cast("string"), lit("")),
+      coalesce(col("o_typ"), lit("")))
+    val setDup = bySP.filter(col("fam") === "Set")
+      .groupBy(col("s"), col("p"), col("fam"), setKey.as("v"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
+      .groupBy(col("s"), col("p"), col("fam"))
+      .agg(count(lit(1)).as("n"))
+    val idx = graph.filter(col("p") === "graft:idx")
+      .select(col("s").as("el"), col("o_lng").as("idx"))
+    val arr = bySP.filter(col("fam") === "Array" && col("o_kind") === "i")
+      .join(idx, col("o_iri") === col("el"), "left_outer")
+      .groupBy(col("s"), col("p"), col("fam"))
+      .agg(count(lit(1)).as("n"), count(col("idx")).as("nidx"),
+        countDistinct(col("idx")).as("nd"),
+        min(col("idx")).as("mn"), max(col("idx")).as("mx"))
+      .where(col("nidx") =!= col("n") || col("nd") =!= col("n") ||
+        col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+      .select(col("s"), col("p"), col("fam"), col("n"))
+    // List heads: field value must be an IRI (nil or a cons cell) —
+    // a literal in a List field is a shape violation outright
+    val listLit = bySP.filter(col("fam") === "List" && col("o_kind") =!= "i")
+      .groupBy(col("s"), col("p"), col("fam")).agg(count(lit(1)).as("n"))
+    // cons-node local shape over delta-touched nodes
+    val consNodes = touched(
+      graph.filter(col("p").isin("rdf:first", "rdf:rest")), delta)
+    val consBad = consNodes.groupBy(col("s"))
+      .agg(sum(when(col("p") === "rdf:first", 1L).otherwise(0L)).as("nf"),
+        sum(when(col("p") === "rdf:rest", 1L).otherwise(0L)).as("nr"))
+      .where(col("nf") =!= 1 || col("nr") =!= 1)
+      .select(col("s"), lit("rdf:first").as("p"), lit("List").as("fam"),
+        (col("nf") + col("nr")).as("n"))
+    opt.unionByName(setDup).unionByName(arr)
+      .unionByName(listLit).unionByName(consBad)
+  }
+
   /** Run all checks; returns (checkName -> violations). */
   def validate(graph: DataFrame, delta: DataFrame, schema: DataFrame,
                subclass: DataFrame): Map[String, DataFrame] = {
@@ -155,7 +225,8 @@ object Validator {
       "domain" -> domainViolations(merged, delta, c, subclass),
       "enum" -> enumViolations(scope, c),
       "unique" -> uniqueViolations(graph, delta, c),
-      "subdoc_ownership" -> subdocViolations(merged, delta, c))
+      "subdoc_ownership" -> subdocViolations(merged, delta, c),
+      "family" -> familyViolations(merged, delta, c))
   }
 
   def isValid(results: Map[String, DataFrame]): Boolean =

@@ -157,4 +157,82 @@ class DocumentsSpec extends AnyFunSuite {
       ("http://e.org/y", "ex:y"),
       ("unknown:z", "unknown:z")))
   }
+
+  test("List fields round-trip as ordered cons chains, incl. nested objects") {
+    import spark.implicits._
+    val d =
+      """{"name":"l1","steps":["boil","stir","serve"],
+        | "parts":[{"k":"a"},{"k":"b"}], "empty":[]}""".stripMargin
+    val t = Documents.insertAll(Seq(d).toDS(), "Recipe",
+      Documents.LexicalKey(Seq("name")),
+      listFields = Set("steps", "parts", "empty"))
+    // cons cells, not repeated triples: ONE doc:steps edge, 3 first/rest pairs
+    val rows = t.collect()
+    assert(rows.count(_.getString(2) == "doc:steps") == 1)
+    assert(rows.count(r => r.getString(1).contains("/steps/") &&
+      r.getString(2) == "rdf:first") == 3)
+    val back = Documents.read(t, "doc:Recipe/l1")
+    // ORDER preserved (a plain array field only guarantees membership)
+    assert(back \ "steps" == JArray(List(
+      JString("boil"), JString("stir"), JString("serve"))))
+    val JArray(parts) = (back \ "parts"): @unchecked
+    assert(parts.map(p => p \ "k") == List(JString("a"), JString("b")))
+    assert(back \ "empty" == JArray(Nil))
+  }
+
+  test("family validator: Optional/Set/Array/List shapes fire and stay quiet") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    def lrow(s: String, p: String, str: String = null, iri: String = null,
+             lng: java.lang.Long = null) =
+      (s, p, if (iri != null) "i" else "l", iri, str, lng)
+    val rows = Seq(
+      // Optional: x has 2 names (bad), y has 1 (ok)
+      lrow("d:x", "doc:nick", str = "a"), lrow("d:x", "doc:nick", str = "b"),
+      lrow("d:y", "doc:nick", str = "c"),
+      // Set: x repeats member "m" (bad); y's members distinct (ok)
+      lrow("d:x", "doc:mem", str = "m"), lrow("d:x", "doc:mem", str = "m"),
+      lrow("d:y", "doc:mem", str = "m"), lrow("d:y", "doc:mem", str = "n"),
+      // Array: x's elements indexed 0,2 (gap — bad); y's 0,1 (ok)
+      lrow("d:x", "doc:arr", iri = "d:x/arr/0"), lrow("d:x", "doc:arr", iri = "d:x/arr/1"),
+      lrow("d:x/arr/0", "graft:idx", lng = 0L), lrow("d:x/arr/1", "graft:idx", lng = 2L),
+      lrow("d:y", "doc:arr", iri = "d:y/arr/0"), lrow("d:y", "doc:arr", iri = "d:y/arr/1"),
+      lrow("d:y/arr/0", "graft:idx", lng = 0L), lrow("d:y/arr/1", "graft:idx", lng = 1L),
+      // List: x's field holds a LITERAL (bad); z's cons node has two
+      // rests (bad); y's chain is well-formed (ok)
+      lrow("d:x", "doc:lst", str = "oops"),
+      lrow("d:z", "doc:lst", iri = "d:z/lst/_l0"),
+      lrow("d:z/lst/_l0", "rdf:first", str = "v"),
+      lrow("d:z/lst/_l0", "rdf:rest", iri = "rdf:nil"),
+      lrow("d:z/lst/_l0", "rdf:rest", iri = "d:z/lst/_l1"),
+      lrow("d:y", "doc:lst", iri = "d:y/lst/_l0"),
+      lrow("d:y/lst/_l0", "rdf:first", str = "w"),
+      lrow("d:y/lst/_l0", "rdf:rest", iri = "rdf:nil"))
+      .toDF("s", "p", "o_kind", "o_iri", "o_str", "o_lng")
+      .select(lit("instance").as("g"), col("s"), col("p"), col("o_kind"),
+        col("o_iri"),
+        org.apache.spark.sql.functions.when(col("o_str").isNotNull, "xsd:string")
+          .otherwise(org.apache.spark.sql.functions.lit(null)).as("o_typ"),
+        col("o_str"), lit(null).cast(DoubleType).as("o_dbl"),
+        col("o_lng"), lit(null).cast(TimestampType).as("o_ts"),
+        lit(null).cast(BooleanType).as("o_bool"),
+        lit(null).cast(StringType).as("o_lang"),
+        lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
+    val schema = Seq(("doc:nick", "Optional"), ("doc:mem", "Set"),
+        ("doc:arr", "Array"), ("doc:lst", "List")).toDF("s", "o_str")
+      .select(col("s"), lit("graft:family").as("p"), col("o_str"),
+        lit(null).cast(LongType).as("o_lng"),
+        lit(null).cast(StringType).as("o_iri"),
+        lit(null).cast(BooleanType).as("o_bool"))
+    val c = graft.storage.Validator.constraintsFrom(schema)
+    val v = graft.storage.Validator.familyViolations(rows, rows, c)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(v == Set(
+      ("d:x", "doc:nick", "Optional"),
+      ("d:x", "doc:mem", "Set"),
+      ("d:x", "doc:arr", "Array"),
+      ("d:x", "doc:lst", "List"),
+      ("d:z/lst/_l0", "rdf:first", "List")))
+  }
 }
