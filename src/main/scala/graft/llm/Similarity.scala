@@ -381,4 +381,42 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
       .select(col("q"), col("cand"), col("rank"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Deterministic CLUSTERED embedding fixture (mixture-of-centroids):
+    * vector i belongs to cluster i mod `clusters` (default 16 clusters
+    * of 6 members, so each query's exact top-5 is its 5 cluster
+    * mates — the retrieval a quantized tier must recover at CLUSTER
+    * resolution; within-cluster rank order is exactly what PQ codes
+    * collapse, so a fixture of few large clusters would measure tie
+    * order, not retrieval — and `clusters` matches the PQ tier's
+    * kSub = 16 codewords per subspace, since MORE clusters than
+    * codewords makes codeword collisions structural and caps recall
+    * regardless of implementation quality). Dim j of cluster c's centroid combines two
+    * incommensurate residue terms, `(((c·31 + j·7) mod 13) − 6)/16 +
+    * (((c·17 + j·3) mod 11) − 5)/32` — one modulus alone yields only
+    * 13 distinct centroid patterns; the pair is distinct for all
+    * c < 143 — plus hash noise `((h mod 2001) − 1000)/16384` (h =
+    * md5-derived, the dedup tier's hash32). Every term is a DYADIC
+    * rational — exactly representable in a double — so the DuckDB
+    * oracle regenerates bit-identical inputs from the same formula.
+    *
+    * Why it exists: the shared synthetic `embeddings` table is
+    * near-uniform — the WORST case for any vector-quantization tier,
+    * so its recall numbers say nothing about clusterable corpora
+    * (BASELINE.md's honest note). This fixture gives the trained
+    * IVF/PQ tiers a structure they can exploit, and the recall
+    * entries over it pin ≥ 0.8 recall@5 (ClusteringSpec floor). */
+  def clusteredFixture(spark: org.apache.spark.sql.SparkSession,
+                       n: Int = 96, dim: Int = 64,
+                       clusters: Int = 16): DataFrame =
+    spark.range(n.toLong).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val c = col("id") % clusters
+        val mu13 = ((c * 31 + j.cast("long") * 7) % 13 - 6)
+          .cast("double") / lit(16.0)
+        val mu11 = ((c * 17 + j.cast("long") * 3) % 11 - 5)
+          .cast("double") / lit(32.0)
+        val h = Dedup.hash32(concat_ws("_", col("id"), j))
+        mu13 + mu11 + ((h % 2001) - 1000).cast("double") / lit(16384.0)
+      }).as("embedding"))
 }

@@ -336,6 +336,20 @@ object ExtQueries {
           nprobe = 2, cells = 8, ivfIters = 3, m = 8, kSub = 16,
           pqIters = 2, dim = 64))),
 
+    // recall on the CLUSTERED fixture (Similarity.clusteredFixture):
+    // the shared embeddings table is near-uniform — VQ's worst case —
+    // so these entries measure the trained tiers where structure
+    // exists; ClusteringSpec pins recall@5 ≥ 0.8 on both
+    "sim_recall_ivft_clustered" -> ((s, d) =>
+      recallAt5(Similarity.clusteredFixture(s),
+        emb => Similarity.ivfTrainedTopK(emb, col("vec_id") < 10, 5,
+          nprobe = 2, cells = 8, iters = 3, dim = 64))),
+    "sim_recall_ivfpq_clustered" -> ((s, d) =>
+      recallAt5(Similarity.clusteredFixture(s),
+        emb => Similarity.ivfPqTopK(emb, col("vec_id") < 10, 5,
+          nprobe = 2, cells = 8, ivfIters = 3, m = 8, kSub = 16,
+          pqIters = 2, dim = 64))),
+
     // --- end-to-end corpus cleaning (quality gate → exact dedup →
     //     LSH near-dup removal), one composed plan ---
     "llm_pipeline_clean" -> ((s, d) =>
@@ -2670,21 +2684,7 @@ object ExtQueries {
     // trained-IVF: probe the 2 nearest trained cells (c2 = centroids
     // after round 3's update schedule), exact-integer-dot rerank
     // inside — extends the k-means CTE chain (a3 = cell assignment)
-    "sim_topk_ivf_trained" -> kmeansSql(
-      s""", p AS (SELECT vec_id AS q_id, qv AS qa, cid AS cell FROM (
-        |  SELECT q.vec_id, q.qv, c.cid, ${kmDistSql("q.qv", "c.cv")} AS cdist
-        |  FROM q CROSS JOIN c2 c WHERE q.vec_id < 10) t
-        | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) <= 2),
-        | sims AS (SELECT p.q_id, a.vec_id AS cand,
-        |  CASE WHEN list_dot_product(p.qa, p.qa) = 0
-        |         OR list_dot_product(a.qv, a.qv) = 0 THEN 0.0
-        |   ELSE list_dot_product(p.qa, a.qv) /
-        |    (sqrt(list_dot_product(p.qa, p.qa)) * sqrt(list_dot_product(a.qv, a.qv)))
-        |  END AS sim
-        | FROM p JOIN a3 a ON p.cell = a.cid AND p.q_id != a.vec_id)
-        | SELECT q_id AS q, cand, CAST(row_number() OVER (PARTITION BY q_id
-        |   ORDER BY sim DESC, cand) AS BIGINT) AS rank, round(sim, 6) AS sim
-        | FROM sims QUALIFY rank <= 5""".stripMargin),
+    "sim_topk_ivf_trained" -> kmeansSql(ivfTrainedSelect),
 
     // BM25 (terms spark/join/vector, k1=1.2, b=0.75, Lucene idf).
     // Every fractional literal is ::DOUBLE — bare 0.5 is DECIMAL in
@@ -3861,8 +3861,9 @@ object ExtQueries {
   }
 
   private def kmeansSql(select: String, k: Int = 8, iters: Int = 3,
-                        dim: Int = 64): String =
-    s"WITH q AS (SELECT vec_id, $sq8QvSql AS qv FROM embeddings), " +
+                        dim: Int = 64, preCtes: String = "",
+                        src: String = "embeddings"): String =
+    s"WITH ${preCtes}q AS (SELECT vec_id, $sq8QvSql AS qv FROM $src), " +
       s"${kmeansCtes(k, iters, dim)} $select"
 
   /** IVF-ADC oracle replaying Similarity.ivfPqTopK: the coarse k-means
@@ -3872,7 +3873,8 @@ object ExtQueries {
     * same per-subspace left folds added left-to-right. */
   private def ivfpqSql(k: Int = 5, nprobe: Int = 2, cells: Int = 8,
                        ivfIters: Int = 3, m: Int = 8, kSub: Int = 16,
-                       dim: Int = 64): String = {
+                       dim: Int = 64, preCtes: String = "",
+                       src: String = "embeddings"): String = {
     val sub = dim / m
     val qaCols = (0 until m).map { s =>
       s"list_slice(qa, ${s * sub + 1}, ${s * sub + sub}) AS qa$s"
@@ -3881,7 +3883,7 @@ object ExtQueries {
       .map(s => s"(${kmDistSql(s"p.qa$s", s"b$s.cv", sub)})").mkString(" + ")
     val bookJoins = (0 until m)
       .map(s => s"JOIN c1s$s b$s ON b$s.cid = e.c$s").mkString(" ")
-    s"WITH q AS (SELECT vec_id, $sq8QvSql AS qv FROM embeddings), " +
+    s"WITH ${preCtes}q AS (SELECT vec_id, $sq8QvSql AS qv FROM $src), " +
       s"${kmeansCtes(cells, ivfIters, dim)}, ${pqChainCtes(m, kSub, dim)}, " +
       s"p AS (SELECT vec_id AS q_id, $qaCols, cid AS cell FROM (" +
       s"SELECT q.vec_id, q.qv AS qa, c.cid, " +
@@ -3949,17 +3951,73 @@ object ExtQueries {
         |  CAST(round(t.tri * 2000000.0 / (deg.deg * (deg.deg - 1)), 0)
         |    AS BIGINT) AS lcc_micro
         | FROM t JOIN deg ON deg.v = t.node""".stripMargin,
-    "sim_recall_ivfpq" -> recallSql("sim_topk_ivfpq"))
+    "sim_recall_ivfpq" -> recallSql("sim_topk_ivfpq"),
+    // recall on the CLUSTERED fixture: same shells, both arms sourced
+    // from the clu CTE (the fixture generator's SQL twin)
+    "sim_recall_ivft_clustered" -> recallShell(bruteCluSql,
+      kmeansSql(ivfTrainedSelect, preCtes = cluCte, src = "clu")),
+    "sim_recall_ivfpq_clustered" -> recallShell(bruteCluSql,
+      ivfpqSql(preCtes = cluCte, src = "clu")))
 
-  /** The recall@5 oracle shell around any ANN arm's SQL — the SQL twin
-    * of [[recallAt5]]. A def, not a val: the maps above initialize
-    * first (see the init-order note at [[sq8QvSql]]). */
-  private def recallSql(annKey: String): String =
-    s"""WITH brute AS (SELECT * FROM (${baseOracleSql("sim_topk_brute")}) tb),
-      | ann AS (SELECT * FROM (${baseOracleSql(annKey)}) ta),
+  /** The recall@5 oracle shell around a brute and an ANN arm SQL — the
+    * SQL twin of [[recallAt5]]. Defs, not vals: the maps above
+    * initialize first (see the init-order note at [[sq8QvSql]]). */
+  private def recallShell(bruteArm: String, annArm: String): String =
+    s"""WITH brute AS (SELECT * FROM ($bruteArm) tb),
+      | ann AS (SELECT * FROM ($annArm) ta),
       | hits AS (SELECT b.q, CAST(count(*) AS BIGINT) AS hits
       |   FROM brute b JOIN ann a ON b.q = a.q AND b.cand = a.cand GROUP BY 1)
       | SELECT q, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
       |  round(coalesce(hits, 0) / 5.0, 6) AS recall
       | FROM (SELECT DISTINCT q FROM brute) qs LEFT JOIN hits USING (q)""".stripMargin
+
+  private def recallSql(annKey: String): String =
+    recallShell(baseOracleSql("sim_topk_brute"), baseOracleSql(annKey))
+
+  /** Trained-IVF probe+rerank select over the k-means CTE chain
+    * (c2 = trained centroids, a3 = cell assignment at iters = 3) —
+    * shared by sim_topk_ivf_trained and its clustered-fixture twin. */
+  private def ivfTrainedSelect: String =
+    s""", p AS (SELECT vec_id AS q_id, qv AS qa, cid AS cell FROM (
+      |  SELECT q.vec_id, q.qv, c.cid, ${kmDistSql("q.qv", "c.cv")} AS cdist
+      |  FROM q CROSS JOIN c2 c WHERE q.vec_id < 10) t
+      | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) <= 2),
+      | sims AS (SELECT p.q_id, a.vec_id AS cand,
+      |  CASE WHEN list_dot_product(p.qa, p.qa) = 0
+      |         OR list_dot_product(a.qv, a.qv) = 0 THEN 0.0
+      |   ELSE list_dot_product(p.qa, a.qv) /
+      |    (sqrt(list_dot_product(p.qa, p.qa)) * sqrt(list_dot_product(a.qv, a.qv)))
+      |  END AS sim
+      | FROM p JOIN a3 a ON p.cell = a.cid AND p.q_id != a.vec_id)
+      | SELECT q_id AS q, cand, CAST(row_number() OVER (PARTITION BY q_id
+      |   ORDER BY sim DESC, cand) AS BIGINT) AS rank, round(sim, 6) AS sim
+      | FROM sims QUALIFY rank <= 5""".stripMargin
+
+  /** The clustered fixture as a CTE — the SQL twin of
+    * Similarity.clusteredFixture. Every term is a dyadic rational
+    * (/16, /32, /16384) so both engines hold bit-identical doubles; the
+    * noise hash replays the engine's md5-based hash32. */
+  private def cluCte: String = {
+    val h = hash32On("CAST(vi AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
+    s"""clu AS (SELECT vi AS vec_id, list_transform(range(0, 64), j ->
+      |   CAST(((vi % 16) * 31 + j * 7) % 13 - 6 AS DOUBLE) / 16.0::DOUBLE +
+      |   CAST(((vi % 16) * 17 + j * 3) % 11 - 5 AS DOUBLE) / 32.0::DOUBLE +
+      |   CAST(($h) % 2001 - 1000 AS DOUBLE) / 16384.0::DOUBLE) AS embedding
+      |  FROM range(0, 96) t(vi)), """.stripMargin
+  }
+
+  /** Brute cosine top-5 over the clustered fixture (same select as
+    * sim_topk_brute, sourced from the clu CTE). */
+  private def bruteCluSql: String =
+    s"""WITH $cluCte e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM clu)
+      | SELECT q, cand, rank, round(sim, 6) AS sim FROM (
+      |  SELECT a.vec_id AS q, b.vec_id AS cand,
+      |   list_dot_product(a.emb, b.emb) /
+      |     (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS sim,
+      |   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |     list_dot_product(a.emb, b.emb) /
+      |       (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) DESC,
+      |     b.vec_id) AS rank
+      |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id)
+      | WHERE rank <= 5""".stripMargin
 }

@@ -144,7 +144,10 @@ object HttpApi {
             dels.map(t => (t._1, t._2, t._3, "instance", false)))
         } else JsonWoql.parseUpdate(body)
       val qctx = addressedCtx(ex)
-      if (writes.isEmpty) bindingsJson(Compiler.run(ast)(qctx))
+      if (writes.isEmpty)
+        bindingsJson(Compiler.run(ast)(qctx),
+          start = param(ex, "start").map(_.toInt).getOrElse(0),
+          limit = param(ex, "limit").map(_.toInt))
       else {
         // WOQL WRITE query over the wire ([ref:server/routes.pl] woql
         // against a writable resource): AddTriple/DeleteTriple leaves
@@ -1280,19 +1283,42 @@ object HttpApi {
   private def ok(j: JValue): String = JsonMethods.compact(JsonMethods.render(j))
   private def raw(s: String): String = s
 
+  /** Hard ceiling on rows a single woql response renders — the facade
+    * JVM must error-page a runaway query, not OOM building its JSON.
+    * Overridable per deployment (GRAFT_HTTP_MAX_ROWS). */
+  private def maxResponseRows: Int =
+    sys.props.get("graft.http.maxRows")
+      .orElse(sys.env.get("GRAFT_HTTP_MAX_ROWS"))
+      .map(_.toInt).getOrElse(10000)
+
   /** Bindings response: one JSON object per solution row, IRIs plain,
-    * literals `{"@type","@value"}` (reference binding shape). */
-  def bindingsJson(df: DataFrame): String = {
+    * literals `{"@type","@value"}` (reference binding shape).
+    * `?start`/`?limit` page deterministically (mirroring the document
+    * list paging); with no explicit limit the default cap applies and
+    * a clipped response carries `"api:truncated": true` plus the next
+    * `start`, so no client can mistake a page for the whole result. */
+  def bindingsJson(df: DataFrame, start: Int = 0,
+                   limit: Option[Int] = None): String = {
     val vars = df.columns.toSeq
-    val rows: List[JValue] = df.collect().toList.map { r =>
+    val eff = math.min(limit.getOrElse(maxResponseRows), maxResponseRows)
+    // one extra row answers "is there more?" without a second count job
+    val page = (if (start > 0) df.offset(start) else df).limit(eff + 1)
+    val collected = page.collect().toList
+    val truncated = collected.length > eff
+    val rows: List[JValue] = collected.take(eff).map { r =>
       JObject(vars.flatMap { v =>
         Option(r.getAs[Row](v)).map(s => v -> renderVal(s))
       }.toList)
     }
-    JsonMethods.compact(JsonMethods.render(JObject(
-      "api:status" -> JString("api:success"),
-      "api:variable_names" -> JArray(vars.map(JString(_): JValue).toList),
-      "bindings" -> JArray(rows))))
+    val base = List(
+      "api:status" -> (JString("api:success"): JValue),
+      "api:variable_names" -> (JArray(vars.map(JString(_): JValue).toList): JValue),
+      "bindings" -> (JArray(rows): JValue))
+    val marker =
+      if (truncated) List("api:truncated" -> (JBool(true): JValue),
+        "api:next_start" -> (JInt(BigInt(start + eff)): JValue))
+      else Nil
+    JsonMethods.compact(JsonMethods.render(JObject(base ++ marker)))
   }
 
   /** GraphQL-style plain scalar render (no type wrapper). */

@@ -173,4 +173,27 @@ class ClusteringSpec extends AnyFunSuite {
     assert(pruned.size == 50)
     assert(pruned.groupBy(_._1).forall(_._2.map(_._3).toSeq.sorted == (1L to 5L)))
   }
+
+  test("clustered fixture: trained IVF and IVF-PQ keep recall@5 >= 0.8") {
+    // the shared embeddings table is near-uniform (VQ's worst case);
+    // this floor is the MEANINGFUL recall claim for clusterable
+    // corpora — on mixture-of-centroids data the trained tiers must
+    // recover most exact neighbors
+    import org.apache.spark.sql.functions._
+    val emb = graft.llm.Similarity.clusteredFixture(spark)
+    val brute = graft.llm.Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+      .select(col("q"), col("cand"))
+    def meanRecall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val hits = brute.join(ann.select(col("q"), col("cand")),
+        Seq("q", "cand"), "left_semi").count()
+      hits / 50.0 // 10 queries × 5
+    }
+    val ivft = meanRecall(graft.llm.Similarity.ivfTrainedTopK(
+      emb, col("vec_id") < 10, 5, nprobe = 2, cells = 8, iters = 3, dim = 64))
+    val ivfpq = meanRecall(graft.llm.Similarity.ivfPqTopK(
+      emb, col("vec_id") < 10, 5, nprobe = 2, cells = 8, ivfIters = 3,
+      m = 8, kSub = 16, pqIters = 2, dim = 64))
+    assert(ivft >= 0.8, s"trained-IVF recall@5 $ivft < 0.8 on clustered data")
+    assert(ivfpq >= 0.8, s"IVF-PQ recall@5 $ivfpq < 0.8 on clustered data")
+  }
 }

@@ -990,6 +990,34 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally capSrv.stop()
   }
 
+  test("woql bindings page with ?start/?limit and flag truncation") {
+    // ordered query so pages are deterministic and provably disjoint
+    val wire =
+      """{"@type":"OrderBy","ordering":[{"variable":"S","order":"asc"}],
+        |"query":{"@type":"Triple","subject":{"variable":"S"},
+        |"predicate":{"node":"tpch:r_name"},"object":{"variable":"N"}}}""".stripMargin
+    def page(q: String): (List[JValue], JValue, JValue) = {
+      val (code, body) = post(s"/api/woql$q", wire)
+      assert(code == 200, body)
+      val j = JsonMethods.parse(body)
+      val JArray(bs) = (j \ "bindings"): @unchecked
+      (bs, j \ "api:truncated", j \ "api:next_start")
+    }
+    // 5 regions, limit 3: first page clipped + marked, second disjoint
+    val (p1, t1, n1) = page("?limit=3")
+    assert(p1.size == 3 && t1 == JBool(true) && n1 == JInt(3))
+    val (p2, t2, _) = page("?limit=3&start=3")
+    assert(p2.size == 2 && t2 == JNothing)
+    val ids = (p1 ++ p2).map(b => b \ "S")
+    assert(ids.distinct.size == 5)
+    // the DEFAULT cap also clips and marks (no explicit limit)
+    sys.props("graft.http.maxRows") = "2"
+    try {
+      val (pc, tc, nc) = page("")
+      assert(pc.size == 2 && tc == JBool(true) && nc == JInt(2))
+    } finally sys.props.remove("graft.http.maxRows")
+  }
+
   test("two servers sync over HTTP: clone, push with negotiation, pull") {
     import storage.{LayerStore, RemoteTransfer}
     import spark.implicits._
