@@ -88,8 +88,40 @@ object Dedup {
   def lshCandidates(docs: DataFrame): DataFrame =
     lshCandidatesFromSets(shingleSets(docs))
 
+  /** Hot-band guard ceiling: a band bucket shared by k documents
+    * yields k²/2 candidate pairs INSIDE ONE JOIN KEY — at 100 TB a
+    * boilerplate-heavy shard (one template shared by a million pages)
+    * makes that band the last reducer and the verify join quadratic.
+    * Like basketLift's giant-basket guard, this REFUSES loudly rather
+    * than silently salting: salting the band key would still emit and
+    * verify all k² pairs (the candidate set itself is quadratic), so
+    * the only scalable answer is removing the redundancy upstream —
+    * exact/canonical dedup collapses identical boilerplate BEFORE
+    * near-dup runs, which is also the pipeline order Pipeline.scala
+    * ships. Raise deliberately via graft.lsh.maxBandDocs /
+    * GRAFT_LSH_MAX_BAND_DOCS for a corpus where k² is intended. */
+  private def maxBandDocs: Long =
+    sys.props.get("graft.lsh.maxBandDocs")
+      .orElse(sys.env.get("GRAFT_LSH_MAX_BAND_DOCS"))
+      .map(_.toLong).getOrElse(4096L)
+
   private def lshCandidatesFromSets(sets: DataFrame): DataFrame = {
     val bh = bandHashes(minhashSignaturesFromSets(sets))
+    // bounded probe (limit 1), not a full count; the bucket-size
+    // aggregate shuffles on the same (band, bh) key as the candidate
+    // join below, so its exchange is reusable
+    val cap = maxBandDocs
+    val hot = bh.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n")).where(col("n") > cap)
+      .limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"LSH band bucket (band=${r.get(0)}, ${r.getLong(2)} docs) exceeds " +
+        s"graft.lsh.maxBandDocs=$cap — a k-doc bucket emits k²/2 candidate " +
+        "pairs into one reducer; run exact/canonical dedup first (near-" +
+        "identical boilerplate is what inflates a band) or raise the cap " +
+        "deliberately"
+    })
     val a = bh.select(col("band"), col("bh"), col("doc_id").as("da"))
     val b = bh.select(col("band"), col("bh"), col("doc_id").as("db"))
     a.join(b, Seq("band", "bh")).where(col("da") < col("db"))
