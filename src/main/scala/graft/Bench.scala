@@ -81,7 +81,7 @@ object Bench {
     // ext_http_transfer / doc_list_roundtrip are facade integration
     // checks like the other ext_http_* entries, not benched)
     "sim_recall_ivft_clustered", "sim_recall_ivfpq_clustered",
-    "woql_validate_family",
+    "woql_validate_family", "woql_dot_deep",
     // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the
     // emb_kmeans double-count rationale) — oracle-only, not benched
     )

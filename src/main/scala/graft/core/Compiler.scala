@@ -728,7 +728,16 @@ object Compiler {
       BF(cur.df.withColumn(into, explode(arr)), cur.vars + into)
 
     case DotQ(doc, field, into) =>
-      val j = get_json_object(strOf(doc, cur.vars), s"$$.$field")
+      // DEEP dot ([ref:core/query/woql_compile.pl] dot chaining): the
+      // field may be a dot-separated PATH through nested documents —
+      // "address.city" walks two levels, a numeric segment ("tags.1")
+      // indexes an array — compiled to ONE codegen'd JsonPath probe
+      // instead of N chained Dot ops re-parsing intermediate JSON
+      // text. A plain field name compiles exactly as before.
+      val path = "$" + field.split("\\.").map(seg =>
+        if (seg.nonEmpty && seg.forall(_.isDigit)) s"[$seg]" else s".$seg")
+        .mkString
+      val j = get_json_object(strOf(doc, cur.vars), path)
       BF(cur.df.withColumn(into, strVal(j)), cur.vars + into)
 
     case LikeSim(a, b, into, metric) =>

@@ -652,6 +652,29 @@ object VersionQueries {
         .select(col("S").getField("iri").as("s"), col("D").getField("str").as("doc"))
     }),
 
+    // DEEP dot: one Dot walks a nested path ("meta.source") and
+    // indexes arrays ("meta.tags.1"); proven alongside the equivalent
+    // CHAINED two-Dot walk so both spellings bind identical values
+    "woql_dot_deep" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val nested =
+        """{"meta":{"source":"tpch","tags":["a","b","c"]},"kind":"region"}"""
+      Compiler.run(And(Seq(
+        TriplePat(V("S"), Node("rdf:type"), Node("tpch:Region")),
+        ReadDocQ(V("S"), "D"),
+        DotQ(V("D"), "r_name", "Name"),
+        Eq(V("J"), Str(nested)),
+        DotQ(V("J"), "meta.source", "Src"),
+        DotQ(V("J"), "meta.tags.1", "Tag"),
+        DotQ(V("J"), "meta", "M"),
+        DotQ(V("M"), "source", "Src2"))))
+        .select(col("S").getField("iri").as("s"),
+          col("Name").getField("str").as("r_name"),
+          col("Src").getField("str").as("src"),
+          col("Tag").getField("str").as("tag"),
+          col("Src2").getField("str").as("src2"))
+    }),
+
     // WOQL JSON wire format → compile → run (reference's query transport)
     "woql_json_parse" -> ((s, d) => {
       val json =
@@ -1329,6 +1352,12 @@ object VersionQueries {
     "woql_read_doc" ->
       """SELECT 'tpch:region/'||r_regionkey AS s,
         | '{"r_name":"'||r_name||'","r_regionkey":"'||r_regionkey||'"}' AS doc
+        | FROM region""".stripMargin,
+    // closed-form: the deep-path and chained-dot walks of the FIXED
+    // nested JSON literal, alongside the real per-region field
+    "woql_dot_deep" ->
+      """SELECT 'tpch:region/'||r_regionkey AS s, r_name,
+        | 'tpch' AS src, 'b' AS tag, 'tpch' AS src2
         | FROM region""".stripMargin,
     "woql_json_parse" ->
       """SELECT c_name, c_acctbal FROM customer JOIN nation
