@@ -78,8 +78,9 @@ object Bench {
     "sketch_kmv_diff", "llm_truncate_cap", "rel_unpivot",
     // round-13 tranche (text_bpe_probe_* re-run round-1 subsets of
     // text_bpe_train — oracle-only isolation probes, not benched;
-    // ext_http_transfer / doc_list_roundtrip are facade integration
-    // checks like the other ext_http_* entries, not benched)
+    // ext_http_transfer / doc_list_roundtrip / doc_frame_opts are
+    // facade integration checks like the other ext_http_* entries,
+    // not benched)
     "sim_recall_ivft_clustered", "sim_recall_ivfpq_clustered",
     "woql_validate_family", "woql_dot_deep",
     // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the

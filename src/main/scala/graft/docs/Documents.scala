@@ -226,8 +226,23 @@ object Documents {
   /** Reassemble one document (recursive over subdocument edges;
     * rdf:List cons chains — own writes AND turtle-loaded collections,
     * including blank-node cells outside the subject prefix — re-form
-    * as JSON arrays, [ref:core/document/json.pl] list handling). */
-  def read(graph: DataFrame, id: String): JValue = {
+    * as JSON arrays, [ref:core/document/json.pl] list handling).
+    *
+    * JSON-LD framing options ([ref:core/query/frame.pl] unfold/depth
+    * control on document GET):
+    *   - `unfold=false` — subdocuments are NOT expanded inline; each
+    *     renders as its `@id` string. List cells still re-form as a
+    *     JSON array, but subdocument ELEMENTS fold to id strings too.
+    *   - `depth=N` — unfold only N levels below the root; a level-N
+    *     subdocument value renders as its id string (`depth=0` ≡
+    *     `unfold=false`; the default ∞ ≡ today's full unfold).
+    * An IRI pointing OUTSIDE the document's own subgraph (a link to
+    * another root document) always renders as its id string — links
+    * are references, never owned content, so no framing option
+    * inlines a foreign document. */
+  def read(graph: DataFrame, id: String, unfold: Boolean = true,
+           depth: Int = Int.MaxValue): JValue = {
+    val maxDepth = if (unfold) depth else 0
     val triples = graph
       .filter(col("s") === id || col("s").startsWith(id + "/"))
       .select("s", "p", "o_kind", "o_iri", "o_typ", "o_str", "o_dbl", "o_lng", "o_bool")
@@ -257,7 +272,13 @@ object Documents {
         .orElse(lngAt.map(l => JInt(BigInt(l)): JValue))
         .orElse(boolAt.map(JBool(_): JValue))
         .getOrElse(JNull)
-    def assemble(subject: String): JValue = {
+    def assemble(subject: String, lvl: Int): JValue = {
+      // the framing boundary: an in-prefix subdocument IRI expands
+      // only while lvl < maxDepth; at the boundary (or for any
+      // out-of-prefix link) the value is the id string
+      def frameIri(iri: String): JValue =
+        if (have(iri) && lvl < maxDepth) assemble(iri, lvl + 1)
+        else JString(iri)
       val mine = triples.filter(_.getString(0) == subject)
       val fields: List[(String, JValue)] = mine.toList.flatMap { r =>
         val p = r.getString(1)
@@ -277,13 +298,13 @@ object Documents {
                   if (e.isNullAt(6)) None else Some(e.getDouble(6)),
                   if (e.isNullAt(7)) None else Some(e.getLong(7)),
                   if (e.isNullAt(8)) None else Some(e.getBoolean(8)),
-                  assemble)
+                  frameIri)
               })
             else valueOf(r.getString(2), r.getString(3), r.getString(5),
               if (r.isNullAt(6)) None else Some(r.getDouble(6)),
               if (r.isNullAt(7)) None else Some(r.getLong(7)),
               if (r.isNullAt(8)) None else Some(r.getBoolean(8)),
-              assemble)
+              frameIri)
           Some(field -> v)
         }
       }
@@ -296,11 +317,12 @@ object Documents {
         }
       })
     }
-    assemble(id)
+    assemble(id, 0)
   }
 
-  def readJson(graph: DataFrame, id: String): String =
-    JsonMethods.compact(JsonMethods.render(read(graph, id)))
+  def readJson(graph: DataFrame, id: String, unfold: Boolean = true,
+               depth: Int = Int.MaxValue): String =
+    JsonMethods.compact(JsonMethods.render(read(graph, id, unfold, depth)))
 
   /** Paged root-id listing for a document type — id-ordered so paging
     * is DETERMINISTIC across requests (the reference's

@@ -545,6 +545,47 @@ object VersionQueries {
         .select(col("s"), col("o_str").as("name"))
     }),
 
+    // JSON-LD framing options ([ref:core/query/frame.pl] unfold/depth
+    // control): nested nation docs (geo → detail, two subdocument
+    // levels) read at three framings — full unfold resolves the leaf
+    // literal, depth=1 folds the level-2 subdocument to its @id
+    // string, unfold=false folds the level-1 one; the fold-boundary
+    // ids are closed-form (`<root>/geo`, `<root>/geo/detail`) so the
+    // oracle replays them relationally
+    "doc_frame_opts" -> ((s, d) => {
+      import s.implicits._
+      import org.json4s._
+      def str(j: JValue): String = j match {
+        case JString(x) => x
+        case other => sys.error(s"expected string, got $other")
+      }
+      def lng(j: JValue): Long = j match {
+        case JInt(x) => x.toLong
+        case other => sys.error(s"expected int, got $other")
+      }
+      val json = Graft.table(s, d, "nation")
+        .join(Graft.table(s, d, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("n_nationkey") < 8)
+        .select(to_json(struct(col("n_name"),
+          struct(col("r_name").as("region_name"),
+            struct(col("r_regionkey").cast(LongType).as("rk"))
+              .as("detail")).as("geo"))).as("j"))
+        .as[String]
+      val g = graft.docs.Documents.insertAll(json, "Nation",
+        graft.docs.Documents.LexicalKey(Seq("n_name")))
+      val ids = g.filter(col("p") === "rdf:type")
+        .select("s").collect().map(_.getString(0)).sorted
+      ids.toSeq.map { id =>
+        val full = graft.docs.Documents.read(g, id)
+        val d1 = graft.docs.Documents.read(g, id, depth = 1)
+        val folded = graft.docs.Documents.read(g, id, unfold = false)
+        (id, lng(full \ "geo" \ "detail" \ "rk"),
+          str(d1 \ "geo" \ "region_name"), str(d1 \ "geo" \ "detail"),
+          str(folded \ "geo"))
+      }.toDF("s", "rk", "region_name", "detail_ref", "geo_ref")
+    }),
+
     // document update + delete through the commit protocol (§2.8):
     // insert all nation docs, replace NATION_0's subgraph with a new
     // shape, delete NATION_1's — then read the surviving doc fields
@@ -1322,6 +1363,16 @@ object VersionQueries {
         | FROM nation""".stripMargin,
     "doc_insert" ->
       "SELECT 'doc:Nation/'||n_name AS s, n_name AS name FROM nation",
+    // closed form: the framing fold boundaries are deterministic
+    // subject ids (`<root>/geo`, `<root>/geo/detail`), the unfolded
+    // leaves replay from the nation ⋈ region join
+    "doc_frame_opts" ->
+      """SELECT 'doc:Nation/'||n_name AS s,
+        | CAST(n_regionkey AS BIGINT) AS rk, r_name AS region_name,
+        | 'doc:Nation/'||n_name||'/geo/detail' AS detail_ref,
+        | 'doc:Nation/'||n_name||'/geo' AS geo_ref
+        | FROM nation JOIN region ON n_regionkey = r_regionkey
+        | WHERE n_nationkey < 8""".stripMargin,
     "doc_update" ->
       """SELECT 'doc:Nation/'||n_name AS s, 'doc:n_name' AS p, n_name AS v
         | FROM nation WHERE n_name != 'NATION_1'

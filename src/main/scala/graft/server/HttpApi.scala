@@ -238,12 +238,14 @@ object HttpApi {
     // document JSON with the reference's @id/@type envelope
     // ([ref:core/document/json.pl] json document shape) — metadata
     // first, fields after, like the reference's document responses
-    def docJsonWithMeta(g: org.apache.spark.sql.DataFrame, id: String): String = {
+    def docJsonWithMeta(g: org.apache.spark.sql.DataFrame, id: String,
+                        unfold: Boolean = true,
+                        depth: Int = Int.MaxValue): String = {
       import org.apache.spark.sql.functions.col
       val ty = g.filter(col("s") === id && col("p") === "rdf:type" &&
           col("o_kind") === "i").select("o_iri").limit(1)
         .collect().headOption.map(_.getString(0))
-      val body = graft.docs.Documents.read(g, id) match {
+      val body = graft.docs.Documents.read(g, id, unfold, depth) match {
         case JObject(fields) => fields
         case other => List("value" -> other)
       }
@@ -269,7 +271,12 @@ object HttpApi {
             }
             require(!g.filter(org.apache.spark.sql.functions
               .col("s") === id).isEmpty, s"document not found: $id")
-            raw(docJsonWithMeta(g, id))
+            // JSON-LD framing ([ref:core/query/frame.pl]):
+            // ?unfold=false folds subdocuments to their @id strings,
+            // ?depth=N unfolds only N levels below the root
+            raw(docJsonWithMeta(g, id,
+              unfold = !param(ex, "unfold").contains("false"),
+              depth = param(ex, "depth").map(_.toInt).getOrElse(Int.MaxValue)))
           case None =>
             // paged list-by-type: one JSON document per line, ordered
             // by id so skip/count page deterministically
@@ -277,9 +284,11 @@ object HttpApi {
               .getOrElse(sys.error("id or type parameter required"))
             val skip = param(ex, "skip").map(_.toInt).getOrElse(0)
             val count = param(ex, "count").map(_.toInt).getOrElse(100)
+            val unfold = !param(ex, "unfold").contains("false")
+            val depth = param(ex, "depth").map(_.toInt).getOrElse(Int.MaxValue)
             val graph = defaultGraph
             val ids = graft.docs.Documents.listIds(graph, ty, skip, count)
-            raw(ids.map(docJsonWithMeta(graph, _)).mkString("\n"))
+            raw(ids.map(docJsonWithMeta(graph, _, unfold, depth)).mkString("\n"))
         }
         case "POST" =>
           val docType = param(ex, "type").getOrElse(sys.error("type parameter required"))

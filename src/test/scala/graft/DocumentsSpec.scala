@@ -41,6 +41,47 @@ class DocumentsSpec extends AnyFunSuite {
     assert(tags.toSet == Set(JString("math"), JString("code")))
   }
 
+  test("framing options: unfold=false / depth fold subdocuments to ids") {
+    import spark.implicits._
+    val nested =
+      """{"name":"frd","geo":{"city":"oslo","detail":{"lat":59}}}"""
+    val t = Documents.insertAll(Seq(nested).toDS(), "Person",
+      Documents.LexicalKey(Seq("name")))
+    val id = "doc:Person/frd"
+    // full unfold (default): leaf literal reachable
+    assert(Documents.read(t, id) \ "geo" \ "detail" \ "lat" == JInt(59))
+    // unfold=false: the level-1 subdocument folds to its @id string
+    val folded = Documents.read(t, id, unfold = false)
+    assert(folded \ "geo" == JString(s"$id/geo"))
+    assert(folded \ "name" == JString("frd"))
+    // depth=1: one level unfolds, the level-2 subdocument folds
+    val d1 = Documents.read(t, id, depth = 1)
+    assert(d1 \ "geo" \ "city" == JString("oslo"))
+    assert(d1 \ "geo" \ "detail" == JString(s"$id/geo/detail"))
+    // depth=0 ≡ unfold=false
+    assert(Documents.read(t, id, depth = 0) \ "geo" == JString(s"$id/geo"))
+  }
+
+  test("a link to another root document renders as its id, never {}") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"name":"lk","friend":null}""").toDS()
+    val t = Documents.insertAll(docs, "Person", Documents.LexicalKey(Seq("name")))
+    // hand-add an out-of-prefix IRI link (insertAll has no link syntax;
+    // WOQL / turtle writes produce these)
+    val link = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        "instance", "doc:Person/lk", "doc:friend", "i", "doc:Person/other",
+        null, null, null, null, null, null, null, null)), 1),
+      graft.storage.Eav.schema)
+    val g = t.unionByName(link)
+    // the foreign document is a REFERENCE — framing never inlines it
+    assert(Documents.read(g, "doc:Person/lk") \ "friend" ==
+      JString("doc:Person/other"))
+    assert(Documents.read(g, "doc:Person/lk", unfold = false) \ "friend" ==
+      JString("doc:Person/other"))
+  }
+
   test("key strategies generate expected ids") {
     val j = JsonMethods.parse("""{"name":"a b","n":1}""").asInstanceOf[JObject]
     assert(Documents.genId("T", j, Documents.LexicalKey(Seq("name"))) == "doc:T/a+b")
