@@ -83,6 +83,7 @@ object Bench {
     // not benched)
     "sim_recall_ivft_clustered", "sim_recall_ivfpq_clustered",
     "woql_validate_family", "woql_dot_deep",
+    "graph_lpa", "llm_quality_lr",
     // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the
     // emb_kmeans double-count rationale) — oracle-only, not benched
     )
@@ -207,6 +208,7 @@ object Bench {
     val forceGcEntries = Set(
       "graph_triangles", "graph_kcore", "graph_wcc", "graph_pagerank",
       "graph_ppr", "graph_common_neighbors", "graph_assortativity",
+      "graph_lpa",
       "woql_path_plus_alt", "woql_path_shortest", "ext_graphql_path")
     val heapMaxMb = Runtime.getRuntime.maxMemory() >> 20
     val results: Seq[(String, Double)] = headline.flatMap { name =>

@@ -105,4 +105,78 @@ object Classifier {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("pred_lang"), col("score_micro"))
   }
+
+  /** Binary logistic-regression quality/routing classifier trained by
+    * FULL-BATCH gradient descent on hashed bag-of-words features — the
+    * distributed twin of the fastText-style linear filter, but with a
+    * TRAINED decision boundary instead of NB's closed-form counts.
+    *
+    * Determinism (the battery's micro-unit contract): weights live in
+    * integer micro-units; per-doc logits are exact long dot products
+    * (integer counts × micro weights); the ONLY float op is the
+    * sigmoid, rounded to a long at the integer boundary immediately
+    * (the microLn pattern), so every gradient is an exact
+    * partition-order-free integer sum and the weight update is a
+    * sign-symmetric truncating division — two engines replay the
+    * descent bit-for-bit.
+    *
+    * Scale shape (100 TB): features are ONE tokenize+count shuffle
+    * (rows ∝ docs × buckets, buckets a small constant); each round is
+    * a broadcast of B+1 weights over the feature scan, a per-doc
+    * aggregate, and a per-bucket gradient aggregate (both map-side
+    * partial); the collected state is B+1 longs per round — bounded by
+    * construction, like the BPE-train argmax. The corpus is never
+    * re-tokenized after the feature build (persisted).
+    *
+    * Returns (doc_id, lang, y, score_micro, pred): the final-round
+    * sigmoid score in micro-units and the 0.5-threshold prediction. */
+  def logistic(docs: DataFrame, targetLang: String = "en",
+               buckets: Int = 8, rounds: Int = 3,
+               stepDiv: Long = 16L): DataFrame = {
+    require(buckets >= 2 && rounds >= 1 && stepDiv >= 1)
+    val bucket = (t: org.apache.spark.sql.Column) =>
+      pmod(Dedup.hash32(t), lit(buckets.toLong))
+    // integer feature rows (doc_id, b, cnt): hashed-unigram counts
+    // (dsirWeights' bucket hash — whitespace tokens) + a bias feature
+    // in bucket `buckets` with cnt 1 for every document
+    val feat = graft.util.Scratch.track(docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), bucket(col("t")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .unionByName(docs.select(col("doc_id"),
+        lit(buckets.toLong).as("b"), lit(1L).as("cnt")))
+      .persist())
+    val y = docs.select(col("doc_id"),
+      (col("lang") === targetLang).cast(LongType).as("y"))
+    val n = docs.count()
+    val w = Array.fill(buckets + 1)(0L) // micro-units
+    // exact long logit under the current weights, then the clamped
+    // sigmoid rounded AT the integer boundary (micro-units)
+    def scoreCols(ws: Array[Long]): DataFrame = {
+      val wCol = map(ws.zipWithIndex.flatMap { case (wj, j) =>
+        Seq(lit(j.toLong), lit(wj)) }.toIndexedSeq: _*)
+      feat.select(col("doc_id"), (col("cnt") * element_at(wCol, col("b"))).as("zz"))
+        .groupBy(col("doc_id")).agg(sum(col("zz")).as("z"))
+        .select(col("doc_id"),
+          round(lit(1000000.0) / (lit(1.0) +
+            exp(-least(greatest(col("z"), lit(-20000000L)), lit(20000000L))
+              .cast(DoubleType) / lit(1000000.0))), 0)
+            .cast(LongType).as("p"))
+    }
+    for (_ <- 1 to rounds) {
+      val grads = feat.join(y, "doc_id").join(scoreCols(w), "doc_id")
+        .groupBy(col("b"))
+        .agg(sum(col("cnt") * (col("y") * lit(1000000L) - col("p"))).as("g"))
+        .collect() // B+1 rows — bounded by construction
+      grads.foreach { r =>
+        val (b, g) = (r.getLong(0).toInt, r.getLong(1))
+        val d = n * stepDiv
+        w(b) += (if (g >= 0) g / d else -((-g) / d)) // trunc toward zero
+      }
+    }
+    docs.select(col("doc_id"), col("lang"))
+      .join(y, "doc_id").join(scoreCols(w), "doc_id")
+      .select(col("doc_id"), col("lang"), col("y"),
+        col("p").as("score_micro"), (col("p") >= 500000L).as("pred"))
+  }
 }

@@ -774,6 +774,24 @@ object ExtQueries {
         .select(col("doc_id").as("node"), col("cluster").as("component"))
     }),
 
+    // label-propagation communities over the FK entity graph
+    // (undirected o↔c↔n↔r): 3 synchronous rounds, most-frequent
+    // neighbor label with least-label ties — integer counts + string
+    // compares only, bit-reproducible (async LPA is run-order
+    // dependent and can't be oracle-checked)
+    "graph_lpa" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+      val c = t(s, d, "customer").select(
+        concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"))
+      val n = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      graft.operators.Lpa.communities(o.union(c).union(n), rounds = 3)
+    }),
+
     // BM25 relevance against a fixed query-term list: per-term tf via
     // array filters (no explode), ONE-row corpus stats broadcast back
     // over the scan, top-n as TakeOrderedAndProject — the corpus
@@ -799,6 +817,14 @@ object ExtQueries {
       graft.llm.Sampling.weightedTopK(
         TextAnalysis.dsirWeights(t(s, d, "documents"), "en", 64),
         round(exp(col("weight")), 9), 100)),
+
+    // trained logistic-regression quality/routing classifier
+    // (fastText-style linear filter): hashed-unigram features + bias,
+    // 3 full-batch GD rounds in integer micro-units — the descent
+    // replays bit-for-bit in the oracle
+    "llm_quality_lr" -> ((s, d) =>
+      graft.llm.Classifier.logistic(t(s, d, "documents"),
+        targetLang = "en", buckets = 8, rounds = 3, stepDiv = 16L)),
 
     // CCNet-style perplexity under a corpus-trained add-one bigram LM:
     // the canonical LM quality filter (Wenzek 2020)
@@ -2470,6 +2496,7 @@ object ExtQueries {
     "graph_pagerank" -> pagerankSql(iters = 3),
     "graph_ppr" -> pprSql(iters = 3),
     "graph_kcore" -> kcoreSql(k = 60, rounds = 6),
+    "graph_lpa" -> lpaSql(rounds = 3),
 
     // closed-form: the FK graph's components ARE the regions; each
     // component's label is its least member IRI
@@ -2929,6 +2956,10 @@ object ExtQueries {
         | FROM dw)
         | SELECT doc_id, lang, w, round(ln(u) / w, 9) AS skey
         | FROM u ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+
+    // full-batch logistic descent replayed round-for-round in integer
+    // micro-units (the ONLY float op is the boundary-rounded sigmoid)
+    "llm_quality_lr" -> logisticSql(buckets = 8, rounds = 3, stepDiv = 16L),
 
     // bigram perplexity: three zipped unnests rebuild (pos, w1, w2);
     // the per-doc sum replays the engine's pos-sorted left fold via
@@ -3724,6 +3755,75 @@ object ExtQueries {
        | p0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM nodes),
        | $rounds
        | SELECT node, pr FROM p$iters""".stripMargin
+  }
+
+  /** Unrolled synchronous label-propagation rounds (= Lpa.communities
+    * over the same FK entity graph as graph_pagerank, undirected):
+    * per round, every node takes its neighbors' most frequent label,
+    * ties to the LEAST label — pure integer counts and string
+    * comparisons, so the replay is exact. */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { n =>
+      s"""c$n AS (SELECT e.dst AS node, p.lbl AS nl, count(*) AS c
+         |   FROM e JOIN l${n - 1} p ON e.src = p.node GROUP BY 1, 2),
+         | w$n AS (SELECT node, nl FROM (SELECT node, nl,
+         |     row_number() OVER (PARTITION BY node ORDER BY c DESC, nl ASC) AS rn
+         |   FROM c$n) WHERE rn = 1),
+         | l$n AS (SELECT nd.node, coalesce(w.nl, nd.node) AS lbl
+         |   FROM nodes nd LEFT JOIN w$n w ON nd.node = w.node)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (SELECT 'o:'||o_orderkey AS src, 'c:'||o_custkey AS dst FROM orders
+       | UNION ALL SELECT 'c:'||c_custkey, 'n:'||c_nationkey FROM customer
+       | UNION ALL SELECT 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation),
+       | ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+       | e AS (SELECT DISTINCT src, dst FROM
+       |   (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+       | nodes AS (SELECT DISTINCT src AS node FROM e),
+       | l0 AS (SELECT node, node AS lbl FROM nodes),
+       | $steps
+       | SELECT node, lbl AS community FROM l$rounds""".stripMargin
+  }
+
+  /** Unrolled full-batch logistic-regression descent (=
+    * Classifier.logistic: hashed-unigram counts + bias, integer
+    * micro-unit weights, sigmoid rounded at the integer boundary,
+    * sign-symmetric truncating step): per round, z = exact long dot
+    * product, p = micro sigmoid, g = exact integer gradient sums,
+    * w += trunc(g / (n·stepDiv)). */
+  private def logisticSql(buckets: Int, rounds: Int, stepDiv: Long): String = {
+    val steps = (1 to rounds).map { n =>
+      s"""z$n AS (SELECT fb.doc_id, sum(fb.cnt * w${n - 1}.w) AS z
+         |   FROM fb JOIN w${n - 1} ON fb.b = w${n - 1}.b GROUP BY 1),
+         | p$n AS (SELECT doc_id, CAST(round(1000000.0 / (1.0 +
+         |     exp(-(least(greatest(z, -20000000), 20000000)) / 1000000.0)), 0)
+         |   AS BIGINT) AS p FROM z$n),
+         | g$n AS (SELECT fb.b, sum(fb.cnt * (yv.y * 1000000 - p$n.p)) AS g
+         |   FROM fb JOIN yv USING (doc_id) JOIN p$n USING (doc_id) GROUP BY 1),
+         | w$n AS (SELECT w${n - 1}.b, w${n - 1}.w +
+         |     (CASE WHEN coalesce(g$n.g, 0) >= 0
+         |        THEN coalesce(g$n.g, 0) // (nn.n * $stepDiv)
+         |        ELSE -((-coalesce(g$n.g, 0)) // (nn.n * $stepDiv)) END) AS w
+         |   FROM w${n - 1} LEFT JOIN g$n ON w${n - 1}.b = g$n.b CROSS JOIN nn)""".stripMargin
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       | tokx AS (SELECT doc_id, unnest(toks) AS s FROM d),
+       | fb AS (SELECT doc_id, $hash32Sql % $buckets AS b, count(*) AS cnt
+       |     FROM tokx GROUP BY 1, 2
+       |   UNION ALL SELECT doc_id, $buckets, 1 FROM documents),
+       | yv AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |   FROM documents),
+       | nn AS (SELECT count(*) AS n FROM documents),
+       | w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+       |   FROM range(${buckets + 1})),
+       | $steps,
+       | zf AS (SELECT fb.doc_id, sum(fb.cnt * w$rounds.w) AS z
+       |   FROM fb JOIN w$rounds ON fb.b = w$rounds.b GROUP BY 1),
+       | pf AS (SELECT doc_id, CAST(round(1000000.0 / (1.0 +
+       |     exp(-(least(greatest(z, -20000000), 20000000)) / 1000000.0)), 0)
+       |   AS BIGINT) AS p FROM zf)
+       | SELECT d2.doc_id, d2.lang, CAST(yv.y AS BIGINT) AS y,
+       |   pf.p AS score_micro, (pf.p >= 500000) AS pred
+       | FROM documents d2 JOIN yv USING (doc_id) JOIN pf USING (doc_id)""".stripMargin
   }
 
   /** Unrolled k-core peel rounds (= KCore.kCore: the peel is

@@ -3,9 +3,55 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** Round-13 additions: the LSH hot-band guard. */
+/** Round-13 additions: the LSH hot-band guard, LPA communities, the
+  * trained logistic classifier. */
 class Round13OpsSpec extends AnyFunSuite {
   import TestSpark._
+
+  test("LPA splits two triangles at their bridge; deterministic ties") {
+    import spark.implicits._
+    // two triangles {a1,a2,a3} and {b1,b2,b3} joined by a3—b1: after
+    // 3 synchronous min-tie rounds the a-side converges to "a1" and
+    // the b-side to "a3" (hand-computed label trace) — communities
+    // split AT the bridge, which WCC (one component) cannot see
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+      ("a3", "b1")).toDF("src", "dst")
+    val got = graft.operators.Lpa.communities(edges, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "b1" -> "a3", "b2" -> "a3", "b3" -> "a3"))
+    // self-loops are dropped, not counted as neighbor votes
+    val loop = Seq(("x", "x"), ("x", "y")).toDF("src", "dst")
+    val got2 = graft.operators.Lpa.communities(loop, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got2 == Map("x" -> "y", "y" -> "x"))
+  }
+
+  test("logistic classifier learns a separable fixture and stays integer-deterministic") {
+    import spark.implicits._
+    // perfectly separable: 'en' docs speak one vocabulary, 'de' docs
+    // another — after 3 GD rounds the sigmoid scores must order every
+    // en doc above every de doc (the boundary moved the right way)
+    val docs = ((0 until 20).map(i =>
+        (i.toLong, "good clean prose sentence words here", "en")) ++
+      (20 until 40).map(i =>
+        (i.toLong, "schlecht rausch text zeug unfug dort", "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.llm.Classifier.logistic(docs, "en",
+      buckets = 8, rounds = 3, stepDiv = 4L).collect()
+    val en = out.filter(_.getLong(2) == 1L).map(_.getLong(3))
+    val de = out.filter(_.getLong(2) == 0L).map(_.getLong(3))
+    assert(en.nonEmpty && de.nonEmpty)
+    assert(en.min > de.max, s"en scores ${en.min} must exceed de ${de.max}")
+    // deterministic: identical rerun → identical micro scores
+    val again = graft.llm.Classifier.logistic(docs, "en",
+      buckets = 8, rounds = 3, stepDiv = 4L).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq)
+  }
 
   test("LSH hot-band guard refuses a pathological bucket, passes normal corpora") {
     import spark.implicits._
