@@ -84,6 +84,10 @@ object Bench {
     "sim_recall_ivft_clustered", "sim_recall_ivfpq_clustered",
     "woql_validate_family", "woql_dot_deep",
     "graph_lpa", "llm_quality_lr",
+    // dedup_substring_clean supersets dedup_substring_spans (same
+    // marking pass + the rewrite) — spans is oracle-only, clean benched;
+    // doc_query_template is a facade check like doc_frame_opts
+    "dedup_substring_clean",
     // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the
     // emb_kmeans double-count rationale) — oracle-only, not benched
     )

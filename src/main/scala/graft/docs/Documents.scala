@@ -336,6 +336,85 @@ object Documents {
       .offset(skip).limit(count)
       .collect().map(_.getString(0)).toSeq
 
+  /** Template-matching document query ([ref:core/api/api_document.pl]
+    * `query` parameter): root ids of `docType` documents matching a
+    * PARTIAL document `template` — conjunctive equality over every
+    * leaf the template sets, descending into subdocument templates
+    * along the field chain. A scalar leaf against a multi-valued field
+    * means set MEMBERSHIP (scalar arrays expand to repeated triples,
+    * so equality IS containment); a template JArray constrains every
+    * listed element (containment of all of them). `@type` inside a
+    * nested template constrains that node's rdf:type; `@id` pins the
+    * node's IRI. Ids come back ordered, so skip/count page
+    * deterministically like [[listIds]].
+    *
+    * Scale shape: each template leaf compiles to ONE filtered triple
+    * scan (predicate suffix + typed value both pushed to the scan)
+    * followed by path-depth equi-joins up the subject chain; the
+    * conjunction intersects root sets with inner joins on the root
+    * id. The whole match is a single declarative plan — Catalyst/AQE
+    * reorder the intersection by observed selectivity, and nothing is
+    * collected before the final ordered page. */
+  def queryIds(graph: DataFrame, docType: String, template: JValue,
+               skip: Int = 0, count: Int = 100): Seq[String] = {
+    def leafPred(v: JValue): org.apache.spark.sql.Column = v match {
+      case JString(x)  => (col("o_kind") === "l" && col("o_str") === x) ||
+        (col("o_kind") === "i" && col("o_iri") === x)
+      case JInt(x)     => col("o_lng") === x.toLong
+      case JDouble(x)  => col("o_dbl") === x
+      case JDecimal(x) => col("o_dbl") === x.toDouble
+      case JBool(x)    => col("o_bool") === x
+      case other => sys.error(s"unsupported template leaf: $other")
+    }
+    // flatten the template to (field path, scalar leaf) constraints;
+    // a JArray fans out to one constraint per element at the same path
+    def leaves(prefix: List[String], v: JValue): List[(List[String], JValue)] =
+      v match {
+        case JObject(fields) =>
+          fields.flatMap { case (f, sub) => leaves(prefix :+ f, sub) }
+        case JArray(xs) => xs.flatMap(x => leaves(prefix, x))
+        case JNull => Nil
+        case leaf => List((prefix, leaf))
+      }
+    // subjects whose node at `path.init` satisfies the leaf at
+    // `path.last`, joined back up the subject chain to the root
+    def roots(path: List[String], leaf: JValue): DataFrame = {
+      val scan = path.last match {
+        case "@type" => graph.filter(col("p") === "rdf:type" &&
+          col("o_kind") === "i" && leafPred(leaf match {
+            case JString(x) if !x.contains(":") => JString(s"doc:$x")
+            case other => other
+          }))
+        case "@id" => graph.filter(leaf match {
+          case JString(x) => col("s") === x
+          case other => sys.error(s"@id must be a string, got $other")
+        })
+        // any-prefix field match — the same naming rule read() strips by
+        case f => graph.filter(col("p").endsWith(":" + f) && leafPred(leaf))
+      }
+      var cur = scan.select(col("s").as("__n")).distinct()
+      for (f <- path.init.reverse) {
+        cur = graph.filter(col("p").endsWith(":" + f) && col("o_kind") === "i")
+          .join(cur, col("o_iri") === col("__n"))
+          .select(col("s").as("__n")).distinct()
+      }
+      cur.select(col("__n").as("__root"))
+    }
+    val typed = graph.filter(col("p") === "rdf:type" && col("o_kind") === "i" &&
+        col("o_iri") === s"doc:$docType")
+      .select(col("s").as("__root")).distinct()
+    val matched = leaves(Nil, template)
+      .filterNot { case (p, l) => // root @type duplicates the route param
+        p == List("@type") && l == JString(docType) }
+      .foldLeft(typed) { case (acc, (path, leaf)) =>
+        require(path.nonEmpty, s"template leaf without a field: $leaf")
+        acc.join(roots(path, leaf), Seq("__root"))
+      }
+    matched.distinct().orderBy(col("__root"))
+      .offset(skip).limit(count)
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** Staged removal of a document subgraph. */
   def delete(graph: DataFrame, id: String): DataFrame =
     graph.filter(col("s") === id || col("s").startsWith(id + "/"))

@@ -642,4 +642,96 @@ object Dedup {
     assigned.join(dropped, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("kept"))
   }
+
+  /** EXACT substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): find every word span of ≥ L
+    * tokens that occurs more than once ANYWHERE in the corpus, keep
+    * the globally first occurrence, and report all other occurrences
+    * as removable spans. The published method builds a suffix array;
+    * the distributed equivalent is stride-1 rolling windows — a
+    * duplicated substring of length ≥ L contains an aligned duplicated
+    * L-window at every offset, so marking duplicated windows and
+    * merging overlaps recovers exactly the duplicated spans at
+    * L-token granularity (the same granularity the suffix-array method
+    * thresholds at).
+    *
+    * Survivor rule: per window hash, the least (doc_id, pos)
+    * occurrence survives — global, deterministic, no transitive
+    * chaining. Matching is at 32-bit hash granularity (like the
+    * published implementation's hash-bucketed verification step, minus
+    * the verify: a false collision marks a span that wasn't a dup —
+    * vanishing at corpus scale and replayed identically by the
+    * oracle).
+    *
+    * Scale shape: windows come from a `transform` over the per-doc
+    * token array (narrow — NO per-position sort window); the one big
+    * shuffle is the window-hash groupBy, ∝ corpus tokens — the same
+    * linear class as every shingle pass. The survivor join ships only
+    * duplicated hashes; the span merge is a per-document window
+    * bounded by document length. Nothing is quadratic in corpus size.
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) — inclusive
+    * token positions of each removable duplicated span. */
+  def substringSpans(docs: DataFrame, L: Int = 8): DataFrame = {
+    require(L >= 2, s"window length must be ≥ 2, got $L")
+    val toks = col("__toks")
+    val k = size(toks) - (L - 1) // number of stride-1 windows
+    val occ = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      // sequence is clamped then over-short positions filtered, so a
+      // doc with < L tokens yields zero windows (fully typed — no
+      // empty-array/when coercion)
+      .select(col("doc_id"), explode(filter(
+        transform(sequence(lit(0), greatest(k - 1, lit(0))), i =>
+          struct(i.as("pos"),
+            hash32(concat_ws(" ", slice(toks, i + 1, lit(L)))).as("h"))),
+        w => w("pos") < k)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val stats = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .where(col("n") >= 2)
+    val marked = occ.join(stats, Seq("h"))
+      .where(!(col("doc_id") === col("keep.doc_id") &&
+               col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    // merge overlapping/contiguous windows: a gap opens when the next
+    // marked window starts past prev_end + 1 = prev_pos + L
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("__gap",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > L, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__gap")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + (L - 1)).cast(LongType).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** [[substringSpans]] applied: rebuild each document with its
+    * duplicated spans' tokens removed (the corpus keeps exactly one
+    * copy of every ≥L-token repeated substring). Span coverage is
+    * tested with a bounded `exists` over the document's OWN spans —
+    * cost ∝ tokens × spans-per-doc, never corpus-global. */
+  def substringClean(docs: DataFrame, L: Int = 8): DataFrame = {
+    val spans = substringSpans(docs, L)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    val toks = col("__toks")
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", transform(filter(transform(toks,
+            (t, i) => struct(t.as("t"), i.as("i"))),
+          p => col("sp").isNull || !exists(col("sp"),
+            s => p("i") >= s("span_start") && p("i") <= s("span_end"))),
+          p => p("t"))).as("clean_text"),
+        coalesce(aggregate(col("sp"), lit(0L),
+          (acc, s) => acc + s("span_end") - s("span_start") + 1), lit(0L))
+          .as("n_removed"))
+  }
 }

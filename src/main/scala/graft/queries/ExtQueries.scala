@@ -648,6 +648,18 @@ object ExtQueries {
     "dedup_cdc_spans" -> ((s, d) =>
       graft.llm.TextAnalysis.cdcDupSpans(t(s, d, "documents"), 16, 3)),
 
+    // EXACT substring dedup (Lee et al. 2022): every ≥8-token span
+    // occurring >1× in the corpus, all occurrences except the global
+    // first — stride-1 rolling windows, overlaps merged, the
+    // distributed form of the suffix-array method
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.substringSpans(t(s, d, "documents"), 8)),
+
+    // the spans applied: documents rebuilt with duplicated spans
+    // removed (corpus keeps exactly one copy of each repeat)
+    "dedup_substring_clean" -> ((s, d) =>
+      Dedup.substringClean(t(s, d, "documents"), 8)),
+
     // windowed funnel (click→view→purchase within 2h): one
     // groupBy(user) + linear greedy-DP fold per user — O(events·k),
     // no k-way self-join fan-out on hot users
@@ -1572,6 +1584,26 @@ object ExtQueries {
       |    + ${term("join")}
       |    + ${term("vector")}, 6) AS score FROM tf, st)""".stripMargin
   }
+
+  /** Exact-substring-dedup CTE chain ending in `mk(doc_id, pos)` (all
+    * duplicated stride-1 L-windows except each hash's global first
+    * occurrence) plus `d0(doc_id, toks)` — matches
+    * Dedup.substringSpans' marking stage. */
+  private def substrMarkCtes(L: Int): String =
+    // NB: the subscript is `gi`, NOT `i` — hash32Sql's digit lambda
+    // binds `i` and would capture an outer `i` after substitution
+    s"""d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      | p0 AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS gi FROM d0),
+      | o0 AS (SELECT doc_id, CAST(gi - 1 AS BIGINT) AS pos,
+      |   ${hash32On(s"array_to_string(toks[gi : gi + ${L - 1}], ' ')")} AS h
+      |  FROM p0 WHERE gi <= len(toks) - ${L - 1}),
+      | st AS (SELECT h FROM o0 GROUP BY h HAVING count(*) >= 2),
+      | k0 AS (SELECT h, doc_id, pos, row_number() OVER (
+      |     PARTITION BY h ORDER BY doc_id, pos) AS rn FROM o0),
+      | mk AS (SELECT o0.doc_id, o0.pos FROM o0 JOIN st USING (h)
+      |   JOIN (SELECT h, doc_id AS kd, pos AS kp FROM k0 WHERE rn = 1) k
+      |     USING (h)
+      |   WHERE NOT (o0.doc_id = k.kd AND o0.pos = k.kp))""".stripMargin
 
   /** CDC chunk CTE chain ending in `cc(doc_id, chunk, n_tok, ch)` —
     * boundary after words with hash32 ≡ 0 (mod 16), chunk id = count
@@ -2825,6 +2857,36 @@ object ExtQueries {
         |   CAST(count(*) AS BIGINT) AS n_occ
         | FROM cc WHERE n_tok >= 3 GROUP BY 1
         | HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    // exact-substring spans: the marked windows merged by
+    // gaps-and-islands (a gap opens past prev_pos + L)
+    "dedup_substring_spans" ->
+      s"""WITH ${substrMarkCtes(8)},
+        | g0 AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+        |     PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS gap
+        |   FROM mk),
+        | i0 AS (SELECT doc_id, pos, sum(gap) OVER (PARTITION BY doc_id
+        |     ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS isl FROM g0)
+        | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |   CAST(max(pos) + 7 AS BIGINT) AS span_end,
+        |   CAST(count(*) AS BIGINT) AS n_windows
+        | FROM i0 GROUP BY doc_id, isl""".stripMargin,
+
+    // the spans applied: tokens at covered positions dropped, the
+    // rest re-joined in order; n_removed = covered-position count
+    "dedup_substring_clean" ->
+      s"""WITH ${substrMarkCtes(8)},
+        | cov AS (SELECT DISTINCT doc_id, pos + unnest(range(0, 8)) AS cp
+        |   FROM mk),
+        | t1 AS (SELECT doc_id, unnest(toks) AS s,
+        |   CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS i FROM d0)
+        | SELECT t1.doc_id,
+        |   coalesce(string_agg(s, ' ' ORDER BY i)
+        |     FILTER (WHERE cov.cp IS NULL), '') AS clean_text,
+        |   CAST(count(cov.cp) AS BIGINT) AS n_removed
+        | FROM t1 LEFT JOIN cov ON t1.doc_id = cov.doc_id AND t1.i = cov.cp
+        | GROUP BY 1""".stripMargin,
 
     // funnel oracle: the k-way self-join EXISTS formulation — correct,
     // quadratic on hot users, labelled; window constrains chain ENDS

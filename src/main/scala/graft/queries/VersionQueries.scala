@@ -586,6 +586,39 @@ object VersionQueries {
       }.toDF("s", "rk", "region_name", "detail_ref", "geo_ref")
     }),
 
+    // document template query ([ref:core/api/api_document.pl] `query`
+    // parameter): ALL 25 nations as two-level nested docs with a
+    // scalar-array field, matched four ways — a nested subdocument
+    // template, a conjunction of set membership + a two-level leaf, a
+    // root integer leaf, and the empty template (= plain listing).
+    // Every case is closed-form from nation ⋈ region, so the oracle
+    // replays the template semantics relationally
+    "doc_query_template" -> ((s, d) => {
+      import s.implicits._
+      val json = Graft.table(s, d, "nation")
+        .join(Graft.table(s, d, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(to_json(struct(col("n_name"),
+          col("n_nationkey").cast(LongType).as("nk"),
+          array(lit("all"),
+            when(pmod(col("n_nationkey"), lit(2)) === 0, "even")
+              .otherwise("odd")).as("tags"),
+          struct(col("r_name").as("region_name"),
+            struct(col("r_regionkey").cast(LongType).as("rk"))
+              .as("detail")).as("geo"))).as("j"))
+        .as[String]
+      val g = graft.docs.Documents.insertAll(json, "Nation",
+        graft.docs.Documents.LexicalKey(Seq("n_name"))).cache()
+      import org.json4s.jackson.JsonMethods.{parse => pj}
+      def run(qcase: String, tpl: String) =
+        graft.docs.Documents.queryIds(g, "Nation", pj(tpl))
+          .map(id => (qcase, id))
+      (run("nested", """{"geo":{"region_name":"ASIA"}}""") ++
+       run("conj", """{"tags":"even","geo":{"detail":{"rk":0}}}""") ++
+       run("int", """{"nk":7}""") ++
+       run("empty", "{}")).toDF("qcase", "s")
+    }),
+
     // document update + delete through the commit protocol (§2.8):
     // insert all nation docs, replace NATION_0's subgraph with a new
     // shape, delete NATION_1's — then read the surviving doc fields
@@ -1262,6 +1295,23 @@ object VersionQueries {
         | (CAST(0 AS BIGINT),'alpha'), (CAST(1 AS BIGINT),'beta'),
         | (CAST(2 AS BIGINT),'gamma'), (CAST(3 AS BIGINT),'delta'))
         | AS t(pos, tag) ORDER BY pos""".stripMargin,
+
+    // the template semantics replayed relationally: ids are the
+    // LexicalKey form 'doc:Nation/' || urlencode(n_name) (space → '+';
+    // nation names are otherwise URL-safe)
+    "doc_query_template" ->
+      """WITH n AS (SELECT 'doc:Nation/' || replace(n_name, ' ', '+') AS s,
+        |   n_nationkey AS nk, n_regionkey AS rk, r_name
+        | FROM nation JOIN region ON n_regionkey = r_regionkey)
+        | SELECT qcase, s FROM (
+        |  SELECT 'nested' AS qcase, s FROM n WHERE r_name = 'ASIA'
+        |  UNION ALL
+        |  SELECT 'conj', s FROM n WHERE nk % 2 = 0 AND rk = 0
+        |  UNION ALL
+        |  SELECT 'int', s FROM n WHERE nk = 7
+        |  UNION ALL
+        |  SELECT 'empty', s FROM n)
+        | ORDER BY qcase, s""".stripMargin,
 
     // closed-form from the transfer scenario's construction: base
     // {0,1,2} − 0 + 3 (A), + 4 (pushed from B), + 5 (pulled from A)

@@ -22,6 +22,7 @@ import graft.storage.LayerStore
   *   GET  /api/info                      — engine identity
   *   POST /api/woql                      — v10 WOQL JSON → bindings
   *   GET  /api/document?id=IRI           — flat document by id
+  *   GET  /api/document?type=T[&query=J] — list (optionally template-matched)
   *   POST /api/document?type=T&key=f     — insert docs (one JSON per line)
   *   GET  /api/branch                    — list branches (name → head)
   *   POST /api/branch?name=N&from=B      — create branch at B's head
@@ -287,7 +288,14 @@ object HttpApi {
             val unfold = !param(ex, "unfold").contains("false")
             val depth = param(ex, "depth").map(_.toInt).getOrElse(Int.MaxValue)
             val graph = defaultGraph
-            val ids = graft.docs.Documents.listIds(graph, ty, skip, count)
+            // ?query=<partial document JSON> filters the listing to
+            // template-matching documents ([ref:core/api/api_document.pl]
+            // query parameter); same ordered skip/count paging
+            val ids = param(ex, "query") match {
+              case Some(q) => graft.docs.Documents.queryIds(
+                graph, ty, JsonMethods.parse(q), skip, count)
+              case None => graft.docs.Documents.listIds(graph, ty, skip, count)
+            }
             raw(ids.map(docJsonWithMeta(graph, _, unfold, depth)).mkString("\n"))
         }
         case "POST" =>

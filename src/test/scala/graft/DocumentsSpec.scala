@@ -276,4 +276,36 @@ class DocumentsSpec extends AnyFunSuite {
       ("d:x", "doc:lst", "List"),
       ("d:z/lst/_l0", "rdf:first", "List")))
   }
+
+  test("template query: leaves, nesting, membership, @type/@id, paging") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"name":"ada","age":36,"tags":["math","code"],
+        | "address":{"city":"london","geo":{"zone":1}}}""".stripMargin,
+      """{"name":"bob","age":36,"tags":["code"],
+        | "address":{"city":"paris","geo":{"zone":2}}}""".stripMargin,
+      """{"name":"cyd","age":41,"tags":["math"],
+        | "address":{"city":"london","geo":{"zone":2}}}""".stripMargin).toDS()
+    val g = Documents.insertAll(docs, "Person", Documents.LexicalKey(Seq("name")))
+    def q(tpl: String) =
+      Documents.queryIds(g, "Person", JsonMethods.parse(tpl))
+    assert(q("""{"age":36}""") == Seq("doc:Person/ada", "doc:Person/bob"))
+    // nested two-level leaf
+    assert(q("""{"address":{"geo":{"zone":2}}}""") ==
+      Seq("doc:Person/bob", "doc:Person/cyd"))
+    // scalar-array membership + conjunction across fields
+    assert(q("""{"tags":"math","address":{"city":"london"}}""") ==
+      Seq("doc:Person/ada", "doc:Person/cyd"))
+    // template array = containment of ALL listed elements
+    assert(q("""{"tags":["math","code"]}""") == Seq("doc:Person/ada"))
+    // @id pin + @type passthrough + empty template
+    assert(q("""{"@id":"doc:Person/bob"}""") == Seq("doc:Person/bob"))
+    assert(q("""{"@type":"Person","age":41}""") == Seq("doc:Person/cyd"))
+    assert(q("{}").size == 3)
+    // no match is empty, not an error
+    assert(q("""{"age":99}""").isEmpty)
+    // deterministic paging
+    assert(Documents.queryIds(g, "Person", JsonMethods.parse("{}"),
+      skip = 1, count = 1) == Seq("doc:Person/bob"))
+  }
 }

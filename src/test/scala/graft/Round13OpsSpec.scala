@@ -53,6 +53,27 @@ class Round13OpsSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq)
   }
 
+  test("exact substring dedup marks the later copy of a planted repeat") {
+    import spark.implicits._
+    val rep = (1 to 12).map(i => s"R$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $rep b1 b2"),     // repeat at pos 3..14 (global first)
+      (2L, s"c1 $rep d1 d2 d3"),        // repeat at pos 1..12 → marked
+      (3L, "unique words only here nothing repeated at all in sight"),
+      (4L, "x y z"), (5L, "x y z")      // dup SHORTER than L → never marked
+    ).toDF("doc_id", "text")
+    val spans = graft.llm.Dedup.substringSpans(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only doc 2's occurrence is removable: one merged span covering
+    // exactly the 12-token repeat (5 stride-1 windows)
+    assert(spans.toSeq == Seq((2L, 1L, 12L, 5L)))
+    val clean = graft.llm.Dedup.substringClean(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(clean(1) == ((2L, "c1 d1 d2 d3", 12L)))
+    assert(clean(0)._3 == 0L && clean(2)._3 == 0L && clean(4)._3 == 0L)
+    assert(clean(0)._2 == s"a1 a2 a3 $rep b1 b2")
+  }
+
   test("LSH hot-band guard refuses a pathological bucket, passes normal corpora") {
     import spark.implicits._
     // adversarial fixture: 40 byte-identical documents — every band
