@@ -87,7 +87,8 @@ object Bench {
     // dedup_substring_clean supersets dedup_substring_spans (same
     // marking pass + the rewrite) — spans is oracle-only, clean benched;
     // doc_query_template is a facade check like doc_frame_opts
-    "dedup_substring_clean",
+    "dedup_substring_clean", "text_pmi_topk", "dedup_substring_incr",
+    "stream_substring_spans",
     // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the
     // emb_kmeans double-count rationale) — oracle-only, not benched
     )
@@ -147,6 +148,19 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
+    // code-cache occupancy + cumulative JIT time: the r11 regression
+    // signature (late compute-bound entries 2-3× slower, no plan
+    // change, near-zero GC) was the JIT stopping when the code cache
+    // filled — these two fields make that failure mode readable
+    // straight off the diag line (cache pinned at its max + jit_ms
+    // flatlining to 0 per entry = compilation has stopped)
+    def codeCacheMb: Long = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") ||
+        p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum >> 20
+    def jitMs: Long = Option(ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
     val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(p => p.getType == java.lang.management.MemoryType.HEAP &&
         p.isValid)
@@ -230,13 +244,22 @@ object Bench {
         }
         resetPeaks()
         val gc0 = gcMs
-        val secs = (1 to 2).map { _ =>
-          time {
-            try { val _ = fn(spark, sfDir).count() }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-          }
+        val jit0 = jitMs
+        def rep(): Double = time {
+          try { val _ = fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         }
+        val two = Seq(rep(), rep())
+        // Adaptive third rep: a >2× split between the two reps means
+        // one was GC-unlucky (r13 measured the same entry 3.9 s and
+        // 10.4 s across batteries with identical plans, gc_ms 647 vs
+        // 2500) — one more sample stops a single bad pairing from
+        // defining the entry; consistent entries never pay for it.
+        val secs = if (two.max / math.max(two.min, 1e-9) > 2.0) {
+          System.gc(); Thread.sleep(150); System.gc()
+          two :+ rep()
+        } else two
         val drained = graft.util.Scratch.drain()
         // Leak assertion: after drain, the block manager must be empty —
         // a query that leaves cached RDDs behind taxes every LATER entry
@@ -277,7 +300,8 @@ object Bench {
           s""""heap_pre_mb":$heapPreMb,"peak_heap_mb":$peakHeapMb,""" +
           s""""cached_mb":$cachedMb,"drained":$drained,""" +
           s""""leaked_rdds":${leaked.length},"leaked_mb":$leakMb,""" +
-          s""""cache_artifact_mb":$cacheArtifactMb}"""
+          s""""cache_artifact_mb":$cacheArtifactMb,""" +
+          s""""code_cache_mb":$codeCacheMb,"jit_ms":${jitMs - jit0}}"""
         name -> secs.min
       }
     }

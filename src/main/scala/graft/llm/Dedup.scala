@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.GraftFunctions._
@@ -673,10 +674,24 @@ object Dedup {
     * Output: (doc_id, span_start, span_end, n_windows) — inclusive
     * token positions of each removable duplicated span. */
   def substringSpans(docs: DataFrame, L: Int = 8): DataFrame = {
+    val occ = windowOcc(docs, L)
+    val stats = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .where(col("n") >= 2)
+    val marked = occ.join(stats, Seq("h"))
+      .where(!(col("doc_id") === col("keep.doc_id") &&
+               col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(marked, L)
+  }
+
+  /** (doc_id, pos, h): every stride-1 L-token window's 32-bit hash. */
+  private def windowOcc(docs: DataFrame, L: Int): DataFrame = {
     require(L >= 2, s"window length must be ≥ 2, got $L")
     val toks = col("__toks")
     val k = size(toks) - (L - 1) // number of stride-1 windows
-    val occ = docs
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
       // sequence is clamped then over-short positions filtered, so a
       // doc with < L tokens yields zero windows (fully typed — no
@@ -687,16 +702,12 @@ object Dedup {
             hash32(concat_ws(" ", slice(toks, i + 1, lit(L)))).as("h"))),
         w => w("pos") < k)).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
-    val stats = occ.groupBy(col("h"))
-      .agg(count(lit(1)).as("n"),
-        min(struct(col("doc_id"), col("pos"))).as("keep"))
-      .where(col("n") >= 2)
-    val marked = occ.join(stats, Seq("h"))
-      .where(!(col("doc_id") === col("keep.doc_id") &&
-               col("pos") === col("keep.pos")))
-      .select(col("doc_id"), col("pos"))
-    // merge overlapping/contiguous windows: a gap opens when the next
-    // marked window starts past prev_end + 1 = prev_pos + L
+  }
+
+  /** Merge marked windows into inclusive token spans — a gap opens
+    * when the next marked window starts past prev_end + 1 = prev_pos
+    * + L. Per-document window, bounded by document length. */
+  private def mergeSpans(marked: DataFrame, L: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     marked
       .withColumn("__gap",
@@ -709,6 +720,74 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_windows"))
+  }
+
+  /** Materialize the corpus side of the substring-dedup probe: ONE
+    * bucketed parquet table of distinct L-window hashes (the
+    * [[buildCorpusIndex]] shape at window granularity). Built once per
+    * ingest epoch; every arriving batch joins it bucket-aligned, so
+    * the index side never re-shuffles. */
+  def buildSubstrIndex(corpus: DataFrame, dir: String, L: Int = 8,
+                       buckets: Int = 32): Unit = {
+    val w = windowOcc(corpus.select(col("doc_id"), col("text")), L)
+      .select(col("h")).distinct()
+    w.write.bucketBy(buckets, "h").sortBy("h").format("parquet")
+      .option("path", s"$dir/whashes").mode("overwrite")
+      .saveAsTable(indexTable(dir, "whashes"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_INDEX_META"), s"buckets=$buckets")
+    val _ok = new java.io.File(dir, "_INDEX_SUCCESS").createNewFile()
+  }
+
+  /** Batch arrivals probed against the [[buildSubstrIndex]] artifact:
+    * spans of batch documents whose windows already exist in the
+    * CORPUS. Deliberately NO batch-internal duplicate pass — each
+    * document's result depends only on (document, corpus index), so
+    * replaying arrivals in any micro-batch split yields identical
+    * rows (the property the streaming twin's oracle needs). */
+  def substringSpansFromIndex(batch: DataFrame, indexDir: String,
+                              L: Int = 8): DataFrame = {
+    val occ = windowOcc(batch.select(col("doc_id"), col("text")), L)
+    val idx = readIndexPart(batch.sparkSession, indexDir, "whashes", Seq("h"))
+      .select(col("h")).withColumn("__x", lit(1L))
+    mergeSpans(occ.join(idx, Seq("h"), "left")
+      .where(col("__x").isNotNull)
+      .select(col("doc_id"), col("pos")), L)
+  }
+
+  /** Incremental [[substringSpans]] — the nightly-ingest shape (the
+    * [[incremental]] twin at substring granularity): NEW-batch spans
+    * whose windows already exist in the CORPUS (`!isNew` rows), or
+    * duplicate within the batch itself (batch-global first kept).
+    * Corpus documents are never re-examined — their contribution is
+    * ONE distinct window-hash set, the one-shuffle artifact a
+    * production run materializes once per epoch and reuses across
+    * batches (exactly like [[corpusIndex]]'s `hashes/`); each arriving
+    * batch costs its own window scan + a hash semi-join against the
+    * index + the batch-internal duplicate pass. */
+  def substringSpansIncremental(docs: DataFrame, isNew: Column,
+                                L: Int = 8): DataFrame = {
+    val tagged = docs.select(col("doc_id"), col("text"), isNew.as("__new"))
+    val occ = graft.util.Scratch.track(
+      windowOcc(tagged.select(col("doc_id"), col("text")), L)
+        .join(tagged.select(col("doc_id"), col("__new")), Seq("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val corpusH = occ.where(!col("__new"))
+      .select(col("h")).distinct().withColumn("__x", lit(1L))
+    val batch = occ.where(col("__new"))
+      .select(col("doc_id"), col("pos"), col("h"))
+    val inCorpus = batch.join(corpusH, Seq("h"), "left")
+      .where(col("__x").isNotNull)
+      .select(col("doc_id"), col("pos"))
+    val batchStats = batch.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .where(col("n") >= 2)
+    val inBatch = batch.join(batchStats, Seq("h"))
+      .where(!(col("doc_id") === col("keep.doc_id") &&
+               col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(inCorpus.unionByName(inBatch).distinct(), L)
   }
 
   /** [[substringSpans]] applied: rebuild each document with its

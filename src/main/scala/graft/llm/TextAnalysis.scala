@@ -465,6 +465,48 @@ object TextAnalysis {
       Seq(("tfidf", true), ("term", false)), k, rankName = "rank")
   }
 
+  /** Forward-window PMI collocations (Church & Hanks 1990): for every
+    * ordered token pair (a, b) with b at most `window` positions AFTER
+    * a, pmi = ln(n_ab·N / (n_a·n_b)) over forward-pair counts — the
+    * classic distributional-association score (collocation mining,
+    * phrase detection, embedding pre-analysis). Forward-only pairs
+    * keep the marginals exact row/column sums of the directed
+    * co-occurrence matrix, so the whole score replays from three
+    * integer count tables.
+    *
+    * Shape: pair expansion is one narrow `transform` over the token
+    * array (∝ corpus tokens × window, NO self-join on position); the
+    * three count shuffles aggregate to pair/vocab-sized tables; the
+    * top-k runs on the AGGREGATED pair table (two-phase selection —
+    * the per-group window never sees corpus-sized groups). The only
+    * float op is one ln on an exact integer ratio, rounded like
+    * [[tfidfTopK]]'s. */
+  def pmiTopK(docs: DataFrame, window: Int = 2, topk: Int = 5,
+              minCount: Int = 5): DataFrame = {
+    require(window >= 1 && topk >= 1 && minCount >= 1)
+    val t = col("__t")
+    val n = size(t)
+    val pairs = docs.select(col("doc_id"), toks(col("text")).as("__t"))
+      .where(n >= 2)
+      .select(explode(flatten(transform(sequence(lit(0), n - 2), i =>
+        transform(sequence(lit(1), least(lit(window), n - 1 - i)), d =>
+          struct(element_at(t, i + 1).as("a"),
+            element_at(t, i + d + 1).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val nab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val na = nab.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val nb = nab.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = nab.agg(sum(col("n_ab")).as("N"))
+    val scored = nab.where(col("n_ab") >= minCount)
+      .join(na, Seq("a")).join(nb, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a").as("w"), col("b").as("ctx"), col("n_ab"),
+        round(log(col("n_ab").cast(DoubleType) * col("N") /
+          (col("n_a") * col("n_b"))), 6).as("pmi"))
+    graft.plans.GroupTopK.topK(scored, Seq("w"),
+      Seq(("pmi", true), ("ctx", false)), topk, rankName = "rank")
+  }
+
   /** CCNet-class perplexity quality score (Wenzek et al. 2020): each
     * document's perplexity under an add-one-smoothed bigram LM trained
     * on the corpus itself — p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V), ppl =

@@ -273,6 +273,11 @@ object ExtQueries {
     // corpus in foreachBatch (batch-split independent by construction)
     "stream_incr_dedup" -> ((s, d) =>
       graft.streaming.DedupIngest.streamingIncrementalDedup(s, d)),
+    // streaming substring-dedup probe: per micro-batch, arrival spans
+    // already present in the corpus window-hash artifact (no
+    // batch-internal pass → micro-batch-split independent)
+    "stream_substring_spans" -> ((s, d) =>
+      graft.streaming.DedupIngest.streamingSubstrSpans(s, d)),
     // dim passed explicitly (testdata embeddings are 64-dim): embDim's
     // first-row read is a hidden driver action — keep oracle/bench plans
     // pure (no job boundary inside what looks like an expression)
@@ -660,6 +665,13 @@ object ExtQueries {
     "dedup_substring_clean" -> ((s, d) =>
       Dedup.substringClean(t(s, d, "documents"), 8)),
 
+    // the nightly-ingest shape: batch (doc_id%10<2) spans vs the
+    // corpus window-hash set + batch-internal dups — the corpus is
+    // touched once (a reusable one-shuffle hash artifact)
+    "dedup_substring_incr" -> ((s, d) =>
+      Dedup.substringSpansIncremental(t(s, d, "documents"),
+        col("doc_id") % 10 < 2, 8)),
+
     // windowed funnel (click→view→purchase within 2h): one
     // groupBy(user) + linear greedy-DP fold per user — O(events·k),
     // no k-way self-join fan-out on hot users
@@ -813,6 +825,13 @@ object ExtQueries {
 
     // tf·idf top-3 terms per document: ln(N/df) idf, rank window on
     // the ROUNDED score partitioned by doc_id (never global)
+    // forward-window PMI collocations (Church & Hanks 1990): the
+    // classic distributional-association score; narrow pair expansion,
+    // three count shuffles, top-k on the aggregated pair table
+    "text_pmi_topk" -> ((s, d) =>
+      TextAnalysis.pmiTopK(t(s, d, "documents"),
+        window = 2, topk = 5, minCount = 5)),
+
     "text_tfidf_topk" -> ((s, d) =>
       TextAnalysis.tfidfTopK(t(s, d, "documents"), 3)),
 
@@ -1604,6 +1623,20 @@ object ExtQueries {
       |   JOIN (SELECT h, doc_id AS kd, pos AS kp FROM k0 WHERE rn = 1) k
       |     USING (h)
       |   WHERE NOT (o0.doc_id = k.kd AND o0.pos = k.kp))""".stripMargin
+
+  /** The islands-merge + span projection over a `mk(doc_id, pos)` CTE
+    * (shared by the full and incremental substring-dedup oracles). */
+  private def substrSpanSelect(L: Int): String =
+    s"""g0 AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+      |     PARTITION BY doc_id ORDER BY pos) > $L THEN 1 ELSE 0 END AS gap
+      |   FROM mk),
+      | i0 AS (SELECT doc_id, pos, sum(gap) OVER (PARTITION BY doc_id
+      |     ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS isl FROM g0)
+      | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |   CAST(max(pos) + ${L - 1} AS BIGINT) AS span_end,
+      |   CAST(count(*) AS BIGINT) AS n_windows
+      | FROM i0 GROUP BY doc_id, isl""".stripMargin
 
   /** CDC chunk CTE chain ending in `cc(doc_id, chunk, n_tok, ch)` —
     * boundary after words with hash32 ≡ 0 (mod 16), chunk id = count
@@ -2862,16 +2895,46 @@ object ExtQueries {
     // gaps-and-islands (a gap opens past prev_pos + L)
     "dedup_substring_spans" ->
       s"""WITH ${substrMarkCtes(8)},
-        | g0 AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
-        |     PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS gap
-        |   FROM mk),
-        | i0 AS (SELECT doc_id, pos, sum(gap) OVER (PARTITION BY doc_id
-        |     ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS isl FROM g0)
-        | SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |   CAST(max(pos) + 7 AS BIGINT) AS span_end,
-        |   CAST(count(*) AS BIGINT) AS n_windows
-        | FROM i0 GROUP BY doc_id, isl""".stripMargin,
+        | ${substrSpanSelect(8)}""".stripMargin,
+
+    // streaming twin: corpus-hit spans ONLY (no batch-internal pass —
+    // per-document result is a function of (doc, corpus index), so any
+    // micro-batch split appends the same rows)
+    "stream_substring_spans" ->
+      s"""WITH d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | p0 AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS gi FROM d0),
+        | o0 AS (SELECT doc_id, CAST(gi - 1 AS BIGINT) AS pos,
+        |   ${hash32On(s"array_to_string(toks[gi : gi + 7], ' ')")} AS h,
+        |   (doc_id % 10 < 2) AS isnew
+        |  FROM p0 WHERE gi <= len(toks) - 7),
+        | ch AS (SELECT DISTINCT h FROM o0 WHERE NOT isnew),
+        | bt AS (SELECT doc_id, pos, h FROM o0 WHERE isnew),
+        | mk AS (SELECT doc_id, pos FROM bt JOIN ch USING (h)),
+        | ${substrSpanSelect(8)}""".stripMargin,
+
+    // incremental substring spans: batch (doc_id%10<2) windows already
+    // in the corpus hash set, plus batch-internal dups minus each
+    // hash's batch-first occurrence — merged by the same islands
+    "dedup_substring_incr" ->
+      s"""WITH d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | p0 AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS gi FROM d0),
+        | o0 AS (SELECT doc_id, CAST(gi - 1 AS BIGINT) AS pos,
+        |   ${hash32On(s"array_to_string(toks[gi : gi + 7], ' ')")} AS h,
+        |   (doc_id % 10 < 2) AS isnew
+        |  FROM p0 WHERE gi <= len(toks) - 7),
+        | ch AS (SELECT DISTINCT h FROM o0 WHERE NOT isnew),
+        | bt AS (SELECT doc_id, pos, h FROM o0 WHERE isnew),
+        | ic AS (SELECT doc_id, pos FROM bt JOIN ch USING (h)),
+        | bs AS (SELECT h FROM bt GROUP BY h HAVING count(*) >= 2),
+        | k0 AS (SELECT h, doc_id, pos, row_number() OVER (
+        |     PARTITION BY h ORDER BY doc_id, pos) AS rn FROM bt),
+        | ib AS (SELECT bt.doc_id, bt.pos FROM bt JOIN bs USING (h)
+        |   JOIN (SELECT h, doc_id AS kd, pos AS kp FROM k0 WHERE rn = 1) k
+        |     USING (h)
+        |   WHERE NOT (bt.doc_id = k.kd AND bt.pos = k.kp)),
+        | mk AS (SELECT doc_id, pos FROM ic UNION
+        |        SELECT doc_id, pos FROM ib),
+        | ${substrSpanSelect(8)}""".stripMargin,
 
     // the spans applied: tokens at covered positions dropped, the
     // rest re-joined in order; n_removed = covered-position count
@@ -2988,6 +3051,27 @@ object ExtQueries {
 
     // tf·idf top-3 per doc; rank over the ROUNDED score (term-asc
     // ties) so both engines rank identical values
+    // PMI: directed window-2 pairs, marginals = row/column sums of the
+    // pair table, one ln on an exact integer ratio (same operand order
+    // as the engine: (cast(n_ab)·N) / (n_a·n_b))
+    "text_pmi_topk" ->
+      s"""WITH d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        | p0 AS (SELECT toks, generate_subscripts(toks, 1) AS gi FROM d0),
+        | pr AS (SELECT toks[gi] AS a, toks[gi + d] AS b
+        |   FROM p0 CROSS JOIN (SELECT unnest(range(1, 3)) AS d) ds
+        |   WHERE gi + d <= len(toks)),
+        | nab AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+        | na AS (SELECT a, sum(n_ab) AS n_a FROM nab GROUP BY 1),
+        | nb AS (SELECT b, sum(n_ab) AS n_b FROM nab GROUP BY 1),
+        | tt AS (SELECT sum(n_ab) AS n FROM nab),
+        | sc AS (SELECT a AS w, b AS ctx, CAST(n_ab AS BIGINT) AS n_ab,
+        |    round(ln(CAST(n_ab AS DOUBLE) * n / (n_a * n_b)), 6) AS pmi
+        |  FROM nab JOIN na USING (a) JOIN nb USING (b) CROSS JOIN tt
+        |  WHERE n_ab >= 5)
+        | SELECT w, ctx, n_ab, pmi, CAST(row_number() OVER (
+        |    PARTITION BY w ORDER BY pmi DESC, ctx) AS BIGINT) AS rank
+        | FROM sc QUALIFY rank <= 5""".stripMargin,
+
     "text_tfidf_topk" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

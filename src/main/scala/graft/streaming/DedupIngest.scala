@@ -105,4 +105,59 @@ object DedupIngest {
     q.stop()
     spark.read.parquet(outDir.getAbsolutePath)
   }
+
+  /** Streaming twin of the exact-substring probe: arriving documents'
+    * duplicated-vs-CORPUS spans, per micro-batch, against the
+    * [[graft.llm.Dedup.buildSubstrIndex]] window-hash artifact (built
+    * once per corpus fingerprint). No batch-internal pass, so the
+    * appended span set is independent of the micro-batch split —
+    * the same contract as [[streamingIncrementalDedup]]. */
+  def streamingSubstrSpans(spark: SparkSession, sfDir: String,
+                           L: Int = 8): DataFrame = {
+    val root = sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav")
+    val srcFp = inputFingerprint(s"$sfDir/documents.parquet")
+    val stageDir = new java.io.File(root +
+      "/stream_docs_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + srcFp)
+    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(pmod(col("doc_id"), lit(10L)) < 2)
+        .repartition(2)
+        .write.mode("overwrite").parquet(stageDir.getAbsolutePath)
+    }
+    val indexDir = new java.io.File(root +
+      "/substridx_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      s"_L${L}_" + srcFp)
+    if (!new java.io.File(indexDir, "_INDEX_SUCCESS").exists())
+      Dedup.buildSubstrIndex(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .where(pmod(col("doc_id"), lit(10L)) >= 2)
+          .select(col("doc_id"), col("text")),
+        indexDir.getAbsolutePath, L)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val outDir = new java.io.File(root,
+      s"stream_substr_out_${counter.incrementAndGet()}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (outDir.exists()) rm(outDir)
+    val ckpt = new java.io.File(outDir.getAbsolutePath + "_ckpt")
+    if (ckpt.exists()) rm(ckpt)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir.getAbsolutePath)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.substringSpansFromIndex(
+            batch.select(col("doc_id"), col("text")),
+            indexDir.getAbsolutePath, L)
+          .write.mode("append").parquet(outDir.getAbsolutePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir.getAbsolutePath)
+  }
 }

@@ -53,6 +53,25 @@ class Round13OpsSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq)
   }
 
+  test("PMI top-k surfaces a planted collocation with a hand-computed score") {
+    import spark.implicits._
+    // 6 docs of "new york <unique filler>": the only pair reaching
+    // minCount=5 is (new, york); N=30, n_a(new)=12, n_b(york)=6 →
+    // pmi = ln(6·30 / (12·6)) = ln(2.5)
+    val docs = (0 until 6).map(i => (i.toLong, s"new york x$i y$i"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.pmiTopK(docs, window = 2, topk = 5,
+      minCount = 5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "new" && r.getString(1) == "york")
+    assert(r.getLong(2) == 6L)
+    assert(r.getDouble(3) == math.rint(math.log(2.5) * 1e6) / 1e6 ||
+      r.getDouble(3) == BigDecimal(math.log(2.5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getLong(4) == 1L)
+  }
+
   test("exact substring dedup marks the later copy of a planted repeat") {
     import spark.implicits._
     val rep = (1 to 12).map(i => s"R$i").mkString(" ")
@@ -72,6 +91,46 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(clean(1) == ((2L, "c1 d1 d2 d3", 12L)))
     assert(clean(0)._3 == 0L && clean(2)._3 == 0L && clean(4)._3 == 0L)
     assert(clean(0)._2 == s"a1 a2 a3 $rep b1 b2")
+  }
+
+  test("incremental substring dedup: corpus hits + batch-internal dups") {
+    import spark.implicits._
+    val rep = (1 to 12).map(i => s"R$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"a1 a2 a3 $rep b1 b2", false), // corpus
+      (1L, s"c1 $rep d1 d2 d3", true),      // new: repeat hits corpus
+      (2L, s"c1 $rep d1 d2 d3", true),      // new: byte-copy of doc 1
+      (3L, "totally fresh unseen words never in the corpus at all", true)
+    ).toDF("doc_id", "text", "isnew")
+    val got = graft.llm.Dedup.substringSpansIncremental(
+        docs.select(col("doc_id"), col("text")),
+        col("doc_id") =!= 10L, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: only the repeat's 5 fully-inside windows hit the corpus;
+    // doc 2: every window dups doc 1 inside the batch → whole doc
+    assert(got.toSeq == Seq((1L, 1L, 12L, 5L), (2L, 0L, 15L, 9L)))
+  }
+
+  test("substring index round-trip: batch probe sees only corpus hits") {
+    import spark.implicits._
+    val rep = (1 to 12).map(i => s"R$i").mkString(" ")
+    val corpus = Seq((10L, s"a1 a2 a3 $rep b1 b2")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"c1 $rep d1 d2 d3"),
+      (2L, s"c1 $rep d1 d2 d3"), // batch-internal dup: NOT a hit here
+      (3L, "totally fresh unseen words never in the corpus at all")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("substridx").toString
+    graft.llm.Dedup.buildSubstrIndex(corpus, dir, 8)
+    val got = graft.llm.Dedup.substringSpansFromIndex(batch, dir, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // both copies hit the CORPUS repeat; their mutual duplication is
+    // deliberately not checked (micro-batch-split independence)
+    assert(got.toSeq == Seq((1L, 1L, 12L, 5L), (2L, 1L, 12L, 5L)))
   }
 
   test("LSH hot-band guard refuses a pathological bucket, passes normal corpora") {
