@@ -465,6 +465,128 @@ object TextAnalysis {
       Seq(("tfidf", true), ("term", false)), k, rankName = "rank")
   }
 
+  /** Unigram-LM tokenizer training (SentencePiece's unigram model,
+    * Kudo 2018) by VITERBI hard-EM over word types — the other half of
+    * the tokenizer family next to BPE's greedy merges:
+    *   seed:   candidate vocabulary = top-`vocabSize` substrings
+    *           (length ≤ `pieceLen`) by corpus frequency ∪ all single
+    *           characters (guaranteed coverage);
+    *   E-step: each word type's single BEST segmentation under the
+    *           current piece costs (Viterbi), weighted by the word's
+    *           corpus frequency;
+    *   M-step: piece count = Σ uses; cost = −round(ln((cnt+1)/(tot+|V|))·1e6).
+    * (Full EM marginalizes over all segmentations with
+    * forward-backward; hard-EM keeps the argmax only — the standard
+    * deterministic variant, and the one two engines can replay
+    * bit-for-bit.)
+    *
+    * Determinism: costs live in integer micro-ln units (the ONLY float
+    * op is one ln, rounded at the integer boundary); the DP state is a
+    * PACKED long `score·32 + backpointer`, so the argmin and its
+    * tie-break (equal score → smaller j → LONGER piece) are a single
+    * integer `least()` both engines order identically.
+    *
+    * Scale shape: everything after the word-count shuffle runs on the
+    * distinct word-TYPE table (rows ∝ vocabulary, Zipf-small — the
+    * bpeApply economics); the DP is `maxWordLen` chained column
+    * expressions over one broadcast cost map (no joins, no windows,
+    * no driver loops over data); per round: one narrow segmentation
+    * pass + one piece-count aggregate + a vocab-sized map rebuild.
+    * Words longer than `maxWordLen` chars are excluded from training
+    * (SentencePiece caps candidate/word length the same way).
+    *
+    * Returns the trained vocabulary: (piece, cnt, cost_micro) — final
+    * usage counts after `rounds` EM rounds and the costs they imply. */
+  def unigramTrain(docs: DataFrame, vocabSize: Int = 64, pieceLen: Int = 4,
+                   rounds: Int = 2, maxWordLen: Int = 16): DataFrame = {
+    require(vocabSize >= 1 && pieceLen >= 1 && rounds >= 1 &&
+      maxWordLen >= 1 && maxWordLen < 32) // backpointer packs in 5 bits
+    val BIG = 1000000000000000L // unreachable-path sentinel (10^15)
+    val words = graft.util.Scratch.track(docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .where(length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .persist())
+    // seed counts: every substring of length ≤ pieceLen, with
+    // within-word multiplicity, weighted by word frequency
+    val wl = length(col("w")).cast(IntegerType)
+    val seeds = words
+      .select(col("f"), explode(flatten(transform(
+        sequence(lit(0), wl - 1, lit(1)), i =>
+          transform(sequence(lit(1), least(lit(pieceLen), wl - i), lit(1)),
+            l => col("w").substr(i + 1, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+    val topV = seeds.orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+    val chars = seeds.where(length(col("piece")) === 1)
+    val vocabPieces = graft.util.Scratch.track(
+      topV.unionByName(chars).distinct().select(col("piece")).persist())
+    var counts = topV.unionByName(chars).distinct()
+    // one EM round: cost map from counts → Viterbi segment every word
+    // type → re-count piece uses
+    def emRound(cnts: DataFrame): DataFrame = {
+      val stats = cnts.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+      val cm = cnts.crossJoin(broadcast(stats))
+        .select(col("piece"),
+          (-round(log((col("cnt") + 1).cast(DoubleType) /
+            (col("tot") + col("v"))) * 1e6, 0)).cast(LongType).as("cost"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("piece"), col("cost"))))).as("__cm"))
+      // DP forward pass: __s{k} = min cost to segment w[0..k), __b{k}
+      // = the argmin split point, both unpacked from ONE least() over
+      // packed `score·32 + j`. Every step lands as a NAMED column and
+      // the chain is checkpointed every 4 steps — inlining prior
+      // bests would rebuild a branching-factor-`pieceLen` expression
+      // TREE whose Catalyst copies grow exponentially in maxWordLen
+      // (the first cut of this function took the whole verify JVM
+      // down with it at sf0.01).
+      var df = words.crossJoin(broadcast(cm)).withColumn("__s0", lit(0L))
+      for (k <- 1 to maxWordLen) {
+        val cands = (math.max(0, k - pieceLen) until k).map { j =>
+          val c = element_at(col("__cm"), col("w").substr(j + 1, k - j))
+          when(c.isNotNull && lit(k) <= wl,
+            (col(s"__s$j") + c) * 32L + j).otherwise(lit(BIG))
+        }
+        // unpack with bit ops (32 = 2^5): `/` would be FRACTIONAL
+        // division into a double, which loses exactness past 2^53
+        val packed = cands.reduce(least(_, _))
+        df = df.withColumn(s"__p$k", packed)
+          .withColumn(s"__s$k", shiftright(col(s"__p$k"), 5))
+          .withColumn(s"__b$k",
+            col(s"__p$k").bitwiseAND(lit(31L)).cast(IntegerType))
+        if (k % 4 == 0)
+          df = graft.util.Scratch.trackCheckpoint(df.localCheckpoint(true))
+      }
+      // backtrace: walk ≤ maxWordLen backpointers from pos = len,
+      // emitting each chosen piece — same named-column discipline
+      // (index guarded for ANSI mode)
+      val bpArr = array((1 to maxWordLen).map(k => col(s"__b$k")): _*)
+      df = df.withColumn("__cur0", wl)
+      for (s <- 1 to maxWordLen) {
+        val cur = col(s"__cur${s - 1}")
+        val bp = element_at(bpArr, greatest(cur, lit(1)))
+        df = df
+          .withColumn(s"__pc$s",
+            when(cur > 0, col("w").substr(bp + 1, cur - bp)))
+          .withColumn(s"__cur$s", when(cur > 0, bp).otherwise(lit(0)))
+        if (s % 4 == 0)
+          df = graft.util.Scratch.trackCheckpoint(df.localCheckpoint(true))
+      }
+      val segs = df
+        .select(col("f"), explode(filter(
+          array((1 to maxWordLen).map(s => col(s"__pc$s")): _*),
+          p => p.isNotNull)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      vocabPieces.join(segs, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }
+    for (_ <- 1 to rounds) counts = emRound(counts)
+    val stats = counts.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("piece"), col("cnt"),
+        (-round(log((col("cnt") + 1).cast(DoubleType) /
+          (col("tot") + col("v"))) * 1e6, 0)).cast(LongType).as("cost_micro"))
+  }
+
   /** Forward-window PMI collocations (Church & Hanks 1990): for every
     * ordered token pair (a, b) with b at most `window` positions AFTER
     * a, pmi = ln(n_ab·N / (n_a·n_b)) over forward-pair counts — the

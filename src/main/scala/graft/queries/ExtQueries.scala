@@ -825,6 +825,13 @@ object ExtQueries {
 
     // tf·idf top-3 terms per document: ln(N/df) idf, rank window on
     // the ROUNDED score partitioned by doc_id (never global)
+    // unigram-LM tokenizer training (SentencePiece, Kudo 2018) by
+    // Viterbi hard-EM over word types: packed-integer DP, micro-ln
+    // costs — the whole descent replays bit-for-bit
+    "text_unigram_train" -> ((s, d) =>
+      TextAnalysis.unigramTrain(t(s, d, "documents"),
+        vocabSize = 64, pieceLen = 4, rounds = 2, maxWordLen = 16)),
+
     // forward-window PMI collocations (Church & Hanks 1990): the
     // classic distributional-association score; narrow pair expansion,
     // three count shuffles, top-k on the aggregated pair table
@@ -1623,6 +1630,75 @@ object ExtQueries {
       |   JOIN (SELECT h, doc_id AS kd, pos AS kp FROM k0 WHERE rn = 1) k
       |     USING (h)
       |   WHERE NOT (o0.doc_id = k.kd AND o0.pos = k.kp))""".stripMargin
+
+  /** Unigram-LM trainer oracle (= TextAnalysis.unigramTrain): the
+    * Viterbi DP is unrolled to `maxWordLen` accumulated-union CTEs per
+    * round (forward) plus `maxWordLen` chained backtrace CTEs; the
+    * argmin and tie-break replay as ONE integer min over the packed
+    * `score·32 + j` value, unpacked with the same bit ops. */
+  private def unigramSql(vocabSize: Int, pieceLen: Int, rounds: Int,
+                         maxWordLen: Int): String = {
+    // u/pr/c/pc CTEs are referenced more than once — DuckDB INLINES
+    // non-materialized CTEs per reference, so without MATERIALIZED the
+    // u-chain expands the base scan 2^maxWordLen times (first cut
+    // died on fd exhaustion before it died on time)
+    val roundCtes = (1 to rounds).map { r =>
+      val fwd = (1 to maxWordLen).map { k =>
+        s"""u${k}_$r AS MATERIALIZED (
+           |  SELECT * FROM u${k - 1}_$r
+           |  UNION ALL
+           |  SELECT w, $k AS pos, best >> 5 AS score,
+           |    CAST(best & 31 AS INT) AS bp FROM (
+           |    SELECT p.w, min((u.score + p.cost) * 32 + p.j) AS best
+           |    FROM pr_$r p JOIN u${k - 1}_$r u ON u.w = p.w AND u.pos = p.j
+           |    WHERE p.k = $k AND p.len >= $k
+           |    GROUP BY p.w))""".stripMargin
+      }.mkString(",\n ")
+      val back = (1 to maxWordLen).map { s =>
+        s"""b${s}_$r AS (SELECT b.w, b.f, u.bp AS pos,
+           |    substr(b.w, u.bp + 1, b.pos - u.bp) AS piece
+           |  FROM b${s - 1}_$r b JOIN u${maxWordLen}_$r u
+           |    ON u.w = b.w AND u.pos = b.pos
+           |  WHERE b.pos > 0)""".stripMargin
+      }.mkString(",\n ")
+      val pieceUnion = (1 to maxWordLen)
+        .map(s => s"SELECT f, piece FROM b${s}_$r").mkString(" UNION ALL ")
+      s"""st_$r AS (SELECT sum(cnt) AS tot, count(*) AS v FROM c${r - 1}),
+         | cm_$r AS (SELECT piece, CAST(-round(ln((cnt + 1)::DOUBLE
+         |     / (tot + v)) * 1000000, 0) AS BIGINT) AS cost
+         |   FROM c${r - 1}, st_$r),
+         | pr_$r AS MATERIALIZED (SELECT pc.w, pc.f, pc.len, pc.j, pc.k, cm.cost
+         |   FROM pc JOIN cm_$r cm ON pc.piece = cm.piece),
+         | u0_$r AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score,
+         |   0 AS bp FROM wd),
+         | $fwd,
+         | b0_$r AS MATERIALIZED (SELECT w, f, len AS pos FROM wd),
+         | $back,
+         | sg_$r AS (SELECT piece, sum(f) AS cnt FROM ($pieceUnion) GROUP BY 1),
+         | c$r AS MATERIALIZED (SELECT vp.piece, CAST(coalesce(sg.cnt, 0) AS BIGINT) AS cnt
+         |   FROM vp LEFT JOIN sg_$r sg USING (piece))""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH wd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f, length(w) AS len
+       |   FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |         FROM documents)
+       |   WHERE length(w) <= $maxWordLen GROUP BY 1, length(w)),
+       | s1 AS (SELECT w, f, len, unnest(range(0, len)) AS i FROM wd),
+       | s2 AS (SELECT w, f, len, i,
+       |     unnest(range(1, least($pieceLen, len - i) + 1)) AS l FROM s1),
+       | pc AS MATERIALIZED (SELECT w, f, len, i AS j, i + l AS k,
+       |     substr(w, i + 1, l) AS piece FROM s2),
+       | sd AS (SELECT piece, sum(f) AS cnt FROM pc GROUP BY 1),
+       | tv AS (SELECT piece, cnt FROM sd ORDER BY cnt DESC, piece
+       |   LIMIT $vocabSize),
+       | c0 AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM (SELECT * FROM tv UNION ALL
+       |     SELECT piece, cnt FROM sd WHERE length(piece) = 1)),
+       | vp AS MATERIALIZED (SELECT piece FROM c0),
+       | $roundCtes,
+       | fs AS (SELECT sum(cnt) AS tot, count(*) AS v FROM c$rounds)
+       | SELECT piece, cnt, CAST(-round(ln((cnt + 1)::DOUBLE / (tot + v))
+       |     * 1000000, 0) AS BIGINT) AS cost_micro
+       | FROM c$rounds, fs""".stripMargin
+  }
 
   /** The islands-merge + span projection over a `mk(doc_id, pos)` CTE
     * (shared by the full and incremental substring-dedup oracles). */
@@ -3051,6 +3127,9 @@ object ExtQueries {
 
     // tf·idf top-3 per doc; rank over the ROUNDED score (term-asc
     // ties) so both engines rank identical values
+    // unigram-LM Viterbi hard-EM, DP unrolled per round
+    "text_unigram_train" -> unigramSql(64, 4, 2, 16),
+
     // PMI: directed window-2 pairs, marginals = row/column sums of the
     // pair table, one ln on an exact integer ratio (same operand order
     // as the engine: (cast(n_ab)·N) / (n_a·n_b))

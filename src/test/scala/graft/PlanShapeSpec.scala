@@ -447,4 +447,54 @@ class PlanShapeSpec extends AnyFunSuite {
       case e: ShuffleExchangeExec => e
     }.isEmpty, s"fact side exchanged before the bloom probe:\n$plan")
   }
+
+  test("substring dedup: window expansion is narrow — no per-position sort") {
+    import spark.implicits._
+    // string checks, not collect: AQE nests the real operators inside
+    // AdaptiveSparkPlanExec before execution
+    val docs = Seq((1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val s = graft.llm.Dedup.substringSpans(docs, 8)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"substring marking must stay equi-join only:\n$s")
+    // exactly the islands-merge pair (lag + running sum — two Window
+    // nodes sharing ONE doc_id partitioning) — the stride-1 expansion
+    // itself must be a transform over the token array, not a
+    // per-position window/sort over exploded tokens
+    val windows = "Window \\[".r.findAllIn(s).length
+    assert(windows == 2,
+      s"expected the lag+sum islands pair, got $windows:\n$s")
+    val winExchanges = "hashpartitioning\\(doc_id".r.findAllIn(s).length
+    assert(winExchanges <= 2, // islands partitioning + the final agg
+      s"islands merge must reuse one doc_id exchange:\n$s")
+    // no global sort anywhere in the marking path (a global Sort
+    // prints its global flag as `], true, 0`)
+    assert(!s.contains("], true, 0"),
+      s"global sort in the marking path:\n$s")
+  }
+
+  test("LPA round: label argmax is one aggregate — no per-node sort window") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val s = graft.operators.Lpa.communities(edges, rounds = 2)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"LPA must stay equi-join only:\n$s")
+    assert(!s.contains("Window ["),
+      s"LPA argmax must be min(struct(-cnt,lbl)), not a window:\n$s")
+  }
+
+  test("PMI: pair expansion has no self-join; top-k is the native plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z x y z x y z x y z")).toDF("doc_id", "text")
+    val plan = graft.llm.TextAnalysis.pmiTopK(docs, 2, 3, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"PMI pair expansion must be array transform, not a join:\n$plan")
+    assert(plan.contains("GroupTopK"),
+      s"PMI top-k must ride the native partial-survivor plan:\n$plan")
+  }
 }

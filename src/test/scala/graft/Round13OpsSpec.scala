@@ -72,6 +72,33 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 1L)
   }
 
+  test("unigram trainer converges to whole-word pieces on a planted corpus") {
+    import spark.implicits._
+    // words: abab (f=10), xyzq (f=5), cd (f=5). Under add-one micro-ln
+    // costs, one 4-char piece always beats two 2-char pieces
+    // (2·cost(ab) > cost(abab) at any smoothing here), so hard-EM
+    // assigns every word its whole-word segmentation both rounds.
+    val docs = (0 until 5).map(i => (i.toLong, "abab abab xyzq cd"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.unigramTrain(docs,
+        vocabSize = 64, pieceLen = 4, rounds = 2, maxWordLen = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("abab")._1 == 10L)
+    assert(out("xyzq")._1 == 5L && out("cd")._1 == 5L)
+    assert(out("ab")._1 == 0L && out("a")._1 == 0L)
+    assert(out.values.map(_._1).sum == 20L)
+    // all 20 candidate pieces retained (zero-count ones included),
+    // and a used piece is strictly cheaper than an unused one
+    assert(out.size == 20)
+    assert(out("abab")._2 < out("ab")._2)
+    // bit-replayable: a rerun is identical
+    val again = graft.llm.TextAnalysis.unigramTrain(docs,
+        vocabSize = 64, pieceLen = 4, rounds = 2, maxWordLen = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == again)
+  }
+
   test("exact substring dedup marks the later copy of a planted repeat") {
     import spark.implicits._
     val rep = (1 to 12).map(i => s"R$i").mkString(" ")
