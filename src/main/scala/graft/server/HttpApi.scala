@@ -24,6 +24,8 @@ import graft.storage.LayerStore
   *   GET  /api/document?id=IRI           — flat document by id
   *   GET  /api/document?type=T[&query=J] — list (optionally template-matched)
   *   POST /api/document?type=T&key=f     — insert docs (one JSON per line)
+  *   PUT  /api/document?id=I&type=T      — replace a document in place
+  *   DELETE /api/document?id=I           — delete a document subgraph
   *   GET  /api/branch                    — list branches (name → head)
   *   POST /api/branch?name=N&from=B      — create branch at B's head
   *   POST /api/reset?branch=B&commit=C   — move a branch head
@@ -339,6 +341,35 @@ object HttpApi {
           ok(JObject("api:status" -> JString("api:success"),
             "commit" -> JString(commitId),
             "ids" -> JArray(ids.map(JString(_)))))
+        // replace-in-place ([ref:core/api/api_document.pl] PUT): the
+        // body document's subgraph supplants ?id's — removes the old
+        // subgraph, inserts the new one under the SAME id, one commit
+        case "PUT" =>
+          val id = param(ex, "id").getOrElse(sys.error("id parameter required"))
+          val docType = param(ex, "type")
+            .getOrElse(sys.error("type parameter required"))
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          val g = defaultGraph
+          require(!g.filter(org.apache.spark.sql.functions
+            .col("s") === id).isEmpty, s"document not found: $id")
+          val (adds, removes) = graft.storage.Updates.stageDocUpdate(
+            g, id, body, docType)
+          val commitId = store.commit("main", adds, removes, s"replace $id")
+          ok(JObject("api:status" -> JString("api:success"),
+            "commit" -> JString(commitId), "id" -> JString(id)))
+        // document delete ([ref:core/api/api_document.pl] DELETE):
+        // stages the full subgraph as removes through the commit
+        // protocol — subdocuments go with their root
+        case "DELETE" =>
+          val id = param(ex, "id").getOrElse(sys.error("id parameter required"))
+          val g = defaultGraph
+          val doomed = graft.docs.Documents.delete(g, id)
+          require(!doomed.isEmpty, s"document not found: $id")
+          val commitId = store.commit("main",
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              graft.storage.Eav.schema), doomed, s"delete $id")
+          ok(JObject("api:status" -> JString("api:success"),
+            "commit" -> JString(commitId), "deleted" -> JString(id)))
         case m => sys.error(s"unsupported method $m")
       }
     })

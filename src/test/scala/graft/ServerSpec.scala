@@ -102,6 +102,39 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((JsonMethods.parse(b3) \ "name") == JString("alpha"))
   }
 
+  test("document PUT replaces in place; DELETE removes the subgraph; query= filters") {
+    // runs after the insert test: doc:Thing/{alpha,beta} exist on main
+    def send(method: String, path: String, body: String): (Int, String) = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(srv.url(path)))
+          .method(method, HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    // template query filters the listing
+    val (cq, bq) = get("/api/document?type=Thing&query=" +
+      java.net.URLEncoder.encode("""{"size":2}""", "UTF-8"))
+    assert(cq == 200 && bq.split("\n").length == 1)
+    assert((JsonMethods.parse(bq) \ "name") == JString("beta"))
+    // PUT replaces alpha's subgraph under the same id
+    val (cp, _) = send("PUT", "/api/document?id=doc:Thing/alpha&type=Thing",
+      """{"name":"alpha","size":9,"flag":"updated"}""")
+    assert(cp == 200)
+    val (_, b1) = get("/api/document?id=doc:Thing/alpha")
+    val j1 = JsonMethods.parse(b1)
+    assert((j1 \ "size") == JInt(9) && (j1 \ "flag") == JString("updated"))
+    // DELETE removes beta; the listing shrinks to alpha only
+    val (cd, _) = send("DELETE", "/api/document?id=doc:Thing/beta", "")
+    assert(cd == 200)
+    val (_, b2) = get("/api/document?type=Thing")
+    val lines = b2.split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.size == 1)
+    assert((JsonMethods.parse(lines.head) \ "name") == JString("alpha"))
+    // deleting a missing document errors, not silently succeeds
+    val (cm, _) = send("DELETE", "/api/document?id=doc:Thing/ghost", "")
+    assert(cm >= 400)
+  }
+
   test("graphql endpoint compiles into the engine") {
     val q = """{"query": "{ Region(orderBy: {r_name: ASC}, limit: 2) { r_name } }"}"""
     val (code, body) = post("/api/graphql", q)
