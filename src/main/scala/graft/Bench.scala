@@ -88,7 +88,7 @@ object Bench {
     // marking pass + the rewrite) — spans is oracle-only, clean benched;
     // doc_query_template is a facade check like doc_frame_opts
     "dedup_substring_clean", "text_pmi_topk", "dedup_substring_incr",
-    "stream_substring_spans", "text_unigram_train",
+    "stream_substring_spans", "text_unigram_train", "graph_modularity",
     // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the
     // emb_kmeans double-count rationale) — oracle-only, not benched
     )

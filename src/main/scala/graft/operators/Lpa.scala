@@ -64,4 +64,49 @@ object Lpa {
     }
     lbl.select(col("node"), col("lbl").as("community"))
   }
+
+  /** Newman modularity of the [[communities]] partition — the standard
+    * community-quality score, computed EXACTLY in integers:
+    *   Q · (2m)² = 2m · (2·E_within) − Σ_c D_c²
+    * where 2m = Σ degrees, 2·E_within = directed undirected-view edges
+    * with both ends in one community, D_c = Σ degrees inside c. Only
+    * the final Q is a (micro-rounded) division, so both engines agree
+    * bit-for-bit. One row: (communities, two_m, e_within2, dc2_sum,
+    * q_micro).
+    *
+    * Shape: the undirected view + labels are the LPA scratch re-joined
+    * (edges ⋈ labels twice on src/dst — shuffle ∝ E); degrees and D_c
+    * are two partial-agg groupBys; the moment sums collapse to ONE
+    * row. No per-pair work outside existing edges. */
+  def modularity(edges: DataFrame, rounds: Int): DataFrame = {
+    val dir = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = graft.util.Scratch.track(
+      dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val lab = graft.util.Scratch.track(
+      communities(und, rounds).persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val twoM = deg.agg(sum(col("d")).as("two_m"))
+    val eWin = und
+      .join(lab.select(col("node").as("src"), col("community").as("cs")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("community").as("cd")),
+        Seq("dst"))
+      .where(col("cs") === col("cd"))
+      .agg(count(lit(1)).as("e_within2"))
+    val dc2 = lab.join(deg, Seq("node"))
+      .groupBy(col("community")).agg(sum(col("d")).as("dc"))
+      .agg(sum(col("dc") * col("dc")).as("dc2_sum"),
+        count(lit(1)).as("communities"))
+    dc2.crossJoin(twoM).crossJoin(eWin)
+      .select(col("communities"), col("two_m"), col("e_within2"),
+        col("dc2_sum"),
+        round(lit(1000000.0) *
+          (col("two_m") * col("e_within2") - col("dc2_sum")).cast("double") /
+          (col("two_m") * col("two_m")).cast("double"), 0)
+          .cast("long").as("q_micro"))
+  }
 }

@@ -816,6 +816,22 @@ object ExtQueries {
       graft.operators.Lpa.communities(o.union(c).union(n), rounds = 3)
     }),
 
+    // Newman modularity of the LPA partition — community quality,
+    // exact in integers (Q·(2m)² = 2m·2E_within − Σ_c D_c²); only the
+    // final micro-rounded division is float
+    "graph_modularity" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+      val c = t(s, d, "customer").select(
+        concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"))
+      val n = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      graft.operators.Lpa.modularity(o.union(c).union(n), rounds = 3)
+    }),
+
     // BM25 relevance against a fixed query-term list: per-term tf via
     // array filters (no explode), ONE-row corpus stats broadcast back
     // over the scan, top-n as TakeOrderedAndProject — the corpus
@@ -2638,6 +2654,7 @@ object ExtQueries {
     "graph_ppr" -> pprSql(iters = 3),
     "graph_kcore" -> kcoreSql(k = 60, rounds = 6),
     "graph_lpa" -> lpaSql(rounds = 3),
+    "graph_modularity" -> modularitySql(rounds = 3),
 
     // closed-form: the FK graph's components ARE the regions; each
     // component's label is its least member IRI
@@ -4008,6 +4025,34 @@ object ExtQueries {
        | $steps
        | SELECT node, lbl AS community FROM l$rounds""".stripMargin
   }
+
+  /** Newman modularity over the lpaSql partition: the label query
+    * nests as a subquery CTE (inner WITH scope shadows the outer edge
+    * CTEs); all moments integer, one micro-rounded division with the
+    * SAME operand order as the engine. */
+  private def modularitySql(rounds: Int): String =
+    s"""WITH lab AS (
+       |${lpaSql(rounds)}
+       | ),
+       | e0 AS (SELECT 'o:'||o_orderkey AS src, 'c:'||o_custkey AS dst FROM orders
+       |  UNION ALL SELECT 'c:'||c_custkey, 'n:'||c_nationkey FROM customer
+       |  UNION ALL SELECT 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation),
+       | ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+       | e AS (SELECT DISTINCT src, dst FROM
+       |   (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+       | deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+       | tm AS (SELECT CAST(sum(d) AS BIGINT) AS two_m FROM deg),
+       | ew AS (SELECT CAST(count(*) AS BIGINT) AS e_within2 FROM e
+       |   JOIN lab a ON e.src = a.node JOIN lab b ON e.dst = b.node
+       |   WHERE a.community = b.community),
+       | dc AS (SELECT a.community, sum(d) AS dcv
+       |   FROM lab a JOIN deg ON a.node = deg.node GROUP BY 1),
+       | d2 AS (SELECT CAST(sum(dcv * dcv) AS BIGINT) AS dc2_sum,
+       |   CAST(count(*) AS BIGINT) AS communities FROM dc)
+       | SELECT communities, two_m, e_within2, dc2_sum,
+       |   CAST(round(1000000.0 * (two_m * e_within2 - dc2_sum)
+       |     / (two_m * two_m), 0) AS BIGINT) AS q_micro
+       | FROM d2, tm, ew""".stripMargin
 
   /** Unrolled full-batch logistic-regression descent (=
     * Classifier.logistic: hashed-unigram counts + bias, integer

@@ -30,6 +30,20 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got2 == Map("x" -> "y", "y" -> "x"))
   }
 
+  test("modularity of the two-triangle-bridge partition is exact") {
+    import spark.implicits._
+    // LPA splits the two triangles at the bridge (see the LPA test):
+    // 2m=14, E_within·2=12 (the bridge crosses), D_c=7 per side →
+    // Q·196 = 14·12 − 2·49 = 70 → q_micro = round(1e6·70/196) = 357143
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+      ("a3", "b1")).toDF("src", "dst")
+    val r = graft.operators.Lpa.modularity(edges, rounds = 3).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 14L, 12L, 98L, 357143L)))
+  }
+
   test("logistic classifier learns a separable fixture and stays integer-deterministic") {
     import spark.implicits._
     // perfectly separable: 'en' docs speak one vocabulary, 'de' docs
