@@ -89,6 +89,9 @@ object Bench {
     // doc_query_template is a facade check like doc_frame_opts
     "dedup_substring_clean", "text_pmi_topk", "dedup_substring_incr",
     "stream_substring_spans", "text_unigram_train", "graph_modularity",
+    // train before apply: the unigram vocab is a memoized artifact
+    // (TextAnalysis.unigramCache), so apply measures ENCODE, not refit
+    "text_unigram_apply",
     // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the
     // emb_kmeans double-count rationale) — oracle-only, not benched
     )

@@ -266,7 +266,7 @@ object TextAnalysis {
     String, Seq[(Long, String, String, Long)]]()
 
   /** Eviction path, chained from [[Clustering.clearArtifacts]]. */
-  def clearArtifacts(): Unit = mergeCache.clear()
+  def clearArtifacts(): Unit = { mergeCache.clear(); clearUnigramArtifacts() }
 
   /** The merge loop, memoized per (source plan, k) — shared by
     * `bpeTrain` (which tabulates the merges) and `bpeApply` (which
@@ -499,9 +499,101 @@ object TextAnalysis {
     * usage counts after `rounds` EM rounds and the costs they imply. */
   def unigramTrain(docs: DataFrame, vocabSize: Int = 64, pieceLen: Int = 4,
                    rounds: Int = 2, maxWordLen: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = unigramVocab(docs, vocabSize, pieceLen, rounds, maxWordLen)
+      .toDF("piece", "cnt")
+    uniFinalCosts(counts)
+  }
+
+  /** The trained vocabulary as a memoized ARTIFACT (the mergeCache
+    * economics — fitted once per (source plan, params), served to both
+    * the train table and the encoder). The collect is bounded by
+    * construction: ≤ vocabSize + |alphabet| rows. */
+  def unigramVocab(docs: DataFrame, vocabSize: Int, pieceLen: Int,
+                   rounds: Int, maxWordLen: Int): Seq[(String, Long)] =
+    unigramCache.computeIfAbsent(Clustering.planKey(docs) +
+        s"#uni_${vocabSize}_${pieceLen}_${rounds}_$maxWordLen",
+      _ => unigramVocabUncached(docs, vocabSize, pieceLen, rounds, maxWordLen))
+
+  private val unigramCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long)]]()
+
+  private[llm] def clearUnigramArtifacts(): Unit = unigramCache.clear()
+
+  /** The final add-one micro-ln cost projection over a (piece, cnt)
+    * frame — shared by the train table and the encoder's cost map. */
+  private def uniFinalCosts(counts: DataFrame): DataFrame = {
+    val stats = counts.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("piece"), col("cnt"),
+        (-round(log((col("cnt") + 1).cast(DoubleType) /
+          (col("tot") + col("v"))) * 1e6, 0)).cast(LongType).as("cost_micro"))
+  }
+
+  /** Viterbi-segment every word type under a broadcast cost map `cm`
+    * (one row, `__cm: map<piece,cost>`): returns (w, f, __pcs).
+    *
+    * DP forward pass: __s{k} = min cost to segment w[0..k), __b{k} =
+    * the argmin split point, both unpacked from ONE least() over
+    * packed `score·32 + j`. Every step lands as a NAMED column and the
+    * chain is checkpointed every 4 steps — inlining prior bests would
+    * rebuild a branching-factor-`pieceLen` expression TREE whose
+    * Catalyst copies grow exponentially in maxWordLen (the first cut
+    * of this function took the whole verify JVM down with it at
+    * sf0.01). */
+  private def viterbiPieces(words: DataFrame, cm: DataFrame,
+                            pieceLen: Int, maxWordLen: Int): DataFrame = {
+    val BIG = 1000000000000000L // unreachable-path sentinel (10^15)
+    val wl = length(col("w")).cast(IntegerType)
+    var df = words.crossJoin(broadcast(cm)).withColumn("__s0", lit(0L))
+    for (k <- 1 to maxWordLen) {
+      val cands = (math.max(0, k - pieceLen) until k).map { j =>
+        val c = element_at(col("__cm"), col("w").substr(j + 1, k - j))
+        when(c.isNotNull && lit(k) <= wl,
+          (col(s"__s$j") + c) * 32L + j).otherwise(lit(BIG))
+      }
+      // unpack with bit ops (32 = 2^5): `/` would be FRACTIONAL
+      // division into a double, which loses exactness past 2^53
+      val packed = cands.reduce(least(_, _))
+      df = df.withColumn(s"__p$k", packed)
+        .withColumn(s"__s$k", shiftright(col(s"__p$k"), 5))
+        .withColumn(s"__b$k",
+          col(s"__p$k").bitwiseAND(lit(31L)).cast(IntegerType))
+      if (k % 4 == 0)
+        df = graft.util.Scratch.trackCheckpoint(df.localCheckpoint(true))
+    }
+    // backtrace: walk ≤ maxWordLen backpointers from pos = len,
+    // emitting each chosen piece — same named-column discipline
+    // (index guarded for ANSI mode)
+    val bpArr = array((1 to maxWordLen).map(k => col(s"__b$k")): _*)
+    df = df.withColumn("__cur0", wl)
+    for (s <- 1 to maxWordLen) {
+      val cur = col(s"__cur${s - 1}")
+      val bp = element_at(bpArr, greatest(cur, lit(1)))
+      df = df
+        .withColumn(s"__pc$s",
+          when(cur > 0, col("w").substr(bp + 1, cur - bp)))
+        .withColumn(s"__cur$s", when(cur > 0, bp).otherwise(lit(0)))
+      if (s % 4 == 0)
+        df = graft.util.Scratch.trackCheckpoint(df.localCheckpoint(true))
+    }
+    df.select(col("w"), col("f"), filter(
+      array((1 to maxWordLen).map(s => col(s"__pc$s")): _*),
+      p => p.isNotNull).as("__pcs"))
+  }
+
+  /** One-row broadcastable cost map from a (piece, cnt) frame. */
+  private def uniCostMap(counts: DataFrame): DataFrame =
+    uniFinalCosts(counts)
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("piece"), col("cost_micro"))))).as("__cm"))
+
+  private def unigramVocabUncached(docs: DataFrame, vocabSize: Int,
+                                   pieceLen: Int, rounds: Int,
+                                   maxWordLen: Int): Seq[(String, Long)] = {
     require(vocabSize >= 1 && pieceLen >= 1 && rounds >= 1 &&
       maxWordLen >= 1 && maxWordLen < 32) // backpointer packs in 5 bits
-    val BIG = 1000000000000000L // unreachable-path sentinel (10^15)
     val words = graft.util.Scratch.track(docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .where(length(col("w")) <= maxWordLen)
@@ -524,67 +616,47 @@ object TextAnalysis {
     // one EM round: cost map from counts → Viterbi segment every word
     // type → re-count piece uses
     def emRound(cnts: DataFrame): DataFrame = {
-      val stats = cnts.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
-      val cm = cnts.crossJoin(broadcast(stats))
-        .select(col("piece"),
-          (-round(log((col("cnt") + 1).cast(DoubleType) /
-            (col("tot") + col("v"))) * 1e6, 0)).cast(LongType).as("cost"))
-        .agg(map_from_entries(array_sort(
-          collect_list(struct(col("piece"), col("cost"))))).as("__cm"))
-      // DP forward pass: __s{k} = min cost to segment w[0..k), __b{k}
-      // = the argmin split point, both unpacked from ONE least() over
-      // packed `score·32 + j`. Every step lands as a NAMED column and
-      // the chain is checkpointed every 4 steps — inlining prior
-      // bests would rebuild a branching-factor-`pieceLen` expression
-      // TREE whose Catalyst copies grow exponentially in maxWordLen
-      // (the first cut of this function took the whole verify JVM
-      // down with it at sf0.01).
-      var df = words.crossJoin(broadcast(cm)).withColumn("__s0", lit(0L))
-      for (k <- 1 to maxWordLen) {
-        val cands = (math.max(0, k - pieceLen) until k).map { j =>
-          val c = element_at(col("__cm"), col("w").substr(j + 1, k - j))
-          when(c.isNotNull && lit(k) <= wl,
-            (col(s"__s$j") + c) * 32L + j).otherwise(lit(BIG))
-        }
-        // unpack with bit ops (32 = 2^5): `/` would be FRACTIONAL
-        // division into a double, which loses exactness past 2^53
-        val packed = cands.reduce(least(_, _))
-        df = df.withColumn(s"__p$k", packed)
-          .withColumn(s"__s$k", shiftright(col(s"__p$k"), 5))
-          .withColumn(s"__b$k",
-            col(s"__p$k").bitwiseAND(lit(31L)).cast(IntegerType))
-        if (k % 4 == 0)
-          df = graft.util.Scratch.trackCheckpoint(df.localCheckpoint(true))
-      }
-      // backtrace: walk ≤ maxWordLen backpointers from pos = len,
-      // emitting each chosen piece — same named-column discipline
-      // (index guarded for ANSI mode)
-      val bpArr = array((1 to maxWordLen).map(k => col(s"__b$k")): _*)
-      df = df.withColumn("__cur0", wl)
-      for (s <- 1 to maxWordLen) {
-        val cur = col(s"__cur${s - 1}")
-        val bp = element_at(bpArr, greatest(cur, lit(1)))
-        df = df
-          .withColumn(s"__pc$s",
-            when(cur > 0, col("w").substr(bp + 1, cur - bp)))
-          .withColumn(s"__cur$s", when(cur > 0, bp).otherwise(lit(0)))
-        if (s % 4 == 0)
-          df = graft.util.Scratch.trackCheckpoint(df.localCheckpoint(true))
-      }
-      val segs = df
-        .select(col("f"), explode(filter(
-          array((1 to maxWordLen).map(s => col(s"__pc$s")): _*),
-          p => p.isNotNull)).as("piece"))
+      val segs = viterbiPieces(words, uniCostMap(cnts), pieceLen, maxWordLen)
+        .select(col("f"), explode(col("__pcs")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
       vocabPieces.join(segs, Seq("piece"), "left")
         .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     }
     for (_ <- 1 to rounds) counts = emRound(counts)
-    val stats = counts.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
-    counts.crossJoin(broadcast(stats))
-      .select(col("piece"), col("cnt"),
-        (-round(log((col("cnt") + 1).cast(DoubleType) /
-          (col("tot") + col("v"))) * 1e6, 0)).cast(LongType).as("cost_micro"))
+    counts.orderBy(col("piece")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Encode the corpus with the trained unigram vocabulary — the
+    * [[bpeApply]] twin: per document, word count and TOKEN count under
+    * each word type's Viterbi segmentation at the final piece costs
+    * (= one more E-step after [[unigramTrain]]'s `rounds`).
+    *
+    * Same economics as bpeApply: the vocabulary is the memoized
+    * [[unigramVocab]] artifact, segmentation runs once per distinct
+    * word TYPE, and the corpus joins the type table on `w`. Words
+    * longer than `maxWordLen` letters are outside the trained model
+    * and excluded from both counts (the train-side cap, documented
+    * there). */
+  def unigramApply(docs: DataFrame, vocabSize: Int = 64, pieceLen: Int = 4,
+                   rounds: Int = 2, maxWordLen: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = unigramVocab(docs, vocabSize, pieceLen, rounds, maxWordLen)
+      .toDF("piece", "cnt")
+    val wordsPerDoc = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .where(length(col("w")) <= maxWordLen)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val types = wordsPerDoc.select(col("w")).distinct()
+      .withColumn("f", lit(1L))
+    val ntok = viterbiPieces(types, uniCostMap(counts), pieceLen, maxWordLen)
+      .select(col("w"), size(col("__pcs")).cast(LongType).as("ntok"))
+    wordsPerDoc.join(ntok, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_words"),
+        sum(col("c") * col("ntok")).cast(LongType).as("n_uni_tokens"))
   }
 
   /** Forward-window PMI collocations (Church & Hanks 1990): for every

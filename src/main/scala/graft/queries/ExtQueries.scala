@@ -848,6 +848,14 @@ object ExtQueries {
       TextAnalysis.unigramTrain(t(s, d, "documents"),
         vocabSize = 64, pieceLen = 4, rounds = 2, maxWordLen = 16)),
 
+    // the trained vocabulary applied (bpeApply twin): per-doc word +
+    // unigram-token counts under each word type's final Viterbi
+    // segmentation — the vocab is the memoized artifact, so this
+    // measures ENCODE, not refit
+    "text_unigram_apply" -> ((s, d) =>
+      TextAnalysis.unigramApply(t(s, d, "documents"),
+        vocabSize = 64, pieceLen = 4, rounds = 2, maxWordLen = 16)),
+
     // forward-window PMI collocations (Church & Hanks 1990): the
     // classic distributional-association score; narrow pair expansion,
     // three count shuffles, top-k on the aggregated pair table
@@ -1653,12 +1661,15 @@ object ExtQueries {
     * argmin and tie-break replay as ONE integer min over the packed
     * `score·32 + j` value, unpacked with the same bit ops. */
   private def unigramSql(vocabSize: Int, pieceLen: Int, rounds: Int,
-                         maxWordLen: Int): String = {
+                         maxWordLen: Int, mode: String = "train"): String = {
     // u/pr/c/pc CTEs are referenced more than once — DuckDB INLINES
     // non-materialized CTEs per reference, so without MATERIALIZED the
     // u-chain expands the base scan 2^maxWordLen times (first cut
     // died on fd exhaustion before it died on time)
-    val roundCtes = (1 to rounds).map { r =>
+    val lastR = if (mode == "apply") rounds + 1 else rounds
+    def pieceUnion(r: Int) = (1 to maxWordLen)
+      .map(s => s"SELECT w, f, piece FROM b${s}_$r").mkString(" UNION ALL ")
+    val roundCtes = (1 to lastR).map { r =>
       val fwd = (1 to maxWordLen).map { k =>
         s"""u${k}_$r AS MATERIALIZED (
            |  SELECT * FROM u${k - 1}_$r
@@ -1677,8 +1688,12 @@ object ExtQueries {
            |    ON u.w = b.w AND u.pos = b.pos
            |  WHERE b.pos > 0)""".stripMargin
       }.mkString(",\n ")
-      val pieceUnion = (1 to maxWordLen)
-        .map(s => s"SELECT f, piece FROM b${s}_$r").mkString(" UNION ALL ")
+      // the apply mode's extra final round segments only — no recount
+      val recount = if (r > rounds) "" else
+        s""",
+           | sg_$r AS (SELECT piece, sum(f) AS cnt FROM (${pieceUnion(r)}) GROUP BY 1),
+           | c$r AS MATERIALIZED (SELECT vp.piece, CAST(coalesce(sg.cnt, 0) AS BIGINT) AS cnt
+           |   FROM vp LEFT JOIN sg_$r sg USING (piece))""".stripMargin
       s"""st_$r AS (SELECT sum(cnt) AS tot, count(*) AS v FROM c${r - 1}),
          | cm_$r AS (SELECT piece, CAST(-round(ln((cnt + 1)::DOUBLE
          |     / (tot + v)) * 1000000, 0) AS BIGINT) AS cost
@@ -1689,11 +1704,25 @@ object ExtQueries {
          |   0 AS bp FROM wd),
          | $fwd,
          | b0_$r AS MATERIALIZED (SELECT w, f, len AS pos FROM wd),
-         | $back,
-         | sg_$r AS (SELECT piece, sum(f) AS cnt FROM ($pieceUnion) GROUP BY 1),
-         | c$r AS MATERIALIZED (SELECT vp.piece, CAST(coalesce(sg.cnt, 0) AS BIGINT) AS cnt
-         |   FROM vp LEFT JOIN sg_$r sg USING (piece))""".stripMargin
+         | $back$recount""".stripMargin
     }.mkString(",\n ")
+    val tail =
+      if (mode == "apply")
+        s"""nt AS (SELECT w, CAST(count(*) AS BIGINT) AS ntok
+           |   FROM (${pieceUnion(lastR)}) GROUP BY 1),
+           | dw AS (SELECT doc_id, w, count(*) AS c
+           |   FROM (SELECT doc_id,
+           |       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           |     FROM documents)
+           |   WHERE length(w) <= $maxWordLen GROUP BY 1, 2)
+           | SELECT dw.doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           |   CAST(sum(c * ntok) AS BIGINT) AS n_uni_tokens
+           | FROM dw JOIN nt USING (w) GROUP BY 1""".stripMargin
+      else
+        s"""fs AS (SELECT sum(cnt) AS tot, count(*) AS v FROM c$rounds)
+           | SELECT piece, cnt, CAST(-round(ln((cnt + 1)::DOUBLE / (tot + v))
+           |     * 1000000, 0) AS BIGINT) AS cost_micro
+           | FROM c$rounds, fs""".stripMargin
     s"""WITH wd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f, length(w) AS len
        |   FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
        |         FROM documents)
@@ -1710,10 +1739,7 @@ object ExtQueries {
        |     SELECT piece, cnt FROM sd WHERE length(piece) = 1)),
        | vp AS MATERIALIZED (SELECT piece FROM c0),
        | $roundCtes,
-       | fs AS (SELECT sum(cnt) AS tot, count(*) AS v FROM c$rounds)
-       | SELECT piece, cnt, CAST(-round(ln((cnt + 1)::DOUBLE / (tot + v))
-       |     * 1000000, 0) AS BIGINT) AS cost_micro
-       | FROM c$rounds, fs""".stripMargin
+       | $tail""".stripMargin
   }
 
   /** The islands-merge + span projection over a `mk(doc_id, pos)` CTE
@@ -3146,6 +3172,8 @@ object ExtQueries {
     // ties) so both engines rank identical values
     // unigram-LM Viterbi hard-EM, DP unrolled per round
     "text_unigram_train" -> unigramSql(64, 4, 2, 16),
+    // …one more unrolled segmentation round + the per-doc join
+    "text_unigram_apply" -> unigramSql(64, 4, 2, 16, mode = "apply"),
 
     // PMI: directed window-2 pairs, marginals = row/column sums of the
     // pair table, one ln on an exact integer ratio (same operand order

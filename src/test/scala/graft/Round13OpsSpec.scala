@@ -111,6 +111,12 @@ class Round13OpsSpec extends AnyFunSuite {
         vocabSize = 64, pieceLen = 4, rounds = 2, maxWordLen = 16)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out == again)
+    // apply encodes with the trained pieces: every word one piece here
+    // → n_uni_tokens == n_words == 4 per doc
+    val app = graft.llm.TextAnalysis.unigramApply(docs,
+        vocabSize = 64, pieceLen = 4, rounds = 2, maxWordLen = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(app.length == 5 && app.forall(t => t._2 == 4L && t._3 == 4L))
   }
 
   test("exact substring dedup marks the later copy of a planted repeat") {
