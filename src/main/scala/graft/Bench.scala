@@ -91,7 +91,7 @@ object Bench {
     "stream_substring_spans", "text_unigram_train", "graph_modularity",
     // train before apply: the unigram vocab is a memoized artifact
     // (TextAnalysis.unigramCache), so apply measures ENCODE, not refit
-    "text_unigram_apply",
+    "text_unigram_apply", "graph_closeness",
     // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the
     // emb_kmeans double-count rationale) — oracle-only, not benched
     )

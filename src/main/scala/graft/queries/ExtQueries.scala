@@ -816,6 +816,22 @@ object ExtQueries {
       graft.operators.Lpa.communities(o.union(c).union(n), rounds = 3)
     }),
 
+    // landmark closeness (Eppstein–Wang with deterministic least-id
+    // landmarks): k·V distance table, never all-pairs
+    "graph_closeness" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+      val c = t(s, d, "customer").select(
+        concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"))
+      val n = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      graft.operators.Centrality.landmarkCloseness(
+        o.union(c).union(n), k = 4, maxHops = 6)
+    }),
+
     // Newman modularity of the LPA partition — community quality,
     // exact in integers (Q·(2m)² = 2m·2E_within − Σ_c D_c²); only the
     // final micro-rounded division is float
@@ -2681,6 +2697,7 @@ object ExtQueries {
     "graph_kcore" -> kcoreSql(k = 60, rounds = 6),
     "graph_lpa" -> lpaSql(rounds = 3),
     "graph_modularity" -> modularitySql(rounds = 3),
+    "graph_closeness" -> closenessSql(k = 4, hops = 6),
 
     // closed-form: the FK graph's components ARE the regions; each
     // component's label is its least member IRI
@@ -4081,6 +4098,37 @@ object ExtQueries {
        |   CAST(round(1000000.0 * (two_m * e_within2 - dc2_sum)
        |     / (two_m * two_m), 0) AS BIGINT) AS q_micro
        | FROM d2, tm, ew""".stripMargin
+
+  /** Landmark-closeness BFS unrolled to `hops` min-dist rounds over
+    * the undirected FK entity graph (= Centrality.landmarkCloseness:
+    * least-id landmarks, k·V distance table, one micro-rounded final
+    * division with pinned operand order). */
+  private def closenessSql(k: Int, hops: Int): String = {
+    val steps = (1 to hops).map { h =>
+      s"""d$h AS MATERIALIZED (SELECT l, node, min(dist) AS dist FROM (
+         |   SELECT l, node, dist FROM d${h - 1}
+         |   UNION ALL
+         |   SELECT d.l, e.dst AS node, d.dist + 1
+         |   FROM d${h - 1} d JOIN e ON e.src = d.node) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n ")
+    s"""WITH e0 AS (SELECT 'o:'||o_orderkey AS src, 'c:'||o_custkey AS dst FROM orders
+       | UNION ALL SELECT 'c:'||c_custkey, 'n:'||c_nationkey FROM customer
+       | UNION ALL SELECT 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation),
+       | ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+       | e AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |   (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+       | lm AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e)
+       |   ORDER BY node LIMIT $k),
+       | d0 AS (SELECT node AS l, node, CAST(0 AS BIGINT) AS dist FROM lm),
+       | $steps
+       | SELECT node, CAST(count(*) AS BIGINT) AS reached,
+       |   CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |   CASE WHEN sum(dist) > 0 THEN CAST(round(1000000.0 * count(*)
+       |       / sum(dist), 0) AS BIGINT)
+       |     ELSE 0 END AS closeness_micro
+       | FROM d$hops GROUP BY 1""".stripMargin
+  }
 
   /** Unrolled full-batch logistic-regression descent (=
     * Classifier.logistic: hashed-unigram counts + bias, integer

@@ -30,6 +30,21 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got2 == Map("x" -> "y", "y" -> "x"))
   }
 
+  test("landmark closeness on a path graph matches hand-computed values") {
+    import spark.implicits._
+    // path a–b–c–d, landmarks = 2 least ids {a, b}: dists from a =
+    // 0,1,2,3 and from b = 1,0,1,2 → per node (reached, Σdist):
+    // a(2,1) b(2,1) c(2,3) d(2,5)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = graft.operators.Centrality.landmarkCloseness(edges, k = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 1L, 2000000L)), "b" -> ((2L, 1L, 2000000L)),
+      "c" -> ((2L, 3L, 666667L)), "d" -> ((2L, 5L, 400000L))))
+  }
+
   test("modularity of the two-triangle-bridge partition is exact") {
     import spark.implicits._
     // LPA splits the two triangles at the bridge (see the LPA test):
