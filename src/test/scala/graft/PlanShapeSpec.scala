@@ -487,6 +487,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"LPA argmax must be min(struct(-cnt,lbl)), not a window:\n$s")
   }
 
+  test("landmark closeness: equi-joins only, no all-pairs product") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val s = graft.operators.Centrality.landmarkCloseness(edges, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"closeness BFS must stay k·V equi-joins:\n$s")
+  }
+
   test("PMI: pair expansion has no self-join; top-k is the native plan") {
     import spark.implicits._
     val docs = Seq((1L, "x y z x y z x y z x y z")).toDF("doc_id", "text")
