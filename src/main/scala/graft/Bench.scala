@@ -229,7 +229,7 @@ object Bench {
     val forceGcEntries = Set(
       "graph_triangles", "graph_kcore", "graph_wcc", "graph_pagerank",
       "graph_ppr", "graph_common_neighbors", "graph_assortativity",
-      "graph_lpa",
+      "graph_lpa", "graph_modularity", "graph_closeness",
       "woql_path_plus_alt", "woql_path_shortest", "ext_graphql_path")
     val heapMaxMb = Runtime.getRuntime.maxMemory() >> 20
     val results: Seq[(String, Double)] = headline.flatMap { name =>

@@ -146,8 +146,11 @@ object Classifier {
       .unionByName(docs.select(col("doc_id"),
         lit(buckets.toLong).as("b"), lit(1L).as("cnt")))
       .persist())
+    // null lang is the NEGATIVE class (y=0), matching the oracle's SQL
+    // CASE semantics — a bare `===` would yield NULL y and silently
+    // drop those documents' gradient rows (sum skips nulls)
     val y = docs.select(col("doc_id"),
-      (col("lang") === targetLang).cast(LongType).as("y"))
+      coalesce((col("lang") === targetLang).cast(LongType), lit(0L)).as("y"))
     val n = docs.count()
     val w = Array.fill(buckets + 1)(0L) // micro-units
     // exact long logit under the current weights, then the clamped

@@ -107,10 +107,15 @@ object Dedup {
       .map(_.toLong).getOrElse(4096L)
 
   private def lshCandidatesFromSets(sets: DataFrame): DataFrame = {
-    val bh = bandHashes(minhashSignaturesFromSets(sets))
-    // bounded probe (limit 1), not a full count; the bucket-size
-    // aggregate shuffles on the same (band, bh) key as the candidate
-    // join below, so its exchange is reusable
+    // persisted: three consumers — the hot-band probe action below plus
+    // BOTH sides of the candidate self-join. Without the persist the
+    // probe (a separate action) recomputes shingles→minhash→bandHashes
+    // from scratch; ReusedExchange only applies within one plan, never
+    // across actions (measured: dedup_minhash_lsh 1.06 → 1.81 s when
+    // the guard landed unpersisted, r13)
+    val bh = graft.util.Scratch.track(
+      bandHashes(minhashSignaturesFromSets(sets)).persist())
+    // bounded probe (limit 1), not a full count
     val cap = maxBandDocs
     val hot = bh.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("n")).where(col("n") > cap)

@@ -20,11 +20,11 @@ import org.apache.spark.storage.StorageLevel
   * distance sum).
   *
   * Scale shape: the distance table is ≤ k·V rows (landmarks × nodes),
-  * NEVER V² — each of the `maxHops` synchronous rounds is one
-  * frontier⋈edges shuffle + a min-dist partial aggregate, with
-  * lineage cut every 4 rounds like the other iterative operators.
-  * All-pairs exact closeness is the refused shape at 100 TB; k
-  * landmarks is the published scale path. */
+  * NEVER V² — and the BFS is SEMI-NAIVE: each round shuffles only the
+  * newly-discovered frontier against edges plus one anti-join against
+  * the seen-set, with an eager lineage cut per hop and early exit on
+  * an exhausted frontier. All-pairs exact closeness is the refused
+  * shape at 100 TB; k landmarks is the published scale path. */
 object Centrality {
 
   def landmarkCloseness(edges: DataFrame, k: Int = 4,
@@ -38,22 +38,38 @@ object Centrality {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val landmarks = und.select(col("src").as("node")).distinct()
       .orderBy(col("node")).limit(k)
-    var dist = landmarks
+    // SEMI-NAIVE BFS (the Paths.scala closure discipline): each hop
+    // joins ONLY the hop-h frontier against edges — never the full
+    // accumulated distance table, which the naive form re-joined every
+    // round at O(k·V ⋈ E) per hop instead of O(frontier ⋈ E). BFS
+    // level order guarantees first discovery IS the min distance, so
+    // the per-round min-aggregate disappears too; the anti-join
+    // against the seen-set replaces it. Frontiers are eagerly
+    // checkpointed per hop (the 10.7 s → ~1 s sf0.1 lineage lesson,
+    // BASELINE.md r13) and the loop exits as soon as a frontier is
+    // empty — diameter < maxHops graphs stop paying for empty rounds.
+    val seed = graft.util.Scratch.trackCheckpoint(landmarks
       .select(col("node").as("l"), col("node"), lit(0L).as("dist"))
-    for (_ <- 1 to maxHops) {
-      dist = dist.unionByName(
-          dist.join(und, col("node") === col("src"))
-            .select(col("l"), col("dst").as("node"),
-              (col("dist") + 1L).as("dist")))
-        .groupBy(col("l"), col("node")).agg(min(col("dist")).as("dist"))
-      // EAGER checkpoint EVERY hop: the round's groupBy consumes the
-      // whole prior-round plan, so uncut lineage re-executes hops
-      // 1..h−1 inside hop h — measured 10.7 s → ~1 s at sf0.1 for the
-      // identical result; the table is ≤ k·V rows, so the
-      // materialization is the cheap side of that trade
-      dist = graft.util.Scratch.trackCheckpoint(dist.localCheckpoint(true))
+      .localCheckpoint(true))
+    val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
+    var frontier = seed
+    var seen = seed.select(col("l"), col("node"))
+    var h = 0L
+    var exhausted = false
+    while (h < maxHops && !exhausted) {
+      h += 1
+      val next = frontier.join(und, col("node") === col("src"))
+        .select(col("l"), col("dst").as("node")).distinct()
+        .join(seen, Seq("l", "node"), "left_anti")
+        .select(col("l"), col("node"), lit(h).as("dist"))
+      frontier = graft.util.Scratch.trackCheckpoint(next.localCheckpoint(true))
+      if (frontier.isEmpty) exhausted = true
+      else {
+        frontiers += frontier
+        seen = seen.unionByName(frontier.select(col("l"), col("node")))
+      }
     }
-    dist.groupBy(col("node"))
+    frontiers.reduce(_ unionByName _).groupBy(col("node"))
       .agg(count(lit(1)).as("reached"), sum(col("dist")).as("sum_dist"))
       .select(col("node"), col("reached"), col("sum_dist").cast(LongType)
           .as("sum_dist"),

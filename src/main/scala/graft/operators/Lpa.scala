@@ -60,7 +60,8 @@ object Lpa {
       lbl = nodes.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("wl"), col("node")).as("lbl"))
       i += 1
-      if (i % 4 == 0) lbl = lbl.localCheckpoint(false)
+      if (i % 4 == 0)
+        lbl = graft.util.Scratch.trackCheckpoint(lbl.localCheckpoint(true))
     }
     lbl.select(col("node"), col("lbl").as("community"))
   }

@@ -1347,6 +1347,11 @@ object HttpApi {
     * `start`, so no client can mistake a page for the whole result. */
   def bindingsJson(df: DataFrame, start: Int = 0,
                    limit: Option[Int] = None): String = {
+    // reject rather than clamp: ?limit=0 would page forever (next_start
+    // == start) and a negative limit throws deep inside limit(); the
+    // route plumbing maps this require to a clean 400
+    require(start >= 0, s"start must be >= 0 (got $start)")
+    limit.foreach(l => require(l >= 1, s"limit must be >= 1 (got $l)"))
     val vars = df.columns.toSeq
     val eff = math.min(limit.getOrElse(maxResponseRows), maxResponseRows)
     // one extra row answers "is there more?" without a second count job
