@@ -94,6 +94,10 @@ object Bench {
     "text_unigram_apply", "graph_closeness",
     // llm_ccnet_buckets re-runs text_bigram_ppl's scoring (the
     // emb_kmeans double-count rationale) — oracle-only, not benched
+    // round-14 tranche: WordPiece train before apply (merge table is
+    // the memoized wpCache artifact, so apply measures ENCODE);
+    // ext_graphql_count rides the same WOQL aggregate path
+    "text_wordpiece_train", "text_wordpiece_apply", "ext_graphql_count",
     )
 
   def main(args: Array[String]): Unit = {

@@ -216,8 +216,15 @@ object TextAnalysis {
     * `aggregate` fold — state `(out, carry)`, one pass per word, no
     * UDF — so the whole merge application is a narrow codegen'd map
     * over the vocabulary table. */
-  private def applyMerge(syms: Column, l: String, r: String): Column = {
-    val lc = lit(l); val rc = lit(r); val merged = lit(l + r)
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    applyMergeInto(syms, l, r, l + r)
+
+  /** [[applyMerge]] with an explicit merged symbol — WordPiece merges
+    * strip the continuation marker from the right piece (`w` + `##o`
+    * → `wo`), BPE simply concatenates. */
+  private def applyMergeInto(syms: Column, l: String, r: String,
+                             mergedSym: String): Column = {
+    val lc = lit(l); val rc = lit(r); val merged = lit(mergedSym)
     def emit(out: Column, x: Column) = concat(out, array(x))
     aggregate(syms,
       struct(array().cast(ArrayType(StringType)).as("out"),
@@ -266,7 +273,9 @@ object TextAnalysis {
     String, Seq[(Long, String, String, Long)]]()
 
   /** Eviction path, chained from [[Clustering.clearArtifacts]]. */
-  def clearArtifacts(): Unit = { mergeCache.clear(); clearUnigramArtifacts() }
+  def clearArtifacts(): Unit = {
+    mergeCache.clear(); clearUnigramArtifacts(); clearWpArtifacts()
+  }
 
   /** The merge loop, memoized per (source plan, k) — shared by
     * `bpeTrain` (which tabulates the merges) and `bpeApply` (which
@@ -401,6 +410,123 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast(LongType).as("n_words"),
         sum(col("c") * col("ntok")).cast(LongType).as("n_bpe_tokens"))
+  }
+
+  // ---- WordPiece (Schuster & Nakajima 2012 — the BERT-family
+  // trainer): greedy merges like BPE, but the merge decision is the
+  // LIKELIHOOD gain argmax — score(l,r) = count(l,r) / (count(l) ·
+  // count(r)) — and continuation pieces carry the `##` marker. The
+  // third member of the standard tokenizer trio next to bpeTrain and
+  // unigramTrain, on the same word-TYPE economics. ----
+
+  /** A word type as WordPiece symbols: bare first character, then
+    * `##`-prefixed continuation characters. */
+  private def wpSyms(w: Column): Column =
+    concat(array(substring(w, 1, 1)),
+      transform(slice(split(w, ""), lit(2), greatest(length(w) - 1, lit(0))),
+        c => concat(lit("##"), c)))
+
+  /** `(w, syms, cnt)` initial WordPiece vocabulary over word types. */
+  private def wpVocab0(docs: DataFrame): DataFrame =
+    docs.select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), wpSyms(col("w")).as("syms"), col("cnt"))
+
+  /** Symbol occurrence totals of a vocabulary (WITH within-word
+    * multiplicity, weighted by word frequency) — the likelihood
+    * denominators. One aggregate over vocab rows. */
+  private def wpUnitCounts(vocab: DataFrame): DataFrame =
+    vocab.select(explode(col("syms")).as("sym"), col("cnt"))
+      .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
+
+  /** The likelihood score as an EXACT integer: floor(freq · 10¹² /
+    * (n_l · n_r)) in DECIMAL(38,0) arithmetic, so the argmax and its
+    * (lhs, rhs) tie-break replay bit-for-bit in any engine. freq ≤
+    * min(n_l, n_r) bounds the quotient at 10¹², safely in a long. */
+  private val wpScoreExpr =
+    "CAST(CAST(freq AS DECIMAL(20,0)) * 1000000000000 DIV " +
+      "(CAST(nl AS DECIMAL(20,0)) * CAST(nr AS DECIMAL(20,0))) AS BIGINT)"
+
+  // trained-artifact memo, the mergeCache economics
+  private val wpCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, Long, Long)]]()
+  private[llm] def clearWpArtifacts(): Unit = wpCache.clear()
+
+  /** The WordPiece merge loop, memoized per (source plan, k) — shared
+    * by [[wordpieceTrain]] and [[wordpieceApply]]. */
+  def wordpieceMerges(docs: DataFrame, k: Int): Seq[(Long, String, String, Long, Long)] =
+    wpCache.computeIfAbsent(Clustering.planKey(docs) + s"#wp_k=$k",
+      _ => wordpieceMergesUncached(docs, k))
+
+  private def wordpieceMergesUncached(docs: DataFrame, k: Int)
+      : Seq[(Long, String, String, Long, Long)] = {
+    var vocab = graft.util.Scratch.trackCheckpoint(
+      wpVocab0(docs).select(col("syms"), col("cnt")).localCheckpoint(true))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long)]
+    var round = 0
+    var done = false
+    while (!done && round < k) {
+      round += 1
+      // pair counting is bpePairCounts verbatim; the unit counts join
+      // in as likelihood denominators — both aggregates are over vocab
+      // rows (∝ word types), per-round cost independent of corpus size
+      val units = wpUnitCounts(vocab)
+      val best = bpePairCounts(vocab)
+        .join(units.select(col("sym").as("l"), col("n").as("nl")), Seq("l"))
+        .join(units.select(col("sym").as("r"), col("n").as("nr")), Seq("r"))
+        .withColumn("score_e12", expr(wpScoreExpr))
+        .orderBy(col("score_e12").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val b = best(0)
+        val (l, r) = (b.getAs[String]("l"), b.getAs[String]("r"))
+        out += ((round.toLong, l, r,
+          b.getAs[Long]("freq"), b.getAs[Long]("score_e12")))
+        if (round < k)
+          vocab = graft.util.Scratch.trackCheckpoint(vocab.select(
+            applyMergeInto(col("syms"), l, r, l + r.stripPrefix("##"))
+              .as("syms"), col("cnt")).localCheckpoint(true))
+      }
+    }
+    out.toSeq
+  }
+
+  /** WordPiece merge-loop training: `k` rounds of likelihood-argmax →
+    * merge. Returns `(rank, lhs, rhs, freq, score_e12)` — the ordered
+    * merge table with each round's pair count and exact integer
+    * likelihood score. Ties break (score desc, lhs, rhs). */
+  def wordpieceTrain(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordpieceMerges(docs, k).toDF("rank", "lhs", "rhs", "freq", "score_e12")
+  }
+
+  /** WordPiece ENCODE with the trained merges — the [[bpeApply]] twin:
+    * per document, word count and piece count under the `k`-merge
+    * WordPiece tokenizer. Merges fold over the distinct word-TYPE
+    * table; the corpus is tokenized by join, never re-folded. */
+  def wordpieceApply(docs: DataFrame, k: Int): DataFrame = {
+    val merges = wordpieceMerges(docs, k)
+    val words = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    var types = words.select(col("w")).distinct()
+      .select(col("w"), wpSyms(col("w")).as("syms"))
+    for (((_, l, r, _, _), i) <- merges.zipWithIndex) {
+      types = types.select(col("w"),
+        applyMergeInto(col("syms"), l, r, l + r.stripPrefix("##")).as("syms"))
+      // same fold-chain cut as bpeApply (Catalyst lambda-nesting cost)
+      if ((i + 1) % 4 == 0 && i + 1 < merges.size)
+        types = graft.util.Scratch.trackCheckpoint(types.localCheckpoint(true))
+    }
+    val tokcnt = types.select(col("w"), size(col("syms")).cast(LongType).as("ntok"))
+    words.join(tokcnt, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_words"),
+        sum(col("c") * col("ntok")).cast(LongType).as("n_wp_tokens"))
   }
 
   def fingerprint(docs: DataFrame): DataFrame =

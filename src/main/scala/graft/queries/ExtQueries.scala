@@ -565,6 +565,20 @@ object ExtQueries {
     "text_bpe_apply" -> ((s, d) =>
       graft.llm.TextAnalysis.bpeApply(t(s, d, "documents"), 12)),
 
+    // WordPiece trainer (Schuster & Nakajima 2012 — the BERT-family
+    // tokenizer, completing the BPE/unigram/WordPiece trio): 8 rounds
+    // of likelihood-argmax (exact integer floor(freq·1e12/(n_l·n_r)))
+    // → merge with ##-continuation stripping; same word-TYPE
+    // economics as BPE (corpus touched once)
+    "text_wordpiece_train" -> ((s, d) =>
+      graft.llm.TextAnalysis.wordpieceTrain(t(s, d, "documents"), 8)),
+
+    // WordPiece ENCODE with the trained merges (train→apply): merges
+    // fold over the word-TYPE table, per-doc counts join the encoded
+    // types — the bpeApply twin under ## continuation symbols
+    "text_wordpiece_apply" -> ((s, d) =>
+      graft.llm.TextAnalysis.wordpieceApply(t(s, d, "documents"), 8)),
+
     // multinomial Naive Bayes (fastText-class router) TRAIN: add-one
     // smoothed per-(class,token) log-likelihoods in integer micro-log
     // units; top-20 evidence tokens per class
@@ -1623,6 +1637,65 @@ object ExtQueries {
        | wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM w GROUP BY w),
        | v0 AS MATERIALIZED (SELECT w,
        |   list_append(regexp_extract_all(w, '[a-z]'), '_') AS syms, cnt
+       |  FROM wc)
+       | ${(1 to k).map(round).mkString("\n")}""".stripMargin
+  }
+
+  /** WordPiece merge-loop CTE chain — the [[bpeWindowChain]] structure
+    * with two deltas: the argmax is the LIKELIHOOD score
+    * floor(freq·10¹²/(n_l·n_r)) in exact HUGEINT math (un$i unit
+    * counts join in as denominators; ties score DESC, lhs, rhs), and
+    * the merged symbol strips the `##` continuation marker from the
+    * right piece. v0 is bare-first-char + ##-continuations, no
+    * end-of-word marker. Same unnest + gaps-and-islands greedy-merge
+    * replay, everything MATERIALIZED. */
+  private def wpWindowChain(k: Int): String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      val pairsBest =
+        s""", p$i AS MATERIALIZED (SELECT t.pair, sum(t.cnt) AS freq FROM (
+           |   SELECT unnest(list_transform(range(1, len(syms)),
+           |     j -> syms[j] || ' ' || syms[j+1])) AS pair, cnt
+           |   FROM $prev WHERE len(syms) >= 2) t GROUP BY t.pair),
+           | un$i AS MATERIALIZED (SELECT sym, sum(cnt) AS n FROM (
+           |   SELECT unnest(syms) AS sym, cnt FROM $prev) GROUP BY sym),
+           | b$i AS MATERIALIZED (SELECT p.lhs, p.rhs, p.freq,
+           |   CAST(CAST(p.freq AS HUGEINT) * 1000000000000 //
+           |     (CAST(ul.n AS HUGEINT) * ur.n) AS BIGINT) AS score_e12
+           |  FROM (SELECT split_part(pair,' ',1) AS lhs,
+           |          split_part(pair,' ',2) AS rhs, freq FROM p$i) p
+           |  JOIN un$i ul ON ul.sym = p.lhs
+           |  JOIN un$i ur ON ur.sym = p.rhs
+           |  ORDER BY score_e12 DESC, p.lhs, p.rhs LIMIT 1)""".stripMargin
+      val fold =
+        s""", u$i AS MATERIALIZED (SELECT w, cnt,
+           |   unnest(range(1, len(syms)+1)) AS i, unnest(syms) AS sym FROM $prev),
+           | c$i AS MATERIALIZED (SELECT u.w, u.cnt, u.i, u.sym,
+           |   (u.sym = b.lhs AND
+           |    lead(u.sym) OVER (PARTITION BY u.w ORDER BY u.i) = b.rhs) AS cand
+           |  FROM u$i u CROSS JOIN b$i b),
+           | s$i AS MATERIALIZED (SELECT w, i,
+           |   (row_number() OVER (PARTITION BY w, i - rn ORDER BY i) % 2 = 1) AS merged
+           |  FROM (SELECT w, i, row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+           |        FROM c$i WHERE cand)),
+           | v$i AS MATERIALIZED (SELECT w, list(sym2 ORDER BY i) AS syms, min(cnt) AS cnt
+           |  FROM (SELECT c.w, c.cnt, c.i,
+           |     CASE WHEN coalesce(s.merged, false)
+           |      THEN b.lhs || regexp_replace(b.rhs, '^##', '') ELSE c.sym END AS sym2,
+           |     coalesce(lag(coalesce(s.merged, false))
+           |       OVER (PARTITION BY c.w ORDER BY c.i), false) AS pm
+           |    FROM c$i c LEFT JOIN s$i s ON s.w = c.w AND s.i = c.i
+           |    CROSS JOIN b$i b) q
+           |  WHERE NOT pm GROUP BY w)""".stripMargin
+      if (i < k) pairsBest + fold else pairsBest
+    }
+    s"""w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       | wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+       | v0 AS MATERIALIZED (SELECT w,
+       |   list_prepend(substr(w, 1, 1),
+       |     list_transform(regexp_extract_all(w, '[a-z]')[2:],
+       |       c -> '##' || c)) AS syms, cnt
        |  FROM wc)
        | ${(1 to k).map(round).mkString("\n")}""".stripMargin
   }
@@ -2850,6 +2923,73 @@ object ExtQueries {
          | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
          |   CAST(sum(c * len(syms)) AS BIGINT) AS n_bpe_tokens
          | FROM dwc JOIN v12 USING (w) GROUP BY doc_id""".stripMargin
+    },
+
+    // WordPiece train: 8 likelihood-argmax rounds (exact HUGEINT
+    // floor(freq·1e12/(n_l·n_r)), ties score DESC then pair), merge
+    // replayed with the same unnest+gaps-and-islands formulation as
+    // BPE but ##-stripped merged symbols (integer casts for the same
+    // HUGEINT-export reason as text_bpe_train)
+    "text_wordpiece_train" -> {
+      s"""WITH ${wpWindowChain(8)}
+         | ${(1 to 8).map(i =>
+             s"""SELECT CAST($i AS BIGINT) AS rank, lhs, rhs,
+                | CAST(freq AS BIGINT) AS freq, score_e12 FROM b$i""".stripMargin)
+             .mkString(" UNION ALL ")}
+         | ORDER BY rank""".stripMargin
+    },
+
+    // WordPiece apply: the same 8-round likelihood-argmax chain, vocab
+    // rows carrying their source word through a list_reduce fold (the
+    // text_bpe_apply replay formulation, ##-stripped merged symbols);
+    // per-doc word counts join the final word→symbols map
+    "text_wordpiece_apply" -> {
+      def round(i: Int): String = {
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s""", p$i AS MATERIALIZED (SELECT t.pair, sum(t.cnt) AS freq FROM (
+           |   SELECT unnest(list_transform(range(1, len(syms)),
+           |     j -> syms[j] || ' ' || syms[j+1])) AS pair, cnt
+           |   FROM $prev WHERE len(syms) >= 2) t GROUP BY t.pair),
+           | un$i AS MATERIALIZED (SELECT sym, sum(cnt) AS n FROM (
+           |   SELECT unnest(syms) AS sym, cnt FROM $prev) GROUP BY sym),
+           | b$i AS MATERIALIZED (SELECT p.lhs, p.rhs,
+           |   p.lhs || regexp_replace(p.rhs, '^##', '') AS msym
+           |  FROM (SELECT split_part(pair,' ',1) AS lhs,
+           |          split_part(pair,' ',2) AS rhs, freq FROM p$i) p
+           |  JOIN un$i ul ON ul.sym = p.lhs
+           |  JOIN un$i ur ON ur.sym = p.rhs
+           |  ORDER BY CAST(p.freq AS HUGEINT) * 1000000000000 //
+           |    (CAST(ul.n AS HUGEINT) * ur.n) DESC, p.lhs, p.rhs LIMIT 1),
+           | v$i AS MATERIALIZED (SELECT w, string_split(
+           |   CASE WHEN split_part(st,'|',2)='' THEN split_part(st,'|',1)
+           |        WHEN split_part(st,'|',1)='' THEN split_part(st,'|',2)
+           |        ELSE split_part(st,'|',1) || ',' || split_part(st,'|',2) END,
+           |   ',') AS syms, cnt
+           |  FROM (SELECT w, list_reduce(list_prepend('|', syms), (acc, x) ->
+           |   CASE WHEN split_part(acc,'|',2) = b$i.lhs AND x = b$i.rhs
+           |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
+           |          ELSE split_part(acc,'|',1)||',' END) || b$i.msym || '|'
+           |    WHEN split_part(acc,'|',2) <> ''
+           |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
+           |          ELSE split_part(acc,'|',1)||',' END) || split_part(acc,'|',2) || '|' || x
+           |    ELSE split_part(acc,'|',1) || '|' || x END) AS st, cnt
+           |   FROM $prev, b$i) q)""".stripMargin
+      }
+      s"""WITH dw AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents),
+         | dwc AS MATERIALIZED (SELECT doc_id, w, count(*) AS c
+         |  FROM dw GROUP BY doc_id, w),
+         | wc AS MATERIALIZED (SELECT w, sum(c) AS cnt FROM dwc GROUP BY w),
+         | v0 AS MATERIALIZED (SELECT w,
+         |   list_prepend(substr(w, 1, 1),
+         |     list_transform(regexp_extract_all(w, '[a-z]')[2:],
+         |       c -> '##' || c)) AS syms, cnt
+         |  FROM wc)
+         | ${(1 to 8).map(round).mkString("\n")}
+         | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |   CAST(sum(c * len(syms)) AS BIGINT) AS n_wp_tokens
+         | FROM dwc JOIN v8 USING (w) GROUP BY doc_id""".stripMargin
     },
 
     // Naive Bayes train: add-one smoothed log-likelihoods in integer

@@ -1022,6 +1022,23 @@ object VersionQueries {
         col("n_name").getField("str").as("n_name"))
     }),
 
+    // GraphQL COUNT aggregation (reference v10 GraphQL `_count` on
+    // collection queries): the filter uses an OVERLAPPING _or pair —
+    // BUILDING customers with acctbal > 9000 match both branches — so
+    // the distinct-documents-then-count order is load-bearing; a
+    // count over raw _or derivations would double-count the overlap.
+    // Compiled onto the WOQL CountQ aggregate: one partial-aggregated
+    // count over the filtered class scan, no page fetch.
+    "ext_graphql_count" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val q =
+        """{ Customer(filter: {_or: [{c_mktsegment: {eq: "BUILDING"}},
+          |                          {c_acctbal: {gt: 9000.0}}]}) {
+          |    _count } }""".stripMargin
+      val (_, df) = graft.server.GraphQL.run(q)
+      df.select(col("_count").getField("lng").as("n"))
+    }),
+
     // referential integrity (§2.8 validation; reference
     // validate_instance.pl dangling-reference check): a delta adding
     // ghost references (targets that exist nowhere as subjects) plus
@@ -1244,6 +1261,11 @@ object VersionQueries {
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         | WHERE l_quantity = 50.0 AND l_returnflag = 'R'""".stripMargin,
+    // distinct matching documents, not _or derivations: plain OR in
+    // SQL is already boolean per row
+    "ext_graphql_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        | WHERE c_mktsegment = 'BUILDING' OR c_acctbal > 9000.0""".stripMargin,
     // independent re-walk of the engine-written commit catalog: head
     // ref → parent chain, newest first (recursive CTE over the same
     // parquet files the store maintains)

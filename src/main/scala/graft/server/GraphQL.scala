@@ -45,7 +45,9 @@ import graft.core._
   * matching link row is absent (the nested-null shape of a GraphQL
   * tree response has no flat-relational equivalent). `_or` solutions
   * are deduplicated frame-wide, so overlapping branches keep boolean
-  * filter semantics. */
+  * filter semantics. A root selection of exactly `{ _count }` returns
+  * the matching-document count (filter/id/ids respected), compiled
+  * onto the WOQL count aggregate. */
 object GraphQL {
 
   // ---- query AST ----
@@ -272,6 +274,10 @@ object GraphQL {
       }
 
     def compileSels(subjV: String, path: String, sels: Seq[Sel]): Unit = sels.foreach {
+      case Sel("_count", _, _) =>
+        throw new IllegalArgumentException(
+          "_count must be the only root-level field: a flat bindings " +
+            "frame cannot mix a scalar aggregate with per-row fields")
       case Sel("_id", _, Nil) =>
         val out = fieldVar(path, "_id")
         pats :+= Eq(V(out), V(subjV))
@@ -316,7 +322,21 @@ object GraphQL {
         compileSels(lv, fieldVar(path, f), subs)
     }
 
-    compileSels(subj, "", root.fields)
+    // Root-level `_count` (the reference's v10 GraphQL count
+    // aggregation on collection queries): `{ C(filter: ...) { _count } }`
+    // returns ONE row with the number of matching documents, compiled
+    // onto the same WOQL aggregate path as woql count() — a distinct
+    // over the subject then CountQ, so Spark plans it as one partial-
+    // aggregated count over the filtered class scan, never a fetch-
+    // and-count page. Must be the sole selected field (enforced in
+    // compileSels): the flat frame cannot mix aggregate and row shape.
+    val countOnly = root.fields match {
+      case Seq(Sel("_count", cargs, Nil)) =>
+        require(cargs.isEmpty, "_count takes no arguments")
+        true
+      case _ => false
+    }
+    if (!countOnly) compileSels(subj, "", root.fields)
 
     val args = root.args.toMap
     args.get("id").foreach {
@@ -381,8 +401,16 @@ object GraphQL {
       case other => throw new IllegalArgumentException(s"offset must be an int, got $other") }
     args.get("limit").foreach { case GLng(n) => q = Limit(n, q)
       case other => throw new IllegalArgumentException(s"limit must be an int, got $other") }
-    val cols = outs.result()
-    (root.name, Select(cols, q), cols)
+    if (countOnly) {
+      // distinct on the subject first: an overlapping-_or filter frame
+      // carries one row per matching branch, and _count means matching
+      // DOCUMENTS, not matching filter derivations
+      (root.name, Select(Seq("_count"),
+        CountQ(Distinct(Seq(subj), q), "_count")), Seq("_count"))
+    } else {
+      val cols = outs.result()
+      (root.name, Select(cols, q), cols)
+    }
   }
 
   /** Introspection subset: `{ __schema { types { name } } }` lists

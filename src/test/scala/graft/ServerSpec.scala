@@ -761,6 +761,42 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.isEmpty)
   }
 
+  test("graphql _count aggregates matching documents; filters + branch addressing") {
+    post("/api/branch?name=gqc&from=main", "")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val data = triples(
+        ("tpch:thing/10", "rdf:type", ":w"),
+        ("tpch:thing/10", "tpch:w_name", "gizmo"),
+        ("tpch:thing/11", "rdf:type", ":w"),
+        ("tpch:thing/11", "tpch:w_name", "gizmo"),
+        ("tpch:thing/12", "rdf:type", ":w"),
+        ("tpch:thing/12", "tpch:w_name", "doohickey"))
+      .withColumn("o_iri", when(col("o_iri") === ":w",
+        lit("tpch:Widget")).otherwise(col("o_iri")))
+    srv.store.commit("gqc", data, triples().limit(0), "count data")
+    // filtered count on the branch head
+    val (code, resp) = post("/api/graphql?branch=gqc",
+      """{"query":"{ Widget(filter: {w_name: {eq: \"gizmo\"}}) { _count } }"}""")
+    assert(code == 200, resp)
+    val JArray(rows) = (JsonMethods.parse(resp) \ "data" \ "Widget"): @unchecked
+    assert(rows.map(r => r \ "_count") == List(JInt(2)))
+    // unfiltered count sees every Widget on the branch
+    val (c2, r2) = post("/api/graphql?branch=gqc",
+      """{"query":"{ Widget { _count } }"}""")
+    assert(c2 == 200)
+    val JArray(all) = (JsonMethods.parse(r2) \ "data" \ "Widget"): @unchecked
+    assert(all.map(r => r \ "_count") == List(JInt(3)))
+    // the base context has no Widgets — count 0, not an empty page
+    val (c3, r3) = post("/api/graphql", """{"query":"{ Widget { _count } }"}""")
+    assert(c3 == 200)
+    val JArray(zero) = (JsonMethods.parse(r3) \ "data" \ "Widget"): @unchecked
+    assert(zero.map(r => r \ "_count") == List(JInt(0)))
+    // _count cannot mix with per-row fields (flat frame shape clash)
+    val (c4, r4) = post("/api/graphql",
+      """{"query":"{ Widget { _count w_name } }"}""")
+    assert(c4 == 400 && r4.contains("_count"), r4)
+  }
+
   test("document GET time-travels with ?commit addressing") {
     post("/api/branch?name=dtt&from=main", "")
     val c1 = srv.store.commit("dtt",
