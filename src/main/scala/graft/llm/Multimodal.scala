@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[ImageIoCodec]] parses PNG/BMP/GIF/JPEG byte
   * streams with the JDK's own `javax.imageio` readers. AUDIO decode is
   * REAL too: [[WavCodec]] parses WAV/AIFF/AU with `javax.sound.sampled`
-  * (frame count + sample rate — no native libraries either way). Only
-  * VIDEO remains STUBBED (`fakeDecode` derives deterministic
-  * "dimensions" from an md5 of the payload — no pure-JDK video reader
-  * exists); the [[Codec]] trait is the swap point, and the Spark-side
-  * plumbing — binary schema, partition batching, metadata struct
-  * shape — is identical for all of them. */
+  * (frame count + sample rate — no native libraries either way).
+  * VIDEO container METADATA is real as well: [[Mp4Codec]] walks the
+  * ISO-BMFF/MP4 box structure (duration, timescale, track dimensions)
+  * pure-JDK. Only video FRAME decode remains STUBBED (`fakeDecode`
+  * derives deterministic "dimensions" from an md5 of the payload — no
+  * pure-JDK frame decoder exists); the [[Codec]] trait is the swap
+  * point, and the Spark-side plumbing — binary schema, partition
+  * batching, metadata struct shape — is identical for all of them. */
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
@@ -95,6 +97,94 @@ object Multimodal {
       }
   }
 
+  /** REAL pure-JDK VIDEO CONTAINER metadata codec: walks the
+    * ISO-BMFF/MP4 box structure (moov → mvhd for presentation
+    * duration/timescale, trak → tkhd for track dimensions, trak →
+    * mdia → mdhd for the media clock) with plain ByteBuffer reads —
+    * no frame decoding (no pure-JDK frame decoder exists; the frame
+    * path stays behind the stub), but duration and dimensions are the
+    * two things a pipeline filter keys on and they live entirely in
+    * the box headers. Handles 32-bit and `size==1` 64-bit boxes,
+    * version-0 and version-1 mvhd/tkhd/mdhd, and picks the first
+    * track with nonzero tkhd dimensions (audio tracks carry 0×0). */
+  object Mp4Codec extends Codec {
+
+    final case class Mp4Meta(timescale: Long, duration: Long,
+                             width: Long, height: Long,
+                             mediaTimescale: Long, mediaDuration: Long)
+
+    private def isBmff(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    /** All direct child boxes of [from, to) as (type, bodyStart, end)
+      * — bodyStart is AFTER the size+type (+largesize) header. */
+    private def boxes(bytes: Array[Byte], from: Int, to: Int)
+        : List[(String, Int, Int)] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val out = List.newBuilder[(String, Int, Int)]
+      var p = from
+      var ok = true
+      while (ok && p + 8 <= to) {
+        val sz32 = bb.getInt(p).toLong & 0xffffffffL
+        val tp = new String(bytes, p + 4, 4, "US-ASCII")
+        val (end, body) =
+          if (sz32 == 0) (to.toLong, p + 8L) // box extends to EOF
+          else if (sz32 == 1 && p + 16 <= to) (p + bb.getLong(p + 8), p + 16L)
+          else (p + sz32, p + 8L)
+        if (end <= body || end > to) ok = false // corrupt — stop the walk
+        else {
+          out += ((tp, body.toInt, end.toInt))
+          p = end.toInt
+        }
+      }
+      out.result()
+    }
+
+    private def find(bs: List[(String, Int, Int)], tp: String) =
+      bs.find(_._1 == tp)
+
+    def meta(bytes: Array[Byte]): Option[Mp4Meta] =
+      if (!isBmff(bytes)) None
+      else try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        def u32(p: Int): Long = bb.getInt(p).toLong & 0xffffffffL
+        for {
+          (_, ms, me) <- find(boxes(bytes, 0, bytes.length), "moov")
+          moovKids = boxes(bytes, ms, me)
+          (_, vs, _) <- find(moovKids, "mvhd")
+          // first trak whose tkhd has nonzero dims (the video track)
+          vtrak <- moovKids.iterator.filter(_._1 == "trak").flatMap {
+            case (_, ts, te) =>
+              val kids = boxes(bytes, ts, te)
+              for {
+                (_, ks, ke) <- find(kids, "tkhd")
+                // width/height are the LAST 8 bytes of tkhd in both
+                // versions, 16.16 fixed point
+                w = u32(ke - 8) >> 16
+                h = u32(ke - 4) >> 16
+                if w > 0 && h > 0
+                (_, ds, de) <- find(kids, "mdia")
+                (_, hs, _) <- find(boxes(bytes, ds, de), "mdhd")
+              } yield (w, h, hs)
+          }.nextOption()
+        } yield {
+          val (w, h, hs) = vtrak
+          // mvhd v0: verflags ctime(4) mtime(4) timescale duration(4);
+          // v1 widens the times to 8 bytes
+          val (ts, dur) =
+            if ((bytes(vs) & 0xff) == 1) (u32(vs + 20), bb.getLong(vs + 24))
+            else (u32(vs + 12), u32(vs + 16))
+          val (mts, mdur) =
+            if ((bytes(hs) & 0xff) == 1) (u32(hs + 20), bb.getLong(hs + 24))
+            else (u32(hs + 12), u32(hs + 16))
+          Mp4Meta(ts, dur, w, h, mts, mdur)
+        }
+      } catch { case _: Exception => None }
+
+    def decode(bytes: Array[Byte]): Option[(Long, Long, String)] =
+      meta(bytes).map(m => (m.width, m.height, "video/mp4"))
+  }
+
   /** First-match codec chain — the production default tries every real
     * decoder before the caller falls back to the stub. */
   final case class ChainCodec(codecs: Seq[Codec]) extends Codec {
@@ -102,8 +192,9 @@ object Multimodal {
       codecs.iterator.flatMap(_.decode(bytes)).nextOption()
   }
 
-  /** Images then audio, both pure-JDK real decoders. */
-  val DefaultCodec: Codec = ChainCodec(Seq(ImageIoCodec, WavCodec))
+  /** Images, audio, then video containers — all pure-JDK real
+    * decoders (video = container metadata; frames stay stubbed). */
+  val DefaultCodec: Codec = ChainCodec(Seq(ImageIoCodec, WavCodec, Mp4Codec))
 
   /** STUB decoder for non-decodable media: deterministic
     * pseudo-dimensions from payload md5 (VIDEO has no pure-JDK
@@ -215,6 +306,98 @@ object Multimodal {
       }
     }(Encoders.row(schema))
     spark.createDataFrame(rows.rdd, schema)
+  }
+
+  /** REAL video-container payloads: one minimal ISO-BMFF/MP4 box
+    * structure per document, every field closed-form in doc_id —
+    * ftyp(16) + moov(8 + mvhd(108) + trak(8 + tkhd(92) + mdia(8 +
+    * mdhd(32)))) = 272 bytes exactly, so even n_bytes is
+    * oracle-predictable. Presentation clock: timescale 1000, duration
+    * 1000 + id%9000 (so duration_ms = duration); media clock: 48000,
+    * duration·48; track dims (320 + id%1280) × (240 + id%720). The
+    * boxes are written programmatically ON THE EXECUTORS and
+    * [[Mp4Codec]] genuinely walks the result. */
+  def withMp4Payload(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val spark = docs.sparkSession
+    val rows = docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val duration = (1000 + id % 9000).toInt
+        val w = (320 + id % 1280).toInt
+        val h = (240 + id % 720).toInt
+        val bb = java.nio.ByteBuffer.allocate(272) // big-endian default
+        def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+        bb.putInt(16); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
+        bb.putInt(256); fourcc("moov")
+        bb.putInt(108); fourcc("mvhd")
+        bb.putInt(0)                       // version 0 + flags
+        bb.putInt(0).putInt(0)             // ctime, mtime
+        bb.putInt(1000).putInt(duration)   // timescale, duration
+        bb.putInt(0x00010000)              // rate 1.0
+        bb.putShort(0x0100.toShort)        // volume 1.0
+        bb.put(new Array[Byte](10))        // reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)              // identity matrix
+        bb.put(new Array[Byte](24))        // pre_defined
+        bb.putInt(2)                       // next_track_ID
+        bb.putInt(140); fourcc("trak")
+        bb.putInt(92); fourcc("tkhd")
+        bb.putInt(0x000007)                // v0, enabled|in-movie|in-preview
+        bb.putInt(0).putInt(0)             // ctime, mtime
+        bb.putInt(1)                       // track_ID
+        bb.putInt(0)                       // reserved
+        bb.putInt(duration)                // duration (movie timescale)
+        bb.put(new Array[Byte](8))         // reserved
+        bb.putShort(0).putShort(0)         // layer, alternate_group
+        bb.putShort(0).putShort(0)         // volume (video=0), reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)              // identity matrix
+        bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed-point dims
+        bb.putInt(40); fourcc("mdia")
+        bb.putInt(32); fourcc("mdhd")
+        bb.putInt(0)                       // version 0 + flags
+        bb.putInt(0).putInt(0)             // ctime, mtime
+        bb.putInt(48000)                   // media timescale
+        bb.putInt(duration * 48)           // media duration
+        bb.putShort(0x55C4.toShort)        // language "und"
+        bb.putShort(0)                     // pre_defined
+        Row(id, bb.array())
+      }
+    }(Encoders.row(schema))
+    spark.createDataFrame(rows.rdd, schema)
+  }
+
+  val mp4Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("timescale", LongType),
+    StructField("duration", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("media_timescale", LongType),
+    StructField("media_duration", LongType),
+    StructField("format", StringType)))
+
+  /** Full container metadata via [[Mp4Codec.meta]] — the richer
+    * video-specific twin of [[decodeMeta]] (same mapPartitions batch
+    * shape); non-MP4 payloads are dropped rather than stubbed, since
+    * the extra clock columns have no stub analogue. */
+  def mp4Meta(withBytes: DataFrame): DataFrame = {
+    val spark = withBytes.sparkSession
+    val rows = withBytes.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          Mp4Codec.meta(bytes).map(m =>
+            Row(id, bytes.length.toLong, m.timescale, m.duration,
+              m.width, m.height, m.mediaTimescale, m.mediaDuration,
+              "video/mp4"))
+        }
+      }(Encoders.row(mp4Schema))
+    spark.createDataFrame(rows.rdd, mp4Schema)
   }
 
   val featSchema: StructType = StructType(Seq(

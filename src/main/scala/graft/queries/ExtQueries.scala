@@ -391,6 +391,16 @@ object ExtQueries {
       graft.llm.Multimodal.decodeMeta(
         graft.llm.Multimodal.withWavPayload(t(s, d, "documents")))),
 
+    // REAL video-container path: executors write one minimal
+    // ISO-BMFF/MP4 box structure per doc (every field closed-form in
+    // doc_id, 272 bytes exactly), Mp4Codec walks the boxes back —
+    // presentation clock from mvhd, track dims from tkhd (16.16
+    // fixed), media clock from mdhd. Frame decode stays stubbed;
+    // container metadata no longer is.
+    "mm_decode_mp4" -> ((s, d) =>
+      graft.llm.Multimodal.mp4Meta(
+        graft.llm.Multimodal.withMp4Payload(t(s, d, "documents")))),
+
     "mm_frames" -> ((s, d) =>
       graft.llm.Multimodal.sampleFrames(
         graft.llm.Multimodal.withPayload(t(s, d, "documents")), 64)),
@@ -2471,6 +2481,17 @@ object ExtQueries {
         | 44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2 AS n_bytes,
         | 100 + doc_id % 400 AS width, 8000 AS height,
         | 'audio/wav' AS format FROM documents""".stripMargin,
+
+    // real-container check: every parsed box field must equal the
+    // generator's closed form — a mis-walked box (wrong offset, fixed-
+    // point slip, wrong clock) diverges some column for some doc_id
+    "mm_decode_mp4" ->
+      """SELECT doc_id, 272 AS n_bytes, 1000 AS timescale,
+        | 1000 + doc_id % 9000 AS duration,
+        | 320 + doc_id % 1280 AS width, 240 + doc_id % 720 AS height,
+        | 48000 AS media_timescale,
+        | (1000 + doc_id % 9000) * 48 AS media_duration,
+        | 'video/mp4' AS format FROM documents""".stripMargin,
 
     "mm_frames" ->
       """SELECT doc_id, unnest(range(0, CAST(strlen(text) AS BIGINT), 64))

@@ -46,6 +46,69 @@ class Round14OpsSpec extends AnyFunSuite {
       Seq((1L, 3L, 3L)))
   }
 
+  test("mp4 codec chain decodes container metadata end-to-end") {
+    import spark.implicits._
+    val docs = Seq((5L, "x"), (77L, "y")).toDF("doc_id", "text")
+    // via the generic chain (ImageIO → WAV → MP4): dims + format
+    val meta = graft.llm.Multimodal.decodeMeta(
+      graft.llm.Multimodal.withMp4Payload(docs)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(meta(5L) == ((272L, 325L, 245L, "video/mp4")))
+    assert(meta(77L) == ((272L, 397L, 317L, "video/mp4")))
+    // the rich path adds both clocks
+    val full = graft.llm.Multimodal.mp4Meta(
+      graft.llm.Multimodal.withMp4Payload(docs.where(col("doc_id") === 5)))
+      .collect().head
+    assert((full.getLong(2), full.getLong(3), full.getLong(6),
+      full.getLong(7)) == ((1000L, 1005L, 48000L, 48240L)))
+    // corrupt: ftyp magic but the first box size overruns the buffer
+    val junk = Array[Byte]('_', '_', '_', '_', 'f', 't', 'y', 'p') ++
+      Array.fill[Byte](8)(0x7f)
+    assert(graft.llm.Multimodal.Mp4Codec.decode(junk).isEmpty)
+  }
+
+  test("mp4 codec handles version-1 boxes and skips 0-dim audio tracks") {
+    val bb = java.nio.ByteBuffer.allocate(448)
+    def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    def matrix(): Unit = Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+      0x40000000).foreach(bb.putInt)
+    bb.putInt(16); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
+    bb.putInt(432); fourcc("moov")
+    bb.putInt(120); fourcc("mvhd")                 // VERSION 1
+    bb.putInt(0x01000000)                          // version=1, flags=0
+    bb.putLong(0).putLong(0)                       // 64-bit ctime/mtime
+    bb.putInt(90000); bb.putLong(123456789L)       // timescale, 64-bit dur
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort)
+    bb.put(new Array[Byte](10)); matrix(); bb.put(new Array[Byte](24))
+    bb.putInt(3)
+    // trak 1: AUDIO — v0 tkhd with 0x0 dims; must be skipped
+    bb.putInt(140); fourcc("trak")
+    bb.putInt(92); fourcc("tkhd"); bb.putInt(7)
+    bb.putInt(0).putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(100)
+    bb.put(new Array[Byte](8)); bb.putShort(0).putShort(0)
+    bb.putShort(0x0100.toShort).putShort(0); matrix()
+    bb.putInt(0).putInt(0)                         // 0×0 (audio)
+    bb.putInt(40); fourcc("mdia")
+    bb.putInt(32); fourcc("mdhd"); bb.putInt(0)
+    bb.putInt(0).putInt(0); bb.putInt(44100); bb.putInt(44100)
+    bb.putShort(0x55C4.toShort).putShort(0)
+    // trak 2: VIDEO — v1 tkhd/mdhd
+    bb.putInt(164); fourcc("trak")
+    bb.putInt(104); fourcc("tkhd"); bb.putInt(0x01000007)
+    bb.putLong(0).putLong(0); bb.putInt(2); bb.putInt(0); bb.putLong(100L)
+    bb.put(new Array[Byte](8)); bb.putShort(0).putShort(0)
+    bb.putShort(0).putShort(0); matrix()
+    bb.putInt(1920 << 16).putInt(1080 << 16)
+    bb.putInt(52); fourcc("mdia")
+    bb.putInt(44); fourcc("mdhd"); bb.putInt(0x01000000)
+    bb.putLong(0).putLong(0); bb.putInt(48000); bb.putLong(987654321L)
+    bb.putShort(0x55C4.toShort).putShort(0)
+    val got = graft.llm.Multimodal.Mp4Codec.meta(bb.array())
+    assert(got.contains(graft.llm.Multimodal.Mp4Codec.Mp4Meta(
+      90000L, 123456789L, 1920L, 1080L, 48000L, 987654321L)))
+  }
+
   test("closeness early-exits when the frontier empties before maxHops") {
     import spark.implicits._
     // diameter-1 graph with maxHops 6: the hop-2 frontier is empty,
