@@ -418,6 +418,47 @@ object VersionQueries {
         .select(col("s"), col("o_str").as("tag"))
     }),
 
+    // rebase CONFLICT RESOLUTION (the reference db_rebase fixup /
+    // continuation path): dev and main both remove nation 3 — a
+    // replay conflict — and dev's second commit removes nations 4
+    // and 5 where main already removed 4 (conflict again, with 5
+    // still present so the skip is observable). The resolution map
+    // lands the first commit with "theirs" (the now-vacuous remove is
+    // satisfied, its marker add survives) and skips the second with
+    // "ours" (nation 5 stays). Resolutions are consulted ONLY at
+    // conflicts — clean commits replay as usual.
+    "woql_rebase_res" -> ((s, d) => {
+      val root = s"$cacheRoot/store_rebres_${san(d)}"
+      val st = LayerStore.open(s, root)
+      if (st.refs.isEmpty) {
+        val nat = Graft.table(s, d, "nation").where(col("n_nationkey") < 10)
+        def byKey(k: Int) = nameTriples(nat.where(col("n_nationkey") === k))
+        val marker = s.range(1).select(lit("instance").as("g"),
+          lit("tpch:nation/marker").as("s"), lit("tpch:n_name").as("p"),
+          lit("l").as("o_kind"), lit(null).cast(StringType).as("o_iri"),
+          lit("xsd:string").as("o_typ"), lit("REBASED").as("o_str"),
+          lit(null).cast(DoubleType).as("o_dbl"),
+          lit(null).cast(LongType).as("o_lng"),
+          lit(null).cast(TimestampType).as("o_ts"),
+          lit(null).cast(BooleanType).as("o_bool"),
+          lit(null).cast(StringType).as("o_lang"),
+          lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
+        st.commit("main", nameTriples(nat), emptyEav(s), "base")
+        st.branch("dev", "main")
+        val d1 = st.commit("dev", marker, byKey(3), "dev: rm 3 + marker")
+        val d2 = st.commit("dev", emptyEav(s),
+          nameTriples(nat.where(col("n_nationkey").isin(4, 5))), "dev: rm 4+5")
+        st.commit("main", emptyEav(s), byKey(3), "main: rm 3")
+        st.commit("main", emptyEav(s), byKey(4), "main: rm 4")
+        // without resolutions this is the abort case (LayersSpec);
+        // with them the replay completes
+        val res = st.rebase("dev", "main",
+          resolutions = Map(d1 -> "theirs", d2 -> "ours"))
+        require(res.isRight, s"resolved rebase still aborted: $res")
+      }
+      st.materializeBranch("dev").select(col("o_str").as("name"))
+    }),
+
     // materialization after the delta (fold of adds/removes)
     "woql_materialized" -> ((s, d) => {
       val st = deltaStore(s, d)
@@ -1266,6 +1307,13 @@ object VersionQueries {
     "ext_graphql_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
         | WHERE c_mktsegment = 'BUILDING' OR c_acctbal > 9000.0""".stripMargin,
+    // resolved rebase: dev head = main's state (nations minus the two
+    // main-side removes) + the replayed marker; the "ours"-skipped
+    // remove of nation 5 must NOT apply
+    "woql_rebase_res" ->
+      """SELECT n_name AS name FROM nation
+        | WHERE n_nationkey < 10 AND n_nationkey NOT IN (3, 4)
+        | UNION ALL SELECT 'REBASED' AS name""".stripMargin,
     // independent re-walk of the engine-written commit catalog: head
     // ref → parent chain, newest first (recursive CTE over the same
     // parquet files the store maintains)

@@ -419,7 +419,18 @@ object HttpApi {
 
     srv.createContext("/api/rebase", route { ex =>
       val src = postParam(ex, "src"); val onto = postParam(ex, "onto")
-      store.rebase(src, onto) match {
+      // optional JSON body {"resolutions": {"<cid>": "ours"|"theirs"}}
+      // — the reference's rebase fixup/continuation path: a prior
+      // api:conflict response names the commits; the client re-posts
+      // with a strategy per conflict and the replay completes
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val resolutions: Map[String, String] =
+        JsonMethods.parseOpt(body).toList.flatMap(j =>
+          (j \ "resolutions") match {
+            case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }
+            case _ => Nil
+          }).toMap
+      store.rebase(src, onto, resolutions = resolutions) match {
         case Right(head) => ok(JObject(
           "api:status" -> JString("api:success"),
           "branch" -> JString(src), "head" -> JString(head)))

@@ -388,19 +388,41 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     * db_rebase replays each divergent commit *with validation*): a delta
     * that was valid on its original base can violate cardinality/domain
     * constraints on the new one. A violation aborts exactly like a
-    * replay conflict, reported as `"<cid>:validation:<check>"` → count. */
+    * replay conflict, reported as `"<cid>:validation:<check>"` → count.
+    *
+    * `resolutions` supplies per-conflict CONTINUATION strategies
+    * (the reference's db_rebase fixup path) keyed by commit id:
+    *   - `"ours"`   — keep the onto base: SKIP the conflicting commit
+    *     entirely (its delta is not replayed). Applies to both replay
+    *     and validation conflicts.
+    *   - `"theirs"` — keep the replayed commit's intent: land it with
+    *     its removes INTERSECTED with the new base (removes of absent
+    *     triples are satisfied vacuously). Schema validation still
+    *     runs on the resolved delta — `"theirs"` resolves replay
+    *     conflicts, never overrides an invariant violation (a commit
+    *     that stays invalid after resolution aborts as usual; skip it
+    *     with `"ours"` if that is intended).
+    * Resolutions are consulted ONLY when a conflict arises — a clean
+    * commit replays normally even if the map names it (git-like
+    * per-conflict semantics). An unresolved conflict aborts exactly
+    * as before. */
   def rebase(src: String, onto: String, schema: DataFrame = null,
-             subclass: DataFrame = null): Either[Seq[(String, Long)], String] = {
+             subclass: DataFrame = null,
+             resolutions: Map[String, String] = Map.empty)
+      : Either[Seq[(String, Long)], String] = {
+    resolutions.values.foreach(v => require(v == "ours" || v == "theirs",
+      s"unknown resolution strategy '$v' (expected ours|theirs)"))
     val origHead = refs(src)
     val srcChain = chain(origHead)
     val ontoChain = chain(refs(onto)).toSet
     val toReplay = srcChain.filterNot(ontoChain)
     val cols = Eav.schema.fieldNames.toSeq
-    def antiNS(l: DataFrame, r: DataFrame): DataFrame = {
+    def joinNS(l: DataFrame, r: DataFrame, kind: String): DataFrame = {
       val (la, ra) = (l.alias("l"), r.alias("r"))
       la.join(ra, cols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _),
-        "left_anti")
+        kind)
     }
+    def antiNS(l: DataFrame, r: DataFrame): DataFrame = joinNS(l, r, "left_anti")
     var head = refs(onto)
     var conflict: Option[(String, Long)] = None
     // lazy iterator: a strict Seq.takeWhile would evaluate the predicate
@@ -410,12 +432,20 @@ final class LayerStore(val spark: SparkSession, val root: String) {
       val rm = removes(cid)
       val base = materialize(head)
       val missing = if (rm.isEmpty) 0L else antiNS(rm, base).count()
-      if (missing > 0) conflict = Some((cid, missing))
-      else {
+      val res = resolutions.get(cid)
+      var skip = false
+      var rmEff = rm
+      if (missing > 0) res match {
+        case Some("ours") => skip = true
+        case Some("theirs") => rmEff = joinNS(rm, base, "left_semi")
+        case _ => conflict = Some((cid, missing))
+      }
+      if (!skip && conflict.isEmpty) {
         if (schema != null) {
-          // validate the replayed delta against the post-remove state
-          // of the NEW base — the graph this commit actually lands on
-          val postRm = if (rm.isEmpty) base else antiNS(base, rm)
+          // validate the (possibly resolved) delta against the
+          // post-remove state of the NEW base — the graph this commit
+          // actually lands on
+          val postRm = if (rmEff.isEmpty) base else antiNS(base, rmEff)
           // default closure must at least be reflexive over typed
           // classes — an empty frame would flag every typed subject
           val sub = if (subclass != null) subclass
@@ -425,11 +455,15 @@ final class LayerStore(val spark: SparkSession, val root: String) {
           val bad = Validator.validate(postRm, adds(cid), schema, sub)
             .map { case (k, v) => k -> v.count() }.find(_._2 > 0)
           bad.foreach { case (check, n) =>
-            conflict = Some((s"$cid:validation:$check", n)) }
+            // "ours" skips an invalid commit; "theirs" cannot force an
+            // invariant violation through
+            if (res.contains("ours")) skip = true
+            else conflict = Some((s"$cid:validation:$check", n))
+          }
         }
-        if (conflict.isEmpty) {
+        if (!skip && conflict.isEmpty) {
           writeRefs(refs + (src -> head))
-          head = commit(src, adds(cid), rm, s"rebase of $cid")
+          head = commit(src, adds(cid), rmEff, s"rebase of $cid")
         }
       }
     }

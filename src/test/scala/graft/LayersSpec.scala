@@ -118,6 +118,73 @@ class LayersSpec extends AnyFunSuite {
     assert(st.rebase("dev", "main").isRight)
   }
 
+  test("rebase resolutions continue the replay: theirs lands, ours skips") {
+    val st = freshStore()
+    st.commit("main", triples((":x", "p", "vx"), (":y", "p", "vy"),
+      (":z", "p", "vz")), empty, "base")
+    st.branch("dev", "main")
+    // d1 removes :x AND adds :b in one commit; d2 removes :y and :z
+    val d1 = st.commit("dev", triples((":b", "p", "vb")),
+      triples((":x", "p", "vx")), "dev rm x + add b")
+    val d2 = st.commit("dev", empty,
+      triples((":y", "p", "vy"), (":z", "p", "vz")), "dev rm y+z")
+    val devHead = st.refs("dev")
+    // main removed :x (d1 conflicts) and :z (d2 conflicts on :z while
+    // :y is still present — the skip is observable through :y)
+    st.commit("main", empty, triples((":x", "p", "vx")), "main rm x")
+    st.commit("main", empty, triples((":z", "p", "vz")), "main rm z")
+    // unresolved → abort (unchanged behavior)
+    assert(st.rebase("dev", "main").isLeft)
+    // resolved: d1 "theirs" lands the add with a vacuous remove;
+    // d2 "ours" is skipped ENTIRELY so :y SURVIVES
+    val res = st.rebase("dev", "main",
+      resolutions = Map(d1 -> "theirs", d2 -> "ours"))
+    assert(res.isRight, res.toString)
+    assert(st.materializeBranch("dev")
+      .select("s").collect().map(_.getString(0)).toSet == Set(":y", ":b"))
+    // same conflicts resolved "theirs" on d2 instead: the remove
+    // applies to what EXISTS (:y goes, the absent :z is vacuous)
+    st.reset("dev", devHead)
+    val res2 = st.rebase("dev", "main",
+      resolutions = Map(d1 -> "theirs", d2 -> "theirs"))
+    assert(res2.isRight, res2.toString)
+    assert(st.materializeBranch("dev")
+      .select("s").collect().map(_.getString(0)).toSet == Set(":b"))
+  }
+
+  test("rebase 'theirs' cannot override a validation conflict; 'ours' skips it") {
+    import spark.implicits._
+    val schema = Seq(("age", "graft:maxCard", 1L))
+      .toDF("s", "p", "n")
+      .select(col("s"), col("p"), lit(null).cast("string").as("o_iri"),
+        col("n").as("o_lng"), lit(null).cast("string").as("o_str"),
+        lit(null).cast("boolean").as("o_bool"))
+    val st = freshStore()
+    st.commit("main", triples((":x", "p", "vx")), empty, "base")
+    st.branch("dev", "main")
+    val d1 = st.commit("dev", triples((":a", "age", 40)), empty, "dev age")
+    val devHead = st.refs("dev")
+    st.commit("main", triples((":a", "age", 30)), empty, "main age")
+    // theirs resolves replay conflicts only — the invariant violation
+    // still aborts and the branch is restored
+    val forced = st.rebase("dev", "main", schema = schema,
+      resolutions = Map(d1 -> "theirs"))
+    assert(forced.isLeft &&
+      forced.left.toOption.get.head._1 == s"$d1:validation:cardinality")
+    assert(st.refs("dev") == devHead)
+    // ours skips the invalid commit and the rebase completes on main's
+    // head (the dev delta is dropped by choice)
+    val skipped = st.rebase("dev", "main", schema = schema,
+      resolutions = Map(d1 -> "ours"))
+    assert(skipped.isRight)
+    val ages = st.materializeBranch("dev").filter(col("p") === "age")
+    assert(ages.count() == 1 && ages.collect().head.getAs[Long]("o_lng") == 30L)
+    // unknown strategies are rejected up-front
+    intercept[IllegalArgumentException] {
+      st.rebase("dev", "main", resolutions = Map(d1 -> "meld"))
+    }
+  }
+
   test("commit ids are content-addressed: same shape, different content") {
     val st = freshStore()
     val id1 = st.commit("b1", triples((":a", "p", "v1")), empty, "m")

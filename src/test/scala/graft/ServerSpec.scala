@@ -797,6 +797,33 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c4 == 400 && r4.contains("_count"), r4)
   }
 
+  test("rebase route resolves conflicts from the request body") {
+    import org.apache.spark.sql.functions.col
+    post("/api/branch?name=rbm&from=main", "")
+    srv.store.commit("rbm",
+      triples((":rb/x", "p", "v"), (":rb/y", "p", "v")),
+      triples().limit(0), "base")
+    post("/api/branch?name=rbd&from=rbm", "")
+    // dev removes :rb/x and adds a marker; rbm also removes :rb/x —
+    // the replayed remove conflicts
+    srv.store.commit("rbd", triples((":rb/m", "p", "v")),
+      triples((":rb/x", "p", "v")), "dev work")
+    srv.store.commit("rbm", triples().limit(0),
+      triples((":rb/x", "p", "v")), "main rm x")
+    val (c1, r1) = post("/api/rebase?src=rbd&onto=rbm", "")
+    assert(c1 == 200 && r1.contains("api:conflict"), r1)
+    val JArray(cs) = (JsonMethods.parse(r1) \ "conflicts"): @unchecked
+    val JString(cid) = (cs.head \ "commit"): @unchecked
+    // re-post with a per-conflict strategy — the continuation path
+    val (c2, r2) = post("/api/rebase?src=rbd&onto=rbm",
+      s"""{"resolutions":{"$cid":"theirs"}}""")
+    assert(c2 == 200 && r2.contains("api:success"), r2)
+    val mat = srv.store.materializeBranch("rbd")
+    assert(mat.filter(col("s") === ":rb/m").count() == 1)
+    assert(mat.filter(col("s") === ":rb/x").count() == 0)
+    assert(mat.filter(col("s") === ":rb/y").count() == 1)
+  }
+
   test("document GET time-travels with ?commit addressing") {
     post("/api/branch?name=dtt&from=main", "")
     val c1 = srv.store.commit("dtt",
