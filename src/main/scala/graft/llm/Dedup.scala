@@ -107,28 +107,32 @@ object Dedup {
       .map(_.toLong).getOrElse(4096L)
 
   private def lshCandidatesFromSets(sets: DataFrame): DataFrame = {
-    // persisted: three consumers — the hot-band probe action below plus
-    // BOTH sides of the candidate self-join. Without the persist the
-    // probe (a separate action) recomputes shingles→minhash→bandHashes
-    // from scratch; ReusedExchange only applies within one plan, never
-    // across actions (measured: dedup_minhash_lsh 1.06 → 1.81 s when
-    // the guard landed unpersisted, r13)
+    val cap = maxBandDocs
+    // persisted: three consumers — the bucket-size aggregate plus both
+    // sides of the candidate self-join — so the banding pipeline
+    // (shingles→minhash→bands) is computed ONCE per run
     val bh = graft.util.Scratch.track(
       bandHashes(minhashSignaturesFromSets(sets)).persist())
-    // bounded probe (limit 1), not a full count
-    val cap = maxBandDocs
-    val hot = bh.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("n")).where(col("n") > cap)
-      .limit(1).collect()
-    require(hot.isEmpty, {
-      val r = hot.head
-      s"LSH band bucket (band=${r.get(0)}, ${r.getLong(2)} docs) exceeds " +
-        s"graft.lsh.maxBandDocs=$cap — a k-doc bucket emits k²/2 candidate " +
-        "pairs into one reducer; run exact/canonical dedup first (near-" +
-        "identical boilerplate is what inflates a band) or raise the cap " +
-        "deliberately"
-    })
-    val a = bh.select(col("band"), col("bh"), col("doc_id").as("da"))
+    // Hot-band guard folded INTO the candidate join: bucket sizes
+    // aggregate on the same (band, bh) key the self-join shuffles on,
+    // and an oversized bucket raises from INSIDE the plan while the
+    // guarded join side is scanned — before that bucket's k² pairs
+    // leave the reducer. One plan, one action: the r13 probe was a
+    // separate collect that recomputed the whole banding pipeline
+    // (1.06 → 1.81 s measured in BENCH_r13); exchange reuse never
+    // applies across actions.
+    val sizes = bh.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))
+    val guard = when(col("__n") > cap, raise_error(concat(
+        lit("LSH band bucket (band="), col("band").cast(StringType),
+        lit(", "), col("__n").cast(StringType),
+        lit(s" docs) exceeds graft.lsh.maxBandDocs=$cap — a k-doc bucket " +
+          "emits k²/2 candidate pairs into one reducer; run exact/canonical " +
+          "dedup first (near-identical boilerplate is what inflates a " +
+          "band) or raise the cap deliberately")))
+        .cast(org.apache.spark.sql.types.BooleanType))
+      .otherwise(lit(true))
+    val a = bh.join(sizes, Seq("band", "bh")).where(guard)
+      .select(col("band"), col("bh"), col("doc_id").as("da"))
     val b = bh.select(col("band"), col("bh"), col("doc_id").as("db"))
     a.join(b, Seq("band", "bh")).where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()

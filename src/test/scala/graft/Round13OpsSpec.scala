@@ -207,11 +207,16 @@ class Round13OpsSpec extends AnyFunSuite {
     val docs = (boiler ++ distinct).toDF("doc_id", "text")
     sys.props("graft.lsh.maxBandDocs") = "10"
     try {
-      val ex = intercept[IllegalArgumentException] {
+      // the guard raises from INSIDE the candidate-join plan (one
+      // action — no separate probe), so it surfaces as the action's
+      // failure with the raise_error message in the cause chain
+      val ex = intercept[Exception] {
         graft.llm.Dedup.minhashNearDups(docs, 0.8).count()
       }
-      assert(ex.getMessage.contains("maxBandDocs"))
-      assert(ex.getMessage.contains("exact/canonical dedup"))
+      def messages(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+      assert(messages(ex).contains("maxBandDocs"), messages(ex))
+      assert(messages(ex).contains("exact/canonical dedup"), messages(ex))
       // the shipped pipeline ORDER fixes it: exact dedup first, then
       // near-dup over the survivors — same corpus now passes the guard
       val survivors = docs.join(
