@@ -98,7 +98,7 @@ object Bench {
     // the memoized wpCache artifact, so apply measures ENCODE);
     // ext_graphql_count rides the same WOQL aggregate path
     "text_wordpiece_train", "text_wordpiece_apply", "ext_graphql_count",
-    "mm_decode_mp4", "woql_rebase_res",
+    "mm_decode_mp4", "woql_rebase_res", "ext_graphql_count_links",
     )
 
   def main(args: Array[String]): Unit = {

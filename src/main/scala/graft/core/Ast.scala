@@ -148,6 +148,13 @@ final case class GroupAgg(fn: String, template: Seq[String], by: Seq[String],
   * compiler's star fusion, never by users. */
 final case class StarPat(subjVar: String, g: String,
                          items: Seq[(String, Term)]) extends Woql
+/** INTERNAL: a grouped count that JOINS BACK into the enclosing
+  * conjunction — `into` = per-`by` solution count of the independent
+  * sub-query `q`, conj-joined on `by` (inner semantics: a parent with
+  * zero matches drops, like every link). Produced by the GraphQL
+  * compiler for per-link `_count` fields; unlike [[GroupAgg]] it does
+  * NOT collapse the frame to (by, into). */
+final case class GroupCount(q: Woql, by: Seq[String], into: String) extends Woql
 
 // ---- scalar ops (§2.6); each binds `into` ----
 final case class Eval(expr: ArithE, into: String) extends Woql

@@ -384,6 +384,18 @@ object Compiler {
       }
       BF(inner.df.groupBy(by.map(col): _*).agg(aggCol.as(into)), by.toSet + into)
 
+    case GroupCount(sub, by, into) =>
+      // independent sub-query → per-`by` solution count, conj-joined
+      // back into the enclosing frame on `by` (inner semantics). Unlike
+      // GroupAgg this PRESERVES the frame's other columns — the GraphQL
+      // per-link _count shape. One aggregate + one equi-join; the
+      // grouped side is count-sized (≤ distinct parents), so AQE
+      // broadcasts it against a big frame.
+      val inner = compile(sub, unit(ctx))
+      val g = inner.df.groupBy(by.map(col): _*)
+        .agg(lngVal(count(lit(1))).as(into))
+      conj(cur, BF(g, by.toSet + into))
+
     case Or(qs) =>
       val branches = qs.map(compile(_, cur))
       val allVars = branches.map(_.vars).reduce(_ ++ _)

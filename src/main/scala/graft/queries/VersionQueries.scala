@@ -1080,6 +1080,23 @@ object VersionQueries {
       df.select(col("_count").getField("lng").as("n"))
     }),
 
+    // GraphQL PER-LINK count: back-link `{ _count }` compiles to a
+    // GroupCount conjunct — customers counted per nation under the
+    // link filter, joined back so the parent's row-level fields
+    // survive (one aggregate + one broadcast-able join, never a
+    // fetch-and-count page per parent)
+    "ext_graphql_count_links" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val q =
+        """{ Nation(filter: {n_name: {startsWith: "NATION_1"}}) {
+          |    n_name
+          |    _c_nationkey_of_Customer(filter: {c_acctbal: {gt: 5000.0}}) {
+          |      _count } } }""".stripMargin
+      val (_, df) = graft.server.GraphQL.run(q)
+      df.select(col("n_name").getField("str").as("n_name"),
+        col("_c_nationkey_of_Customer__count").getField("lng").as("n_customers"))
+    }),
+
     // referential integrity (§2.8 validation; reference
     // validate_instance.pl dangling-reference check): a delta adding
     // ghost references (targets that exist nowhere as subjects) plus
@@ -1307,6 +1324,13 @@ object VersionQueries {
     "ext_graphql_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
         | WHERE c_mktsegment = 'BUILDING' OR c_acctbal > 9000.0""".stripMargin,
+    // inner semantics: a nation with zero matching customers is
+    // absent (SQL inner join + GROUP BY does the same)
+    "ext_graphql_count_links" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+        | FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | WHERE starts_with(n_name, 'NATION_1') AND c_acctbal > 5000.0
+        | GROUP BY n_name""".stripMargin,
     // resolved rebase: dev head = main's state (nations minus the two
     // main-side removes) + the replayed marker; the "ours"-skipped
     // remove of nation 5 must NOT apply

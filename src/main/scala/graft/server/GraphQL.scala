@@ -47,7 +47,10 @@ import graft.core._
   * are deduplicated frame-wide, so overlapping branches keep boolean
   * filter semantics. A root selection of exactly `{ _count }` returns
   * the matching-document count (filter/id/ids respected), compiled
-  * onto the WOQL count aggregate. */
+  * onto the WOQL count aggregate; a link or back-link whose ONLY
+  * selection is `{ _count }` yields a per-parent count column
+  * (`<link>__count`, filter respected, inner semantics — zero-match
+  * parents are absent like every link). */
 object GraphQL {
 
   // ---- query AST ----
@@ -273,11 +276,50 @@ object GraphQL {
           s"link selections accept filter only, got $a")
       }
 
+    /** Filter pats for a COUNTED link's sub-query: field bindings stay
+      * INSIDE the sub (in-branch scope) — the sub compiles as an
+      * independent conjunction joined back per parent. */
+    def countFilterPats(lv: String, path: String,
+        args: Seq[(String, GVal)]): Seq[Woql] =
+      args.map {
+        case ("filter", f) => filterWoql(lv, path, f,
+          Some(scala.collection.mutable.Set.empty[String]))
+        case (a, _) => throw new IllegalArgumentException(
+          s"link selections accept filter only, got $a")
+      }
+
     def compileSels(subjV: String, path: String, sels: Seq[Sel]): Unit = sels.foreach {
       case Sel("_count", _, _) =>
         throw new IllegalArgumentException(
-          "_count must be the only root-level field: a flat bindings " +
-            "frame cannot mix a scalar aggregate with per-row fields")
+          "_count alone in a selection set counts that collection; it " +
+            "cannot mix with per-row fields (flat bindings frame)")
+      // per-link COUNT: a link/back-link whose ONLY selection is
+      // `_count` compiles to a GroupCount conjunct — the link pattern
+      // (+ its filter) counted per parent subject and joined back, so
+      // the row-level fields of the enclosing frame survive. Inner
+      // semantics like every link: a parent with zero matches is
+      // absent, not 0.
+      case Sel(name @ BackLink(pred, cls), args, Seq(Sel("_count", cargs, Nil))) =>
+        require(cargs.isEmpty, "_count takes no arguments")
+        val lv = "__" + fieldVar(path, name)
+        val out = fieldVar(fieldVar(path, name), "_count")
+        val linkPats = Seq[Woql](
+          TriplePat(V(lv), Node("rdf:type"), Node(prefix + cls)),
+          TriplePat(V(lv), Node(prefix + pred), V(subjV)))
+        pats :+= GroupCount(
+          And(linkPats ++ countFilterPats(lv, fieldVar(path, name), args)),
+          Seq(subjV), out)
+        bound += out; outs += out
+      case Sel(f, args, Seq(Sel("_count", cargs, Nil)))
+          if !args.exists(_._1 == "path") =>
+        require(cargs.isEmpty, "_count takes no arguments")
+        val lv = "__" + fieldVar(path, f)
+        val out = fieldVar(fieldVar(path, f), "_count")
+        val linkPats = Seq[Woql](TriplePat(V(subjV), Node(prefix + f), V(lv)))
+        pats :+= GroupCount(
+          And(linkPats ++ countFilterPats(lv, fieldVar(path, f), args)),
+          Seq(subjV), out)
+        bound += out; outs += out
       case Sel("_id", _, Nil) =>
         val out = fieldVar(path, "_id")
         pats :+= Eq(V(out), V(subjV))

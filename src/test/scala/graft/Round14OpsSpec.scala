@@ -109,6 +109,22 @@ class Round14OpsSpec extends AnyFunSuite {
       90000L, 123456789L, 1920L, 1080L, 48000L, 987654321L)))
   }
 
+  test("LPA at rounds>=4 (the eager-checkpoint path) stays correct") {
+    import spark.implicits._
+    // rounds=8 crosses the i%4 lineage cut twice; the two-triangle
+    // fixture's labels are already converged by round 3, so the extra
+    // rounds must be a fixed point — any checkpoint corruption shows
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+      ("a3", "b1")).toDF("src", "dst")
+    val got = graft.operators.Lpa.communities(edges, rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "b1" -> "a3", "b2" -> "a3", "b3" -> "a3"))
+  }
+
   test("closeness early-exits when the frontier empties before maxHops") {
     import spark.implicits._
     // diameter-1 graph with maxHops 6: the hop-2 frontier is empty,

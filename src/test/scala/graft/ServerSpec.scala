@@ -797,6 +797,30 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c4 == 400 && r4.contains("_count"), r4)
   }
 
+  test("graphql per-link _count returns per-parent counts with filters") {
+    // back-link count per nation, filter respected; the parent's
+    // row-level field (n_name) survives next to the count column
+    val (code, resp) = post("/api/graphql",
+      """{"query":"{ Nation(filter: {n_name: {startsWith: \"NATION_1\"}}) { n_name _c_nationkey_of_Customer(filter: {c_acctbal: {gt: 5000.0}}) { _count } } }"}""")
+    assert(code == 200, resp)
+    val JArray(rows) = (JsonMethods.parse(resp) \ "data" \ "Nation"): @unchecked
+    assert(rows.nonEmpty)
+    // independently recompute one nation's count relationally
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    import org.apache.spark.sql.functions.col
+    val expected = customer.join(nation,
+        customer("c_nationkey") === nation("n_nationkey"))
+      .where(nation("n_name") === "NATION_10" && col("c_acctbal") > 5000.0)
+      .count()
+    val got = rows.collectFirst {
+      case r if (r \ "n_name") == JString("NATION_10") =>
+        (r \ "_c_nationkey_of_Customer__count"): @unchecked
+    }
+    if (expected > 0) assert(got.contains(JInt(expected)), s"$got vs $expected")
+    else assert(got.isEmpty) // inner semantics: zero-match parent absent
+  }
+
   test("rebase route resolves conflicts from the request body") {
     import org.apache.spark.sql.functions.col
     post("/api/branch?name=rbm&from=main", "")
@@ -1112,6 +1136,20 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (pc, tc, nc) = page("")
       assert(pc.size == 2 && tc == JBool(true) && nc == JInt(2))
     } finally sys.props.remove("graft.http.maxRows")
+  }
+
+  test("woql paging rejects limit<1 and start<0 with a 400") {
+    val wire =
+      """{"@type":"Triple","subject":{"variable":"S"},
+        |"predicate":{"node":"tpch:r_name"},"object":{"variable":"N"}}""".stripMargin
+    // ?limit=0 would page forever (next_start == start); negative
+    // limit/start used to throw an opaque planner error
+    val (c0, b0) = post("/api/woql?limit=0", wire)
+    assert(c0 == 400 && b0.contains("limit"), b0)
+    val (c1, b1) = post("/api/woql?limit=-3", wire)
+    assert(c1 == 400 && b1.contains("limit"), b1)
+    val (c2, b2) = post("/api/woql?start=-1&limit=2", wire)
+    assert(c2 == 400 && b2.contains("start"), b2)
   }
 
   test("two servers sync over HTTP: clone, push with negotiation, pull") {
