@@ -529,6 +529,29 @@ object TextAnalysis {
         sum(col("c") * col("ntok")).cast(LongType).as("n_wp_tokens"))
   }
 
+  /** Stateless WordPiece ENCODE of a (possibly STREAMING) docs frame
+    * with an already-trained merge list: the merges fold as pure
+    * column expressions per document — no type-table join, no
+    * aggregation state — so the projection is stream-safe (the
+    * serving-side shape: tokenizer fitted once on the corpus, applied
+    * per arriving micro-batch). Per-row cost O(words × merges).
+    * Counts equal [[wordpieceApply]]'s (docs without letter-words
+    * absent in both). */
+  def wordpieceEncode(docs: DataFrame,
+      merges: Seq[(Long, String, String, Long, Long)]): DataFrame = {
+    val enc = (w: Column) => merges.foldLeft(wpSyms(w)) {
+      case (c, (_, l, r, _, _)) =>
+        applyMergeInto(c, l, r, l + r.stripPrefix("##"))
+    }
+    docs.select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("__w"))
+      .where(size(col("__w")) > 0)
+      .select(col("doc_id"),
+        size(col("__w")).cast(LongType).as("n_words"),
+        aggregate(transform(col("__w"), w => size(enc(w)).cast(LongType)),
+          lit(0L), (a, x) => a + x).as("n_wp_tokens"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(toks(col("text")))))).as("fp"))

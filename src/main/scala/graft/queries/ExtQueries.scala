@@ -1492,6 +1492,13 @@ object ExtQueries {
     // same per-doc closed-form oracle as the batch mm_decode_png
     "stream_mm_meta" -> ((s, d) => Events.streamingMmMeta(s, d)),
 
+    // STREAMING WordPiece encode: the batch-trained merge artifact
+    // applied per micro-batch as a STATELESS projection (the merges
+    // fold as pure column expressions — the serving-side tokenizer
+    // shape); same oracle as text_wordpiece_apply by construction
+    "stream_wordpiece_apply" -> ((s, d) =>
+      Events.streamingWordpieceApply(s, d)),
+
     // STREAMING triple ingestion end-to-end (§2.10): an EAV triple
     // stream lands as ONE COMMIT LAYER PER MICRO-BATCH
     // (Ingest.streamIntoStore foreachBatch), then the materialized
@@ -1708,6 +1715,62 @@ object ExtQueries {
        |       c -> '##' || c)) AS syms, cnt
        |  FROM wc)
        | ${(1 to k).map(round).mkString("\n")}""".stripMargin
+  }
+
+  /** WordPiece APPLY oracle (shared by `text_wordpiece_apply` and its
+    * streaming twin `stream_wordpiece_apply`, which encodes the same
+    * corpus per micro-batch with the same trained merges): the 8-round
+    * likelihood-argmax chain with vocab rows carrying their source
+    * word through a list_reduce fold (the text_bpe_apply replay
+    * formulation, ##-stripped merged symbols); per-doc word counts
+    * join the final word→symbols map. */
+  private def wpApplySql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s""", p$i AS MATERIALIZED (SELECT t.pair, sum(t.cnt) AS freq FROM (
+         |   SELECT unnest(list_transform(range(1, len(syms)),
+         |     j -> syms[j] || ' ' || syms[j+1])) AS pair, cnt
+         |   FROM $prev WHERE len(syms) >= 2) t GROUP BY t.pair),
+         | un$i AS MATERIALIZED (SELECT sym, sum(cnt) AS n FROM (
+         |   SELECT unnest(syms) AS sym, cnt FROM $prev) GROUP BY sym),
+         | b$i AS MATERIALIZED (SELECT p.lhs, p.rhs,
+         |   p.lhs || regexp_replace(p.rhs, '^##', '') AS msym
+         |  FROM (SELECT split_part(pair,' ',1) AS lhs,
+         |          split_part(pair,' ',2) AS rhs, freq FROM p$i) p
+         |  JOIN un$i ul ON ul.sym = p.lhs
+         |  JOIN un$i ur ON ur.sym = p.rhs
+         |  ORDER BY CAST(p.freq AS HUGEINT) * 1000000000000 //
+         |    (CAST(ul.n AS HUGEINT) * ur.n) DESC, p.lhs, p.rhs LIMIT 1),
+         | v$i AS MATERIALIZED (SELECT w, string_split(
+         |   CASE WHEN split_part(st,'|',2)='' THEN split_part(st,'|',1)
+         |        WHEN split_part(st,'|',1)='' THEN split_part(st,'|',2)
+         |        ELSE split_part(st,'|',1) || ',' || split_part(st,'|',2) END,
+         |   ',') AS syms, cnt
+         |  FROM (SELECT w, list_reduce(list_prepend('|', syms), (acc, x) ->
+         |   CASE WHEN split_part(acc,'|',2) = b$i.lhs AND x = b$i.rhs
+         |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
+         |          ELSE split_part(acc,'|',1)||',' END) || b$i.msym || '|'
+         |    WHEN split_part(acc,'|',2) <> ''
+         |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
+         |          ELSE split_part(acc,'|',1)||',' END) || split_part(acc,'|',2) || '|' || x
+         |    ELSE split_part(acc,'|',1) || '|' || x END) AS st, cnt
+         |   FROM $prev, b$i) q)""".stripMargin
+    }
+    s"""WITH dw AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       | dwc AS MATERIALIZED (SELECT doc_id, w, count(*) AS c
+       |  FROM dw GROUP BY doc_id, w),
+       | wc AS MATERIALIZED (SELECT w, sum(c) AS cnt FROM dwc GROUP BY w),
+       | v0 AS MATERIALIZED (SELECT w,
+       |   list_prepend(substr(w, 1, 1),
+       |     list_transform(regexp_extract_all(w, '[a-z]')[2:],
+       |       c -> '##' || c)) AS syms, cnt
+       |  FROM wc)
+       | ${(1 to 8).map(round).mkString("\n")}
+       | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       |   CAST(sum(c * len(syms)) AS BIGINT) AS n_wp_tokens
+       | FROM dwc JOIN v8 USING (w) GROUP BY doc_id""".stripMargin
   }
 
   /** BM25 CTE chain ending in `sc(doc_id, score)` (terms spark/join/
@@ -2964,54 +3027,12 @@ object ExtQueries {
     // rows carrying their source word through a list_reduce fold (the
     // text_bpe_apply replay formulation, ##-stripped merged symbols);
     // per-doc word counts join the final word→symbols map
-    "text_wordpiece_apply" -> {
-      def round(i: Int): String = {
-        val prev = if (i == 1) "v0" else s"v${i - 1}"
-        s""", p$i AS MATERIALIZED (SELECT t.pair, sum(t.cnt) AS freq FROM (
-           |   SELECT unnest(list_transform(range(1, len(syms)),
-           |     j -> syms[j] || ' ' || syms[j+1])) AS pair, cnt
-           |   FROM $prev WHERE len(syms) >= 2) t GROUP BY t.pair),
-           | un$i AS MATERIALIZED (SELECT sym, sum(cnt) AS n FROM (
-           |   SELECT unnest(syms) AS sym, cnt FROM $prev) GROUP BY sym),
-           | b$i AS MATERIALIZED (SELECT p.lhs, p.rhs,
-           |   p.lhs || regexp_replace(p.rhs, '^##', '') AS msym
-           |  FROM (SELECT split_part(pair,' ',1) AS lhs,
-           |          split_part(pair,' ',2) AS rhs, freq FROM p$i) p
-           |  JOIN un$i ul ON ul.sym = p.lhs
-           |  JOIN un$i ur ON ur.sym = p.rhs
-           |  ORDER BY CAST(p.freq AS HUGEINT) * 1000000000000 //
-           |    (CAST(ul.n AS HUGEINT) * ur.n) DESC, p.lhs, p.rhs LIMIT 1),
-           | v$i AS MATERIALIZED (SELECT w, string_split(
-           |   CASE WHEN split_part(st,'|',2)='' THEN split_part(st,'|',1)
-           |        WHEN split_part(st,'|',1)='' THEN split_part(st,'|',2)
-           |        ELSE split_part(st,'|',1) || ',' || split_part(st,'|',2) END,
-           |   ',') AS syms, cnt
-           |  FROM (SELECT w, list_reduce(list_prepend('|', syms), (acc, x) ->
-           |   CASE WHEN split_part(acc,'|',2) = b$i.lhs AND x = b$i.rhs
-           |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
-           |          ELSE split_part(acc,'|',1)||',' END) || b$i.msym || '|'
-           |    WHEN split_part(acc,'|',2) <> ''
-           |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
-           |          ELSE split_part(acc,'|',1)||',' END) || split_part(acc,'|',2) || '|' || x
-           |    ELSE split_part(acc,'|',1) || '|' || x END) AS st, cnt
-           |   FROM $prev, b$i) q)""".stripMargin
-      }
-      s"""WITH dw AS (SELECT doc_id,
-         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |  FROM documents),
-         | dwc AS MATERIALIZED (SELECT doc_id, w, count(*) AS c
-         |  FROM dw GROUP BY doc_id, w),
-         | wc AS MATERIALIZED (SELECT w, sum(c) AS cnt FROM dwc GROUP BY w),
-         | v0 AS MATERIALIZED (SELECT w,
-         |   list_prepend(substr(w, 1, 1),
-         |     list_transform(regexp_extract_all(w, '[a-z]')[2:],
-         |       c -> '##' || c)) AS syms, cnt
-         |  FROM wc)
-         | ${(1 to 8).map(round).mkString("\n")}
-         | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-         |   CAST(sum(c * len(syms)) AS BIGINT) AS n_wp_tokens
-         | FROM dwc JOIN v8 USING (w) GROUP BY doc_id""".stripMargin
-    },
+    "text_wordpiece_apply" -> wpApplySql,
+
+    // STREAMING WordPiece encode: identical counts by construction
+    // (the stream applies the same trained merges per micro-batch as
+    // a stateless projection), so it shares the batch oracle
+    "stream_wordpiece_apply" -> wpApplySql,
 
     // Naive Bayes train: add-one smoothed log-likelihoods in integer
     // micro-log units (round AT the integer boundary — the rounded

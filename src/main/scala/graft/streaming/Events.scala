@@ -689,6 +689,45 @@ object Events {
     runToTable(spark, graft.llm.TextAnalysis.c4Filters(src), "append")
   }
 
+  /** STREAMING WordPiece ENCODE: the trained merge table (the
+    * memoized artifact fitted on the STATIC corpus — the production
+    * train-once-serve-forever shape) applied per micro-batch as
+    * documents arrive. Stateless and narrow: the merges fold as pure
+    * column expressions per document (TextAnalysis.wordpieceEncode),
+    * no type-table join, no state store — so the replay is
+    * row-identical to the batch encoder and shares its oracle. */
+  def streamingWordpieceApply(spark: SparkSession, sfDir: String,
+                              k: Int = 8): DataFrame = {
+    applyStateStore(spark)
+    val srcFile = new java.io.File(s"$sfDir/documents.parquet")
+    val stageDir = new java.io.File(
+      sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
+        "/docstream_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + graft.util.Fingerprint.of(srcFile.getPath))
+    val parts: Seq[java.io.File] =
+      if (srcFile.isDirectory)
+        Option(srcFile.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      else Seq(srcFile)
+    if (!stageDir.exists() ||
+        Option(stageDir.list()).forall(_.count(_.endsWith(".parquet")) < parts.size)) {
+      stageDir.mkdirs()
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(stageDir, f"part-$i%05d.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // fit (or hit the memo) on the static corpus BEFORE the stream runs
+    val merges = graft.llm.TextAnalysis.wordpieceMerges(
+      graft.Graft.table(spark, sfDir, "documents"), k)
+    val schema = spark.read.parquet(srcFile.getPath).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.getAbsolutePath)
+    runToTable(spark,
+      graft.llm.TextAnalysis.wordpieceEncode(src, merges), "append")
+  }
+
   /** Streaming exact dedup within the watermark window. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val src = eventsStream(spark, sfDir)

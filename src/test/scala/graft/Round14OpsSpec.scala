@@ -46,6 +46,20 @@ class Round14OpsSpec extends AnyFunSuite {
       Seq((1L, 3L, 3L)))
   }
 
+  test("stateless wordpiece encode equals the batch type-table encoder") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab cab"), (2L, "b aaab"), (3L, "!!!"))
+      .toDF("doc_id", "text")
+    val merges = graft.llm.TextAnalysis.wordpieceMerges(docs, 2)
+    val streamShape = graft.llm.TextAnalysis.wordpieceEncode(docs, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.llm.TextAnalysis.wordpieceApply(docs, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamShape == batch)
+    // doc 3 has no letter-words: absent from BOTH (join/filter parity)
+    assert(!streamShape.exists(_._1 == 3L))
+  }
+
   test("mp4 codec chain decodes container metadata end-to-end") {
     import spark.implicits._
     val docs = Seq((5L, "x"), (77L, "y")).toDF("doc_id", "text")
