@@ -155,6 +155,16 @@ final case class StarPat(subjVar: String, g: String,
   * compiler for per-link `_count` fields; unlike [[GroupAgg]] it does
   * NOT collapse the frame to (by, into). */
 final case class GroupCount(q: Woql, by: Seq[String], into: String) extends Woql
+/** INTERNAL: per-`by` TOP-K of the independent sub-query `q` under
+  * canonical value ordering of the `order` vars (asc flag), conj-joined
+  * back into the enclosing conjunction carrying `keep` vars. Rides the
+  * native GroupTopK plan (partial bounded heaps, one clustered
+  * exchange of ≤ k·partitions rows per group — never a full-group
+  * sort). Produced by the GraphQL compiler for per-link orderBy/limit;
+  * never by users. */
+final case class GroupTopKJoin(q: Woql, by: Seq[String],
+                               order: Seq[(String, Boolean)], k: Long,
+                               keep: Seq[String]) extends Woql
 
 // ---- scalar ops (§2.6); each binds `into` ----
 final case class Eval(expr: ArithE, into: String) extends Woql

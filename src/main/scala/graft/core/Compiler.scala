@@ -396,6 +396,27 @@ object Compiler {
         .agg(lngVal(count(lit(1))).as(into))
       conj(cur, BF(g, by.toSet + into))
 
+    case GroupTopKJoin(sub, by, order, k, keep) =>
+      // independent sub-query → per-`by` top-k under the canonical
+      // value sort keys (materialized as columns — the native plan
+      // orders by NAME), conj-joined back carrying `keep`. The grouped
+      // side ships ≤ k·partitions rows per group through ONE clustered
+      // exchange (partial bounded heaps), never a full-group sort.
+      val inner = compile(sub, unit(ctx))
+      var df = inner.df
+      val sortSpecs = order.zipWithIndex.flatMap { case ((v, asc), i) =>
+        df = df.withColumn(s"__kn$i", Vals.sortKeyNum(col(v)))
+          .withColumn(s"__kt$i", Vals.sortKeyText(col(v)))
+        Seq((s"__kn$i", !asc), (s"__kt$i", !asc))
+      }
+      val keyNames = order.indices.flatMap(i => Seq(s"__kn$i", s"__kt$i"))
+      val cols = (by ++ keep).distinct
+      val top = graft.plans.GroupTopK.topK(
+          df.select((cols ++ keyNames).map(col): _*),
+          by, sortSpecs, k.toInt, rankName = "__rk")
+        .drop(keyNames :+ "__rk": _*)
+      conj(cur, BF(top, cols.toSet))
+
     case Or(qs) =>
       val branches = qs.map(compile(_, cur))
       val allVars = branches.map(_.vars).reduce(_ ++ _)

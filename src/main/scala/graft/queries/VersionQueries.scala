@@ -418,6 +418,26 @@ object VersionQueries {
         .select(col("s"), col("o_str").as("tag"))
     }),
 
+    // GraphQL per-link orderBy/limit (the reference's nested-
+    // collection paging): top-3 BUILDING customers by acctbal per
+    // NATION_1x nation — compiled to a GroupTopKJoin riding the
+    // native GroupTopK plan (partial bounded heaps, one clustered
+    // exchange), never a full-group window sort; link var tiebreaks
+    // so the page is deterministic
+    "ext_graphql_topk_links" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val q =
+        """{ Nation(filter: {n_name: {startsWith: "NATION_1"}}) {
+          |    n_name
+          |    _c_nationkey_of_Customer(filter: {c_mktsegment: {eq: "BUILDING"}},
+          |                             orderBy: {c_acctbal: DESC}, limit: 3) {
+          |      c_name c_acctbal } } }""".stripMargin
+      val (_, df) = graft.server.GraphQL.run(q)
+      df.select(col("n_name").getField("str").as("n_name"),
+        col("_c_nationkey_of_Customer_c_name").getField("str").as("c_name"),
+        col("_c_nationkey_of_Customer_c_acctbal").getField("dbl").as("c_acctbal"))
+    }),
+
     // rebase CONFLICT RESOLUTION (the reference db_rebase fixup /
     // continuation path): dev and main both remove nation 3 — a
     // replay conflict — and dev's second commit removes nations 4
@@ -1331,6 +1351,18 @@ object VersionQueries {
         | FROM nation JOIN customer ON c_nationkey = n_nationkey
         | WHERE starts_with(n_name, 'NATION_1') AND c_acctbal > 5000.0
         | GROUP BY n_name""".stripMargin,
+    // per-parent top-k replayed as a row_number window; the engine's
+    // tiebreak is the customer IRI ascending
+    "ext_graphql_topk_links" ->
+      """SELECT n_name, c_name, c_acctbal FROM (
+        | SELECT n_name, c_name, c_acctbal,
+        |   row_number() OVER (PARTITION BY n_nationkey
+        |     ORDER BY c_acctbal DESC, 'tpch:customer/'||c_custkey) AS rk
+        | FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | WHERE starts_with(n_name, 'NATION_1')
+        |   AND c_mktsegment = 'BUILDING') t
+        | WHERE rk <= 3""".stripMargin,
+
     // resolved rebase: dev head = main's state (nations minus the two
     // main-side removes) + the replayed marker; the "ours"-skipped
     // remove of nation 5 must NOT apply

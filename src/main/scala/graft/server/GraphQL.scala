@@ -50,7 +50,10 @@ import graft.core._
   * onto the WOQL count aggregate; a link or back-link whose ONLY
   * selection is `{ _count }` yields a per-parent count column
   * (`<link>__count`, filter respected, inner semantics — zero-match
-  * parents are absent like every link). */
+  * parents are absent like every link). Links also take
+  * `orderBy`/`limit` (per-PARENT top-k over a flat selection set,
+  * compiled onto the native GroupTopK plan — partial bounded heaps,
+  * never a full-group sort; the link var tiebreaks deterministic). */
 object GraphQL {
 
   // ---- query AST ----
@@ -288,6 +291,63 @@ object GraphQL {
           s"link selections accept filter only, got $a")
       }
 
+    /** Per-link orderBy/limit: the link subtree compiles as an
+      * INDEPENDENT sub-conjunction, per-parent top-k'd on the native
+      * GroupTopK plan and conj-joined back (the flat-frame spelling of
+      * the reference's nested-collection orderBy/limit). Selection set
+      * must be FLAT (scalars/_id) — a nested link under a limited link
+      * has no flat-relational equivalent. orderBy fields not selected
+      * are bound sub-side just for the sort; the link var tiebreaks so
+      * the page is deterministic. */
+    def compileTopKLink(name: String, linkPat: String => Seq[Woql],
+        args: Seq[(String, GVal)], subs: Seq[Sel],
+        subjV: String, path: String): Unit = {
+      val p2 = fieldVar(path, name)
+      val lv = "__" + p2
+      require(subs.nonEmpty, s"link $name needs a selection set")
+      val subPats = scala.collection.mutable.ArrayBuffer[Woql](linkPat(lv): _*)
+      val localOuts = subs.map {
+        case Sel("_id", Nil, Nil) =>
+          val out = fieldVar(p2, "_id")
+          subPats += Eq(V(out), V(lv)); out
+        case Sel(sf, Nil, Nil) =>
+          val v = fieldVar(p2, sf)
+          subPats += TriplePat(V(lv), Node(prefix + sf), V(v)); v
+        case other => throw new IllegalArgumentException(
+          s"orderBy/limit link $name supports a flat selection set " +
+            s"(scalars/_id) only, got ${other.name}")
+      }
+      args.foreach {
+        case ("filter", f) =>
+          subPats += filterWoql(lv, p2, f,
+            Some(scala.collection.mutable.Set.empty[String]))
+        case ("orderBy", _) | ("limit", _) => ()
+        case (a, _) => throw new IllegalArgumentException(
+          s"ordered link selections accept filter/orderBy/limit, got $a")
+      }
+      val order: Seq[(String, Boolean)] = args.collectFirst {
+        case ("orderBy", GObj(specs)) => specs.map {
+          case (sf, GEnum("ASC")) => (fieldVar(p2, sf), true)
+          case (sf, GEnum("DESC")) => (fieldVar(p2, sf), false)
+          case (sf, other) => throw new IllegalArgumentException(
+            s"orderBy $sf must be ASC or DESC, got $other")
+        }
+      }.getOrElse(Nil)
+      // sort fields not in the selection bind sub-side, sort-only
+      order.map(_._1).filterNot(localOuts.contains).foreach { v =>
+        val sf = v.stripPrefix(p2 + "_")
+        subPats += TriplePat(V(lv), Node(prefix + sf), V(v))
+      }
+      val k = args.collectFirst { case ("limit", GLng(n)) => n }
+        .getOrElse(throw new IllegalArgumentException(
+          s"orderBy on link $name requires limit"))
+      require(k >= 1, s"link limit must be >= 1 (got $k)")
+      pats :+= GroupTopKJoin(And(subPats.toSeq), Seq(subjV),
+        order :+ (lv -> true), k, lv +: localOuts)
+      subjs :+= lv
+      localOuts.foreach { v => bound += v; outs += v }
+    }
+
     def compileSels(subjV: String, path: String, sels: Seq[Sel]): Unit = sels.foreach {
       case Sel("_count", _, _) =>
         throw new IllegalArgumentException(
@@ -324,6 +384,19 @@ object GraphQL {
         val out = fieldVar(path, "_id")
         pats :+= Eq(V(out), V(subjV))
         bound += out; outs += out
+      // per-link orderBy/limit → per-parent top-k (GroupTopKJoin)
+      case Sel(name @ BackLink(pred, cls), args, subs)
+          if args.exists(a => a._1 == "orderBy" || a._1 == "limit") =>
+        compileTopKLink(name, lv => Seq(
+            TriplePat(V(lv), Node("rdf:type"), Node(prefix + cls)),
+            TriplePat(V(lv), Node(prefix + pred), V(subjV))),
+          args, subs, subjV, path)
+      case Sel(f, args, subs)
+          if subs.nonEmpty && !args.exists(_._1 == "path") &&
+            args.exists(a => a._1 == "orderBy" || a._1 == "limit") =>
+        compileTopKLink(f, lv => Seq(
+            TriplePat(V(subjV), Node(prefix + f), V(lv))),
+          args, subs, subjV, path)
       case Sel(name @ BackLink(pred, cls), args, subs) =>
         // reverse traversal: instances of `cls` whose `pred` points here
         val lv = "__" + fieldVar(path, name)

@@ -62,6 +62,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"graphql plan degraded to a product join:\n$plan")
   }
 
+  test("graphql per-link orderBy/limit rides the native GroupTopK plan") {
+    implicit val ctx: Ctx = Graft.ctx(spark, sfDir)
+    val (_, df) = graft.server.GraphQL.run(
+      """{ Nation { n_name
+        |    _c_nationkey_of_Customer(orderBy: {c_acctbal: DESC}, limit: 2) {
+        |      c_name c_acctbal } } }""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"),
+      s"per-link limit must be the partial-heap top-k, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("small dimension joins broadcast in the flagship plan") {
     val plan = planOf(graft.queries.WoqlQueries.flagship)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("broadcast"),
