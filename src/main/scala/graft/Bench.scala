@@ -99,7 +99,7 @@ object Bench {
     // ext_graphql_count rides the same WOQL aggregate path
     "text_wordpiece_train", "text_wordpiece_apply", "ext_graphql_count",
     "mm_decode_mp4", "woql_rebase_res", "ext_graphql_count_links",
-    "stream_wordpiece_apply", "ext_graphql_topk_links",
+    "stream_wordpiece_apply", "ext_graphql_topk_links", "mm_decode_mkv",
     )
 
   def main(args: Array[String]): Unit = {

@@ -401,6 +401,14 @@ object ExtQueries {
       graft.llm.Multimodal.mp4Meta(
         graft.llm.Multimodal.withMp4Payload(t(s, d, "documents")))),
 
+    // second video container: executors write one minimal EBML
+    // (WebM/Matroska) structure per doc (61 bytes, closed-form),
+    // MkvCodec walks the vint-framed elements back — Info clocks +
+    // first video TrackEntry dims + DocType
+    "mm_decode_mkv" -> ((s, d) =>
+      graft.llm.Multimodal.mkvMeta(
+        graft.llm.Multimodal.withMkvPayload(t(s, d, "documents")))),
+
     "mm_frames" -> ((s, d) =>
       graft.llm.Multimodal.sampleFrames(
         graft.llm.Multimodal.withPayload(t(s, d, "documents")), 64)),
@@ -2555,6 +2563,15 @@ object ExtQueries {
         | 48000 AS media_timescale,
         | (1000 + doc_id % 9000) * 48 AS media_duration,
         | 'video/mp4' AS format FROM documents""".stripMargin,
+
+    // EBML walk check: every parsed element must equal the generator's
+    // closed form (duration is a float64 written with an integral
+    // value, so the rounded read-back is exact)
+    "mm_decode_mkv" ->
+      """SELECT doc_id, 61 AS n_bytes, 1000000 AS timescale_ns,
+        | 1000 + doc_id % 9000 AS duration_units,
+        | 320 + doc_id % 1280 AS width, 240 + doc_id % 720 AS height,
+        | 'video/webm' AS format FROM documents""".stripMargin,
 
     "mm_frames" ->
       """SELECT doc_id, unnest(range(0, CAST(strlen(text) AS BIGINT), 64))

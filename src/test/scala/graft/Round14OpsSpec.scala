@@ -82,6 +82,24 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(graft.llm.Multimodal.Mp4Codec.decode(junk).isEmpty)
   }
 
+  test("mkv/webm codec walks EBML metadata through the generic chain") {
+    import spark.implicits._
+    val docs = Seq((5L, "x"), (77L, "y")).toDF("doc_id", "text")
+    val meta = graft.llm.Multimodal.decodeMeta(
+      graft.llm.Multimodal.withMkvPayload(docs)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(meta(5L) == ((61L, 325L, 245L, "video/webm")))
+    assert(meta(77L) == ((61L, 397L, 317L, "video/webm")))
+    val full = graft.llm.Multimodal.mkvMeta(
+      graft.llm.Multimodal.withMkvPayload(docs.where(col("doc_id") === 5)))
+      .collect().head
+    assert((full.getLong(2), full.getLong(3)) == ((1000000L, 1005L)))
+    // truncated EBML (magic only) falls through to the stub path
+    val junk = Array[Byte](0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte)
+    assert(graft.llm.Multimodal.MkvCodec.decode(junk).isEmpty)
+  }
+
   test("mp4 codec handles version-1 boxes and skips 0-dim audio tracks") {
     val bb = java.nio.ByteBuffer.allocate(448)
     def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
