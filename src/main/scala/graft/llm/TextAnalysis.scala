@@ -552,6 +552,53 @@ object TextAnalysis {
           lit(0L), (a, x) => a + x).as("n_wp_tokens"))
   }
 
+  // ---- tokenizer ARTIFACT persistence: the memo caches (mergeCache /
+  // wpCache / unigramCache) are per-JVM; a production pipeline fits
+  // once and serves the artifact from storage across jobs. Parquet is
+  // the artifact form — tiny (vocab-sized), schema'd, versionable in a
+  // LayerStore commit like any other table. ----
+
+  /** Persist a WordPiece/BPE merge table; `loadWordpieceMerges` /
+    * `loadBpeMerges` read it back in rank order. */
+  def saveWordpieceMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String, merges: Seq[(Long, String, String, Long, Long)]): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs", "freq", "score_e12")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadWordpieceMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, String, String, Long, Long)] =
+    spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("freq"),
+        r.getAs[Long]("score_e12"))).toSeq
+
+  def saveBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String, merges: Seq[(Long, String, String, Long)]): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, String, String, Long)] =
+    spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("freq"))).toSeq
+
+  /** Persist a trained unigram vocabulary (piece, cnt). */
+  def saveUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String, vocab: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    vocab.toDF("piece", "cnt").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long)] =
+    spark.read.parquet(path).orderBy(col("piece")).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"))).toSeq
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(toks(col("text")))))).as("fp"))

@@ -157,6 +157,29 @@ class Round14OpsSpec extends AnyFunSuite {
       "b1" -> "a3", "b2" -> "a3", "b3" -> "a3"))
   }
 
+  test("tokenizer artifacts round-trip through parquet persistence") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab cab")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    // WordPiece merges: save → load preserves order and scores, and
+    // the stateless encoder under the LOADED artifact equals the
+    // in-memory one (the cross-JVM serving path)
+    val wp = graft.llm.TextAnalysis.wordpieceMerges(docs, 2)
+    graft.llm.TextAnalysis.saveWordpieceMerges(spark, s"$dir/wp", wp)
+    val wp2 = graft.llm.TextAnalysis.loadWordpieceMerges(spark, s"$dir/wp")
+    assert(wp2 == wp)
+    assert(graft.llm.TextAnalysis.wordpieceEncode(docs, wp2).collect().toSeq ==
+      graft.llm.TextAnalysis.wordpieceEncode(docs, wp).collect().toSeq)
+    // BPE merges + unigram vocab round-trip too
+    val bpe = graft.llm.TextAnalysis.bpeMerges(docs, 3)
+    graft.llm.TextAnalysis.saveBpeMerges(spark, s"$dir/bpe", bpe)
+    assert(graft.llm.TextAnalysis.loadBpeMerges(spark, s"$dir/bpe") == bpe)
+    val uni = graft.llm.TextAnalysis.unigramVocab(docs, 8, 3, 1, 16)
+    graft.llm.TextAnalysis.saveUnigramVocab(spark, s"$dir/uni", uni)
+    assert(graft.llm.TextAnalysis.loadUnigramVocab(spark, s"$dir/uni")
+      .sortBy(_._1) == uni.sortBy(_._1))
+  }
+
   test("closeness early-exits when the frontier empties before maxHops") {
     import spark.implicits._
     // diameter-1 graph with maxHops 6: the hop-2 frontier is empty,
