@@ -100,6 +100,10 @@ object Bench {
     "text_wordpiece_train", "text_wordpiece_apply", "ext_graphql_count",
     "mm_decode_mp4", "woql_rebase_res", "ext_graphql_count_links",
     "stream_wordpiece_apply", "ext_graphql_topk_links", "mm_decode_mkv",
+    // round-14 late tranche: distributed line-RDF round-trips, the
+    // streaming quad-ingest twin, power-iteration PCA, skew profiler
+    "ext_ntriples_roundtrip", "ext_nquads_roundtrip",
+    "stream_nquads_ingest", "llm_pca_power", "rel_skew_profile",
     )
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -129,5 +129,36 @@ object Warehouse {
       .agg(count(lit(1)).as("n"),
         sum(when(col("__z") >= threshold, 1L).otherwise(0L)).as("n_outliers"),
         max(col("__z")).as("max_z"))
+  }
+
+  /** Key-skew profile of a prospective join/aggregation key — the
+    * numbers you read BEFORE keying a 100 TB shuffle: the top-k heavy
+    * keys (the salting targets for [[SkewJoin]]), each key's share of
+    * rows, and the global distribution stats (key count, mean/max
+    * group size, max/mean straggler ratio, Shannon entropy in bits vs
+    * the log2(n_keys) uniform ceiling).
+    *
+    * Shape: ONE map-side-combinable groupBy for per-key counts; the
+    * global stats are a second aggregate over keys (rows ∝ distinct
+    * keys, not data), the heavy list is a top-k (TakeOrdered heap —
+    * never a full sort), and both re-attach by broadcast. Entropy uses
+    * the identity −Σp·log2 p = log2(total) − Σc·log2(c)/total so it
+    * folds into the same single stats pass. */
+  def skewProfile(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_sz"),
+      sum(col("cnt") * log2(col("cnt"))).as("__slog"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key"))))
+    val mean = col("total") / col("n_keys")
+    top.crossJoin(broadcast(stats)).select(
+      col("rnk").cast("long").as("rnk"), col("key"), col("cnt"),
+      round(col("cnt").cast("double") / col("total"), 6).as("share"),
+      col("n_keys"), round(mean, 6).as("mean_sz"), col("max_sz"),
+      round(col("max_sz") / mean, 6).as("skew_ratio"),
+      round(log2(col("total")) - col("__slog") / col("total"), 6)
+        .as("entropy_bits"))
   }
 }

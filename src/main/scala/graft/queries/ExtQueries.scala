@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Graft
@@ -61,6 +61,56 @@ object ExtQueries {
       }
     }
     dir
+  }
+
+  /** Typed EAV fixture over `nation` for the N-Triples/N-Quads
+    * round-trips: one predicate per term kind, with an escape-stress
+    * string (quote, newline, tab, backslash, non-ASCII). */
+  private def ntFixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val n = t(s, d, "nation").select(
+      col("n_nationkey").cast(LongType).as("k"),
+      col("n_name").as("nm"), col("n_regionkey").cast(LongType).as("rk"))
+    val subj = concat(lit("tpch:nation/"), col("k").cast(StringType))
+    val sNull = lit(null).cast(StringType)
+    val nl = lit(null)
+    def eav(p: String, kind: String, iri: Column, typ: Column, str: Column,
+            dbl: Column, lng: Column, bool: Column, lang: Column) =
+      n.select(lit("instance").as("g"), subj.as("s"), lit(p).as("p"),
+        lit(kind).as("o_kind"), iri.cast(StringType).as("o_iri"),
+        typ.cast(StringType).as("o_typ"), str.cast(StringType).as("o_str"),
+        dbl.cast(DoubleType).as("o_dbl"), lng.cast(LongType).as("o_lng"),
+        lit(null).cast(TimestampType).as("o_ts"),
+        bool.cast(BooleanType).as("o_bool"),
+        lang.cast(StringType).as("o_lang"),
+        lit(null).cast(graft.core.Vals.Dec38).as("o_dec"))
+    eav("ex:name", "l", sNull, lit("xsd:string"),
+        concat(col("nm"), lit("\"\n\t\\é")), nl, nl, nl, sNull)
+      .unionByName(eav("ex:key", "l", sNull, lit("xsd:integer"), sNull,
+        nl, col("k"), nl, sNull))
+      .unionByName(eav("ex:even", "l", sNull, lit("xsd:boolean"), sNull,
+        nl, nl, col("k") % 2 === 0, sNull))
+      .unionByName(eav("ex:frac", "l", sNull, lit("xsd:double"), sNull,
+        col("rk") + 0.25, nl, nl, sNull))
+      .unionByName(eav("ex:region", "i",
+        concat(lit("tpch:region/"), col("rk").cast(StringType)), sNull,
+        sNull, nl, nl, nl, sNull))
+      .unionByName(eav("ex:tag", "l", sNull, lit("xsd:string"), col("nm"),
+        nl, nl, nl, lit("en")))
+  }
+
+  /** Row-level projection of re-read EAV rows: every typed column
+    * rendered back to a comparable string. */
+  private def ntReadBack(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    df.select(col("g"), col("s"), col("p"), col("o_kind"),
+      coalesce(col("o_typ"), lit("iri")).as("o_typ"),
+      when(col("o_kind") === "i", col("o_iri"))
+        .when(col("o_typ") === "xsd:integer", col("o_lng").cast(StringType))
+        .when(col("o_typ") === "xsd:double", col("o_dbl").cast(StringType))
+        .when(col("o_typ") === "xsd:boolean", col("o_bool").cast(StringType))
+        .otherwise(col("o_str")).as("v"),
+      col("o_lang"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -936,6 +986,14 @@ object ExtQueries {
       graft.llm.Classifier.logistic(t(s, d, "documents"),
         targetLang = "en", buckets = 8, rounds = 3, stepDiv = 16L)),
 
+    // covariance-free PCA by distributed power iteration: the top
+    // principal direction of the embedding corpus, fit in 3 one-pass
+    // matvec aggregates (never materializing d²), projections
+    // row-exact via the per-round 6-decimal quantization barrier —
+    // the descent replays verbatim in the oracle's unrolled CTEs
+    "llm_pca_power" -> ((s, d) =>
+      graft.llm.Pca.powerProjection(t(s, d, "embeddings"))),
+
     // CCNet-style perplexity under a corpus-trained add-one bigram LM:
     // the canonical LM quality filter (Wenzek 2020)
     "text_bigram_ppl" -> ((s, d) =>
@@ -1083,6 +1141,14 @@ object ExtQueries {
     "rel_zscore_outliers" -> ((s, d) =>
       graft.operators.Warehouse.zscoreOutliers(t(s, d, "events"),
         group = "event_type", value = "value", threshold = 2.0)),
+
+    // key-skew profile of a prospective shuffle key: top-10 heavy keys
+    // + distribution stats (straggler ratio, entropy vs uniform) — the
+    // pre-flight diagnostic for salting decisions; one groupBy + one
+    // keys-sized aggregate + a top-k heap
+    "rel_skew_profile" -> ((s, d) =>
+      graft.operators.Warehouse.skewProfile(t(s, d, "events"),
+        col("user_id"), topK = 10)),
 
     // 7-day moving revenue per nation: daily grain via two broadcast
     // dim hops, then a NATION-partitioned rows-frame window (the
@@ -1496,6 +1562,34 @@ object ExtQueries {
           round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // N-Triples sink → DISTRIBUTED source round-trip: the line formats
+    // are the only SPLITTABLE bulk-RDF path (turtle carries prefix
+    // state across the document, so its reader is driver-side;
+    // sources/NTriples.scala parses per line with codegen'd column
+    // expressions, so 100 TB of dump re-ingests at file-split
+    // parallelism). The fixture stresses every term kind — escaped
+    // strings (quote/backslash/newline/tab + non-ASCII), integers,
+    // booleans, doubles, IRIs, a language-tagged literal — and the
+    // ROW-LEVEL compare proves values and types survive the text
+    // round-trip exactly.
+    "ext_ntriples_roundtrip" -> ((s, d) => {
+      val dir = landedRoundTrip("nt_rt", d + "/nation.parquet")(tmp =>
+        graft.sources.NTriples.dumpTo(ntFixture(s, d), tmp))
+      ntReadBack(graft.sources.NTriples.read(s, dir))
+    }),
+
+    // N-Quads sibling: the graph term rides each line, so a quad store
+    // (instance/schema/commit graphs) dumps and re-ingests without a
+    // per-graph pass; a second graph label proves g survives.
+    "ext_nquads_roundtrip" -> ((s, d) => {
+      val quads = ntFixture(s, d).withColumn("g",
+        when(col("p").isin("ex:key", "ex:even"), lit("g:audit"))
+          .otherwise(col("g")))
+      val dir = landedRoundTrip("nq_rt", d + "/nation.parquet")(tmp =>
+        graft.sources.NTriples.dumpQuadsTo(quads, tmp))
+      ntReadBack(graft.sources.NTriples.readQuads(s, dir))
+    }),
+
     // STREAMING multimodal ingest: per-micro-batch real PNG decode —
     // same per-doc closed-form oracle as the batch mm_decode_png
     "stream_mm_meta" -> ((s, d) => Events.streamingMmMeta(s, d)),
@@ -1544,6 +1638,47 @@ object ExtQueries {
       graft.storage.LayerStore.open(s, storeDir.getPath)
         .materializeBranch("main")
         .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    }),
+
+    // STREAMING N-Quads ingestion: raw RDF text lines parse PER
+    // MICRO-BATCH with the distributed line reader (stateless codegen'd
+    // projection — the parse rides inside each batch, no state store),
+    // land as one commit layer per batch, and the materialized branch
+    // restates the typed fixture per graph. The 100 TB shape: a quad
+    // firehose ingests at text-split parallelism with layered-commit
+    // durability per trigger.
+    "stream_nquads_ingest" -> ((s, d) => {
+      val cacheRoot = sys.env.getOrElse("GRAFT_EAV_CACHE",
+        "/root/repo/target/eav")
+      val fp = graft.util.Fingerprint.of(d + "/nation.parquet")
+      val storeDir = new java.io.File(s"$cacheRoot/nq_ingest_store_$fp")
+      if (!storeDir.exists()) {
+        val stageDir = new java.io.File(s"$cacheRoot/nq_ingest_stage_$fp")
+        val quads = ntFixture(s, d).withColumn("g",
+          when(col("p").isin("ex:key", "ex:even"), lit("g:audit"))
+            .otherwise(col("g")))
+        graft.sources.NTriples.dumpQuadLines(quads)
+          .repartition(3) // three files → three micro-batches/commits
+          .write.mode("overwrite").text(stageDir.getAbsolutePath)
+        val tmp = new java.io.File(storeDir.getPath + ".tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        val st = graft.storage.LayerStore.open(s, tmp.getPath)
+        val stream = s.readStream.option("maxFilesPerTrigger", "1")
+          .text(stageDir.getAbsolutePath)
+        val parsed = graft.sources.NTriples.fromLines(stream, quads = true)
+        graft.streaming.Ingest.streamIntoStore(parsed, st, "main")
+          .awaitTermination()
+        require(st.chain(st.refs("main")).size >= 2,
+          "streamed N-Quads ingest must land multiple commit layers")
+        if (!tmp.renameTo(storeDir)) {
+          // lost the build race: keep the winner's store
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        }
+      }
+      graft.storage.LayerStore.open(s, storeDir.getPath)
+        .materializeBranch("main")
+        .groupBy(col("g"), col("p"))
+        .agg(count(lit(1)).as("n"), sum(col("o_lng")).as("sum_lng"))
     }),
 
     // the analytic-window suite in one entry: rank / dense_rank /
@@ -3446,6 +3581,7 @@ object ExtQueries {
     // full-batch logistic descent replayed round-for-round in integer
     // micro-units (the ONLY float op is the boundary-rounded sigmoid)
     "llm_quality_lr" -> logisticSql(buckets = 8, rounds = 3, stepDiv = 16L),
+    "llm_pca_power" -> pcaSql(dim = 64, iters = 3, nComp = 2),
 
     // bigram perplexity: three zipped unnests rebuild (pos, w1, w2);
     // the per-doc sum replays the engine's pos-sorted left fold via
@@ -3601,6 +3737,25 @@ object ExtQueries {
         |  CAST(count_if(z >= 2.0) AS BIGINT) AS n_outliers,
         |  max(z) AS max_z
         | FROM z GROUP BY 1""".stripMargin,
+
+    // entropy via −Σp·log2 p = log2(total) − Σc·log2(c)/total (single
+    // stats pass both sides); shares/ratios are divisions of exact
+    // integer counts, so both engines round identical doubles
+    "rel_skew_profile" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt
+        |   FROM events GROUP BY 1),
+        | st AS (SELECT sum(cnt) AS total, count(*) AS n_keys,
+        |   max(cnt) AS max_sz, sum(cnt * log2(cnt)) AS slog FROM c),
+        | top AS (SELECT key, cnt,
+        |   row_number() OVER (ORDER BY cnt DESC, key) AS rnk
+        |  FROM c ORDER BY cnt DESC, key LIMIT 10)
+        | SELECT CAST(rnk AS BIGINT) AS rnk, key, cnt,
+        |  round(cnt * 1.0 / total, 6) AS share,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  round(total * 1.0 / n_keys, 6) AS mean_sz, max_sz,
+        |  round(max_sz / (total * 1.0 / n_keys), 6) AS skew_ratio,
+        |  round(log2(total) - slog / total, 6) AS entropy_bits
+        | FROM top CROSS JOIN st""".stripMargin,
 
     // CAST day to TIMESTAMP: DuckDB date_trunc('day') yields DATE,
     // Spark's yields TIMESTAMP
@@ -4013,6 +4168,51 @@ object ExtQueries {
         | round(sum(value), 6) AS sum_value
         | FROM events GROUP BY 1""".stripMargin,
 
+    // line-format RDF round-trip: closed-form re-statement of the
+    // typed fixture (escape-stress string incl. quote/newline/tab/
+    // backslash must come back verbatim)
+    "ext_ntriples_roundtrip" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+        |   CAST(n_regionkey AS BIGINT) AS rk FROM nation)
+        | SELECT 'instance' AS g, 'tpch:nation/'||k AS s, 'ex:name' AS p,
+        |   'l' AS o_kind, 'xsd:string' AS o_typ,
+        |   nm||'"'||chr(10)||chr(9)||'\é' AS v,
+        |   CAST(NULL AS VARCHAR) AS o_lang FROM n
+        | UNION ALL SELECT 'instance', 'tpch:nation/'||k, 'ex:key', 'l',
+        |   'xsd:integer', CAST(k AS VARCHAR), NULL FROM n
+        | UNION ALL SELECT 'instance', 'tpch:nation/'||k, 'ex:even', 'l',
+        |   'xsd:boolean', CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END,
+        |   NULL FROM n
+        | UNION ALL SELECT 'instance', 'tpch:nation/'||k, 'ex:frac', 'l',
+        |   'xsd:double', CAST(CAST(rk + 0.25 AS DOUBLE) AS VARCHAR),
+        |   NULL FROM n
+        | UNION ALL SELECT 'instance', 'tpch:nation/'||k, 'ex:region', 'i',
+        |   'iri', 'tpch:region/'||rk, NULL FROM n
+        | UNION ALL SELECT 'instance', 'tpch:nation/'||k, 'ex:tag', 'l',
+        |   'xsd:string', nm, 'en' FROM n""".stripMargin,
+
+    // quad sibling: identical statement set, with the graph label
+    // riding two predicates into a second named graph
+    "ext_nquads_roundtrip" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+        |   CAST(n_regionkey AS BIGINT) AS rk FROM nation)
+        | SELECT 'instance' AS g, 'tpch:nation/'||k AS s, 'ex:name' AS p,
+        |   'l' AS o_kind, 'xsd:string' AS o_typ,
+        |   nm||'"'||chr(10)||chr(9)||'\é' AS v,
+        |   CAST(NULL AS VARCHAR) AS o_lang FROM n
+        | UNION ALL SELECT 'g:audit', 'tpch:nation/'||k, 'ex:key', 'l',
+        |   'xsd:integer', CAST(k AS VARCHAR), NULL FROM n
+        | UNION ALL SELECT 'g:audit', 'tpch:nation/'||k, 'ex:even', 'l',
+        |   'xsd:boolean', CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END,
+        |   NULL FROM n
+        | UNION ALL SELECT 'instance', 'tpch:nation/'||k, 'ex:frac', 'l',
+        |   'xsd:double', CAST(CAST(rk + 0.25 AS DOUBLE) AS VARCHAR),
+        |   NULL FROM n
+        | UNION ALL SELECT 'instance', 'tpch:nation/'||k, 'ex:region', 'i',
+        |   'iri', 'tpch:region/'||rk, NULL FROM n
+        | UNION ALL SELECT 'instance', 'tpch:nation/'||k, 'ex:tag', 'l',
+        |   'xsd:string', nm, 'en' FROM n""".stripMargin,
+
     // streaming decode must reproduce the batch codec's closed form
     "stream_mm_meta" ->
       """SELECT doc_id, 1 + doc_id % 64 AS width, 1 + doc_id % 48 AS height,
@@ -4024,6 +4224,19 @@ object ExtQueries {
       """SELECT 'tpch:o_custkey' AS p, count(*) AS n FROM orders
         | UNION ALL
         | SELECT 'tpch:o_totalprice', count(*) FROM orders""".stripMargin,
+
+    // closed-form restatement of the N-Quads fixture after the
+    // parse-on-stream → commit-per-batch → materialize round trip
+    "stream_nquads_ingest" ->
+      """WITH s AS (SELECT count(*) AS c,
+        |   CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS sk
+        |  FROM nation)
+        | SELECT 'g:audit' AS g, 'ex:key' AS p, c AS n, sk AS sum_lng FROM s
+        | UNION ALL SELECT 'g:audit', 'ex:even', c, NULL FROM s
+        | UNION ALL SELECT 'instance', 'ex:name', c, NULL FROM s
+        | UNION ALL SELECT 'instance', 'ex:frac', c, NULL FROM s
+        | UNION ALL SELECT 'instance', 'ex:region', c, NULL FROM s
+        | UNION ALL SELECT 'instance', 'ex:tag', c, NULL FROM s""".stripMargin,
 
     // seven analytic windows over one (nation, acctbal desc, custkey)
     // order; cume_dist as its exact integer numerator (see engine note)
@@ -4335,6 +4548,63 @@ object ExtQueries {
     * sign-symmetric truncating step): per round, z = exact long dot
     * product, p = micro sigmoid, g = exact integer gradient sums,
     * w += trunc(g / (n·stepDiv)). */
+  /** Unrolled power-iteration-with-deflation PCA (= Pca.powerProjection):
+    * the same quantize-each-round contract — round the max-abs-scaled
+    * direction to 6 decimals at every round boundary so cross-engine
+    * float-sum drift (~1e-13) never reaches the per-row projections;
+    * deflation replays Gram-Schmidt against each PREVIOUS component's
+    * FINAL quantized list. */
+  private def pcaSql(dim: Int, iters: Int, nComp: Int): String = {
+    def compSteps(c: Int): String = (1 to iters).map { n =>
+      val core =
+        s"""c${c}y$n AS MATERIALIZED (SELECT vec_id,
+           |   list_dot_product(x, (SELECT vl FROM c${c}v${n - 1}l)) -
+           |   list_dot_product((SELECT ml FROM mul),
+           |     (SELECT vl FROM c${c}v${n - 1}l)) AS y FROM e),
+           | c${c}s$n AS MATERIALIZED (SELECT k, sum(x[k] * yy.y) AS s
+           |   FROM e JOIN c${c}y$n yy USING (vec_id)
+           |   CROSS JOIN range(1, ${dim + 1}) t(k) GROUP BY k),
+           | c${c}sy$n AS MATERIALIZED (SELECT sum(y) AS sy FROM c${c}y$n),
+           | c${c}u${n}d0 AS MATERIALIZED (SELECT c${c}s$n.k,
+           |   c${c}s$n.s - mu.m * (SELECT sy FROM c${c}sy$n) AS u
+           |   FROM c${c}s$n JOIN mu USING (k))""".stripMargin
+      val defl = (1 until c).map { p =>
+        s""" c${c}r${n}_$p AS MATERIALIZED (SELECT
+           |   (SELECT sum(u2.u * vv.vl[u2.k])
+           |     FROM c${c}u${n}d${p - 1} u2 CROSS JOIN c${p}v${iters}l vv) /
+           |   (SELECT list_dot_product(vl, vl) FROM c${p}v${iters}l) AS r),
+           | c${c}u${n}d$p AS MATERIALIZED (SELECT u.k, u.u - c${c}r${n}_$p.r * vv.vl[u.k] AS u
+           |   FROM c${c}u${n}d${p - 1} u CROSS JOIN c${p}v${iters}l vv
+           |   CROSS JOIN c${c}r${n}_$p)""".stripMargin
+      }.mkString(",")
+      val last = s"c${c}u${n}d${c - 1}"
+      val tail =
+        s""" c${c}mx$n AS MATERIALIZED (SELECT max(abs(u)) AS mx FROM $last),
+           | c${c}v${n}l AS MATERIALIZED (SELECT list(
+           |   CASE WHEN (SELECT mx FROM c${c}mx$n) = 0 THEN 0.0
+           |     ELSE round(u / (SELECT mx FROM c${c}mx$n), 6) END
+           |   ORDER BY k) AS vl FROM $last)""".stripMargin
+      (Seq(core) ++ (if (c > 1) Seq(defl) else Nil) ++ Seq(tail)).mkString(",")
+    }.mkString(", ")
+    val comps = (1 to nComp).map { c =>
+      s"""c${c}v0l AS MATERIALIZED (SELECT list(0.125::DOUBLE) AS vl FROM range($dim)),
+         | ${compSteps(c)}""".stripMargin
+    }.mkString(", ")
+    val projs = (1 to nComp).map { c =>
+      s"""round(list_dot_product(x, (SELECT vl FROM c${c}v${iters}l)) -
+         |     list_dot_product((SELECT ml FROM mul),
+         |       (SELECT vl FROM c${c}v${iters}l)), 6) AS proj$c""".stripMargin
+    }.mkString(",\n   ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+       | mu AS MATERIALIZED (SELECT k, round(avg(x[k]), 6) AS m
+       |   FROM e CROSS JOIN range(1, ${dim + 1}) t(k) GROUP BY k),
+       | mul AS MATERIALIZED (SELECT list(m ORDER BY k) AS ml FROM mu),
+       | $comps
+       | SELECT e.vec_id,
+       |   $projs
+       | FROM e""".stripMargin
+  }
+
   private def logisticSql(buckets: Int, rounds: Int, stepDiv: Long): String = {
     val steps = (1 to rounds).map { n =>
       s"""z$n AS (SELECT fb.doc_id, sum(fb.cnt * w${n - 1}.w) AS z

@@ -394,7 +394,13 @@ object Turtle {
   /** One formatted turtle statement per EAV row, built entirely from
     * column expressions — the dump stays distributed (codegen'd string
     * ops, no driver collect). IRIs dump as <…> for unambiguity. */
-  def dumpLines(triples: DataFrame): DataFrame = {
+  /** Object-term formatter over the EAV `o_*` columns — shared by the
+    * turtle dump here and the N-Triples/N-Quads dumps in [[NTriples]].
+    * `canonical = false` emits turtle's compact bare tokens for
+    * numerics/booleans; `canonical = true` emits strict N-Triples
+    * (every literal quoted, with an explicit `^^<datatype>`). */
+  private[sources] def objectTermCol(
+      canonical: Boolean = false): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     // short-form turtle literals cannot contain RAW newlines/tabs — and
     // the dump is one statement per text line, so control characters
@@ -409,17 +415,33 @@ object Turtle {
     }
     val strLit = concat(lit("\""), esc(col("o_str")), lit("\""),
       when(col("o_lang").isNotNull, concat(lit("@"), col("o_lang"))).otherwise(lit("")))
-    val obj = when(col("o_kind") === "i", concat(lit("<"), col("o_iri"), lit(">")))
+    // canonical (strict N-Triples) form: quoted lexical value + ^^<typ>
+    def typed(value: org.apache.spark.sql.Column,
+              typ: org.apache.spark.sql.Column) =
+      if (canonical) concat(lit("\""), value, lit("\"^^<"), typ, lit(">"))
+      else value
+    // blank-node objects dump as their bare label (both grammars);
+    // wrapping them in <> would turn them into IRIs on re-read
+    when(col("o_kind") === "i" && col("o_iri").startsWith("_:"), col("o_iri"))
+      .when(col("o_kind") === "i", concat(lit("<"), col("o_iri"), lit(">")))
       .when(col("o_typ") === "xsd:string", strLit)
-      .when(col("o_typ") === "xsd:integer", col("o_lng").cast("string"))
-      .when(col("o_typ") === "xsd:double", col("o_dbl").cast("string"))
-      .when(col("o_typ") === "xsd:decimal", col("o_dec").cast("string"))
-      .when(col("o_typ") === "xsd:boolean", col("o_bool").cast("string"))
+      .when(col("o_typ") === "xsd:integer",
+        typed(col("o_lng").cast("string"), col("o_typ")))
+      .when(col("o_typ") === "xsd:double",
+        typed(col("o_dbl").cast("string"), col("o_typ")))
+      .when(col("o_typ") === "xsd:decimal",
+        typed(col("o_dec").cast("string"), col("o_typ")))
+      .when(col("o_typ") === "xsd:boolean",
+        typed(col("o_bool").cast("string"), col("o_typ")))
       .otherwise(concat(lit("\""),
         esc(coalesce(col("o_str"), col("o_ts").cast("string"))),
         lit("\"^^<"), col("o_typ"), lit(">")))
+  }
+
+  def dumpLines(triples: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     triples.select(concat(lit("<"), col("s"), lit("> <"), col("p"), lit("> "),
-      obj, lit(" .")).as("line"))
+      objectTermCol(), lit(" .")).as("line"))
   }
 
   /** Distributed dump to a text directory (the 100 TB path). */

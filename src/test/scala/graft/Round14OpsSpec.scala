@@ -191,4 +191,29 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(got == Map(
       "a" -> ((2L, 1L, 2000000L)), "b" -> ((2L, 1L, 2000000L))))
   }
+
+  test("skew profile: heavy keys, shares, straggler ratio, entropy") {
+    import spark.implicits._
+    // key distribution 8/4/2/2: total 16, 4 keys, mean 4, max 8,
+    // entropy = -(1/2 lg 1/2 + 1/4 lg 1/4 + 2 * 1/8 lg 1/8) = 1.75
+    val df = (Seq.fill(8)("hot") ++ Seq.fill(4)("warm") ++
+      Seq.fill(2)("c1") ++ Seq.fill(2)("c2")).toDF("k")
+    val got = graft.operators.Warehouse.skewProfile(df, col("k"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8)))
+    assert(got.toSeq == Seq(
+      (1L, "hot", 8L, 0.5, 4L, 4.0, 8L, 2.0, 1.75),
+      (2L, "warm", 4L, 0.25, 4L, 4.0, 8L, 2.0, 1.75)))
+  }
+
+  test("skew profile plan: top-k is a heap (TakeOrdered), not a full sort") {
+    import spark.implicits._
+    // topK must be < the scan's static maxRows or EliminateLimits
+    // removes the limit outright (and with it the TakeOrdered shape)
+    val df = ('a' to 'h').map(_.toString).toDF("k")
+    val plan = graft.operators.Warehouse.skewProfile(df, col("k"), topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
 }
