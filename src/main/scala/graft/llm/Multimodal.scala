@@ -336,6 +336,49 @@ object Multimodal {
     spark.createDataFrame(decodeMetaDs(withBytes, codec).rdd, metaSchema)
   }
 
+  /** REAL decode → nearest-neighbor thumbnail over a binary image
+    * column: ImageIO parses the actual PNG/BMP/GIF bytes on the
+    * executors, the resample maps thumb pixel (X,Y) to source pixel
+    * (⌊X·w/tw⌋, ⌊Y·h/th⌋) — an exact integer mapping an oracle can
+    * replay — and each thumbnail is summarized as the order-weighted
+    * pixel checksum Σ rgb(X,Y)·(X + tw·Y + 1), so every resampled
+    * pixel is verified without shipping rasters. Same mapPartitions
+    * batch slot as [[decodeMeta]] (per-partition codec init, rows
+    * stream through — the production decode/resize shape for binary
+    * multimodal columns; the driver never sees a pixel). */
+  def resizeThumb(withBytes: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw >= 1 && th >= 1)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("src_w", LongType),
+      StructField("src_h", LongType), StructField("thumb_w", LongType),
+      StructField("thumb_h", LongType), StructField("checksum", LongType)))
+    val spark = withBytes.sparkSession
+    val rows = withBytes.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val w = img.getWidth; val h = img.getHeight
+          var cs = 0L
+          var y = 0
+          while (y < th) {
+            val sy = (y.toLong * h / th).toInt
+            var x = 0
+            while (x < tw) {
+              val sx = (x.toLong * w / tw).toInt
+              cs += (img.getRGB(sx, sy) & 0xffffff).toLong * (x + tw * y + 1)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, w.toLong, h.toLong, tw.toLong, th.toLong, cs)
+        }
+      }(Encoders.row(schema))
+    spark.createDataFrame(rows.rdd, schema)
+  }
+
   /** REAL image payloads: one deterministic RGB PNG per document,
     * dimensions closed-form in doc_id (width 1+id%64, height 1+id%48)
     * so an oracle can predict them without touching the bytes. The

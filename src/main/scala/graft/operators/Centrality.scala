@@ -28,7 +28,34 @@ import org.apache.spark.storage.StorageLevel
 object Centrality {
 
   def landmarkCloseness(edges: DataFrame, k: Int = 4,
-                        maxHops: Int = 6): DataFrame = {
+                        maxHops: Int = 6): DataFrame =
+    landmarkDistances(edges, k, maxHops).groupBy(col("node"))
+      .agg(count(lit(1)).as("reached"), sum(col("dist")).as("sum_dist"))
+      .select(col("node"), col("reached"), col("sum_dist").cast(LongType)
+          .as("sum_dist"),
+        when(col("sum_dist") > 0,
+          round(lit(1000000.0) * col("reached").cast("double") /
+            col("sum_dist").cast("double"), 0).cast(LongType))
+          .otherwise(lit(0L)).as("closeness_micro"))
+
+  /** Landmark HARMONIC centrality — same deterministic-landmark BFS,
+    * the Σ 1/d aggregate instead of k/Σd (Boldi & Vigna's preferred
+    * form: defined on disconnected graphs without the reached-count
+    * correction). harmonic_micro(v) = Σ_l ⌊1e6 / dist(l,v)⌋ over
+    * landmarks at finite distance ≥ 1 — EXACT integer division per
+    * term, so both engines sum identical longs (no float anywhere). */
+  def landmarkHarmonic(edges: DataFrame, k: Int = 4,
+                       maxHops: Int = 6): DataFrame =
+    landmarkDistances(edges, k, maxHops)
+      .filter(col("dist") >= 1)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("reached"),
+        sum(expr("CAST(1000000 AS BIGINT) div dist")).as("harmonic_micro"))
+
+  /** The shared semi-naive landmark BFS: (l, node, dist) for every
+    * node within `maxHops` of one of the k least-id landmarks. */
+  private def landmarkDistances(edges: DataFrame, k: Int,
+                                maxHops: Int): DataFrame = {
     require(k >= 1 && maxHops >= 1)
     val dir = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
@@ -69,13 +96,6 @@ object Centrality {
         seen = seen.unionByName(frontier.select(col("l"), col("node")))
       }
     }
-    frontiers.reduce(_ unionByName _).groupBy(col("node"))
-      .agg(count(lit(1)).as("reached"), sum(col("dist")).as("sum_dist"))
-      .select(col("node"), col("reached"), col("sum_dist").cast(LongType)
-          .as("sum_dist"),
-        when(col("sum_dist") > 0,
-          round(lit(1000000.0) * col("reached").cast("double") /
-            col("sum_dist").cast("double"), 0).cast(LongType))
-          .otherwise(lit(0L)).as("closeness_micro"))
+    frontiers.reduce(_ unionByName _)
   }
 }

@@ -431,6 +431,15 @@ object ExtQueries {
       graft.llm.Multimodal.decodeMeta(
           graft.llm.Multimodal.withPngPayload(t(s, d, "documents")))
         .select(col("doc_id"), col("width"), col("height"), col("format"))),
+    // REAL decode → RESIZE path: ImageIO parses each PNG, an exact
+    // integer nearest-neighbor resample builds an 8×6 thumbnail, and
+    // the order-weighted pixel checksum verifies every resampled pixel
+    // against the generator's closed-form raster — decode + transform
+    // as one per-partition batch op over the binary column
+    "mm_resize_thumb" -> ((s, d) =>
+      graft.llm.Multimodal.resizeThumb(
+        graft.llm.Multimodal.withPngPayload(t(s, d, "documents")), 8, 6)),
+
     // REAL audio codec path: executors hand-roll one PCM WAV per doc
     // (rate/channels/frames closed-form in doc_id), WavCodec parses
     // the actual RIFF stream back via javax.sound.sampled — width
@@ -911,6 +920,23 @@ object ExtQueries {
         concat(lit("n:"), col("n_nationkey")).as("src"),
         concat(lit("r:"), col("n_regionkey")).as("dst"))
       graft.operators.Centrality.landmarkCloseness(
+        o.union(c).union(n), k = 4, maxHops = 6)
+    }),
+
+    // harmonic centrality over the same landmark BFS: Σ 1/d in exact
+    // integer micro-units (Boldi & Vigna's disconnected-graph-safe
+    // form) — shares the semi-naive frontier discipline
+    "graph_harmonic" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+      val c = t(s, d, "customer").select(
+        concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"))
+      val n = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      graft.operators.Centrality.landmarkHarmonic(
         o.union(c).union(n), k = 4, maxHops = 6)
     }),
 
@@ -2680,6 +2706,20 @@ object ExtQueries {
       """SELECT doc_id, 1 + doc_id % 64 AS width, 1 + doc_id % 48 AS height,
         | 'image/png' AS format FROM documents""".stripMargin,
 
+    // every thumbnail pixel replayed: source pixel (⌊X·w/8⌋,⌊Y·h/6⌋),
+    // rgb = (id·2654435761 + sx·31 + sy) mod 2²⁴ (the generator's
+    // raster), order-weighted sum — one wrong pixel anywhere diverges
+    "mm_resize_thumb" ->
+      """WITH px AS (SELECT doc_id, rx.x AS x, ry.y AS y,
+        |   (rx.x * (1 + doc_id % 64)) // 8 AS sx,
+        |   (ry.y * (1 + doc_id % 48)) // 6 AS sy
+        |  FROM documents CROSS JOIN range(8) rx(x) CROSS JOIN range(6) ry(y))
+        | SELECT doc_id, 1 + doc_id % 64 AS src_w, 1 + doc_id % 48 AS src_h,
+        |  CAST(8 AS BIGINT) AS thumb_w, CAST(6 AS BIGINT) AS thumb_h,
+        |  CAST(sum(((doc_id * 2654435761 + sx * 31 + sy) % 16777216)
+        |    * (x + 8 * y + 1)) AS BIGINT) AS checksum
+        | FROM px GROUP BY 1""".stripMargin,
+
     // real-audio check: decoded frame count / sample rate / byte size
     // must equal the PCM generator's closed form
     "mm_decode_wav" ->
@@ -3007,6 +3047,7 @@ object ExtQueries {
     "graph_lpa" -> lpaSql(rounds = 3),
     "graph_modularity" -> modularitySql(rounds = 3),
     "graph_closeness" -> closenessSql(k = 4, hops = 6),
+    "graph_harmonic" -> harmonicSql(k = 4, hops = 6),
 
     // closed-form: the FK graph's components ARE the regions; each
     // component's label is its least member IRI
@@ -4515,7 +4556,9 @@ object ExtQueries {
     * the undirected FK entity graph (= Centrality.landmarkCloseness:
     * least-id landmarks, k·V distance table, one micro-rounded final
     * division with pinned operand order). */
-  private def closenessSql(k: Int, hops: Int): String = {
+  /** Shared landmark-BFS WITH-prefix (= Centrality.landmarkDistances):
+    * `d<hops>` holds (l, node, dist) min distances. */
+  private def landmarkBfsWith(k: Int, hops: Int): String = {
     val steps = (1 to hops).map { h =>
       s"""d$h AS MATERIALIZED (SELECT l, node, min(dist) AS dist FROM (
          |   SELECT l, node, dist FROM d${h - 1}
@@ -4533,14 +4576,25 @@ object ExtQueries {
        | lm AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e)
        |   ORDER BY node LIMIT $k),
        | d0 AS (SELECT node AS l, node, CAST(0 AS BIGINT) AS dist FROM lm),
-       | $steps
+       | $steps""".stripMargin
+  }
+
+  private def closenessSql(k: Int, hops: Int): String =
+    s"""${landmarkBfsWith(k, hops)}
        | SELECT node, CAST(count(*) AS BIGINT) AS reached,
        |   CAST(sum(dist) AS BIGINT) AS sum_dist,
        |   CASE WHEN sum(dist) > 0 THEN CAST(round(1000000.0 * count(*)
        |       / sum(dist), 0) AS BIGINT)
        |     ELSE 0 END AS closeness_micro
        | FROM d$hops GROUP BY 1""".stripMargin
-  }
+
+  /** Harmonic variant (= Centrality.landmarkHarmonic): Σ ⌊1e6/d⌋ over
+    * finite d ≥ 1 — exact integer terms, no float anywhere. */
+  private def harmonicSql(k: Int, hops: Int): String =
+    s"""${landmarkBfsWith(k, hops)}
+       | SELECT node, CAST(count(*) AS BIGINT) AS reached,
+       |   CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+       | FROM d$hops WHERE dist >= 1 GROUP BY 1""".stripMargin
 
   /** Unrolled full-batch logistic-regression descent (=
     * Classifier.logistic: hashed-unigram counts + bias, integer

@@ -1050,12 +1050,33 @@ object HttpApi {
                   when(col("o_kind") === "i", ex1("o_iri"))
                     .otherwise(col("o_iri")))
             } else g0
-          raw(graft.sources.Turtle.dump(g))
+          // ?format=ntriples|nquads: the line formats (splittable at
+          // scale, canonical quoted literals); default stays turtle
+          // like the reference's triples route
+          param(ex, "format") match {
+            case Some("ntriples") =>
+              raw(graft.sources.NTriples.dumpLines(g).collect()
+                .map(_.getString(0)).mkString("", "\n", "\n"))
+            case Some("nquads") =>
+              raw(graft.sources.NTriples.dumpQuadLines(g).collect()
+                .map(_.getString(0)).mkString("", "\n", "\n"))
+            case _ => raw(graft.sources.Turtle.dump(g))
+          }
         case "POST" | "PUT" =>
-          // turtle upload: parse the body, land it as ONE commit on the
-          // branch — the put half of the reference's triples route
+          // turtle (default) or line-format upload: parse the body,
+          // land it as ONE commit on the branch — the put half of the
+          // reference's triples route
           val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-          val adds = graft.sources.Turtle.load(spark, body)
+          val adds = param(ex, "format") match {
+            case Some("ntriples") => graft.sources.NTriples.fromLines(
+              spark.createDataset(body.linesIterator.toSeq)(
+                org.apache.spark.sql.Encoders.STRING).toDF("value"))
+            case Some("nquads") => graft.sources.NTriples.fromLines(
+              spark.createDataset(body.linesIterator.toSeq)(
+                org.apache.spark.sql.Encoders.STRING).toDF("value"),
+              quads = true)
+            case _ => graft.sources.Turtle.load(spark, body)
+          }
           val n = adds.count()
           val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], graft.storage.Eav.schema)

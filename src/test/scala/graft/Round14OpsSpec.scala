@@ -192,6 +192,36 @@ class Round14OpsSpec extends AnyFunSuite {
       "a" -> ((2L, 1L, 2000000L)), "b" -> ((2L, 1L, 2000000L))))
   }
 
+  test("resize thumbnail: exact NN resample of a hand-built raster") {
+    import spark.implicits._
+    // 2×2 source (TL=1, TR=2, BL=3, BR=4) resized to 4×2: columns 0-1
+    // sample sx=0, columns 2-3 sample sx=1; rows 0 → sy=0, 1 → sy=1
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 1); img.setRGB(1, 0, 2)
+    img.setRGB(0, 1, 3); img.setRGB(1, 1, 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((7L, bos.toByteArray)).toDF("doc_id", "payload")
+    val r = graft.llm.Multimodal.resizeThumb(df, 4, 2).collect().head
+    // expected pixels row0: 1,1,2,2 (weights 1..4); row1: 3,3,4,4 (5..8)
+    val expected = 1 * 1 + 1 * 2 + 2 * 3 + 2 * 4 + 3 * 5 + 3 * 6 + 4 * 7 + 4 * 8
+    assert((r.getLong(1), r.getLong(2), r.getLong(5)) ==
+      ((2L, 2L, expected.toLong)))
+  }
+
+  test("harmonic centrality: exact integer 1/d terms over the shared BFS") {
+    import spark.implicits._
+    // path a—b—c, landmarks = 2 least ids (a, b); self dist-0 excluded:
+    // a: 1/1 from b; b: 1/1 from a; c: 1/2 from a + 1/1 from b
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = graft.operators.Centrality.landmarkHarmonic(edges, k = 2,
+      maxHops = 6).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((1L, 1000000L)), "b" -> ((1L, 1000000L)),
+      "c" -> ((2L, 1500000L))))
+  }
+
   test("skew profile: heavy keys, shares, straggler ratio, entropy") {
     import spark.implicits._
     // key distribution 8/4/2/2: total 16, 4 keys, mean 4, max 8,

@@ -380,6 +380,30 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.filter(col("s") === "http://ex.org/x").count() == 2)
   }
 
+  test("triples ?format=ntriples/nquads round-trips the line formats") {
+    val (_, bb) = post("/api/branch?name=ntrt&from=main", "")
+    assert((JsonMethods.parse(bb) \ "api:status") == JString("api:success"))
+    val nt =
+      """<http://ex.org/y> <http://ex.org/name> "Yara\n2" .
+        |<http://ex.org/y> <http://ex.org/age> "39"^^<xsd:integer> .
+        |""".stripMargin
+    val (code, body) = post("/api/triples?branch=ntrt&format=ntriples", nt)
+    assert(code == 200, body)
+    assert((JsonMethods.parse(body) \ "inserted") == JInt(BigInt(2)))
+    // N-Triples GET: canonical quoted literals, one statement per line
+    val (cg, dump) = get("/api/triples?branch=ntrt&format=ntriples")
+    assert(cg == 200)
+    val yLines = dump.split("\n").filter(_.startsWith("<http://ex.org/y>"))
+    assert(yLines.toSet == Set(
+      """<http://ex.org/y> <http://ex.org/name> "Yara\n2" .""",
+      """<http://ex.org/y> <http://ex.org/age> "39"^^<xsd:integer> ."""))
+    // N-Quads GET carries the graph term
+    val (cq, qdump) = get("/api/triples?branch=ntrt&format=nquads")
+    assert(cq == 200)
+    assert(qdump.split("\n").filter(_.startsWith("<http://ex.org/y>"))
+      .forall(_.endsWith(" <instance> .")))
+  }
+
   test("document GET reads from a branch head with ?branch") {
     // docs committed to main by the insert test
     val (code, body) = get("/api/document?id=doc:Thing/alpha&branch=main")
