@@ -104,7 +104,8 @@ object Bench {
     // streaming quad-ingest twin, power-iteration PCA, skew profiler
     "ext_ntriples_roundtrip", "ext_nquads_roundtrip",
     "stream_nquads_ingest", "llm_pca_power", "rel_skew_profile",
-    "graph_harmonic", "mm_resize_thumb",
+    "graph_harmonic", "mm_resize_thumb", "rel_join_cardinality",
+    "graph_diameter", "text_zipf_fit", "llm_decontaminate",
     )
 
   def main(args: Array[String]): Unit = {

@@ -529,6 +529,35 @@ object TextAnalysis {
         sum(col("c") * col("ntok")).cast(LongType).as("n_wp_tokens"))
   }
 
+  /** Zipf's-law fit: OLS of ln(freq) on ln(rank) over the top-N term
+    * types. Natural corpora sit near slope −1; a corpus far off is
+    * template/boilerplate-heavy (flat head) or degenerate (steep) — a
+    * DISTRIBUTION-level quality diagnostic complementing the per-doc
+    * C4/Gopher rules.
+    *
+    * Shape: one tokenize+count (map-side combinable), a top-N heap
+    * (TakeOrdered — the full vocabulary never sorts), and the
+    * regression is a 1-row aggregate over N terms. Ranks tie-break
+    * lexicographically so both engines fit the same N points. */
+  def zipfFit(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    val counts = docs.select(explode(toks(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+    val xy = top.select(log(col("rank").cast(DoubleType)).as("x"),
+      log(col("cnt").cast(DoubleType)).as("y"))
+    val s = xy.agg(count(lit(1)).cast(LongType).as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n_terms"), round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n_terms"), 6)
+        .as("intercept"))
+  }
+
   /** Stateless WordPiece ENCODE of a (possibly STREAMING) docs frame
     * with an already-trained merge list: the merges fold as pure
     * column expressions per document — no type-table join, no
@@ -538,19 +567,19 @@ object TextAnalysis {
     * Counts equal [[wordpieceApply]]'s (docs without letter-words
     * absent in both). */
   def wordpieceEncode(docs: DataFrame,
-      merges: Seq[(Long, String, String, Long, Long)]): DataFrame = {
-    val enc = (w: Column) => merges.foldLeft(wpSyms(w)) {
-      case (c, (_, l, r, _, _)) =>
-        applyMergeInto(c, l, r, l + r.stripPrefix("##"))
-    }
+      merges: Seq[(Long, String, String, Long, Long)]): DataFrame =
+    // the merge fold is a fused codegen'd expression — the composed
+    // aggregate(transform(fold-of-merges)) ran INTERPRETED (lambda
+    // HOFs don't codegen) at ~len²·merges allocations per word
+    // occurrence: 14 s steady at sf0.1 on the streaming path, ~0.5 s
+    // fused (graft.functions.WordpieceCount, the ArrayDot treatment)
     docs.select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("__w"))
       .where(size(col("__w")) > 0)
       .select(col("doc_id"),
         size(col("__w")).cast(LongType).as("n_words"),
-        aggregate(transform(col("__w"), w => size(enc(w)).cast(LongType)),
-          lit(0L), (a, x) => a + x).as("n_wp_tokens"))
-  }
+        graft.functions.WordpieceCount.pieces(col("__w"), merges)
+          .as("n_wp_tokens"))
 
   // ---- tokenizer ARTIFACT persistence: the memo caches (mergeCache /
   // wpCache / unigramCache) are per-JVM; a production pipeline fits

@@ -57,14 +57,53 @@ object Centrality {
   private def landmarkDistances(edges: DataFrame, k: Int,
                                 maxHops: Int): DataFrame = {
     require(k >= 1 && maxHops >= 1)
+    val und = undirected(edges)
+    val landmarks = und.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(k)
+    bfs(und, landmarks, maxHops)
+  }
+
+  /** Double-sweep diameter estimate (Magnien, Latapy & Habib 2009):
+    * BFS from the deterministic least-id node, BFS again from its
+    * farthest node (ties → least id) — the second eccentricity is the
+    * classic diameter LOWER bound, 2·ecc(start) the matching upper
+    * bound. Two frontier-sized BFS passes, never all-pairs; both
+    * sweeps honor `maxHops` (on a larger-diameter graph the bound is
+    * capped — raise maxHops, cost is per-hop not per-node). The two
+    * intermediate collects are 1 row each. */
+  def doubleSweepDiameter(edges: DataFrame, maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1)
+    val und = undirected(edges)
+    val start = und.agg(min(col("src"))).collect().head.getString(0)
+    require(start != null, "doubleSweepDiameter: empty edge set")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val d1 = bfs(und, Seq(start).toDF("node"), maxHops)
+    val farRow = d1.orderBy(col("dist").desc, col("node")).limit(1)
+      .collect().head
+    val (far, ecc1) = (farRow.getString(1), farRow.getLong(2))
+    val d2 = bfs(und, Seq(far).toDF("node"), maxHops)
+    d2.agg(max(col("dist")).cast(LongType).as("diam_lb"))
+      .select(lit(start).as("start_node"), lit(far).as("far_node"),
+        lit(ecc1).cast(LongType).as("ecc_start"), col("diam_lb"),
+        lit(2L * ecc1).cast(LongType).as("diam_ub"))
+  }
+
+  /** Deduplicated undirected view, persisted for the BFS's repeated
+    * per-hop joins. */
+  private def undirected(edges: DataFrame): DataFrame = {
     val dir = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    val und = graft.util.Scratch.track(
+    graft.util.Scratch.track(
       dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val landmarks = und.select(col("src").as("node")).distinct()
-      .orderBy(col("node")).limit(k)
+  }
+
+  /** Multi-source BFS from `seeds` (one `node` column): (l, node,
+    * dist) rows for every node within maxHops of a seed l. */
+  private def bfs(und: DataFrame, seeds: DataFrame,
+                  maxHops: Int): DataFrame = {
     // SEMI-NAIVE BFS (the Paths.scala closure discipline): each hop
     // joins ONLY the hop-h frontier against edges — never the full
     // accumulated distance table, which the naive form re-joined every
@@ -75,7 +114,7 @@ object Centrality {
     // checkpointed per hop (the 10.7 s → ~1 s sf0.1 lineage lesson,
     // BASELINE.md r13) and the loop exits as soon as a frontier is
     // empty — diameter < maxHops graphs stop paying for empty rounds.
-    val seed = graft.util.Scratch.trackCheckpoint(landmarks
+    val seed = graft.util.Scratch.trackCheckpoint(seeds
       .select(col("node").as("l"), col("node"), lit(0L).as("dist"))
       .localCheckpoint(true))
     val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame](seed)

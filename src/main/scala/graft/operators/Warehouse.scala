@@ -144,6 +144,41 @@ object Warehouse {
     * never a full sort), and both re-attach by broadcast. Entropy uses
     * the identity −Σp·log2 p = log2(total) − Σc·log2(c)/total so it
     * folds into the same single stats pass. */
+  /** Exact join-cardinality pre-flight: |A ⋈ B| = Σ_k c_A(k)·c_B(k)
+    * computed from the two KEY-COUNT tables — keys-sized work (two
+    * map-side-combinable groupBys + one keys-sized join), never the
+    * join itself. The companion to [[skewProfile]]: profile tells you
+    * a key is heavy on one side; this tells you what the heavy keys
+    * MULTIPLY into before you pay for the shuffle. Returns the top-k
+    * contributing keys (the salting/bloom targets), each with its
+    * share of the estimated output, plus the global numbers
+    * (est_rows, matching keys, per-side row/key counts). */
+  def joinCardinality(left: DataFrame, leftKey: Column,
+                      right: DataFrame, rightKey: Column,
+                      topK: Int = 10): DataFrame = {
+    val lc = left.groupBy(leftKey.as("key")).agg(count(lit(1)).as("cnt_l"))
+    val rc = right.groupBy(rightKey.as("key")).agg(count(lit(1)).as("cnt_r"))
+    val contrib = lc.join(rc, Seq("key"))
+      .select(col("key"), col("cnt_l"), col("cnt_r"),
+        (col("cnt_l") * col("cnt_r")).as("contrib"))
+    val stats = contrib.agg(sum(col("contrib")).as("est_rows"),
+      count(lit(1)).as("matching_keys"))
+    val sides = lc.agg(sum(col("cnt_l")).as("left_rows"),
+        count(lit(1)).as("left_keys"))
+      .crossJoin(rc.agg(sum(col("cnt_r")).as("right_rows"),
+        count(lit(1)).as("right_keys")))
+    val top = contrib.orderBy(col("contrib").desc, col("key")).limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("contrib").desc, col("key"))))
+    top.crossJoin(broadcast(stats)).crossJoin(broadcast(sides)).select(
+      col("rnk").cast("long").as("rnk"), col("key"), col("cnt_l"),
+      col("cnt_r"), col("contrib"),
+      round(col("contrib").cast("double") / col("est_rows"), 6).as("share"),
+      col("est_rows"), col("matching_keys"),
+      col("left_rows"), col("left_keys"),
+      col("right_rows"), col("right_keys"))
+  }
+
   def skewProfile(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
     val stats = counts.agg(sum(col("cnt")).as("total"),

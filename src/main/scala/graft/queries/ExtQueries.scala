@@ -482,6 +482,24 @@ object ExtQueries {
       graft.llm.Contamination.ngramOverlap(
         t(s, d, "documents"), col("doc_id") % 50 === 0)),
 
+    // detect → DROP: the decontamination pass completed — per-language
+    // kept/dropped counts at the 0.2 overlap threshold (rounded ratio
+    // compared, so both engines classify identical doubles)
+    "llm_decontaminate" -> ((s, d) => {
+      val ov = graft.llm.Contamination.ngramOverlap(
+        t(s, d, "documents"), col("doc_id") % 50 === 0)
+      t(s, d, "documents").join(ov, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("ratio") < 0.2, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("ratio") >= 0.2, 1L).otherwise(0L)).as("n_dropped"))
+    }),
+
+    // Zipf's-law fit over the top-1000 term types: OLS slope/intercept
+    // of ln(freq) on ln(rank) — distribution-level corpus quality
+    // (natural text ≈ −1; template-heavy corpora flatten the head)
+    "text_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(t(s, d, "documents"), topN = 1000)),
+
     // deterministic nested stratified sample: pure hash-threshold
     // filter, zero exchanges; rates keyed by the lang stratum
     "llm_sample_stratified" -> ((s, d) =>
@@ -940,6 +958,23 @@ object ExtQueries {
         o.union(c).union(n), k = 4, maxHops = 6)
     }),
 
+    // double-sweep diameter estimate: BFS from the least-id node, BFS
+    // again from its farthest node — lower/upper diameter bounds from
+    // two frontier passes, never all-pairs
+    "graph_diameter" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+      val c = t(s, d, "customer").select(
+        concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"))
+      val n = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      graft.operators.Centrality.doubleSweepDiameter(
+        o.union(c).union(n), maxHops = 6)
+    }),
+
     // Newman modularity of the LPA partition — community quality,
     // exact in integers (Q·(2m)² = 2m·2E_within − Σ_c D_c²); only the
     // final micro-rounded division is float
@@ -1175,6 +1210,15 @@ object ExtQueries {
     "rel_skew_profile" -> ((s, d) =>
       graft.operators.Warehouse.skewProfile(t(s, d, "events"),
         col("user_id"), topK = 10)),
+
+    // exact join-cardinality pre-flight: Σ c_A(k)·c_B(k) from the two
+    // key-count tables (keys-sized work, the join never materializes) +
+    // the top contributing keys — what skewProfile's heavy keys
+    // MULTIPLY into before the shuffle is paid for
+    "rel_join_cardinality" -> ((s, d) =>
+      graft.operators.Warehouse.joinCardinality(
+        t(s, d, "orders"), col("o_custkey"),
+        t(s, d, "customer"), col("c_custkey"), topK = 10)),
 
     // 7-day moving revenue per nation: daily grain via two broadcast
     // dim hops, then a NATION-partitioned rows-frame window (the
@@ -2472,6 +2516,40 @@ object ExtQueries {
         | FROM sh s LEFT JOIN hits h USING (doc_id)
         | WHERE s.doc_id % 50 != 0""".stripMargin,
 
+    // detect → drop at the rounded-ratio threshold, rolled up per lang
+    "llm_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS shs FROM documents),
+        | bench AS (SELECT DISTINCT unnest(shs) AS g FROM sh WHERE doc_id % 50 = 0),
+        | ex AS (SELECT doc_id, unnest(shs) AS g FROM sh WHERE doc_id % 50 != 0),
+        | hits AS (SELECT doc_id, count(*) AS n FROM ex JOIN bench USING (g) GROUP BY 1),
+        | rt AS (SELECT s.doc_id,
+        |   round(coalesce(h.n, 0) * 1.0 / len(s.shs), 6) AS ratio
+        |  FROM sh s LEFT JOIN hits h USING (doc_id)
+        |  WHERE s.doc_id % 50 != 0)
+        | SELECT d.lang,
+        |  CAST(count_if(rt.ratio < 0.2) AS BIGINT) AS n_kept,
+        |  CAST(count_if(rt.ratio >= 0.2) AS BIGINT) AS n_dropped
+        | FROM rt JOIN documents d USING (doc_id) GROUP BY 1""".stripMargin,
+
+    // OLS of ln(freq) on ln(rank) over the lexicographically
+    // tie-broken top-1000 — both engines fit the same N points
+    "text_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |   FROM documents),
+        | c AS (SELECT term, count(*) AS cnt FROM tok WHERE term <> ''
+        |   GROUP BY 1),
+        | top AS (SELECT term, cnt,
+        |   row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        |  FROM c ORDER BY cnt DESC, term LIMIT 1000),
+        | xy AS (SELECT ln(rank) AS x, ln(cnt) AS y FROM top),
+        | s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        | SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        |    AS intercept
+        | FROM s""".stripMargin,
+
     // u = value of first 8 md5 hex chars of doc_id / 2^32 (= Sampling.hashU)
     "llm_sample_stratified" ->
       """WITH u AS (SELECT doc_id, lang,
@@ -3048,6 +3126,7 @@ object ExtQueries {
     "graph_modularity" -> modularitySql(rounds = 3),
     "graph_closeness" -> closenessSql(k = 4, hops = 6),
     "graph_harmonic" -> harmonicSql(k = 4, hops = 6),
+    "graph_diameter" -> diameterSql(hops = 6),
 
     // closed-form: the FK graph's components ARE the regions; each
     // component's label is its least member IRI
@@ -3797,6 +3876,32 @@ object ExtQueries {
         |  round(max_sz / (total * 1.0 / n_keys), 6) AS skew_ratio,
         |  round(log2(total) - slog / total, 6) AS entropy_bits
         | FROM top CROSS JOIN st""".stripMargin,
+
+    // Σ c_A·c_B over the keys-sized join of the two count tables;
+    // shares are divisions of exact integer counts
+    "rel_join_cardinality" ->
+      """WITH lc AS (SELECT o_custkey AS key, count(*) AS cnt_l
+        |   FROM orders GROUP BY 1),
+        | rc AS (SELECT c_custkey AS key, count(*) AS cnt_r
+        |   FROM customer GROUP BY 1),
+        | co AS (SELECT key, cnt_l, cnt_r, cnt_l * cnt_r AS contrib
+        |   FROM lc JOIN rc USING (key)),
+        | st AS (SELECT CAST(sum(contrib) AS BIGINT) AS est_rows,
+        |   count(*) AS matching_keys FROM co),
+        | sd AS (SELECT (SELECT CAST(sum(cnt_l) AS BIGINT) FROM lc) AS left_rows,
+        |   (SELECT count(*) FROM lc) AS left_keys,
+        |   (SELECT CAST(sum(cnt_r) AS BIGINT) FROM rc) AS right_rows,
+        |   (SELECT count(*) FROM rc) AS right_keys),
+        | top AS (SELECT key, cnt_l, cnt_r, contrib,
+        |   row_number() OVER (ORDER BY contrib DESC, key) AS rnk
+        |  FROM co ORDER BY contrib DESC, key LIMIT 10)
+        | SELECT CAST(rnk AS BIGINT) AS rnk, key, cnt_l, cnt_r,
+        |  CAST(contrib AS BIGINT) AS contrib,
+        |  round(contrib * 1.0 / est_rows, 6) AS share,
+        |  est_rows, CAST(matching_keys AS BIGINT) AS matching_keys,
+        |  left_rows, CAST(left_keys AS BIGINT) AS left_keys,
+        |  right_rows, CAST(right_keys AS BIGINT) AS right_keys
+        | FROM top CROSS JOIN st CROSS JOIN sd""".stripMargin,
 
     // CAST day to TIMESTAMP: DuckDB date_trunc('day') yields DATE,
     // Spark's yields TIMESTAMP
@@ -4577,6 +4682,39 @@ object ExtQueries {
        |   ORDER BY node LIMIT $k),
        | d0 AS (SELECT node AS l, node, CAST(0 AS BIGINT) AS dist FROM lm),
        | $steps""".stripMargin
+  }
+
+  /** Double-sweep diameter (= Centrality.doubleSweepDiameter): both
+    * BFS sweeps unrolled with the same hop cap; far-node tie-break is
+    * (dist DESC, node) in both engines. */
+  private def diameterSql(hops: Int): String = {
+    def sweep(p: String): String = (1 to hops).map { h =>
+      s"""$p$h AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+         |   SELECT node, dist FROM $p${h - 1}
+         |   UNION ALL
+         |   SELECT e.dst AS node, d.dist + 1
+         |   FROM $p${h - 1} d JOIN e ON e.src = d.node) GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n ")
+    s"""WITH e0 AS (SELECT 'o:'||o_orderkey AS src, 'c:'||o_custkey AS dst FROM orders
+       | UNION ALL SELECT 'c:'||c_custkey, 'n:'||c_nationkey FROM customer
+       | UNION ALL SELECT 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation),
+       | ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+       | e AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |   (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+       | a0 AS (SELECT (SELECT min(src) FROM e) AS node,
+       |   CAST(0 AS BIGINT) AS dist),
+       | ${sweep("a")},
+       | far AS (SELECT node, dist FROM a$hops
+       |   ORDER BY dist DESC, node LIMIT 1),
+       | b0 AS (SELECT (SELECT node FROM far) AS node,
+       |   CAST(0 AS BIGINT) AS dist),
+       | ${sweep("b")}
+       | SELECT (SELECT min(src) FROM e) AS start_node,
+       |   (SELECT node FROM far) AS far_node,
+       |   (SELECT dist FROM far) AS ecc_start,
+       |   (SELECT CAST(max(dist) AS BIGINT) FROM b$hops) AS diam_lb,
+       |   (SELECT 2 * dist FROM far) AS diam_ub""".stripMargin
   }
 
   private def closenessSql(k: Int, hops: Int): String =

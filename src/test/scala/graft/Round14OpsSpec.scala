@@ -237,6 +237,53 @@ class Round14OpsSpec extends AnyFunSuite {
       (2L, "warm", 4L, 0.25, 4L, 4.0, 8L, 2.0, 1.75)))
   }
 
+  test("zipf fit: OLS over ln(rank), ln(freq) matches the closed form") {
+    import spark.implicits._
+    // counts a:4 b:2 c:1 → points (ln1,ln4) (ln2,ln2) (ln3,ln1)
+    val docs = Seq((1L, "a a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = graft.llm.TextAnalysis.zipfFit(docs, topN = 10).collect().head
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == r6(slope))
+    assert(r.getDouble(2) == r6((sy - slope * sx) / n))
+    assert(slope < -1.0 && slope > -1.5) // sane zipf range for the fixture
+  }
+
+  test("double-sweep diameter: exact bounds on a path graph") {
+    import spark.implicits._
+    // path a—b—c—d: start = a (least id), far = d at ecc 3;
+    // second sweep from d also reaches 3 → lb 3, ub 6
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val r = graft.operators.Centrality.doubleSweepDiameter(edges, maxHops = 6)
+      .collect().head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("a", "d", 3L, 3L, 6L)))
+  }
+
+  test("join cardinality: exact sum of per-key count products") {
+    import spark.implicits._
+    val left = Seq("a", "a", "b").toDF("k")
+    val right = Seq("a", "b", "b", "c").toDF("k")
+    val got = graft.operators.Warehouse.joinCardinality(
+      left, col("k"), right, col("k"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
+        r.getLong(11)))
+    // a: 2·1=2, b: 1·2=2 → est 4; c never matches
+    assert(got.toSeq == Seq(
+      (1L, "a", 2L, 1L, 2L, 0.5, 4L, 2L, 3L, 2L, 4L, 3L),
+      (2L, "b", 1L, 2L, 2L, 0.5, 4L, 2L, 3L, 2L, 4L, 3L)))
+  }
+
   test("skew profile plan: top-k is a heap (TakeOrdered), not a full sort") {
     import spark.implicits._
     // topK must be < the scan's static maxRows or EliminateLimits
