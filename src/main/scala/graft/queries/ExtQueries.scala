@@ -494,6 +494,12 @@ object ExtQueries {
           sum(when(col("ratio") >= 0.2, 1L).otherwise(0L)).as("n_dropped"))
     }),
 
+    // STREAMING PCA projection: directions fitted once on the static
+    // corpus, applied per micro-batch as a stateless two-dot-product
+    // projection (serving-side whitening); row-identical to the batch
+    // path, so it shares llm_pca_power's oracle
+    "stream_pca_project" -> ((s, d) => Events.streamingPcaProject(s, d)),
+
     // Zipf's-law fit over the top-1000 term types: OLS slope/intercept
     // of ln(freq) on ln(rank) — distribution-level corpus quality
     // (natural text ≈ −1; template-heavy corpora flatten the head)
@@ -3702,6 +3708,8 @@ object ExtQueries {
     // micro-units (the ONLY float op is the boundary-rounded sigmoid)
     "llm_quality_lr" -> logisticSql(buckets = 8, rounds = 3, stepDiv = 16L),
     "llm_pca_power" -> pcaSql(dim = 64, iters = 3, nComp = 2),
+    // stream == batch projection by construction
+    "stream_pca_project" -> pcaSql(dim = 64, iters = 3, nComp = 2),
 
     // bigram perplexity: three zipped unnests rebuild (pos, w1, w2);
     // the per-doc sum replays the engine's pos-sorted left fold via

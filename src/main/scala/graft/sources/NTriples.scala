@@ -30,11 +30,14 @@ import graft.functions.NtUnescape
   * [[dumpLines]] here emits strict canonical N-Triples (every literal
   * quoted with an explicit datatype).
   *
-  * Parsing is one anchored regex per captured term over the trimmed
-  * line (a handful of linear-time matches per row — kept per-group for
-  * correctness: the grammar allows RAW control characters inside
-  * literal content, so there is no safe delimiter for a single-pass
-  * regexp_replace field-split trick).
+  * Parsing is ONE grammar match per line: the fused
+  * [[graft.functions.NtParse]] expression matches the anchored line
+  * regex once and returns every captured term as a struct (the
+  * original per-group `regexp_extract` form re-matched the same regex
+  * 10-12× per line — at 100 TB ingest that re-matching IS the CPU
+  * budget). Catalyst computes the struct once per row (CollapseProject
+  * keeps non-cheap multi-referenced aliases in their own project) and
+  * downstream columns are plain field reads.
   *
   * Malformed-input policy (the 100 TB question): `strict = true` raises
   * from INSIDE the plan via `assert_true` naming the offending line;
@@ -44,22 +47,6 @@ import graft.functions.NtUnescape
   * accepted per the grammar. */
 object NTriples {
 
-  private val IRI = "<([^>]*)>"
-  private val BN = "(_:[^\\s]+)"
-  private val LIT =
-    "\"((?:[^\"\\\\]|\\\\.)*)\"(?:@([A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*)|\\^\\^<([^>]*)>)?"
-  private val NUM =
-    "([+-]?(?:\\d+\\.\\d+(?:[eE][+-]?\\d+)?|\\.\\d+(?:[eE][+-]?\\d+)?|\\d+[eE][+-]?\\d+|\\d+))"
-  private val BOOL = "(true|false)"
-
-  // groups: 1 s_iri, 2 s_bn, 3 p, 4 o_iri, 5 o_bn,
-  //         6 lit content, 7 lang, 8 dtype, 9 bare number, 10 bare bool
-  private val tripleBody =
-    s"^(?:$IRI|$BN)\\s+$IRI\\s+(?:$IRI|$BN|$LIT|$NUM|$BOOL)"
-  private val triplePat = tripleBody + "\\s*\\.\\s*(?:#.*)?$"
-  // + groups 11 g_iri, 12 g_bn
-  private val quadPat = tripleBody + s"(?:\\s+(?:$IRI|$BN))?\\s*\\.\\s*(?:#.*)?$$"
-
   private val xsdIriPrefix = "http://www.w3.org/2001/XMLSchema#"
 
   /** Parse a text DataFrame (one column of lines) into [[graft.storage.Eav]]
@@ -68,29 +55,34 @@ object NTriples {
     * store's graph column. */
   def fromLines(lines: DataFrame, defaultGraph: String = "instance",
                 quads: Boolean = false, strict: Boolean = true): DataFrame = {
-    val pat = if (quads) quadPat else triplePat
     val line = trim(col(lines.columns.head))
     val skip = line === "" || line.startsWith("#")
-    val valid = line.rlike(pat)
+    // one grammar match per line (fused expression) — null = malformed
+    val base = lines.filter(!skip)
+      .select(line.as("__line"),
+        graft.functions.NtParse.parseCol(line, quads).as("__nt"))
     val kept =
       if (strict)
         // raise from inside the plan, naming the line (assert_true is
         // NULL on pass, so the filter keeps exactly the parsed rows)
-        lines.filter(!skip).filter(assert_true(valid,
-          concat(lit("graft: malformed N-Triples/N-Quads line: "), line)).isNull)
-      else lines.filter(!skip && valid)
+        base.filter(assert_true(col("__nt").isNotNull,
+          concat(lit("graft: malformed N-Triples/N-Quads line: "),
+            col("__line"))).isNull)
+      else base.filter(col("__nt").isNotNull)
 
-    def grp(i: Int): Column = regexp_extract(line, pat, i)
-    def opt(i: Int): Column = { val g = grp(i); when(g =!= "", g) }
+    def fld(n: String): Column = col("__nt").getField(n)
+    // non-participating groups are NULL, matched-empty are "" — both
+    // mean "no term here" downstream
+    def opt(n: String): Column = { val g = fld(n); when(g =!= "", g) }
 
-    val isIri = grp(4) =!= "" || grp(5) =!= ""
-    val oIri = when(grp(4) =!= "", grp(4)).otherwise(grp(5))
-    val numTok = opt(9)
-    val boolTok = opt(10)
-    val lang = opt(7)
+    val isIri = opt("o_iri").isNotNull || opt("o_bn").isNotNull
+    val oIri = coalesce(opt("o_iri"), opt("o_bn"))
+    val numTok = opt("num")
+    val boolTok = opt("bool")
+    val lang = opt("lang")
     // normalize full XSD IRIs to the store's prefixed form so a file
     // written by any standard tool lands on the same typed columns
-    val dtypeRaw = opt(8)
+    val dtypeRaw = opt("dtype")
     val quotedTyp = when(dtypeRaw.startsWith(xsdIriPrefix),
         concat(lit("xsd:"), substring_index(dtypeRaw, "#", -1)))
       .otherwise(dtypeRaw)
@@ -103,18 +95,18 @@ object NTriples {
           .otherwise(lit("xsd:integer")))
       .when(boolTok.isNotNull, lit("xsd:boolean"))
       .otherwise(quotedTyp)
-    val effVal = coalesce(numTok, boolTok, NtUnescape.unescapeCol(grp(6)))
+    val effVal = coalesce(numTok, boolTok, NtUnescape.unescapeCol(fld("lit")))
 
     val onLit = (c: Column) => when(!isIri, c) // literal-only columns
 
     val g =
-      if (quads) coalesce(opt(11), opt(12), lit(defaultGraph))
+      if (quads) coalesce(opt("g_iri"), opt("g_bn"), lit(defaultGraph))
       else lit(defaultGraph)
 
     kept.select(
       g.as("g"),
-      coalesce(opt(1), opt(2)).as("s"),
-      grp(3).as("p"),
+      coalesce(opt("s_iri"), opt("s_bn")).as("s"),
+      fld("p").as("p"),
       when(isIri, "i").otherwise("l").as("o_kind"),
       when(isIri, oIri).as("o_iri"),
       onLit(coalesce(effTyp, lit("xsd:string"))).as("o_typ"),

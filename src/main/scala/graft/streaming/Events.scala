@@ -728,6 +728,46 @@ object Events {
       graft.llm.TextAnalysis.wordpieceEncode(src, merges), "append")
   }
 
+  /** STREAMING PCA projection: the principal directions fitted once on
+    * the static corpus (Pca.fitComponents — the train-side artifact),
+    * applied per micro-batch as a STATELESS projection (two fused dot
+    * products per row, no state store) — the serving-side whitening
+    * shape. Row-identical to the batch projection, so it shares
+    * llm_pca_power's oracle. */
+  def streamingPcaProject(spark: SparkSession, sfDir: String,
+                          dim: Int = 64, nComp: Int = 2): DataFrame = {
+    applyStateStore(spark)
+    val srcFile = new java.io.File(s"$sfDir/embeddings.parquet")
+    val stageDir = new java.io.File(
+      sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
+        "/embstream_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + graft.util.Fingerprint.of(srcFile.getPath))
+    val parts: Seq[java.io.File] =
+      if (srcFile.isDirectory)
+        Option(srcFile.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      else Seq(srcFile)
+    if (!stageDir.exists() ||
+        Option(stageDir.list()).forall(_.count(_.endsWith(".parquet")) < parts.size)) {
+      stageDir.mkdirs()
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(stageDir, f"part-$i%05d.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // fit on the static corpus BEFORE the stream runs (train once,
+    // serve per batch)
+    val (mu, comps) = graft.llm.Pca.fitComponents(
+      Graft.table(spark, sfDir, "embeddings"), "embedding", dim, nComp)
+    val schema = spark.read.parquet(srcFile.getPath).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.getAbsolutePath)
+    runToTable(spark,
+      graft.llm.Pca.projectAll(src, "vec_id", "embedding", mu, comps),
+      "append")
+  }
+
   /** Streaming exact dedup within the watermark window. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val src = eventsStream(spark, sfDir)
