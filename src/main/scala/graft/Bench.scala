@@ -106,7 +106,7 @@ object Bench {
     "stream_nquads_ingest", "llm_pca_power", "rel_skew_profile",
     "graph_harmonic", "mm_resize_thumb", "rel_join_cardinality",
     "graph_diameter", "text_zipf_fit", "llm_decontaminate",
-    "stream_pca_project",
+    "stream_pca_project", "llm_pipeline_v4",
     )
 
   def main(args: Array[String]): Unit = {

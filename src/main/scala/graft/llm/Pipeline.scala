@@ -43,6 +43,40 @@ object Pipeline {
       .select(col("doc_id"), col("stop_ratio"), col("mean_tok_len"))
   }
 
+  /** Pipeline v4 — the round-14 composition: benchmark
+    * DECONTAMINATION in front of the v1 cleaning chain, closed with
+    * the per-language accounting a mixture plan consumes:
+    *
+    *   decontaminate (n-gram overlap < threshold; the benchmark docs
+    *   themselves also leave the corpus) → quality gate → exact dedup
+    *   → near-dup removal → per-lang (n_docs, n_tokens)
+    *
+    * Scale shape is the stages': the contamination probe is a
+    * broadcast semi-join (corpus rows never shuffle for it), the rest
+    * is the v1 chain, the rollup is one tiny aggregate. One
+    * declarative plan end to end. */
+  def decontamCleanStats(docs: DataFrame,
+                         benchPred: org.apache.spark.sql.Column,
+                         contamThreshold: Double = 0.2): DataFrame = {
+    // the cleaning chain references the decontaminated corpus from
+    // several branches (quality join, dedup groups, LSH signatures) —
+    // without a persist each branch re-runs the whole contamination
+    // probe (measured 9.8 s vs ~3 s at sf0.1). The id list is tiny
+    // (ids only), so pin IT and let every branch re-scan docs against
+    // the cached semi-join side.
+    val keptIds = graft.util.Scratch.track(
+      Contamination.ngramOverlap(docs, benchPred)
+        .where(col("ratio") < contamThreshold).select("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val decontam = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    val survivors = cleanCorpus(decontam).select("doc_id")
+    docs.join(survivors, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+"))
+          .cast("long")).as("n_tokens"))
+  }
+
   /** Pipeline v3 — the round-9 composition: quality gate →
     * CDC span-level dedup REWRITE (duplicated chunks stripped, docs
     * rebuilt — finer than doc-level dedup: boilerplate dies, unique

@@ -801,6 +801,12 @@ object ExtQueries {
     "llm_pipeline_v3" -> ((s, d) =>
       graft.llm.Pipeline.cleanSpanSplitStats(t(s, d, "documents"))),
 
+    // v4: DECONTAMINATION in front of the v1 chain, per-lang
+    // accounting out the back (the round-14 stages composed)
+    "llm_pipeline_v4" -> ((s, d) =>
+      graft.llm.Pipeline.decontamCleanStats(t(s, d, "documents"),
+        col("doc_id") % 50 === 0)),
+
     // fixed-grid histogram quantiles per event_type: the histogram
     // cardinality is the GRID, not the rows — mergeable, rollup-ready
     "sketch_grid_quantiles" -> ((s, d) =>
@@ -2897,6 +2903,31 @@ object ExtQueries {
         |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens
         | FROM sp GROUP BY 1""".stripMargin),
 
+    // v4: the contamination CTEs (c-prefixed to avoid colliding with
+    // the clean chain's sh) gate the corpus, then the v1 body runs
+    // over the decontaminated relation, then the per-lang rollup
+    "llm_pipeline_v4" ->
+      (s"""WITH csh AS (SELECT doc_id, $shSql AS shs FROM documents),
+        | cbench AS (SELECT DISTINCT unnest(shs) AS g FROM csh
+        |   WHERE doc_id % 50 = 0),
+        | cex AS (SELECT doc_id, unnest(shs) AS g FROM csh
+        |   WHERE doc_id % 50 != 0),
+        | chits AS (SELECT doc_id, count(*) AS n FROM cex JOIN cbench
+        |   USING (g) GROUP BY 1),
+        | crt AS (SELECT s.doc_id,
+        |   round(coalesce(h.n, 0) * 1.0 / len(s.shs), 6) AS ratio
+        |  FROM csh s LEFT JOIN chits h USING (doc_id)
+        |  WHERE s.doc_id % 50 != 0),
+        | dd AS (SELECT d.doc_id, d.text, d.lang FROM documents d
+        |  JOIN crt USING (doc_id) WHERE crt.ratio < 0.2),
+        | """.stripMargin + pipelineCleanBody("dd") +
+      s""",
+        | surv AS (SELECT e.doc_id FROM ek e
+        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM losers))
+        | SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+        | FROM surv JOIN documents d USING (doc_id) GROUP BY 1""".stripMargin),
+
     // v3: quality gate → CDC span-strip rewrite → cluster-granular
     // split → per-split accounting; fully-duplicated docs vanish
     "llm_pipeline_v3" ->
@@ -4552,14 +4583,20 @@ object ExtQueries {
     * dedup keepers → MinHash-LSH losers), ending at `losers`; the
     * pipeline_clean and pipeline_v2 oracles append their selects. */
   private def pipelineCleanCtes: String =
-    s"""WITH q AS (SELECT doc_id,
+    "WITH " + pipelineCleanBody("documents")
+
+  /** The v1 cleaning chain's CTE body (quality gate → exact dedup →
+    * LSH near-dup losers), parameterized on the source relation so v4
+    * can run it over the DECONTAMINATED corpus. */
+  private def pipelineCleanBody(from: String): String =
+    s"""q AS (SELECT doc_id,
       |   round(len(list_filter($toksSql, x -> list_contains(
       |     ['the','a','of','and','to','in','is','it'], x))) * 1.0 / len($toksSql), 6)
       |     AS stop_ratio,
       |   round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
       |     / len($toksSql), 6) AS mean_tok_len
-      |  FROM documents),
-      | gated AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+      |  FROM $from),
+      | gated AS (SELECT d.doc_id, d.text FROM $from d JOIN q USING (doc_id)
       |  WHERE q.stop_ratio <= 0.5 AND q.mean_tok_len >= 2.0),
       | keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
       | ek AS (SELECT g.doc_id, g.text FROM gated g JOIN keep USING (doc_id)),
