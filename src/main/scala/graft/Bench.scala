@@ -107,6 +107,8 @@ object Bench {
     "graph_harmonic", "mm_resize_thumb", "rel_join_cardinality",
     "graph_diameter", "text_zipf_fit", "llm_decontaminate",
     "stream_pca_project", "llm_pipeline_v4",
+    // round-15 tranche
+    "graph_scc", "ext_turtle_dist", "mm_decode_avi",
     )
 
   def main(args: Array[String]): Unit = {
@@ -242,7 +244,7 @@ object Bench {
     val forceGcEntries = Set(
       "graph_triangles", "graph_kcore", "graph_wcc", "graph_pagerank",
       "graph_ppr", "graph_common_neighbors", "graph_assortativity",
-      "graph_lpa", "graph_modularity", "graph_closeness",
+      "graph_lpa", "graph_modularity", "graph_closeness", "graph_scc",
       "woql_path_plus_alt", "woql_path_shortest", "ext_graphql_path")
     val heapMaxMb = Runtime.getRuntime.maxMemory() >> 20
     val results: Seq[(String, Double)] = headline.flatMap { name =>
@@ -267,12 +269,17 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         }
         val two = Seq(rep(), rep())
-        // Adaptive third rep: a >2× split between the two reps means
-        // one was GC-unlucky (r13 measured the same entry 3.9 s and
-        // 10.4 s across batteries with identical plans, gc_ms 647 vs
-        // 2500) — one more sample stops a single bad pairing from
-        // defining the entry; consistent entries never pay for it.
-        val secs = if (two.max / math.max(two.min, 1e-9) > 2.0) {
+        // Adaptive third rep, two triggers:
+        // - a >2× split between the two reps means one was GC-unlucky
+        //   (r13 measured the same entry 3.9 s and 10.4 s across
+        //   batteries with identical plans, gc_ms 647 vs 2500);
+        // - BOTH reps over 2 s means the entry is heavy enough that
+        //   accumulated battery heap state can shift it by seconds
+        //   (r14's triangles 4.47→7.0 creep at identical code) — one
+        //   post-GC sample gives every expensive entry a clean floor.
+        // Cheap consistent entries never pay for it.
+        val secs = if (two.max / math.max(two.min, 1e-9) > 2.0 ||
+            two.min > 2.0) {
           System.gc(); Thread.sleep(150); System.gc()
           two :+ rep()
         } else two
@@ -292,11 +299,14 @@ object Bench {
           .filterNot(i => graft.util.Scratch.isCacheRdd(i.id))
         var leaked = undeclared
         var settle = 0
-        while (leaked.nonEmpty && settle < 10) {
+        while (leaked.nonEmpty && settle < 50) {
           // drain's unpersists are non-blocking — give the async
-          // removals up to a second before declaring a leak, so the
-          // report only names frames nobody released (100 ms was not
-          // always enough for multi-MB disk blocks)
+          // removals up to FIVE seconds before declaring a leak, so
+          // the report only names frames nobody released. The r14
+          // settle-lag diagnosis showed 1 s was not always enough for
+          // multi-MB disk blocks under battery load, producing
+          // phantom leak lines; the loop exits the moment the block
+          // manager is clean, so well-behaved entries still pay ~0.
           Thread.sleep(100)
           settle += 1
           leaked = undeclared

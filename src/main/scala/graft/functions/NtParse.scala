@@ -31,6 +31,11 @@ case class NtParse(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = NtParse.schema
+  // parse() returns null for malformed lines even when both inputs are
+  // non-null, so nullability must not be derived from the children:
+  // with a non-nullable line column Catalyst would fold `IS NOT NULL`
+  // to true and disable the reader's strict/permissive gates.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_nt_parse"
 
   protected override def nullSafeEval(line: Any, quads: Any): Any =

@@ -460,6 +460,14 @@ object ExtQueries {
       graft.llm.Multimodal.mp4Meta(
         graft.llm.Multimodal.withMp4Payload(t(s, d, "documents")))),
 
+    // AVI/MJPEG: executors write one RIFF AVI container per doc with
+    // REAL JPEG frames inside; the decode side walks the RIFF boxes
+    // AND ImageIO-decodes every frame — frame_w/h come from the JPEG
+    // SOF header, not the container, so a faked frame decode diverges
+    "mm_decode_avi" -> ((s, d) =>
+      graft.llm.Multimodal.aviMeta(
+        graft.llm.Multimodal.withAviPayload(t(s, d, "documents")))),
+
     // second video container: executors write one minimal EBML
     // (WebM/Matroska) structure per doc (61 bytes, closed-form),
     // MkvCodec walks the vint-framed elements back — Info clocks +
@@ -985,6 +993,33 @@ object ExtQueries {
         concat(lit("r:"), col("n_regionkey")).as("dst"))
       graft.operators.Centrality.doubleSweepDiameter(
         o.union(c).union(n), maxHops = 6)
+    }),
+
+    // strongly connected components (FW-BW + trim, labels = least
+    // member): the FK DAG (o→c→n→r) is closed into one cycle family
+    // per region by back edges r→o on every 20th order — so the
+    // non-trivial SCCs are exactly "region r + its selected orders +
+    // their customers + their nations" and everything else is a
+    // trim-detected singleton. Closed-form oracle: per-region member
+    // sets, label = min member string.
+    "graph_scc" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_regionkey"))
+      val oc = o.select(concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+      val cn = c.select(concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"))
+      val nr = n.select(concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      // cycle-closing back edges: region → each selected order of that
+      // region (selected = orderkey ≡ 0 mod 20) — dims broadcast
+      val ro = o.filter(col("o_orderkey") % 20 === 0)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(concat(lit("r:"), col("n_regionkey")).as("src"),
+          concat(lit("o:"), col("o_orderkey")).as("dst"))
+      graft.operators.Scc.components(oc.union(cn).union(nr).union(ro))
     }),
 
     // Newman modularity of the LPA partition — community quality,
@@ -1660,6 +1695,31 @@ object ExtQueries {
       ntReadBack(graft.sources.NTriples.read(s, dir))
     }),
 
+    // DISTRIBUTED Turtle ingest (r14 verdict #3): a prefixed,
+    // `;`-grouped multi-line Turtle dump of the customer slice —
+    // @prefix directives + pname subjects/predicates/objects + the `a`
+    // keyword + bare integer literals — re-ingested by the SPLITTABLE
+    // two-pass reader (TurtleDist: directive preamble collect, then
+    // statement assembly by prefix-summed statement ids and full-
+    // grammar parse per statement on executors). The multi-line
+    // statement shape forces the grouping path, not the per-line fast
+    // path. Closed-form oracle: the EAV restatement of the dumped
+    // predicates.
+    "ext_turtle_dist" -> ((s, d) => {
+      val ctx = Graft.ctx(s, d)
+      val preds = Seq("tpch:c_custkey", "tpch:c_name", "tpch:c_mktsegment",
+        "tpch:c_nationkey", "rdf:type")
+      val cust = ctx.triples.filter(col("g") === "instance" &&
+        col("s").startsWith("tpch:customer/") && col("p").isin(preds: _*))
+      val dir = landedRoundTrip("ttl_dist", d + "/customer.parquet")(tmp =>
+        graft.sources.TurtleDist.dumpPrefixedTo(cust, Map(
+          "c" -> "tpch:customer/", "n" -> "tpch:nation/", "t" -> "tpch:"),
+          tmp))
+      graft.sources.TurtleDist.read(s, dir)
+        .select(col("g"), col("s"), col("p"), col("o_kind"), col("o_iri"),
+          col("o_typ"), col("o_str"), col("o_lng"))
+    }),
+
     // N-Quads sibling: the graph term rides each line, so a quad store
     // (instance/schema/commit graphs) dumps and re-ingests without a
     // per-graph pass; a second graph label proves g survives.
@@ -1744,17 +1804,24 @@ object ExtQueries {
           .write.mode("overwrite").text(stageDir.getAbsolutePath)
         val tmp = new java.io.File(storeDir.getPath + ".tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
-        val st = graft.storage.LayerStore.open(s, tmp.getPath)
-        val stream = s.readStream.option("maxFilesPerTrigger", "1")
-          .text(stageDir.getAbsolutePath)
-        val parsed = graft.sources.NTriples.fromLines(stream, quads = true)
-        graft.streaming.Ingest.streamIntoStore(parsed, st, "main")
-          .awaitTermination()
-        require(st.chain(st.refs("main")).size >= 2,
-          "streamed N-Quads ingest must land multiple commit layers")
-        if (!tmp.renameTo(storeDir)) {
-          // lost the build race: keep the winner's store
-          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        // any failure (stream error, layer-count require) must not
+        // leak the .tmp-* staging store — retried runs would accumulate
+        var ok = false
+        try {
+          val st = graft.storage.LayerStore.open(s, tmp.getPath)
+          val stream = s.readStream.option("maxFilesPerTrigger", "1")
+            .text(stageDir.getAbsolutePath)
+          val parsed = graft.sources.NTriples.fromLines(stream, quads = true)
+          graft.streaming.Ingest.streamIntoStore(parsed, st, "main")
+            .awaitTermination()
+          require(st.chain(st.refs("main")).size >= 2,
+            "streamed N-Quads ingest must land multiple commit layers")
+          ok = true
+        } finally {
+          if (!ok || !tmp.renameTo(storeDir)) {
+            // failed build, or lost the build race: drop the staging dir
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          }
         }
       }
       graft.storage.LayerStore.open(s, storeDir.getPath)
@@ -2829,6 +2896,16 @@ object ExtQueries {
         | (1000 + doc_id % 9000) * 48 AS media_duration,
         | 'video/mp4' AS format FROM documents""".stripMargin,
 
+    // RIFF walk + real frame decode: header fields, movi chunk count,
+    // ImageIO decode-success count, and the frames' own SOF dims must
+    // all equal the generator's closed form
+    "mm_decode_avi" ->
+      """SELECT doc_id, 1 + doc_id % 3 AS n_frames, 25 AS fps,
+        | 16 + doc_id % 16 AS width, 16 + doc_id % 8 AS height,
+        | 1 + doc_id % 3 AS frames_found, 1 + doc_id % 3 AS frames_decoded,
+        | 16 + doc_id % 16 AS frame_w, 16 + doc_id % 8 AS frame_h,
+        | 'video/avi' AS format FROM documents""".stripMargin,
+
     // EBML walk check: every parsed element must equal the generator's
     // closed form (duration is a float64 written with an integral
     // value, so the rounded read-back is exact)
@@ -3179,6 +3256,33 @@ object ExtQueries {
         | lbl AS (SELECT comp, min(node) AS label FROM members GROUP BY 1)
         | SELECT m.node, l.label AS component
         | FROM members m JOIN lbl l USING (comp)""".stripMargin,
+
+    // closed-form SCC restatement: the cyclic core is one component
+    // per region (members: region, selected orders, their customers,
+    // their nations; label = min member string); every other edge
+    // endpoint is a singleton labeled by itself
+    "graph_scc" ->
+      """WITH selo AS (
+        |   SELECT o.o_orderkey AS ok, c.c_custkey AS ck,
+        |          n.n_nationkey AS nk, n.n_regionkey AS rk
+        |   FROM orders o
+        |   JOIN customer c ON o.o_custkey = c.c_custkey
+        |   JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |   WHERE o.o_orderkey % 20 = 0),
+        | members AS (
+        |   SELECT DISTINCT rk, 'r:'||rk AS node FROM selo
+        |   UNION SELECT DISTINCT rk, 'o:'||ok FROM selo
+        |   UNION SELECT DISTINCT rk, 'c:'||ck FROM selo
+        |   UNION SELECT DISTINCT rk, 'n:'||nk FROM selo),
+        | lbl AS (SELECT rk, min(node) AS component FROM members GROUP BY rk),
+        | cyc AS (SELECT m.node, l.component FROM members m JOIN lbl l USING (rk)),
+        | univ AS (
+        |   SELECT 'o:'||o_orderkey AS node FROM orders
+        |   UNION SELECT 'c:'||c_custkey FROM customer
+        |   UNION SELECT 'n:'||n_nationkey FROM nation
+        |   UNION SELECT DISTINCT 'r:'||n_regionkey FROM nation)
+        | SELECT u.node, coalesce(c.component, u.node) AS component
+        | FROM univ u LEFT JOIN cyc c ON u.node = c.node""".stripMargin,
 
     // per-group sketches → union distinct → re-truncate → estimate
     "sketch_kmv_union" ->
@@ -4375,6 +4479,27 @@ object ExtQueries {
         |   'iri', 'tpch:region/'||rk, NULL FROM n
         | UNION ALL SELECT 'instance', 'tpch:nation/'||k, 'ex:tag', 'l',
         |   'xsd:string', nm, 'en' FROM n""".stripMargin,
+
+    // prefixed-Turtle round-trip: EAV restatement of the dumped
+    // customer predicates (pnames expand back to the store's canonical
+    // prefixed IRIs; `a` back to rdf:type; bare ints to xsd:integer)
+    "ext_turtle_dist" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS nm,
+        |   c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nk
+        |   FROM customer)
+        | SELECT 'instance' AS g, 'tpch:customer/'||k AS s,
+        |   'tpch:c_custkey' AS p, 'l' AS o_kind,
+        |   CAST(NULL AS VARCHAR) AS o_iri, 'xsd:integer' AS o_typ,
+        |   CAST(NULL AS VARCHAR) AS o_str, k AS o_lng FROM c
+        | UNION ALL SELECT 'instance', 'tpch:customer/'||k, 'tpch:c_name',
+        |   'l', NULL, 'xsd:string', nm, NULL FROM c
+        | UNION ALL SELECT 'instance', 'tpch:customer/'||k,
+        |   'tpch:c_mktsegment', 'l', NULL, 'xsd:string', seg, NULL FROM c
+        | UNION ALL SELECT 'instance', 'tpch:customer/'||k,
+        |   'tpch:c_nationkey', 'i', 'tpch:nation/'||nk, NULL, NULL, NULL
+        |   FROM c
+        | UNION ALL SELECT 'instance', 'tpch:customer/'||k, 'rdf:type',
+        |   'i', 'tpch:Customer', NULL, NULL, NULL FROM c""".stripMargin,
 
     // quad sibling: identical statement set, with the graph label
     // riding two predicates into a second named graph

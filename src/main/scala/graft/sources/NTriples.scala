@@ -55,7 +55,12 @@ object NTriples {
     * store's graph column. */
   def fromLines(lines: DataFrame, defaultGraph: String = "instance",
                 quads: Boolean = false, strict: Boolean = true): DataFrame = {
-    val line = trim(col(lines.columns.head))
+    // W3C grammar whitespace is space OR tab (and CR under universal
+    // newlines); Spark's 1-arg trim strips spaces only, so a
+    // tab-indented statement/comment would fail the ^-anchored grammar
+    // (regexp form: the 2-arg trim signature is deprecated in Spark 4)
+    val line = regexp_replace(col(lines.columns.head),
+      "^[ \\t\\r]+|[ \\t\\r]+$", "")
     val skip = line === "" || line.startsWith("#")
     // one grammar match per line (fused expression) — null = malformed
     val base = lines.filter(!skip)

@@ -415,10 +415,20 @@ object Turtle {
     }
     val strLit = concat(lit("\""), esc(col("o_str")), lit("\""),
       when(col("o_lang").isNotNull, concat(lit("@"), col("o_lang"))).otherwise(lit("")))
+    // canonical export must be interoperable strict N-Triples: the
+    // store keeps datatypes prefixed (xsd:integer) but an external RDF
+    // tool reads <xsd:integer> as an IRI with scheme "xsd" — expand to
+    // the full XML-Schema IRI on the way out (the reader normalizes
+    // full IRIs back to prefixed form, so round-trip is unchanged)
+    def expandTyp(typ: org.apache.spark.sql.Column) =
+      when(typ.startsWith("xsd:"),
+        concat(lit("http://www.w3.org/2001/XMLSchema#"),
+          substring(typ, 5, 1000000)))
+        .otherwise(typ)
     // canonical (strict N-Triples) form: quoted lexical value + ^^<typ>
     def typed(value: org.apache.spark.sql.Column,
               typ: org.apache.spark.sql.Column) =
-      if (canonical) concat(lit("\""), value, lit("\"^^<"), typ, lit(">"))
+      if (canonical) concat(lit("\""), value, lit("\"^^<"), expandTyp(typ), lit(">"))
       else value
     // blank-node objects dump as their bare label (both grammars);
     // wrapping them in <> would turn them into IRIs on re-read
@@ -435,7 +445,9 @@ object Turtle {
         typed(col("o_bool").cast("string"), col("o_typ")))
       .otherwise(concat(lit("\""),
         esc(coalesce(col("o_str"), col("o_ts").cast("string"))),
-        lit("\"^^<"), col("o_typ"), lit(">")))
+        lit("\"^^<"),
+        if (canonical) expandTyp(col("o_typ")) else col("o_typ"),
+        lit(">")))
   }
 
   def dumpLines(triples: DataFrame): DataFrame = {

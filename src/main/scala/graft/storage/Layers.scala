@@ -277,6 +277,57 @@ final class LayerStore(val spark: SparkSession, val root: String) {
       .map(id => dirSize(new java.io.File(path("layers", id)))).sum
   }
 
+  /** Mark-and-sweep garbage collection of unreachable layers — the
+    * debris squash/reset/rebase leave behind (the reference's store
+    * GC: terminusdb-store keeps layers content-addressed and sweeps
+    * ones no label can reach).
+    *
+    * MARK: every commit reachable over the parent DAG from the live
+    * roots — all branch refs PLUS every on-disk `flat/<id>` cache
+    * (a flat cache serves `materialize(id)` for a detached id, so its
+    * chain must survive for `adds`/`history` reads to stay coherent).
+    * SWEEP: `layers/<id>` directories not marked (including directories
+    * with no catalog row at all — crashed-commit debris), stale
+    * `flat/<id>` caches whose id has no catalog row, and the catalog
+    * rows of swept commits.
+    *
+    * `dryRun = true` only reports. Returns the swept (or sweepable)
+    * layer ids, sorted. The DAG walk is driver-side over the tiny
+    * commit catalog (the established catalog-collect bound); data-sized
+    * work is only directory deletion. */
+  def gc(dryRun: Boolean = false): Seq[String] = {
+    val flatDir = new java.io.File(path("flat"))
+    val flatIds = Option(flatDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+    val catalog = commits.collect()
+    val catalogIds = catalog.map(_.getString(0)).toSet
+    val roots = refs.values.toSet ++ (flatIds & catalogIds)
+    val reachable = roots.flatMap(chain(_)) ++ roots
+    val layersDir = new java.io.File(path("layers"))
+    val onDisk = Option(layersDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+    val sweep = (onDisk -- reachable).toSeq.sorted
+    val staleFlat = (flatIds -- catalogIds).toSeq.sorted
+    if (!dryRun) {
+      sweep.foreach(id => org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(path("layers", id))))
+      staleFlat.foreach(id => org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(path("flat", id))))
+      val kept = catalog.filter(r => reachable.contains(r.getString(0)))
+      if (kept.length != catalog.length) {
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(kept.toSeq, 1), commitSchema)
+        val tmp = path("_catalog", "commits.gc-tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val dst = new java.io.File(path("_catalog", "commits"))
+        org.apache.commons.io.FileUtils.deleteDirectory(dst)
+        if (!new java.io.File(tmp).renameTo(dst))
+          throw new IllegalStateException("gc: catalog swap failed")
+      }
+    }
+    sweep
+  }
+
   // ---- transfer (clone/push/pull; reference: api_pack.pl + db ops) ----
 
   private def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {

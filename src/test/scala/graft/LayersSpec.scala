@@ -204,6 +204,51 @@ class LayersSpec extends AnyFunSuite {
     assert(st.materializeBranch("main").count() == 1)
   }
 
+  test("gc sweeps squash orphans; reachable layers and history survive") {
+    val st = freshStore()
+    st.commit("main", triples((":a", "p", "v1"), (":b", "p", "v2")), empty, "c1")
+    st.commit("main", empty, triples((":b", "p", "v2")), "c2")
+    // keep a second LIVE branch: its chain must survive the sweep
+    st.branch("dev", "main")
+    val devHead = st.commit("dev", triples((":c", "p", "v3")), empty, "dev")
+    val preChain = st.chain(st.refs("dev"))
+    st.optimize("main") // detaches main onto a fresh root commit
+    // dry run: lists nothing as swept-yet, deletes nothing
+    val dry = st.gc(dryRun = true)
+    assert(dry.isEmpty) // old chain still reachable via dev
+    // drop dev → its exclusive chain becomes debris
+    st.deleteBranch("dev")
+    val dry2 = st.gc(dryRun = true)
+    assert(dry2.toSet == preChain.toSet)
+    assert(st.adds(preChain.head).count() == 2) // dry run deleted nothing
+    val swept = st.gc()
+    assert(swept.toSet == preChain.toSet)
+    // reachable state unchanged: materialize + log still read clean
+    assert(st.materializeBranch("main").count() == 1)
+    assert(st.log("main").size == 1)
+    assert(st.commits.count() == 1)
+    val _ = devHead
+  }
+
+  test("gc marks flat caches as roots and clears stale ones") {
+    val st = freshStore()
+    st.commit("main", triples((":a", "p", "v1")), empty, "c1")
+    val head = st.commit("main", triples((":b", "p", "v2")), empty, "c2")
+    st.compact("main") // flat/<head> cache appears
+    // detach main away from the old chain, but the flat cache (and so
+    // its chain) must be treated as a live root
+    st.optimize("main")
+    assert(st.gc(dryRun = true).isEmpty)
+    assert(st.materialize(head).count() == 2) // served via flat cache
+    // remove the flat root → chain becomes sweepable; stale flat dirs
+    // (no catalog row after the sweep) go with it
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"${st.root}/flat/$head"))
+    val swept = st.gc()
+    assert(swept.contains(head))
+    assert(st.materializeBranch("main").count() == 2)
+  }
+
   test("validator catches dangling refs, range, cardinality violations") {
     import spark.implicits._
     val schema = Seq(

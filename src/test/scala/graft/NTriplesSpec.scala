@@ -66,6 +66,14 @@ class NTriplesSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("tab-indented statements/comments parse (W3C whitespace is tab|space)") {
+    val df = NTriples.fromLines(lines(
+      "\t<s:a> <p:x> <o:b> .",
+      "\t# tab-indented comment", "\t", "\t \t",
+      " \t <s:a> <p:y> <o:c> .\t"))
+    assert(df.count() == 2)
+  }
+
   test("strict mode raises naming the bad line; permissive drops it") {
     val bad = lines("<s:a> <p:x> <o:b> .", "not a triple at all")
     val err = intercept[Exception] {
@@ -109,6 +117,22 @@ class NTriplesSpec extends AnyFunSuite {
       """<s:a> <p:n> 42 . <s:a> <p:d> 1.5 . <s:a> <p:b> true .""")
     val back = NTriples.fromLines(Turtle.dumpLines(ttl))
     assert(rows(back) == rows(ttl))
+  }
+
+  test("canonical dump expands xsd: datatypes to full XML-Schema IRIs") {
+    val src = NTriples.fromLines(lines(
+      "<s:a> <p:n> \"42\"^^<xsd:integer> .",
+      "<s:a> <p:t> \"2024-01-01\"^^<xsd:date> ."))
+    val dumped = NTriples.dumpLines(src).collect().map(_.getString(0)).toSet
+    // external RDF tools must see the real datatype IRI, not <xsd:...>
+    assert(dumped.exists(_.contains(
+      "^^<http://www.w3.org/2001/XMLSchema#integer>")))
+    assert(dumped.exists(_.contains(
+      "^^<http://www.w3.org/2001/XMLSchema#date>")))
+    assert(!dumped.exists(_.contains("<xsd:")))
+    // and the graft reader normalizes them straight back (round-trip law)
+    val back = NTriples.fromLines(NTriples.dumpLines(src))
+    assert(rows(back) == rows(src))
   }
 
   test("dump/read round-trip equals Turtle.parse on the same statements") {
