@@ -107,8 +107,11 @@ object Bench {
     "graph_harmonic", "mm_resize_thumb", "rel_join_cardinality",
     "graph_diameter", "text_zipf_fit", "llm_decontaminate",
     "stream_pca_project", "llm_pipeline_v4",
-    // round-15 tranche
+    // round-15 tranche (byte-BPE: train before apply — the merge
+    // table is the memoized byteBpeCache artifact, so apply measures
+    // ENCODE, not refit)
     "graph_scc", "ext_turtle_dist", "mm_decode_avi",
+    "text_bytebpe_train", "text_bytebpe_apply", "sim_ivf_upsert",
     )
 
   def main(args: Array[String]): Unit = {

@@ -240,6 +240,15 @@ object Compiler {
   def compile(q: Woql, cur: BF)(implicit ctx: Ctx): BF = q match {
 
     case TriplePat(s, p, o, g) =>
+      p match {
+        // SURVEY §7.5: never join with unbound p silently — when the
+        // optional pre-flight is armed, profile the all-predicates
+        // scan's subject skew before it joins into the frame
+        case V(pv) if !cur.vars.contains(pv) =>
+          Preflight.unboundP(ctx.triples.filter(col("g") === g),
+            s"($s ?$pv $o in $g)")
+        case _ => ()
+      }
       conj(cur, pattern(ctx.triples.filter(col("g") === g), s, p, o))
 
     case AddedTriple(s, p, o, commit) =>
@@ -1026,5 +1035,47 @@ object Compiler {
     // templates so elements here are value structs.
     coalesce(x.getField("dbl"), x.getField("lng").cast(DoubleType),
       x.getField("dec").cast(DoubleType))
+  }
+}
+
+/** Optional unbound-predicate skew pre-flight (SURVEY §7.5's "never
+  * join with unbound p silently", wired per the r14 verdict): arm it
+  * by setting system property `graft.preflight.skew` (or env
+  * `GRAFT_PREFLIGHT_SKEW`) to a skew-ratio threshold. Before a triple
+  * pattern whose PREDICATE is an unbound variable joins into the
+  * binding frame — the pattern that scans EVERY predicate partition
+  * and routinely hides a pathological join key — the subject-key skew
+  * profile of the scan runs ([[graft.operators.Warehouse.skewProfile]],
+  * a one-aggregate job whose result is one row) and a warning naming
+  * the heaviest subject is emitted when max/mean exceeds the
+  * threshold. Off by default: the probe is a deliberate pre-flight a
+  * pipeline arms for suspicious queries, not a per-run tax. */
+object Preflight {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.col
+
+  /** Last emitted warning (None when the armed probe found the scan
+    * under-threshold) — observable for tests and batch reports. */
+  @volatile var lastWarning: Option[String] = None
+
+  private[core] def unboundP(scan: DataFrame, desc: String): Unit = {
+    val thr = sys.props.get("graft.preflight.skew")
+      .orElse(sys.env.get("GRAFT_PREFLIGHT_SKEW")).map(_.toDouble)
+    thr.foreach { threshold =>
+      val top = graft.operators.Warehouse.skewProfile(scan, col("s"), 1)
+        .collect().headOption
+      lastWarning = top.flatMap { r =>
+        val ratio = r.getAs[Double]("skew_ratio")
+        if (ratio >= threshold) {
+          val msg = s"[graft][preflight] unbound-predicate pattern $desc " +
+            s"scans ALL predicates; subject join key is skewed: heaviest " +
+            s"s=${r.get(r.fieldIndex("key"))} (${r.getAs[Long]("cnt")} rows, " +
+            s"skew_ratio=$ratio >= $threshold over ${r.getAs[Long]("n_keys")} " +
+            "keys) — bind p, use a star pattern, or salt the join"
+          System.err.println(msg)
+          Some(msg)
+        } else None
+      }
+    }
   }
 }

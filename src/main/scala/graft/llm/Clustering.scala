@@ -153,6 +153,44 @@ object Clustering {
     assign(q, trainCentroids(q, k, iters, dim))
   }
 
+  /** IVF artifact UPSERT: assign a NEW batch of vectors against the
+    * codebook trained on the EXISTING corpus — no refit (the
+    * incremental-dedup economics applied to ANN: the trained artifact
+    * is content-addressed by the existing corpus's plan, so arriving
+    * batches reuse it from [[trainCentroids]]'s memo and only pay one
+    * narrow assignment projection over the batch).
+    *
+    * Alongside the assignment, a per-cluster CENTROID-DRIFT statistic:
+    * drift(j) = ‖mean(batch vectors assigned to j) − centroid(j)‖₂ —
+    * the standard refit trigger (large drift = the incoming
+    * distribution has moved off the trained book). `refit_hint` flags
+    * clusters past `driftThreshold`. Exact-math discipline: integer
+    * qv sums ÷ count, squared terms summed in index order, one sqrt +
+    * micro-round at the end — replayable closed-form in SQL. */
+  def upsertAssign(existing: DataFrame, batch: DataFrame, k: Int,
+                   iters: Int, dim: Int,
+                   driftThreshold: Double = 8.0): DataFrame = {
+    require(k > 0 && iters > 0 && dim > 0)
+    val cents = trainCentroids(codes(existing), k, iters, dim)
+    val assigned = assign(codes(batch), cents)
+    val aggs = count(lit(1)).as("n_new") +:
+      (0 until dim).map(i => sum(col("qv")(i)).as(s"s$i"))
+    val means = assigned.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val meanArr = array((0 until dim).map(i => col(s"s$i") / col("n_new")): _*)
+    val ownCent = element_at(centsLit, col("cluster").cast("int") + 1)
+    val driftCol = sqrt(aggregate(
+      zip_with(meanArr, ownCent, (x, y) => { val d = x - y; d * d }),
+      lit(0.0), (a, x) => a + x))
+    val drift = means.select(col("cluster"), col("n_new"),
+      round(driftCol, 6).as("drift"))
+    assigned
+      .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+      .join(broadcast(drift), "cluster")
+      .select(col("vec_id"), col("cluster"), col("dist"), col("n_new"),
+        col("drift"), (col("drift") > driftThreshold).as("refit_hint"))
+  }
+
   /** Product-quantization codebooks: `m` independent Lloyd's runs,
     * one per `dim/m`-wide slice of the sq8 codes. PQ is how a 100 TB
     * embedding store actually fits: m bytes per vector instead of

@@ -275,6 +275,7 @@ object TextAnalysis {
   /** Eviction path, chained from [[Clustering.clearArtifacts]]. */
   def clearArtifacts(): Unit = {
     mergeCache.clear(); clearUnigramArtifacts(); clearWpArtifacts()
+    clearByteBpeArtifacts()
   }
 
   /** The merge loop, memoized per (source plan, k) — shared by
@@ -313,8 +314,15 @@ object TextAnalysis {
       .agg(sum(col("cnt")).as("freq"))
 
   private def bpeRoundCandidates(docs: DataFrame, k: Int, top: Int)
+      : Seq[(Long, Long, String, String, Long)] =
+    mergeLoop(bpeVocab0(docs), k, top)
+
+  /** The frequency-argmax merge loop over any (syms, cnt) initial
+    * vocabulary — shared by character BPE ([[bpeVocab0]]) and
+    * byte-level BPE ([[byteBpeVocab0]]); only v0 differs. */
+  private def mergeLoop(vocab0: DataFrame, k: Int, top: Int)
       : Seq[(Long, Long, String, String, Long)] = {
-    var vocab = bpeVocab0(docs).select(col("syms"), col("cnt"))
+    var vocab = vocab0.select(col("syms"), col("cnt"))
     vocab = graft.util.Scratch.trackCheckpoint(vocab.localCheckpoint(true))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String, Long)]
     var round = 0
@@ -410,6 +418,70 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast(LongType).as("n_words"),
         sum(col("c") * col("ntok")).cast(LongType).as("n_bpe_tokens"))
+  }
+
+  // ---- byte-level BPE (Radford 2019 / GPT-2 family): the SAME
+  // frequency-argmax merge economics as bpeTrain, but the alphabet is
+  // the word's UTF-8 BYTES (two-hex-digit symbols — delimiter-safe
+  // and exactly replayable in SQL via hex()) and the word-initial
+  // space byte "20" plays GPT-2's Ġ marker: every token carries its
+  // leading space, so no end-of-word symbol is needed and merged
+  // tokens are plain hex concatenations decodable back to bytes. ----
+
+  /** A word type as byte-level symbols: hex pairs of UTF-8(" " + w).
+    * Non-ASCII words decompose into their real multi-byte sequences
+    * (the point of byte-level: no OOV characters, ever). */
+  private def byteBpeVocab0(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val bytes = encode(concat(lit(" "), w), "UTF-8")
+    docs.select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy(w).agg(count(lit(1)).as("cnt"))
+      .select(w, transform(sequence(lit(1), length(bytes)),
+        j => substr(hex(bytes), (j - lit(1)) * lit(2) + lit(1), lit(2)))
+        .as("syms"),
+        col("cnt"))
+  }
+
+  private val byteBpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, Long)]]()
+  private[llm] def clearByteBpeArtifacts(): Unit = byteBpeCache.clear()
+
+  /** Byte-level merge loop, memoized per (source plan, k) — the
+    * [[bpeMerges]] artifact economics. */
+  def byteBpeMerges(docs: DataFrame, k: Int): Seq[(Long, String, String, Long)] =
+    byteBpeCache.computeIfAbsent(Clustering.planKey(docs) + s"#bbpe_k=$k",
+      _ => mergeLoop(byteBpeVocab0(docs), k, 1)
+        .map { case (round, _, l, r, f) => (round, l, r, f) })
+
+  /** Byte-level BPE trainer: ordered merge table (rank, lhs, rhs,
+    * freq) over the hex-byte alphabet. */
+  def byteBpeTrain(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    byteBpeMerges(docs, k).toDF("rank", "lhs", "rhs", "freq")
+  }
+
+  /** Byte-level BPE ENCODE (train→apply): per-document token counts
+    * under the byte merges — [[bpeApply]]'s shape on the byte
+    * alphabet (merges fold over word TYPES, corpus joins once). */
+  def byteBpeApply(docs: DataFrame, k: Int): DataFrame = {
+    val merges = byteBpeMerges(docs, k)
+    val words = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    var types = byteBpeVocab0(docs).select(col("w"), col("syms"))
+    for (((_, l, r, _), i) <- merges.zipWithIndex) {
+      types = types.select(col("w"), applyMerge(col("syms"), l, r).as("syms"))
+      if ((i + 1) % 4 == 0 && i + 1 < merges.size)
+        types = graft.util.Scratch.trackCheckpoint(types.localCheckpoint(true))
+    }
+    val tokcnt = types.select(col("w"), size(col("syms")).cast(LongType).as("ntok"))
+    words.join(tokcnt, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_words"),
+        sum(col("c") * col("ntok")).cast(LongType).as("n_bytebpe_tokens"))
   }
 
   // ---- WordPiece (Schuster & Nakajima 2012 — the BERT-family

@@ -373,6 +373,18 @@ object ExtQueries {
       Similarity.ivfTrainedTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5,
         nprobe = 2, cells = 8, iters = 3, dim = 64)),
 
+    // IVF artifact UPSERT: new vectors (every 10th id) assigned
+    // against the codebook trained on the REST of the corpus — no
+    // refit; per-cluster centroid drift (‖batch mean − centroid‖) +
+    // refit_hint is the statistic that says when to retrain
+    "sim_ivf_upsert" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.Clustering.upsertAssign(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        k = 8, iters = 3, dim = 64)
+    }),
+
     // index-quality EVALUATION as a first-class query: recall@5 of the
     // IVF arm against exact search, per query vector — the measurement
     // a pipeline runs before trusting an ANN tier. Both arms are the
@@ -673,6 +685,18 @@ object ExtQueries {
     // is tokenized by join, never re-folded
     "text_bpe_apply" -> ((s, d) =>
       graft.llm.TextAnalysis.bpeApply(t(s, d, "documents"), 12)),
+
+    // byte-level BPE trainer (GPT-2 family): frequency-argmax merges
+    // over the hex-pair UTF-8 byte alphabet, word-initial space byte
+    // "20" as the Ġ marker — no OOV characters by construction, no
+    // end-of-word symbol needed (10 rounds, CTE-unrolled oracle)
+    "text_bytebpe_train" -> ((s, d) =>
+      graft.llm.TextAnalysis.byteBpeTrain(t(s, d, "documents"), 10)),
+
+    // byte-level ENCODE with the trained merges (train→apply): merges
+    // fold over word TYPES, per-doc counts join the encoded types
+    "text_bytebpe_apply" -> ((s, d) =>
+      graft.llm.TextAnalysis.byteBpeApply(t(s, d, "documents"), 10)),
 
     // WordPiece trainer (Schuster & Nakajima 2012 — the BERT-family
     // tokenizer, completing the BPE/unigram/WordPiece trio): 8 rounds
@@ -1909,7 +1933,26 @@ object ExtQueries {
     * versions. Everything MATERIALIZED to stop exponential CTE
     * inlining. The last round emits only p/b (no fold — training
     * needs only the decision). */
-  private def bpeWindowChain(k: Int): String = {
+  private def bpeWindowChain(k: Int): String = bpeChainSql(k,
+    """w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      | wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+      | v0 AS MATERIALIZED (SELECT w,
+      |   list_append(regexp_extract_all(w, '[a-z]'), '_') AS syms, cnt
+      |  FROM wc)""".stripMargin)
+
+  /** Byte-level BPE chain: same rounds, but v0 is the hex-pair UTF-8
+    * byte decomposition of ' '||w (the 0x20 space byte is GPT-2's Ġ
+    * word marker) and the word alphabet includes digits. */
+  private def byteBpeWindowChain(k: Int): String = bpeChainSql(k,
+    """w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      | wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+      | v0 AS MATERIALIZED (SELECT w, list_transform(range(1, strlen(w)+2),
+      |   j -> substr(hex(' '||w), (j-1)*2+1, 2)) AS syms, cnt
+      |  FROM wc)""".stripMargin)
+
+  private def bpeChainSql(k: Int, header: String): String = {
     def round(i: Int): String = {
       val prev = if (i == 1) "v0" else s"v${i - 1}"
       val pairsBest =
@@ -1941,12 +1984,7 @@ object ExtQueries {
            |  WHERE NOT pm GROUP BY w)""".stripMargin
       if (i < k) pairsBest + fold else pairsBest
     }
-    s"""w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-       |  FROM documents),
-       | wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM w GROUP BY w),
-       | v0 AS MATERIALIZED (SELECT w,
-       |   list_append(regexp_extract_all(w, '[a-z]'), '_') AS syms, cnt
-       |  FROM wc)
+    s"""$header
        | ${(1 to k).map(round).mkString("\n")}""".stripMargin
   }
 
@@ -3422,6 +3460,59 @@ object ExtQueries {
          | FROM dwc JOIN v12 USING (w) GROUP BY doc_id""".stripMargin
     },
 
+    // byte-level BPE train: the same merge chain as text_bpe_train
+    // over the hex-byte v0 (space byte 20 = word marker)
+    "text_bytebpe_train" -> {
+      s"""WITH ${byteBpeWindowChain(10)}
+         | ${(1 to 10).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, CAST(freq AS BIGINT) AS freq FROM b$i")
+             .mkString(" UNION ALL ")}
+         | ORDER BY rank""".stripMargin
+    },
+
+    // byte-level apply: the 10-round chain with vocab rows carrying
+    // their source word through the list_reduce fold (text_bpe_apply's
+    // scheme; hex symbols are ','/'|'-free so the delimiters are safe)
+    "text_bytebpe_apply" -> {
+      def round(i: Int): String = {
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s""", p$i AS MATERIALIZED (SELECT t.pair, sum(t.cnt) AS freq FROM (
+           |   SELECT unnest(list_transform(range(1, len(syms)),
+           |     j -> syms[j] || ' ' || syms[j+1])) AS pair, cnt
+           |   FROM $prev WHERE len(syms) >= 2) t GROUP BY t.pair),
+           | b$i AS MATERIALIZED (SELECT split_part(pair,' ',1) AS lhs,
+           |   split_part(pair,' ',2) AS rhs, freq
+           |  FROM p$i ORDER BY freq DESC, pair LIMIT 1),
+           | v$i AS MATERIALIZED (SELECT w, string_split(
+           |   CASE WHEN split_part(st,'|',2)='' THEN split_part(st,'|',1)
+           |        WHEN split_part(st,'|',1)='' THEN split_part(st,'|',2)
+           |        ELSE split_part(st,'|',1) || ',' || split_part(st,'|',2) END,
+           |   ',') AS syms, cnt
+           |  FROM (SELECT w, list_reduce(list_prepend('|', syms), (acc, x) ->
+           |   CASE WHEN split_part(acc,'|',2) = b$i.lhs AND x = b$i.rhs
+           |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
+           |          ELSE split_part(acc,'|',1)||',' END) || b$i.lhs || b$i.rhs || '|'
+           |    WHEN split_part(acc,'|',2) <> ''
+           |    THEN (CASE WHEN split_part(acc,'|',1)='' THEN ''
+           |          ELSE split_part(acc,'|',1)||',' END) || split_part(acc,'|',2) || '|' || x
+           |    ELSE split_part(acc,'|',1) || '|' || x END) AS st, cnt
+           |   FROM $prev, b$i) q)""".stripMargin
+      }
+      s"""WITH dw AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |  FROM documents),
+         | dwc AS MATERIALIZED (SELECT doc_id, w, count(*) AS c
+         |  FROM dw GROUP BY doc_id, w),
+         | wc AS MATERIALIZED (SELECT w, sum(c) AS cnt FROM dwc GROUP BY w),
+         | v0 AS MATERIALIZED (SELECT w, list_transform(range(1, strlen(w)+2),
+         |   j -> substr(hex(' '||w), (j-1)*2+1, 2)) AS syms, cnt
+         |  FROM wc)
+         | ${(1 to 10).map(round).mkString("\n")}
+         | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |   CAST(sum(c * len(syms)) AS BIGINT) AS n_bytebpe_tokens
+         | FROM dwc JOIN v10 USING (w) GROUP BY doc_id""".stripMargin
+    },
+
     // WordPiece train: 8 likelihood-argmax rounds (exact HUGEINT
     // floor(freq·1e12/(n_l·n_r)), ties score DESC then pair), merge
     // replayed with the same unnest+gaps-and-islands formulation as
@@ -3508,6 +3599,30 @@ object ExtQueries {
     // after round 3's update schedule), exact-integer-dot rerank
     // inside — extends the k-means CTE chain (a3 = cell assignment)
     "sim_topk_ivf_trained" -> kmeansSql(ivfTrainedSelect),
+
+    // upsert: k-means chain trains on the 90% "old" corpus only;
+    // batch rows assign against c2 (the trained book) and the drift
+    // restates ‖batch mean − centroid‖ from the same integer sums
+    "sim_ivf_upsert" -> kmeansSql(
+      s""", qb AS (SELECT vec_id, $sq8QvSql AS qv
+        |   FROM embeddings WHERE vec_id % 10 = 0),
+        | ab AS (SELECT vec_id, qv, cid, dist FROM (
+        |   SELECT qb.vec_id, qb.qv, c.cid,
+        |     ${kmDistSql("qb.qv", "c.cv")} AS dist
+        |   FROM qb CROSS JOIN c2 c) t
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) = 1),
+        | mu AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new,
+        |   list_value(${(1 to 64).map(i => s"sum(qv[$i])/count(*)").mkString(", ")}) AS mv
+        |  FROM ab GROUP BY cid),
+        | dr AS (SELECT mu.cid, mu.n_new,
+        |   round(sqrt(${kmDistSql("mu.mv", "c.cv")}), 6) AS drift
+        |  FROM mu JOIN c2 c ON c.cid = mu.cid)
+        | SELECT ab.vec_id, ab.cid AS cluster, round(ab.dist, 6) AS dist,
+        |  dr.n_new, dr.drift, dr.drift > 8.0 AS refit_hint
+        | FROM ab JOIN dr ON dr.cid = ab.cid""".stripMargin,
+      preCtes = "old AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0), ",
+      src = "old"),
 
     // BM25 (terms spark/join/vector, k1=1.2, b=0.75, Lucene idf).
     // Every fractional literal is ::DOUBLE — bare 0.5 is DECIMAL in

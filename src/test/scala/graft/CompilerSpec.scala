@@ -255,6 +255,38 @@ class CompilerSpec extends AnyFunSuite {
     assert(counts == Map("knows" -> 3L, "name" -> 2L, "age" -> 2L))
   }
 
+  test("armed skew pre-flight warns on unbound-p patterns over a skewed scan") {
+    // :hub owns 12 triples, everyone else 1 → subject skew_ratio =
+    // 12/(15/4) = 3.2; threshold 3.0 trips, 10.0 does not
+    val skewed = triples(
+      (Seq.tabulate(12)(i => (":hub", s"p$i", s"v$i")) ++
+        Seq((":x", "p0", "v"), (":y", "p0", "v"), (":z", "p0", "v"))): _*)
+    val sctx = ctxOf(skewed)
+    val q = And(Seq(
+      TriplePat(Node(":hub"), V("P"), V("O"), "instance")))
+    try {
+      Preflight.lastWarning = None
+      // armed + over threshold → warning names the heavy subject
+      sys.props("graft.preflight.skew") = "3.0"
+      val n = Compiler.run(q)(sctx).count()
+      assert(n == 12)
+      assert(Preflight.lastWarning.exists(w =>
+        w.contains(":hub") && w.contains("unbound-predicate")))
+      // armed + under threshold → no warning
+      sys.props("graft.preflight.skew") = "10.0"
+      val _ = Compiler.run(q)(sctx).count()
+      assert(Preflight.lastWarning.isEmpty)
+      // bound p → probe never runs (lastWarning untouched by design)
+      sys.props("graft.preflight.skew") = "0.1"
+      Preflight.lastWarning = None
+      val b = Compiler.run(TriplePat(V("S"), Node("p0"), V("O")))(sctx).count()
+      assert(b == 4 && Preflight.lastWarning.isEmpty)
+    } finally {
+      sys.props.remove("graft.preflight.skew")
+      Preflight.lastWarning = None
+    }
+  }
+
   test("immediately(Q) is equivalent to Q under staged updates") {
     val g2 = triples((":a", "name", "ada"), (":b", "name", "bob"))
     val inner = TriplePat(V("X"), Node("name"), V("N"))

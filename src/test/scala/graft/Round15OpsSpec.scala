@@ -58,6 +58,59 @@ class Round15OpsSpec extends AnyFunSuite {
       .count() == 7)
   }
 
+  test("byte-level BPE: space-marked hex byte alphabet, greedy merges") {
+    import spark.implicits._
+    // corpus: "to to to ta" — byte v0: to = [20,74,6F], ta = [20,74,61]
+    // round-1 pairs: (20,74)=4, (74,6F)=3, (74,61)=1 → merge 2074 (4)
+    // round-2: to=[2074,6F]×3, ta=[2074,61] → (2074,6F)=3 wins
+    val docs = Seq((1L, "to to to ta")).toDF("doc_id", "text")
+    graft.llm.TextAnalysis.clearArtifacts()
+    val merges = graft.llm.TextAnalysis.byteBpeTrain(docs, 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(("20", "74", 4L), ("2074", "6F", 3L)))
+    // apply: to → [20746F] (1 token), ta → [2074, 61] (2 tokens)
+    val enc = graft.llm.TextAnalysis.byteBpeApply(docs, 2).collect().head
+    assert(enc.getLong(1) == 4L)      // n_words
+    assert(enc.getLong(2) == 3 * 1 + 1 * 2) // n_bytebpe_tokens
+    graft.llm.TextAnalysis.clearArtifacts()
+  }
+
+  test("byte-level BPE alphabet includes digit bytes (x9 → 20,78,39)") {
+    import spark.implicits._
+    val docs = Seq((1L, "x9 x9 x9")).toDF("doc_id", "text")
+    graft.llm.TextAnalysis.clearArtifacts()
+    val m = graft.llm.TextAnalysis.byteBpeTrain(docs, 1).collect().head
+    // v0: [20, 78, 39]; best pair (20,78) freq 3
+    assert((m.getString(1), m.getString(2), m.getLong(3)) == (("20", "78", 3L)))
+    graft.llm.TextAnalysis.clearArtifacts()
+  }
+
+  test("ivf upsert: batch assigns against the frozen book; hand-traced drift") {
+    import spark.implicits._
+    graft.llm.Clustering.clearArtifacts()
+    // k=2, iters=1 → centroids = sq8 codes of the first two vectors:
+    // c0=[0,0,0,0], c1=[64,0,0,0] (sq8 = clamp(floor(x·256)))
+    val old = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (1L, Array(0.25f, 0f, 0f, 0f)),
+      (2L, Array(0.01f, 0f, 0f, 0f)), (3L, Array(0.26f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // batch codes: v10=[5,..]→c0 d=25; v11=[64,..]→c1 d=0; v12=[8,..]→c0 d=64
+    // cluster-0 batch mean = 6.5 → drift 6.5 (>5 ⇒ refit); cluster-1 drift 0
+    val batch = Seq(
+      (10L, Array(0.02f, 0f, 0f, 0f)), (11L, Array(0.25f, 0f, 0f, 0f)),
+      (12L, Array(0.03125f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = graft.llm.Clustering
+      .upsertAssign(old, batch, k = 2, iters = 1, dim = 4, driftThreshold = 5.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    assert(got(10L) == ((0L, 25.0, 2L, 6.5, true)))
+    assert(got(12L) == ((0L, 64.0, 2L, 6.5, true)))
+    assert(got(11L) == ((1L, 0.0, 1L, 0.0, false)))
+    graft.llm.Clustering.clearArtifacts()
+  }
+
   test("non-AVI RIFF (WAV) and garbage are not claimed by the AVI codec") {
     assert(graft.llm.Multimodal.AviCodec
       .decode("RIFFxxxxWAVEfmt ".getBytes("US-ASCII")).isEmpty)
