@@ -482,6 +482,20 @@ object VersionQueries {
     // materialization after the delta (fold of adds/removes)
     "woql_materialized" -> ((s, d) => {
       val st = deltaStore(s, d)
+      // GC re-verification (r14 verdict #5): squash onto a detached
+      // branch, sweep the debris, and prove the LIVE chain's
+      // materialization is byte-identical after the sweep — the
+      // driver's oracle IS the post-GC read. Fixpoint-safe: on a
+      // pre-GC'd cached store the squash branch already exists, gc
+      // finds nothing, the read is the same.
+      synchronized {
+        if (!st.refs.contains("squashme")) {
+          st.branch("squashme", "main")
+          st.optimize("squashme") // detach onto a fresh root
+        }
+        st.deleteBranch("squashme")
+        val _ = st.gc() // sweeps the squash root; main's chain survives
+      }
       st.materializeBranch("main")
         .select(col("s"), col("o_str").as("o"))
     }),
