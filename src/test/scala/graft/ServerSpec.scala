@@ -394,9 +394,13 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (cg, dump) = get("/api/triples?branch=ntrt&format=ntriples")
     assert(cg == 200)
     val yLines = dump.split("\n").filter(_.startsWith("<http://ex.org/y>"))
+    // canonical export expands xsd: datatypes to the full XML-Schema
+    // IRI (r14 ADVICE interop fix) — external tools must not see a
+    // <xsd:integer> relative-scheme IRI
     assert(yLines.toSet == Set(
       """<http://ex.org/y> <http://ex.org/name> "Yara\n2" .""",
-      """<http://ex.org/y> <http://ex.org/age> "39"^^<xsd:integer> ."""))
+      "<http://ex.org/y> <http://ex.org/age> " +
+        "\"39\"^^<http://www.w3.org/2001/XMLSchema#integer> ."))
     // N-Quads GET carries the graph term
     val (cq, qdump) = get("/api/triples?branch=ntrt&format=nquads")
     assert(cq == 200)
