@@ -23,7 +23,7 @@ object BenchSf1 {
     "graph_lpa", "graph_assortativity", "llm_pipeline_v2",
     "llm_pipeline_v3", "llm_pipeline_v4", "llm_pipeline_clean",
     "stream_stream_join", "sim_topk_mmr", "dedup_substring_clean",
-    "graph_diameter")
+    "graph_diameter", "graph_scc")
 
   private def gcMs: Long = {
     import scala.jdk.CollectionConverters._
@@ -61,6 +61,13 @@ object BenchSf1 {
           ((System.nanoTime() - t0) / 1e9, gcMs - g0)
         }
         val _ = graft.util.Scratch.drain()
+        // unlike the sf0.1 battery, sf1 step-relation caches are
+        // edge-sized: left resident they GC-tax every later entry in
+        // this single-JVM rehearsal (first run: graph_triangles 96 s
+        // min / 20 s gc after the path family, vs 31 s in a dedicated
+        // JVM) — drop them so each entry starts from a clean block
+        // manager, like the per-entry BenchOne protocol it replaces
+        graft.core.Paths.clearRelCache()
         System.gc(); Thread.sleep(150); System.gc()
         val line = f"| $name | ${times.map(_._1).min}%.2f | " +
           f"${times.map(t => f"${t._1}%.2f").mkString(" ")} | " +

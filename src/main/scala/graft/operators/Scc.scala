@@ -21,19 +21,23 @@ import org.apache.spark.storage.StorageLevel
   *     everything) without any reachability work, which is what makes
   *     FW-BW viable on graphs whose SCC count is large: the pivot loop
   *     only ever runs on the cyclic core.
-  *  2. PIVOT: take the least surviving node id (1-row aggregate).
-  *     F = forward BFS from the pivot, B = backward BFS (same
-  *     semi-naive frontier discipline as [[Centrality]] — each hop
-  *     joins only the new frontier, eagerly localCheckpoint'ed
-  *     serialized). SCC(pivot) = F ∩ B. Because the pivot is the
-  *     minimum of the surviving set and belongs to its own SCC, the
-  *     pivot IS the least member — the label falls out for free.
-  *  3. Remove the SCC, re-trim, repeat.
+  *  2. MULTI-PIVOT: one pivot per WEAKLY-connected component of the
+  *     surviving cyclic core (min-label WCC — the same engine that
+  *     labels near-dup clusters), so pivots are provably in distinct
+  *     SCCs and ALL forward/backward searches advance together as
+  *     label-keyed multi-source BFS (the [[Centrality]] frontier
+  *     discipline with an `l` column; per-hop work is one join
+  *     regardless of pivot count). SCC(l) = F(l) ∩ B(l). A pivot is
+  *     its WCC's least node and belongs to its own SCC, so the pivot
+  *     IS the least member — the label falls out for free.
+  *  3. Remove the found SCCs, re-trim, repeat: outer rounds consume
+  *     one layer of the DAG-of-SCCs per iteration (≤ its chain depth,
+  *     NOT the SCC count — a million independent cycles finish in one
+  *     round).
   *
-  * Rounds are BOUNDED AND ASSERTED ([[KCore]]'s law): the pivot loop
-  * runs once per non-trivial SCC and each BFS once per eccentricity
-  * hop; exceeding `maxPivotRounds`/`maxHops` throws rather than
-  * returning a partial labeling the fixed oracle would catch anyway.
+  * Rounds are BOUNDED AND ASSERTED ([[KCore]]'s law): exceeding
+  * `maxPivotRounds`/`maxHops` throws rather than returning a partial
+  * labeling the fixed oracle would catch anyway.
   *
   * 100 TB shape: every step is an equi-join or aggregate on the edge
   * list (shuffle on node id); no step materializes anything larger
@@ -50,47 +54,100 @@ object Scc {
     val spark = edges.sparkSession
     def ckpt(df: DataFrame): DataFrame = graft.util.Scratch.trackCheckpoint(
       df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER))
+    val debug = sys.env.contains("GRAFT_SCC_DEBUG")
+    val t00 = System.nanoTime()
+    def mark(what: String): Unit = if (debug)
+      System.err.println(f"[scc] ${(System.nanoTime() - t00) / 1e9}%6.2fs $what")
 
     var e = ckpt(edges.where(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct())
+    mark("edges ready")
     val labeled = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var active = ckpt(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct())
     var nActive = active.count()
 
+    // broadcast hint once the surviving set is driver-known small —
+    // every inner structure (live sets, labels, frontiers) is bounded
+    // by the cyclic core, which trim counts every round
+    val bcCap = 2000000L
+    def bc(df: DataFrame, n: Long): DataFrame =
+      if (n <= bcCap) broadcast(df) else df
+
     // trim singleton SCCs (no in- or no out-edge in the live subgraph)
-    // to fixpoint; returns whether anything survives
+    // to fixpoint. ONE degree aggregation per round (max(out), max(in)
+    // over the tagged endpoint union) replaces the two distincts + two
+    // semi-joins of the first cut; the edge restrict broadcast-gates
+    // on the freshly counted live set.
     def trim(): Unit = {
       var changed = true
       var r = 0
       while (changed && nActive > 0 && r < maxTrimRounds) {
         r += 1
-        val hasOut = e.select(col("src").as("v")).distinct()
-        val hasIn = e.select(col("dst").as("v")).distinct()
-        val live = ckpt(active
-          .join(hasOut, Seq("v"), "left_semi")
-          .join(hasIn, Seq("v"), "left_semi"))
+        val deg = e.select(col("src").as("v"), lit(1).as("o"), lit(0).as("i"))
+          .unionByName(e.select(col("dst").as("v"), lit(0).as("o"), lit(1).as("i")))
+          .groupBy(col("v")).agg(max(col("o")).as("o"), max(col("i")).as("i"))
+        val live = ckpt(deg.where(col("o") === 1 && col("i") === 1)
+          .select(col("v")))
         val nLive = live.count()
+        mark(s"trim round $r: $nLive live")
         changed = nLive != nActive
         if (changed) {
-          labeled += active.join(live, Seq("v"), "left_anti")
+          labeled += active.join(bc(live, nLive), Seq("v"), "left_anti")
             .select(col("v").as("node"), col("v").as("component"))
           active = live
           nActive = nLive
           e = ckpt(e
-            .join(live.select(col("v").as("src")), Seq("src"), "left_semi")
-            .join(live.select(col("v").as("dst")), Seq("dst"), "left_semi"))
+            .join(bc(live.select(col("v").as("src")), nLive), Seq("src"), "left_semi")
+            .join(bc(live.select(col("v").as("dst")), nLive), Seq("dst"), "left_semi"))
         }
       }
       if (changed && nActive > 0) throw new IllegalStateException(
         s"SCC trim did not converge in $maxTrimRounds rounds")
     }
 
-    // semi-naive directed BFS over the live edge list; returns the set
-    // of nodes reachable from `root` (inclusive), one `v` column
-    def reach(root: String, forward: Boolean): DataFrame = {
-      val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
-      var frontier = ckpt(spark.range(1).select(lit(root).as("v")))
+    // min-label WCC of the live core, inlined with broadcast hints (the
+    // generic clustersFromPairs engine assumes corpus-scale inputs and
+    // spent 5+ s on a 13k-node core): labels fold to the least member
+    // by synchronous propagation over the undirected edge view, one
+    // small aggregation + one broadcast join per round, fixpoint
+    // detected by an isEmpty probe on the changed set.
+    def wccPivots(): DataFrame = {
+      var lbl = ckpt(active.select(col("v"), col("v").as("l")))
+      var r = 0
+      var changed = true
+      while (changed) {
+        r += 1
+        if (r > maxHops) throw new IllegalStateException(
+          s"SCC pivot WCC did not converge in $maxHops rounds")
+        val und = e.select(col("src").as("a"), col("dst").as("b"))
+          .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+        val nb = und.join(bc(lbl.select(col("v").as("a"), col("l")), nActive),
+          Seq("a")).select(col("b").as("v"), col("l"))
+        val upd = ckpt(lbl.unionByName(nb)
+          .groupBy(col("v")).agg(min(col("l")).as("l")))
+        changed = !upd.join(
+            bc(lbl.select(col("v"), col("l").as("l0")), nActive), Seq("v"))
+          .where(col("l") =!= col("l0")).isEmpty
+        lbl = upd
+      }
+      mark("wcc fixpoint")
+      ckpt(lbl.select(col("l")).distinct())
+    }
+
+    // MULTI-SOURCE labeled reachability, BOTH DIRECTIONS FUSED: the
+    // frontier carries (l, node, dir) with dir ∈ {f, b}, so every
+    // pivot's forward AND backward BFS advance in the same per-hop
+    // job — one checkpoint + one emptiness probe per hop total (the
+    // first cut ran one pivot at a time, ~250 tiny jobs, 23 s; the
+    // second ran F and B as separate loops). Broadcast hints on the
+    // frontier/seen sides (core-bounded, driver-counted): each hop is
+    // two broadcast joins + one small exchange, never three shuffles.
+    def reachBoth(seeds: DataFrame): DataFrame = {
+      var frontier = ckpt(seeds
+        .select(col("l"), col("l").as("node"), lit("f").as("dir"))
+        .unionByName(seeds
+          .select(col("l"), col("l").as("node"), lit("b").as("dir"))))
       var seen = frontier
       var h = 0
       var exhausted = false
@@ -98,9 +155,15 @@ object Scc {
         h += 1
         if (h > maxHops) throw new IllegalStateException(
           s"SCC reachability exceeded $maxHops hops")
-        val next = ckpt(frontier.join(e, col("v") === col(from))
-          .select(col(to).as("v")).distinct()
-          .join(seen, Seq("v"), "left_anti"))
+        val fwd = bc(frontier.where(col("dir") === "f"), nActive)
+          .join(e, col("node") === col("src"))
+          .select(col("l"), col("dst").as("node"), col("dir"))
+        val bwd = bc(frontier.where(col("dir") === "b"), nActive)
+          .join(e, col("node") === col("dst"))
+          .select(col("l"), col("src").as("node"), col("dir"))
+        val next = ckpt(fwd.unionByName(bwd).distinct()
+          .join(bc(seen, 2 * nActive), Seq("l", "node", "dir"), "left_anti"))
+        mark(s"reach hop $h")
         if (next.isEmpty) exhausted = true
         else {
           frontier = next
@@ -115,14 +178,28 @@ object Scc {
     while (nActive > 0) {
       round += 1
       if (round > maxPivotRounds) throw new IllegalStateException(
-        s"SCC pivot loop exceeded $maxPivotRounds rounds — cyclic core " +
-          "has more non-trivial components than expected")
-      val pivot = active.agg(min(col("v"))).head().getString(0)
-      val scc = ckpt(reach(pivot, forward = true)
-        .join(reach(pivot, forward = false), Seq("v"), "left_semi"))
-      // pivot = min(active) ∈ scc ⇒ pivot = min(scc): the label law
-      labeled += scc.select(col("v").as("node"), lit(pivot).as("component"))
-      active = ckpt(active.join(scc, Seq("v"), "left_anti"))
+        s"SCC pivot loop exceeded $maxPivotRounds rounds — the residual " +
+          "DAG-of-SCCs is deeper than expected")
+      // One pivot per WEAKLY-connected component of the surviving
+      // cyclic core: pivots of different WCCs are in different SCCs by
+      // construction, so all their FW/BW searches run label-parallel.
+      // A pivot is its WCC's least node, it belongs to its own SCC,
+      // hence pivot = least member of that SCC — the label law holds
+      // per pivot. SCCs sharing a WCC with a smaller-id SCC resolve in
+      // later outer rounds (outer depth ≤ DAG-of-SCCs chain length,
+      // not SCC count).
+      val pivots = wccPivots()
+      mark(s"round $round pivots ready")
+      val both = reachBoth(pivots)
+      val scc = ckpt(both.where(col("dir") === "f")
+        .select(col("l"), col("node"))
+        .join(bc(both.where(col("dir") === "b")
+          .select(col("l"), col("node")), nActive),
+          Seq("l", "node"), "left_semi"))
+      mark(s"round $round scc intersected")
+      labeled += scc.select(col("node"), col("l").as("component"))
+      active = ckpt(active.join(scc.select(col("node").as("v")),
+        Seq("v"), "left_anti"))
       nActive = active.count()
       if (nActive > 0) {
         e = ckpt(e
