@@ -8,10 +8,26 @@ import graft.operators.Scc
 class SccSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def run(edges: (String, String)*): Map[String, String] = {
+  private def run(edges: (String, String)*): Map[String, String] =
+    runSeq(edges)
+
+  private def runSeq(edges: Seq[(String, String)]): Map[String, String] = {
     import spark.implicits._
     Scc.components(edges.toDF("src", "dst"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** Run with the local-core Tarjan fast path disabled — forces the
+    * distributed FW-BW descent arm. */
+  private def runDistributed(edges: Seq[(String, String)])
+      : Map[String, String] = {
+    val old = sys.props.get("graft.scc.localCore")
+    sys.props("graft.scc.localCore") = "0"
+    try runSeq(edges)
+    finally old match {
+      case Some(v) => sys.props("graft.scc.localCore") = v
+      case None => sys.props.remove("graft.scc.localCore")
+    }
   }
 
   test("two SCCs joined by a DAG bridge, hand-traced") {
@@ -40,6 +56,52 @@ class SccSpec extends AnyFunSuite {
     val got = run("d" -> "e", "e" -> "d", "e" -> "f",
       "f" -> "g", "g" -> "f")
     assert(got == Map("d" -> "d", "e" -> "d", "f" -> "f", "g" -> "f"))
+  }
+
+  // the r15 advisor's pathology: k left 2-cycles, k right 2-cycles,
+  // complete bipartite cross edges left→right. Without the FW-BW
+  // descent split the residual stays one WCC and the pivot loop
+  // extracts ONE SCC per round (k rounds — the old fixed 32-round
+  // bound threw on k=40); with the split, round 1 severs every
+  // remainder→F cross edge and round 2 extracts all survivors at once.
+  private def bipartiteFamily(k: Int): Seq[(String, String)] = {
+    def cyc(p: String, i: Int) = {
+      val (a, b) = (f"$p$i%02da", f"$p$i%02db")
+      Seq(a -> b, b -> a)
+    }
+    val cycles = (1 to k).flatMap(i => cyc("l", i) ++ cyc("r", i))
+    val cross = for (i <- 1 to k; j <- 1 to k)
+      yield f"l$i%02da" -> f"r$j%02da"
+    cycles ++ cross
+  }
+
+  private def bipartiteExpected(k: Int): Map[String, String] =
+    (1 to k).flatMap { i =>
+      Seq(f"l$i%02da" -> f"l$i%02da", f"l$i%02db" -> f"l$i%02da",
+        f"r$i%02da" -> f"r$i%02da", f"r$i%02db" -> f"r$i%02da")
+    }.toMap
+
+  test("cross-linked 2-cycle family: descent split keeps rounds constant " +
+    "(distributed path, previously exceeded the 32-round bound)") {
+    assert(runDistributed(bipartiteFamily(40)) == bipartiteExpected(40))
+  }
+
+  test("local-core Tarjan and distributed descent agree row for row") {
+    val edges = bipartiteFamily(6) ++ Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a", "c" -> "x", "x" -> "p",
+      "p" -> "q", "q" -> "p", "q" -> "l01a", "r03b" -> "z")
+    val local = runSeq(edges) // default cap ≫ fixture: Tarjan path
+    val dist = runDistributed(edges)
+    assert(local == dist)
+    assert(local("b") == "a" && local("q") == "p" && local("x") == "x")
+  }
+
+  test("tarjanLocal labels by least member on a hand-traced graph") {
+    val es: Array[(Any, Any)] = Array(
+      ("m", "n"), ("n", "k"), ("k", "m"), ("k", "s"), ("s", "t"), ("t", "s"))
+    val got = Scc.tarjanLocal(es).toMap
+    assert(got == Map("m" -> "k", "n" -> "k", "k" -> "k",
+      "s" -> "s", "t" -> "s"))
   }
 
   test("every endpoint is labeled exactly once (partition law)") {
