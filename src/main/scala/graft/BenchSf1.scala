@@ -15,15 +15,45 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchSf1 {
 
-  /** The 15 heaviest gate entries (BENCH_r13/r14) + the round's new
-    * heavyweights get appended here as they land. */
-  val heavyweights: Seq[String] = Seq(
-    "woql_path_plus_alt", "woql_path_shortest", "ext_graphql_path",
-    "graph_triangles", "graph_kcore", "graph_wcc", "graph_closeness",
-    "graph_lpa", "graph_assortativity", "llm_pipeline_v2",
-    "llm_pipeline_v3", "llm_pipeline_v4", "llm_pipeline_clean",
-    "stream_stream_join", "sim_topk_mmr", "dedup_substring_clean",
-    "graph_diameter", "graph_scc")
+  /** Per-round additions that must have at-scale rows regardless of
+    * their gate time (the r15 verdict's gap: BENCH_SF1 hardcoded an
+    * r14-era list, so the newest heavyweights had no scale record). */
+  val alwaysInclude: Seq[String] = Seq(
+    "graph_scc", "ext_turtle_dist", "mm_decode_avi",
+    "text_bytebpe_train", "text_bytebpe_apply", "sim_ivf_upsert")
+
+  /** Heavyweight list DERIVED from the latest driver battery: top-N
+    * entries by gate time in the newest `BENCH_r*.json`, plus
+    * [[alwaysInclude]]. eav_encode stays excluded (ingest diagnostic,
+    * not an operator). Every name must resolve in
+    * [[SparkEntry.queries]] — a typo shrinks the scale gate silently
+    * otherwise. */
+  def heavyweights: Seq[String] = {
+    val benchFiles = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    require(benchFiles.nonEmpty,
+      "no BENCH_r*.json battery file found to derive the heavyweight list")
+    val latest = benchFiles
+      .maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+    val txt = java.nio.file.Files.readString(latest.toPath)
+    val qStart = txt.indexOf("\"queries\":{")
+    require(qStart >= 0, s"${latest.getName} has no queries object")
+    val qBody = txt.substring(qStart + 11, txt.indexOf("}", qStart))
+    val entries = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r
+      .findAllMatchIn(qBody)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    val top = entries.filterNot(_._1 == "eav_encode")
+      .sortBy(-_._2).take(15).map(_._1)
+    val all = (top ++ alwaysInclude).distinct
+    val missing = all.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty,
+      s"heavyweight entries not in SparkEntry.queries: " +
+        s"${missing.mkString(", ")} (from ${latest.getName})")
+    System.err.println(s"[benchsf1] list derived from ${latest.getName}: " +
+      all.mkString(", "))
+    all
+  }
 
   private def gcMs: Long = {
     import scala.jdk.CollectionConverters._
@@ -51,30 +81,36 @@ object BenchSf1 {
       sys.props("graft.stream.shuffle") = "8"
     val _ = Graft.ctx(spark, sfDir) // warm encode (uncounted)
 
-    val rows = heavyweights.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to reps).map { _ =>
-          val g0 = gcMs; val t0 = System.nanoTime()
-          try { val _ = fn(spark, sfDir).count() }
-          catch { case e: Throwable =>
-            System.err.println(s"[benchsf1] $name failed: ${e.getMessage}") }
-          ((System.nanoTime() - t0) / 1e9, gcMs - g0)
-        }
-        val _ = graft.util.Scratch.drain()
-        // unlike the sf0.1 battery, sf1 step-relation caches are
-        // edge-sized: left resident they GC-tax every later entry in
-        // this single-JVM rehearsal (first run: graph_triangles 96 s
-        // min / 20 s gc after the path family, vs 31 s in a dedicated
-        // JVM) — drop them so each entry starts from a clean block
-        // manager, like the per-entry BenchOne protocol it replaces
-        graft.core.Paths.clearRelCache()
-        System.gc(); Thread.sleep(150); System.gc()
-        val line = f"| $name | ${times.map(_._1).min}%.2f | " +
-          f"${times.map(t => f"${t._1}%.2f").mkString(" ")} | " +
-          f"${times.map(_._2).max} |"
-        println(s"BENCHSF1 $line")
-        line
+    val rows = heavyweights.map { name =>
+      val fn = SparkEntry.queries(name) // asserted resolvable upstream
+      // a failed rep is marked FAIL in the table — its wall time is
+      // a failure latency, not a measurement (r15 advisor)
+      val times = (1 to reps).map { _ =>
+        val g0 = gcMs; val t0 = System.nanoTime()
+        val ok = try { val _ = fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[benchsf1] $name failed: ${e.getMessage}")
+          false }
+        ((System.nanoTime() - t0) / 1e9, gcMs - g0, ok)
       }
+      val _ = graft.util.Scratch.drain()
+      // unlike the sf0.1 battery, sf1 step-relation caches are
+      // edge-sized: left resident they GC-tax every later entry in
+      // this single-JVM rehearsal (first run: graph_triangles 96 s
+      // min / 20 s gc after the path family, vs 31 s in a dedicated
+      // JVM) — drop them so each entry starts from a clean block
+      // manager, like the per-entry BenchOne protocol it replaces
+      graft.core.Paths.clearRelCache()
+      System.gc(); Thread.sleep(150); System.gc()
+      val good = times.filter(_._3)
+      val minCell =
+        if (good.isEmpty) "FAIL" else f"${good.map(_._1).min}%.2f"
+      val repCells = times
+        .map(t => if (t._3) f"${t._1}%.2f" else "FAIL").mkString(" ")
+      val line = f"| $name | $minCell | $repCells | " +
+        f"${times.map(_._2).max} |"
+      println(s"BENCHSF1 $line")
+      line
     }
     val md = new StringBuilder
     md ++= "# BENCH_SF1 — heavyweight scale rehearsal (diffable gate artifact)\n\n"

@@ -108,7 +108,13 @@ object Compiler {
             }
           }
           cur.df.crossJoin(nxt.df)
-        } else cur.df.join(nxt.df, shared, "inner")
+        } else {
+          // SURVEY §4.1: EAV self-joins carry no table stats, so
+          // Catalyst can't see a multiplying key — the armed
+          // join-cardinality pre-flight does (keys-sized work)
+          Preflight.joinCard(cur.df, nxt.df, shared)
+          cur.df.join(nxt.df, shared, "inner")
+        }
       BF(df, cur.vars ++ nxt.vars)
     }
   }
@@ -1051,31 +1057,99 @@ object Compiler {
   * threshold. Off by default: the probe is a deliberate pre-flight a
   * pipeline arms for suspicious queries, not a per-run tax. */
 object Preflight {
-  import org.apache.spark.sql.DataFrame
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.functions.{col, struct}
 
   /** Last emitted warning (None when the armed probe found the scan
     * under-threshold) — observable for tests and batch reports. */
   @volatile var lastWarning: Option[String] = None
 
-  private[core] def unboundP(scan: DataFrame, desc: String): Unit = {
-    val thr = sys.props.get("graft.preflight.skew")
-      .orElse(sys.env.get("GRAFT_PREFLIGHT_SKEW")).map(_.toDouble)
-    thr.foreach { threshold =>
-      val top = graft.operators.Warehouse.skewProfile(scan, col("s"), 1)
-        .collect().headOption
-      lastWarning = top.flatMap { r =>
-        val ratio = r.getAs[Double]("skew_ratio")
-        if (ratio >= threshold) {
-          val msg = s"[graft][preflight] unbound-predicate pattern $desc " +
-            s"scans ALL predicates; subject join key is skewed: heaviest " +
-            s"s=${r.get(r.fieldIndex("key"))} (${r.getAs[Long]("cnt")} rows, " +
-            s"skew_ratio=$ratio >= $threshold over ${r.getAs[Long]("n_keys")} " +
-            "keys) — bind p, use a star pattern, or salt the join"
-          System.err.println(msg)
-          Some(msg)
-        } else None
+  /** Last join-cardinality warning (None when the armed probe found
+    * the estimated join output under-threshold). */
+  @volatile var lastJoinWarning: Option[String] = None
+
+  /** Parse an armed threshold, with a clear message on a malformed
+    * value (a bare `.toDouble` NumberFormatException names nothing). */
+  private def armedThreshold(prop: String, env: String): Option[Double] =
+    sys.props.get(prop).orElse(sys.env.get(env)).map { v =>
+      try v.toDouble
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$prop (or $env) must be a numeric threshold, got '$v'")
       }
     }
-  }
+
+  // probe memos: the PROFILE row caches per canonical data plan (the
+  // content-keyed artifact-cache discipline, per the r15 advisor — a
+  // query compiled repeatedly paid a full-corpus job per compile);
+  // the threshold compare stays per call, so re-arming with a new
+  // threshold reuses the cached profile
+  private val skewMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Row]]()
+  private val cardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Row]]()
+
+  private[core] def unboundP(scan: DataFrame, desc: String): Unit =
+    armedThreshold("graft.preflight.skew", "GRAFT_PREFLIGHT_SKEW")
+      .foreach { threshold =>
+        val top = skewMemo.computeIfAbsent(
+          graft.llm.Clustering.planKey(scan),
+          _ => graft.operators.Warehouse.skewProfile(scan, col("s"), 1)
+            .collect().headOption)
+        lastWarning = top.flatMap { r =>
+          val ratio = r.getAs[Double]("skew_ratio")
+          if (ratio >= threshold) {
+            val msg = s"[graft][preflight] unbound-predicate pattern $desc " +
+              s"scans ALL predicates; subject join key is skewed: heaviest " +
+              s"s=${r.get(r.fieldIndex("key"))} (${r.getAs[Long]("cnt")} rows, " +
+              s"skew_ratio=$ratio >= $threshold over ${r.getAs[Long]("n_keys")} " +
+              "keys) — bind p, use a star pattern, or salt the join"
+            System.err.println(msg)
+            Some(msg)
+          } else None
+        }
+      }
+
+  /** Armed (`graft.preflight.joincard=<est output rows>`) exact
+    * join-cardinality pre-flight on `and`-chain equi-joins: when BOTH
+    * sides exceed the bounded-probe floor, Σ c_A(k)·c_B(k) over the
+    * shared-variable key ([[graft.operators.Warehouse.joinCardinality]]
+    * — keys-sized work, never the join) estimates the output and warns
+    * naming the heaviest multiplying key. Catalyst's one blind spot on
+    * EAV self-joins without stats (SURVEY §4.1). Off by default. */
+  private[core] def joinCard(l: DataFrame, r: DataFrame,
+                             shared: Seq[String]): Unit =
+    armedThreshold("graft.preflight.joincard", "GRAFT_PREFLIGHT_JOINCARD")
+      .foreach { threshold =>
+        // broadcast-sized sides multiply harmlessly — bounded probes
+        // (CollectLimit stops at floor+1 rows) skip them cheaply
+        val floor = sys.props.get("graft.preflight.joincard.floor")
+          .map(_.toInt).getOrElse(10000)
+        def big(d: DataFrame): Boolean = d.limit(floor + 1).count() > floor
+        if (big(l) && big(r)) {
+          val key = graft.llm.Clustering.planKey(l) + " " +
+            graft.llm.Clustering.planKey(r) + " " + shared.mkString(",")
+          val keyCol = struct(shared.map(col): _*)
+          val top = cardMemo.computeIfAbsent(key,
+            _ => graft.operators.Warehouse
+              .joinCardinality(l, keyCol, r, keyCol, 1).collect().headOption)
+          lastJoinWarning = top.flatMap { row =>
+            val est = row.getAs[Long]("est_rows")
+            if (est >= threshold) {
+              val msg = s"[graft][preflight] and-join on " +
+                s"(${shared.mkString(", ")}) estimates $est output rows " +
+                s">= $threshold (left ${row.getAs[Long]("left_rows")} rows/" +
+                s"${row.getAs[Long]("left_keys")} keys, right " +
+                s"${row.getAs[Long]("right_rows")} rows/" +
+                s"${row.getAs[Long]("right_keys")} keys); heaviest key " +
+                s"${row.get(row.fieldIndex("key"))} contributes " +
+                s"${row.getAs[Long]("contrib")} " +
+                s"(${row.getAs[Double]("share")} of output) — restrict " +
+                "that key, reorder the chain, or salt the join"
+              System.err.println(msg)
+              Some(msg)
+            } else None
+          }
+        }
+      }
 }

@@ -191,6 +191,71 @@ object Clustering {
         col("drift"), (col("drift") > driftThreshold).as("refit_hint"))
   }
 
+  /** Drift-triggered PARTIAL refit — the consumer of [[upsertAssign]]'s
+    * `refit_hint` (it previously ended the incremental-ANN lifecycle at
+    * a hint): cells whose batch-mean drift exceeds `driftThreshold` are
+    * re-fit with ONE restricted Lloyd round — each drifted cell's
+    * centroid moves to the exact-integer mean of its (existing + batch)
+    * members under the frozen book, and ONLY those members reassign,
+    * among the drifted cells; frozen cells, their centroids and their
+    * members are untouched. That is the 100 TB economics: refit work ∝
+    * drifted-cell membership, not corpus size, and the frozen book
+    * stays memoized.
+    *
+    * Output: (vec_id, cluster, dist, refit) for EVERY existing + batch
+    * vector — `refit=true` rows carry the post-refit assignment and
+    * distance, `refit=false` rows the frozen ones. Exact-math
+    * discipline throughout (integer qv sums ÷ count, left-assoc
+    * squared-L2, micro-rounds at the edges), so the whole lifecycle is
+    * replayable closed-form in SQL. */
+  def refitDrifted(existing: DataFrame, batch: DataFrame, k: Int,
+                   iters: Int, dim: Int,
+                   driftThreshold: Double = 8.0): DataFrame = {
+    require(k > 0 && iters > 0 && dim > 0)
+    val cents = trainCentroids(codes(existing), k, iters, dim)
+    val exA = assign(codes(existing), cents)
+    val baA = assign(codes(batch), cents)
+    // per-cell batch drift, the same statistic upsertAssign reports
+    val aggs = count(lit(1)).as("n_new") +:
+      (0 until dim).map(i => sum(col("qv")(i)).as(s"s$i"))
+    val means = baA.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val meanArr = array((0 until dim).map(i => col(s"s$i") / col("n_new")): _*)
+    val ownCent = element_at(centsLit, col("cluster").cast("int") + 1)
+    val driftCol = sqrt(aggregate(
+      zip_with(meanArr, ownCent, (x, y) => { val d = x - y; d * d }),
+      lit(0.0), (a, x) => a + x))
+    val drifted = means
+      .select(col("cluster"), round(driftCol, 6).as("drift"))
+      .where(col("drift") > driftThreshold)
+      .collect().map(_.getLong(0)).sorted // k-bounded driver artifact
+    val all = exA.unionByName(baA)
+    val frozenOut = (d: DataFrame) => d.select(col("vec_id"), col("cluster"),
+      round(col("dist"), 6).as("dist"), lit(false).as("refit"))
+    if (drifted.isEmpty) return frozenOut(all)
+    val isDrift = col("cluster").isin(drifted: _*)
+    // one restricted Lloyd update: drifted centroids ← exact-integer
+    // member means (k·dim-bounded collect, the trainCentroids law)
+    val upAggs = count(lit(1)).as("n") +:
+      (0 until dim).map(i => sum(col("qv")(i)).as(s"s$i"))
+    val mem = all.where(isDrift)
+    val upd = mem.groupBy(col("cluster")).agg(upAggs.head, upAggs.tail: _*)
+      .collect().map { r =>
+        val n = r.getLong(1).toDouble
+        r.getLong(0) -> (0 until dim).map(i => r.getDouble(i + 2) / n)
+      }.toMap
+    val dCents = drifted.map(c => upd(c).toIndexedSeq).toIndexedSeq
+    val reDist = distArray(col("qv"), dCents)
+    val cidArr = typedLit(drifted.toSeq)
+    val refitPart = mem.withColumn("__d", reDist)
+      .select(col("vec_id"),
+        element_at(cidArr,
+          array_position(col("__d"), array_min(col("__d"))).cast("int"))
+          .as("cluster"),
+        round(array_min(col("__d")), 6).as("dist"), lit(true).as("refit"))
+    frozenOut(all.where(!isDrift)).unionByName(refitPart)
+  }
+
   /** Product-quantization codebooks: `m` independent Lloyd's runs,
     * one per `dim/m`-wide slice of the sq8 codes. PQ is how a 100 TB
     * embedding store actually fits: m bytes per vector instead of

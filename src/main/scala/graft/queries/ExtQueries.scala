@@ -385,6 +385,20 @@ object ExtQueries {
         k = 8, iters = 3, dim = 64)
     }),
 
+    // drift-triggered PARTIAL refit: the consumer of upsert's
+    // refit_hint — cells past the drift threshold get one restricted
+    // Lloyd round (centroid ← exact-integer member mean, members
+    // reassign among drifted cells only); frozen cells untouched.
+    // Threshold 100 drifts a proper subset of the 8 cells at both
+    // sf0.001 and sf0.01, so both arms of the split are exercised
+    "sim_ivf_refit" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.Clustering.refitDrifted(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        k = 8, iters = 3, dim = 64, driftThreshold = 100.0)
+    }),
+
     // index-quality EVALUATION as a first-class query: recall@5 of the
     // IVF arm against exact search, per query vector — the measurement
     // a pipeline runs before trusting an ANN tier. Both arms are the
@@ -3621,6 +3635,45 @@ object ExtQueries {
         | SELECT ab.vec_id, ab.cid AS cluster, round(ab.dist, 6) AS dist,
         |  dr.n_new, dr.drift, dr.drift > 8.0 AS refit_hint
         | FROM ab JOIN dr ON dr.cid = ab.cid""".stripMargin,
+      preCtes = "old AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0), ",
+      src = "old"),
+
+    // partial refit: upsert's chain + drifted-cell set (drift > 100),
+    // one restricted Lloyd round over the drifted cells' existing+batch
+    // members (a3 ∪ ab), reassignment among drifted cells only —
+    // frozen rows pass through with refit=false
+    "sim_ivf_refit" -> kmeansSql(
+      s""", qb AS (SELECT vec_id, $sq8QvSql AS qv
+        |   FROM embeddings WHERE vec_id % 10 = 0),
+        | ab AS (SELECT vec_id, qv, cid, dist FROM (
+        |   SELECT qb.vec_id, qb.qv, c.cid,
+        |     ${kmDistSql("qb.qv", "c.cv")} AS dist
+        |   FROM qb CROSS JOIN c2 c) t
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) = 1),
+        | mu AS (SELECT cid,
+        |   list_value(${(1 to 64).map(i => s"sum(qv[$i])/count(*)").mkString(", ")}) AS mv
+        |  FROM ab GROUP BY cid),
+        | dr AS (SELECT mu.cid,
+        |   round(sqrt(${kmDistSql("mu.mv", "c.cv")}), 6) AS drift
+        |  FROM mu JOIN c2 c ON c.cid = mu.cid),
+        | dset AS (SELECT cid FROM dr WHERE drift > 100.0),
+        | allv AS (SELECT vec_id, qv, cid, dist FROM a3
+        |   UNION ALL SELECT vec_id, qv, cid, dist FROM ab),
+        | mem AS (SELECT * FROM allv WHERE cid IN (SELECT cid FROM dset)),
+        | newc AS (SELECT cid,
+        |   list_value(${(1 to 64).map(i => s"sum(qv[$i])/count(*)").mkString(", ")}) AS cv
+        |  FROM mem GROUP BY cid),
+        | rea AS (SELECT vec_id, cid AS cluster, round(dist, 6) AS dist,
+        |   true AS refit FROM (
+        |   SELECT m.vec_id, c.cid, ${kmDistSql("m.qv", "c.cv")} AS dist
+        |   FROM mem m CROSS JOIN newc c) t
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) = 1)
+        | SELECT vec_id, cid AS cluster, round(dist, 6) AS dist,
+        |   false AS refit
+        | FROM allv WHERE cid NOT IN (SELECT cid FROM dset)
+        | UNION ALL SELECT vec_id, cluster, dist, refit FROM rea""".stripMargin,
       preCtes = "old AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0), ",
       src = "old"),
 

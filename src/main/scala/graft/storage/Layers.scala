@@ -29,9 +29,65 @@ final class LayerStore(val spark: SparkSession, val root: String) {
 
   private def path(parts: String*): String = (root +: parts).mkString("/")
 
+  // ---- store lock -----------------------------------------------------
+
+  private val lockHeld = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Store-level lock: catalog MUTATORS (commit/refs/flat writers) take
+    * it shared, [[gc]] takes it exclusive — so a racing commit can
+    * never lose its catalog row (or have its half-written layer dirs
+    * swept as debris) to a concurrent gc. In-process the per-root
+    * monitor serializes holders; cross-process an OS file lock on
+    * `_catalog/store.lock` does (and is auto-released by the OS if the
+    * holding process dies, so a crashed gc never wedges the store).
+    * Reentrant per store+thread: nested mutators (commit → writeRefs)
+    * run under the outer hold. Readers are lock-free — the documented
+    * stance (SURVEY §7.6) remains single-writer-per-branch, and gc
+    * additionally requires that no OTHER process is mid-read on layers
+    * it sweeps (unreachable ones, so any such read is already a bug). */
+  private def withStoreLock[T](exclusive: Boolean)(body: => T): T =
+    if (lockHeld.get()) body
+    else LayerStore.monitor(root).synchronized {
+      import java.nio.file.StandardOpenOption._
+      Files.createDirectories(Paths.get(path("_catalog")))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(path("_catalog", "store.lock")), CREATE, READ, WRITE)
+      try {
+        val fl = ch.lock(0L, Long.MaxValue, !exclusive)
+        lockHeld.set(java.lang.Boolean.TRUE)
+        try body
+        finally { lockHeld.set(java.lang.Boolean.FALSE); fl.release() }
+      } finally ch.close()
+    }
+
   // ---- catalog access -------------------------------------------------
 
+  /** Recover an interrupted [[gc]] catalog swap — crash-safe in every
+    * window of the swap protocol (write tmp → rename live aside →
+    * move tmp in → drop aside). A COMPLETE `commits.gc-tmp` supersedes
+    * the aside copy: the layer sweep has already happened when the tmp
+    * is written, so the tmp is the catalog that matches the disk. An
+    * aside with no complete tmp is restored. Strays are dropped. */
+  private def recoverCatalog(): Unit = {
+    val dst = Paths.get(path("_catalog", "commits"))
+    val tmp = Paths.get(path("_catalog", "commits.gc-tmp"))
+    val aside = Paths.get(path("_catalog", "commits.gc-old"))
+    if (!Files.exists(tmp) && !Files.exists(aside)) return
+    def rmdir(p: java.nio.file.Path): Unit = if (Files.exists(p))
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    if (Files.exists(dst.resolve("_SUCCESS"))) {
+      rmdir(tmp); rmdir(aside) // swap completed (or never started)
+    } else if (Files.exists(tmp.resolve("_SUCCESS"))) {
+      rmdir(dst); Files.move(tmp, dst); rmdir(aside)
+    } else if (Files.exists(aside)) {
+      rmdir(dst); rmdir(tmp); Files.move(aside, dst)
+    }
+  }
+
   def commits: DataFrame = {
+    recoverCatalog()
     val p = path("_catalog", "commits")
     if (Files.exists(Paths.get(p, "_SUCCESS"))) spark.read.parquet(p)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], commitSchema)
@@ -44,13 +100,14 @@ final class LayerStore(val spark: SparkSession, val root: String) {
       .map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
-  private def writeRefs(m: Map[String, String]): Unit = {
+  private def writeRefs(m: Map[String, String]): Unit = withStoreLock(false) {
     import spark.implicits._
     m.toSeq.toDF("ref", "commit_id").coalesce(1)
       .write.mode("overwrite").parquet(path("_catalog", "refs"))
   }
 
-  private def appendCommit(id: String, parent: String, message: String): Unit = {
+  private def appendCommit(id: String, parent: String,
+                           message: String): Unit = withStoreLock(false) {
     import spark.implicits._
     Seq((id, parent, message, java.time.Instant.now.toString))
       .toDF("commit_id", "parent", "message", "at")
@@ -151,7 +208,7 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     * from parent + message + a content hash of both sides, so two
     * commits with equal shape but different triples never collide. */
   def commit(branch: String, addsDf: DataFrame, removesDf: DataFrame,
-             message: String): String = {
+             message: String): String = withStoreLock(false) {
     val parent = refs.getOrElse(branch, null)
     val a = conform(addsDf); val r = conform(removesDf)
     val id = sha256Hex(s"$parent|$message|${contentHash(a)}|${contentHash(r)}")
@@ -234,7 +291,8 @@ final class LayerStore(val spark: SparkSession, val root: String) {
 
   /** Squash the full history of a branch into one base layer (the
     * reference's `optimize`): read fold once, write one compact layer. */
-  def optimize(branchName: String, message: String = "optimize"): String = {
+  def optimize(branchName: String,
+               message: String = "optimize"): String = withStoreLock(false) {
     val mat = materialize(refs(branchName))
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Eav.schema)
     // new root commit (no parent): detach ref onto the compacted base
@@ -256,7 +314,7 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     * immutable-correct by construction; a later commit gets a new head
     * id and simply misses the cache until compacted again. Returns the
     * number of layers folded. */
-  def compact(branchName: String): Int = {
+  def compact(branchName: String): Int = withStoreLock(false) {
     val head = refs.getOrElse(branchName,
       throw new IllegalArgumentException(s"no such branch $branchName"))
     val n = chain(head).size
@@ -295,7 +353,7 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     * layer ids, sorted. The DAG walk is driver-side over the tiny
     * commit catalog (the established catalog-collect bound); data-sized
     * work is only directory deletion. */
-  def gc(dryRun: Boolean = false): Seq[String] = {
+  def gc(dryRun: Boolean = false): Seq[String] = withStoreLock(!dryRun) {
     val flatDir = new java.io.File(path("flat"))
     val flatIds = Option(flatDir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).toSet
@@ -317,12 +375,20 @@ final class LayerStore(val spark: SparkSession, val root: String) {
       if (kept.length != catalog.length) {
         val df = spark.createDataFrame(
           spark.sparkContext.parallelize(kept.toSeq, 1), commitSchema)
-        val tmp = path("_catalog", "commits.gc-tmp")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val dst = new java.io.File(path("_catalog", "commits"))
-        org.apache.commons.io.FileUtils.deleteDirectory(dst)
-        if (!new java.io.File(tmp).renameTo(dst))
-          throw new IllegalStateException("gc: catalog swap failed")
+        val tmp = Paths.get(path("_catalog", "commits.gc-tmp"))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        // crash-safe swap (the r15 advisor's delete-then-rename window
+        // left the store with NO catalog on a crash between the two):
+        // rename the live catalog aside, move the complete tmp in, drop
+        // the aside — every window recovers via [[recoverCatalog]],
+        // which prefers a complete tmp (the sweep already happened).
+        val dst = Paths.get(path("_catalog", "commits"))
+        val aside = Paths.get(path("_catalog", "commits.gc-old"))
+        if (Files.exists(aside))
+          org.apache.commons.io.FileUtils.deleteDirectory(aside.toFile)
+        Files.move(dst, aside)
+        Files.move(tmp, dst)
+        org.apache.commons.io.FileUtils.deleteDirectory(aside.toFile)
       }
     }
     sweep
@@ -533,6 +599,13 @@ object LayerStore {
   val commitSchema: StructType = StructType(Seq(
     StructField("commit_id", StringType), StructField("parent", StringType),
     StructField("message", StringType), StructField("at", StringType)))
+
+  // per-root monitors: serialize in-process store-lock holders so the
+  // OS FileLock (which is per-JVM) never self-overlaps
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[storage] def monitor(root: String): Object =
+    monitors.computeIfAbsent(root, _ => new Object)
 
   def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")

@@ -76,6 +76,40 @@ class ClusteringSpec extends AnyFunSuite {
     assert(ma != mb, "same merge table for two different corpora — cache key collision")
   }
 
+  test("drift-triggered partial refit: only drifted cells retrain and reassign") {
+    // init (iters=1) seeds cid0 at vec 0's code (0,0,0,0) and cid1 at
+    // vec 1's code (102,102,102,102). Batch: two vectors at code 115
+    // (drift ‖(115..)−(102..)‖ = 26 > 10 → cell 1 drifts) and one at
+    // cell 0's exact centroid (drift 0 → frozen).
+    val a = Seq(0f, 0f, 0f, 0f)
+    val b = Seq(0.4f, 0.4f, 0.4f, 0.4f)     // sq8 code 102
+    val bShift = Seq(0.45f, 0.45f, 0.45f, 0.45f) // sq8 code 115
+    val existing = vecs(Seq(0L -> a, 1L -> b, 2L -> a, 3L -> b))
+    val batch = vecs(Seq(100L -> bShift, 101L -> bShift, 102L -> a))
+    val out = Clustering
+      .refitDrifted(existing, batch, k = 2, iters = 1, dim = 4,
+        driftThreshold = 10.0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size == 7)
+    // frozen cell 0: existing + batch members untouched, refit=false
+    assert(out(0L) == ((0L, 0.0, false)))
+    assert(out(2L) == ((0L, 0.0, false)))
+    assert(out(102L) == ((0L, 0.0, false)))
+    // drifted cell 1: one restricted Lloyd round — centroid moves to
+    // the exact member mean (102,102 + 115,115)/4 = 108.5 per dim, so
+    // every member sits at squared-L2 4·6.5² = 169 from it
+    for (id <- Seq(1L, 3L, 100L, 101L))
+      assert(out(id) == ((1L, 169.0, true)), s"vec $id: ${out(id)}")
+    // an unreachable threshold freezes everything (pure upsert path)
+    val frozen = Clustering
+      .refitDrifted(existing, batch, k = 2, iters = 1, dim = 4,
+        driftThreshold = 1e9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(frozen.size == 7 && frozen.values.forall(_ == false))
+  }
+
   test("trained-IVF top-k: high recall vs exact sq8 ranking") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

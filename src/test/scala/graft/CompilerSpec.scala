@@ -287,6 +287,53 @@ class CompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("armed join-cardinality pre-flight warns on multiplying and-joins") {
+    // 5 knowsA edges and 4 knowsB edges all pointing at :hub — the
+    // shared object variable multiplies 5×4 = 20 output rows
+    val fanin = triples(
+      (Seq.tabulate(5)(i => (s":a$i", "knowsA", s":hub")) ++
+        Seq.tabulate(4)(i => (s":b$i", "knowsB", s":hub"))): _*)
+    val sctx = ctxOf(fanin)
+    val q = And(Seq(
+      TriplePat(V("X"), Node("knowsA"), V("O"), "instance"),
+      TriplePat(V("Y"), Node("knowsB"), V("O"), "instance")))
+    try {
+      sys.props("graft.preflight.joincard.floor") = "2"
+      Preflight.lastJoinWarning = None
+      // armed + over threshold → warning names the key and estimate
+      sys.props("graft.preflight.joincard") = "10"
+      val n = Compiler.run(q)(sctx).count()
+      assert(n == 20)
+      assert(Preflight.lastJoinWarning.exists(w =>
+        w.contains("and-join on (O)") && w.contains("estimates 20")))
+      // armed + under threshold → no warning (probe reuses the memo)
+      sys.props("graft.preflight.joincard") = "100"
+      val _ = Compiler.run(q)(sctx).count()
+      assert(Preflight.lastJoinWarning.isEmpty)
+      // disarmed → probe never runs
+      sys.props.remove("graft.preflight.joincard")
+      Preflight.lastJoinWarning = Some("sentinel")
+      val _2 = Compiler.run(q)(sctx).count()
+      assert(Preflight.lastJoinWarning.contains("sentinel"))
+    } finally {
+      sys.props.remove("graft.preflight.joincard")
+      sys.props.remove("graft.preflight.joincard.floor")
+      Preflight.lastJoinWarning = None
+    }
+  }
+
+  test("malformed pre-flight thresholds raise a named error") {
+    val sctx = ctxOf(triples((":a", "p", ":b")))
+    try {
+      sys.props("graft.preflight.skew") = "not-a-number"
+      val e = intercept[IllegalArgumentException] {
+        Compiler.run(TriplePat(Node(":a"), V("P"), V("O"), "instance"))(sctx)
+      }
+      assert(e.getMessage.contains("graft.preflight.skew") &&
+        e.getMessage.contains("not-a-number"))
+    } finally sys.props.remove("graft.preflight.skew")
+  }
+
   test("immediately(Q) is equivalent to Q under staged updates") {
     val g2 = triples((":a", "name", "ada"), (":b", "name", "bob"))
     val inner = TriplePat(V("X"), Node("name"), V("N"))

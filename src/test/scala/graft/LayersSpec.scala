@@ -249,6 +249,66 @@ class LayersSpec extends AnyFunSuite {
     assert(st.materializeBranch("main").count() == 2)
   }
 
+  test("gc catalog swap recovers from every crash window") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.commons.io.FileUtils
+    def dir(st: LayerStore, p: String) = Paths.get(s"${st.root}/_catalog/$p")
+
+    // window A: tmp fully written, live catalog untouched → live wins,
+    // stray tmp dropped
+    val a = freshStore()
+    a.commit("main", triples((":a", "p", "v1")), empty, "c1")
+    FileUtils.copyDirectory(dir(a, "commits").toFile, dir(a, "commits.gc-tmp").toFile)
+    assert(a.commits.count() == 1)
+    assert(!Files.exists(dir(a, "commits.gc-tmp")))
+
+    // window B (the r15 advisor's data-loss window): live catalog
+    // renamed aside, complete tmp not yet moved in → tmp is the
+    // post-sweep truth and must be adopted
+    val b = freshStore()
+    b.commit("main", triples((":a", "p", "v1")), empty, "c1")
+    val head = b.commit("main", triples((":b", "p", "v2")), empty, "c2")
+    FileUtils.copyDirectory(dir(b, "commits").toFile, dir(b, "commits.gc-tmp").toFile)
+    Files.move(dir(b, "commits"), dir(b, "commits.gc-old"))
+    assert(b.commits.count() == 2) // recovered from tmp, not empty
+    assert(!Files.exists(dir(b, "commits.gc-old")))
+    assert(b.chain(head).size == 2) // chain() reads the recovered rows
+    assert(b.materializeBranch("main").count() == 2)
+
+    // window C: tmp moved in, aside not yet dropped → aside dropped
+    val c = freshStore()
+    c.commit("main", triples((":a", "p", "v1")), empty, "c1")
+    FileUtils.copyDirectory(dir(c, "commits").toFile, dir(c, "commits.gc-old").toFile)
+    assert(c.commits.count() == 1)
+    assert(!Files.exists(dir(c, "commits.gc-old")))
+
+    // window D: aside exists, no live catalog, tmp incomplete (no
+    // _SUCCESS) → aside restored
+    val d = freshStore()
+    d.commit("main", triples((":a", "p", "v1")), empty, "c1")
+    Files.move(dir(d, "commits"), dir(d, "commits.gc-old"))
+    Files.createDirectories(dir(d, "commits.gc-tmp")) // torn write, no _SUCCESS
+    assert(d.commits.count() == 1)
+    assert(Files.exists(dir(d, "commits").resolve("_SUCCESS")))
+  }
+
+  test("gc swap end-to-end leaves a complete catalog and a store.lock") {
+    val st = freshStore()
+    st.commit("main", triples((":a", "p", "v1")), empty, "c1")
+    st.commit("main", triples((":b", "p", "v2")), empty, "c2")
+    st.optimize("main") // old chain unreachable → catalog rewrite on gc
+    val swept = st.gc()
+    assert(swept.size == 2)
+    assert(st.commits.count() == 1)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${st.root}/_catalog/store.lock")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${st.root}/_catalog/commits.gc-tmp")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${st.root}/_catalog/commits.gc-old")))
+    assert(st.materializeBranch("main").count() == 2)
+  }
+
   test("validator catches dangling refs, range, cardinality violations") {
     import spark.implicits._
     val schema = Seq(

@@ -97,14 +97,66 @@ class TurtleDistSpec extends AnyFunSuite {
     assert(TurtleDist.read(spark, writeDoc(ok)).count() == 2)
   }
 
-  test("raw-newline (long) literals raise the line-safety error") {
-    val bad = "@prefix t: <tpch:> .\nt:a t:p \"\"\"multi\nline\"\"\" ."
-    val e = intercept[Exception] {
+  test("raw-newline (long) literals parse distributedly, matching the driver") {
+    val d = "@prefix t: <tpch:> .\nt:a t:p \"\"\"multi\nline \"quoted\" .\nthird\"\"\" .\nt:b t:p 'x' .\nt:c t:q '''also\nlong''' ."
+    for (parts <- Seq(1, 4)) {
+      val dir = writeDoc(d, parts = parts)
+      assert(canon(TurtleDist.read(spark, dir)) == canon(Turtle.load(spark, d)),
+        s"parts=$parts")
+    }
+    // the assembled literal really carries its newlines
+    val got = TurtleDist.read(spark, writeDoc(d, parts = 4))
+      .filter(col("s") === "tpch:a").select("o_str").collect()
+    assert(got.head.getString(0) == "multi\nline \"quoted\" .\nthird")
+  }
+
+  test("a lone double-quote inside a long literal doesn't poison the read") {
+    // from the wrong assumed scanner state this line is an unclosed
+    // short literal — the three-machine pass must not throw for it
+    val d = "@prefix t: <tpch:> .\nt:a t:p \"\"\"has a lone \" mark\nand more\"\"\" ."
+    val dir = writeDoc(d, parts = 3)
+    assert(canon(TurtleDist.read(spark, dir)) == canon(Turtle.load(spark, d)))
+  }
+
+  test("unterminated long literal raises a clean driver-side error") {
+    val bad = "@prefix t: <tpch:> .\nt:a t:p \"\"\"never closed\nstill open ."
+    val e = intercept[IllegalArgumentException] {
       TurtleDist.read(spark, writeDoc(bad)).count()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("line-safe")))
+    assert(e.getMessage.contains("long literal left open"))
+  }
+
+  test("'#' and apostrophes inside IRIREFs don't break classification") {
+    // fragment IRIs (…XMLSchema#integer) and an apostrophe inside <…>
+    // were misread as comment-start / string-open by the r15 scanner
+    val d = "@prefix t: <tpch:> .\n" +
+      "t:a t:p \"5\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n" +
+      "t:b <tpch:o'brien#x> t:a .\n" +
+      "t:c t:q \"after iri\" ."
+    for (parts <- Seq(1, 3)) {
+      val dir = writeDoc(d, parts = parts)
+      val got = TurtleDist.read(spark, dir)
+      assert(canon(got) == canon(Turtle.load(spark, d)), s"parts=$parts")
+      assert(got.count() == 3)
+    }
+  }
+
+  test("classify is IRIREF-aware and tracks long-literal state") {
+    assert(TurtleDist.classify(
+      "t:a t:p \"5\"^^<http://w3.org/2001/XMLSchema#integer> .")
+      == ((true, false, true)))
+    assert(TurtleDist.classify("t:b <u:o'brien#frag> t:a .")
+      == ((true, false, true)))
+    // opener hands state to the next line; closer ends the statement
+    val (t1, _, s1, st1) = TurtleDist.classify("t:a t:p \"\"\"open", 0)
+    assert(!t1 && s1 && st1 == 1)
+    val (t2, _, s2, st2) = TurtleDist.classify("middle . line", st1)
+    assert(!t2 && s2 && st2 == 1)
+    val (t3, _, s3, st3) = TurtleDist.classify("closed\"\"\" .", st2)
+    assert(t3 && s3 && st3 == 0)
+    // an empty line INSIDE a long literal is significant content
+    val (_, _, sigEmpty, _) = TurtleDist.classify("", 1)
+    assert(sigEmpty)
   }
 
   test("prefixed grouped dump round-trips through the distributed reader") {
