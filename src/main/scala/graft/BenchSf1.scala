@@ -20,7 +20,8 @@ object BenchSf1 {
     * r14-era list, so the newest heavyweights had no scale record). */
   val alwaysInclude: Seq[String] = Seq(
     "graph_scc", "ext_turtle_dist", "mm_decode_avi",
-    "text_bytebpe_train", "text_bytebpe_apply", "sim_ivf_upsert")
+    "text_bytebpe_train", "text_bytebpe_apply", "sim_ivf_upsert",
+    "sim_ivf_refit")
 
   /** Heavyweight list DERIVED from the latest driver battery: top-N
     * entries by gate time in the newest `BENCH_r*.json`, plus
@@ -36,8 +37,12 @@ object BenchSf1 {
       "no BENCH_r*.json battery file found to derive the heavyweight list")
     val latest = benchFiles
       .maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+    // driver battery files wrap the bench line inside a `tail` string
+    // with backslash-escaped quotes — unescape before extracting; the
+    // LAST queries object is the final (complete, sorted) metric line
     val txt = java.nio.file.Files.readString(latest.toPath)
-    val qStart = txt.indexOf("\"queries\":{")
+      .replace("\\\"", "\"")
+    val qStart = txt.lastIndexOf("\"queries\":{")
     require(qStart >= 0, s"${latest.getName} has no queries object")
     val qBody = txt.substring(qStart + 11, txt.indexOf("}", qStart))
     val entries = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r

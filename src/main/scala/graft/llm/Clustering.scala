@@ -176,19 +176,43 @@ object Clustering {
     val aggs = count(lit(1)).as("n_new") +:
       (0 until dim).map(i => sum(col("qv")(i)).as(s"s$i"))
     val means = assigned.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
-    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-    val meanArr = array((0 until dim).map(i => col(s"s$i") / col("n_new")): _*)
-    val ownCent = element_at(centsLit, col("cluster").cast("int") + 1)
-    val driftCol = sqrt(aggregate(
-      zip_with(meanArr, ownCent, (x, y) => { val d = x - y; d * d }),
-      lit(0.0), (a, x) => a + x))
     val drift = means.select(col("cluster"), col("n_new"),
-      round(driftCol, 6).as("drift"))
+      round(driftCol(cents, col("n_new"), dim), 6).as("drift"))
     assigned
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
       .join(broadcast(drift), "cluster")
       .select(col("vec_id"), col("cluster"), col("dist"), col("n_new"),
         col("drift"), (col("drift") > driftThreshold).as("refit_hint"))
+  }
+
+  /** The frozen trained book as a PUBLIC artifact (k·dim doubles):
+    * external consumers — the streaming drift monitor — train once on
+    * the static corpus and serve it per micro-batch. Memoized like
+    * every trained artifact. */
+  def trainedBook(existing: DataFrame, k: Int, iters: Int,
+                  dim: Int): IndexedSeq[IndexedSeq[Double]] =
+    trainCentroids(codes(existing), k, iters, dim)
+
+  /** Cluster-assignment column for an sq8 `qv` column under a fixed
+    * book — a pure projection (streaming-safe, codegen'd; the same
+    * argmin/tie-break law as [[assign]]). */
+  def assignCol(qv: Column, book: IndexedSeq[IndexedSeq[Double]]): Column = {
+    val d = distArray(qv, book)
+    array_position(d, array_min(d)) - 1
+  }
+
+  /** Per-cluster drift column from exact-integer sum columns s0..s{dim−1}
+    * and a count column: ‖(sᵢ/n)ᵢ − centroid(cluster)‖₂, the
+    * [[upsertAssign]] statistic factored out so its batch and
+    * streaming twins share one definition. */
+  def driftCol(book: IndexedSeq[IndexedSeq[Double]], nCol: Column,
+               dim: Int): Column = {
+    val centsLit = typedLit(book.map(_.toSeq).toSeq)
+    val meanArr = array((0 until dim).map(i => col(s"s$i") / nCol): _*)
+    val ownCent = element_at(centsLit, col("cluster").cast("int") + 1)
+    sqrt(aggregate(
+      zip_with(meanArr, ownCent, (x, y) => { val d = x - y; d * d }),
+      lit(0.0), (a, x) => a + x))
   }
 
   /** Drift-triggered PARTIAL refit — the consumer of [[upsertAssign]]'s
@@ -219,14 +243,8 @@ object Clustering {
     val aggs = count(lit(1)).as("n_new") +:
       (0 until dim).map(i => sum(col("qv")(i)).as(s"s$i"))
     val means = baA.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
-    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-    val meanArr = array((0 until dim).map(i => col(s"s$i") / col("n_new")): _*)
-    val ownCent = element_at(centsLit, col("cluster").cast("int") + 1)
-    val driftCol = sqrt(aggregate(
-      zip_with(meanArr, ownCent, (x, y) => { val d = x - y; d * d }),
-      lit(0.0), (a, x) => a + x))
     val drifted = means
-      .select(col("cluster"), round(driftCol, 6).as("drift"))
+      .select(col("cluster"), round(driftCol(cents, col("n_new"), dim), 6).as("drift"))
       .where(col("drift") > driftThreshold)
       .collect().map(_.getLong(0)).sorted // k-bounded driver artifact
     val all = exA.unionByName(baA)

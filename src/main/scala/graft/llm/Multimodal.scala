@@ -796,6 +796,181 @@ object Multimodal {
     spark.createDataFrame(rows.rdd, schema)
   }
 
+  // ---- animated GIF (multi-frame, pure-JDK real decode) --------------
+
+  /** Animated-GIF decode: the OTHER multi-frame family a pure-JDK
+    * engine can decode for real (javax.imageio's gif plugin reads
+    * every frame plus the per-frame GraphicControlExtension).
+    * `pxSum` folds every pixel of every frame (Σ r+g+b), so a faked
+    * or palette-lossy decode diverges from the generator's closed
+    * form — GIF is lossless for ≤256-color frames by construction. */
+  object GifAnimCodec {
+
+    final case class GifAnimMeta(nFrames: Long, width: Long, height: Long,
+                                 delayCs: Long, framesDecoded: Long,
+                                 pxSum: Long)
+
+    private def sniff(b: Array[Byte]): Boolean =
+      b.length >= 6 && new String(b, 0, 4, "US-ASCII") == "GIF8"
+
+    def meta(bytes: Array[Byte]): Option[GifAnimMeta] =
+      if (!sniff(bytes)) None
+      else try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val frames = (0 until n).map(reader.read)
+          var pxSum = 0L
+          frames.foreach { img =>
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                pxSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+          }
+          // per-frame delay from frame 0's GraphicControlExtension
+          val tree = reader.getImageMetadata(0)
+            .getAsTree("javax_imageio_gif_image_1.0")
+          var delay = 0L
+          val kids = tree.getChildNodes
+          var i = 0
+          while (i < kids.getLength) {
+            val k = kids.item(i)
+            if (k.getNodeName == "GraphicControlExtension")
+              delay = k.getAttributes.getNamedItem("delayTime")
+                .getNodeValue.toLong
+            i += 1
+          }
+          Some(GifAnimMeta(n.toLong,
+            frames.headOption.map(_.getWidth.toLong).getOrElse(0L),
+            frames.headOption.map(_.getHeight.toLong).getOrElse(0L),
+            delay, frames.size.toLong, pxSum))
+        } finally { reader.dispose(); iis.close() }
+      } catch { case _: Exception => None }
+  }
+
+  /** Executors write one ANIMATED GIF per doc — frame count, dims,
+    * per-frame delay and every frame's solid color all closed-form in
+    * doc_id (a solid frame quantizes exactly, so the decode-side pixel
+    * fold is oracle-predictable). Frames + loop metadata go through
+    * javax.imageio's sequence writer — the real encoder, not a
+    * hand-rolled byte layout. */
+  def withGifAnimPayload(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val spark = docs.sparkSession
+    val rows = docs.select(col("doc_id")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val nFrames = (1 + id % 4).toInt
+        val w = (8 + id % 8).toInt
+        val h = (8 + id % 4).toInt
+        val delayCs = 4 + id % 6
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        writer.prepareWriteSequence(null)
+        (0 until nFrames).foreach { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rc = ((id * 37 + f * 11) % 256).toInt
+          val gc = ((id * 59 + f * 17) % 256).toInt
+          val bc = ((id * 83 + f * 23) % 256).toInt
+          val rgb = (rc << 16) | (gc << 8) | bc
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val spec = javax.imageio.ImageTypeSpecifier
+            .createFromBufferedImageType(
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val md = writer.getDefaultImageMetadata(spec, param)
+          val fmt = "javax_imageio_gif_image_1.0"
+          val root = md.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          def node(name: String): javax.imageio.metadata.IIOMetadataNode = {
+            val kids = root.getChildNodes
+            var i = 0
+            while (i < kids.getLength) {
+              if (kids.item(i).getNodeName == name)
+                return kids.item(i)
+                  .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              i += 1
+            }
+            val fresh = new javax.imageio.metadata.IIOMetadataNode(name)
+            root.appendChild(fresh)
+            fresh
+          }
+          val gce = node("GraphicControlExtension")
+          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", delayCs.toString)
+          gce.setAttribute("transparentColorIndex", "0")
+          if (f == 0) { // NETSCAPE loop record on the first frame
+            val apps = node("ApplicationExtensions")
+            val app = new javax.imageio.metadata.IIOMetadataNode(
+              "ApplicationExtension")
+            app.setAttribute("applicationID", "NETSCAPE")
+            app.setAttribute("authenticationCode", "2.0")
+            app.setUserObject(Array[Byte](1, 0, 0)) // loop forever
+            apps.appendChild(app)
+            ()
+          }
+          md.setFromTree(fmt, root)
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, md), param)
+        }
+        writer.endWriteSequence()
+        ios.close(); writer.dispose()
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(schema))
+    spark.createDataFrame(rows.rdd, schema)
+  }
+
+  val gifAnimSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("delay_cs", LongType),
+    StructField("frames_decoded", LongType),
+    StructField("px_sum", LongType),
+    StructField("format", StringType)))
+
+  /** Animated-GIF metadata + real per-frame decode + full pixel fold
+    * via [[GifAnimCodec.meta]] — [[aviMeta]]'s shape for the GIF
+    * family. */
+  def gifAnimMeta(withBytes: DataFrame): DataFrame = {
+    val spark = withBytes.sparkSession
+    val rows = withBytes.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          GifAnimCodec.meta(r.getAs[Array[Byte]](1)).map(m =>
+            Row(r.getLong(0), m.nFrames, m.width, m.height, m.delayCs,
+              m.framesDecoded, m.pxSum, "image/gif-anim"))
+        }
+      }(Encoders.row(gifAnimSchema))
+    spark.createDataFrame(rows.rdd, gifAnimSchema)
+  }
+
   val mp4Schema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", LongType),

@@ -59,6 +59,43 @@ object PageRank {
     pr
   }
 
+  /** Truncated Katz centrality (Katz 1953): c(v) = Σ_{h=1..H} α^h ·
+    * |walks of length h ending at v|, in the same SCALED INTEGER
+    * arithmetic as [[fixedPoint]] — t_0 = scale per node, t_h(v) =
+    * (Σ_{u→v} t_{h−1}(u)) div alphaDen (α = 1/alphaDen), katz = Σ t_h
+    * — so every round is exact, order-independent and
+    * oracle-checkable. The H-hop truncation replaces the
+    * (I − αAᵀ)⁻¹ solve: at 100 TB a bounded damped frontier walk is
+    * the only Katz that exists; α below 1/λ_max is the classical
+    * convergence condition and small H bounds cost and lineage both.
+    * Plan per round: one edges ⋈ t join (shuffle on src) + one
+    * map-side-combinable inflow aggregate — [[fixedPoint]]'s shape. */
+  def katz(edges: DataFrame, hops: Int, alphaDen: Long = 8L,
+           scale: Long = 1000000000L): DataFrame = {
+    require(hops >= 1 && alphaDen >= 2 && scale >= 100)
+    val e = graft.util.Scratch.track(edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = graft.util.Scratch.track(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var t = nodes.withColumn("t", lit(scale))
+    var acc = nodes.withColumn("katz", lit(0L))
+    var i = 0
+    for (_ <- 1 to hops) {
+      val inflow = e.join(t.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("t"))
+        .groupBy(col("node")).agg(sum(col("t")).as("in"))
+      t = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"coalesce(in, 0L) div $alphaDen").as("t"))
+      acc = acc.join(t.withColumnRenamed("t", "th"), Seq("node"))
+        .select(col("node"), (col("katz") + col("th")).as("katz"))
+      i += 1
+      if (i % 4 == 0) { t = t.localCheckpoint(false); acc = acc.localCheckpoint(false) }
+    }
+    acc
+  }
+
   /** Personalized PageRank (Haveliwala 2002): teleport mass lands on
     * the SEED set only, so rank measures proximity-to-seeds instead of
     * global centrality — the recommendation / related-entities query.

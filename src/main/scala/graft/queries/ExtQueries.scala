@@ -494,6 +494,16 @@ object ExtQueries {
       graft.llm.Multimodal.aviMeta(
         graft.llm.Multimodal.withAviPayload(t(s, d, "documents")))),
 
+    // ANIMATED GIF: executors write one real multi-frame GIF per doc
+    // through javax.imageio's sequence writer (frame count, dims,
+    // per-frame delay, solid frame colors all closed-form in doc_id);
+    // the decode side reads EVERY frame back plus the
+    // GraphicControlExtension delay and folds every pixel — the
+    // second multi-frame family a pure-JDK engine decodes for real
+    "mm_decode_gif_anim" -> ((s, d) =>
+      graft.llm.Multimodal.gifAnimMeta(
+        graft.llm.Multimodal.withGifAnimPayload(t(s, d, "documents")))),
+
     // second video container: executors write one minimal EBML
     // (WebM/Matroska) structure per doc (61 bytes, closed-form),
     // MkvCodec walks the vint-framed elements back — Info clocks +
@@ -533,6 +543,11 @@ object ExtQueries {
     // projection (serving-side whitening); row-identical to the batch
     // path, so it shares llm_pca_power's oracle
     "stream_pca_project" -> ((s, d) => Events.streamingPcaProject(s, d)),
+    // streaming IVF drift monitor: frozen book trained on the static
+    // 90%; arriving vectors assign per micro-batch and fold into a
+    // k·(dim+1)-cell running aggregate; drift + refit_hint read from
+    // the final state — the stream twin of sim_ivf_upsert's statistic
+    "stream_ivf_drift" -> ((s, d) => Events.streamingIvfDrift(s, d)),
 
     // Zipf's-law fit over the top-1000 term types: OLS slope/intercept
     // of ln(freq) on ln(rank) — distribution-level corpus quality
@@ -921,6 +936,23 @@ object ExtQueries {
         concat(lit("n:"), col("n_nationkey")).as("src"),
         concat(lit("r:"), col("n_regionkey")).as("dst"))
       graft.operators.PageRank.fixedPoint(o.union(c).union(n), iters = 3)
+    }),
+
+    // truncated Katz centrality over the same FK graph: scaled-integer
+    // damped walk counts (t_h = inflow div 8 per hop, katz = Σ t_h) —
+    // bit-exact like PageRank, the (I − αAᵀ)⁻¹ solve replaced by the
+    // H-hop truncation that exists at 100 TB
+    "graph_katz" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+      val c = t(s, d, "customer").select(
+        concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"))
+      val n = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      graft.operators.PageRank.katz(o.union(c).union(n), hops = 3)
     }),
 
     // personalized PageRank on the REVERSED FK graph seeded at region
@@ -2958,6 +2990,24 @@ object ExtQueries {
         | 16 + doc_id % 16 AS frame_w, 16 + doc_id % 8 AS frame_h,
         | 'video/avi' AS format FROM documents""".stripMargin,
 
+    // animated-GIF check: frame count, dims, frame-0 delay and the
+    // full per-pixel fold (solid frames × closed-form colors) must
+    // equal the generator's closed form — a palette-lossy or faked
+    // frame decode diverges in px_sum
+    "mm_decode_gif_anim" ->
+      """WITH fr AS (SELECT doc_id, f FROM documents,
+        |   (SELECT unnest(range(0, 4)) AS f) WHERE f < 1 + doc_id % 4),
+        | px AS (SELECT doc_id, sum(((doc_id*37 + f*11) % 256)
+        |     + ((doc_id*59 + f*17) % 256)
+        |     + ((doc_id*83 + f*23) % 256)) AS csum
+        |   FROM fr GROUP BY doc_id)
+        | SELECT d.doc_id, 1 + d.doc_id % 4 AS n_frames,
+        |  8 + d.doc_id % 8 AS width, 8 + d.doc_id % 4 AS height,
+        |  4 + d.doc_id % 6 AS delay_cs, 1 + d.doc_id % 4 AS frames_decoded,
+        |  (8 + d.doc_id % 8) * (8 + d.doc_id % 4) * px.csum AS px_sum,
+        |  'image/gif-anim' AS format
+        | FROM documents d JOIN px ON d.doc_id = px.doc_id""".stripMargin,
+
     // EBML walk check: every parsed element must equal the generator's
     // closed form (duration is a float64 written with an integral
     // value, so the rounded read-back is exact)
@@ -3286,6 +3336,9 @@ object ExtQueries {
         |  ELSE round(31.0 / uk, 6) END AS est_distinct FROM a""".stripMargin,
 
     "graph_pagerank" -> pagerankSql(iters = 3),
+
+    // truncated Katz: integer damped walk counts, 3 unrolled rounds
+    "graph_katz" -> katzSql(3),
     "graph_ppr" -> pprSql(iters = 3),
     "graph_kcore" -> kcoreSql(k = 60, rounds = 6),
     "graph_lpa" -> lpaSql(rounds = 3),
@@ -3635,6 +3688,29 @@ object ExtQueries {
         | SELECT ab.vec_id, ab.cid AS cluster, round(ab.dist, 6) AS dist,
         |  dr.n_new, dr.drift, dr.drift > 8.0 AS refit_hint
         | FROM ab JOIN dr ON dr.cid = ab.cid""".stripMargin,
+      preCtes = "old AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0), ",
+      src = "old"),
+
+    // streaming drift monitor: the dr statistics of the upsert chain
+    // alone (per-cluster batch count, integer-sum mean drift vs the
+    // frozen book, hint at 8.0) — sums are linear, so the streamed
+    // per-micro-batch fold equals this batch restatement exactly
+    "stream_ivf_drift" -> kmeansSql(
+      s""", qb AS (SELECT vec_id, $sq8QvSql AS qv
+        |   FROM embeddings WHERE vec_id % 10 = 0),
+        | ab AS (SELECT vec_id, qv, cid FROM (
+        |   SELECT qb.vec_id, qb.qv, c.cid,
+        |     ${kmDistSql("qb.qv", "c.cv")} AS dist
+        |   FROM qb CROSS JOIN c2 c) t
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cid) = 1),
+        | mu AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new,
+        |   list_value(${(1 to 64).map(i => s"sum(qv[$i])/count(*)").mkString(", ")}) AS mv
+        |  FROM ab GROUP BY cid)
+        | SELECT mu.cid AS cluster, mu.n_new,
+        |   round(sqrt(${kmDistSql("mu.mv", "c.cv")}), 6) AS drift,
+        |   round(sqrt(${kmDistSql("mu.mv", "c.cv")}), 6) > 8.0 AS refit_hint
+        | FROM mu JOIN c2 c ON c.cid = mu.cid""".stripMargin,
       preCtes = "old AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0), ",
       src = "old"),
 
@@ -5212,6 +5288,30 @@ object ExtQueries {
        |   FROM nodes),
        | $rounds
        | SELECT node, pr FROM p$iters""".stripMargin
+  }
+
+  /** Truncated-Katz rounds over the FK graph: t_h = inflow // alphaDen
+    * per hop, katz = Σ t_h — the SQL twin of PageRank.katz's
+    * scaled-integer walk. */
+  private def katzSql(hops: Int, alphaDen: Long = 8L,
+                      scale: Long = 1000000000L): String = {
+    val rounds = (1 to hops).map { h =>
+      s"""t$h AS (SELECT nd.node, coalesce(i.s, 0) // $alphaDen AS t
+         | FROM nodes nd LEFT JOIN (
+         |  SELECT e.dst AS node, sum(t.t) AS s
+         |  FROM e JOIN t${h - 1} t ON e.src = t.node
+         |  GROUP BY e.dst) i ON nd.node = i.node)""".stripMargin
+    }.mkString(", ")
+    val total = (1 to hops).map(h => s"t$h.t").mkString(" + ")
+    val joins = (2 to hops).map(h => s"JOIN t$h ON t1.node = t$h.node")
+      .mkString(" ")
+    s"""WITH e AS (SELECT 'o:'||o_orderkey AS src, 'c:'||o_custkey AS dst FROM orders
+       | UNION ALL SELECT 'c:'||c_custkey, 'n:'||c_nationkey FROM customer
+       | UNION ALL SELECT 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation),
+       | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       | t0 AS (SELECT node, CAST($scale AS BIGINT) AS t FROM nodes),
+       | $rounds
+       | SELECT t1.node, CAST($total AS BIGINT) AS katz FROM t1 $joins""".stripMargin
   }
 
   /** Left-assoc Σ(q[i]−c[i])² over DuckDB list elements — the same

@@ -734,9 +734,9 @@ object Events {
     * products per row, no state store) — the serving-side whitening
     * shape. Row-identical to the batch projection, so it shares
     * llm_pca_power's oracle. */
-  def streamingPcaProject(spark: SparkSession, sfDir: String,
-                          dim: Int = 64, nComp: Int = 2): DataFrame = {
-    applyStateStore(spark)
+  /** Stage the embeddings parquet as one-file-per-trigger stream input
+    * (shared by the PCA and IVF-drift twins). */
+  private def stagedEmbStream(spark: SparkSession, sfDir: String): DataFrame = {
     val srcFile = new java.io.File(s"$sfDir/embeddings.parquet")
     val stageDir = new java.io.File(
       sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
@@ -756,16 +756,55 @@ object Events {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    val schema = spark.read.parquet(srcFile.getPath).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.getAbsolutePath)
+  }
+
+  def streamingPcaProject(spark: SparkSession, sfDir: String,
+                          dim: Int = 64, nComp: Int = 2): DataFrame = {
+    applyStateStore(spark)
     // fit on the static corpus BEFORE the stream runs (train once,
     // serve per batch)
     val (mu, comps) = graft.llm.Pca.fitComponents(
       Graft.table(spark, sfDir, "embeddings"), "embedding", dim, nComp)
-    val schema = spark.read.parquet(srcFile.getPath).schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(stageDir.getAbsolutePath)
+    val src = stagedEmbStream(spark, sfDir)
     runToTable(spark,
       graft.llm.Pca.projectAll(src, "vec_id", "embedding", mu, comps),
       "append")
+  }
+
+  /** Streaming IVF drift monitor — the stream twin of
+    * [[graft.llm.Clustering.upsertAssign]]'s drift statistic, closing
+    * the incremental-ANN lifecycle in the stream: the frozen book is
+    * trained ONCE on the static existing corpus (memoized artifact);
+    * arriving batch vectors (replayed as one-file micro-batches)
+    * assign against it as a pure projection and fold into a running
+    * per-cluster aggregate of count + exact integer per-dim code sums
+    * — state is k·(dim+1) cells, never rows, and sums are linear so
+    * the result is micro-batch-split independent by construction.
+    * Drift and refit_hint are read from the final state batch-side
+    * with the SAME [[graft.llm.Clustering.driftCol]] definition the
+    * batch upsert uses. */
+  def streamingIvfDrift(spark: SparkSession, sfDir: String, k: Int = 8,
+                        iters: Int = 3, dim: Int = 64,
+                        driftThreshold: Double = 8.0): DataFrame = {
+    applyStateStore(spark)
+    val book = graft.llm.Clustering.trainedBook(
+      Graft.table(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 10 =!= 0), k, iters, dim)
+    val src = stagedEmbStream(spark, sfDir)
+    val assigned = src.filter(col("vec_id") % 10 === 0)
+      .withColumn("qv", graft.llm.Similarity.sq8(col("embedding")))
+      .withColumn("cluster", graft.llm.Clustering.assignCol(col("qv"), book))
+    val aggs = count(lit(1)).as("n_new") +:
+      (0 until dim).map(i => sum(col("qv")(i)).as(s"s$i"))
+    val state = assigned.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+    val fin = runToTable(spark, state, "complete")
+    val drift = round(
+      graft.llm.Clustering.driftCol(book, col("n_new"), dim), 6)
+    fin.select(col("cluster"), col("n_new"), drift.as("drift"),
+      (drift > driftThreshold).as("refit_hint"))
   }
 
   /** Streaming exact dedup within the watermark window. */
