@@ -23,6 +23,45 @@ object Sampling {
   /** Stratified sample: per-stratum keep-rates with a default for
     * unlisted strata. One codegen'd filter over the scan — predicate
     * pushdown-friendly, zero exchanges. */
+  /** Greedy k-center coreset (Gonzalez 1985, the classical farthest-
+    * point 2-approximation): start from the lowest vec_id, then k−1
+    * times pick the point FARTHEST from the chosen set (max over
+    * points of min over centers of squared-L2; ties → lowest vec_id).
+    * The coreset is the diversity-maximal sample a curation pipeline
+    * seeds dedup thresholds / eval picks / active-learning batches
+    * from — complementary to [[graft.llm.Clustering]]'s
+    * cluster-balanced `diverseSample`.
+    *
+    * Exact math: distances are squared-L2 over sq8 INTEGER codes —
+    * sums of integer squares ≤ 4·dim·255², exactly representable
+    * doubles, so argmax/ties replay bit-identically in SQL. Scale
+    * shape: k−1 rounds of ONE narrow min-distance projection + one
+    * TakeOrdered(1) each (no shuffle beyond the top-1 reduce); the
+    * chosen set is a k-bounded driver artifact like a codebook.
+    * Returns (rank, vec_id, dist) — dist is the max-min distance at
+    * selection time (0 for the seed), the standard k-center radius
+    * trace. */
+  def kCenterCoreset(emb: DataFrame, k: Int, dim: Int): DataFrame = {
+    require(k >= 1 && dim >= 1)
+    val spark = emb.sparkSession
+    val q = Clustering.codes(emb)
+    val first = q.orderBy(col("vec_id")).limit(1).collect().head
+    var centers = IndexedSeq(
+      (first.getLong(0), first.getSeq[Double](1).toIndexedSeq))
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, first.getLong(0), 0.0))
+    for (r <- 2 to k) {
+      val md = array_min(
+        Clustering.distArray(col("qv"), centers.map(_._2)))
+      val next = q.withColumn("__md", md)
+        .orderBy(col("__md").desc, col("vec_id")).limit(1).collect().head
+      centers :+= ((next.getLong(0), next.getSeq[Double](1).toIndexedSeq))
+      picks += ((r.toLong, next.getLong(0), next.getDouble(2)))
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "vec_id", "dist")
+  }
+
   def stratifiedHash(docs: DataFrame, strata: Column,
                      rates: Map[String, Double], defaultRate: Double): DataFrame = {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>

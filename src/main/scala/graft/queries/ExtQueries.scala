@@ -662,6 +662,13 @@ object ExtQueries {
       graft.llm.Clustering.diverseTopN(t(s, d, "embeddings"),
         k = 8, iters = 3, dim = 64, n = 3)),
 
+    // greedy k-center coreset (Gonzalez farthest-point): the
+    // diversity-maximal seed sample — exact integer squared-L2 over
+    // sq8 codes, ties to lowest vec_id, k-bounded driver artifact
+    "llm_coreset_kcenter" -> ((s, d) =>
+      graft.llm.Sampling.kCenterCoreset(t(s, d, "embeddings"),
+        k = 4, dim = 64)),
+
     // KMV distinct sketch: per-lang distinct-text estimate from the 32
     // smallest md5 hashes — mergeable, deterministic, one narrow scan
     "sketch_kmv_distinct" -> ((s, d) =>
@@ -953,6 +960,33 @@ object ExtQueries {
         concat(lit("n:"), col("n_nationkey")).as("src"),
         concat(lit("r:"), col("n_regionkey")).as("dst"))
       graft.operators.PageRank.katz(o.union(c).union(n), hops = 3)
+    }),
+
+    // weighted single-source shortest paths (bounded Bellman-Ford
+    // rounds, exact BIGINT min-plus) from region 1 down the reversed
+    // FK graph; the lineitem o→p layer gives parts MANY in-paths, so
+    // the min-plus relaxation is genuinely exercised (each part's
+    // distance = min over its order lineage). Unreached regions NULL.
+    "graph_sssp_weighted" -> ((s, d) => {
+      val n = t(s, d, "nation").select(
+        concat(lit("r:"), col("n_regionkey")).as("src"),
+        concat(lit("n:"), col("n_nationkey")).as("dst"),
+        (col("n_nationkey") % 5 + 1).cast("long").as("w"))
+      val c = t(s, d, "customer").select(
+        concat(lit("n:"), col("c_nationkey")).as("src"),
+        concat(lit("c:"), col("c_custkey")).as("dst"),
+        (col("c_custkey") % 50 + 1).cast("long").as("w"))
+      val o = t(s, d, "orders").select(
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"),
+        (col("o_orderkey") % 100 + 1).cast("long").as("w"))
+      val l = t(s, d, "lineitem").select(
+        concat(lit("o:"), col("l_orderkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst"),
+        col("l_quantity").cast("long").as("w"))
+      import s.implicits._
+      graft.operators.Sssp.weighted(n.union(c).union(o).union(l),
+        Seq("r:1").toDF("node"), maxHops = 5)
     }),
 
     // personalized PageRank on the REVERSED FK graph seeded at region
@@ -3316,6 +3350,32 @@ object ExtQueries {
     "sim_topk_pq" -> pqSql(pqAdcSelect()),
     "sim_topk_ivfpq" -> ivfpqSql(),
 
+    // greedy k-center (k=4): c1 = lowest vec_id, then 3 unrolled
+    // farthest-point rounds; md chains as a CASE running min in
+    // center order — exact integers, so argmax/ties replay identically
+    "llm_coreset_kcenter" -> {
+      def d(q: String, c: String) = kmDistSql(q, c)
+      s"""WITH q AS (SELECT vec_id, $sq8QvSql AS qv FROM embeddings),
+        | c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+        | m1 AS (SELECT q.vec_id, q.qv, ${d("q.qv", "c.qv")} AS md
+        |   FROM q, c1 c),
+        | c2 AS (SELECT vec_id, qv, md FROM m1 ORDER BY md DESC, vec_id LIMIT 1),
+        | m2 AS (SELECT m.vec_id, m.qv,
+        |   CASE WHEN ${d("m.qv", "c.qv")} < m.md
+        |        THEN ${d("m.qv", "c.qv")} ELSE m.md END AS md
+        |   FROM m1 m, c2 c),
+        | c3 AS (SELECT vec_id, qv, md FROM m2 ORDER BY md DESC, vec_id LIMIT 1),
+        | m3 AS (SELECT m.vec_id, m.qv,
+        |   CASE WHEN ${d("m.qv", "c.qv")} < m.md
+        |        THEN ${d("m.qv", "c.qv")} ELSE m.md END AS md
+        |   FROM m2 m, c3 c),
+        | c4 AS (SELECT vec_id, qv, md FROM m3 ORDER BY md DESC, vec_id LIMIT 1)
+        | SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS dist FROM c1
+        | UNION ALL SELECT 2, vec_id, md FROM c2
+        | UNION ALL SELECT 3, vec_id, md FROM c3
+        | UNION ALL SELECT 4, vec_id, md FROM c4""".stripMargin
+    },
+
     "llm_sample_diverse" -> kmeansSql(
       """SELECT cid AS cluster, vec_id,
         | CAST(row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS BIGINT) AS rank
@@ -3339,6 +3399,12 @@ object ExtQueries {
 
     // truncated Katz: integer damped walk counts, 3 unrolled rounds
     "graph_katz" -> katzSql(3),
+
+    // weighted SSSP: 5 unrolled synchronous Bellman-Ford rounds (the
+    // graph's weighted hop diameter is 4), exact BIGINT min-plus;
+    // NULL-safe running min spelled as CASE so both engines' null
+    // semantics agree exactly
+    "graph_sssp_weighted" -> ssspSql(5),
     "graph_ppr" -> pprSql(iters = 3),
     "graph_kcore" -> kcoreSql(k = 60, rounds = 6),
     "graph_lpa" -> lpaSql(rounds = 3),
@@ -5312,6 +5378,39 @@ object ExtQueries {
        | t0 AS (SELECT node, CAST($scale AS BIGINT) AS t FROM nodes),
        | $rounds
        | SELECT t1.node, CAST($total AS BIGINT) AS katz FROM t1 $joins""".stripMargin
+  }
+
+  /** Unrolled synchronous Bellman-Ford rounds over the weighted FK
+    * graph (r→n→c→o→p, lineitem fan-in) — the SQL twin of
+    * Sssp.weighted. The running min is an explicit CASE (NULL-safe in
+    * both engines' semantics). */
+  private def ssspSql(hops: Int): String = {
+    val rounds = (1 to hops).map { h =>
+      s"""d$h AS (SELECT nd.node,
+         |  CASE WHEN nd.dist IS NULL THEN i.cand
+         |       WHEN i.cand IS NULL THEN nd.dist
+         |       WHEN i.cand < nd.dist THEN i.cand ELSE nd.dist END AS dist
+         | FROM d${h - 1} nd LEFT JOIN (
+         |  SELECT e.dst AS node, min(d.dist + e.w) AS cand
+         |  FROM e JOIN d${h - 1} d ON e.src = d.node
+         |  WHERE d.dist IS NOT NULL GROUP BY e.dst) i ON nd.node = i.node)"""
+        .stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst,
+       |         n_nationkey % 5 + 1 AS w FROM nation
+       |  UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey,
+       |         c_custkey % 50 + 1 FROM customer
+       |  UNION ALL SELECT 'c:'||o_custkey, 'o:'||o_orderkey,
+       |         o_orderkey % 100 + 1 FROM orders
+       |  UNION ALL SELECT 'o:'||l_orderkey, 'p:'||l_partkey,
+       |         CAST(l_quantity AS BIGINT) FROM lineitem),
+       | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       | d0 AS (SELECT node,
+       |   CASE WHEN node = 'r:1' THEN CAST(0 AS BIGINT) END AS dist
+       |   FROM nodes),
+       | $rounds
+       | SELECT node, dist FROM d$hops""".stripMargin
   }
 
   /** Left-assoc Σ(q[i]−c[i])² over DuckDB list elements — the same

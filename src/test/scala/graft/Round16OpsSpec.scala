@@ -58,6 +58,49 @@ class Round16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted SSSP: min-plus relaxation picks the cheaper of two paths") {
+    import spark.implicits._
+    // s→a (1), s→b (10), a→t (10), b→t (1), a→b (2):
+    //   dist(t) = min(1+10, 10+1, 1+2+1) = 4 via s→a→b→t
+    val edges = Seq(("s", "a", 1L), ("s", "b", 10L), ("a", "t", 10L),
+      ("b", "t", 1L), ("a", "b", 2L)).toDF("src", "dst", "w")
+    val got = graft.operators.Sssp
+      .weighted(edges, Seq("s").toDF("node"), maxHops = 4)
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map("s" -> Some(0L), "a" -> Some(1L),
+      "b" -> Some(3L), "t" -> Some(4L)))
+  }
+
+  test("weighted SSSP: unreachable nodes stay NULL; negatives refused") {
+    import spark.implicits._
+    val edges = Seq(("s", "a", 2L), ("x", "y", 1L)).toDF("src", "dst", "w")
+    val got = graft.operators.Sssp
+      .weighted(edges, Seq("s").toDF("node"), maxHops = 2)
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("x").isEmpty && got("y").isEmpty && got("a").contains(2L))
+    val neg = Seq(("s", "a", -1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.Sssp.weighted(neg, Seq("s").toDF("node"), 2)
+    }
+  }
+
+  test("k-center coreset: farthest-point picks, lowest-id ties, radius trace") {
+    import spark.implicits._
+    // 1-d line at codes 0, 25, 102, 127 (values /256): greedy from the
+    // lowest id (code 0) picks 127 (d=127²·4? no — dim=4 equal dims →
+    // 4·127²), then 25? maxmin: after {0,127}: 25→min(4·25²,4·102²)=2500,
+    // 102→min(4·102²,4·25²)=2500 → tie → lowest vec_id wins
+    val rows = Seq(
+      (0L, Seq.fill(4)(0.0f)), (1L, Seq.fill(4)(25f / 256)),
+      (2L, Seq.fill(4)(102f / 256)), (3L, Seq.fill(4)(127f / 256)))
+    val got = graft.llm.Sampling
+      .kCenterCoreset(rows.toDF("vec_id", "embedding"), k = 3, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 0L, 0.0), (2L, 3L, 4.0 * 127 * 127),
+      (3L, 1L, 4.0 * 25 * 25)))
+  }
+
   test("katz rounds localCheckpoint lineage and stay exact at depth") {
     import spark.implicits._
     // 6-cycle: with α=1/2 every node's t halves per hop — katz after
