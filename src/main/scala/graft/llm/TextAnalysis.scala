@@ -11,6 +11,39 @@ import org.apache.spark.sql.types._
   * a corpus at full scan speed and are oracle-reproducible. */
 object TextAnalysis {
 
+  /** URL canonicalization for web-corpus dedup — the normalization
+    * every crawl pipeline runs before exact URL dedup (Common Crawl /
+    * WARC curation): lowercase scheme + authority, strip the scheme's
+    * DEFAULT port (non-default ports and userinfo survive), drop the
+    * fragment, drop `utm_*` tracking parameters, and sort the
+    * remaining query parameters. Entirely codegen'd string
+    * expressions over Spark's `parse_url` — no UDF, fully
+    * distributed, null-safe (a null/invalid URL canonicalizes to
+    * null and groups with other nulls). */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(parse_url(url, lit("PROTOCOL")))
+    val auth = lower(parse_url(url, lit("AUTHORITY")))
+    val authNoDefault =
+      when(scheme === "https", regexp_replace(auth, ":443$", ""))
+        .when(scheme === "http", regexp_replace(auth, ":80$", ""))
+        .otherwise(auth)
+    val path = coalesce(parse_url(url, lit("PATH")), lit(""))
+    val query = parse_url(url, lit("QUERY"))
+    val params = array_sort(filter(split(query, "&"),
+      p => !p.startsWith("utm_")))
+    concat(scheme, lit("://"), authNoDefault, path,
+      when(query.isNotNull && size(params) > 0,
+        concat(lit("?"), array_join(params, "&"))).otherwise(lit("")))
+  }
+
+  /** Exact URL dedup over the canonical form: one map-side-combinable
+    * groupBy — (canon_url, n_dups, min_doc_id), the kept-row law being
+    * min doc_id like every dedup tier here. */
+  def urlDedup(docs: DataFrame, url: Column): DataFrame =
+    docs.select(canonicalUrl(url).as("canon_url"), col("doc_id"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("min_doc_id"))
+
   private def toks(text: Column): Column = split(trim(text), "\\s+")
 
   /** BPE-style pre-tokenizer classes: letter runs, digit runs, other

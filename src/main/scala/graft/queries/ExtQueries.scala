@@ -662,6 +662,25 @@ object ExtQueries {
       graft.llm.Clustering.diverseTopN(t(s, d, "embeddings"),
         k = 8, iters = 3, dim = 64, n = 3)),
 
+    // URL canonicalization dedup: messy URL variants (host case,
+    // default port, flipped query order, utm_* params, fragments —
+    // every field closed-form in doc_id) normalize to one canonical
+    // form per doc_id%40 bucket; the oracle restates the canonical
+    // closed form, so any normalization miss splits a group
+    "llm_url_canon" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val host = element_at(
+        typedLit(Seq("EXAMPLE.com", "example.COM", "example.com")),
+        (col("doc_id") % 3).cast("int") + 1)
+      val port = when(col("doc_id") % 3 === 0, ":443").otherwise("")
+      val pars = when(col("doc_id") % 5 < 2, "b=2&a=1").otherwise("a=1&b=2")
+      val utm = when(col("doc_id") % 4 === 0, "&utm_source=x").otherwise("")
+      val frag = when(col("doc_id") % 2 === 0, "#top").otherwise("")
+      val url = concat(lit("https://"), host, port, lit("/doc/"),
+        (col("doc_id") % 40).cast("string"), lit("?"), pars, utm, frag)
+      graft.llm.TextAnalysis.urlDedup(docs, url)
+    }),
+
     // greedy k-center coreset (Gonzalez farthest-point): the
     // diversity-maximal seed sample — exact integer squared-L2 over
     // sq8 codes, ties to lowest vec_id, k-bounded driver artifact
@@ -3349,6 +3368,16 @@ object ExtQueries {
 
     "sim_topk_pq" -> pqSql(pqAdcSelect()),
     "sim_topk_ivfpq" -> ivfpqSql(),
+
+    // URL canon: the canonical closed form per doc — any missed
+    // normalization (case, port, utm, order, fragment) splits a group
+    "llm_url_canon" ->
+      """WITH c AS (SELECT doc_id,
+        |   'https://example.com/doc/' || (doc_id % 40) || '?a=1&b=2' AS canon
+        |  FROM documents)
+        | SELECT canon AS canon_url, count(*) AS n_dups,
+        |   min(doc_id) AS min_doc_id
+        | FROM c GROUP BY 1""".stripMargin,
 
     // greedy k-center (k=4): c1 = lowest vec_id, then 3 unrolled
     // farthest-point rounds; md chains as a CASE running min in

@@ -35,6 +35,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"literal filter did not reach the parquet scan:\n$plan")
   }
 
+  test("katz / weighted-sssp rounds aggregate with map-side partials") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val kPlan = graft.operators.PageRank.katz(edges, hops = 2)
+      .queryExecution.executedPlan.toString
+    // the per-round inflow aggregate must be a partial+final
+    // HashAggregate pair (map-side combine), not a single
+    // shuffle-everything aggregate — the 100 TB property
+    assert(kPlan.contains("partial_sum") || kPlan.contains("partial"),
+      s"katz inflow aggregate lost its map-side partial:\n$kPlan")
+    val sEdges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val sPlan = graft.operators.Sssp
+      .weighted(sEdges, Seq("a").toDF("node"), maxHops = 2)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.contains("partial_min") || sPlan.contains("partial"),
+      s"sssp relax aggregate lost its map-side partial:\n$sPlan")
+    assert(!kPlan.contains("CartesianProduct") &&
+      !sPlan.contains("CartesianProduct"))
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // zero no-oracle entries is a round-3 invariant — a typo'd key on
     // either side silently weakens the correctness gate

@@ -101,6 +101,23 @@ class Round16OpsSpec extends AnyFunSuite {
       (3L, 1L, 4.0 * 25 * 25)))
   }
 
+  test("URL canonicalization: case, default port, utm, order, fragment") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://EXAMPLE.com:443/doc/1?b=2&a=1#top",
+      "https://example.COM/doc/1?a=1&b=2&utm_source=x",
+      "https://example.com:8443/doc/1?a=1", // non-default port survives
+      "http://example.com:80/p?utm_only=1&utm_z=2" // all params tracking
+    ).toDF("url")
+    val got = urls
+      .select(graft.llm.TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "https://example.com/doc/1?a=1&b=2")
+    assert(got(1) == got(0))
+    assert(got(2) == "https://example.com:8443/doc/1?a=1")
+    assert(got(3) == "http://example.com/p")
+  }
+
   test("katz rounds localCheckpoint lineage and stay exact at depth") {
     import spark.implicits._
     // 6-cycle: with α=1/2 every node's t halves per hop — katz after
