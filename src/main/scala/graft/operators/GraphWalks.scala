@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic "random" walk corpora over a directed graph — the
+  * DeepWalk / node2vec input generator (walk sequences feed skip-gram
+  * embedding training), made HASH-DETERMINISTIC so the corpus is
+  * bit-reproducible and oracle-checkable: no RNG state, no seed
+  * plumbing, the same walk set on every engine.
+  *
+  * Step rule: out-edges of each node are ranked by destination id
+  * (dense 1..outdeg); from node v at step t of walk w, the walk takes
+  * the edge with rank = hash32(w ":" t ":" v) mod outdeg(v) + 1
+  * (the md5-derived 32-bit hash every sampler here uses). Walks stop
+  * at sinks. This is exactly the pseudo-random uniform next-step
+  * choice of DeepWalk with the RNG replaced by a position-keyed hash
+  * — unbiased across (walk, step, node) triples by md5 mixing.
+  *
+  * 100 TB shape: the rank table is ONE row_number window over the
+  * edge list partitioned by src (one shuffle, built once, reused by
+  * every step); each step is two equi-joins (degree, pick) shuffled
+  * on node id; the frontier is |starts| rows and never grows. */
+object GraphWalks {
+
+  /** (walk_id, node, step) rows for walks of length ≤ `steps` from
+    * every node of `starts` (one walk per start; walk_id = start). */
+  def deterministic(edges: DataFrame, starts: DataFrame,
+                    steps: Int): DataFrame = {
+    require(steps >= 1)
+    val e = graft.util.Scratch.track(edges.select(col("src"), col("dst"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    val ranked = graft.util.Scratch.track(e.select(
+        col("src").as("rsrc"), col("dst").as("rdst"),
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
+          .cast("long").as("rnk"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = ranked.groupBy(col("rsrc").as("dsrc"))
+      .agg(count(lit(1)).as("deg"))
+    var cur = starts.select(col("node").as("walk_id"), col("node"),
+      lit(0L).as("step"))
+    val segs = scala.collection.mutable.ArrayBuffer(cur)
+    for (t <- 1 to steps) {
+      val h = graft.llm.Dedup.hash32(concat(
+        col("walk_id").cast("string"), lit(s":$t:"),
+        col("node").cast("string")))
+      val stepped = cur
+        .join(deg, col("node") === col("dsrc"))
+        .withColumn("pick", pmod(h, col("deg")) + 1)
+        .join(ranked, col("node") === col("rsrc") && col("pick") === col("rnk"))
+        .select(col("walk_id"), col("rdst").as("node"), lit(t).cast("long").as("step"))
+      segs += stepped
+      cur = stepped
+    }
+    segs.reduce(_ unionByName _)
+  }
+}

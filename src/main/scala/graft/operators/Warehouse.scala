@@ -179,6 +179,26 @@ object Warehouse {
       col("right_rows"), col("right_keys"))
   }
 
+  /** Exact weighted (lower) median per group: the smallest value
+    * whose cumulative weight reaches half the group total — an
+    * all-integer 2·cum ≥ total compare, no ratio float to disagree
+    * across engines. Duplicate values pre-fold into one (group,
+    * value) weight row, so the cumulative order is unique and
+    * deterministic; the window then runs over value-distinct rows
+    * (keys-sized), never raw data. The exact counterpart to the grid
+    * quantile sketch for the moderate-cardinality case. */
+  def weightedMedian(df: DataFrame, g: Column, value: Column,
+                     weight: Column): DataFrame = {
+    val per = df.groupBy(g.as("g"), value.as("v")).agg(sum(weight).as("w"))
+    val cumW = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("g"))
+    per.withColumn("cum", sum(col("w")).over(cumW))
+      .withColumn("tot", sum(col("w")).over(totW))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy(col("g")).agg(min(col("v")).as("wmedian"))
+  }
+
   def skewProfile(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
     val stats = counts.agg(sum(col("cnt")).as("total"),

@@ -1289,6 +1289,37 @@ object ExtQueries {
     // rollup/cube/pivot): partitioned windows and small-dim broadcast
     // joins only — each op is one shuffle plus narrow maps at scale ---
 
+    // exact weighted median (lower-median law, integer 2·cum ≥ total):
+    // price cents weighted by quantity per return flag — value-folded
+    // first so the window runs keys-sized
+    "rel_weighted_median" -> ((s, d) =>
+      graft.operators.Warehouse.weightedMedian(t(s, d, "lineitem"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        col("l_quantity").cast("long"))),
+
+    // deterministic walk corpus (DeepWalk input, RNG replaced by a
+    // position-keyed md5 hash): 3-step walks from every region/nation
+    // node down the reversed FK graph — branching 5 at regions, ~hundreds
+    // at nations, so the hash-ranked edge pick is genuinely exercised
+    "graph_walks" -> ((s, d) => {
+      val n = t(s, d, "nation").select(
+        concat(lit("r:"), col("n_regionkey")).as("src"),
+        concat(lit("n:"), col("n_nationkey")).as("dst"))
+      val c = t(s, d, "customer").select(
+        concat(lit("n:"), col("c_nationkey")).as("src"),
+        concat(lit("c:"), col("c_custkey")).as("dst"))
+      val o = t(s, d, "orders").select(
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"))
+      val starts = t(s, d, "region")
+        .select(concat(lit("r:"), col("r_regionkey")).as("node"))
+        .union(t(s, d, "nation")
+          .select(concat(lit("n:"), col("n_nationkey")).as("node")))
+      graft.operators.GraphWalks.deterministic(
+        n.union(c).union(o), starts, steps = 3)
+    }),
+
     // ROLLUP revenue hierarchy: (flag, status) → (flag) → () in ONE
     // pass — Spark expands the grouping sets inside a single hash
     // aggregate, no union of three scans
@@ -4251,6 +4282,47 @@ object ExtQueries {
 
     // GROUPING() bit order: leftmost argument = most significant bit
     // in BOTH engines (Postgres semantics)
+    // exact weighted lower median: value-folded weights, integer
+    // 2·cum >= total threshold — no ratio float anywhere
+    "rel_weighted_median" ->
+      """WITH per AS (SELECT l_returnflag AS g,
+        |   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+        |   sum(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        | c AS (SELECT g, v,
+        |   sum(w) OVER (PARTITION BY g ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(w) OVER (PARTITION BY g) AS tot FROM per)
+        | SELECT g, CAST(min(v) AS BIGINT) AS wmedian
+        | FROM c WHERE cum * 2 >= tot GROUP BY g""".stripMargin,
+
+    // deterministic walks: 3 unrolled hash-picked steps down the
+    // reversed FK graph (rank = hash32 of walk:step:node mod outdeg)
+    "graph_walks" -> {
+      def pick(t: Int) =
+        s"(${hash32On(s"w.walk_id || ':$t:' || w.node")}) % dg.deg + 1"
+      def round(t: Int) =
+        s"""w$t AS (SELECT w.walk_id, rk.dst AS node,
+           |   CAST($t AS BIGINT) AS step
+           | FROM w${t - 1} w JOIN dg ON dg.src = w.node
+           | JOIN rk ON rk.src = w.node AND rk.rnk = ${pick(t)})""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT * FROM (
+        |   SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation
+        |   UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey FROM customer
+        |   UNION ALL SELECT 'c:'||o_custkey, 'o:'||o_orderkey FROM orders)),
+        | rk AS (SELECT src, dst, CAST(row_number() OVER (
+        |     PARTITION BY src ORDER BY dst) AS BIGINT) AS rnk FROM e),
+        | dg AS (SELECT src, count(*) AS deg FROM rk GROUP BY src),
+        | w0 AS (SELECT node AS walk_id, node, CAST(0 AS BIGINT) AS step
+        |  FROM (SELECT 'r:'||r_regionkey AS node FROM region
+        |        UNION SELECT 'n:'||n_nationkey FROM nation)),
+        | ${round(1)}, ${round(2)}, ${round(3)}
+        | SELECT walk_id, node, step FROM w0
+        | UNION ALL SELECT walk_id, node, step FROM w1
+        | UNION ALL SELECT walk_id, node, step FROM w2
+        | UNION ALL SELECT walk_id, node, step FROM w3""".stripMargin
+    },
+
     "rel_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

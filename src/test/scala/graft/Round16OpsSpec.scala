@@ -118,6 +118,38 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(got(3) == "http://example.com/p")
   }
 
+  test("weighted median: lower-median law on hand-traced weights") {
+    import spark.implicits._
+    val df = Seq(("x", 1L, 1L), ("x", 2L, 1L), ("x", 3L, 10L),
+      ("y", 1L, 1L), ("y", 2L, 1L)).toDF("g", "v", "w")
+    val got = graft.operators.Warehouse
+      .weightedMedian(df, col("g"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // x: tot=12, cum(1)=1, cum(2)=2, cum(3)=12 → first 2·cum≥tot is 3
+    // y: tot=2, cum(1)=1 → 2·1 ≥ 2 → lower median 1
+    assert(got == Map("x" -> 3L, "y" -> 1L))
+  }
+
+  test("deterministic walks: edges exist, sinks stop, runs replay identically") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")
+      .toDF("src", "dst")
+    val starts = Seq("a", "d").toDF("node")
+    def run() = graft.operators.GraphWalks
+      .deterministic(edges, starts, steps = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val w1 = run(); val w2 = run()
+    assert(w1 == w2) // hash-deterministic: bit-identical replays
+    // d is a sink: its walk is exactly one step-0 row
+    assert(w1.filter(_._1 == "d") == Set(("d", "d", 0L)))
+    // a's walk: step 1 ∈ {b,c}, step 2 = d, then stops (d is a sink)
+    val aw = w1.filter(_._1 == "a")
+    assert(aw.exists(x => x._3 == 1L && Set("b", "c")(x._2)))
+    assert(aw.contains(("a", "d", 2L)) && !aw.exists(_._3 == 3L))
+    assert(aw.size == 3)
+  }
+
   test("katz rounds localCheckpoint lineage and stay exact at depth") {
     import spark.implicits._
     // 6-cycle: with α=1/2 every node's t halves per hop — katz after
