@@ -21,7 +21,7 @@ object BenchSf1 {
   val alwaysInclude: Seq[String] = Seq(
     "graph_scc", "ext_turtle_dist", "mm_decode_avi",
     "text_bytebpe_train", "text_bytebpe_apply", "sim_ivf_upsert",
-    "sim_ivf_refit")
+    "sim_ivf_refit", "graph_sssp_weighted", "graph_katz")
 
   /** Heavyweight list DERIVED from the latest driver battery: top-N
     * entries by gate time in the newest `BENCH_r*.json`, plus

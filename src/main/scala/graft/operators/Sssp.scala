@@ -12,20 +12,24 @@ import org.apache.spark.storage.StorageLevel
   *
   * All-integer arithmetic: weights are integer costs (cents, hops,
   * micro-units), distances exact BIGINT sums — order-independent and
-  * oracle-checkable, no float accumulation anywhere. Each round
-  * relaxes EVERY edge (dist' = min(dist, min over in-edges of
-  * dist(u) + w)): after H rounds the result is exact for every node
-  * whose shortest path uses ≤ H edges, the classical bounded-round
-  * Bellman-Ford guarantee; `maxHops` ≥ the graph's weighted-path hop
-  * diameter gives the true fixpoint. Negative edges are refused
-  * up-front (min-plus rounds would need cycle detection).
+  * oracle-checkable, no float accumulation anywhere. Round h relaxes
+  * ONLY the out-edges of nodes IMPROVED in round h−1 (the semi-naive
+  * delta frontier — the same trick the RPQ closure and Centrality
+  * BFS use): dist after h rounds is still exactly min over paths of
+  * ≤ h edges, the classical bounded-round Bellman-Ford guarantee, so
+  * the synchronous-relaxation SQL oracle matches value for value
+  * while the engine never re-relaxes settled regions. `maxHops` ≥
+  * the graph's weighted hop diameter gives the true fixpoint; the
+  * loop stops early when a round improves nothing. Negative edges
+  * are refused up-front (min-plus rounds would need cycle
+  * detection).
   *
-  * 100 TB shape per round: one dist ⋈ edges equi-join (shuffle on
-  * src) + one map-side-combinable min aggregate on dst + one
-  * node-sized min-merge — the PageRank plan shape; dist never exceeds
-  * |V| rows and lineage is checkpoint-truncated every 4 rounds.
-  * Unreached nodes carry NULL dist (not a sentinel ∞ that a sum could
-  * overflow on).
+  * 100 TB shape per round: one frontier ⋈ edges equi-join (frontier
+  * is only the just-improved nodes) + one map-side-combinable min
+  * aggregate on dst + one node-sized min-merge; dist never exceeds
+  * |V| rows, frontiers shrink to the wavefront, and lineage is
+  * checkpoint-truncated per round. Unreached nodes carry NULL dist
+  * (not a sentinel ∞ that a sum could overflow on).
   */
 object Sssp {
 
@@ -42,22 +46,39 @@ object Sssp {
     val nodes = graft.util.Scratch.track(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK))
-    var dist = nodes.join(
+    // dist persists LAZILY (cache fills on the frontier probe's action,
+    // later references hit it — an eager node-sized checkpoint per
+    // round would double the fixed job count); the frontier is tiny
+    // (just-improved nodes) and its isEmpty probe drives the loop.
+    def keep(df: DataFrame): DataFrame = graft.util.Scratch.track(
+      df.persist(StorageLevel.MEMORY_AND_DISK_SER))
+    var dist = keep(nodes.join(
         sources.select(col("node")).distinct().withColumn("__s", lit(0L)),
         Seq("node"), "left")
-      .select(col("node"), col("__s").as("dist"))
+      .select(col("node"), col("__s").as("dist")))
+    var frontier = keep(dist.where(col("dist").isNotNull))
     var h = 0
-    for (_ <- 1 to maxHops) {
-      val relaxed = e
-        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
-        .where(col("dist").isNotNull)
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
-        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
-      dist = dist.join(relaxed, Seq("node"), "left")
-        .select(col("node"), least(col("dist"), col("cand")).as("dist"))
+    var live = !frontier.isEmpty
+    while (live && h < maxHops) {
       h += 1
-      if (h % 4 == 0) dist = dist.localCheckpoint(false)
+      val cand = relax(e, frontier)
+      val merged = dist.join(cand, Seq("node"), "left")
+      frontier = keep(merged
+        .where(col("cand").isNotNull &&
+          (col("dist").isNull || col("cand") < col("dist")))
+        .select(col("node"), col("cand").as("dist")))
+      dist = keep(merged
+        .select(col("node"), least(col("dist"), col("cand")).as("dist")))
+      live = !frontier.isEmpty
     }
     dist
   }
+
+  /** One delta-relaxation step: best candidate distance per
+    * destination of the frontier's out-edges — exposed so the
+    * plan-shape guard can pin its map-side partial aggregate. */
+  private[graft] def relax(e: DataFrame, frontier: DataFrame): DataFrame =
+    e.join(frontier.select(col("node").as("src"), col("dist")), Seq("src"))
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+      .groupBy(col("node")).agg(min(col("cand")).as("cand"))
 }

@@ -45,9 +45,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // shuffle-everything aggregate — the 100 TB property
     assert(kPlan.contains("partial_sum") || kPlan.contains("partial"),
       s"katz inflow aggregate lost its map-side partial:\n$kPlan")
+    // sssp checkpoints per round (the final frame is a scanned RDD),
+    // so the guard pins the relax STEP's aggregate directly
     val sEdges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
-    val sPlan = graft.operators.Sssp
-      .weighted(sEdges, Seq("a").toDF("node"), maxHops = 2)
+    val front = Seq(("a", 0L)).toDF("node", "dist")
+    val sPlan = graft.operators.Sssp.relax(sEdges, front)
       .queryExecution.executedPlan.toString
     assert(sPlan.contains("partial_min") || sPlan.contains("partial"),
       s"sssp relax aggregate lost its map-side partial:\n$sPlan")
