@@ -964,6 +964,28 @@ object ExtQueries {
       graft.operators.PageRank.fixedPoint(o.union(c).union(n), iters = 3)
     }),
 
+    // edge reciprocity (fraction of directed edges whose reverse also
+    // exists — the standard digraph mutuality metric): every 3rd order
+    // gets a back edge, so reciprocal pairs are closed-form; ONE
+    // self-semi-join on the reversed pair + two 1-row stats (the
+    // allowed 1-row crossJoin), exact integer micro-ratio
+    "graph_reciprocity" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val fwd = o.select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"))
+      val bwd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(concat(lit("o:"), col("o_orderkey")).as("src"),
+          concat(lit("c:"), col("o_custkey")).as("dst"))
+      val e = fwd.union(bwd).distinct()
+      val rec = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(rec.agg(count(lit(1)).as("n_recip")))
+        .select(col("n_edges"), col("n_recip"),
+          expr("n_recip * 1000000 div n_edges").as("recip_micro"))
+    }),
+
     // truncated Katz centrality over the same FK graph: scaled-integer
     // damped walk counts (t_h = inflow div 8 per hop, katz = Σ t_h) —
     // bit-exact like PageRank, the (I − αAᵀ)⁻¹ solve replaced by the
@@ -3459,6 +3481,19 @@ object ExtQueries {
 
     // truncated Katz: integer damped walk counts, 3 unrolled rounds
     "graph_katz" -> katzSql(3),
+
+    // reciprocity: reversed-pair EXISTS count over the same edge set
+    "graph_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT * FROM (
+        |   SELECT 'c:'||o_custkey AS src, 'o:'||o_orderkey AS dst FROM orders
+        |   UNION ALL SELECT 'o:'||o_orderkey, 'c:'||o_custkey
+        |    FROM orders WHERE o_orderkey % 3 = 0)),
+        | r AS (SELECT count(*) AS n_recip FROM e
+        |   WHERE EXISTS (SELECT 1 FROM e e2
+        |     WHERE e2.src = e.dst AND e2.dst = e.src)),
+        | n AS (SELECT count(*) AS n_edges FROM e)
+        | SELECT n.n_edges, r.n_recip,
+        |   n_recip * 1000000 // n_edges AS recip_micro FROM n, r""".stripMargin,
 
     // weighted SSSP: 5 unrolled synchronous Bellman-Ford rounds (the
     // graph's weighted hop diameter is 4), exact BIGINT min-plus;
