@@ -21,7 +21,10 @@ object BenchSf1 {
   val alwaysInclude: Seq[String] = Seq(
     "graph_scc", "ext_turtle_dist", "mm_decode_avi",
     "text_bytebpe_train", "text_bytebpe_apply", "sim_ivf_upsert",
-    "sim_ivf_refit", "graph_sssp_weighted", "graph_katz")
+    "sim_ivf_refit", "graph_sssp_weighted", "graph_katz",
+    // r16 late tranche (r16 verdict #2: these had only prose sf1 rows)
+    "graph_walks", "rel_weighted_median", "llm_coreset_kcenter",
+    "llm_url_canon", "graph_reciprocity", "mm_decode_gif_anim")
 
   /** Heavyweight list DERIVED from the latest driver battery: top-N
     * entries by gate time in the newest `BENCH_r*.json`, plus
@@ -37,17 +40,32 @@ object BenchSf1 {
       "no BENCH_r*.json battery file found to derive the heavyweight list")
     val latest = benchFiles
       .maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-    // driver battery files wrap the bench line inside a `tail` string
-    // with backslash-escaped quotes — unescape before extracting; the
-    // LAST queries object is the final (complete, sorted) metric line
-    val txt = java.nio.file.Files.readString(latest.toPath)
-      .replace("\\\"", "\"")
-    val qStart = txt.lastIndexOf("\"queries\":{")
-    require(qStart >= 0, s"${latest.getName} has no queries object")
-    val qBody = txt.substring(qStart + 11, txt.indexOf("}", qStart))
-    val entries = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r
-      .findAllMatchIn(qBody)
-      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    // REAL JSON parse (r16 advisor: the substring-scrape broke on any
+    // nested brace or reformatted tail). The driver battery file is a
+    // JSON object wrapping the sbt log in a `tail` string; the metric
+    // line is the LAST complete {"metric":...} object inside it (one
+    // log line), or the file may carry it directly / under `parsed`.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = om.readTree(latest)
+    val metric: com.fasterxml.jackson.databind.JsonNode =
+      if (rootNode.has("queries")) rootNode
+      else if (rootNode.hasNonNull("parsed") &&
+               rootNode.get("parsed").has("queries")) rootNode.get("parsed")
+      else {
+        require(rootNode.hasNonNull("tail"),
+          s"${latest.getName}: no queries/parsed/tail field")
+        val tail = rootNode.get("tail").asText()
+        val i = tail.lastIndexOf("{\"metric\"")
+        require(i >= 0, s"${latest.getName} tail has no metric line")
+        val j = tail.indexOf('\n', i)
+        om.readTree(if (j < 0) tail.substring(i) else tail.substring(i, j))
+      }
+    val qs = metric.get("queries")
+    require(qs != null && qs.isObject,
+      s"${latest.getName}: metric line has no queries object")
+    import scala.jdk.CollectionConverters._
+    val entries = qs.fields().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toSeq
     val top = entries.filterNot(_._1 == "eav_encode")
       .sortBy(-_._2).take(15).map(_._1)
     val all = (top ++ alwaysInclude).distinct

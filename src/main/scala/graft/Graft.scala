@@ -41,6 +41,9 @@ object Graft {
         .repartition(col("p"), pmod(xxhash64(col("s")), lit(8)))
         .sortWithinPartitions("s")
         .write.mode("overwrite").partitionBy("g", "p").parquet(dir)
+      // fresh encode: any preflight profile memoized against an older
+      // cache generation of this dir is stale
+      graft.core.Preflight.invalidate()
     }
     val triples = spark.read.parquet(dir)
     // closure derives from the (tiny) schema graph but its class list

@@ -1083,11 +1083,29 @@ object Preflight {
   // content-keyed artifact-cache discipline, per the r15 advisor — a
   // query compiled repeatedly paid a full-corpus job per compile);
   // the threshold compare stays per call, so re-arming with a new
-  // threshold reuses the cached profile
-  private val skewMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Row]]()
-  private val cardMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Row]]()
+  // threshold reuses the cached profile. BOUNDED (256-entry LRU, r16
+  // advisor: the raw ConcurrentHashMap grew without bound over a long
+  // session) and INVALIDATED by the store mutation points via
+  // [[invalidate]] — a plan key does not see recommitted layer /
+  // re-encoded cache content, so a stale profile would mis-arm.
+  private final class Lru[V](max: Int)
+      extends java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, V]): Boolean = size() > max
+  }
+  private val skewMemo: java.util.Map[String, Option[Row]] =
+    java.util.Collections.synchronizedMap(new Lru[Option[Row]](256))
+  private val cardMemo: java.util.Map[String, Option[Row]] =
+    java.util.Collections.synchronizedMap(new Lru[Option[Row]](256))
+
+  /** Drop every memoized profile. Called by the data mutation points
+    * (layer-store commit, EAV encode): the memo key is the CANONICAL
+    * PLAN, which cannot see content changes underneath it — after a
+    * commit or re-encode the cached skew/cardinality row describes
+    * data that no longer exists and an armed warning would misfire or
+    * stay silent. Long sessions also rely on this (plus the LRU
+    * bound) to keep the memos from accumulating without limit. */
+  def invalidate(): Unit = { skewMemo.clear(); cardMemo.clear() }
 
   private[core] def unboundP(scan: DataFrame, desc: String): Unit =
     armedThreshold("graft.preflight.skew", "GRAFT_PREFLIGHT_SKEW")

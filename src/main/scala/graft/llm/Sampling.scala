@@ -44,7 +44,11 @@ object Sampling {
   def kCenterCoreset(emb: DataFrame, k: Int, dim: Int): DataFrame = {
     require(k >= 1 && dim >= 1)
     val spark = emb.sparkSession
-    val q = Clustering.codes(emb)
+    // persist the quantized frame ONCE: each of the k farthest-point
+    // rounds scans it, and without the pin every round would re-derive
+    // the sq8 codes from the raw embeddings (k× the quantization work)
+    val q = graft.util.Scratch.track(Clustering.codes(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val first = q.orderBy(col("vec_id")).limit(1).collect().head
     var centers = IndexedSeq(
       (first.getLong(0), first.getSeq[Double](1).toIndexedSeq))

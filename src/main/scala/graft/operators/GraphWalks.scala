@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Deterministic "random" walk corpora over a directed graph — the
@@ -19,11 +19,44 @@ import org.apache.spark.storage.StorageLevel
   * choice of DeepWalk with the RNG replaced by a position-keyed hash
   * — unbiased across (walk, step, node) triples by md5 mixing.
   *
-  * 100 TB shape: the rank table is ONE row_number window over the
-  * edge list partitioned by src (one shuffle, built once, reused by
-  * every step); each step is two equi-joins (degree, pick) shuffled
-  * on node id; the frontier is |starts| rows and never grows. */
+  * 100 TB shape: the rank table is built HUB-SAFE — a range
+  * repartition on (src, dst) + per-partition sort gives a global
+  * total order whose zipWithIndex position, rebased per src by a
+  * keys-sized min-aggregate, IS the dense dst-order rank. A hub
+  * node's out-edge list therefore spreads across as many range
+  * partitions as its size needs, where the r16 per-src
+  * `row_number().over(partitionBy(src))` window sorted a power-law
+  * hub's entire adjacency in ONE task (the classic straggler). The
+  * rank values are identical (position within the src's dst-ordered
+  * list, invariant to where the range bounds fall), so the SQL
+  * oracle is unchanged. Each step is then two equi-joins (degree,
+  * pick) shuffled on node id; the frontier is |starts| rows and
+  * never grows.
+  */
 object GraphWalks {
+
+  /** Dense dst-order rank 1..outdeg per (src, dst) edge WITHOUT a
+    * per-src window: range-sort the edge list on (src, dst), take the
+    * global zipWithIndex position, and rebase per src by min-position
+    * (one keys-sized aggregate + one join). Deterministic regardless
+    * of sampled range bounds — rank depends only on the total order. */
+  private[graft] def dstRank(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val sorted = e.select(col("src"), col("dst"))
+      .repartitionByRange(col("src"), col("dst"))
+      .sortWithinPartitions(col("src"), col("dst"))
+    val schema = StructType(sorted.schema.fields :+
+      StructField("__gidx", LongType, nullable = false))
+    val idx = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    val base = idx.groupBy(col("src").as("bsrc"))
+      .agg(min(col("__gidx")).as("__base"))
+    idx.join(base, col("src") === col("bsrc"))
+      .select(col("src").as("rsrc"), col("dst").as("rdst"),
+        (col("__gidx") - col("__base") + 1L).as("rnk"))
+  }
 
   /** (walk_id, node, step) rows for walks of length ≤ `steps` from
     * every node of `starts` (one walk per start; walk_id = start). */
@@ -32,11 +65,8 @@ object GraphWalks {
     require(steps >= 1)
     val e = graft.util.Scratch.track(edges.select(col("src"), col("dst"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK))
-    val ranked = graft.util.Scratch.track(e.select(
-        col("src").as("rsrc"), col("dst").as("rdst"),
-        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
-          .cast("long").as("rnk"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val ranked = graft.util.Scratch.track(
+      dstRank(e).persist(StorageLevel.MEMORY_AND_DISK))
     val deg = ranked.groupBy(col("rsrc").as("dsrc"))
       .agg(count(lit(1)).as("deg"))
     var cur = starts.select(col("node").as("walk_id"), col("node"),

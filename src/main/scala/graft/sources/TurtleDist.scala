@@ -225,8 +225,27 @@ object TurtleDist {
     val startStates = scala.collection.mutable.Map[(String, Long), Int]()
     val dirBuf = scala.collection.mutable.ArrayBuffer[(Int, Long, String)]()
     var continuations = 0L
+    // Multi-file semantics (documented, r16 advisor): by DEFAULT the
+    // input directory is ONE logical document — files concatenate in
+    // name order, exactly how the distributed dump shards a single
+    // graph into part files (whole lines per file, not whole
+    // statements), so scanner state legitimately crosses file
+    // boundaries. For a directory of INDEPENDENT Turtle documents arm
+    // graft.turtle.strictFileBoundaries / the matching env var: then a
+    // file whose last split ends inside an unterminated """…""" raises
+    // NAMING THE FILE instead of silently swallowing the start of the
+    // next file as literal content.
+    val strictFiles = sys.props.get("graft.turtle.strictFileBoundaries")
+      .orElse(sys.env.get("GRAFT_TURTLE_STRICT_FILE_BOUNDARIES"))
+      .exists(_.toBoolean)
     var st = StOut
+    var prevFile: String = null
     stats.sortBy(s => (fileIdx(s._1), s._2)).foreach { s =>
+      if (strictFiles && prevFile != null && s._1 != prevFile && st != StOut)
+        throw new IllegalArgumentException(
+          s"long literal left open at end of file $prevFile — malformed " +
+            "Turtle (strict file boundaries armed)")
+      prevFile = s._1
       if (s._6(st) != null) throw new IllegalArgumentException(s._6(st))
       startStates((s._1, s._2)) = st
       dirBuf ++= s._4(st).map { case (off, l) => (fileIdx(s._1), off, l) }

@@ -74,15 +74,27 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     val dst = Paths.get(path("_catalog", "commits"))
     val tmp = Paths.get(path("_catalog", "commits.gc-tmp"))
     val aside = Paths.get(path("_catalog", "commits.gc-old"))
+    // fast path stays lock-free: no swap debris → nothing to recover
     if (!Files.exists(tmp) && !Files.exists(aside)) return
-    def rmdir(p: java.nio.file.Path): Unit = if (Files.exists(p))
-      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-    if (Files.exists(dst.resolve("_SUCCESS"))) {
-      rmdir(tmp); rmdir(aside) // swap completed (or never started)
-    } else if (Files.exists(tmp.resolve("_SUCCESS"))) {
-      rmdir(dst); Files.move(tmp, dst); rmdir(aside)
-    } else if (Files.exists(aside)) {
-      rmdir(dst); rmdir(tmp); Files.move(aside, dst)
+    // the MUTATING branch runs under the SHARED store lock: a reader
+    // racing an IN-FLIGHT gc (tmp written, live catalog not yet moved
+    // aside) would otherwise see dst/_SUCCESS and delete gc's fresh
+    // tmp mid-protocol, losing the catalog rewrite. The shared
+    // file-lock/monitor blocks until gc's exclusive hold ends (then
+    // the re-check below sees the completed swap); gc's own commits()
+    // call re-enters via lockHeld.
+    withStoreLock(false) {
+      if (Files.exists(tmp) || Files.exists(aside)) {
+        def rmdir(p: java.nio.file.Path): Unit = if (Files.exists(p))
+          org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+        if (Files.exists(dst.resolve("_SUCCESS"))) {
+          rmdir(tmp); rmdir(aside) // swap completed (or never started)
+        } else if (Files.exists(tmp.resolve("_SUCCESS"))) {
+          rmdir(dst); Files.move(tmp, dst); rmdir(aside)
+        } else if (Files.exists(aside)) {
+          rmdir(dst); rmdir(tmp); Files.move(aside, dst)
+        }
+      }
     }
   }
 
@@ -217,6 +229,8 @@ final class LayerStore(val spark: SparkSession, val root: String) {
     if (!r.isEmpty) r.write.mode("overwrite").parquet(path("layers", id, "removes"))
     appendCommit(id, parent, message)
     writeRefs(refs + (branch -> id))
+    // store content changed under any previously-profiled plan key
+    graft.core.Preflight.invalidate()
     id
   }
 

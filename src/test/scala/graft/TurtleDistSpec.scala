@@ -126,6 +126,24 @@ class TurtleDistSpec extends AnyFunSuite {
     assert(e.getMessage.contains("long literal left open"))
   }
 
+  test("strict file boundaries: a literal left open at file end names the file") {
+    // default semantics: the directory is ONE logical document, so a
+    // long literal MAY span part files (the dump's sharding); armed
+    // strict mode treats files as independent documents and raises at
+    // the first file that ends mid-literal, naming it
+    val d = "@prefix t: <tpch:> .\nt:a t:p \"\"\"multi\nline \"quoted\" .\nthird\"\"\" .\nt:b t:p 'x' ."
+    val dir = writeDoc(d, parts = 4) // long literal straddles files
+    assert(TurtleDist.read(spark, dir).count() == 2) // default: fine
+    sys.props("graft.turtle.strictFileBoundaries") = "true"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TurtleDist.read(spark, dir).count()
+      }
+      assert(e.getMessage.contains("left open at end of file") &&
+        e.getMessage.contains("part-"))
+    } finally sys.props.remove("graft.turtle.strictFileBoundaries")
+  }
+
   test("'#' and apostrophes inside IRIREFs don't break classification") {
     // fragment IRIs (…XMLSchema#integer) and an apostrophe inside <…>
     // were misread as comment-start / string-open by the r15 scanner
