@@ -446,6 +446,41 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** EXACT containment pairs — the ASYMMETRIC near-dup relation
+    * Jaccard misses: C(A,B) = |A∩B| / min(|A|,|B|), ≈1 when the
+    * smaller document is quoted/embedded inside the larger one even
+    * though their Jaccard is tiny (boilerplate wrappers, quoted posts,
+    * doc-in-corpus leakage — Broder's containment measure).
+    *
+    * Candidate generation is an inverted-index equi-join on shingles
+    * with document frequency ≤ `maxDf` (a pair must share at least one
+    * RARE shingle to surface — the standard posting-list cap: work ∝
+    * Σ_{df ≤ cap} df², never n²; the cap is part of the operator's
+    * CONTRACT and the oracle replays it). Survivors verify with the
+    * exact string-set intersection; the score is an exact integer
+    * micro-ratio (inter·10⁶ div |smaller| — no float anywhere). */
+  def containmentPairs(docs: DataFrame, thresholdMicro: Long,
+                       maxDf: Long): DataFrame = {
+    require(thresholdMicro >= 0 && maxDf >= 1)
+    // persisted: feeds the posting index AND both verify sides
+    val sets = graft.util.Scratch.track(shingleSets(docs).persist())
+    val posts = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfreq = posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rare = posts.join(dfreq.where(col("df") <= maxDf), Seq("g"))
+    val cand = rare.select(col("g"), col("doc_id").as("da"))
+      .join(rare.select(col("g"), col("doc_id").as("db")), Seq("g"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sa")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("sb")), Seq("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        least(size(col("sa")), size(col("sb"))).cast("long").as("n_small"))
+      .withColumn("cont_micro", expr("inter * 1000000L div n_small"))
+      .where(col("cont_micro") >= thresholdMicro)
+  }
+
   /** EXACT n-gram Jaccard pairs at scale: prefix-filtered set-similarity
     * join (AllPairs/PPJoin family — Bayardo et al. WWW'07, Chaudhuri
     * et al. ICDE'06). Unlike MinHash-LSH this has 100% recall, so it

@@ -861,10 +861,17 @@ object Multimodal {
 
   /** Executors write one ANIMATED GIF per doc — frame count, dims,
     * per-frame delay and every frame's solid color all closed-form in
-    * doc_id (a solid frame quantizes exactly, so the decode-side pixel
-    * fold is oracle-predictable). Frames + loop metadata go through
-    * javax.imageio's sequence writer — the real encoder, not a
-    * hand-rolled byte layout. */
+    * doc_id. Frames + loop metadata go through javax.imageio's
+    * sequence writer — the real encoder, not a hand-rolled byte
+    * layout — but each frame is handed over ALREADY INDEXED
+    * (`TYPE_BYTE_INDEXED` with an explicit two-entry
+    * `IndexColorModel`: the frame's solid color at index 0, black at
+    * index 1), so no palette decision is left to the writer's
+    * quantizer. The r16 driver battery caught the quantized
+    * `TYPE_INT_RGB` variant hash-flaking between JVMs (palette
+    * choice/metadata merge are unpinned implementation details);
+    * with a caller-supplied palette the encode is bit-deterministic
+    * — the double-encode determinism spec pins that contract. */
   def withGifAnimPayload(docs: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
@@ -885,21 +892,20 @@ object Multimodal {
         val param = writer.getDefaultWriteParam
         writer.prepareWriteSequence(null)
         (0 until nFrames).foreach { f =>
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val rc = ((id * 37 + f * 11) % 256).toInt
           val gc = ((id * 59 + f * 17) % 256).toInt
           val bc = ((id * 83 + f * 23) % 256).toInt
-          val rgb = (rc << 16) | (gc << 8) | bc
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
-          val spec = javax.imageio.ImageTypeSpecifier
-            .createFromBufferedImageType(
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // explicit palette: index 0 = the frame's solid color,
+          // index 1 = black — the raster is zero-initialized, so the
+          // whole frame IS index 0 and the writer has no color
+          // decision to make (the palette goes to the color table
+          // verbatim)
+          val cm = new java.awt.image.IndexColorModel(8, 2,
+            Array[Byte](rc.toByte, 0), Array[Byte](gc.toByte, 0),
+            Array[Byte](bc.toByte, 0))
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val spec = new javax.imageio.ImageTypeSpecifier(img)
           val md = writer.getDefaultImageMetadata(spec, param)
           val fmt = "javax_imageio_gif_image_1.0"
           val root = md.getAsTree(fmt)
@@ -969,6 +975,126 @@ object Multimodal {
         }
       }(Encoders.row(gifAnimSchema))
     spark.createDataFrame(rows.rdd, gifAnimSchema)
+  }
+
+  /** Multi-page TIFF decode (the scanned-document container): JDK 9+
+    * ships a real TIFF ImageIO plugin, so page count, dims and every
+    * page's pixels decode for real. TIFF stores RGB samples directly
+    * (no palette, no quantizer — the GIF determinism lesson doesn't
+    * even arise), so the per-pixel fold is exactly the generator's
+    * closed form. */
+  object TiffCodec {
+
+    final case class TiffMeta(nPages: Long, width: Long, height: Long,
+                              pagesDecoded: Long, pxSum: Long)
+
+    private def sniff(b: Array[Byte]): Boolean =
+      b.length >= 4 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+    def meta(bytes: Array[Byte]): Option[TiffMeta] =
+      if (!sniff(bytes)) None
+      else try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("tiff").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val pages = (0 until n).map(reader.read)
+          var pxSum = 0L
+          pages.foreach { img =>
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                pxSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+          }
+          Some(TiffMeta(n.toLong,
+            pages.headOption.map(_.getWidth.toLong).getOrElse(0L),
+            pages.headOption.map(_.getHeight.toLong).getOrElse(0L),
+            pages.size.toLong, pxSum))
+        } finally { reader.dispose(); iis.close() }
+      } catch { case _: Exception => None }
+  }
+
+  /** Executors write one MULTI-PAGE TIFF per doc through
+    * javax.imageio's sequence writer — page count, dims and each
+    * page's solid RGB color all closed-form in doc_id. Direct RGB
+    * sample storage means no encoder-side color decision at all;
+    * the double-encode determinism spec pins byte-stability anyway. */
+  def withTiffPayload(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val spark = docs.sparkSession
+    val rows = docs.select(col("doc_id")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val nPages = (1 + id % 3).toInt
+        val w = (6 + id % 6).toInt
+        val h = (6 + id % 3).toInt
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("tiff").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        writer.prepareWriteSequence(null)
+        (0 until nPages).foreach { p =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rc = ((id * 29 + p * 13) % 256).toInt
+          val gc = ((id * 47 + p * 19) % 256).toInt
+          val bc = ((id * 71 + p * 31) % 256).toInt
+          val rgb = (rc << 16) | (gc << 8) | bc
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), param)
+        }
+        writer.endWriteSequence()
+        ios.close(); writer.dispose()
+        Row(id, bos.toByteArray)
+      }
+    }(Encoders.row(schema))
+    spark.createDataFrame(rows.rdd, schema)
+  }
+
+  val tiffSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_pages", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("pages_decoded", LongType),
+    StructField("px_sum", LongType),
+    StructField("format", StringType)))
+
+  /** Multi-page TIFF metadata + real per-page decode + full pixel
+    * fold via [[TiffCodec.meta]]. */
+  def tiffMeta(withBytes: DataFrame): DataFrame = {
+    val spark = withBytes.sparkSession
+    val rows = withBytes.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          TiffCodec.meta(r.getAs[Array[Byte]](1)).map(m =>
+            Row(r.getLong(0), m.nPages, m.width, m.height,
+              m.pagesDecoded, m.pxSum, "image/tiff"))
+        }
+      }(Encoders.row(tiffSchema))
+    spark.createDataFrame(rows.rdd, tiffSchema)
   }
 
   val mp4Schema: StructType = StructType(Seq(

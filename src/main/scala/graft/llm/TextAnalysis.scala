@@ -44,6 +44,23 @@ object TextAnalysis {
       .groupBy(col("canon_url"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("min_doc_id"))
 
+  /** The canonicalization-stress synthetic URL the `llm_url_canon`
+    * oracle predicts — host casing, default port, param order, utm_*
+    * noise and fragments all keyed to doc_id. Shared by the batch
+    * query and its streaming twin so both canonicalize the SAME
+    * input. */
+  def syntheticUrl(id: Column): Column = {
+    val host = element_at(
+      typedLit(Seq("EXAMPLE.com", "example.COM", "example.com")),
+      (id % 3).cast("int") + 1)
+    val port = when(id % 3 === 0, ":443").otherwise("")
+    val pars = when(id % 5 < 2, "b=2&a=1").otherwise("a=1&b=2")
+    val utm = when(id % 4 === 0, "&utm_source=x").otherwise("")
+    val frag = when(id % 2 === 0, "#top").otherwise("")
+    concat(lit("https://"), host, port, lit("/doc/"),
+      (id % 40).cast("string"), lit("?"), pars, utm, frag)
+  }
+
   private def toks(text: Column): Column = split(trim(text), "\\s+")
 
   /** BPE-style pre-tokenizer classes: letter runs, digit runs, other

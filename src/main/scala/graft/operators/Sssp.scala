@@ -28,8 +28,10 @@ import org.apache.spark.storage.StorageLevel
   * is only the just-improved nodes) + one map-side-combinable min
   * aggregate on dst + one node-sized min-merge; dist never exceeds
   * |V| rows, frontiers shrink to the wavefront, and lineage is
-  * checkpoint-truncated per round. Unreached nodes carry NULL dist
-  * (not a sentinel ∞ that a sum could overflow on).
+  * localCheckpoint-truncated every 4 rounds (like [[PageRank.katz]]),
+  * so a deep weighted diameter grows the plan tree by at most 4
+  * rounds, not linearly. Unreached nodes carry NULL dist (not a
+  * sentinel ∞ that a sum could overflow on).
   */
 object Sssp {
 
@@ -69,6 +71,13 @@ object Sssp {
         .select(col("node"), col("cand").as("dist")))
       dist = keep(merged
         .select(col("node"), least(col("dist"), col("cand")).as("dist")))
+      // truncate lineage every 4 rounds (katz's cadence): without it
+      // the dist plan tree deepens linearly with rounds and a deep
+      // weighted diameter pays quadratic driver analysis cost
+      if (h % 4 == 0) {
+        dist = dist.localCheckpoint(false)
+        frontier = frontier.localCheckpoint(false)
+      }
       live = !frontier.isEmpty
     }
     dist
@@ -81,4 +90,61 @@ object Sssp {
     e.join(frontier.select(col("node").as("src"), col("dist")), Seq("src"))
       .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
       .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+
+  /** DAG longest path ending at each node (the CRITICAL PATH of a
+    * dependency/workflow graph — max-plus where [[weighted]] is
+    * min-plus): dist(v) = max over paths into v of the weight sum,
+    * every node a distance-0 source. Same semi-naive delta-frontier
+    * rounds and exact-BIGINT discipline as [[weighted]]; round h
+    * relaxes only nodes IMPROVED in round h−1, so dist after h rounds
+    * is exactly the max over paths of ≤ h edges and the unrolled
+    * synchronous SQL oracle matches value for value.
+    *
+    * On a DAG the fixpoint arrives within depth rounds and the loop
+    * exits early; a graph that is STILL improving after `maxHops`
+    * rounds has a positive-weight cycle (where longest path is
+    * undefined) or a deeper DAG than the caller promised — both raise
+    * rather than silently returning the truncated answer. Negative
+    * weights refused like [[weighted]] (a max-plus round would accept
+    * them, but a "longest path" over negative costs is a modeling
+    * error nine times out of ten). */
+  def dagLongest(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = graft.util.Scratch.track(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val neg = e.where(col("w") < 0).limit(1).count()
+    require(neg == 0, "negative edge weights are not supported")
+    val nodes = graft.util.Scratch.track(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    def keep(df: DataFrame): DataFrame = graft.util.Scratch.track(
+      df.persist(StorageLevel.MEMORY_AND_DISK_SER))
+    var dist = keep(nodes.withColumn("dist", lit(0L)))
+    var frontier = dist
+    var h = 0
+    var live = true
+    while (live && h < maxHops) {
+      h += 1
+      val cand = e
+        .join(frontier.select(col("node").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .groupBy(col("node")).agg(max(col("cand")).as("cand"))
+      val merged = dist.join(cand, Seq("node"), "left")
+      frontier = keep(merged
+        .where(col("cand").isNotNull && col("cand") > col("dist"))
+        .select(col("node"), col("cand").as("dist")))
+      dist = keep(merged.select(col("node"),
+        when(col("cand").isNotNull && col("cand") > col("dist"), col("cand"))
+          .otherwise(col("dist")).as("dist")))
+      if (h % 4 == 0) {
+        dist = dist.localCheckpoint(false)
+        frontier = frontier.localCheckpoint(false)
+      }
+      live = !frontier.isEmpty
+    }
+    require(!live, s"longest path still improving after $maxHops rounds — " +
+      "positive-weight cycle, or a deeper DAG than maxHops promises")
+    dist
+  }
 }

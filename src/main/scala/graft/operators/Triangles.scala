@@ -262,4 +262,44 @@ object Triangles {
           (col("da") + col("db") - col("common")), 0).cast("long").as("jacc_u"))
       .orderBy(col("jacc_u").desc, col("a"), col("b")).limit(k)
   }
+
+  /** Resource-allocation link-prediction index (Zhou, Lü & Zhang,
+    * Eur. Phys. J. B 2009): RA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/deg(w) —
+    * common-neighbor evidence weighted DOWN by the neighbor's degree
+    * (a shared rare neighbor says far more than a shared hub; RA beats
+    * raw common-neighbor counts on most link-prediction benchmarks).
+    * EXACT integer form: each center w contributes ⌊10⁶/deg(w)⌋
+    * micro-units, so pair scores are order-independent integer sums
+    * that replay bit-for-bit in SQL — unlike Adamic-Adar's 1/ln deg,
+    * whose ln() can differ in the last ulp between engines.
+    *
+    * Same scale mitigations as [[commonNeighbors]]: hub centers above
+    * `maxCenterDeg` are excluded from evidence (the power-law wedge
+    * bound — work ∝ Σ_{deg(w) ≤ cap} deg(w)², never all pairs), and
+    * the result is a TakeOrdered top-k, not a global sort. */
+  def resourceAllocation(edges: DataFrame, minCommon: Long,
+                         maxCenterDeg: Long, k: Int): DataFrame = {
+    val e = edges.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = e.select(col("a").as("v"), col("b").as("n"))
+      .union(e.select(col("b").as("v"), col("a").as("n")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // each qualifying center carries its own micro-unit weight into
+    // the wedge join, so the pair aggregate is one integer sum
+    val centers = adj
+      .join(deg.select(col("v").as("n"), col("deg").as("dn")), "n")
+      .where(col("dn") <= maxCenterDeg)
+      .select(col("v"), col("n"), expr("1000000L div dn").as("w"))
+    centers.select(col("n"), col("v").as("pa"), col("w"))
+      .join(centers.select(col("n"), col("v").as("pb")), Seq("n"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_micro"))
+      .where(col("common") >= minCommon)
+      .select(col("pa").as("a"), col("pb").as("b"), col("common"),
+        col("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("a"), col("b")).limit(k)
+  }
 }

@@ -302,6 +302,13 @@ object ExtQueries {
     // — catches sub-document duplication Jaccard dilutes away
     "dedup_containment" -> ((s, d) =>
       Dedup.minhashContainment(t(s, d, "documents"), 0.7)),
+    // EXACT-recall containment under the rare-shingle (df ≤ 24)
+    // posting contract: inverted-index candidates + exact set verify,
+    // integer micro-ratio — the dedup_ngram_prefix analogue for the
+    // asymmetric measure (banded minhash variant above trades recall)
+    "dedup_containment_exact" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"),
+        thresholdMicro = 600000L, maxDf = 24L)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.5)),
     // exact-recall prefix-filter join — same answer as the brute pair
@@ -504,6 +511,15 @@ object ExtQueries {
       graft.llm.Multimodal.gifAnimMeta(
         graft.llm.Multimodal.withGifAnimPayload(t(s, d, "documents")))),
 
+    // MULTI-PAGE TIFF (the scanned-document container): executors
+    // write one real multi-page TIFF per doc through javax.imageio's
+    // sequence writer (JDK 9+ ships the TIFF plugin); the decode side
+    // reads every page back and folds every pixel — direct RGB sample
+    // storage, so no palette/quantizer determinism risk at all
+    "mm_decode_tiff" -> ((s, d) =>
+      graft.llm.Multimodal.tiffMeta(
+        graft.llm.Multimodal.withTiffPayload(t(s, d, "documents")))),
+
     // second video container: executors write one minimal EBML
     // (WebM/Matroska) structure per doc (61 bytes, closed-form),
     // MkvCodec walks the vint-framed elements back — Info clocks +
@@ -667,19 +683,18 @@ object ExtQueries {
     // every field closed-form in doc_id) normalize to one canonical
     // form per doc_id%40 bucket; the oracle restates the canonical
     // closed form, so any normalization miss splits a group
-    "llm_url_canon" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val host = element_at(
-        typedLit(Seq("EXAMPLE.com", "example.COM", "example.com")),
-        (col("doc_id") % 3).cast("int") + 1)
-      val port = when(col("doc_id") % 3 === 0, ":443").otherwise("")
-      val pars = when(col("doc_id") % 5 < 2, "b=2&a=1").otherwise("a=1&b=2")
-      val utm = when(col("doc_id") % 4 === 0, "&utm_source=x").otherwise("")
-      val frag = when(col("doc_id") % 2 === 0, "#top").otherwise("")
-      val url = concat(lit("https://"), host, port, lit("/doc/"),
-        (col("doc_id") % 40).cast("string"), lit("?"), pars, utm, frag)
-      graft.llm.TextAnalysis.urlDedup(docs, url)
-    }),
+    "llm_url_canon" -> ((s, d) =>
+      // the synthetic URL construction lives beside the canonicalizer
+      // (TextAnalysis.syntheticUrl) so the streaming twin canonicalizes
+      // the IDENTICAL input
+      graft.llm.TextAnalysis.urlDedup(t(s, d, "documents"),
+        graft.llm.TextAnalysis.syntheticUrl(col("doc_id")))),
+
+    // STREAMING URL-canonicalization dedup twin: same canonicalization
+    // per micro-batch, running (count, min) aggregate — final table
+    // micro-batch-independent, shares llm_url_canon's oracle
+    "stream_url_canon" -> ((s, d) =>
+      graft.streaming.Events.streamingUrlCanon(s, d)),
 
     // greedy k-center coreset (Gonzalez farthest-point): the
     // diversity-maximal seed sample — exact integer squared-L2 over
@@ -1028,6 +1043,57 @@ object ExtQueries {
       import s.implicits._
       graft.operators.Sssp.weighted(n.union(c).union(o).union(l),
         Seq("r:1").toDF("node"), maxHops = 5)
+    }),
+
+    // truncated HITS hubs/authorities over the same FK graph as katz:
+    // integer damping (div 4 per half-step) replaces L2 normalization
+    // — exact BIGINT scores, ranking preserved, unrolled-rounds oracle
+    "graph_hits" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+      val c = t(s, d, "customer").select(
+        concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"))
+      val n = t(s, d, "nation").select(
+        concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst"))
+      graft.operators.Hits.truncated(o.union(c).union(n), rounds = 2)
+    }),
+
+    // resource-allocation link prediction (Zhou 2009) over the
+    // co-order parts graph: common-neighbor evidence weighted by
+    // ⌊1e6/deg(center)⌋ — exact integer micro-units, hub centers
+    // (deg > 40) excluded like graph_common_neighbors
+    "graph_resource_alloc" -> ((s, d) =>
+      graft.operators.Triangles.resourceAllocation(
+        graft.operators.Triangles.coOccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey"),
+        minCommon = 3L, maxCenterDeg = 40L, k = 20)),
+
+    // DAG longest path (critical path) down the weighted FK DAG —
+    // max-plus twin of graph_sssp_weighted: dist(v) = max over paths
+    // into v, every node a 0-source; still-improving after maxHops
+    // raises (cycle guard)
+    "graph_dag_longest" -> ((s, d) => {
+      val n = t(s, d, "nation").select(
+        concat(lit("r:"), col("n_regionkey")).as("src"),
+        concat(lit("n:"), col("n_nationkey")).as("dst"),
+        (col("n_nationkey") % 5 + 1).cast("long").as("w"))
+      val c = t(s, d, "customer").select(
+        concat(lit("n:"), col("c_nationkey")).as("src"),
+        concat(lit("c:"), col("c_custkey")).as("dst"),
+        (col("c_custkey") % 50 + 1).cast("long").as("w"))
+      val o = t(s, d, "orders").select(
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"),
+        (col("o_orderkey") % 100 + 1).cast("long").as("w"))
+      val l = t(s, d, "lineitem").select(
+        concat(lit("o:"), col("l_orderkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst"),
+        col("l_quantity").cast("long").as("w"))
+      graft.operators.Sssp.dagLongest(n.union(c).union(o).union(l),
+        maxHops = 6)
     }),
 
     // personalized PageRank on the REVERSED FK graph seeded at region
@@ -2709,6 +2775,27 @@ object ExtQueries {
         |  FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db)
         | WHERE cont >= 0.7""".stripMargin,
 
+    // EXACT-recall containment under the df ≤ 24 posting contract:
+    // inverted-index candidates (a pair must share a rare shingle),
+    // exact set verify, integer micro-ratio — replays
+    // Dedup.containmentPairs stage for stage
+    "dedup_containment_exact" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS shs FROM documents),
+        | posts AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+        | df AS (SELECT g, count(*) AS df FROM posts GROUP BY 1),
+        | rare AS (SELECT p.doc_id, p.g FROM posts p
+        |   JOIN df USING (g) WHERE df.df <= 24),
+        | cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |   FROM rare x JOIN rare y ON x.g = y.g AND x.doc_id < y.doc_id),
+        | sc AS (SELECT c.da, c.db,
+        |   CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS inter,
+        |   CAST(least(len(a.shs), len(b.shs)) AS BIGINT) AS n_small
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db)
+        | SELECT da, db, inter, n_small,
+        |   inter * 1000000 // n_small AS cont_micro
+        | FROM sc WHERE inter * 1000000 // n_small >= 600000""".stripMargin,
+
     // cluster-granular split: the dedup_clusters recursive closure +
     // the salted cluster-id bucket hash (= Sampling.leakFreeSplit)
     "llm_split_leakfree" ->
@@ -3114,6 +3201,23 @@ object ExtQueries {
         |  'image/gif-anim' AS format
         | FROM documents d JOIN px ON d.doc_id = px.doc_id""".stripMargin,
 
+    // multi-page TIFF check: page count, dims and the full per-pixel
+    // fold (solid RGB pages × closed-form colors) must equal the
+    // generator's closed form — direct sample storage, lossless
+    "mm_decode_tiff" ->
+      """WITH pg AS (SELECT doc_id, p FROM documents,
+        |   (SELECT unnest(range(0, 3)) AS p) WHERE p < 1 + doc_id % 3),
+        | px AS (SELECT doc_id, sum(((doc_id*29 + p*13) % 256)
+        |     + ((doc_id*47 + p*19) % 256)
+        |     + ((doc_id*71 + p*31) % 256)) AS csum
+        |   FROM pg GROUP BY doc_id)
+        | SELECT d.doc_id, 1 + d.doc_id % 3 AS n_pages,
+        |  6 + d.doc_id % 6 AS width, 6 + d.doc_id % 3 AS height,
+        |  1 + d.doc_id % 3 AS pages_decoded,
+        |  (6 + d.doc_id % 6) * (6 + d.doc_id % 3) * px.csum AS px_sum,
+        |  'image/tiff' AS format
+        | FROM documents d JOIN px ON d.doc_id = px.doc_id""".stripMargin,
+
     // EBML walk check: every parsed element must equal the generator's
     // closed form (duration is a float64 written with an integral
     // value, so the rounded read-back is exact)
@@ -3432,6 +3536,16 @@ object ExtQueries {
         |   min(doc_id) AS min_doc_id
         | FROM c GROUP BY 1""".stripMargin,
 
+    // streaming twin: count and min are linear in the arrival split,
+    // so the final running aggregate equals the batch table exactly
+    "stream_url_canon" ->
+      """WITH c AS (SELECT doc_id,
+        |   'https://example.com/doc/' || (doc_id % 40) || '?a=1&b=2' AS canon
+        |  FROM documents)
+        | SELECT canon AS canon_url, count(*) AS n_dups,
+        |   min(doc_id) AS min_doc_id
+        | FROM c GROUP BY 1""".stripMargin,
+
     // greedy k-center (k=4): c1 = lowest vec_id, then 3 unrolled
     // farthest-point rounds; md chains as a CASE running min in
     // center order — exact integers, so argmax/ties replay identically
@@ -3494,6 +3608,35 @@ object ExtQueries {
         | n AS (SELECT count(*) AS n_edges FROM e)
         | SELECT n.n_edges, r.n_recip,
         |   n_recip * 1000000 // n_edges AS recip_micro FROM n, r""".stripMargin,
+
+    // truncated HITS: 2 unrolled (hub, auth) half-step pairs, integer
+    // damping div 4 — same edge CTE as katz
+    "graph_hits" -> hitsSql(2),
+
+    // resource allocation: common_neighbors' CTE shape with each
+    // qualifying center contributing 1e6 // deg(center) micro-units
+    "graph_resource_alloc" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |   FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | adj AS (SELECT a AS v, b AS n FROM e0
+        |   UNION ALL SELECT b AS v, a AS n FROM e0),
+        | deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+        | ctr AS (SELECT adj.v, adj.n, 1000000 // d.deg AS w
+        |   FROM adj JOIN deg d ON d.v = adj.n WHERE d.deg <= 40),
+        | pairs AS (SELECT x.v AS a, y.v AS b,
+        |   CAST(count(*) AS BIGINT) AS common,
+        |   CAST(sum(x.w) AS BIGINT) AS ra_micro
+        |  FROM ctr x JOIN ctr y ON x.n = y.n AND x.v < y.v
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        | SELECT a, b, common, ra_micro FROM pairs
+        | ORDER BY ra_micro DESC, a, b LIMIT 20""".stripMargin,
+
+    // DAG longest path: 6 unrolled synchronous max-plus rounds over
+    // the weighted FK DAG (depth 4 — idempotent past the fixpoint,
+    // matching the engine's early-exit fixpoint); every node starts
+    // at 0, improvement spelled as CASE
+    "graph_dag_longest" -> dagLongestSql(6),
 
     // weighted SSSP: 5 unrolled synchronous Bellman-Ford rounds (the
     // graph's weighted hop diameter is 4), exact BIGINT min-plus;
@@ -5545,6 +5688,63 @@ object ExtQueries {
        | d0 AS (SELECT node,
        |   CASE WHEN node = 'r:1' THEN CAST(0 AS BIGINT) END AS dist
        |   FROM nodes),
+       | $rounds
+       | SELECT node, dist FROM d$hops""".stripMargin
+  }
+
+  /** Unrolled truncated-HITS half-step pairs — the SQL twin of
+    * Hits.truncated (integer damping div `den` replacing L2
+    * normalization), over katz's o∪c∪n edge CTE. */
+  private def hitsSql(rounds: Int, den: Long = 4L,
+                      scale: Long = 1000000L): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""h$r AS (SELECT nd.node, coalesce(i.s, 0) // $den AS h
+         | FROM nodes nd LEFT JOIN (
+         |  SELECT e.src AS node, sum(a.a) AS s
+         |  FROM e JOIN a${r - 1} a ON e.dst = a.node
+         |  GROUP BY e.src) i ON nd.node = i.node),
+         | a$r AS (SELECT nd.node, coalesce(i.s, 0) // $den AS a
+         | FROM nodes nd LEFT JOIN (
+         |  SELECT e.dst AS node, sum(h.h) AS s
+         |  FROM e JOIN h$r h ON e.src = h.node
+         |  GROUP BY e.dst) i ON nd.node = i.node)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (SELECT 'o:'||o_orderkey AS src, 'c:'||o_custkey AS dst FROM orders
+       | UNION ALL SELECT 'c:'||c_custkey, 'n:'||c_nationkey FROM customer
+       | UNION ALL SELECT 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation),
+       | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       | a0 AS (SELECT node, CAST($scale AS BIGINT) AS a FROM nodes),
+       | $steps
+       | SELECT h$rounds.node, CAST(h$rounds.h AS BIGINT) AS hub,
+       |  CAST(a$rounds.a AS BIGINT) AS auth
+       | FROM h$rounds JOIN a$rounds ON h$rounds.node = a$rounds.node""".stripMargin
+  }
+
+  /** Unrolled synchronous max-plus rounds over the weighted FK DAG —
+    * the SQL twin of Sssp.dagLongest (every node a 0-source;
+    * improvement spelled as CASE). Idempotent past the fixpoint, so
+    * unrolling past the DAG depth matches the engine's early exit. */
+  private def dagLongestSql(hops: Int): String = {
+    val rounds = (1 to hops).map { h =>
+      s"""d$h AS (SELECT nd.node,
+         |  CASE WHEN i.cand IS NOT NULL AND i.cand > nd.dist
+         |       THEN i.cand ELSE nd.dist END AS dist
+         | FROM d${h - 1} nd LEFT JOIN (
+         |  SELECT e.dst AS node, max(d.dist + e.w) AS cand
+         |  FROM e JOIN d${h - 1} d ON e.src = d.node
+         |  GROUP BY e.dst) i ON nd.node = i.node)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst,
+       |         n_nationkey % 5 + 1 AS w FROM nation
+       |  UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey,
+       |         c_custkey % 50 + 1 FROM customer
+       |  UNION ALL SELECT 'c:'||o_custkey, 'o:'||o_orderkey,
+       |         o_orderkey % 100 + 1 FROM orders
+       |  UNION ALL SELECT 'o:'||l_orderkey, 'p:'||l_partkey,
+       |         CAST(l_quantity AS BIGINT) FROM lineitem),
+       | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       | d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes),
        | $rounds
        | SELECT node, dist FROM d$hops""".stripMargin
   }

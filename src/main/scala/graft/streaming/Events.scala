@@ -689,6 +689,40 @@ object Events {
     runToTable(spark, graft.llm.TextAnalysis.c4Filters(src), "append")
   }
 
+  /** STREAMING URL-canonicalization dedup — the twin of
+    * `llm_url_canon`: arriving documents' URLs canonicalize per
+    * micro-batch as pure codegen'd parse_url projections, folding into
+    * a running (canon_url → n_dups, min_doc_id) streaming aggregate.
+    * count and min are both linear in the arrival split, so the final
+    * table is micro-batch-independent and shares the batch oracle. */
+  def streamingUrlCanon(spark: SparkSession, sfDir: String): DataFrame = {
+    applyStateStore(spark)
+    val srcFile = new java.io.File(s"$sfDir/documents.parquet")
+    val stageDir = new java.io.File(
+      sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
+        "/docstream_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + graft.util.Fingerprint.of(srcFile.getPath))
+    val parts: Seq[java.io.File] =
+      if (srcFile.isDirectory)
+        Option(srcFile.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      else Seq(srcFile)
+    if (!stageDir.exists() ||
+        Option(stageDir.list()).forall(_.count(_.endsWith(".parquet")) < parts.size)) {
+      stageDir.mkdirs()
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(stageDir, f"part-$i%05d.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val schema = spark.read.parquet(srcFile.getPath).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.getAbsolutePath)
+    runToTable(spark, graft.llm.TextAnalysis.urlDedup(src,
+      graft.llm.TextAnalysis.syntheticUrl(col("doc_id"))), "complete")
+  }
+
   /** STREAMING WordPiece ENCODE: the trained merge table (the
     * memoized artifact fitted on the STATIC corpus — the production
     * train-once-serve-forever shape) applied per micro-batch as
