@@ -24,7 +24,11 @@ object BenchSf1 {
     "sim_ivf_refit", "graph_sssp_weighted", "graph_katz",
     // r16 late tranche (r16 verdict #2: these had only prose sf1 rows)
     "graph_walks", "rel_weighted_median", "llm_coreset_kcenter",
-    "llm_url_canon", "graph_reciprocity", "mm_decode_gif_anim")
+    "llm_url_canon", "graph_reciprocity", "mm_decode_gif_anim",
+    // r17 additions — sf1 rows land in the SAME round they ship
+    "graph_hits", "graph_dag_longest", "graph_resource_alloc",
+    "mm_decode_tiff", "dedup_containment_exact", "stream_url_canon",
+    "graph_ktruss", "llm_calibration", "ext_graphql_agg_links")
 
   /** Heavyweight list DERIVED from the latest driver battery: top-N
     * entries by gate time in the newest `BENCH_r*.json`, plus

@@ -155,6 +155,15 @@ final case class StarPat(subjVar: String, g: String,
   * compiler for per-link `_count` fields; unlike [[GroupAgg]] it does
   * NOT collapse the frame to (by, into). */
 final case class GroupCount(q: Woql, by: Seq[String], into: String) extends Woql
+/** INTERNAL: grouped numeric aggregates that JOIN BACK into the
+  * enclosing conjunction — [[GroupCount]]'s shape generalized: each
+  * `(fn, valueVar, into)` agg (fn ∈ count|sum|min|max; valueVar None
+  * for count) computes over the independent sub-query `q` per `by`
+  * and all land in ONE aggregate + ONE conj-join. Produced by the
+  * GraphQL compiler for per-link `_sum`/`_min`/`_max` (+`_count`)
+  * fields; numeric aggs return xsd:double value structs. */
+final case class GroupStats(q: Woql, by: Seq[String],
+                            aggs: Seq[(String, Option[String], String)]) extends Woql
 /** INTERNAL: per-`by` TOP-K of the independent sub-query `q` under
   * canonical value ordering of the `order` vars (asc flag), conj-joined
   * back into the enclosing conjunction carrying `keep` vars. Rides the

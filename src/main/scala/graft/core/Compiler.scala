@@ -411,6 +411,33 @@ object Compiler {
         .agg(lngVal(count(lit(1))).as(into))
       conj(cur, BF(g, by.toSet + into))
 
+    case GroupStats(sub, by, aggs) =>
+      // GroupCount generalized: ALL the link's aggregates compute in
+      // ONE per-`by` aggregate and join back with ONE equi-join (the
+      // GraphQL per-link _sum/_min/_max/_count shape). sum reuses
+      // GroupAgg's exactness rule (decimal when every row is
+      // decimal/integer-typed, double otherwise); min/max are value
+      // picks over the numeric view — order-independent either way.
+      val inner = compile(sub, unit(ctx))
+      val aggCols = aggs.map { case (fn, valueVar, into) =>
+        (fn match {
+          case "count" => lngVal(count(lit(1)))
+          case "sum" =>
+            val v = col(valueVar.get)
+            val decView = coalesce(v.getField("dec"),
+              v.getField("lng").cast(DecOp)).cast(DecOp)
+            when(count(lit(1)) === count(decView), decVal(sum(decView)))
+              .otherwise(dblVal(sum(Vals.num(v))))
+          case "min" => dblVal(min(Vals.num(col(valueVar.get))))
+          case "max" => dblVal(max(Vals.num(col(valueVar.get))))
+          case other => throw new IllegalArgumentException(
+            s"unsupported group aggregate: $other")
+        }).as(into)
+      }
+      val stats = inner.df.groupBy(by.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      conj(cur, BF(stats, by.toSet ++ aggs.map(_._3)))
+
     case GroupTopKJoin(sub, by, order, k, keep) =>
       // independent sub-query → per-`by` top-k under the canonical
       // value sort keys (materialized as columns — the native plan

@@ -182,4 +182,28 @@ object Classifier {
       .select(col("doc_id"), col("lang"), col("y"),
         col("p").as("score_micro"), (col("p") >= 500000L).as("pred"))
   }
+
+  /** Calibration table of the trained logistic's scores — the
+    * reliability-diagram input a production filter is tuned from:
+    * decile bins over score_micro (scores of exactly 10⁶ fold into
+    * bin 9), per bin the doc count, the exact integer mean score and
+    * the exact positive-rate micro-ratio. A well-calibrated filter
+    * has pos_rate ≈ mean score per bin; systematic gaps are the
+    * threshold-tuning signal. All-integer (counts, sums, div) on top
+    * of the bit-replayable descent, so the table replays exactly.
+    * One narrow projection + one 10-key aggregate over the scored
+    * frame — nothing beyond [[logistic]]'s cost at 100 TB. */
+  def calibration(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = 8, rounds: Int = 3,
+                  stepDiv: Long = 16L): DataFrame =
+    logistic(docs, targetLang, buckets, rounds, stepDiv)
+      .select(least(expr("score_micro div 100000"), lit(9L)).as("bin"),
+        col("score_micro"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score_micro")).as("__ss"),
+        sum(col("y")).as("__np"))
+      .select(col("bin"), col("n"),
+        expr("__ss div n").as("mean_score_micro"),
+        expr("__np * 1000000L div n").as("pos_rate_micro"))
 }

@@ -1305,6 +1305,25 @@ object ExtQueries {
       graft.llm.Classifier.logistic(t(s, d, "documents"),
         targetLang = "en", buckets = 8, rounds = 3, stepDiv = 16L)),
 
+    // calibration table of the trained logistic (reliability-diagram
+    // input): decile bins over score_micro, exact integer counts /
+    // mean score / positive-rate micro-ratio per bin — the
+    // threshold-tuning artifact a production quality filter ships with
+    "llm_calibration" -> ((s, d) =>
+      graft.llm.Classifier.calibration(t(s, d, "documents"),
+        targetLang = "en", buckets = 8, rounds = 3, stepDiv = 16L)),
+
+    // k-truss of the quarter-sampled co-order parts graph (every edge
+    // in ≥ k−2 triangles within the subgraph — the triangle-strength
+    // community core one level above k-core); peel to fixpoint with
+    // the oriented √m wedge bound per round
+    "graph_ktruss" -> ((s, d) =>
+      graft.operators.KTruss.kTruss(
+        graft.operators.Triangles.coOccurrenceEdges(
+          t(s, d, "lineitem").where(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey"),
+        k = 10, rounds = 6)),
+
     // covariance-free PCA by distributed power iteration: the top
     // principal direction of the embedding corpus, fit in 3 one-pass
     // matvec aggregates (never materializing d²), projections
@@ -4390,6 +4409,20 @@ object ExtQueries {
     // full-batch logistic descent replayed round-for-round in integer
     // micro-units (the ONLY float op is the boundary-rounded sigmoid)
     "llm_quality_lr" -> logisticSql(buckets = 8, rounds = 3, stepDiv = 16L),
+
+    // calibration: decile bins over the SAME unrolled descent's final
+    // scores; all-integer bin stats (// is DuckDB integer division)
+    "llm_calibration" -> logisticSql(buckets = 8, rounds = 3, stepDiv = 16L,
+      tail = """SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(p) // count(*) AS BIGINT) AS mean_score_micro,
+        | CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_micro
+        | FROM (SELECT least(pf.p // 100000, 9) AS bin, pf.p AS p, yv.y AS y
+        |   FROM pf JOIN yv USING (doc_id))
+        | GROUP BY bin""".stripMargin),
+
+    // k-truss: 6 unrolled peel rounds (idempotent past the engine's
+    // asserted fixpoint) + one final support pass over the survivors
+    "graph_ktruss" -> ktrussSql(k = 10, rounds = 6),
     "llm_pca_power" -> pcaSql(dim = 64, iters = 3, nComp = 2),
     // stream == batch projection by construction
     "stream_pca_project" -> pcaSql(dim = 64, iters = 3, nComp = 2),
@@ -5556,7 +5589,8 @@ object ExtQueries {
        | FROM e""".stripMargin
   }
 
-  private def logisticSql(buckets: Int, rounds: Int, stepDiv: Long): String = {
+  private def logisticSql(buckets: Int, rounds: Int, stepDiv: Long,
+                          tail: String = ""): String = {
     val steps = (1 to rounds).map { n =>
       s"""z$n AS (SELECT fb.doc_id, sum(fb.cnt * w${n - 1}.w) AS z
          |   FROM fb JOIN w${n - 1} ON fb.b = w${n - 1}.b GROUP BY 1),
@@ -5587,9 +5621,43 @@ object ExtQueries {
        | pf AS (SELECT doc_id, CAST(round(1000000.0 / (1.0 +
        |     exp(-(least(greatest(z, -20000000), 20000000)) / 1000000.0)), 0)
        |   AS BIGINT) AS p FROM zf)
-       | SELECT d2.doc_id, d2.lang, CAST(yv.y AS BIGINT) AS y,
-       |   pf.p AS score_micro, (pf.p >= 500000) AS pred
-       | FROM documents d2 JOIN yv USING (doc_id) JOIN pf USING (doc_id)""".stripMargin
+       | ${if (tail.nonEmpty) tail else
+          """SELECT d2.doc_id, d2.lang, CAST(yv.y AS BIGINT) AS y,
+            |   pf.p AS score_micro, (pf.p >= 500000) AS pred
+            | FROM documents d2 JOIN yv USING (doc_id) JOIN pf USING (doc_id)"""
+            .stripMargin}""".stripMargin
+  }
+
+  /** Unrolled k-truss peel rounds (= KTruss.kTruss with its fixpoint
+    * asserted within `rounds`: peeling is idempotent past the
+    * fixpoint). Each round enumerates triangles on the survivors
+    * (u < v < w via the three canonical edges), credits each to its
+    * 3 edges, and keeps edges with support ≥ k−2; a final support
+    * pass emits the truss edges with their supports. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    def tri(n: Int, src: String) =
+      s"""tr$n AS (SELECT x.a AS u, x.b AS v, y.b AS w
+         |   FROM $src x JOIN $src y ON y.a = x.a AND x.b < y.b
+         |   JOIN $src z ON z.a = x.b AND z.b = y.b),
+         | s$n AS (SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (
+         |   SELECT u AS a, v AS b FROM tr$n
+         |   UNION ALL SELECT u, w FROM tr$n
+         |   UNION ALL SELECT v, w FROM tr$n) GROUP BY 1, 2)""".stripMargin
+    val steps = (1 to rounds).map { n =>
+      tri(n, s"e${n - 1}") +
+        s""", e$n AS MATERIALIZED (SELECT s$n.a, s$n.b FROM s$n
+           |   JOIN e${n - 1} e ON e.a = s$n.a AND e.b = s$n.b
+           |   WHERE s$n.s >= ${k - 2})""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |   FROM lineitem a JOIN lineitem b
+       |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |   WHERE a.l_orderkey % 4 = 0),
+       | $steps,
+       | ${tri(rounds + 1, s"e$rounds")}
+       | SELECT s.a, s.b, s.s AS support
+       | FROM s${rounds + 1} s JOIN e$rounds e ON e.a = s.a AND e.b = s.b
+       | WHERE s.s >= ${k - 2}""".stripMargin
   }
 
   /** Unrolled k-core peel rounds (= KCore.kCore: the peel is

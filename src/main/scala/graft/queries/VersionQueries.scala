@@ -1131,6 +1131,27 @@ object VersionQueries {
         col("_c_nationkey_of_Customer__count").getField("lng").as("n_customers"))
     }),
 
+    // GraphQL PER-LINK numeric aggregates: _count/_min/_max in ONE
+    // GroupStats conjunct — a single per-parent aggregate + a single
+    // broadcast-able join back (never a fetch-and-fold page per
+    // parent); min/max are order-independent value picks, so the
+    // doubles replay exactly
+    "ext_graphql_agg_links" -> ((s, d) => {
+      implicit val ctx: Ctx = Graft.ctx(s, d)
+      val q =
+        """{ Nation(filter: {n_name: {startsWith: "NATION_1"}}) {
+          |    n_name
+          |    _c_nationkey_of_Customer(filter: {c_mktsegment: {eq: "BUILDING"}}) {
+          |      _count
+          |      _min(field: "c_acctbal")
+          |      _max(field: "c_acctbal") } } }""".stripMargin
+      val (_, df) = graft.server.GraphQL.run(q)
+      df.select(col("n_name").getField("str").as("n_name"),
+        col("_c_nationkey_of_Customer__count").getField("lng").as("n_customers"),
+        col("_c_nationkey_of_Customer__min_c_acctbal").getField("dbl").as("min_bal"),
+        col("_c_nationkey_of_Customer__max_c_acctbal").getField("dbl").as("max_bal"))
+    }),
+
     // referential integrity (§2.8 validation; reference
     // validate_instance.pl dangling-reference check): a delta adding
     // ghost references (targets that exist nowhere as subjects) plus
@@ -1364,6 +1385,14 @@ object VersionQueries {
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
         | FROM nation JOIN customer ON c_nationkey = n_nationkey
         | WHERE starts_with(n_name, 'NATION_1') AND c_acctbal > 5000.0
+        | GROUP BY n_name""".stripMargin,
+    // per-link aggregates: inner-join + GROUP BY restates the single
+    // GroupStats aggregate; min/max are value picks (exact doubles)
+    "ext_graphql_agg_links" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        | min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        | FROM nation JOIN customer ON c_nationkey = n_nationkey
+        | WHERE starts_with(n_name, 'NATION_1') AND c_mktsegment = 'BUILDING'
         | GROUP BY n_name""".stripMargin,
     // per-parent top-k replayed as a row_number window; the engine's
     // tiebreak is the customer IRI ascending

@@ -348,6 +348,47 @@ object GraphQL {
       localOuts.foreach { v => bound += v; outs += v }
     }
 
+    /** Per-link numeric aggregates: a link whose selections are ALL
+      * aggregate fields (`_count` plus `_sum`/`_min`/`_max` with a
+      * `field: "..."` argument) compiles to ONE GroupStats conjunct —
+      * every aggregate computed in a single per-parent aggregate and
+      * joined back in a single (broadcast-able, count-sized) equi-join.
+      * Inner semantics like `_count`: zero-match parents are absent. */
+    val aggSelNames = Set("_count", "_sum", "_min", "_max")
+    def isAggSel(s: Sel): Boolean = aggSelNames(s.name) && s.fields.isEmpty
+    def compileAggLink(name: String, linkPat: String => Seq[Woql],
+        args: Seq[(String, GVal)], subs: Seq[Sel],
+        subjV: String, path: String): Unit = {
+      val fp = fieldVar(path, name)
+      val lv = "__" + fp
+      val extra = scala.collection.mutable.ArrayBuffer[Woql]()
+      val fieldVars = scala.collection.mutable.Map[String, String]()
+      def valueVar(f: String): String =
+        fieldVars.getOrElseUpdate(f, {
+          val fv = "__" + fieldVar(fp, f)
+          extra += TriplePat(V(lv), Node(prefix + f), V(fv))
+          fv
+        })
+      val aggs: Seq[(String, Option[String], String)] = subs.map {
+        case Sel("_count", cargs, Nil) =>
+          require(cargs.isEmpty, "_count takes no arguments")
+          ("count", None, fieldVar(fp, "_count"))
+        case Sel(fn, fargs, Nil) =>
+          val f = fargs.collectFirst { case ("field", GStr(x)) => x }
+            .getOrElse(throw new IllegalArgumentException(
+              s"""$fn requires a field: "..." argument"""))
+          require(fargs.size == 1,
+            s"$fn takes exactly the field argument")
+          (fn.drop(1), Some(valueVar(f)), fieldVar(fp, fn + "_" + f))
+        case other => throw new IllegalArgumentException(
+          s"aggregate link $name cannot mix ${other.name} with aggregates")
+      }
+      pats :+= GroupStats(
+        And(linkPat(lv) ++ extra.toSeq ++ countFilterPats(lv, fp, args)),
+        Seq(subjV), aggs)
+      aggs.foreach { a => bound += a._3; outs += a._3 }
+    }
+
     def compileSels(subjV: String, path: String, sels: Seq[Sel]): Unit = sels.foreach {
       case Sel("_count", _, _) =>
         throw new IllegalArgumentException(
@@ -359,6 +400,21 @@ object GraphQL {
       // the row-level fields of the enclosing frame survive. Inner
       // semantics like every link: a parent with zero matches is
       // absent, not 0.
+      // per-link AGGREGATES (_sum/_min/_max, optionally with _count):
+      // one GroupStats conjunct per link — single aggregate + join
+      case Sel(name @ BackLink(pred, cls), args, subs)
+          if subs.nonEmpty && subs.forall(isAggSel) &&
+            subs.exists(_.name != "_count") =>
+        compileAggLink(name, lv => Seq(
+            TriplePat(V(lv), Node("rdf:type"), Node(prefix + cls)),
+            TriplePat(V(lv), Node(prefix + pred), V(subjV))),
+          args, subs, subjV, path)
+      case Sel(f, args, subs)
+          if subs.nonEmpty && subs.forall(isAggSel) &&
+            subs.exists(_.name != "_count") && !args.exists(_._1 == "path") =>
+        compileAggLink(f, lv => Seq(
+            TriplePat(V(subjV), Node(prefix + f), V(lv))),
+          args, subs, subjV, path)
       case Sel(name @ BackLink(pred, cls), args, Seq(Sel("_count", cargs, Nil))) =>
         require(cargs.isEmpty, "_count takes no arguments")
         val lv = "__" + fieldVar(path, name)

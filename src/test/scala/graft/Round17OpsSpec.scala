@@ -166,6 +166,74 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("k-truss: K4 survives at k=4, pendant and lone triangle peel away") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: every edge in 2 triangles → 4-truss (support ≥ 2).
+    // The lone triangle {4,5,6} (support 1 each) and pendant (6,7)
+    // peel in round 1; round 2 removes nothing (fixpoint).
+    val k4 = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    val extra = Seq((4, 5), (5, 6), (4, 6), (6, 7))
+    val edges = (k4 ++ extra).toDF("a", "b")
+    val got = graft.operators.KTruss.kTruss(edges, k = 4, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == k4.toSet)
+    assert(got.values.forall(_ == 2L))
+    // not converged within rounds → raises rather than truncating
+    val e = intercept[IllegalArgumentException] {
+      // a long chain of triangles peels one layer per round
+      val chain = (0 until 12).flatMap(i =>
+        Seq((i, i + 1), (i + 1, i + 2), (i, i + 2)))
+      graft.operators.KTruss.kTruss(chain.toDF("a", "b"), k = 4, rounds = 2)
+    }
+    assert(e.getMessage.contains("still removing"))
+  }
+
+  test("logistic calibration bins restate the scored frame exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = graft.llm.Classifier.logistic(docs, "en", 8, 3, 16L)
+      .select(col("score_micro"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = scored.groupBy(s => math.min(s._1 / 100000, 9L))
+      .map { case (bin, xs) =>
+        bin -> ((xs.size.toLong, xs.map(_._1).sum / xs.size,
+          xs.map(_._2).sum * 1000000L / xs.size))
+      }
+    val got = graft.llm.Classifier.calibration(docs, "en", 8, 3, 16L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("GraphQL per-link aggregates: one GroupStats conjunct, exact sums") {
+    implicit val ctx: graft.core.Ctx =
+      graft.Graft.ctx(spark, "/root/testdata/sf0.001")
+    val q =
+      """{ Nation(filter: {n_name: {startsWith: "NATION_1"}}) {
+        |    n_name
+        |    _c_nationkey_of_Customer {
+        |      _count
+        |      _sum(field: "c_custkey")
+        |      _min(field: "c_acctbal") } } }""".stripMargin
+    val (_, df) = graft.server.GraphQL.run(q)
+    val got = df.select(col("n_name").getField("str"),
+        col("_c_nationkey_of_Customer__count").getField("lng"),
+        // integer-typed field → the exact-decimal sum path
+        col("_c_nationkey_of_Customer__sum_c_custkey").getField("dec")
+          .cast("long"),
+        col("_c_nationkey_of_Customer__min_c_acctbal").getField("dbl"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val want = nat.filter(col("n_name").startsWith("NATION_1"))
+      .join(cust, col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)), sum(col("c_custkey")), min(col("c_acctbal")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming URL canon equals the batch table") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
