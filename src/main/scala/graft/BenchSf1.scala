@@ -28,7 +28,8 @@ object BenchSf1 {
     // r17 additions — sf1 rows land in the SAME round they ship
     "graph_hits", "graph_dag_longest", "graph_resource_alloc",
     "mm_decode_tiff", "dedup_containment_exact", "stream_url_canon",
-    "graph_ktruss", "llm_calibration", "ext_graphql_agg_links")
+    "graph_ktruss", "llm_calibration", "ext_graphql_agg_links",
+    "llm_pipeline_v5", "sim_range_lsh")
 
   /** Heavyweight list DERIVED from the latest driver battery: top-N
     * entries by gate time in the newest `BENCH_r*.json`, plus

@@ -101,6 +101,43 @@ object Pipeline {
         sum(col("n_tok_clean")).as("n_tokens_clean"))
   }
 
+  /** Pipeline v5 — the round-17 composition, the web-crawl FRONT
+    * DOOR: the dedup signals a crawler has before any content-level
+    * work, cheapest first:
+    *
+    *   canonical-URL dedup (min doc_id per canon URL — one groupBy
+    *   over a codegen'd projection, no content touched) →
+    *   exact-containment dedup (rare-shingle posting contract; the
+    *   higher doc_id of each cont ≥ threshold pair drops — the house
+    *   pair rule) → quality gate → per-lang (n_docs, n_tokens).
+    *
+    * One declarative plan; URL dedup costs one shuffle on the canon
+    * string, containment is the df-capped inverted-index join, the
+    * gate is a narrow scan, the rollup one tiny aggregate. Nothing
+    * all-pairs, nothing driver-side. */
+  def urlContainCleanStats(docs: DataFrame,
+                           url: org.apache.spark.sql.Column,
+                           contThresholdMicro: Long = 600000L,
+                           maxDf: Long = 24L): DataFrame = {
+    val keepU = TextAnalysis.urlDedup(docs, url)
+      .select(col("min_doc_id").as("doc_id"))
+    // pinned: the URL-kept corpus feeds the containment index, both
+    // verify sides AND the final semi-joins
+    val d1 = graft.util.Scratch.track(
+      docs.join(keepU, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val losers = Dedup.containmentPairs(d1, contThresholdMicro, maxDf)
+      .select(col("db").as("doc_id")).distinct()
+    val d2 = d1.join(losers, Seq("doc_id"), "left_anti")
+    val q = TextAnalysis.quality(d2)
+      .where(col("stop_ratio") <= 0.5 && col("mean_tok_len") >= 2.0)
+    d2.join(q.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tokens"))
+  }
+
   /** Pipeline v2 — [[cleanCorpus]] composed with the deterministic
     * holdout split and the per-split accounting a training run
     * consumes: (split, n_docs, total_tokens). Still ONE declarative

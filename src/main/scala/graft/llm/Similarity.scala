@@ -156,6 +156,29 @@ object Similarity {
       .select(col("q"), col("cand"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** LSH-bucketed cosine RANGE search — [[lshTopK]]'s sibling for the
+    * "everything at least this similar" question (dedup sweeps,
+    * recall-bounded retrieval, near-dup audits): every corpus vector
+    * with cosine ≥ `threshold` of each query. Same SRP bucket +
+    * hamming-1 multi-probe candidate join, then a pure FILTER — no
+    * per-query window/sort anywhere, so the whole 100 TB cost is the
+    * candidate equi-join (∝ corpus/2^nbits per query). */
+  def lshRange(emb: DataFrame, isQuery: Column, threshold: Double,
+               nbits: Int = 6, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else embDim(emb)
+    val bucketed = emb.withColumn("__b", srpBucket(col("embedding"), d, nbits))
+    val probes = array((lit(0L) +: (0 until nbits).map(j => lit(1L << j))): _*)
+    val q = bucketed.where(isQuery)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"),
+        explode(transform(probes, m => col("__b").bitwiseXOR(m))).as("__b"))
+    val c = bucketed.select(col("vec_id").as("cand"),
+      col("embedding").as("ce"), col("__b"))
+    broadcast(q).join(c, Seq("__b")).where(col("q") =!= col("cand"))
+      .withColumn("sim", cos(col("qe"), col("ce")))
+      .where(col("sim") >= threshold)
+      .select(col("q"), col("cand"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Symmetric int8 scalar quantization: x → clamp(floor(x·256), −128,
     * 127). `floor` (not `round`) so the oracle replays bit-exactly; the
     * codes stay doubles holding exact integers, so every downstream dot

@@ -372,6 +372,11 @@ object ExtQueries {
       Similarity.ivfTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5, nprobe = 2)),
     "sim_topk_lsh" -> ((s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), col("vec_id") < 10, 5, dim = 64)),
+    // RANGE search: every bucket-mate with cosine ≥ 0.25 — a pure
+    // candidate-join + filter, no per-query window at all
+    "sim_range_lsh" -> ((s, d) =>
+      Similarity.lshRange(t(s, d, "embeddings"), col("vec_id") < 10, 0.25,
+        dim = 64)),
     "sim_topk_sq8" -> ((s, d) =>
       Similarity.sq8TopK(t(s, d, "embeddings"), col("vec_id") < 10, 5)),
     // IVF over a TRAINED codebook (kmeansSq8 cells, no label crutch) —
@@ -908,6 +913,13 @@ object ExtQueries {
     "llm_pipeline_v4" -> ((s, d) =>
       graft.llm.Pipeline.decontamCleanStats(t(s, d, "documents"),
         col("doc_id") % 50 === 0)),
+
+    // v5: the web-crawl front door — canonical-URL dedup →
+    // exact-containment dedup (posting contract) → quality gate →
+    // per-lang accounting (the round-17 stages composed)
+    "llm_pipeline_v5" -> ((s, d) =>
+      graft.llm.Pipeline.urlContainCleanStats(t(s, d, "documents"),
+        graft.llm.TextAnalysis.syntheticUrl(col("doc_id")))),
 
     // fixed-grid histogram quantiles per event_type: the histogram
     // cardinality is the GRID, not the rows — mergeable, rollup-ready
@@ -3024,6 +3036,18 @@ object ExtQueries {
         | SELECT a3.vec_id, a3.cid AS cluster, (dup.vb IS NULL) AS kept
         | FROM a3 LEFT JOIN dup ON a3.vec_id = dup.vb""".stripMargin),
 
+    // range search: identical candidate generation, sim filter
+    // instead of the row_number cut
+    "sim_range_lsh" ->
+      s"""WITH ${srpBuckSql(6)}
+        | SELECT q, cand, round(sim, 6) AS sim FROM (
+        |  SELECT a.vec_id AS q, b.vec_id AS cand,
+        |   list_dot_product(a.emb, b.emb) /
+        |     (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+        |  FROM buck a JOIN buck b
+        |    ON bit_count(xor(a.b, b.b)) <= 1 AND a.vec_id < 10 AND a.vec_id != b.vec_id)
+        | WHERE sim >= 0.25""".stripMargin,
+
     "sim_topk_lsh" ->
       s"""WITH ${srpBuckSql(6)}
         | SELECT q, cand, rank, round(sim, 6) AS sim FROM (
@@ -3335,6 +3359,43 @@ object ExtQueries {
         | SELECT d.lang, count(*) AS n_docs,
         |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
         | FROM surv JOIN documents d USING (doc_id) GROUP BY 1""".stripMargin),
+
+    // v5: canonical-URL dedup (min doc per canon) → exact-containment
+    // dedup (df ≤ 24 posting contract, higher doc_id of a pair drops)
+    // → quality gate → per-lang accounting — every stage's CTE is its
+    // standalone oracle's, composed
+    "llm_pipeline_v5" ->
+      s"""WITH cu AS (SELECT min(doc_id) AS doc_id FROM (
+        |   SELECT doc_id,
+        |    'https://example.com/doc/' || (doc_id % 40) || '?a=1&b=2' AS canon
+        |   FROM documents) GROUP BY canon),
+        | d1 AS (SELECT d.doc_id, d.text, d.lang
+        |   FROM documents d JOIN cu USING (doc_id)),
+        | shv AS (SELECT doc_id, $shSql AS shs FROM d1),
+        | pv AS (SELECT doc_id, unnest(shs) AS g FROM shv),
+        | dfv AS (SELECT g, count(*) AS df FROM pv GROUP BY 1),
+        | rv AS (SELECT p.doc_id, p.g FROM pv p JOIN dfv USING (g)
+        |   WHERE dfv.df <= 24),
+        | cv AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |   FROM rv x JOIN rv y ON x.g = y.g AND x.doc_id < y.doc_id),
+        | dropv AS (SELECT DISTINCT c.db AS doc_id FROM cv c
+        |   JOIN shv a ON a.doc_id = c.da JOIN shv b ON b.doc_id = c.db
+        |   WHERE CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) * 1000000
+        |     // least(len(a.shs), len(b.shs)) >= 600000),
+        | d2 AS (SELECT * FROM d1
+        |   WHERE doc_id NOT IN (SELECT doc_id FROM dropv)),
+        | qv AS (SELECT doc_id,
+        |   round(len(list_filter($toksSql, x -> list_contains(
+        |     ['the','a','of','and','to','in','is','it'], x))) * 1.0 / len($toksSql), 6)
+        |     AS stop_ratio,
+        |   round(list_sum(list_transform($toksSql, x -> length(x))) * 1.0
+        |     / len($toksSql), 6) AS mean_tok_len
+        |  FROM d2),
+        | g2 AS (SELECT d.doc_id, d.text, d.lang FROM d2 d JOIN qv USING (doc_id)
+        |  WHERE qv.stop_ratio <= 0.5 AND qv.mean_tok_len >= 2.0)
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+        | FROM g2 GROUP BY 1""".stripMargin,
 
     // v3: quality gate → CDC span-strip rewrite → cluster-granular
     // split → per-split accounting; fully-duplicated docs vanish

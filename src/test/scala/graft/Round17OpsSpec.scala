@@ -204,6 +204,44 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("pipeline v5: URL dedup, containment drop and quality gate compose") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat today", "en"),      // kept
+      (1L, "alpha beta gamma delta epsilon zeta", "en"), // kept
+      (2L, "totally different content about dogs", "en"), // URL dup of 0
+      (3L, "intro alpha beta gamma delta epsilon zeta outro words", "en"),
+      // ^ contains doc 1's shingles (cont = 1.0) → dropped (higher id)
+      (4L, "a a a a a a", "en"),                        // stop_ratio 1 → gated
+      (5L, "mots francais interessants ici", "fr"))     // kept
+      .toDF("doc_id", "text", "lang")
+    val url = when(col("doc_id").isin(0L, 2L), lit("https://x/0"))
+      .otherwise(concat(lit("https://x/"), col("doc_id")))
+    val got = graft.llm.Pipeline.urlContainCleanStats(docs, url)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map("en" -> ((2L, 13L)), "fr" -> ((1L, 4L))))
+  }
+
+  test("LSH range search: all pairs at threshold, subset of brute pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = graft.llm.Similarity
+      .lshRange(emb, col("vec_id") < 10, 0.25, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(_ >= 0.25 - 1e-6))
+    // subset law: every range hit appears among the brute pairs at the
+    // same rounded cosine (range adds the bucket restriction only)
+    val brute = graft.llm.Similarity
+      .bruteTopK(emb, col("vec_id") < 10, 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    got.foreach { case (pair, sim) =>
+      assert(math.abs(brute(pair) - sim) < 1e-9, s"pair $pair sim mismatch")
+    }
+  }
+
   test("GraphQL per-link aggregates: one GroupStats conjunct, exact sums") {
     implicit val ctx: graft.core.Ctx =
       graft.Graft.ctx(spark, "/root/testdata/sf0.001")
