@@ -29,7 +29,7 @@ object BenchSf1 {
     "graph_hits", "graph_dag_longest", "graph_resource_alloc",
     "mm_decode_tiff", "dedup_containment_exact", "stream_url_canon",
     "graph_ktruss", "llm_calibration", "ext_graphql_agg_links",
-    "llm_pipeline_v5", "sim_range_lsh")
+    "llm_pipeline_v5", "sim_range_lsh", "stream_calibration")
 
   /** Heavyweight list DERIVED from the latest driver battery: top-N
     * entries by gate time in the newest `BENCH_r*.json`, plus

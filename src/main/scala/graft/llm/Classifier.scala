@@ -130,57 +130,107 @@ object Classifier {
     *
     * Returns (doc_id, lang, y, score_micro, pred): the final-round
     * sigmoid score in micro-units and the 0.5-threshold prediction. */
-  def logistic(docs: DataFrame, targetLang: String = "en",
-               buckets: Int = 8, rounds: Int = 3,
-               stepDiv: Long = 16L): DataFrame = {
-    require(buckets >= 2 && rounds >= 1 && stepDiv >= 1)
+  // feature frame (doc_id, b, cnt): hashed-unigram counts + a bias
+  // feature in bucket `buckets` with cnt 1 for every document
+  private def featFrame(docs: DataFrame, buckets: Int): DataFrame = {
     val bucket = (t: org.apache.spark.sql.Column) =>
       pmod(Dedup.hash32(t), lit(buckets.toLong))
-    // integer feature rows (doc_id, b, cnt): hashed-unigram counts
-    // (dsirWeights' bucket hash — whitespace tokens) + a bias feature
-    // in bucket `buckets` with cnt 1 for every document
-    val feat = graft.util.Scratch.track(docs
+    graft.util.Scratch.track(docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
       .select(col("doc_id"), bucket(col("t")).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
       .unionByName(docs.select(col("doc_id"),
         lit(buckets.toLong).as("b"), lit(1L).as("cnt")))
       .persist())
-    // null lang is the NEGATIVE class (y=0), matching the oracle's SQL
-    // CASE semantics — a bare `===` would yield NULL y and silently
-    // drop those documents' gradient rows (sum skips nulls)
-    val y = docs.select(col("doc_id"),
+  }
+
+  // null lang is the NEGATIVE class (y=0), matching the oracle's SQL
+  // CASE semantics — a bare `===` would yield NULL y and silently
+  // drop those documents' gradient rows (sum skips nulls)
+  private def yFrame(docs: DataFrame, targetLang: String): DataFrame =
+    docs.select(col("doc_id"),
       coalesce((col("lang") === targetLang).cast(LongType), lit(0L)).as("y"))
-    val n = docs.count()
-    val w = Array.fill(buckets + 1)(0L) // micro-units
-    // exact long logit under the current weights, then the clamped
-    // sigmoid rounded AT the integer boundary (micro-units)
-    def scoreCols(ws: Array[Long]): DataFrame = {
-      val wCol = map(ws.zipWithIndex.flatMap { case (wj, j) =>
-        Seq(lit(j.toLong), lit(wj)) }.toIndexedSeq: _*)
-      feat.select(col("doc_id"), (col("cnt") * element_at(wCol, col("b"))).as("zz"))
-        .groupBy(col("doc_id")).agg(sum(col("zz")).as("z"))
-        .select(col("doc_id"),
-          round(lit(1000000.0) / (lit(1.0) +
-            exp(-least(greatest(col("z"), lit(-20000000L)), lit(20000000L))
-              .cast(DoubleType) / lit(1000000.0))), 0)
-            .cast(LongType).as("p"))
-    }
-    for (_ <- 1 to rounds) {
-      val grads = feat.join(y, "doc_id").join(scoreCols(w), "doc_id")
-        .groupBy(col("b"))
-        .agg(sum(col("cnt") * (col("y") * lit(1000000L) - col("p"))).as("g"))
-        .collect() // B+1 rows — bounded by construction
-      grads.foreach { r =>
-        val (b, g) = (r.getLong(0).toInt, r.getLong(1))
-        val d = n * stepDiv
-        w(b) += (if (g >= 0) g / d else -((-g) / d)) // trunc toward zero
+
+  // exact long logit under the given weights, then the clamped
+  // sigmoid rounded AT the integer boundary (micro-units)
+  private def scoreWith(feat: DataFrame, ws: Array[Long]): DataFrame = {
+    val wCol = map(ws.zipWithIndex.flatMap { case (wj, j) =>
+      Seq(lit(j.toLong), lit(wj)) }.toIndexedSeq: _*)
+    feat.select(col("doc_id"), (col("cnt") * element_at(wCol, col("b"))).as("zz"))
+      .groupBy(col("doc_id")).agg(sum(col("zz")).as("z"))
+      .select(col("doc_id"),
+        round(lit(1000000.0) / (lit(1.0) +
+          exp(-least(greatest(col("z"), lit(-20000000L)), lit(20000000L))
+            .cast(DoubleType) / lit(1000000.0))), 0)
+          .cast(LongType).as("p"))
+  }
+
+  // trained-weight artifacts memoized per canonical corpus plan +
+  // hyper-params (the codebook discipline): a streaming scorer and
+  // the batch query train ONCE and serve the identical weights
+  private val wMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** Train the logistic and return the WEIGHT ARTIFACT (B+1 micro-unit
+    * longs, bias last) — the serve-side object a streaming scorer
+    * broadcasts. Bit-replayable integer GD; memoized per corpus plan. */
+  def trainLogisticWeights(docs: DataFrame, targetLang: String = "en",
+                           buckets: Int = 8, rounds: Int = 3,
+                           stepDiv: Long = 16L): Array[Long] = {
+    require(buckets >= 2 && rounds >= 1 && stepDiv >= 1)
+    val key = Clustering.planKey(docs) +
+      s"|lr|$targetLang|$buckets|$rounds|$stepDiv"
+    wMemo.computeIfAbsent(key, _ => {
+      val feat = featFrame(docs, buckets)
+      val y = yFrame(docs, targetLang)
+      val n = docs.count()
+      val w = Array.fill(buckets + 1)(0L) // micro-units
+      for (_ <- 1 to rounds) {
+        val grads = feat.join(y, "doc_id").join(scoreWith(feat, w), "doc_id")
+          .groupBy(col("b"))
+          .agg(sum(col("cnt") * (col("y") * lit(1000000L) - col("p"))).as("g"))
+          .collect() // B+1 rows — bounded by construction
+        grads.foreach { r =>
+          val (b, g) = (r.getLong(0).toInt, r.getLong(1))
+          val d = n * stepDiv
+          w(b) += (if (g >= 0) g / d else -((-g) / d)) // trunc toward zero
+        }
       }
-    }
+      w
+    })
+  }
+
+  def logistic(docs: DataFrame, targetLang: String = "en",
+               buckets: Int = 8, rounds: Int = 3,
+               stepDiv: Long = 16L): DataFrame = {
+    val w = trainLogisticWeights(docs, targetLang, buckets, rounds, stepDiv)
     docs.select(col("doc_id"), col("lang"))
-      .join(y, "doc_id").join(scoreCols(w), "doc_id")
+      .join(yFrame(docs, targetLang), "doc_id")
+      .join(scoreWith(featFrame(docs, buckets), w), "doc_id")
       .select(col("doc_id"), col("lang"), col("y"),
         col("p").as("score_micro"), (col("p") >= 500000L).as("pred"))
+  }
+
+  /** Per-doc logistic score as a PURE NARROW PROJECTION over a trained
+    * weight artifact — no feature shuffle at all: the logit folds over
+    * the token array with the `aggregate` HOF (Σ_t w[bucket(t)] + bias
+    * — the same integer sum the feature-frame scoring computes, so the
+    * two paths are bit-identical). The streaming/serving scorer: one
+    * codegen'd projection per arriving document. */
+  def scoreProjected(docs: DataFrame, ws: Array[Long],
+                     targetLang: String, buckets: Int): DataFrame = {
+    val wCol = map(ws.zipWithIndex.flatMap { case (wj, j) =>
+      Seq(lit(j.toLong), lit(wj)) }.toIndexedSeq: _*)
+    val toks = split(trim(col("text")), "\\s+")
+    val z = aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(wCol, pmod(Dedup.hash32(t), lit(buckets.toLong)))) +
+      lit(ws(buckets))
+    docs.select(col("doc_id"), col("lang"),
+      coalesce((col("lang") === targetLang).cast(LongType), lit(0L)).as("y"),
+      round(lit(1000000.0) / (lit(1.0) +
+        exp(-least(greatest(z, lit(-20000000L)), lit(20000000L))
+          .cast(DoubleType) / lit(1000000.0))), 0)
+        .cast(LongType).as("score_micro"))
   }
 
   /** Calibration table of the trained logistic's scores — the

@@ -1325,6 +1325,13 @@ object ExtQueries {
       graft.llm.Classifier.calibration(t(s, d, "documents"),
         targetLang = "en", buckets = 8, rounds = 3, stepDiv = 16L)),
 
+    // STREAMING calibration twin: weights trained once on the static
+    // corpus (memoized artifact), arrivals score as a narrow
+    // aggregate-HOF projection, bins fold as linear running sums —
+    // batch-split independent, shares llm_calibration's oracle
+    "stream_calibration" -> ((s, d) =>
+      graft.streaming.Events.streamingCalibration(s, d)),
+
     // k-truss of the quarter-sampled co-order parts graph (every edge
     // in ≥ k−2 triangles within the subgraph — the triangle-strength
     // community core one level above k-core); peel to fixpoint with
@@ -4474,6 +4481,15 @@ object ExtQueries {
     // calibration: decile bins over the SAME unrolled descent's final
     // scores; all-integer bin stats (// is DuckDB integer division)
     "llm_calibration" -> logisticSql(buckets = 8, rounds = 3, stepDiv = 16L,
+      tail = """SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(p) // count(*) AS BIGINT) AS mean_score_micro,
+        | CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_micro
+        | FROM (SELECT least(pf.p // 100000, 9) AS bin, pf.p AS p, yv.y AS y
+        |   FROM pf JOIN yv USING (doc_id))
+        | GROUP BY bin""".stripMargin),
+
+    // streaming calibration ≡ batch calibration (linear bin sums)
+    "stream_calibration" -> logisticSql(buckets = 8, rounds = 3, stepDiv = 16L,
       tail = """SELECT bin, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(p) // count(*) AS BIGINT) AS mean_score_micro,
         | CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_micro

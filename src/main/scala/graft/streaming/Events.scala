@@ -723,6 +723,55 @@ object Events {
       graft.llm.TextAnalysis.syntheticUrl(col("doc_id"))), "complete")
   }
 
+  /** STREAMING logistic CALIBRATION — the serving-side twin of
+    * `llm_calibration`: the weight artifact trains ONCE on the static
+    * corpus (memoized, the production train-once-serve-forever shape),
+    * then each arriving document scores as a pure narrow projection
+    * ([[graft.llm.Classifier.scoreProjected]] — the logit folds over
+    * the token array, NO feature shuffle, so it is legal inside a
+    * streaming query) and folds into a running per-decile-bin
+    * (n, Σscore, Σy) aggregate. Counts and sums are linear in the
+    * arrival split, so the final table equals the batch calibration
+    * bit for bit and shares its oracle. */
+  def streamingCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    applyStateStore(spark)
+    val srcFile = new java.io.File(s"$sfDir/documents.parquet")
+    val stageDir = new java.io.File(
+      sys.env.getOrElse("GRAFT_EAV_CACHE", "/root/repo/target/eav") +
+        "/docstream_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + graft.util.Fingerprint.of(srcFile.getPath))
+    val parts: Seq[java.io.File] =
+      if (srcFile.isDirectory)
+        Option(srcFile.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      else Seq(srcFile)
+    if (!stageDir.exists() ||
+        Option(stageDir.list()).forall(_.count(_.endsWith(".parquet")) < parts.size)) {
+      stageDir.mkdirs()
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(stageDir, f"part-$i%05d.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val static = spark.read.parquet(srcFile.getPath)
+    val w = graft.llm.Classifier.trainLogisticWeights(static, "en", 8, 3, 16L)
+    val schema = static.schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.getAbsolutePath)
+    val binned = graft.llm.Classifier.scoreProjected(src, w, "en", 8)
+      .select(least(expr("score_micro div 100000"), lit(9L)).as("bin"),
+        col("score_micro"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score_micro")).as("__ss"),
+        sum(col("y")).as("__np"))
+    runToTable(spark, binned, "complete")
+      .select(col("bin"), col("n"),
+        expr("__ss div n").as("mean_score_micro"),
+        expr("__np * 1000000L div n").as("pos_rate_micro"))
+  }
+
   /** STREAMING WordPiece ENCODE: the trained merge table (the
     * memoized artifact fitted on the STATIC corpus — the production
     * train-once-serve-forever shape) applied per micro-batch as

@@ -272,6 +272,28 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("projected scoring and streaming calibration equal the batch path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = graft.llm.Classifier.trainLogisticWeights(docs, "en", 8, 3, 16L)
+    // the aggregate-HOF projection is bit-identical to the
+    // feature-frame scoring (same integer sum, same sigmoid rounding)
+    val batch = graft.llm.Classifier.logistic(docs, "en", 8, 3, 16L)
+      .select(col("doc_id"), col("score_micro"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val proj = graft.llm.Classifier.scoreProjected(docs, w, "en", 8)
+      .select(col("doc_id"), col("score_micro"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(proj == batch && proj.nonEmpty)
+    val bc = graft.llm.Classifier.calibration(docs, "en", 8, 3, 16L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val sc = graft.streaming.Events
+      .streamingCalibration(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(sc == bc)
+  }
+
   test("streaming URL canon equals the batch table") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
