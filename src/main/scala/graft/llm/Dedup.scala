@@ -385,19 +385,33 @@ object Dedup {
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db"))))
     var labels = cp(ids.select(col("doc_id"))
       .withColumn("cluster", col("doc_id")))
+    // Broadcast hint for the V-sized label/neighbor-min frames: below
+    // the cap (same knob family as the path engine's broadcast rows)
+    // each round's edges ⋈ labels probes the checkpointed edge blocks
+    // map-side and the label left-join builds the (≤ V-row) nmin table
+    // map-side — per round ONE exchange (the da aggregate) instead of
+    // four. The label count is exact (checkpointed seed, counted once;
+    // labels stay V-sized every round); above the cap both joins fall
+    // back to shuffles, so billion-node graphs keep the shuffle shape.
+    val bcap = sys.props.get("graft.cc.broadcastRows")
+      .orElse(sys.env.get("GRAFT_CC_BROADCAST_ROWS"))
+      .map(_.toLong).getOrElse(2000000L)
+    val vCount = labels.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (vCount < bcap) broadcast(df) else df
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxRounds) {
       i += 1
       val nbrMin = edges
-        .join(labels.select(col("doc_id").as("db"), col("cluster").as("nc")),
+        .join(hinted(labels.select(col("doc_id").as("db"), col("cluster").as("nc"))),
           Seq("db"))
         .groupBy(col("da")).agg(min(col("nc")).as("nmin"))
         .withColumnRenamed("da", "doc_id")
       // the change flag rides INSIDE the label join (one join per
       // round, counted over the checkpointed blocks) — a separate
       // next⋈labels diff join doubled the per-round join count
-      val next = cp(labels.join(nbrMin, Seq("doc_id"), "left")
+      val next = cp(labels.join(hinted(nbrMin), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("__chg")))
