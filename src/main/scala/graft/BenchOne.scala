@@ -37,6 +37,13 @@ object BenchOne {
           sys.env.getOrElse("GRAFT_AQE_ADVISORY", "1m"))
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     }
+    // A/B toggle: GRAFT_SHJ=<bytes> allows the planner to pick shuffled
+    // hash join and lets AQE convert sort-merge to shuffled-hash when
+    // every post-shuffle partition is under the threshold (guide §3.1)
+    sys.env.get("GRAFT_SHJ").foreach { t =>
+      builder.config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", t)
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val _ = Graft.ctx(spark, sfDir) // warm

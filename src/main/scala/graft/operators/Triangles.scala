@@ -72,13 +72,13 @@ object Triangles {
     // unordered pair once)
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
     val o2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
-    val wedges = o1.join(o2, Seq("src"))
+    val wedges = o1.join(o2.hint("shuffle_hash"), Seq("src"))
       .where(col("dv") < col("dw") ||
              (col("dv") === col("dw") && col("v") < col("w")))
     // close the wedge: oriented edge v→w must exist (orientation of
     // {v,w} is v→w exactly because v ≺ w)
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w"))
+    val tris = wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
       .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
     // per-node participation: each triangle credits its 3 corners
     val perNode = tris
