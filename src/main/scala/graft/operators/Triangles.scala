@@ -250,7 +250,8 @@ object Triangles {
       .where(col("dn") <= maxCenterDeg)
       .select(col("v"), col("n"))
     val pairs = centers.select(col("n"), col("v").as("pa"))
-      .join(centers.select(col("n"), col("v").as("pb")), Seq("n"))
+      .join(centers.select(col("n"), col("v").as("pb")).hint("shuffle_hash"),
+        Seq("n"))
       .where(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("common"))
       .where(col("common") >= minCommon)
@@ -293,7 +294,8 @@ object Triangles {
       .where(col("dn") <= maxCenterDeg)
       .select(col("v"), col("n"), expr("1000000L div dn").as("w"))
     centers.select(col("n"), col("v").as("pa"), col("w"))
-      .join(centers.select(col("n"), col("v").as("pb")), Seq("n"))
+      .join(centers.select(col("n"), col("v").as("pb")).hint("shuffle_hash"),
+        Seq("n"))
       .where(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_micro"))
