@@ -52,7 +52,17 @@ final case class Ctx(
 object Compiler {
   import Vals._
 
-  final case class BF(df: DataFrame, vars: Set[String], isUnit: Boolean = false)
+  /** `iriVars` tracks which binding columns are IRI-ONLY BY
+    * CONSTRUCTION — built via `iriVal` (kind 'i', `iri` set, every
+    * other field null): subject/predicate bindings and their
+    * equality-copies. For two such columns, struct equality ⟺ equality
+    * of the `iri` field alone, so [[conj]] can join on the narrow
+    * string key instead of hashing/sorting the full 10-field
+    * normalized struct. Conservative: any operator that does not
+    * explicitly propagate the set resets it to empty, which only
+    * forfeits the optimization, never correctness. */
+  final case class BF(df: DataFrame, vars: Set[String], isUnit: Boolean = false,
+                      iriVars: Set[String] = Set.empty)
 
   def unit(ctx: Ctx): BF = BF(ctx.spark.range(1).select(), Set.empty, isUnit = true)
 
@@ -113,9 +123,26 @@ object Compiler {
           // Catalyst can't see a multiplying key — the armed
           // join-cardinality pre-flight does (keys-sized work)
           Preflight.joinCard(cur.df, nxt.df, shared)
-          cur.df.join(nxt.df, shared, "inner")
+          if (shared.forall(v => cur.iriVars(v) && nxt.iriVars(v))) {
+            // iri fast path: every shared var is iri-only on BOTH sides
+            // (kind 'i', all non-iri fields null by construction), so
+            // joining on the `iri` strings is exactly the struct join —
+            // the exchange hashes and the merge sort compare one string
+            // per key instead of a 10-field normalized struct (measured
+            // as the dominant cost of the EAV self-join entries). Output
+            // keeps the LEFT copy of each shared binding, like the
+            // using-columns join it replaces.
+            val rn = nxt.df.select(nxt.df.columns.map(c =>
+              if (shared.contains(c)) col(c).as(s"__r_$c") else col(c)).toSeq: _*)
+            val cond = shared.map(v =>
+              col(v).getField("iri") === col(s"__r_$v").getField("iri"))
+              .reduce(_ && _)
+            cur.df.join(rn, cond, "inner")
+              .select((cur.df.columns.map(col) ++
+                nxt.df.columns.filterNot(shared.contains).map(col)).toSeq: _*)
+          } else cur.df.join(nxt.df, shared, "inner")
         }
-      BF(df, cur.vars ++ nxt.vars)
+      BF(df, cur.vars ++ nxt.vars, iriVars = cur.iriVars ++ nxt.iriVars)
     }
   }
 
@@ -172,7 +199,12 @@ object Compiler {
     bind(s, iriVal(col("s")))
     bind(p, iriVal(col("p")))
     bind(o, objVal)
-    BF(df.select(proj.map { case (n, c) => c.as(n) }.toSeq: _*), proj.keySet.toSet)
+    // subject/predicate bindings are iriVal-constructed — iri-only by
+    // construction (bind order: s, p first, so a variable repeated in
+    // the object position keeps the iri binding and adds a filter)
+    val iriBound = Seq(s, p).collect { case V(n) => n }.toSet
+    BF(df.select(proj.map { case (n, c) => c.as(n) }.toSeq: _*),
+      proj.keySet.toSet, iriVars = iriBound intersect proj.keySet)
   }
 
   /** Left-outer extension of `cur` by `inner` (inner's frame already
@@ -568,17 +600,23 @@ object Compiler {
 
     case Select(vars, sub) =>
       val inner = compile(sub, cur)
-      BF(inner.df.select(vars.map(col): _*), vars.toSet)
+      BF(inner.df.select(vars.map(col): _*), vars.toSet,
+        iriVars = inner.iriVars intersect vars.toSet)
 
     case Distinct(vars, sub) =>
       val inner = compile(sub, cur)
-      BF(inner.df.select(vars.map(col): _*).dropDuplicates(vars), vars.toSet)
+      BF(inner.df.select(vars.map(col): _*).dropDuplicates(vars), vars.toSet,
+        iriVars = inner.iriVars intersect vars.toSet)
 
     case Eq(a, b) => (a, b) match {
       case (V(x), V(y)) if cur.vars(x) && cur.vars(y) =>
-        BF(cur.df.filter(col(x) === col(y)), cur.vars)
-      case (V(x), V(y)) if cur.vars(x) => BF(cur.df.withColumn(y, col(x)), cur.vars + y)
-      case (V(x), V(y)) if cur.vars(y) => BF(cur.df.withColumn(x, col(y)), cur.vars + x)
+        BF(cur.df.filter(col(x) === col(y)), cur.vars, iriVars = cur.iriVars)
+      case (V(x), V(y)) if cur.vars(x) => BF(cur.df.withColumn(y, col(x)),
+        cur.vars + y,
+        iriVars = if (cur.iriVars(x)) cur.iriVars + y else cur.iriVars)
+      case (V(x), V(y)) if cur.vars(y) => BF(cur.df.withColumn(x, col(y)),
+        cur.vars + x,
+        iriVars = if (cur.iriVars(y)) cur.iriVars + x else cur.iriVars)
       case (V(x), V(y)) => throw new IllegalArgumentException(
         s"eq($x, $y): at least one side must be bound — unbound-unbound " +
           "aliasing has no solutions to enumerate in a set-oriented engine")
