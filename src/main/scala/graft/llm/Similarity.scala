@@ -75,9 +75,16 @@ object Similarity {
     var sel = pool0.withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
       .select(col("q"), col("cand"), lit(1L).as("step"),
         (lit(7L) * col("sim_u")).as("mmr_u"))
-    var rest = pool0.join(sel.select(col("q"), col("cand")), Seq("q", "cand"), "left_anti")
     for (i <- 2 to k) {
-      val mp = pairs.join(sel.select(col("q"), col("cand").as("cb")), Seq("q", "cb"))
+      // rest is REBUILT from the checkpointed pool each round (pool
+      // minus everything selected so far, one anti-join against the
+      // checkpointed sel) — the previous rest-chains-rest form stacked
+      // one anti-join of lineage per round, so round i re-analyzed and
+      // re-ran i anti-joins.
+      val rest = pool0.join(sel.select(col("q"), col("cand")),
+        Seq("q", "cand"), "left_anti")
+      val mp = pairs.join(sel.select(col("q"), col("cand").as("cb")),
+          Seq("q", "cb"))
         .groupBy(col("q"), col("ca").as("cand")).agg(max(col("psim_u")).as("mp"))
       val ws = Window.partitionBy(col("q")).orderBy(col("score").desc, col("cand"))
       val pick = rest.join(mp, Seq("q", "cand"))
@@ -85,7 +92,6 @@ object Similarity {
         .withColumn("rn", row_number().over(ws)).where(col("rn") === 1)
         .select(col("q"), col("cand"), lit(i.toLong).as("step"), col("score").as("mmr_u"))
       sel = graft.util.Scratch.trackCheckpoint(sel.union(pick).localCheckpoint(true))
-      rest = rest.join(sel.select(col("q"), col("cand")), Seq("q", "cand"), "left_anti")
     }
     sel
   }
