@@ -70,6 +70,31 @@ class CompilerSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.cartesian.maxRows")
   }
 
+  test("subject-shared conjunction joins on the iri field; object-shared keeps the struct key") {
+    // subject/predicate bindings are iri-only by construction, so conj
+    // takes the narrow-key fast path: the join keys are the extracted
+    // iri strings, and the struct-normalization wrapper Spark wraps
+    // around float-bearing struct keys must NOT appear in the plan
+    val subjShared = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      TriplePat(V("X"), Node("name"), V("N"))))
+    val df = Compiler.run(subjShared)
+    assert(names(subjShared, "X") == Set(":a", ":b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("knownfloatingpointnormalized"),
+      s"subject-shared conj still joins on the full value struct:\n$plan")
+    // an OBJECT-shared variable can bind any value kind — the join must
+    // stay on the full normalized struct (the fast path must not fire)
+    val objShared = And(Seq(
+      TriplePat(V("X"), Node("age"), V("A")),
+      TriplePat(V("Y"), Node("age"), V("A"))))
+    val objDf = Compiler.run(objShared)
+    assert(objDf.count() == 2) // (:a,:a,30) and (:b,:b,40)
+    val objPlan = objDf.queryExecution.executedPlan.toString
+    assert(objPlan.contains("knownfloatingpointnormalized"),
+      s"object-shared conj unexpectedly lost the struct join key:\n$objPlan")
+  }
+
   test("path edge-object variable requires the supported endpoint shape") {
     val e = intercept[IllegalArgumentException] {
       Compiler.run(PathQ(V("X"), PPred("knows"), V("Y"),
