@@ -861,90 +861,83 @@ object Multimodal {
 
   /** Executors write one ANIMATED GIF per doc — frame count, dims,
     * per-frame delay and every frame's solid color all closed-form in
-    * doc_id. Frames + loop metadata go through javax.imageio's
-    * sequence writer — the real encoder, not a hand-rolled byte
-    * layout — but each frame is handed over ALREADY INDEXED
-    * (`TYPE_BYTE_INDEXED` with an explicit two-entry
-    * `IndexColorModel`: the frame's solid color at index 0, black at
-    * index 1), so no palette decision is left to the writer's
-    * quantizer. The r16 driver battery caught the quantized
-    * `TYPE_INT_RGB` variant hash-flaking between JVMs (palette
-    * choice/metadata merge are unpinned implementation details);
-    * with a caller-supplied palette the encode is bit-deterministic
-    * — the double-encode determinism spec pins that contract. */
+    * doc_id. The byte stream is HAND-ROLLED GIF89a (logical screen,
+    * NETSCAPE loop record, per-frame GraphicControlExtension +
+    * two-entry local color table + LZW raster), the same approach the
+    * always-green WAV/MP4/MKV generators use — after two rounds of
+    * javax.imageio's sequence writer hash-flaking BETWEEN JVM sessions
+    * on identical code (r16: palette quantizer; r17: still red on the
+    * driver with a caller-supplied palette), no byte of the payload is
+    * left to library discretion. Every payload is a pure function of
+    * doc_id; the decode side ([[GifAnimCodec]], javax.imageio's gif
+    * READER) stays real and unchanged.
+    *
+    * LZW raster: min code size 2 (clear=4, eoi=5, 3-bit codes). A
+    * CLEAR is emitted before every 2 literals, so the decoder's
+    * dictionary never reaches 8 entries and every code stays exactly
+    * 3 bits — no code-width bookkeeping, bit-deterministic by
+    * construction, and valid LZW (encoders may clear at any point). */
   def withGifAnimPayload(docs: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
     val spark = docs.sparkSession
     val rows = docs.select(col("doc_id")).mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
         val nFrames = (1 + id % 4).toInt
         val w = (8 + id % 8).toInt
         val h = (8 + id % 4).toInt
-        val delayCs = 4 + id % 6
-        val writer = javax.imageio.ImageIO
-          .getImageWritersByFormatName("gif").next()
+        val delayCs = (4 + id % 6).toInt
         val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        writer.setOutput(ios)
-        val param = writer.getDefaultWriteParam
-        writer.prepareWriteSequence(null)
-        (0 until nFrames).foreach { f =>
+        def u8(v: Int): Unit = bos.write(v & 0xff)
+        def u16(v: Int): Unit = { u8(v); u8(v >> 8) } // little-endian
+        bos.write("GIF89a".getBytes("US-ASCII"))
+        u16(w); u16(h)
+        u8(0x00) // no global color table
+        u8(0)    // background color index
+        u8(0)    // pixel aspect ratio
+        // NETSCAPE 2.0 application extension: loop forever
+        u8(0x21); u8(0xff); u8(11)
+        bos.write("NETSCAPE2.0".getBytes("US-ASCII"))
+        u8(3); u8(1); u16(0); u8(0)
+        var f = 0
+        while (f < nFrames) {
           val rc = ((id * 37 + f * 11) % 256).toInt
           val gc = ((id * 59 + f * 17) % 256).toInt
           val bc = ((id * 83 + f * 23) % 256).toInt
-          // explicit palette: index 0 = the frame's solid color,
-          // index 1 = black — the raster is zero-initialized, so the
-          // whole frame IS index 0 and the writer has no color
-          // decision to make (the palette goes to the color table
-          // verbatim)
-          val cm = new java.awt.image.IndexColorModel(8, 2,
-            Array[Byte](rc.toByte, 0), Array[Byte](gc.toByte, 0),
-            Array[Byte](bc.toByte, 0))
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-          val spec = new javax.imageio.ImageTypeSpecifier(img)
-          val md = writer.getDefaultImageMetadata(spec, param)
-          val fmt = "javax_imageio_gif_image_1.0"
-          val root = md.getAsTree(fmt)
-            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          def node(name: String): javax.imageio.metadata.IIOMetadataNode = {
-            val kids = root.getChildNodes
-            var i = 0
-            while (i < kids.getLength) {
-              if (kids.item(i).getNodeName == name)
-                return kids.item(i)
-                  .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-              i += 1
-            }
-            val fresh = new javax.imageio.metadata.IIOMetadataNode(name)
-            root.appendChild(fresh)
-            fresh
+          // GraphicControlExtension: disposal none, no transparency
+          u8(0x21); u8(0xf9); u8(4); u8(0x00); u16(delayCs); u8(0); u8(0)
+          // image descriptor at (0,0), local color table of 2 entries
+          u8(0x2c); u16(0); u16(0); u16(w); u16(h); u8(0x80)
+          u8(rc); u8(gc); u8(bc) // index 0: the frame's solid color
+          u8(0); u8(0); u8(0)    // index 1: black
+          u8(2)                  // LZW minimum code size
+          val bits = new java.io.ByteArrayOutputStream()
+          var acc = 0L; var nb = 0
+          def put(code: Int): Unit = {
+            acc |= (code.toLong << nb); nb += 3
+            while (nb >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
           }
-          val gce = node("GraphicControlExtension")
-          gce.setAttribute("disposalMethod", "none")
-          gce.setAttribute("userInputFlag", "FALSE")
-          gce.setAttribute("transparentColorFlag", "FALSE")
-          gce.setAttribute("delayTime", delayCs.toString)
-          gce.setAttribute("transparentColorIndex", "0")
-          if (f == 0) { // NETSCAPE loop record on the first frame
-            val apps = node("ApplicationExtensions")
-            val app = new javax.imageio.metadata.IIOMetadataNode(
-              "ApplicationExtension")
-            app.setAttribute("applicationID", "NETSCAPE")
-            app.setAttribute("authenticationCode", "2.0")
-            app.setUserObject(Array[Byte](1, 0, 0)) // loop forever
-            apps.appendChild(app)
-            ()
+          val n = w * h
+          var i = 0
+          while (i < n) {
+            put(4)                // CLEAR: dictionary back to 6 entries
+            put(0)                // pixel (adds no entry)
+            if (i + 1 < n) put(0) // pixel (adds entry 6 → still 3-bit)
+            i += 2
           }
-          md.setFromTree(fmt, root)
-          writer.writeToSequence(
-            new javax.imageio.IIOImage(img, null, md), param)
+          put(5) // end of information
+          if (nb > 0) bits.write((acc & 0xff).toInt)
+          val raster = bits.toByteArray
+          var off = 0
+          while (off < raster.length) {
+            val len = math.min(255, raster.length - off)
+            u8(len); bos.write(raster, off, len); off += len
+          }
+          u8(0) // block terminator
+          f += 1
         }
-        writer.endWriteSequence()
-        ios.close(); writer.dispose()
+        u8(0x3b) // trailer
         Row(id, bos.toByteArray)
       }
     }(Encoders.row(schema))
@@ -1026,48 +1019,72 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
-  /** Executors write one MULTI-PAGE TIFF per doc through
-    * javax.imageio's sequence writer — page count, dims and each
-    * page's solid RGB color all closed-form in doc_id. Direct RGB
-    * sample storage means no encoder-side color decision at all;
-    * the double-encode determinism spec pins byte-stability anyway. */
+  /** Executors write one MULTI-PAGE TIFF per doc — page count, dims
+    * and each page's solid RGB color all closed-form in doc_id. The
+    * byte stream is HAND-ROLLED baseline TIFF (little-endian header,
+    * per-page uncompressed chunky-RGB strip + an IFD with the ten
+    * baseline tags, IFDs chained for the page sequence) for the same
+    * reason as [[withGifAnimPayload]]: javax.imageio's sequence writer
+    * proved session-nondeterministic on the driver box, so no byte is
+    * left to library discretion. Every payload is a pure function of
+    * doc_id; the decode side ([[TiffCodec]], javax.imageio's tiff
+    * READER) stays real and unchanged.
+    *
+    * Per-page block layout (all offsets even, as the spec requires):
+    * [BitsPerSample array 6B][pixels w·h·3, padded even][IFD 126B]. */
   def withTiffPayload(docs: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
     val spark = docs.sparkSession
     val rows = docs.select(col("doc_id")).mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
         val nPages = (1 + id % 3).toInt
         val w = (6 + id % 6).toInt
         val h = (6 + id % 3).toInt
-        val writer = javax.imageio.ImageIO
-          .getImageWritersByFormatName("tiff").next()
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        writer.setOutput(ios)
-        val param = writer.getDefaultWriteParam
-        writer.prepareWriteSequence(null)
-        (0 until nPages).foreach { p =>
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val pixBytes = w * h * 3
+        val pixPad = pixBytes + (pixBytes & 1)
+        val ifdSize = 2 + 10 * 12 + 4
+        val pageSize = 6 + pixPad + ifdSize
+        def pageBase(p: Int): Int = 8 + p * pageSize
+        val bb = java.nio.ByteBuffer.allocate(8 + nPages * pageSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('I'.toByte).put('I'.toByte).putShort(42)
+        bb.putInt(pageBase(0) + 6 + pixPad) // offset of IFD 0
+        var p = 0
+        while (p < nPages) {
+          val base = pageBase(p)
           val rc = ((id * 29 + p * 13) % 256).toInt
           val gc = ((id * 47 + p * 19) % 256).toInt
           val bc = ((id * 71 + p * 31) % 256).toInt
-          val rgb = (rc << 16) | (gc << 8) | bc
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
+          bb.position(base)
+          bb.putShort(8).putShort(8).putShort(8) // BitsPerSample data
+          var i = 0
+          while (i < w * h) {
+            bb.put(rc.toByte).put(gc.toByte).put(bc.toByte); i += 1
           }
-          writer.writeToSequence(
-            new javax.imageio.IIOImage(img, null, null), param)
+          bb.position(base + 6 + pixPad)
+          bb.putShort(10) // entry count; tags in ascending order
+          def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+            bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+            if (typ == 3 && count == 1) { // SHORT: value left-packed
+              bb.putShort(value.toShort); bb.putShort(0); ()
+            } else { bb.putInt(value); () } // LONG value, or data offset
+          }
+          entry(256, 3, 1, w)        // ImageWidth
+          entry(257, 3, 1, h)        // ImageLength
+          entry(258, 3, 3, base)     // BitsPerSample → external 8,8,8
+          entry(259, 3, 1, 1)        // Compression: none
+          entry(262, 3, 1, 2)        // PhotometricInterpretation: RGB
+          entry(273, 4, 1, base + 6) // StripOffsets (one strip)
+          entry(277, 3, 1, 3)        // SamplesPerPixel
+          entry(278, 3, 1, h)        // RowsPerStrip
+          entry(279, 4, 1, pixBytes) // StripByteCounts
+          entry(284, 3, 1, 1)        // PlanarConfiguration: chunky
+          bb.putInt(if (p + 1 < nPages) pageBase(p + 1) + 6 + pixPad else 0)
+          p += 1
         }
-        writer.endWriteSequence()
-        ios.close(); writer.dispose()
-        Row(id, bos.toByteArray)
+        Row(id, bb.array())
       }
     }(Encoders.row(schema))
     spark.createDataFrame(rows.rdd, schema)

@@ -506,21 +506,24 @@ object ExtQueries {
       graft.llm.Multimodal.aviMeta(
         graft.llm.Multimodal.withAviPayload(t(s, d, "documents")))),
 
-    // ANIMATED GIF: executors write one real multi-frame GIF per doc
-    // through javax.imageio's sequence writer (frame count, dims,
-    // per-frame delay, solid frame colors all closed-form in doc_id);
-    // the decode side reads EVERY frame back plus the
-    // GraphicControlExtension delay and folds every pixel — the
-    // second multi-frame family a pure-JDK engine decodes for real
+    // ANIMATED GIF: executors HAND-ROLL one multi-frame GIF89a byte
+    // stream per doc (frame count, dims, per-frame delay, solid frame
+    // colors all closed-form in doc_id — every byte a pure function of
+    // doc_id, no imageio WRITER discretion left after two rounds of
+    // session-nondeterministic encodes on the driver); the decode side
+    // is unchanged and real: javax.imageio's gif reader reads EVERY
+    // frame back plus the GraphicControlExtension delay and folds
+    // every pixel
     "mm_decode_gif_anim" -> ((s, d) =>
       graft.llm.Multimodal.gifAnimMeta(
         graft.llm.Multimodal.withGifAnimPayload(t(s, d, "documents")))),
 
     // MULTI-PAGE TIFF (the scanned-document container): executors
-    // write one real multi-page TIFF per doc through javax.imageio's
-    // sequence writer (JDK 9+ ships the TIFF plugin); the decode side
-    // reads every page back and folds every pixel — direct RGB sample
-    // storage, so no palette/quantizer determinism risk at all
+    // HAND-ROLL one baseline multi-page TIFF per doc (chained IFDs,
+    // uncompressed chunky RGB strips — every byte a pure function of
+    // doc_id, same no-writer-discretion contract as the GIF entry);
+    // the decode side is unchanged and real: javax.imageio's tiff
+    // reader (JDK 9+) reads every page back and folds every pixel
     "mm_decode_tiff" -> ((s, d) =>
       graft.llm.Multimodal.tiffMeta(
         graft.llm.Multimodal.withTiffPayload(t(s, d, "documents")))),
