@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to this process's stdout/stderr,
+// without sbt's `[info] `/`[error] ` logger prefixes: the driver's
+// bench capture failed to parse the one-line metric JSON in BOTH the
+// r16 and r17 rounds because every stdout line arrived as
+// `[info] {...}` (BENCH_r*.json `parsed: null`, r17 verdict #2). The
+// bench additionally writes its metric JSONs to target/bench_*.json.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

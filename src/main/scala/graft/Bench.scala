@@ -350,14 +350,36 @@ object Bench {
     // heap_max_mb: what -Xmx the battery ACTUALLY ran with — the r12
     // triangles non-recovery was undiagnosable from BENCH_r12 alone
     // because the driver box's heap sizing was unrecorded
-    println(s"""{"metric":"diag","sf":"$sfDir","heap_max_mb":$heapMaxMb,"diag":$dj}""")
-    println(s"""{"metric":"queries","sf":"$sfDir","queries":$qs}""")
+    val diagLine =
+      s"""{"metric":"diag","sf":"$sfDir","heap_max_mb":$heapMaxMb,"diag":$dj}"""
+    val queriesLine = s"""{"metric":"queries","sf":"$sfDir","queries":$qs}"""
+    println(diagLine)
+    println(queriesLine)
     val topQs = all.sortBy(-_._2)
       .foldLeft(List.empty[String]) { case (acc, (k, v)) =>
         val item = "\"" + k + "\":" + f"$v%.2f"
         if (acc.map(_.length + 1).sum + item.length < 1700) item :: acc else acc
       }.reverse.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$topQs,"sf":"$sfDir","n_queries":${all.size}}""")
+    val totalLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$topQs,"sf":"$sfDir","n_queries":${all.size}}"""
+    println(totalLine)
+    // FILE ARTIFACTS (r17 verdict #2): the driver's stdout capture
+    // failed to parse BOTH r16 and r17 batteries (sbt's `[info] `
+    // prefix + tail truncation), leaving PERF empty two rounds
+    // running. The same three JSON lines land in target/ where no log
+    // decoration or truncation can touch them; the queries artifact
+    // additionally carries the FULL per-query map (the stdout totals
+    // line caps its inline map to stay under the capture's line
+    // limit). Methodology and stdout contract are unchanged.
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("bench_diag.json"), diagLine)
+      java.nio.file.Files.writeString(
+        dir.resolve("bench_queries.json"), queriesLine)
+      java.nio.file.Files.writeString(dir.resolve("bench_total.json"),
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${all.size}}""")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
