@@ -123,28 +123,43 @@ object Compiler {
           // Catalyst can't see a multiplying key — the armed
           // join-cardinality pre-flight does (keys-sized work)
           Preflight.joinCard(cur.df, nxt.df, shared)
-          if (shared.forall(v => cur.iriVars(v) && nxt.iriVars(v))) {
-            // iri fast path: every shared var is iri-only on BOTH sides
-            // (kind 'i', all non-iri fields null by construction), so
-            // joining on the `iri` strings is exactly the struct join —
-            // the exchange hashes and the merge sort compare one string
-            // per key instead of a 10-field normalized struct (measured
-            // as the dominant cost of the EAV self-join entries). Output
-            // keeps the LEFT copy of each shared binding, like the
-            // using-columns join it replaces.
-            val rn = nxt.df.select(nxt.df.columns.map(c =>
-              if (shared.contains(c)) col(c).as(s"__r_$c") else col(c)).toSeq: _*)
-            val cond = shared.map(v =>
-              col(v).getField("iri") === col(s"__r_$v").getField("iri"))
-              .reduce(_ && _)
-            cur.df.join(rn, cond, "inner")
-              .select((cur.df.columns.map(col) ++
-                nxt.df.columns.filterNot(shared.contains).map(col)).toSeq: _*)
-          } else cur.df.join(nxt.df, shared, "inner")
+          keyedJoin(cur.df, nxt.df, shared,
+            shared.filter(v => cur.iriVars(v) && nxt.iriVars(v)).toSet,
+            "inner")
         }
       BF(df, cur.vars ++ nxt.vars, iriVars = cur.iriVars ++ nxt.iriVars)
     }
   }
+
+  /** Equi-join where the keys in `iriKeys` compare on the extracted
+    * `iri` STRING and the rest on the full value struct. For an
+    * iri-only-by-construction column (kind 'i', every other field
+    * null) struct equality ⟺ iri equality, so narrowing is exact; the
+    * exchange then hashes and the merge/hash compare one string per
+    * key instead of the 10-field float-normalized struct (measured as
+    * the dominant cost of the EAV self-join entries in r17, extended
+    * to the outer/anti shapes in r18). A null-PADDED binding (whole-
+    * null struct, e.g. from Opt/Or) stays safe: its extracted iri is
+    * null and never matches — exactly like a null struct under `===`.
+    * Output matches the using-columns join it replaces: left columns
+    * (left copy of every key), then right's non-key columns; anti/semi
+    * joins keep the left side only. */
+  private def keyedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        iriKeys: Set[String], joinType: String): DataFrame =
+    if (keys.isEmpty || iriKeys.isEmpty) left.join(right, keys, joinType)
+    else {
+      val rn = right.select(right.columns.map(c =>
+        if (keys.contains(c)) col(c).as(s"__r_$c") else col(c)).toSeq: _*)
+      val cond = keys.map { v =>
+        if (iriKeys(v))
+          col(v).getField("iri") === col(s"__r_$v").getField("iri")
+        else col(v) === col(s"__r_$v")
+      }.reduce(_ && _)
+      val joined = left.join(rn, cond, joinType)
+      if (joinType == "left_anti" || joinType == "left_semi") joined
+      else joined.select((left.columns.map(col) ++
+        right.columns.filterNot(keys.contains).map(col)).toSeq: _*)
+    }
 
   private def objVal: Column = mk(col("o_kind"), col("o_iri"), col("o_typ"),
     col("o_str"), col("o_dbl"), col("o_lng"), col("o_ts"), col("o_bool"), col("o_lang"),
@@ -208,7 +223,12 @@ object Compiler {
   }
 
   /** Left-outer extension of `cur` by `inner` (inner's frame already
-    * contains cur's columns). Used by Opt and CountQ. */
+    * contains cur's columns). Used by Opt and CountQ. Keys that are
+    * iri-only on BOTH frames join on the narrow iri string
+    * ([[keyedJoin]]); extension vars stay iri-marked through the null
+    * padding (null struct → null iri, identical non-match semantics),
+    * filled vars are dropped from the set (the fill column is not
+    * iri-built). */
   private def leftExtend(cur: BF, inner: BF, fill: Map[String, Column]): BF = {
     if (cur.isUnit) {
       if (inner.df.isEmpty) {
@@ -219,11 +239,14 @@ object Compiler {
       } else inner
     } else {
       val keys = cur.vars.toSeq.sorted
-      val joined = cur.df.join(inner.df, keys, "left_outer")
+      val joined = keyedJoin(cur.df, inner.df, keys,
+        keys.filter(v => cur.iriVars(v) && inner.iriVars(v)).toSet,
+        "left_outer")
       val filled =
         if (fill.isEmpty) joined
         else fill.foldLeft(joined) { case (d, (v, c)) => d.withColumn(v, coalesce(col(v), c)) }
-      BF(filled, cur.vars ++ inner.vars)
+      BF(filled, cur.vars ++ inner.vars,
+        iriVars = (cur.iriVars ++ (inner.iriVars -- cur.vars)) -- fill.keySet)
     }
   }
 
@@ -327,7 +350,7 @@ object Compiler {
       val parsed = graft.sources.Turtle.load(ctx.spark, ttl)
       val bound = parsed.select(iriVal(col("s")).as(sv),
         iriVal(col("p")).as(pv), objVal.as(ov))
-      conj(cur, BF(bound, Set(sv, pv, ov)))
+      conj(cur, BF(bound, Set(sv, pv, ov), iriVars = Set(sv, pv)))
 
     case PutCsv(cols, sub, path) =>
       val inner = compile(sub, cur)
@@ -382,7 +405,7 @@ object Compiler {
           sort_array(collect_list(struct(col("__k"), col("__v1")))))).as("__doc"))
       val bf = idT match {
         case V(n) => BF(docs.select(iriVal(col("s")).as(n),
-          strVal(col("__doc")).as(into)), Set(n, into))
+          strVal(col("__doc")).as(into)), Set(n, into), iriVars = Set(n))
         case Node(i) => BF(docs.filter(col("s") === i)
           .select(strVal(col("__doc")).as(into)), Set(into))
         case _ => throw new IllegalArgumentException("ReadDocument: id must be IRI or var")
@@ -413,7 +436,10 @@ object Compiler {
         }
       }
       conj(cur, BF(df.select(proj.map { case (n, c) => c.as(n) }.toSeq: _*),
-        proj.keySet.toSet))
+        proj.keySet.toSet,
+        // the star subject is iriVal-built from a non-null EAV subject;
+        // object slots can bind any value kind
+        iriVars = Set(subjVar)))
 
     case GroupAgg(fn, template, by, sub, into) =>
       val inner = compile(sub, cur)
@@ -429,7 +455,8 @@ object Compiler {
             .otherwise(dblVal(sum(Vals.num(v))))
         case "count" => lngVal(count(lit(1)))
       }
-      BF(inner.df.groupBy(by.map(col): _*).agg(aggCol.as(into)), by.toSet + into)
+      BF(inner.df.groupBy(by.map(col): _*).agg(aggCol.as(into)), by.toSet + into,
+        iriVars = inner.iriVars intersect by.toSet)
 
     case GroupCount(sub, by, into) =>
       // independent sub-query → per-`by` solution count, conj-joined
@@ -441,7 +468,8 @@ object Compiler {
       val inner = compile(sub, unit(ctx))
       val g = inner.df.groupBy(by.map(col): _*)
         .agg(lngVal(count(lit(1))).as(into))
-      conj(cur, BF(g, by.toSet + into))
+      conj(cur, BF(g, by.toSet + into,
+        iriVars = inner.iriVars intersect by.toSet))
 
     case GroupStats(sub, by, aggs) =>
       // GroupCount generalized: ALL the link's aggregates compute in
@@ -468,7 +496,8 @@ object Compiler {
       }
       val stats = inner.df.groupBy(by.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
-      conj(cur, BF(stats, by.toSet ++ aggs.map(_._3)))
+      conj(cur, BF(stats, by.toSet ++ aggs.map(_._3),
+        iriVars = inner.iriVars intersect by.toSet))
 
     case GroupTopKJoin(sub, by, order, k, keep) =>
       // independent sub-query → per-`by` top-k under the canonical
@@ -489,7 +518,8 @@ object Compiler {
           df.select((cols ++ keyNames).map(col): _*),
           by, sortSpecs, k.toInt, rankName = "__rk")
         .drop(keyNames :+ "__rk": _*)
-      conj(cur, BF(top, cols.toSet))
+      conj(cur, BF(top, cols.toSet,
+        iriVars = inner.iriVars intersect cols.toSet))
 
     case Or(qs) =>
       val branches = qs.map(compile(_, cur))
@@ -498,7 +528,11 @@ object Compiler {
         val missing = (allVars -- b.vars).toSeq.sorted
         missing.foldLeft(b.df)((d, v) => d.withColumn(v, lit(null).cast(Vals.structType)))
       }
-      BF(dfs.reduce(_ unionByName _), allVars)
+      // a var stays iri-only iff every branch binds it iri-only or not
+      // at all (null padding — safe, see keyedJoin)
+      BF(dfs.reduce(_ unionByName _), allVars,
+        iriVars = branches.map(b => b.iriVars ++ (allVars -- b.vars))
+          .reduce(_ intersect _))
 
     case Not(sub) =>
       // When the negated query is SELF-CONTAINED (every variable sits in
@@ -522,10 +556,16 @@ object Compiler {
           else cur.vars).toSeq.sorted
         if (keys.isEmpty) {
           // disjoint vars: every row survives iff sub has no solution
-          if (inner.df.isEmpty) cur else BF(cur.df.limit(0), cur.vars)
+          if (inner.df.isEmpty) cur
+          else BF(cur.df.limit(0), cur.vars, iriVars = cur.iriVars)
         } else
-          BF(cur.df.join(inner.df.select(keys.map(col): _*), keys, "left_anti"),
-            cur.vars)
+          // anti-join on the narrow iri keys where both sides are
+          // iri-only (a kept/dropped decision depends only on key
+          // equality, which is unchanged by the narrowing)
+          BF(keyedJoin(cur.df, inner.df.select(keys.map(col): _*), keys,
+              keys.filter(v => cur.iriVars(v) && inner.iriVars(v)).toSet,
+              "left_anti"),
+            cur.vars, iriVars = cur.iriVars)
       }
 
     case Opt(sub) =>
@@ -540,7 +580,14 @@ object Compiler {
       val indep = if (optSelf) compile(sub, unit(ctx)) else null
       if (optSelf && cur.vars.intersect(indep.vars).nonEmpty) {
         val keys = cur.vars.intersect(indep.vars).toSeq.sorted
-        BF(cur.df.join(indep.df, keys, "left_outer"), cur.vars ++ indep.vars)
+        // narrow iri keys where both sides are iri-only; optional vars
+        // stay iri-marked through the null padding (null struct → null
+        // iri — never matches downstream, same as struct equality)
+        BF(keyedJoin(cur.df, indep.df, keys,
+            keys.filter(v => cur.iriVars(v) && indep.iriVars(v)).toSet,
+            "left_outer"),
+          cur.vars ++ indep.vars,
+          iriVars = cur.iriVars ++ (indep.iriVars -- cur.vars))
       } else leftExtend(cur, compile(sub, cur), Map.empty)
 
     case WhenQ(c, t) =>
@@ -563,12 +610,20 @@ object Compiler {
         } else thenBF
       } else {
         val keys = cur.vars.toSeq.sorted
-        val unmatched = cur.df.join(condBF.df.select(keys.map(col): _*), keys, "left_anti")
+        val unmatched = keyedJoin(cur.df,
+          condBF.df.select(keys.map(col): _*), keys,
+          keys.filter(v => cur.iriVars(v) && condBF.iriVars(v)).toSet,
+          "left_anti")
         val missing = (thenBF.vars -- cur.vars).toSeq.sorted
         val padded = missing.foldLeft(unmatched)((d, v) =>
           d.withColumn(v, lit(null).cast(Vals.structType)))
         BF(thenBF.df.unionByName(padded.select(thenBF.df.columns.map(col).toSeq: _*)),
-          thenBF.vars)
+          thenBF.vars,
+          // a var stays iri-only iff iri-only in BOTH union branches
+          // (pass-through rows: cur's iri vars, plus Then-only vars as
+          // null padding — safe as above)
+          iriVars = thenBF.iriVars intersect
+            (cur.iriVars ++ (thenBF.vars -- cur.vars)))
       }
 
     case Immediately(sub) =>
@@ -585,14 +640,22 @@ object Compiler {
       // same per-frame cardinality: exactly one solution).
       if (cur.isUnit) {
         val ord = inner.vars.toSeq.sorted.map(col)
-        BF(inner.df.orderBy(ord: _*).limit(1), inner.vars)
+        BF(inner.df.orderBy(ord: _*).limit(1), inner.vars,
+          iriVars = inner.iriVars)
       } else {
         val keys = cur.vars.toSeq.sorted
         val rest = (inner.vars -- cur.vars).toSeq.sorted
-        val w = Window.partitionBy(keys.map(col): _*)
+        // iri-only partition keys narrow to the iri string: rows group
+        // identically (struct value ⟺ iri for iri-only columns, nulls
+        // group together either way) and the window exchange hashes
+        // one string per key instead of the normalized struct
+        val pCols = keys.map(v =>
+          if (inner.iriVars(v)) col(v).getField("iri") else col(v))
+        val w = Window.partitionBy(pCols: _*)
           .orderBy((keys ++ rest).map(col): _*)
         BF(inner.df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn"), inner.vars)
+          .filter(col("__rn") === 1).drop("__rn"), inner.vars,
+          iriVars = inner.iriVars)
       }
 
     case True  => cur
@@ -620,19 +683,25 @@ object Compiler {
       case (V(x), V(y)) => throw new IllegalArgumentException(
         s"eq($x, $y): at least one side must be bound — unbound-unbound " +
           "aliasing has no solutions to enumerate in a set-oriented engine")
-      case (V(x), c: Term) if cur.vars(x) => BF(cur.df.filter(col(x) === ofTerm(c)), cur.vars)
-      case (V(x), c: Term) => BF(cur.df.withColumn(x, ofTerm(c)), cur.vars + x)
+      case (V(x), c: Term) if cur.vars(x) =>
+        BF(cur.df.filter(col(x) === ofTerm(c)), cur.vars, iriVars = cur.iriVars)
+      case (V(x), c: Term) => BF(cur.df.withColumn(x, ofTerm(c)), cur.vars + x,
+        // a Node constant binds iriVal(lit(..)) — iri-only, non-null
+        iriVars = c match { case Node(_) => cur.iriVars + x
+                            case _ => cur.iriVars })
       case (c: Term, V(x)) => compile(Eq(V(x), c), cur)
       case (c1: Term, c2: Term) =>
         if (c1 == c2) cur else BF(cur.df.limit(0), cur.vars)
     }
 
     case Cmp(op, a, b) =>
-      BF(cur.df.filter(Vals.cmp(op, termCol(a, cur.vars), termCol(b, cur.vars))), cur.vars)
+      BF(cur.df.filter(Vals.cmp(op, termCol(a, cur.vars), termCol(b, cur.vars))),
+        cur.vars, iriVars = cur.iriVars)
 
     case RegexTest(p, s) =>
       // pure codegen'd filter (RLike); stays inside whole-stage codegen
-      BF(cur.df.filter(strOf(s, cur.vars).rlike(p)), cur.vars)
+      BF(cur.df.filter(strOf(s, cur.vars).rlike(p)), cur.vars,
+        iriVars = cur.iriVars)
 
     case Isa(x, cls) =>
       // instance-of with subclass inference: type triples ⨝ broadcast closure
@@ -642,13 +711,16 @@ object Compiler {
         .select(col("s"), col("sup"))
       val bf = (x, cls) match {
         case (V(n), Node(c)) =>
-          BF(withSup.filter(col("sup") === c).select(iriVal(col("s")).as(n)), Set(n))
+          BF(withSup.filter(col("sup") === c).select(iriVal(col("s")).as(n)),
+            Set(n), iriVars = Set(n))
         case (Node(i), Node(c)) =>
           BF(withSup.filter(col("s") === i && col("sup") === c).select(), Set.empty)
         case (V(n), V(cv)) =>
-          BF(withSup.select(iriVal(col("s")).as(n), iriVal(col("sup")).as(cv)), Set(n, cv))
+          BF(withSup.select(iriVal(col("s")).as(n), iriVal(col("sup")).as(cv)),
+            Set(n, cv), iriVars = Set(n, cv))
         case (Node(i), V(cv)) =>
-          BF(withSup.filter(col("s") === i).select(iriVal(col("sup")).as(cv)), Set(cv))
+          BF(withSup.filter(col("s") === i).select(iriVal(col("sup")).as(cv)),
+            Set(cv), iriVars = Set(cv))
         case _ => throw new IllegalArgumentException("isa: bad arguments")
       }
       conj(cur, bf)
@@ -659,11 +731,14 @@ object Compiler {
         case (Node(a), Node(b)) =>
           BF(cl.filter(col("sub") === a && col("sup") === b).select(), Set.empty)
         case (Node(a), V(y)) =>
-          BF(cl.filter(col("sub") === a).select(iriVal(col("sup")).as(y)), Set(y))
+          BF(cl.filter(col("sub") === a).select(iriVal(col("sup")).as(y)),
+            Set(y), iriVars = Set(y))
         case (V(x), Node(b)) =>
-          BF(cl.filter(col("sup") === b).select(iriVal(col("sub")).as(x)), Set(x))
+          BF(cl.filter(col("sup") === b).select(iriVal(col("sub")).as(x)),
+            Set(x), iriVars = Set(x))
         case (V(x), V(y)) =>
-          BF(cl.select(iriVal(col("sub")).as(x), iriVal(col("sup")).as(y)), Set(x, y))
+          BF(cl.select(iriVal(col("sub")).as(x), iriVal(col("sup")).as(y)),
+            Set(x, y), iriVars = Set(x, y))
         case _ => throw new IllegalArgumentException("subsumption: bad arguments")
       }
       conj(cur, bf)
@@ -672,9 +747,12 @@ object Compiler {
       val xc = termCol(x, cur.vars)
       val t = when(xc.getField("k") === "i", lit("owl:Thing")).otherwise(xc.getField("typ"))
       into match {
-        case V(n) if !cur.vars(n) => BF(cur.df.withColumn(n, strVal(t)), cur.vars + n)
-        case V(n) => BF(cur.df.filter(Vals.text(col(n)) === t), cur.vars)
-        case c: Term => BF(cur.df.filter(t === Vals.text(ofTerm(c))), cur.vars)
+        case V(n) if !cur.vars(n) => BF(cur.df.withColumn(n, strVal(t)),
+          cur.vars + n, iriVars = cur.iriVars)
+        case V(n) => BF(cur.df.filter(Vals.text(col(n)) === t), cur.vars,
+          iriVars = cur.iriVars)
+        case c: Term => BF(cur.df.filter(t === Vals.text(ofTerm(c))), cur.vars,
+          iriVars = cur.iriVars)
       }
 
     case OrderBy(specs, sub) =>
@@ -684,15 +762,15 @@ object Compiler {
         if (asc) Seq(kn.asc_nulls_last, kt.asc_nulls_last)
         else Seq(kn.desc_nulls_last, kt.desc_nulls_last)
       }
-      BF(inner.df.orderBy(sortCols: _*), inner.vars)
+      BF(inner.df.orderBy(sortCols: _*), inner.vars, iriVars = inner.iriVars)
 
     case Limit(n, sub) =>
       val inner = compile(sub, cur)
-      BF(inner.df.limit(n.toInt), inner.vars)
+      BF(inner.df.limit(n.toInt), inner.vars, iriVars = inner.iriVars)
 
     case Start(n, sub) =>
       val inner = compile(sub, cur)
-      BF(inner.df.offset(n.toInt), inner.vars)
+      BF(inner.df.offset(n.toInt), inner.vars, iriVars = inner.iriVars)
 
     case GroupBy(template, by, sub, into) =>
       val inner = compile(sub, cur)
@@ -700,10 +778,11 @@ object Compiler {
       // operate on values); multi-var → list of named structs of values
       val tmpl = if (template.size == 1) col(template.head) else struct(template.map(col): _*)
       val g = inner.df.groupBy(by.map(col): _*).agg(collect_list(tmpl).as(into))
-      BF(g, by.toSet + into)
+      BF(g, by.toSet + into, iriVars = inner.iriVars intersect by.toSet)
 
     case SortListQ(listVar, into) =>
-      BF(cur.df.withColumn(into, array_sort(col(listVar))), cur.vars + into)
+      BF(cur.df.withColumn(into, array_sort(col(listVar))), cur.vars + into,
+        iriVars = cur.iriVars)
 
     case CountQ(sub, into) =>
       val inner = compile(sub, cur)
@@ -714,16 +793,20 @@ object Compiler {
         val counts = inner.df.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("__c"))
           .select(keys.map(col) :+ lngVal(col("__c")).as(into): _*)
-        leftExtend(cur, BF(counts, cur.vars + into), Map(into -> lngVal(lit(0L))))
+        leftExtend(cur, BF(counts, cur.vars + into,
+            iriVars = inner.iriVars intersect cur.vars),
+          Map(into -> lngVal(lit(0L))))
       }
 
     case SumList(listVar, into) =>
       val summed = aggregate(col(listVar), lit(0.0),
         (acc, x) => acc + coalesce(sumElemNum(x), lit(0.0)))
-      BF(cur.df.withColumn(into, dblVal(summed)), cur.vars + into)
+      BF(cur.df.withColumn(into, dblVal(summed)), cur.vars + into,
+      iriVars = cur.iriVars)
 
     case LengthList(listVar, into) =>
-      BF(cur.df.withColumn(into, lngVal(size(col(listVar)).cast(LongType))), cur.vars + into)
+      BF(cur.df.withColumn(into, lngVal(size(col(listVar)).cast(LongType))),
+        cur.vars + into, iriVars = cur.iriVars)
 
     case Eval(e, into) =>
       val asDbl = dblVal(arith(e, cur.vars))
@@ -731,31 +814,38 @@ object Compiler {
         case Some(dc) => when(dc.isNotNull, decVal(dc)).otherwise(asDbl)
         case None => asDbl
       }
-      BF(cur.df.withColumn(into, result), cur.vars + into)
+      BF(cur.df.withColumn(into, result), cur.vars + into,
+        iriVars = cur.iriVars)
 
     case ConcatList(parts, into) =>
       val c = concat(parts.map(strOf(_, cur.vars)): _*)
-      BF(cur.df.withColumn(into, strVal(c)), cur.vars + into)
+      BF(cur.df.withColumn(into, strVal(c)), cur.vars + into,
+        iriVars = cur.iriVars)
 
     case TrimS(s, into) =>
-      BF(cur.df.withColumn(into, strVal(trim(strOf(s, cur.vars)))), cur.vars + into)
+      BF(cur.df.withColumn(into, strVal(trim(strOf(s, cur.vars)))),
+        cur.vars + into, iriVars = cur.iriVars)
     case UpperS(s, into) =>
-      BF(cur.df.withColumn(into, strVal(upper(strOf(s, cur.vars)))), cur.vars + into)
+      BF(cur.df.withColumn(into, strVal(upper(strOf(s, cur.vars)))),
+        cur.vars + into, iriVars = cur.iriVars)
     case LowerS(s, into) =>
-      BF(cur.df.withColumn(into, strVal(lower(strOf(s, cur.vars)))), cur.vars + into)
+      BF(cur.df.withColumn(into, strVal(lower(strOf(s, cur.vars)))),
+        cur.vars + into, iriVars = cur.iriVars)
     case PadS(s, ch, len, into) =>
       BF(cur.df.withColumn(into,
         strVal(lpad(strOf(s, cur.vars), numOf(len, cur.vars).cast(IntegerType), lit(ch)))),
-        cur.vars + into)
+        cur.vars + into, iriVars = cur.iriVars)
 
     case SplitS(s, sep, into) =>
       // reference separator is a literal string, Spark's split is regex: quote it
       val arr = split(strOf(s, cur.vars), java.util.regex.Pattern.quote(sep))
-      BF(cur.df.withColumn(into, transform(arr, x => strVal(x))), cur.vars + into)
+      BF(cur.df.withColumn(into, transform(arr, x => strVal(x))),
+        cur.vars + into, iriVars = cur.iriVars)
 
     case JoinS(listVar, sep, into) =>
       val joined = array_join(transform(col(listVar), x => Vals.text(x)), sep)
-      BF(cur.df.withColumn(into, strVal(joined)), cur.vars + into)
+      BF(cur.df.withColumn(into, strVal(joined)), cur.vars + into,
+        iriVars = cur.iriVars)
 
     case SubstrS(s, before, len, intoAfter, intoSub) =>
       val str0 = strOf(s, cur.vars)
@@ -764,7 +854,8 @@ object Compiler {
       val subC = str0.substr(b + 1, l)
       val afterC = length(str0) - b - l
       BF(cur.df.withColumn(intoSub, strVal(subC))
-        .withColumn(intoAfter, lngVal(afterC.cast(LongType))), cur.vars + intoSub + intoAfter)
+        .withColumn(intoAfter, lngVal(afterC.cast(LongType))),
+        cur.vars + intoSub + intoAfter, iriVars = cur.iriVars)
 
     case ReMatch(p, s, intoGroups) =>
       // single capture group → all matches of it (global-flag style);
@@ -774,11 +865,13 @@ object Compiler {
       val groups =
         if (gc <= 1) regexp_extract_all(strOf(s, cur.vars), lit(p), lit(1))
         else array((1 to gc).map(i => regexp_extract(strOf(s, cur.vars), p, i)): _*)
-      BF(cur.df.withColumn(intoGroups, transform(groups, x => strVal(x))), cur.vars + intoGroups)
+      BF(cur.df.withColumn(intoGroups, transform(groups, x => strVal(x))),
+        cur.vars + intoGroups, iriVars = cur.iriVars)
 
     case FormatS(p, args, into) =>
       BF(cur.df.withColumn(into,
-        strVal(format_string(p, args.map(strOf(_, cur.vars)): _*))), cur.vars + into)
+        strVal(format_string(p, args.map(strOf(_, cur.vars)): _*))),
+        cur.vars + into, iriVars = cur.iriVars)
 
     case CastQ(v, typ, into) =>
       val c = termCol(v, cur.vars)
@@ -819,26 +912,36 @@ object Compiler {
           Vals.typedStr(typ, graft.functions.Xdd.email(Vals.text(c)))
         case other => throw new IllegalArgumentException(s"unsupported cast target $other")
       }
-      BF(cur.df.withColumn(into, casted), cur.vars + into)
+      BF(cur.df.withColumn(into, casted), cur.vars + into,
+        iriVars = cur.iriVars)
 
     case HashKey(base, args, into) =>
+      // iriVal over concat(lit, sha2(concat_ws(..))) — concat_ws/sha2
+      // never return null, so the iri field is provably non-null and
+      // the binding is safely iri-only
       val key = sha2(concat_ws("_", args.map(strOf(_, cur.vars)): _*), 256)
-      BF(cur.df.withColumn(into, iriVal(concat(lit(base), key))), cur.vars + into)
+      BF(cur.df.withColumn(into, iriVal(concat(lit(base), key))),
+        cur.vars + into, iriVars = cur.iriVars + into)
 
     case LexKey(base, args, into) =>
       val key = concat_ws("_", args.map(a => url_encode(strOf(a, cur.vars))): _*)
-      BF(cur.df.withColumn(into, iriVal(concat(lit(base), key))), cur.vars + into)
+      BF(cur.df.withColumn(into, iriVal(concat(lit(base), key))),
+        cur.vars + into, iriVars = cur.iriVars + into)
 
     case RandomKey(base, into) =>
-      BF(cur.df.withColumn(into, iriVal(concat(lit(base), expr("uuid()")))), cur.vars + into)
+      BF(cur.df.withColumn(into, iriVal(concat(lit(base), expr("uuid()")))),
+        cur.vars + into, iriVars = cur.iriVars + into)
 
     case MemberQ(into, listVar) =>
       val exploded = cur.df.withColumn(into, explode(col(listVar)))
-      BF(exploded, cur.vars + into)
+      BF(exploded, cur.vars + into, iriVars = cur.iriVars)
 
     case MemberConst(into, items) =>
       val arr = array(items.map(ofTerm): _*)
-      BF(cur.df.withColumn(into, explode(arr)), cur.vars + into)
+      BF(cur.df.withColumn(into, explode(arr)), cur.vars + into,
+        // all-Node item lists bind iriVal constants (non-null iri)
+        iriVars = if (items.forall(_.isInstanceOf[Node])) cur.iriVars + into
+          else cur.iriVars)
 
     case DotQ(doc, field, into) =>
       // DEEP dot ([ref:core/query/woql_compile.pl] dot chaining): the
@@ -851,7 +954,8 @@ object Compiler {
         if (seg.nonEmpty && seg.forall(_.isDigit)) s"[$seg]" else s".$seg")
         .mkString
       val j = get_json_object(strOf(doc, cur.vars), path)
-      BF(cur.df.withColumn(into, strVal(j)), cur.vars + into)
+      BF(cur.df.withColumn(into, strVal(j)), cur.vars + into,
+        iriVars = cur.iriVars)
 
     case LikeSim(a, b, into, metric) =>
       // Dice bigrams by default (pure built-ins); "isub" switches to the
@@ -862,7 +966,8 @@ object Compiler {
         case _ => graft.functions.GraftFunctions.dice_similarity(
           strOf(a, cur.vars), strOf(b, cur.vars))
       }
-      BF(cur.df.withColumn(into, dblVal(sim)), cur.vars + into)
+      BF(cur.df.withColumn(into, dblVal(sim)), cur.vars + into,
+        iriVars = cur.iriVars)
 
     case PathQ(x, pat, y, _witness, ew) =>
       // Bound endpoint → frontier expansion from that side (work ∝
@@ -912,12 +1017,13 @@ object Compiler {
           val base = Seq(iriVal(col("n")).as(n),
             strVal(concat_ws("/", col("path"))).as(w))
           val cols = base ++ ew.map(v => strVal(edgeStrW).as(v))
-          BF(wdf.select(cols: _*), Set(n, w) ++ ew)
+          BF(wdf.select(cols: _*), Set(n, w) ++ ew, iriVars = Set(n))
         case (Node(i), V(n), None) =>
-          BF(Paths.step(pat, seed(i), ctx).select(iriVal(col("n")).as(n)), Set(n))
+          BF(Paths.step(pat, seed(i), ctx).select(iriVal(col("n")).as(n)),
+            Set(n), iriVars = Set(n))
         case (V(n), Node(i), _) =>
           BF(Paths.step(Paths.invert(pat), seed(i), ctx)
-            .select(iriVal(col("n")).as(n)), Set(n))
+            .select(iriVal(col("n")).as(n)), Set(n), iriVars = Set(n))
         case (V(a), V(b), _) if cur.vars(a) =>
           // source var already bound by the frame → pair-carrying
           // frontier walk from the binding set (work ∝ reachable set,
@@ -930,7 +1036,7 @@ object Compiler {
             .select(col("orig"), col("orig").as("n"))
           val walked = Paths.stepPairs(pat, seeds, ctx)
           BF(walked.select(iriVal(col("orig")).as(a), iriVal(col("n")).as(b)),
-            Set(a, b))
+            Set(a, b), iriVars = Set(a, b))
         case (V(a), V(b), _) if cur.vars(b) =>
           // bound destination: same walk over the inverted pattern
           joinCur = curCp
@@ -940,10 +1046,11 @@ object Compiler {
             .select(col("orig"), col("orig").as("n"))
           val walked = Paths.stepPairs(Paths.invert(pat), seeds, ctx)
           BF(walked.select(iriVal(col("orig")).as(b), iriVal(col("n")).as(a)),
-            Set(a, b))
+            Set(a, b), iriVars = Set(a, b))
         case (V(a), V(b), _) =>
           val pairs = Paths.compile(pat, ctx)
-          BF(pairs.select(iriVal(col("src")).as(a), iriVal(col("dst")).as(b)), Set(a, b))
+          BF(pairs.select(iriVal(col("src")).as(a), iriVal(col("dst")).as(b)),
+            Set(a, b), iriVars = Set(a, b))
         case (Node(i), Node(j), _) =>
           BF(Paths.step(pat, seed(i), ctx).filter(col("n") === j).select(), Set.empty)
         case _ => throw new IllegalArgumentException("path: endpoints must be IRIs or vars")
@@ -971,7 +1078,7 @@ object Compiler {
           val base = Seq(iriVal(col("n")).as(n),
             strVal(concat_ws("/", col("path"))).as(w))
           val cols = base ++ ew.map(v => strVal(edgeStr).as(v))
-          BF(all.select(cols: _*), Set(n, w) ++ ew)
+          BF(all.select(cols: _*), Set(n, w) ++ ew, iriVars = Set(n))
         case (Node(i), Node(j)) =>
           val all = Paths.stepAllPaths(pat, seedW(i), ctx).filter(col("n") === j)
           val cols = strVal(concat_ws("/", col("path"))).as(w) +:
@@ -994,11 +1101,11 @@ object Compiler {
         case (Node(i), V(n)) =>
           val sp = Paths.shortest(pat, Some(seed(i)), ctx)
           BF(sp.select(iriVal(col("dst")).as(n), lngVal(col("dist")).as(d)),
-            Set(n, d))
+            Set(n, d), iriVars = Set(n))
         case (V(a), V(b)) =>
           val sp = Paths.shortest(pat, None, ctx)
           BF(sp.select(iriVal(col("src")).as(a), iriVal(col("dst")).as(b),
-            lngVal(col("dist")).as(d)), Set(a, b, d))
+            lngVal(col("dist")).as(d)), Set(a, b, d), iriVars = Set(a, b))
         case (Node(i), Node(j)) =>
           val sp = Paths.shortest(pat, Some(seed(i)), ctx).filter(col("dst") === j)
           BF(sp.select(lngVal(col("dist")).as(d)), Set(d))

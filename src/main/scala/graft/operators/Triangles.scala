@@ -27,6 +27,34 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Row cap for the shuffled-hash hints on the wedge/closing joins
+    * (r17 advisor: unlike sort-merge, a shuffled-hash build side
+    * degrades by OOM, not spill, so the hint must be gated like the
+    * broadcast caps are). The build side is the oriented edge list;
+    * per-task build memory is |oriented| / shuffle-partitions rows
+    * (~50 B each), so the default 100M cap keeps a 32-partition local
+    * build ≤ ~160 MB/task and a production deployment sizes
+    * spark.sql.shuffle.partitions with the same ratio in mind. Above
+    * the cap the joins fall back to sort-merge, which spills. */
+  private def shjRowCap: Long =
+    sys.props.get("graft.tri.shjRows")
+      .orElse(sys.env.get("GRAFT_TRI_SHJ_ROWS"))
+      .map(_.toLong).getOrElse(100000000L)
+
+  /** Opt-in shuffled-hash hint for the link-prediction center joins
+    * ([[commonNeighbors]] / [[resourceAllocation]]). DEFAULT OFF: the
+    * r17 BenchOne A/B said the hint won (3.60→2.70 min-of-5), but both
+    * the builder's full battery (2.53→2.77) and the driver's
+    * (3.28→3.75) regressed — the isolated-JVM number did not transfer
+    * to in-sequence state, so the hint is reverted and kept behind
+    * this toggle for the same-JVM interleaved A/B (graft.LinkAB). */
+  private[graft] def linkShj: Boolean =
+    sys.props.get("graft.link.shj")
+      .orElse(sys.env.get("GRAFT_LINK_SHJ")).contains("on")
+
+  private def linkHint(df: DataFrame): DataFrame =
+    if (linkShj) df.hint("shuffle_hash") else df
+
   /** Per-node triangle participation counts, top `k` by (count desc,
     * node asc). `edges` must be an undirected edge list with columns
     * (a, b); duplicates and self-loops are removed here. */
@@ -68,17 +96,23 @@ object Triangles {
                  col("a").as("dst"), col("da").as("dd"))).as("e"))
       .select(col("e.src"), col("e.ds"), col("e.dst"), col("e.dd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    // gate the shuffled-hash hints on the EXACT oriented-edge count
+    // (r17 advisor): the count is one cached-scan aggregate over the
+    // already-persisted frame, the same price the broadcast caps pay
+    val nOriented = oriented.count()
+    def shj(df: DataFrame): DataFrame =
+      if (nOriented <= shjRowCap) df.hint("shuffle_hash") else df
     // wedges u→v, u→w with v ≺ w (same total order keeps each
     // unordered pair once)
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
     val o2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
-    val wedges = o1.join(o2.hint("shuffle_hash"), Seq("src"))
+    val wedges = o1.join(shj(o2), Seq("src"))
       .where(col("dv") < col("dw") ||
              (col("dv") === col("dw") && col("v") < col("w")))
     // close the wedge: oriented edge v→w must exist (orientation of
     // {v,w} is v→w exactly because v ≺ w)
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val tris = wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
+    val tris = wedges.join(shj(closing), Seq("v", "w"))
       .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
     // per-node participation: each triangle credits its 3 corners
     val perNode = tris
@@ -250,8 +284,7 @@ object Triangles {
       .where(col("dn") <= maxCenterDeg)
       .select(col("v"), col("n"))
     val pairs = centers.select(col("n"), col("v").as("pa"))
-      .join(centers.select(col("n"), col("v").as("pb")).hint("shuffle_hash"),
-        Seq("n"))
+      .join(linkHint(centers.select(col("n"), col("v").as("pb"))), Seq("n"))
       .where(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("common"))
       .where(col("common") >= minCommon)
@@ -294,8 +327,7 @@ object Triangles {
       .where(col("dn") <= maxCenterDeg)
       .select(col("v"), col("n"), expr("1000000L div dn").as("w"))
     centers.select(col("n"), col("v").as("pa"), col("w"))
-      .join(centers.select(col("n"), col("v").as("pb")).hint("shuffle_hash"),
-        Seq("n"))
+      .join(linkHint(centers.select(col("n"), col("v").as("pb"))), Seq("n"))
       .where(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_micro"))

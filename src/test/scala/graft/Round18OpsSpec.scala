@@ -1,10 +1,102 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.core._
+import graft.core.Compiler
 
 /** Round-18 optimization-phase pins. */
 class Round18OpsSpec extends AnyFunSuite {
   import TestSpark._
+
+  // -- iri narrow-key extension (Opt/Not/WhenQ/Once/CountQ) -------------
+
+  private val g = triples(
+    (":a", "knows", ":b"), (":b", "knows", ":c"), (":c", "knows", ":a"),
+    (":a", "name", "alice"), (":b", "name", "bob"),
+    (":a", "age", 30), (":b", "age", 40))
+
+  private implicit val ctx: Ctx = ctxOf(g)
+
+  private def iriOf(r: Row, v: String): String =
+    Option(r.getAs[Row](v)).map(_.getAs[String]("iri")).orNull
+  private def strOf(r: Row, v: String): String =
+    Option(r.getAs[Row](v)).map(_.getAs[String]("str")).orNull
+  private def plan(q: Woql): String = {
+    val df = Compiler.run(q)
+    df.count() // settle AQE so the executed plan is final
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("Opt/Not/WhenQ/CountQ join on narrow iri keys when subject-shared") {
+    // every one of these compiles a frame join keyed on X (iri-only by
+    // construction): the float-normalized struct wrapper must be gone
+    // from the final plan, and the solutions must match hand-traced sets
+    val opt = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      Opt(TriplePat(V("X"), Node("name"), V("N")))))
+    val optRows = Compiler.run(opt).collect()
+      .map(r => iriOf(r, "X") -> strOf(r, "N")).toMap
+    assert(optRows == Map(":a" -> "alice", ":b" -> "bob", ":c" -> null))
+    assert(!plan(opt).contains("knownfloatingpointnormalized"),
+      "independent Opt still joins on the full value struct")
+
+    val not = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      Not(TriplePat(V("X"), Node("name"), V("N")))))
+    assert(Compiler.run(not).collect().map(iriOf(_, "X")).toSet == Set(":c"))
+    assert(!plan(not).contains("knownfloatingpointnormalized"),
+      "self-contained Not still anti-joins on the full value struct")
+
+    val whenQ = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      WhenQ(TriplePat(V("X"), Node("name"), V("N")),
+        Eq(V("Z"), Str("seen")))))
+    val whenRows = Compiler.run(whenQ).collect()
+      .map(r => iriOf(r, "X") -> strOf(r, "Z")).toMap
+    assert(whenRows == Map(":a" -> "seen", ":b" -> "seen", ":c" -> null))
+    assert(!plan(whenQ).contains("knownfloatingpointnormalized"),
+      "WhenQ pass-through anti-join still keys on the full value struct")
+
+    val cnt = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      CountQ(TriplePat(V("X"), Node("name"), V("N")), "C")))
+    val cntRows = Compiler.run(cnt).collect()
+      .map(r => iriOf(r, "X") -> r.getAs[Row]("C").getAs[Long]("lng")).toMap
+    assert(cntRows == Map(":a" -> 1L, ":b" -> 1L, ":c" -> 0L))
+    assert(!plan(cnt).contains("knownfloatingpointnormalized"),
+      "CountQ left-extend still keys on the full value struct")
+  }
+
+  test("null-padded optional vars keep exact join semantics downstream") {
+    // :c has no name, so Opt pads N with a null struct; a LATER conj
+    // sharing N must treat the padded rows as non-matching (null iri
+    // never matches — identical to struct equality), never as a
+    // wildcard. X rides along to check which rows survived.
+    val q = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      Opt(TriplePat(V("X"), Node("name"), V("N"))),
+      TriplePat(V("X"), Node("age"), V("A"))))
+    // :c knows :a but has no age → dropped by the final pattern; padded
+    // N rows (for :c) must not leak through the age join either
+    val rows = Compiler.run(q).collect()
+      .map(r => iriOf(r, "X") -> strOf(r, "N")).toMap
+    assert(rows == Map(":a" -> "alice", ":b" -> "bob"))
+  }
+
+  test("Once partitions on the narrow iri key and keeps one row per frame key") {
+    val q = And(Seq(
+      TriplePat(V("X"), Node("knows"), V("Y")),
+      Once(TriplePat(V("X"), Node("knows"), V("W")))))
+    val df = Compiler.run(q)
+    val rows = df.collect().map(r => (iriOf(r, "X"), iriOf(r, "W")))
+    // exactly one solution per frame row, and the least W per X
+    assert(rows.toSet == Set((":a", ":b"), (":b", ":c"), (":c", ":a")))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("knownfloatingpointnormalized"),
+      "Once window still partitions on the full value struct")
+  }
 
   private def sha(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256").digest(b)
